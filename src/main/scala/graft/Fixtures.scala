@@ -1,0 +1,41 @@
+package graft
+
+import graft.core._
+
+/** Registry fixtures mapping the TPC-H-ish test tables onto the
+  * reference's entity/feature-group model (FIXTURES.md §1/§5): customer
+  * and order rows act as feature-group rows, custkey/orderkey as entity
+  * keys. Defaults follow the reference's per-feature default-value
+  * semantics (`FeatureMeta.DefaultValuesInBytes`, models.go:75).
+  */
+object Fixtures {
+
+  val customerProfile: FeatureGroupDef = FeatureGroupDef(
+    label = "profile", id = 1,
+    features = Seq(
+      FeatureDef("c_name", FeatureType.Str, default = "N/A"),
+      FeatureDef("c_acctbal", FeatureType.FP64, default = 0.0),
+      FeatureDef("c_mktsegment", FeatureType.Str, default = "NONE")))
+
+  val customerOrderStats: FeatureGroupDef = FeatureGroupDef(
+    label = "order_stats", id = 2,
+    features = Seq(
+      FeatureDef("order_cnt", FeatureType.Int64, default = 0L),
+      FeatureDef("total_spend", FeatureType.FP64, default = 0.0)))
+
+  /** 400-day TTL on order facts; written_at = o_orderdate. */
+  val orderFacts: FeatureGroupDef = FeatureGroupDef(
+    label = "order_facts", id = 3,
+    features = Seq(
+      FeatureDef("o_totalprice", FeatureType.FP64, default = 0.0),
+      FeatureDef("o_orderpriority", FeatureType.Str, default = "NONE")),
+    ttlSeconds = 400L * 86400)
+
+  val customerEntity: EntityDef = EntityDef(
+    "customer", Seq("c_custkey"), Seq(customerProfile, customerOrderStats))
+
+  val orderEntity: EntityDef = EntityDef(
+    "order", Seq("o_orderkey"), Seq(orderFacts))
+
+  val registry: Registry = Registry(customerEntity, orderEntity)
+}

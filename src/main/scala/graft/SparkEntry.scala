@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OracleMath._
+import graft.operators.FeatureStore
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent SQL oracle where the
@@ -26,6 +27,59 @@ object SparkEntry {
           xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           xavg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
+    }),
+
+    // ---- feature retrieve: key set → defaults for misses (J1/J3/P1/P3) ----
+    "q2_feature_retrieve" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val present = orders.filter(col("o_orderkey") % 13 === 1)
+        .select(col("o_custkey").as("c_custkey"))
+      val absent = present.select((col("c_custkey") + 1000000L).as("c_custkey"))
+      val keys = present.unionByName(absent).distinct()
+      FeatureStore.retrieve(keys, Tables.customer(s, dir), Seq("c_custkey"),
+        Fixtures.customerProfile, Seq("c_name", "c_acctbal", "c_mktsegment"))
+    }),
+
+    // ---- multi-FG stitch: profile + derived order stats (J2) ----
+    "q3_multi_fg_stitch" -> ((s, dir) => {
+      val customer = Tables.customer(s, dir)
+      val keys = customer.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"))
+        .unionByName(customer.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + 1000000L).as("c_custkey")))
+        .distinct()
+      val stats = Tables.orders(s, dir).groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("order_cnt"), xsum(col("o_totalprice")).as("total_spend"))
+      val profile = FeatureStore.retrieve(keys, customer, Seq("c_custkey"),
+        Fixtures.customerProfile, Seq("c_name", "c_acctbal"))
+      val orderStats = FeatureStore.retrieve(keys, stats, Seq("c_custkey"),
+        Fixtures.customerOrderStats, Seq("order_cnt", "total_spend"))
+      FeatureStore.stitch(Seq("c_custkey"), Seq(profile, orderStats))
+    }),
+
+    // ---- TTL expiry → defaults (P4), fixed asOf for determinism ----
+    "q4_ttl_expiry" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val keys = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"))
+        .unionByName(orders.filter(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey")))
+        .distinct()
+      FeatureStore.retrieve(keys, orders, Seq("o_orderkey"),
+        Fixtures.orderFacts, Seq("o_totalprice", "o_orderpriority"),
+        asOf = Some(lit("1998-08-01").cast("timestamp")),
+        writtenAt = "o_orderdate")
+    }),
+
+    // ---- quantized projection feature@DataTypeFP16 (P2/F7) ----
+    // No DuckDB oracle (fp16/fp8 not SQL-expressible); bit-exactness is
+    // covered by QuantizeSpec, this declares the operator end-to-end.
+    "q5_quantized_projection" -> ((s, dir) => {
+      val keys = Tables.customer(s, dir).select(col("c_custkey"))
+      FeatureStore.retrieve(keys, Tables.customer(s, dir), Seq("c_custkey"),
+        Fixtures.customerProfile,
+        Seq("c_acctbal", "c_acctbal@DataTypeFP16", "c_acctbal@DataTypeFP8E4M3",
+          "c_acctbal@DataTypeFP8E5M2"))
     })
   )
 
@@ -39,6 +93,47 @@ object SparkEntry {
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-         |GROUP BY l_returnflag, l_linestatus""".stripMargin
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_feature_retrieve" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderkey % 13 = 1
+        |  UNION
+        |  SELECT DISTINCT o_custkey + 1000000 FROM orders WHERE o_orderkey % 13 = 1)
+        |SELECT k.c_custkey,
+        |  COALESCE(c.c_name, 'N/A') AS c_name,
+        |  COALESCE(c.c_acctbal, 0.0) AS c_acctbal,
+        |  COALESCE(c.c_mktsegment, 'NONE') AS c_mktsegment
+        |FROM keys k LEFT JOIN customer c USING (c_custkey)""".stripMargin,
+
+    "q3_multi_fg_stitch" ->
+      s"""WITH keys AS (
+         |  SELECT c_custkey FROM customer WHERE c_custkey % 10 = 3
+         |  UNION
+         |  SELECT c_custkey + 1000000 FROM customer WHERE c_custkey % 10 = 3),
+         |stats AS (
+         |  SELECT o_custkey AS c_custkey, COUNT(*) AS order_cnt,
+         |    ${sqlSum("o_totalprice")} AS total_spend
+         |  FROM orders GROUP BY 1)
+         |SELECT k.c_custkey,
+         |  COALESCE(c.c_name, 'N/A') AS c_name,
+         |  COALESCE(c.c_acctbal, 0.0) AS c_acctbal,
+         |  COALESCE(s.order_cnt, 0) AS order_cnt,
+         |  COALESCE(s.total_spend, 0.0) AS total_spend
+         |FROM keys k
+         |LEFT JOIN customer c USING (c_custkey)
+         |LEFT JOIN stats s USING (c_custkey)""".stripMargin,
+
+    "q4_ttl_expiry" ->
+      """WITH keys AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION
+        |  SELECT o_orderkey + 1000000000 FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT k.o_orderkey,
+        |  CASE WHEN o.o_orderdate + INTERVAL 34560000 SECOND > TIMESTAMP '1998-08-01'
+        |       THEN COALESCE(o.o_totalprice, 0.0) ELSE 0.0 END AS o_totalprice,
+        |  CASE WHEN o.o_orderdate + INTERVAL 34560000 SECOND > TIMESTAMP '1998-08-01'
+        |       THEN COALESCE(o.o_orderpriority, 'NONE') ELSE 'NONE' END AS o_orderpriority
+        |FROM keys k LEFT JOIN orders o USING (o_orderkey)""".stripMargin
   )
 }

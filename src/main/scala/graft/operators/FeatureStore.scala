@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.FeatureGroupDef
+
+/** Point-lookup feature retrieval and upsert persistence.
+  *
+  * Spark-first re-expression of the reference's hot path
+  * (`FeatureService.RetrieveFeatures`,
+  * `online-feature-store/internal/handler/feature/retrieve.go:88-266`):
+  * the tier cascade and the `fillMatrix` assembler goroutine become a
+  * single declarative join + projection; defaults (P3), TTL expiry (P4)
+  * and negative caching (P5) all collapse into left-join null handling.
+  *
+  * == Scale design ==
+  * A feature table at 100 TB must never be shuffled for a point-lookup
+  * of a few thousand keys. `retrieve` therefore broadcasts the KEY SET,
+  * not the table:
+  *
+  *   hits    = fgTable ⋈_inner broadcast(keys)      // table streamed once,
+  *                                                  // no shuffle, scan prunes
+  *   missing = keys ⋈_anti broadcast(hits.keys)     // both sides tiny
+  *   result  = hits ∪ (missing + defaults)
+  *
+  * A plain `keys.join(fgTable, pk, "left")` cannot broadcast the small
+  * side (Spark only broadcasts the non-preserved side of an outer join),
+  * so it would sort-merge-shuffle the full table. The two-pass shape
+  * keeps every exchange proportional to the key count.
+  */
+object FeatureStore {
+
+  /** Retrieve `features` of one feature group for a set of entity keys.
+    *
+    * @param keys      DataFrame holding exactly the entity key columns
+    *                  (duplicates allowed — reference dedups requests and
+    *                  fans results back out, retrieve.go:608-693; the
+    *                  join reproduces that fan-out for free)
+    * @param fgTable   materialized feature-group table (pk + feature
+    *                  columns [+ writtenAt])
+    * @param pk        entity key column names (ordered composite key)
+    * @param fg        registry definition — supplies per-feature defaults
+    *                  and the group TTL
+    * @param features  requested feature names (SURVEY P1 projection);
+    *                  may carry `@DataTypeX` quantization suffixes
+    *                  (SURVEY P2) resolved by [[Projections.parse]]
+    * @param asOf      evaluation time for TTL expiry (P4); pass a fixed
+    *                  literal for deterministic tests
+    * @param writtenAt name of the write-timestamp column in fgTable
+    */
+  def retrieve(
+      keys: DataFrame,
+      fgTable: DataFrame,
+      pk: Seq[String],
+      fg: FeatureGroupDef,
+      features: Seq[String],
+      asOf: Option[Column] = None,
+      writtenAt: String = "written_at"): DataFrame = {
+
+    val projections = features.map(Projections.parse(fg, _))
+    val neededCols = projections.map(_.source).distinct
+
+    val expired: Column =
+      if (fg.ttlSeconds > 0 && fgTable.columns.contains(writtenAt))
+        col(writtenAt) + expr(s"INTERVAL ${fg.ttlSeconds} SECONDS") <=
+          asOf.getOrElse(current_timestamp())
+      else lit(false)
+
+    val dedupKeys = keys.dropDuplicates(pk)
+
+    // inner join streamed over the table; broadcast the key set
+    val hits = fgTable
+      .select((pk ++ neededCols ++ (if (fg.ttlSeconds > 0 && fgTable.columns.contains(writtenAt)) Seq(writtenAt) else Nil)).distinct.map(col): _*)
+      .join(broadcast(dedupKeys), pk, "inner")
+
+    val hitCols = pk.map(col) ++ projections.map { p =>
+      val raw = when(expired, p.default).otherwise(col(p.source))
+      p.quantize(coalesce(raw, p.default)).as(p.outName)
+    }
+    val hitRows = hits.select(hitCols: _*)
+
+    // keys with no stored row → all defaults (P3/P5 negative-cache path)
+    val missing = dedupKeys.join(
+      broadcast(hitRows.select(pk.map(col): _*).dropDuplicates(pk)), pk, "left_anti")
+    val missRows = missing.select(
+      pk.map(col) ++ projections.map(p => p.quantize(p.default).as(p.outName)): _*)
+
+    // fan results back out to the original (possibly duplicated) keys
+    keys.join(broadcast(hitRows.unionByName(missRows)), pk, "left")
+      .select((pk ++ projections.map(_.outName)).map(col): _*)
+  }
+
+  /** Stitch several per-FG retrievals into one row matrix (SURVEY J2).
+    * Each input is already ≤ |keys| rows, so every join broadcasts. */
+  def stitch(pk: Seq[String], parts: Seq[DataFrame]): DataFrame =
+    parts.reduce((a, b) => a.join(broadcast(b), pk, "full"))
+
+  /** Last-write-wins upsert of `updates` into `current` (SURVEY S2/ST3:
+    * each persist is a full FG overwrite for its keys). Duplicate keys
+    * inside `updates` resolve by highest `versionCol` then arbitrary-but-
+    * deterministic tie-break on the remaining columns' hash — mirrors
+    * the reference's per-key serial consumer, which applies the latest
+    * Kafka offset last (`internal/consumer/listeners/kafka.go:308+`).
+    *
+    * Scale note: this shuffles both sides by pk once (window + join).
+    * On a real deployment `current` would be a bucketed/Delta table and
+    * this becomes a storage-level MERGE; semantics here are identical.
+    */
+  def upsert(
+      current: DataFrame,
+      updates: DataFrame,
+      pk: Seq[String],
+      versionCol: String): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(versionCol).desc,
+        xxhash64(updates.columns.filterNot(pk.contains).map(col): _*))
+    val latest = updates
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    current.join(latest.select(pk.map(col): _*), pk, "left_anti")
+      .unionByName(latest.select(current.columns.map(col): _*))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{FeatureDef, FeatureGroupDef, FeatureType}
+import graft.operators.FeatureStore
+
+class FeatureStoreSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val fg = FeatureGroupDef("f", 1, Seq(
+    FeatureDef("v", FeatureType.FP64, default = -1.0),
+    FeatureDef("s", FeatureType.Str, default = "D")))
+
+  test("retrieve fills defaults for absent keys and null values (P3/P5)") {
+    val table = Seq((1L, 10.0, "a"), (2L, 20.0, null.asInstanceOf[String]))
+      .toDF("k", "v", "s")
+    val keys = Seq(1L, 2L, 3L).toDF("k")
+    val out = FeatureStore.retrieve(keys, table, Seq("k"), fg, Seq("v", "s"))
+      .orderBy("k").collect()
+    assert(out === Array(Row(1L, 10.0, "a"), Row(2L, 20.0, "D"), Row(3L, -1.0, "D")))
+  }
+
+  test("retrieve fans out duplicate request keys (J3)") {
+    val table = Seq((1L, 10.0, "a")).toDF("k", "v", "s")
+    val keys = Seq(1L, 1L, 9L).toDF("k")
+    val out = FeatureStore.retrieve(keys, table, Seq("k"), fg, Seq("v"))
+    assert(out.count() === 3)
+    assert(out.filter($"k" === 1L).count() === 2)
+  }
+
+  test("TTL expiry masks stored values with defaults (P4)") {
+    val ttlFg = fg.copy(ttlSeconds = 3600)
+    val table = Seq(
+      (1L, 10.0, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, 20.0, "b", java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("k", "v", "s", "written_at")
+    val out = FeatureStore.retrieve(
+      Seq(1L, 2L).toDF("k"), table, Seq("k"), ttlFg, Seq("v"),
+      asOf = Some(lit("2024-01-01 02:00:00").cast("timestamp")))
+      .orderBy("k").collect()
+    assert(out === Array(Row(1L, -1.0), Row(2L, 20.0))) // 1 expired, 2 live
+  }
+
+  test("composite keys (ordered multi-column PK)") {
+    val table = Seq((1L, "x", 5.0), (1L, "y", 6.0)).toDF("k1", "k2", "v")
+    val keys = Seq((1L, "x"), (1L, "z")).toDF("k1", "k2")
+    val out = FeatureStore.retrieve(keys, table, Seq("k1", "k2"),
+        fg.copy(features = Seq(FeatureDef("v", FeatureType.FP64, default = -1.0))),
+        Seq("v"))
+      .orderBy("k1", "k2").collect()
+    assert(out === Array(Row(1L, "x", 5.0), Row(1L, "z", -1.0)))
+  }
+
+  test("quantized projection parses @DataType suffix (P2)") {
+    val table = Seq((1L, 0.1, "a")).toDF("k", "v", "s")
+    val out = FeatureStore.retrieve(Seq(1L).toDF("k"), table, Seq("k"), fg,
+      Seq("v", "v@DataTypeFP16"))
+    assert(out.columns.toSeq === Seq("k", "v", "v__fp16"))
+    val r = out.collect()(0)
+    assert(r.getDouble(1) === 0.1)
+    assert(r.getFloat(2) === 0.0999755859375f)
+  }
+
+  test("upsert is last-write-wins per key (ST3)") {
+    val current = Seq((1L, 10.0, 1L), (2L, 20.0, 1L)).toDF("k", "v", "ver")
+    val updates = Seq((2L, 21.0, 2L), (2L, 22.0, 3L), (3L, 30.0, 2L))
+      .toDF("k", "v", "ver")
+    val out = FeatureStore.upsert(current, updates, Seq("k"), "ver")
+      .orderBy("k").select("k", "v").collect()
+    assert(out === Array(Row(1L, 10.0), Row(2L, 22.0), Row(3L, 30.0)))
+  }
+
+  test("retrieve plan broadcasts the key set, never shuffles the table") {
+    val table = Tables.customer(spark, sf)
+    val keys = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val plan = FeatureStore.retrieve(keys, table, Seq("c_custkey"),
+      Fixtures.customerProfile, Seq("c_name")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
