@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OracleMath._
-import graft.operators.FeatureStore
+import graft.operators.{FeatureStore, InteractionStore}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent SQL oracle where the
@@ -80,6 +80,38 @@ object SparkEntry {
         Fixtures.customerProfile,
         Seq("c_acctbal", "c_acctbal@DataTypeFP16", "c_acctbal@DataTypeFP8E4M3",
           "c_acctbal@DataTypeFP8E5M2"))
+    }),
+
+    // ---- time-range retrieval, newest first, per-user limit (W1/O3/P6) ----
+    "q6_interaction_timerange" -> ((s, dir) => {
+      InteractionStore.retrieveRange(
+        Tables.events(s, dir),
+        start = lit("2024-01-08 00:00:00").cast("timestamp"),
+        end = lit("2024-01-22 00:00:00").cast("timestamp"),
+        limit = 20)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          col("rank"))
+    }),
+
+    // ---- per-(user, week) bounded retention, newest kept (A1/O1/O2/ST5) ----
+    "q7_interaction_merge_cap" -> ((s, dir) => {
+      InteractionStore.mergeCap(Tables.events(s, dir), cap = 5)
+        .select(col("user_id"),
+          InteractionStore.week(col("ts")).as("week"),
+          col("event_id"), col("ts"))
+    }),
+
+    // ---- week-count metadata table (A2/F10) ----
+    "q8_week_counts" -> ((s, dir) => {
+      InteractionStore.weekCounts(Tables.events(s, dir))
+    }),
+
+    // ---- click ∪ order tagged union (J5/SO2) ----
+    "q9_click_order_union" -> ((s, dir) => {
+      val tagged = InteractionStore.unionTyped(Tables.events(s, dir),
+        Map("click" -> Seq("click", "view"), "order" -> Seq("purchase")))
+      tagged.groupBy(col("user_id"), col("event_class"))
+        .agg(count(lit(1)).as("n"), OracleMath.xsum(col("value")).as("total_value"))
     })
   )
 
@@ -134,6 +166,41 @@ object SparkEntry {
         |       THEN COALESCE(o.o_totalprice, 0.0) ELSE 0.0 END AS o_totalprice,
         |  CASE WHEN o.o_orderdate + INTERVAL 34560000 SECOND > TIMESTAMP '1998-08-01'
         |       THEN COALESCE(o.o_orderpriority, 'NONE') ELSE 'NONE' END AS o_orderpriority
-        |FROM keys k LEFT JOIN orders o USING (o_orderkey)""".stripMargin
+        |FROM keys k LEFT JOIN orders o USING (o_orderkey)""".stripMargin,
+
+    "q6_interaction_timerange" ->
+      """SELECT user_id, event_id, ts, event_type, rank FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id ASC) AS rank
+        |  FROM events
+        |  WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+        |               AND TIMESTAMP '2024-01-22 00:00:00')
+        |WHERE rank <= 20""".stripMargin,
+
+    "q7_interaction_merge_cap" ->
+      """SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |       event_id, ts FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, date_trunc('week', ts)
+        |    ORDER BY ts DESC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q8_week_counts" ->
+      """SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q9_click_order_union" ->
+      s"""WITH tagged AS (
+         |  SELECT user_id, value, 'click' AS event_class FROM events
+         |  WHERE event_type IN ('click', 'view')
+         |  UNION ALL
+         |  SELECT user_id, value, 'order' AS event_class FROM events
+         |  WHERE event_type = 'purchase')
+         |SELECT user_id, event_class, COUNT(*) AS n,
+         |  ${sqlSum("value")} AS total_value
+         |FROM tagged GROUP BY 1, 2""".stripMargin
   )
 }

@@ -92,9 +92,11 @@ object FeatureStore {
   }
 
   /** Stitch several per-FG retrievals into one row matrix (SURVEY J2).
-    * Each input is already ≤ |keys| rows, so every join broadcasts. */
+    * Every `retrieve` output carries the full key set, so the parts are
+    * key-aligned and a left join is exact — and unlike full outer it
+    * supports broadcasting the (≤ |keys|-sized) right side. */
   def stitch(pk: Seq[String], parts: Seq[DataFrame]): DataFrame =
-    parts.reduce((a, b) => a.join(broadcast(b), pk, "full"))
+    parts.reduce((a, b) => a.join(broadcast(b), pk, "left"))
 
   /** Last-write-wins upsert of `updates` into `current` (SURVEY S2/ST3:
     * each persist is a full FG overwrite for its keys). Duplicate keys

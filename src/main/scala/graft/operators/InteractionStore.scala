@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series interaction store: weekly event-time bucketing, bounded
+  * per-bucket retention, descending time-range retrieval.
+  *
+  * Re-expresses the reference's interaction-store semantics
+  * (`interaction-store/internal/handler/persist/click.go:127-183` merge/
+  * sort/cap, `retrieve/click.go:63-93,239-263` newest-first merge with
+  * early limit, `retrieve/retrieve.go:22-43` range validation) on true
+  * event-time partitions instead of the 24-slot ring buffer: the ring's
+  * mod-24 reuse and stale-slot clearing are storage artifacts; the API
+  * surface they implement — "events retrievable for the last 24 weeks,
+  * ≤500 kept per (user, week), newest first, ≤2000 returned" — maps to
+  * window ranking + retention predicates.
+  *
+  * == Scale design ==
+  * Retention and retrieval shuffle once on (user, week) / user — the
+  * store's natural key. Event tables at 100 TB should be written
+  * partitioned by week (`partitionBy(weekCol)`), which turns the time-
+  * range predicate into partition pruning; the per-user rank never sees
+  * more than `cap × weeks` rows per user after pushdown. Skewed hot
+  * users re-split via AQE skew-join/partition handling.
+  */
+object InteractionStore {
+
+  val MaxRetrieveLimit = 2000     // constants.go:20
+  val MaxEventsPerWeek = 500      // constants.go:22-25
+  val MaxRangeWeeks    = 24       // 24 weekly buckets, README.md:7
+
+  /** Monday-start event-time week bucket (F10/ST5). */
+  def week(ts: Column): Column = date_trunc("week", ts).cast("date")
+
+  /** Per-(user, week) bounded retention: keep the newest `cap` events,
+    * ties broken by `tieBreak` ascending for determinism (A1/O1/O2).
+    */
+  def mergeCap(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieBreak: String = "event_id",
+      cap: Int = MaxEventsPerWeek): DataFrame = {
+    val w = Window.partitionBy(col(userCol), week(col(tsCol)))
+      .orderBy(col(tsCol).desc, col(tieBreak).asc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Events per (user, week) — the metadata table twin (A2). */
+  def weekCounts(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    events.groupBy(col(userCol), week(col(tsCol)).as("week"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Validate a retrieval range (P6: start ≤ end, span ≤ 24 weeks,
+    * positive limit; limit capped at 2000, O3). */
+  def validateRange(startMs: Long, endMs: Long, limit: Int): Int = {
+    require(limit > 0, "limit must be positive")
+    require(startMs <= endMs, "start must be <= end")
+    require(endMs - startMs <= MaxRangeWeeks * 7L * 86400000L,
+      s"range exceeds $MaxRangeWeeks weeks")
+    math.min(limit, MaxRetrieveLimit)
+  }
+
+  /** Time-range retrieval: filter to [start, end], newest-first per
+    * user, at most `limit` events each (W1/O1/O3/P6). `types` narrows
+    * event types (click/order twin services, J5).
+    */
+  def retrieveRange(
+      events: DataFrame,
+      start: Column,
+      end: Column,
+      limit: Int,
+      types: Seq[String] = Nil,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieBreak: String = "event_id"): DataFrame = {
+    val capped = math.min(limit, MaxRetrieveLimit)
+    val ranged = events.filter(col(tsCol).between(start, end))
+    val typed = if (types.isEmpty) ranged
+                else ranged.filter(col("event_type").isin(types: _*))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(tieBreak).asc)
+    typed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= capped)
+  }
+
+  /** Click ∪ order side-by-side retrieval (J5/SO2): both event classes
+    * fetched and union-tagged; parallelism is free in Spark. */
+  def unionTyped(
+      events: DataFrame,
+      classes: Map[String, Seq[String]]): DataFrame =
+    classes.map { case (tag, types) =>
+      events.filter(col("event_type").isin(types: _*))
+        .withColumn("event_class", lit(tag))
+    }.reduce(_.unionByName(_))
+}
