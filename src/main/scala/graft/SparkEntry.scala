@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OracleMath._
-import graft.operators.{FeatureStore, InteractionStore}
+import graft.expr.Rpn
+import graft.operators.{FeatureStore, InteractionStore, Normalize}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent SQL oracle where the
@@ -112,6 +113,34 @@ object SparkEntry {
         Map("click" -> Seq("click", "view"), "order" -> Seq("purchase")))
       tagged.groupBy(col("user_id"), col("event_class"))
         .agg(count(lit(1)).as("n"), OracleMath.xsum(col("value")).as("total_value"))
+    }),
+
+    // ---- RPN expression compiler: plan-time stack → Column tree (U1/F1) ----
+    "q10_rpn_score" -> ((s, dir) => {
+      Rpn(Tables.lineitem(s, dir),
+          "l_extendedprice 1 l_discount - * 1 l_tax + * l_quantity 30 > 1.1 1 min * *",
+          "score")
+        .select(col("l_orderkey"), col("l_linenumber"), col("score"))
+    }),
+
+    // ---- RPN with min-max normalization (U1 + A3) ----
+    "q11_rpn_norm_minmax" -> ((s, dir) => {
+      Rpn(Tables.lineitem(s, dir), "l_quantity l_extendedprice * norm_min_max",
+          "norm")
+        .select(col("l_orderkey"), col("l_linenumber"), col("norm"))
+    }),
+
+    // ---- percentile clamp normalization (A4) ----
+    "q12_percentile_clamp" -> ((s, dir) => {
+      Normalize.percentileClamp(Tables.lineitem(s, dir),
+          "l_extendedprice", 0.05, 0.95, "clamped")
+        .select(col("l_orderkey"), col("l_linenumber"), col("clamped"))
+    }),
+
+    // ---- exact percent_rank, range-partitioned prefix sums (A5/W2) ----
+    "q13_percentile_rank" -> ((s, dir) => {
+      Normalize.percentRank(Tables.lineitem(s, dir), "l_quantity", "pr")
+        .select(col("l_orderkey"), col("l_linenumber"), col("pr"))
     })
   )
 
@@ -201,6 +230,36 @@ object SparkEntry {
          |  WHERE event_type = 'purchase')
          |SELECT user_id, event_class, COUNT(*) AS n,
          |  ${sqlSum("value")} AS total_value
-         |FROM tagged GROUP BY 1, 2""".stripMargin
+         |FROM tagged GROUP BY 1, 2""".stripMargin,
+
+    // score = extprice*(1-disc)*(1+tax) * (qty>30 ? min(1.1,1) : ... )
+    // elementwise double ops only → bit-exact across engines
+    "q10_rpn_score" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)) *
+        |  (CASE WHEN l_quantity > 30.0 THEN 1.0 ELSE 0.0 END * LEAST(1.1, 1.0))
+        |  AS score
+        |FROM lineitem""".stripMargin,
+
+    "q11_rpn_norm_minmax" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber,
+        |             l_quantity * l_extendedprice AS v FROM lineitem),
+        |agg AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM t)
+        |SELECT l_orderkey, l_linenumber, (v - mn) / (mx - mn) AS norm
+        |FROM t, agg""".stripMargin,
+
+    "q12_percentile_clamp" ->
+      """WITH agg AS (
+        |  SELECT CAST(quantile_cont(l_extendedprice, 0.05) AS DOUBLE) AS vp,
+        |         CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS vq
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  (LEAST(GREATEST(l_extendedprice, vp), vq) - vp) / (vq - vp) AS clamped
+        |FROM lineitem, agg""".stripMargin,
+
+    "q13_percentile_rank" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  PERCENT_RANK() OVER (ORDER BY l_quantity) AS pr
+        |FROM lineitem""".stripMargin
   )
 }

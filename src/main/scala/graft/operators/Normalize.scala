@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column normalizations (SURVEY A3-A5) — the numerix aggregate ops
+  * (`numerix/src/pkg/rust_matrix_frame/ops/fp32_ops.rs:239-348`:
+  * norm_min_max, norm_percentile_p_q, percentile_rank) re-expressed as
+  * global aggregates + projections.
+  *
+  * == Scale design ==
+  * None of these use a global `Window.orderBy` over the data (which
+  * would single-partition 100 TB). Min/max/percentiles reduce to one
+  * small aggregate row cross-joined (broadcast) back; percent_rank
+  * builds a distinct-value cumulative-count table with range-
+  * partitioned prefix sums — every stage is partition-parallel.
+  */
+object Normalize {
+
+  /** (x - min) / (max - min), computed via one aggregate + broadcast
+    * join rather than a global window (A3). */
+  def minMax(df: DataFrame, c: String, out: String): DataFrame = {
+    val agg = df.agg(min(col(c)).as("__mn"), max(col(c)).as("__mx"))
+    df.crossJoin(broadcast(agg))
+      .withColumn(out, (col(c) - col("__mn")) / (col("__mx") - col("__mn")))
+      .drop("__mn", "__mx")
+  }
+
+  /** Clamp to [p, q] percentiles then min-max over the clamped range
+    * (A4): (clamp(x) - v_p) / (v_q - v_p). Exact percentiles for oracle
+    * parity; swap `percentile` → `percentile_approx` for the
+    * single-pass sketch at very high cardinality. */
+  def percentileClamp(df: DataFrame, c: String, p: Double, q: Double,
+      out: String): DataFrame = {
+    val agg = df.agg(
+      expr(s"percentile($c, $p)").as("__vp"),
+      expr(s"percentile($c, $q)").as("__vq"))
+    df.crossJoin(broadcast(agg))
+      .withColumn(out,
+        (least(greatest(col(c), col("__vp")), col("__vq")) - col("__vp")) /
+          (col("__vq") - col("__vp")))
+      .drop("__vp", "__vq")
+  }
+
+  /** Exact percent_rank of `c` among all values (A5/W2):
+    * (# strictly smaller) / (n - 1), the standard definition.
+    *
+    * Scalable construction — no global single-partition window:
+    *  1. distinct-value counts (shuffle by value),
+    *  2. range-repartition the (much smaller) distinct table, cumsum
+    *     WITHIN each range partition via a window keyed on
+    *     `spark_partition_id()` (partition-parallel),
+    *  3. per-partition totals (tiny, one row per partition) → prefix
+    *     offsets joined back by partition id,
+    *  4. broadcast-join rank table back to the data by value.
+    */
+  def percentRank(df: DataFrame, c: String, out: String,
+      rangePartitions: Int = 32): DataFrame = {
+    val counts = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+    val ranged = counts.repartitionByRange(rangePartitions, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__before_local",
+      coalesce(sum(col("__cnt")).over(wIn), lit(0L)))
+    val partTotals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__cnt")).as("__ptotal"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤ rangePartitions rows
+    val offsets = partTotals.withColumn("__offset",
+      coalesce(sum(col("__ptotal")).over(wOff), lit(0L)))
+    val total = df.count()
+    val rankTable = local
+      .join(broadcast(offsets.select(col("__pid"), col("__offset"))), "__pid")
+      .select(col("__v"),
+        ((col("__before_local") + col("__offset")) /
+          lit((total - 1).toDouble)).as(out))
+    // no broadcast hint: the distinct-value table can be large for
+    // continuous columns — AQE converts to broadcast when it is small
+    df.join(rankTable, df(c) === rankTable("__v"), "left")
+      .drop("__v")
+  }
+}
