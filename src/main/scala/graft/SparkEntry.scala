@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OracleMath._
 import graft.expr.Rpn
-import graft.operators.{FeatureStore, InteractionStore, Normalize}
+import graft.functions.Similarity
+import graft.operators.{FeatureStore, Filters, InteractionStore, Normalize, SimilaritySearch}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent SQL oracle where the
@@ -141,6 +142,73 @@ object SparkEntry {
     "q13_percentile_rank" -> ((s, dir) => {
       Normalize.percentRank(Tables.lineitem(s, dir), "l_quantity", "pr")
         .select(col("l_orderkey"), col("l_linenumber"), col("pr"))
+    }),
+
+    // ---- dot-product scoring against a query embedding (A6) ----
+    "q14_dot_product" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      emb.crossJoin(broadcast(query))
+        .select(col("vec_id"), Similarity.dot(col("embedding"), col("query_embedding")).as("score"))
+    }),
+
+    // ---- brute-force top-K cosine per query (J6/A8) ----
+    "q15_topk_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      SimilaritySearch.topK(emb, queries, k = 10,
+        metric = SimilaritySearch.Cosine, excludeSelf = true)
+        .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+    }),
+
+    // ---- skye payload filter set (P7) ----
+    "q16_skye_filters" -> ((s, dir) => {
+      val part = Tables.part(s, dir)
+      val orders = Tables.orders(s, dir)
+      val filteredParts = part.filter(
+        Filters.nin(col("p_brand"), "Brand#1", "Brand#2", "Brand#3") &&
+        Filters.btwe(col("p_size"), 10, 40) &&
+        Filters.search(col("p_type"), "AND") &&
+        Filters.gt(col("p_retailprice"), 920.0) &&
+        Filters.ex(col("p_name")))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_type"))
+      val recentOrders = orders.filter(
+        Filters.lastXDays(col("o_orderdate"), 90,
+          lit("1998-08-01").cast("timestamp")) &&
+        Filters.in(col("o_orderstatus"), "O", "F"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      filteredParts.crossJoin(broadcast(recentOrders.agg(
+        count(lit(1)).as("n_recent_orders"))))
+    }),
+
+    // ---- candidate-id → embedding resolution, then top-K (J4) ----
+    "q17_candidate_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val candidateIds = emb.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("query_id"))
+      val queries = SimilaritySearch.resolveEmbeddings(candidateIds, emb)
+      SimilaritySearch.topK(emb, queries, k = 5,
+        metric = SimilaritySearch.Dot, excludeSelf = true)
+        .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+    }),
+
+    // ---- embedding-cosine near-dup pairs, label-blocked (dedup op) ----
+    "q18_embedding_neardup" -> ((s, dir) => {
+      SimilaritySearch.nearDupPairs(Tables.embeddings(s, dir),
+        blockCol = "label", threshold = 0.3)
+    }),
+
+    // ---- ANN top-K via seeded sign-random-projection LSH (S11 scale
+    // path). No SQL oracle (seeded hyperplanes); recall-vs-brute-force
+    // is asserted in SimilaritySpec — this declares the operator. ----
+    "q19_ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      graft.operators.AnnIndex.topK(emb, queries, k = 10,
+        numPlanes = 12, bands = 6)
     })
   )
 
@@ -260,6 +328,79 @@ object SparkEntry {
     "q13_percentile_rank" ->
       """SELECT l_orderkey, l_linenumber,
         |  PERCENT_RANK() OVER (ORDER BY l_quantity) AS pr
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    // left-fold list_reduce mirrors Spark's aggregate() fold bit-exactly
+    "q14_dot_product" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  list_reduce(list_transform(
+        |    list_zip(CAST(e.embedding AS DOUBLE[]), q.qe), x -> x[1]*x[2]),
+        |    (a,b) -> a+b) AS score
+        |FROM embeddings e, q""".stripMargin,
+
+    "q15_topk_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_reduce(list_transform(
+        |      list_zip(CAST(e.embedding AS DOUBLE[]), q.qe), x -> x[1]*x[2]),
+        |      (a,b) -> a+b)
+        |    / (sqrt(list_reduce(list_transform(CAST(e.embedding AS DOUBLE[]),
+        |         x -> x*x), (a,b) -> a+b))
+        |     * sqrt(list_reduce(list_transform(q.qe, x -> x*x), (a,b) -> a+b)))
+        |    AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, score, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q16_skye_filters" ->
+      """WITH fp AS (
+        |  SELECT p_partkey, p_brand, p_size, p_type FROM part
+        |  WHERE (p_brand NOT IN ('Brand#1','Brand#2','Brand#3') OR p_brand IS NULL)
+        |    AND p_size BETWEEN 10 AND 40
+        |    AND contains(p_type, 'AND')
+        |    AND p_retailprice > 920.0
+        |    AND p_name IS NOT NULL),
+        |ro AS (
+        |  SELECT COUNT(*) AS n_recent_orders FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-08-01' - INTERVAL 90 DAY
+        |    AND o_orderdate <= TIMESTAMP '1998-08-01'
+        |    AND o_orderstatus IN ('O','F'))
+        |SELECT * FROM fp, ro""".stripMargin,
+
+    "q17_candidate_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id % 100 = 7),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_reduce(list_transform(
+        |      list_zip(CAST(e.embedding AS DOUBLE[]), q.qe), x -> x[1]*x[2]),
+        |      (a,b) -> a+b) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, score, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q18_embedding_neardup" ->
+      """SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(
+        |      list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+        |      x -> x[1]*x[2]), (p,q) -> p+q)
+        |    / (sqrt(list_reduce(list_transform(CAST(a.embedding AS DOUBLE[]),
+        |         x -> x*x), (p,q) -> p+q))
+        |     * sqrt(list_reduce(list_transform(CAST(b.embedding AS DOUBLE[]),
+        |         x -> x*x), (p,q) -> p+q))) AS cosine
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine > 0.3""".stripMargin
   )
 }

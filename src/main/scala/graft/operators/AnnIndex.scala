@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Approximate nearest-neighbor search — the scale path for the skye
+  * surface (SURVEY S11/J6): where brute force streams the whole corpus
+  * per query batch, these bound the candidate set first.
+  *
+  * Two public-textbook index families, both expressed as plain
+  * DataFrame transforms so Catalyst handles pruning/broadcasts:
+  *
+  *  - [[lshCandidates]]: sign-random-projection LSH (Charikar's SimHash
+  *    family) — H seeded hyperplanes → H sign bits → `bands` bucket
+  *    keys; vectors sharing any band bucket become candidates. Tunable
+  *    recall via (H, bands).
+  *  - [[IvfIndex]]: inverted-file index — corpus assigned to its
+  *    nearest of K centroids (one shuffle at build), queries probe the
+  *    `nProbe` nearest cells only.
+  *
+  * Determinism: hyperplanes/centroid choice are seed-derived, so plans
+  * reproduce bit-identically run to run.
+  */
+object AnnIndex {
+
+  /** Deterministic unit-free hyperplanes: dim doubles in [-1, 1). */
+  private[operators] def hyperplanes(n: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(r.nextDouble() * 2 - 1))
+  }
+
+  /** Signature bits: sign(emb · plane_i) for each plane. */
+  private def signature(emb: Column, planes: Seq[Seq[Double]]): Column =
+    array(planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(Similarity.dot(emb, planeCol) >= 0, 1).otherwise(0)
+    }: _*)
+
+  /** Attach `bands` LSH bucket keys per row: the signature is split
+    * into equal bands; each band hashes to one bucket key column. The
+    * result explodes to one row per (row, band) keyed by
+    * (band_idx, bucket) — join/groupBy on those to find collisions.
+    */
+  def withBuckets(
+      df: DataFrame,
+      embCol: String,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(numPlanes % bands == 0, "numPlanes must divide into bands")
+    val rows = numPlanes / bands
+    val planes = hyperplanes(numPlanes, dimOf(df, embCol), seed)
+    val sig = signature(col(embCol).cast("array<double>"), planes)
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws(",", slice(sig, b * rows + 1, rows)).as("bucket"))
+    }
+    df.withColumn("__bands", explode(array(bandKeys: _*)))
+      .withColumn("band_idx", col("__bands.band_idx"))
+      .withColumn("bucket", col("__bands.bucket"))
+      .drop("__bands")
+  }
+
+  private def dimOf(df: DataFrame, embCol: String): Int = {
+    import df.sparkSession.implicits._
+    df.select(size(col(embCol))).as[Int].head()
+  }
+
+  /** Candidate pairs for near-dup detection: ids sharing any band
+    * bucket, deduplicated. Pair with an exact re-rank (cosine) after.
+    */
+  def lshCandidates(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val b = withBuckets(df.select(col(idCol), col(embCol)), embCol,
+      numPlanes, bands, seed)
+      .select(col(idCol), col("band_idx"), col("bucket"))
+    val l = b.select(col("band_idx"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("band_idx"), col("bucket"), col(idCol).as("id_b"))
+    l.join(r, Seq("band_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** ANN top-K via LSH buckets: score only bucket-colliding candidates,
+    * exact re-rank inside the candidate set. Recall < 1 by construction;
+    * tune (numPlanes, bands) for the recall/cost point. */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_embedding"): DataFrame = {
+    val cb = withBuckets(corpus.select(col(idCol), col(embCol)), embCol,
+      numPlanes, bands, seed)
+    val qb = withBuckets(queries.select(col(queryIdCol), col(queryEmbCol)),
+      queryEmbCol, numPlanes, bands, seed)
+    val cands = cb.join(broadcast(qb), Seq("band_idx", "bucket"))
+      .select(col(queryIdCol), col(idCol), col(embCol), col(queryEmbCol))
+      .dropDuplicates(queryIdCol, idCol)
+    val scored = cands.select(col(queryIdCol), col(idCol),
+      Similarity.cosine(col(embCol), col(queryEmbCol)).as("score"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
+
+/** Inverted-file (IVF) ANN index: assign every vector to its nearest
+  * centroid once, then restrict each query to the `nProbe` closest
+  * cells. Centroids here are a deterministic id-sample of the corpus
+  * (k-means would drop in transparently — the search path only needs a
+  * (centroid_id, centroid) table).
+  */
+final case class IvfIndex(
+    assigned: DataFrame,     // corpus + cell_id
+    centroids: DataFrame) {  // cell_id, centroid
+
+  def search(
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_embedding"): DataFrame = {
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .withColumn("__d", Similarity.euclidean(col(queryEmbCol), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc, col("cell_id").asc)))
+      .filter(col("__r") <= nProbe)
+      .select(col(queryIdCol), col(queryEmbCol), col("cell_id"))
+    val cands = assigned.join(qCells, "cell_id") // cell-pruned candidate set
+    val scored = cands.select(col(queryIdCol), col(idCol),
+      Similarity.cosine(col(embCol), col(queryEmbCol)).as("score"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
+
+object IvfIndex {
+  /** Build with centroids = vectors whose id ≡ 0 (mod |corpus|/cells) —
+    * deterministic; swap for k-means centroids at will. */
+  def build(
+      corpus: DataFrame,
+      cells: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): IvfIndex = {
+    val n = corpus.count()
+    val stride = math.max(n / cells, 1L)
+    val centroids = corpus.filter(col(idCol) % stride === 0 && col(idCol) < stride * cells)
+      .select((col(idCol) / stride).cast("long").as("cell_id"),
+        col(embCol).cast("array<double>").as("centroid"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__d", Similarity.euclidean(col(embCol), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col("cell_id").asc)))
+      .filter(col("__r") === 1)
+      .drop("__d", "__r", "centroid")
+    IvfIndex(assigned, centroids)
+  }
+}

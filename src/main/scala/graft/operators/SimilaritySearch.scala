@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Filtered top-K similarity search over an embedding corpus — the skye
+  * surface (SURVEY J4/J6/A8/P7): `GetSimilarCandidates` with payload
+  * filters and DOT/Cosine/Euclidean metrics
+  * (`skye/internal/serving/handlers/similar_candidate/v1.go:110-187`,
+  * filter builders `skye/internal/repositories/vector/filters.go:54-157`).
+  *
+  * == Scale design ==
+  * Brute force: the corpus is streamed once; the (small) query set is
+  * broadcast into a cross join, scores are projected down to
+  * (query_id, candidate_id, score) BEFORE the ranking shuffle, so the
+  * exchange carries 3 narrow columns, not embeddings. The LSH variant
+  * in [[AnnIndex]] bounds the candidate set per query for corpora where
+  * even one streamed pass per query batch is too much.
+  */
+object SimilaritySearch {
+
+  sealed trait Metric {
+    def score(a: Column, b: Column): Column
+    /** true = larger is better */
+    def descending: Boolean
+  }
+  case object Dot extends Metric {
+    def score(a: Column, b: Column): Column = Similarity.dot(a, b)
+    def descending = true
+  }
+  case object Cosine extends Metric {
+    def score(a: Column, b: Column): Column = Similarity.cosine(a, b)
+    def descending = true
+  }
+  case object Euclidean extends Metric {
+    def score(a: Column, b: Column): Column = Similarity.euclidean(a, b)
+    def descending = false
+  }
+
+  /** Brute-force exact top-K per query.
+    *
+    * @param corpus   candidate table: `idCol`, `embCol`, payload columns
+    * @param queries  query table: `queryIdCol`, `queryEmbCol` — small,
+    *                 broadcast
+    * @param filters  payload predicate (SURVEY P7), applied before
+    *                 scoring so it pushes into the corpus scan
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: Metric = Cosine,
+      filters: Column = lit(true),
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    val scored = corpus.filter(filters)
+      .crossJoin(broadcast(queries))
+      .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+      .select(col(queryIdCol), col(idCol),
+        metric.score(col(embCol), col(queryEmbCol)).as("score"))
+    val ord = if (metric.descending) col("score").desc else col("score").asc
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(ord, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Resolve candidate ids to their stored embeddings (SURVEY J4) —
+    * the "query by candidate id" entry point. */
+  def resolveEmbeddings(
+      candidateIds: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_embedding"): DataFrame =
+    corpus.join(broadcast(candidateIds), candidateIds(queryIdCol) === corpus(idCol))
+      .select(col(queryIdCol), col(embCol).as(queryEmbCol))
+
+  /** Near-duplicate pairs by cosine threshold within blocking keys
+    * (embedding-cosine near-dup for training-data pipelines). The block
+    * column bounds the pair explosion; at scale use [[AnnIndex]] LSH
+    * buckets as blocks instead of a payload attribute. */
+  def nearDupPairs(
+      corpus: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(blockCol).as("__blk"), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"))
+    val b = corpus.select(col(blockCol).as("__blk"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"))
+    a.join(b, "__blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") > threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}
+
+/** Skye payload filter operators (SURVEY P7) — the reference's filter
+  * enum (`go-sdk/pkg/clients/skye/client/proto/skye.proto:31-44`:
+  * IN, NIN, EX, SEARCH, LT(E), GT(E), BTW(E), LAST_X_DAYS, WTHN) as
+  * Column predicate builders. These are plain Catalyst predicates, so
+  * they push down to the corpus scan.
+  */
+object Filters {
+  def in(c: Column, vs: Any*): Column = c.isin(vs: _*)
+  def nin(c: Column, vs: Any*): Column = !c.isin(vs: _*) || c.isNull
+  def ex(c: Column): Column = c.isNotNull
+  def search(c: Column, needle: String): Column = c.contains(needle)
+  def lt(c: Column, v: Any): Column = c < lit(v)
+  def lte(c: Column, v: Any): Column = c <= lit(v)
+  def gt(c: Column, v: Any): Column = c > lit(v)
+  def gte(c: Column, v: Any): Column = c >= lit(v)
+  def btw(c: Column, lo: Any, hi: Any): Column = c > lit(lo) && c < lit(hi)
+  def btwe(c: Column, lo: Any, hi: Any): Column = c.between(lit(lo), lit(hi))
+  /** ts within the last `x` days of `asOf` (fixed asOf ⇒ deterministic). */
+  def lastXDays(c: Column, x: Int, asOf: Column): Column =
+    c >= (asOf - expr(s"INTERVAL $x DAYS")) && c <= asOf
+  /** within-radius on a similarity metric (WTHN). */
+  def within(emb: Column, center: Column, radius: Double): Column =
+    graft.functions.Similarity.euclidean(emb, center) <= radius
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+import graft.operators.{AnnIndex, Filters, IvfIndex, SimilaritySearch}
+
+class SimilaritySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("dot/cosine/euclidean on known vectors (A6)") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dot($"a", $"b"), Similarity.cosine($"a", $"b"),
+      Similarity.euclidean($"a", $"b")).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(math.abs(r.getDouble(1) - 11.0 / (math.sqrt(5) * 5)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - math.sqrt(8.0)) < 1e-12)
+  }
+
+  test("fitDim pads and truncates (F13)") {
+    val df = Seq(Tuple1(Seq(1.0, 2.0, 3.0))).toDF("a")
+    assert(df.select(Similarity.fitDim($"a", 5)).as[Seq[Double]].head()
+      === Seq(1.0, 2.0, 3.0, 0.0, 0.0))
+    assert(df.select(Similarity.fitDim($"a", 2)).as[Seq[Double]].head()
+      === Seq(1.0, 2.0))
+  }
+
+  test("brute-force topK: exact, deterministic ties, filters push (J6/A8/P7)") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0), "x"), (2L, Seq(0.9, 0.1), "x"),
+      (3L, Seq(0.0, 1.0), "y"), (4L, Seq(1.0, 0.0), "y")
+    ).toDF("vec_id", "embedding", "tag")
+    val queries = Seq((100L, Seq(1.0, 0.0))).toDF("query_id", "query_embedding")
+    val top = SimilaritySearch.topK(corpus, queries, k = 2)
+      .select("vec_id").as[Long].collect()
+    assert(top.toSet === Set(1L, 4L)) // both cosine=1, ids 1 and 4 beat 2
+    val filtered = SimilaritySearch.topK(corpus, queries, k = 2,
+      filters = Filters.in($"tag", "y"))
+      .select("vec_id").as[Long].collect()
+    assert(filtered.toSet === Set(4L, 3L))
+  }
+
+  test("LSH candidates: recall of identical vectors is 1, pairs deduped") {
+    val corpus = (0L until 50L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 2.0, 3.0, 4.0) else Seq(-4.0, 3.0, -2.0, 1.0)
+      (i, base.map(_ + (i / 1000.0)))
+    }.toDF("vec_id", "embedding")
+    val cands = AnnIndex.lshCandidates(corpus, numPlanes = 8, bands = 4)
+    val pairs = cands.as[(Long, Long)].collect().toSet
+    // near-identical evens collide; near-identical odds collide
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 3L)))
+    assert(cands.count() === cands.distinct().count())
+  }
+
+  test("LSH topK achieves high recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val exact = SimilaritySearch.topK(emb, queries, 5, excludeSelf = true)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = AnnIndex.topK(emb, queries, 5, numPlanes = 12, bands = 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low") // random-ish data, wide bands
+  }
+
+  test("IVF index: cells partition the corpus; probe-all equals brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = IvfIndex.build(emb, cells = 4)
+    assert(idx.assigned.count() === emb.count())
+    assert(idx.centroids.count() === 4)
+    val queries = emb.filter($"vec_id" === 7)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val ivfAll = idx.search(queries, k = 5, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = SimilaritySearch.topK(emb, queries, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivfAll === exact) // probing every cell recovers exact search
+  }
+
+  test("filters builder semantics (P7)") {
+    val df = Seq((1, "abc", 5.0), (2, null, 15.0), (3, "xbcz", 25.0))
+      .toDF("id", "s", "v")
+    assert(df.filter(Filters.ex($"s")).count() === 2)
+    assert(df.filter(Filters.search($"s", "bc")).count() === 2)
+    assert(df.filter(Filters.nin($"s", "abc")).select("id").as[Int].collect().toSet
+      === Set(2, 3)) // NIN keeps nulls (reference keyword-filter semantics)
+    assert(df.filter(Filters.btw($"v", 5.0, 25.0)).count() === 1)
+    assert(df.filter(Filters.btwe($"v", 5.0, 25.0)).count() === 3)
+  }
+}
