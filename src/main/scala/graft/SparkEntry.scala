@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OracleMath._
 import graft.expr.Rpn
-import graft.functions.Similarity
-import graft.operators.{FeatureStore, Filters, InteractionStore, Normalize, SimilaritySearch}
+import graft.functions.{Similarity, TextFunctions}
+import graft.operators.{Dedup, FeatureStore, Filters, InteractionStore, Normalize, SimilaritySearch}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent SQL oracle where the
@@ -209,6 +209,49 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       graft.operators.AnnIndex.topK(emb, queries, k = 10,
         numPlanes = 12, bands = 6)
+    }),
+
+    // ---- exact dedup by normalized-text fingerprint ----
+    "q20_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // ---- token counting: whitespace + BPE-ish sub-tokens ----
+    "q21_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subTokenCount(col("text")).as("n_subtokens"),
+        length(col("text")).as("n_chars_actual"))
+    }),
+
+    // ---- quality scoring + heuristic language ID ----
+    "q22_quality_langid" -> ((s, dir) => {
+      val q = TextFunctions.qualityFeatures(col("text"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        q.getField("n_tokens").as("n_tokens"),
+        q.getField("mean_word_len").as("mean_word_len"),
+        q.getField("punct_ratio").as("punct_ratio"),
+        q.getField("stopword_ratio").as("stopword_ratio"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+    }),
+
+    // ---- MinHash + LSH near-dup pairs, jaccard-verified ----
+    "q23_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir),
+        n = 3, k = 8, bands = 4, threshold = 0.2)
+    }),
+
+    // ---- SimHash near-dup pairs (hamming ≤ 6 of 32 bits) ----
+    "q24_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir),
+        maxDist = 3, bits = 32, blocks = 4)
+    }),
+
+    // ---- blocked pairwise n-gram Jaccard ----
+    "q25_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        blockCol = "source", n = 3, threshold = 0.08)
     })
   )
 
@@ -401,6 +444,111 @@ object SparkEntry {
         |         x -> x*x), (p,q) -> p+q))) AS cosine
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
-        |WHERE cosine > 0.3""".stripMargin
+        |WHERE cosine > 0.3""".stripMargin,
+
+    "q20_dedup_exact" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (
+         |    PARTITION BY md5(array_to_string($sqlWords, ' '))
+         |    ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q21_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($sqlWords) AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         |    AS n_subtokens,
+         |  length(text) AS n_chars_actual
+         |FROM documents""".stripMargin,
+
+    "q22_quality_langid" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlWords AS w FROM documents),
+         |h AS (SELECT doc_id, text, w,
+         |  CAST(len(w) AS DOUBLE) AS n_tokens,
+         |  ${sqlHits("de")} AS h_de, ${sqlHits("en")} AS h_en,
+         |  ${sqlHits("es")} AS h_es, ${sqlHits("fr")} AS h_fr
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST(length(array_to_string(w, '')) AS DOUBLE) / n_tokens
+         |    AS mean_word_len,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(h_en AS DOUBLE) / n_tokens AS stopword_ratio,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM h""".stripMargin,
+
+    "q23_minhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sh
+         |            FROM (SELECT doc_id, $sqlWords AS w FROM documents)),
+         |sig AS (SELECT doc_id, sh, [${(0 until 8).map(seed =>
+                    s"list_min(list_transform(sh, s -> ${sqlHash32(seed, "s")}))")
+                    .mkString(", ")}] AS sig FROM sh),
+         |banded AS (
+         |  SELECT doc_id, sh, b.band_idx,
+         |    array_to_string(list_slice(sig, b.band_idx*2+1, b.band_idx*2+2), ',')
+         |      AS bucket
+         |  FROM sig, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         |         l.sh AS sha, r.sh AS shb
+         |  FROM banded l JOIN banded r
+         |    ON l.band_idx = r.band_idx AND l.bucket = r.bucket
+         |   AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(list_distinct(sha), list_distinct(shb))) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(list_distinct(sha),
+         |        list_distinct(shb)))) AS DOUBLE) AS jaccard
+         |  FROM cand)
+         |WHERE jaccard >= 0.2""".stripMargin,
+
+    "q24_simhash_pairs" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(generate_series(0, 31), b ->
+         |      CASE WHEN list_sum(list_transform(
+         |        list_transform($sqlWords, x -> ${sqlHash32(0, "x")}),
+         |        hv -> ((hv >> b) & 1)*2 - 1)) >= 0
+         |      THEN (1::BIGINT << b) ELSE 0 END)) AS sh
+         |  FROM documents),
+         |blocked AS (
+         |  SELECT doc_id, sh, b.block_idx,
+         |    (sh >> (b.block_idx * 8)) & 255 AS block
+         |  FROM h, (SELECT unnest([0,1,2,3]) AS block_idx) b),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         |         l.sh AS sa, r.sh AS sb
+         |  FROM blocked l JOIN blocked r
+         |    ON l.block_idx = r.block_idx AND l.block = r.block
+         |   AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming_dist
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, source, list_distinct($sqlShingles) AS sh
+         |            FROM (SELECT doc_id, source, $sqlWords AS w FROM documents)),
+         |pairs AS (
+         |  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         |    CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE)
+         |      AS jaccard
+         |  FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08""".stripMargin
   )
+
+  // --- shared DuckDB SQL fragments for the text oracles ---
+  private val sqlWords =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+  private val sqlShingles =
+    "list_transform(generate_series(1, greatest(len(w)-2, 1)), " +
+      "i -> array_to_string(list_slice(w, i, i+2), ' '))"
+  private def sqlHash32(seed: Int, v: String): String =
+    s"CAST(('0x'||substr(md5('$seed:'||$v), 1, 8)) AS BIGINT)"
+  private def sqlHits(lang: String): String = {
+    val list = TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_intersect(w, [$list]))"
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+class TextDedupSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("words/tokenCount/subTokenCount normalize whitespace") {
+    val df = Seq("  The quick,  brown fox! x2 ").toDF("text")
+    assert(df.select(tokenCount($"text")).as[Int].head() === 5)
+    // the + quick + , + brown + fox + ! + x + 2 = 8
+    assert(df.select(subTokenCount($"text")).as[Int].head() === 8)
+    assert(df.select(words($"text")).as[Seq[String]].head()
+      === Seq("the", "quick,", "brown", "fox!", "x2"))
+  }
+
+  test("shingles produce n-grams; short texts degrade gracefully") {
+    val df = Seq("a b c d").toDF("text")
+    assert(df.select(shingles($"text", 3)).as[Seq[String]].head()
+      === Seq("a b c", "b c d"))
+    assert(Seq("a b").toDF("text").select(shingles($"text", 3))
+      .as[Seq[String]].head() === Seq("a b"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive (exact-dedup key)") {
+    val df = Seq(("A  b C", "a b c"), ("x", "y")).toDF("t1", "t2")
+    val eq = df.select((fingerprint($"t1") === fingerprint($"t2")).as("e"))
+      .as[Boolean].collect()
+    assert(eq === Array(true, false))
+  }
+
+  test("exact dedup keeps smallest doc_id per fingerprint") {
+    val docs = Seq((10L, "a b c"), (3L, "A B  c"), (5L, "other text"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(3L, 5L))
+  }
+
+  test("minhash LSH finds near-identical docs and verifies jaccard") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and looked at the dog outside"),
+      (2L, "the cat sat on the mat and looked at the dog inside"),
+      (3L, "completely different words appear here nothing shared at all today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, n = 3, k = 8, bands = 4,
+      threshold = 0.4)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+    val j = pairs.select("jaccard").as[Double].head()
+    assert(j > 0.4 && j < 1.0)
+  }
+
+  test("simhash: identical → distance 0; near-identical → small distance") {
+    val df = Seq(
+      ("the cat sat on the mat", "the cat sat on the mat"),
+      ("the cat sat on the mat", "a totally different phrase here")
+    ).toDF("a", "b")
+    val d = df.select(hamming(simhash($"a"), simhash($"b"))).as[Int].collect()
+    assert(d(0) === 0)
+    assert(d(1) > 0)
+  }
+
+  test("simhashPairs candidate generation is exact for hamming <= blocks-1") {
+    // pigeonhole: with 4 blocks, any pair at distance <= 3 must collide
+    val docs = Tables.documents(spark, sf).limit(100)
+    val all = Dedup.simhashPairs(docs, maxDist = 3)
+    val brute = {
+      val h = docs.select($"doc_id", simhash($"text").as("sh"))
+      val l = h.select($"doc_id".as("id_a"), $"sh".as("sa"))
+      val r = h.select($"doc_id".as("id_b"), $"sh".as("sb"))
+      l.crossJoin(r).filter($"id_a" < $"id_b")
+        .filter(bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+    }
+    assert(all.count() === brute.count())
+  }
+
+  test("langId picks the dominant stopword language") {
+    val df = Seq(
+      "the cat is on the mat and the dog",
+      "el gato y la casa de un amigo que vive en madrid",
+      "der hund und die katze ist von berlin mit freude",
+      "zz qq xx").toDF("text")
+    assert(df.select(langId($"text")).as[String].collect()
+      === Array("en", "es", "de", "und"))
+  }
+
+  test("qualityFeatures ratios are sane") {
+    val r = Seq("the cat, the dog!").toDF("text")
+      .select(qualityFeatures($"text").as("q")).select("q.*").head()
+    assert(r.getAs[Double]("n_tokens") === 4.0)
+    assert(r.getAs[Double]("punct_ratio") > 0 && r.getAs[Double]("punct_ratio") < 0.2)
+    // stopwordHits counts distinct stopword TYPES present ("the" once)
+    assert(r.getAs[Double]("stopword_ratio") === 0.25)
+  }
+}
