@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.OracleMath._
 import graft.expr.Rpn
 import graft.functions.{Similarity, TextFunctions}
-import graft.operators.{Dedup, FeatureStore, Filters, InteractionStore, Normalize, SimilaritySearch}
+import graft.operators.{ChangeCapture, Dedup, FeatureStore, Filters, InteractionStore, Multimodal, Normalize, Pipeline, SimilaritySearch}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent SQL oracle where the
@@ -252,6 +252,75 @@ object SparkEntry {
     "q25_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir),
         blockCol = "source", n = 3, threshold = 0.08)
+    }),
+
+    // ---- context ⊗ targets expansion (J7, inferflow FeatureInit) ----
+    "q26_context_targets" -> ((s, dir) => {
+      val context = Tables.customer(s, dir)
+        .agg(xavg(col("c_acctbal")).as("avg_acctbal"),
+          count(lit(1)).as("n_customers"))
+      val targets = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 17 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Pipeline.withContext(context)(targets)
+        .withColumn("price_ratio", col("o_totalprice") / col("avg_acctbal"))
+    }),
+
+    // ---- pairwise target composition (J8) ----
+    "q27_pairwise" -> ((s, dir) => {
+      val targets = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 101 === 0)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("idx"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val pairs = targets.select(col("idx").as("left_idx"),
+        (col("idx") + 1).as("right_idx"))
+      Pipeline.pairwise(targets, pairs, "idx", "left_idx", "right_idx")
+        .select(col("a_l_orderkey").as("orderkey"),
+          col("a_l_linenumber").as("ln_a"), col("b_l_linenumber").as("ln_b"),
+          (col("b_l_quantity") - col("a_l_quantity")).as("qty_delta"))
+    }),
+
+    // ---- slate expansion: explode members + join targets (J8) ----
+    "q28_slatewise" -> ((s, dir) => {
+      val targets = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 31 === 0)
+        .select((col("l_orderkey") * 8 + col("l_linenumber")).as("idx"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val slates = targets.groupBy(col("l_orderkey").as("slate_id"))
+        .agg(sort_array(collect_list(col("idx"))).as("members"))
+      Pipeline.slatewise(targets.drop("l_orderkey"), slates, "members", "idx")
+        .select(col("slate_id"), col("l_linenumber"), col("l_extendedprice"))
+    }),
+
+    // ---- changed-row detection between snapshots (A7) ----
+    "q29_delta_detect" -> ((s, dir) => {
+      val current = Tables.customer(s, dir)
+      val next = current.select(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", col("c_acctbal") * 1.1)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionByName(current.filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            col("c_acctbal")))
+      ChangeCapture.changedRows(current, next, Seq("c_custkey"), Seq("c_acctbal"))
+    }),
+
+    // ---- bounded per-key batch grouping (A9, py client batching) ----
+    "q30_batch_groups" -> ((s, dir) => {
+      graft.streaming.Ingest.groupBatches(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts")),
+        keyCol = "user_id", orderCol = "event_id", batchSize = 10)
+    }),
+
+    // ---- multimodal: binary column + batch-decoded metadata ----
+    "q31_multimodal_meta" -> ((s, dir) => {
+      val withBin = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      Multimodal.decodeMeta(withBin, "media", batchSize = 32)
+        .select(col("doc_id"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_bytes").as("n_bytes"))
     })
   )
 
@@ -536,7 +605,61 @@ object SparkEntry {
          |    / CAST(len(list_distinct(list_concat(l.sh, r.sh))) AS DOUBLE)
          |      AS jaccard
          |  FROM sh l JOIN sh r ON l.source = r.source AND l.doc_id < r.doc_id)
-         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08""".stripMargin
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08""".stripMargin,
+
+    "q26_context_targets" ->
+      s"""WITH ctx AS (SELECT ${sqlAvg("c_acctbal")} AS avg_acctbal,
+         |                    COUNT(*) AS n_customers FROM customer)
+         |SELECT o.o_orderkey, o.o_totalprice, ctx.avg_acctbal, ctx.n_customers,
+         |       o.o_totalprice / ctx.avg_acctbal AS price_ratio
+         |FROM orders o, ctx WHERE o.o_orderkey % 17 = 0""".stripMargin,
+
+    "q27_pairwise" ->
+      """WITH t AS (
+        |  SELECT l_orderkey*8 + l_linenumber AS idx, l_orderkey,
+        |         l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 101 = 0)
+        |SELECT a.l_orderkey AS orderkey, a.l_linenumber AS ln_a,
+        |       b.l_linenumber AS ln_b, b.l_quantity - a.l_quantity AS qty_delta
+        |FROM t p JOIN t a ON p.idx = a.idx JOIN t b ON p.idx + 1 = b.idx""".stripMargin,
+
+    "q28_slatewise" ->
+      """WITH t AS (
+        |  SELECT l_orderkey*8 + l_linenumber AS idx, l_orderkey,
+        |         l_linenumber, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 31 = 0)
+        |SELECT s.slate_id, t.l_linenumber, t.l_extendedprice
+        |FROM (SELECT l_orderkey AS slate_id, unnest(list_sort(list(idx))) AS member
+        |      FROM t GROUP BY l_orderkey) s
+        |JOIN t ON s.member = t.idx""".stripMargin,
+
+    "q29_delta_detect" ->
+      """WITH next AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 1.1
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal FROM customer
+        |  WHERE c_custkey % 100 = 0)
+        |SELECT n.c_custkey, n.c_acctbal
+        |FROM next n LEFT JOIN customer c USING (c_custkey)
+        |WHERE c.c_custkey IS NULL OR n.c_acctbal IS DISTINCT FROM c.c_acctbal""".stripMargin,
+
+    "q30_batch_groups" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC)
+        |        - 1) // 10 AS BIGINT) AS batch_idx
+        |FROM events""".stripMargin,
+
+    "q31_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+        |  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        |FROM documents""".stripMargin
   )
 
   // --- shared DuckDB SQL fragments for the text oracles ---

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inferflow-style dataflow composition (SURVEY U4, J7/J8, §3.3).
+  *
+  * The reference executes a component DAG with Kahn's algorithm and a
+  * shared mutable row matrix
+  * (`inferflow/dag-topology-executor/handlers/dag/executor.go:36-98`);
+  * here components are `DataFrame => DataFrame` stages composed by
+  * ordinary function composition — Spark's lazy plan IS the DAG, and
+  * Catalyst recovers the parallelism between independent column
+  * subtrees without a scheduler.
+  */
+object Pipeline {
+
+  type Stage = DataFrame => DataFrame
+
+  /** Sequential composition of stages (the inferflow topology). */
+  def apply(stages: Stage*): Stage = stages.reduce(_ andThen _)
+
+  /** Context ⊗ targets expansion (J7): project request-level context
+    * features onto every target row
+    * (`FeatureInitComponent.Run`, feature_init_component.go:31-48).
+    * `context` must be a single row — enforced semantically by the
+    * caller (an aggregate or a literal frame); it broadcasts. */
+  def withContext(context: DataFrame): Stage =
+    targets => targets.crossJoin(broadcast(context))
+
+  /** Pairwise target composition (J8): pair rows reference two target
+    * indexes; both sides join against the target matrix
+    * (`predict.proto:84-121`). Targets are expected small per request —
+    * broadcast both legs; for bulk scoring swap to shuffle joins by
+    * leaving `hint = false`. */
+  def pairwise(
+      targets: DataFrame,
+      pairs: DataFrame,
+      targetIdx: String,
+      leftIdx: String,
+      rightIdx: String,
+      hint: Boolean = true): DataFrame = {
+    def leg(alias: String) = {
+      val t = targets.columns.foldLeft(targets)((d, c) =>
+        d.withColumnRenamed(c, s"${alias}_$c"))
+      if (hint) broadcast(t) else t
+    }
+    pairs
+      .join(leg("a"), col(leftIdx) === col(s"a_$targetIdx"))
+      .join(leg("b"), col(rightIdx) === col(s"b_$targetIdx"))
+  }
+
+  /** Slate composition (J8): slate rows carry an array of member
+    * target indexes; explode + join expands each slate to its member
+    * rows (`parseSlateTargetRows`, predator_component.go:175-192). */
+  def slatewise(
+      targets: DataFrame,
+      slates: DataFrame,
+      slateMembers: String,
+      targetIdx: String): DataFrame =
+    slates.withColumn("__member", explode(col(slateMembers)))
+      .drop(slateMembers)
+      .join(targets, col("__member") === col(targetIdx))
+      .drop("__member")
+}
+
+/** Changed-row detection (SURVEY A7) — the skye Scylla aggregator's
+  * delta path (`scylla_aggregator.go:47-93`): compare an incoming
+  * snapshot against the stored one and emit only rows whose compared
+  * columns changed (or are new), so downstream indexing touches the
+  * minimum set.
+  */
+object ChangeCapture {
+  /** Rows of `next` that are new or differ from `current` on any of
+    * `compareCols` (null-safe comparison). One shuffle on pk. */
+  def changedRows(
+      current: DataFrame,
+      next: DataFrame,
+      pk: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val cur = compareCols.foldLeft(current.select((pk ++ compareCols).map(col): _*))(
+      (d, c) => d.withColumnRenamed(c, s"__old_$c"))
+    val joined = next.join(cur, pk, "left")
+    val changed = compareCols.map(c => !(col(c) <=> col(s"__old_$c")))
+      .reduce(_ || _)
+    joined.filter(changed).drop(compareCols.map(c => s"__old_$c"): _*)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming ingestion with upsert semantics (SURVEY §2.9, §3.2).
+  *
+  * The reference consumes Kafka in polled batches with manual commits
+  * (at-least-once, `kafka.go:133-286`), hash-routes messages per entity
+  * for per-key ordering (`getWorkerId`, kafka.go:308+), and overwrites
+  * the whole feature group per key (last-write-wins,
+  * `persist.go:73-105`). Structured Streaming's `foreachBatch` with an
+  * idempotent merge is strictly stronger (effective exactly-once), and
+  * `withWatermark` + weekly event-time windows reproduce the
+  * interaction store's 24-week ring retention (ST5/ST6).
+  *
+  * The container has no Kafka broker, so sources here are
+  * file/rate/memory streams; on a cluster the source swaps to
+  * `readStream.format("kafka")` with the SAME downstream graph —
+  * that's the whole point of declaring the pipeline over a DataFrame.
+  */
+object Ingest {
+
+  /** File-based streaming source (stand-in for the Kafka topic). */
+  def fileSource(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.format(format).schema(schema).load(dir)
+
+  /** ST7-safe in-batch reduction: collapse duplicate keys inside one
+    * micro-batch to the latest version BEFORE merging, so the merge is
+    * deterministic regardless of source row order. */
+  def latestPerKey(batch: DataFrame, pk: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(versionCol).desc,
+        xxhash64(batch.columns.filterNot(pk.contains).map(col): _*))
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** foreachBatch upsert into a parquet table at `path` (ST1/ST3):
+    * read-merge-overwrite with last-write-wins per key. On Delta/Iceberg
+    * this becomes a storage-level MERGE INTO; parquet emulation keeps
+    * identical semantics for the tests. Writes go through a staging
+    * directory + atomic-ish swap so a crash never leaves a half table.
+    */
+  def upsertSink(
+      stream: DataFrame,
+      path: String,
+      pk: Seq[String],
+      versionCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, path, pk, versionCol)
+      }
+
+  /** One micro-batch merge (also the batch-mode persist path, S2). */
+  def upsertBatch(batch: DataFrame, path: String, pk: Seq[String],
+      versionCol: String): Unit = {
+    val spark = batch.sparkSession
+    val latest = latestPerKey(batch, pk, versionCol).cache()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val merged =
+      if (fs.exists(target)) {
+        val current = spark.read.parquet(path)
+        graft.operators.FeatureStore.upsert(current, latest, pk, versionCol)
+      } else latest
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
+    latest.unpersist()
+  }
+
+  /** Weekly event-time aggregation with watermark-driven late-data
+    * drop (ST5/ST6): events later than `horizon` behind the max seen
+    * event time are dropped, mirroring the reference's 24-week ring
+    * (`mergeAndTrimEvents`, click.go:165-172). */
+  def weeklyCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      horizon: String = "168 days"): DataFrame =
+    events.withWatermark(tsCol, horizon)
+      .groupBy(col(userCol), window(col(tsCol), "7 days").as("week"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** A9: group rows into bounded batches per partition key — the py
+    * client's intra_batch_size protobuf batching (client.py:247-266).
+    * Batch index is deterministic: rank within key ÷ batchSize. */
+  def groupBatches(df: DataFrame, keyCol: String, orderCol: String,
+      batchSize: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+    df.withColumn("batch_idx",
+      ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+}
