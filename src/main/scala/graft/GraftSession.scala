@@ -20,6 +20,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // InferFiltersFromGenerate duplicates the generator input into a
+      // pre-Generate filter; for expensive array expressions (regex
+      // shingling, md5 minhash) that re-evaluates the whole interpreted
+      // HOF chain per row for a filter that never rejects anything
+      // (measured 10x on the dedup inverted-index explode).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // test events table carries TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -552,9 +552,11 @@ object SparkEntry {
     "q23_minhash_pairs" ->
       s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sh
          |            FROM (SELECT doc_id, $sqlWords AS w FROM documents)),
-         |sig AS (SELECT doc_id, sh, [${(0 until 8).map(seed =>
-                    s"list_min(list_transform(sh, s -> ${sqlHash32(seed, "s")}))")
-                    .mkString(", ")}] AS sig FROM sh),
+         |hs AS (SELECT doc_id, sh,
+         |         list_transform(sh, s -> ${sqlHash32(0, "s")}) AS hs FROM sh),
+         |sig AS (SELECT doc_id, sh, [${(0 until 8).map(i =>
+                    s"list_min(list_transform(hs, h -> (h*${TextFunctions.MinhashA(i)} + ${TextFunctions.MinhashB(i)}) % 4294967296))")
+                    .mkString(", ")}] AS sig FROM hs),
          |banded AS (
          |  SELECT doc_id, sh, b.band_idx,
          |    array_to_string(list_slice(sig, b.band_idx*2+1, b.band_idx*2+2), ',')

@@ -2,9 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-/** Embedding similarity measures (SURVEY A6/J6) as native higher-order
-  * column functions — codegen'd, no UDFs.
+/** Embedding similarity measures (SURVEY A6/J6) as native Catalyst
+  * expressions with codegen ([[graft.expr.DotProduct]] — a primitive
+  * loop inside whole-stage codegen, no UDFs, no per-element lambda
+  * interpretation).
   *
   * Matches the reference's scoring surface: dot product
   * (`skye/internal/serving/handlers/embedding/v1.go:278-291`
@@ -12,8 +15,9 @@ import org.apache.spark.sql.functions._
   * and the DOT/Cosine/Euclidean distance functions of the vector
   * backends (`skye/README.md:17`).
   *
-  * Accumulation is a strict left fold in double — deterministic and
-  * reproducible across engines (the DuckDB oracle uses the same fold).
+  * Accumulation is a strict ascending-index left fold in double —
+  * deterministic and reproducible across engines (the DuckDB oracle
+  * uses the same fold).
   */
 object Similarity {
 
@@ -21,7 +25,8 @@ object Similarity {
 
   /** Σ aᵢ·bᵢ, left-fold accumulation in double. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(graft.expr.DotProduct(
+      ColumnBridge.expression(d(a)), ColumnBridge.expression(d(b))))
 
   /** L2 norm. */
   def l2(a: Column): Column = sqrt(dot(a, a))
@@ -31,8 +36,8 @@ object Similarity {
 
   /** Euclidean distance. */
   def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(ColumnBridge.column(graft.expr.SquaredDistance(
+      ColumnBridge.expression(d(a)), ColumnBridge.expression(d(b)))))
 
   /** Pad with zeros / truncate an embedding to `dim` (SURVEY F13/P8). */
   def fitDim(a: Column, dim: Int): Column = {

@@ -29,11 +29,14 @@ object TextFunctions {
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** Word n-gram shingles: `"a b c d"` → `["a b c", "b c d"]` (n=3). */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = words(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromWords(words(text), n)
+
+  /** Shingles from an already-materialized word array — use this with a
+    * staged projection so the regex word split runs once per row. */
+  def shinglesFromWords(ws: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(ws, i, lit(n))))
-  }
 
   /** 32-bit engine-portable hash: first 8 hex chars of md5(seed:s). */
   def md5Hash32(s: Column, seed: Int): Column =
@@ -42,13 +45,40 @@ object TextFunctions {
   /** Spark-native 64-bit hash (production path). */
   def fastHash64(s: Column, seed: Int): Column = xxhash64(lit(seed), s)
 
-  /** MinHash signature over word `n`-gram shingles: array of `k`
-    * minima, one per seeded hash function. */
-  def minhashSignature(text: Column, n: Int, k: Int,
-      hash: (Column, Int) => Column = md5Hash32): Column = {
-    val sh = shingles(text, n)
-    array((0 until k).map(seed => array_min(transform(sh, hash(_, seed)))): _*)
+  /** Universal-hash constants for MinHash: fixed odd multipliers
+    * a < 2^31 and addends b < 2^31, so `a*h + b` for a 32-bit `h` stays
+    * inside a signed 64-bit long in every engine (no wraparound —
+    * DuckDB BIGINT errors on overflow where JVM longs wrap). */
+  val MinhashA: Seq[Long] = Seq(
+    1222233431L, 1949673569L, 2038074743L, 1561403177L,
+    1291735313L, 1678349045L, 1117984489L, 2147418083L,
+    1823958401L, 1990744609L, 1234567891L, 1853125581L,
+    1431655765L, 1973594693L, 1111181111L, 2046916619L)
+  val MinhashB: Seq[Long] = Seq(
+    376438541L, 981939193L, 557722239L, 1046527479L,
+    124338077L, 1903763717L, 633395103L, 287984159L,
+    1734205871L, 447362207L, 1092548707L, 814627339L,
+    1569814297L, 230498837L, 1987654321L, 55555333L)
+
+  /** `k` MinHash minima from ONE base-hash array: per seed `i`, the
+    * minimum over shingles of `(a_i*h + b_i) mod 2^32` — classic affine
+    * universal hashing, so the expensive md5 runs once per shingle
+    * instead of once per (shingle, seed). */
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
+    require(k <= MinhashA.length, s"k must be <= ${MinhashA.length}")
+    array((0 until k).map { i =>
+      array_min(transform(hashes,
+        h => (h * lit(MinhashA(i)) + lit(MinhashB(i))) % lit(4294967296L)))
+    }: _*)
   }
+
+  /** MinHash signature over word `n`-gram shingles: array of `k`
+    * minima. Convenience single-column form; [[operators.Dedup]] stages
+    * the word/shingle/hash arrays in separate projections so each is
+    * computed once per row. */
+  def minhashSignature(text: Column, n: Int, k: Int,
+      hash: (Column, Int) => Column = md5Hash32): Column =
+    minhashFromHashes(transform(shingles(text, n), hash(_, 0)), k)
 
   /** LSH band keys from a minhash signature: `bands` strings of
     * `k/bands` signature entries each. */
@@ -63,16 +93,24 @@ object TextFunctions {
   }
 
   /** SimHash over word hashes: bit b is set iff Σ_w (±1 per word's bit
-    * b) ≥ 0. `bits` ≤ 32 with the portable hash. */
-  def simhash(text: Column, bits: Int = 32,
-      hash: (Column, Int) => Column = md5Hash32): Column = {
-    val hashes = transform(words(text), hash(_, 0))
-    (0 until bits).map { b =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-      when(vote >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * b) ≥ 0. `bits` ≤ 32 with the portable hash. Single pass over the
+    * word hashes: one aggregate carries all `bits` vote counters as an
+    * array accumulator (vs. the naive form that re-walks the words —
+    * and recomputes their md5s — once per bit). */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
+    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
+    val votes = aggregate(hashes, array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(votes, masks,
+        (v, m) => when(v >= 0L, m).otherwise(lit(0L))),
+      lit(0L), _ + _)
   }
+
+  def simhash(text: Column, bits: Int = 32,
+      hash: (Column, Int) => Column = md5Hash32): Column =
+    simhashFromHashes(transform(words(text), hash(_, 0)), bits)
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

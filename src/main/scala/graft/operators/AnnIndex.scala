@@ -52,15 +52,19 @@ object AnnIndex {
     require(numPlanes % bands == 0, "numPlanes must divide into bands")
     val rows = numPlanes / bands
     val planes = hyperplanes(numPlanes, dimOf(df, embCol), seed)
-    val sig = signature(col(embCol).cast("array<double>"), planes)
+    // Stage the signature as its own projection so the H hyperplane
+    // dots run once per row; the exploded band keys then slice a plain
+    // attribute instead of re-evaluating the dots per band.
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
-        concat_ws(",", slice(sig, b * rows + 1, rows)).as("bucket"))
+        concat_ws(",", slice(col("__sig"), b * rows + 1, rows)).as("bucket"))
     }
-    df.withColumn("__bands", explode(array(bandKeys: _*)))
+    df.withColumn("__sig",
+        signature(col(embCol).cast("array<double>"), planes))
+      .withColumn("__bands", explode(array(bandKeys: _*)))
       .withColumn("band_idx", col("__bands.band_idx"))
       .withColumn("bucket", col("__bands.bucket"))
-      .drop("__bands")
+      .drop("__sig", "__bands")
   }
 
   private def dimOf(df: DataFrame, embCol: String): Int = {
