@@ -31,6 +31,11 @@ object Fixtures {
       FeatureDef("o_orderpriority", FeatureType.Str, default = "NONE")),
     ttlSeconds = 400L * 86400)
 
+  val partFacts: FeatureGroupDef = FeatureGroupDef(
+    label = "part_facts", id = 4,
+    features = Seq(
+      FeatureDef("p_retailprice", FeatureType.FP64, default = 0.0)))
+
   val customerEntity: EntityDef = EntityDef(
     "customer", Seq("c_custkey"), Seq(customerProfile, customerOrderStats))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OracleMath._
 import graft.expr.Rpn
-import graft.functions.{Similarity, TextFunctions}
+import graft.functions.{Decode, Similarity, TextFunctions}
 import graft.operators.{ChangeCapture, Dedup, FeatureStore, Filters, InteractionStore, Multimodal, Normalize, Pipeline, SimilaritySearch}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -309,6 +309,89 @@ object SparkEntry {
       graft.streaming.Ingest.groupBatches(
         Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts")),
         keyCol = "user_id", orderCol = "event_id", batchSize = 10)
+    }),
+
+    // ---- mod-24 ring week slot + absolute week index (F10) ----
+    "q32_ring_week" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.select(col("user_id"), col("event_id"), col("ts"),
+        InteractionStore.weekIndex(col("ts")).as("week_idx"),
+        InteractionStore.ringWeek(col("ts")).as("ring_week"))
+    }),
+
+    // ---- ST6 horizon retention: drop events >= N weeks older than the
+    // per-user newest event (ring stale-slot clearing, declaratively) ----
+    "q33_retention_horizon" -> ((s, dir) => {
+      InteractionStore.retention(Tables.events(s, dir), horizonWeeks = 2)
+        .select(col("user_id"), col("event_id"), col("ts"))
+    }),
+
+    // ---- last-write-wins upsert merge (S2/ST3) ----
+    "q34_upsert" -> ((s, dir) => {
+      val current = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), lit(0L).as("version"))
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") % 5 === 0)
+      val updates = base
+        .select(col("o_orderkey"), (col("o_totalprice") * 1.1).as("o_totalprice"),
+          lit(1L).as("version"))
+        .unionByName(base.select(col("o_orderkey"),
+          (col("o_totalprice") * 1.2).as("o_totalprice"), lit(2L).as("version")))
+        .unionByName(base.select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+          col("o_totalprice"), lit(1L).as("version")))
+      FeatureStore.upsert(current, updates, Seq("o_orderkey"), "version")
+    }),
+
+    // ---- decoded retrieve: per-type display strings (F8) ----
+    "q35_decoded_retrieve" -> ((s, dir) => {
+      import graft.core.FeatureType._
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        Decode.display(col("o_orderkey"), Int64).as("key_str"),
+        Decode.display(col("o_totalprice"), FP64).as("price_str"),
+        Decode.display(col("o_orderstatus"), Str).as("status_str"),
+        Decode.display(col("o_orderdate"), Str).as("date_str"),
+        Decode.display(col("o_orderkey") % 2 === 0, Bool).as("even_str"))
+    }),
+
+    // ---- embedding pad/truncate to fixed dim (F13/P8) + vector decode ----
+    "q36_fit_dim" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val f16 = Similarity.fitDim(col("embedding"), 16)
+      val f80 = Similarity.fitDim(col("embedding"), 80)
+      e.select(col("vec_id"),
+        size(f16).as("n16"), size(f80).as("n80"),
+        element_at(f16, 16).as("last16"),
+        element_at(f80, 80).as("pad80"),
+        Similarity.dot(f16, f16).as("l2sq_16"),
+        Decode.displayVector(slice(col("embedding").cast("array<double>"), 1, 3),
+          graft.core.FeatureType.FP64).as("vec_prefix"))
+    }),
+
+    // ---- inferflow pointwise DAG: feature fetch -> context -> RPN
+    // score -> per-order top-K (U4, SURVEY 3.3 lifecycle) ----
+    "q37_inferflow_pointwise" -> ((s, dir) => {
+      val part = Tables.part(s, dir)
+      val targets = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val enrich: Pipeline.Stage = df =>
+        df.join(broadcast(FeatureStore.retrieve(
+            df.select(col("l_partkey").as("p_partkey")).distinct(),
+            part, Seq("p_partkey"), Fixtures.partFacts, Seq("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"), "left").drop("p_partkey")
+      val ctx: Pipeline.Stage = Pipeline.withContext(
+        part.agg(xavg(col("p_retailprice")).as("avg_price")))
+      val score: Pipeline.Stage = df =>
+        Rpn(df, "l_extendedprice 1 l_discount - * p_retailprice avg_price / *",
+          "score")
+      val rank: Pipeline.Stage = df => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"))
+          .orderBy(col("score").desc, col("l_linenumber").asc)
+        df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      }
+      Pipeline(enrich, ctx, score, rank)(targets)
+        .select(col("l_orderkey"), col("l_linenumber"), col("score"), col("rank"))
     }),
 
     // ---- multimodal: binary column + batch-decoded metadata ----
@@ -653,6 +736,78 @@ object SparkEntry {
         |  CAST((ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC)
         |        - 1) // 10 AS BIGINT) AS batch_idx
         |FROM events""".stripMargin,
+
+    "q32_ring_week" ->
+      """SELECT user_id, event_id, ts,
+        |  epoch_ms(ts) // 604800000 AS week_idx,
+        |  (epoch_ms(ts) // 604800000) % 24 AS ring_week
+        |FROM events""".stripMargin,
+
+    "q33_retention_horizon" ->
+      """WITH wk AS (SELECT user_id, event_id, ts,
+        |              epoch_ms(ts) // 604800000 AS w FROM events),
+        |mx AS (SELECT user_id, max(w) AS mw FROM wk GROUP BY 1)
+        |SELECT wk.user_id, event_id, ts
+        |FROM wk JOIN mx USING (user_id) WHERE mw - w < 2""".stripMargin,
+
+    "q34_upsert" ->
+      """WITH curr AS (SELECT o_orderkey, o_totalprice,
+        |                CAST(0 AS BIGINT) AS version FROM orders),
+        |base AS (SELECT * FROM orders WHERE o_orderkey % 5 = 0),
+        |updates AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+        |    CAST(1 AS BIGINT) AS version FROM base
+        |  UNION ALL SELECT o_orderkey, o_totalprice * 1.2,
+        |    CAST(2 AS BIGINT) FROM base
+        |  UNION ALL SELECT o_orderkey + 1000000000, o_totalprice,
+        |    CAST(1 AS BIGINT) FROM base),
+        |latest AS (SELECT o_orderkey, o_totalprice, version FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC) AS rn FROM updates) WHERE rn = 1)
+        |SELECT c.* FROM curr c LEFT JOIN latest l USING (o_orderkey)
+        |WHERE l.o_orderkey IS NULL
+        |UNION ALL SELECT * FROM latest""".stripMargin,
+
+    "q35_decoded_retrieve" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(o_totalprice AS DECIMAL(30,6)) AS VARCHAR) AS price_str,
+        |  o_orderstatus AS status_str,
+        |  CAST(o_orderdate AS VARCHAR) AS date_str,
+        |  CAST(o_orderkey % 2 = 0 AS VARCHAR) AS even_str
+        |FROM orders""".stripMargin,
+
+    "q36_fit_dim" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(list_slice(emb, 1, 16)) AS INT) AS n16,
+        |  CAST(len(list_slice(list_concat(emb,
+        |    list_transform(generate_series(1, 80), x -> 0.0)), 1, 80)) AS INT)
+        |    AS n80,
+        |  emb[16] AS last16,
+        |  COALESCE(emb[80], 0.0) AS pad80,
+        |  list_reduce(list_transform(list_slice(emb, 1, 16), x -> x*x),
+        |    (a,b) -> a+b) AS l2sq_16,
+        |  array_to_string(list_transform(list_slice(emb, 1, 3),
+        |    x -> CAST(CAST(x AS DECIMAL(30,6)) AS VARCHAR)), ',') AS vec_prefix
+        |FROM e""".stripMargin,
+
+    "q37_inferflow_pointwise" ->
+      s"""WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey,
+         |             l_extendedprice, l_discount
+         |           FROM lineitem WHERE l_orderkey % 50 = 0),
+         |ctx AS (SELECT ${sqlAvg("p_retailprice")} AS avg_price FROM part),
+         |scored AS (
+         |  SELECT t.l_orderkey, t.l_linenumber,
+         |    (t.l_extendedprice * (1.0 - t.l_discount)) *
+         |    (p.p_retailprice / ctx.avg_price) AS score
+         |  FROM t JOIN part p ON t.l_partkey = p.p_partkey, ctx)
+         |SELECT l_orderkey, l_linenumber, score, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+         |    ORDER BY score DESC, l_linenumber ASC) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

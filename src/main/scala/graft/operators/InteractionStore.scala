@@ -34,6 +34,36 @@ object InteractionStore {
   /** Monday-start event-time week bucket (F10/ST5). */
   def week(ts: Column): Column = date_trunc("week", ts).cast("date")
 
+  /** Absolute epoch week index (ms / week-ms). */
+  def weekIndex(ts: Column): Column =
+    floor(unix_millis(ts) / lit(604800000L)).cast("long")
+
+  /** The reference's mod-24 ring slot for a timestamp
+    * (`utils.WeekFromTimestampMs`, interaction-store/internal/utils/
+    * utils.go; F10). The ring is a storage artifact — we expose it as a
+    * derivable column, while real retention uses [[retention]]. */
+  def ringWeek(ts: Column, slots: Int = MaxRangeWeeks): Column =
+    weekIndex(ts) % slots
+
+  /** ST6 horizon retention: drop events `horizonWeeks` or more weeks
+    * older than the same user's newest event — the declarative twin of
+    * the ring buffer's stale-slot clearing (`mergeAndTrimEvents`,
+    * persist/click.go:165-172: an incoming event ≥24 weeks newer than a
+    * stored week wipes that slot). One shuffle on the user key; at
+    * scale this runs as a partition-pruned anti-age filter during
+    * compaction rather than a standing query. */
+  def retention(
+      events: DataFrame,
+      horizonWeeks: Int = MaxRangeWeeks,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    events
+      .withColumn("__maxw", max(weekIndex(col(tsCol))).over(w))
+      .filter(col("__maxw") - weekIndex(col(tsCol)) < horizonWeeks)
+      .drop("__maxw")
+  }
+
   /** Per-(user, week) bounded retention: keep the newest `cap` events,
     * ties broken by `tieBreak` ascending for determinism (A1/O1/O2).
     */

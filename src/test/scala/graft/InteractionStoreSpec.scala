@@ -67,4 +67,20 @@ class InteractionStoreSpec extends AnyFunSuite with SparkSuite {
       .distinct().as[java.sql.Date].collect().map(_.toString).sorted
     assert(w === Array("2024-01-01", "2024-01-08"))
   }
+
+  test("ringWeek is the mod-24 slot of the absolute week index (F10)") {
+    val rw = ev.select(InteractionStore.weekIndex($"ts").as("wi"),
+      InteractionStore.ringWeek($"ts").as("rw"))
+      .as[(Long, Long)].collect()
+    assert(rw.forall { case (wi, r) => r === wi % 24 && r >= 0 && r < 24 })
+  }
+
+  test("retention drops events >= horizon weeks behind the user's newest (ST6)") {
+    // user 1 newest event is Jan 9 (week idx W); horizon 1 keeps only week W
+    val kept = InteractionStore.retention(ev, horizonWeeks = 1)
+      .filter($"user_id" === 1L).select("event_id").as[Long].collect().sorted
+    assert(kept === Array(5L))
+    // horizon 2 keeps both weeks; user 2 unaffected by user 1's clock
+    assert(InteractionStore.retention(ev, horizonWeeks = 2).count() === 6L)
+  }
 }
