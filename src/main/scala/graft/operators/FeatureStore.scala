@@ -91,6 +91,12 @@ object FeatureStore {
       .select((pk ++ projections.map(_.outName)).map(col): _*)
   }
 
+  /** Composite key string: ordered key columns joined with `"|"`
+    * (SURVEY F9 — `getKeyString`, retrieve.go:79-81; also the skye
+    * cache-key shape, similar_candidate/cache_adapter.go:19-60). */
+  def keyString(pk: Seq[String]): Column =
+    concat_ws("|", pk.map(c => col(c).cast("string")): _*)
+
   /** Stitch several per-FG retrievals into one row matrix (SURVEY J2).
     * Every `retrieve` output carries the full key set, so the parts are
     * key-aligned and a left join is exact — and unlike full outer it

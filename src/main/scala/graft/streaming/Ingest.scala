@@ -29,6 +29,21 @@ object Ingest {
       format: String = "parquet"): DataFrame =
     spark.readStream.format(format).schema(schema).load(dir)
 
+  /** Decode JSON event payloads into typed columns (SURVEY F14: the
+    * Kafka click/order consumers' `json.Unmarshal`,
+    * interaction-store/internal/data/model/click_event.go). Malformed
+    * records yield null structs — filter or dead-letter them per ST8. */
+  def jsonEvents(raw: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+    raw.withColumn("__ev", from_json(col(jsonCol), schema))
+      .select(col("*"), col("__ev.*")).drop("__ev", jsonCol)
+
+  /** ST2: hash-route rows so each entity key lands in one partition —
+    * the consumer's per-key worker ordering (`getWorkerId`,
+    * kafka.go:308+). With an idempotent MERGE sink this is a locality
+    * optimization, not a correctness requirement. */
+  def routeByKey(df: DataFrame, keyCols: Seq[String], partitions: Int): DataFrame =
+    df.repartition(partitions, keyCols.map(col): _*)
+
   /** ST7-safe in-batch reduction: collapse duplicate keys inside one
     * micro-batch to the latest version BEFORE merging, so the merge is
     * deterministic regardless of source row order. */

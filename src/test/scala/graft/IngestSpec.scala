@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Ingest
+
+/** Streaming ingestion semantics (SURVEY ST1-ST7) driven through real
+  * Structured Streaming file sources with AvailableNow triggers — the
+  * same downstream graph a Kafka source would feed. */
+class IngestSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("upsertBatch: last-write-wins per key, in-batch dedup by version (ST3/ST7)") {
+    val store = tmp("graft-store") + "/feature_table"
+    Ingest.upsertBatch(
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "version"),
+      store, Seq("k"), "version")
+    // second batch: duplicate key inside the batch resolves to highest
+    // version BEFORE merging; existing key 2 overwritten; key 3 inserted
+    Ingest.upsertBatch(
+      Seq((1L, "a2", 2L), (1L, "a3", 3L), (2L, "b2", 2L), (3L, "c", 1L))
+        .toDF("k", "v", "version"),
+      store, Seq("k"), "version")
+    val out = spark.read.parquet(store).as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(out === Array((1L, "a3", 3L), (2L, "b2", 2L), (3L, "c", 1L)))
+  }
+
+  test("file stream -> upsertSink applies every micro-batch exactly once (ST1)") {
+    val src = tmp("graft-src")
+    val store = tmp("graft-sink") + "/feature_table"
+    val ckpt = tmp("graft-ckpt")
+    Seq((1L, "x", 1L), (2L, "y", 1L)).toDF("k", "v", "version")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = Ingest.upsertSink(
+      Ingest.fileSource(spark, src, schema), store, Seq("k"), "version", ckpt)
+      .start()
+    q.awaitTermination()
+    // late-arriving file: restart from the checkpoint picks up ONLY the new file
+    Seq((2L, "y2", 2L)).toDF("k", "v", "version")
+      .write.mode("append").parquet(src)
+    val q2 = Ingest.upsertSink(
+      Ingest.fileSource(spark, src, schema), store, Seq("k"), "version", ckpt)
+      .start()
+    q2.awaitTermination()
+    val out = spark.read.parquet(store).as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(out === Array((1L, "x", 1L), (2L, "y2", 2L)))
+  }
+
+  test("jsonEvents decodes typed columns; malformed rows null out (F14/ST8)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("catalog_id", StringType),
+      StructField("clicked_at", TimestampType)))
+    val raw = Seq(
+      ("""{"user_id": 7, "catalog_id": "c1", "clicked_at": "2024-01-01 10:00:00"}""", 0L),
+      ("""not json""", 1L)).toDF("value", "offset")
+    val out = Ingest.jsonEvents(raw, "value", schema)
+    assert(out.columns.toSeq === Seq("offset", "user_id", "catalog_id", "clicked_at"))
+    val good = out.filter($"user_id".isNotNull)
+      .select($"user_id", $"catalog_id").as[(Long, String)].collect()
+    assert(good === Array((7L, "c1")))
+    assert(out.filter($"user_id".isNull).count() === 1)
+    // keyString builds the reference's "|"-joined composite cache key (F9)
+    val ks = out.filter($"user_id".isNotNull)
+      .select(graft.operators.FeatureStore.keyString(Seq("user_id", "catalog_id")))
+      .as[String].head()
+    assert(ks === "7|c1")
+  }
+
+  test("weeklyCounts groups by event-time week under a watermark (ST5/ST6)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val counts = Ingest.weeklyCounts(
+      mem.toDF.toDF("user_id", "ts"), horizon = "14 days")
+    val q = counts.writeStream.format("memory").queryName("weekly")
+      .outputMode("update").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")), (2L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("weekly")
+      .select($"user_id", date_format($"week.start", "yyyy-MM-dd").as("w"), $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    // 7-day tumbling windows are epoch-aligned (Thursdays), not ISO weeks
+    assert(rows.map { case (u, _, n) => (u, n) } ===
+      Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}
