@@ -56,7 +56,16 @@ object FeatureStore {
       fg: FeatureGroupDef,
       features: Seq[String],
       asOf: Option[Column] = None,
-      writtenAt: String = "written_at"): DataFrame = {
+      writtenAt: String = "written_at",
+      broadcastKeys: Boolean = true): DataFrame = {
+
+    // point-lookup path broadcasts the key set; for scoring-sized key
+    // sets (millions of keys, too big to broadcast) pass
+    // broadcastKeys=false → shuffled equi-joins, which degenerate to
+    // zero-shuffle per-bucket zips when fgTable is bucketed on pk
+    // (sources/Layout.writeBucketedFeatureTable)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (broadcastKeys) broadcast(df) else df
 
     val projections = features.map(Projections.parse(fg, _))
     val neededCols = projections.map(_.source).distinct
@@ -72,7 +81,7 @@ object FeatureStore {
     // inner join streamed over the table; broadcast the key set
     val hits = fgTable
       .select((pk ++ neededCols ++ (if (fg.ttlSeconds > 0 && fgTable.columns.contains(writtenAt)) Seq(writtenAt) else Nil)).distinct.map(col): _*)
-      .join(broadcast(dedupKeys), pk, "inner")
+      .join(maybeBroadcast(dedupKeys), pk, "inner")
 
     val hitCols = pk.map(col) ++ projections.map { p =>
       val raw = when(expired, p.default).otherwise(col(p.source))
@@ -82,12 +91,12 @@ object FeatureStore {
 
     // keys with no stored row → all defaults (P3/P5 negative-cache path)
     val missing = dedupKeys.join(
-      broadcast(hitRows.select(pk.map(col): _*).dropDuplicates(pk)), pk, "left_anti")
+      maybeBroadcast(hitRows.select(pk.map(col): _*).dropDuplicates(pk)), pk, "left_anti")
     val missRows = missing.select(
       pk.map(col) ++ projections.map(p => p.quantize(p.default).as(p.outName)): _*)
 
     // fan results back out to the original (possibly duplicated) keys
-    keys.join(broadcast(hitRows.unionByName(missRows)), pk, "left")
+    keys.join(maybeBroadcast(hitRows.unionByName(missRows)), pk, "left")
       .select((pk ++ projections.map(_.outName)).map(col): _*)
   }
 

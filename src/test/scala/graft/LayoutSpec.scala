@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Layout
+
+/** Physical layout behaviors that carry the 100 TB design: bucketed
+  * joins without exchanges, week-partition pruning. */
+class LayoutSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("bucketed feature tables join with zero exchanges") {
+    val features = (1L to 1000L).map(k => (k, s"name$k", k * 1.5))
+      .toDF("k", "name", "score")
+    val stats = (1L to 1000L).map(k => (k, k % 7))
+      .toDF("k", "cnt")
+    Seq("fg_profile", "fg_stats").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    Layout.writeBucketedFeatureTable(features, "fg_profile", Seq("k"), 8)
+    Layout.writeBucketedFeatureTable(stats, "fg_stats", Seq("k"), 8)
+    // force the shuffle-join path a 100 TB table would take (broadcast
+    // would hide the bucketing benefit on this tiny fixture)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("fg_profile").join(spark.table("fg_stats"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
+      assert(joined.count() === 1000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("week-partitioned events prune partitions on time-range scans") {
+    val dir = Files.createTempDirectory("graft-events").toString + "/events"
+    val ev = (0 until 200).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-${1 + i % 28} 10:00:00"), i.toLong % 10)
+    }.toDF("event_id", "ts", "user_id")
+    Layout.writeWeekPartitionedEvents(ev, dir)
+    val scan = Layout.readEvents(spark, dir)
+      .filter($"week" === lit("2024-01-08").cast("date"))
+    val pruned = scan.queryExecution.executedPlan.toString
+    // the week predicate must land in PartitionFilters (directory
+    // pruning), not a post-scan data Filter
+    assert("PartitionFilters: \\[[^\\]]*week".r.findFirstIn(pruned).isDefined,
+      s"week predicate must be a partition filter:\n$pruned")
+    assert(scan.count() > 0)
+    // pruned scan reads strictly fewer rows than the full table
+    assert(scan.count() < Layout.readEvents(spark, dir).count())
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Multimodal column plumbing: binary representation, batch-shaped
+  * decode, stub featurization, frame sampling. */
+class MultimodalSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha"), (2L, "bravo charlie"), (3L, "")
+  ).toDF("id", "text")
+    .select($"id", encode($"text", "UTF-8").as("media"))
+
+  test("decodeMeta appends a typed struct; schema and values deterministic") {
+    val out = Multimodal.decodeMeta(docs, "media", batchSize = 2)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "media", "media_meta"))
+    assert(out.schema("media_meta").dataType === Multimodal.metaSchema)
+    val rows = out.select($"id", $"media_meta.format", $"media_meta.n_bytes")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    // 'a' = 97 → 97%3=1 → jpeg; 'b' = 98 → 98%3=2 → webp; empty → b0=0 → png
+    assert(rows === Array((1L, "jpeg", 5), (2L, "webp", 13), (3L, "png", 0)))
+  }
+
+  test("decodeMeta: null media yields null meta, other columns intact") {
+    val withNull = docs.withColumn("media",
+      when($"id" === 2L, lit(null).cast("binary")).otherwise($"media"))
+    val out = Multimodal.decodeMeta(withNull, "media")
+    assert(out.filter($"media_meta".isNull).select("id").as[Long].collect()
+      === Array(2L))
+    assert(out.count() === 3)
+  }
+
+  test("featurizeStub: fixed dim, deterministic, values in [0,1]") {
+    val f = docs.select($"id", Multimodal.featurizeStub($"media", dim = 8).as("emb"))
+    val rows = f.select($"id", $"emb").as[(Long, Seq[Double])].collect()
+    assert(rows.forall(_._2.length === 8))
+    assert(rows.forall(_._2.forall(v => v >= 0.0 && v <= 1.0)))
+    val again = docs.select(Multimodal.featurizeStub($"media", dim = 8).as("emb"))
+      .as[Seq[Double]].collect()
+    assert(rows.map(_._2).toSeq === again.toSeq)
+    // distinct inputs → distinct embeddings
+    assert(rows.map(_._2).distinct.length === 3)
+  }
+
+  test("frameSample keeps every stride-th frame, order preserved") {
+    val frames = Seq(Tuple1(Seq("f0", "f1", "f2", "f3", "f4").map(_.getBytes)))
+      .toDF("frames")
+    val out = frames.select(Multimodal.frameSample($"frames", 2).as("kept"))
+      .as[Seq[Array[Byte]]].head()
+    assert(out.map(new String(_)) === Seq("f0", "f2", "f4"))
+  }
+}
