@@ -66,16 +66,36 @@ object InteractionStore {
 
   /** Per-(user, week) bounded retention: keep the newest `cap` events,
     * ties broken by `tieBreak` ascending for determinism (A1/O1/O2).
+    *
+    * `salt > 1` adds a pre-aggregation pass for skewed keys: a hot
+    * (user, week) holding millions of events first takes a per-salt
+    * top-`cap` across `salt` parallel tasks, so the final rank sees at
+    * most `salt × cap` rows per key instead of the raw count. The
+    * two-phase result is exactly the unsalted result (the global
+    * top-cap is contained in the union of per-salt top-caps) —
+    * property-tested in PropertySpec. AQE skew handling covers joins;
+    * this covers the window rank, which AQE cannot split.
     */
   def mergeCap(
       events: DataFrame,
       userCol: String = "user_id",
       tsCol: String = "ts",
       tieBreak: String = "event_id",
-      cap: Int = MaxEventsPerWeek): DataFrame = {
+      cap: Int = MaxEventsPerWeek,
+      salt: Int = 1): DataFrame = {
+    val pre =
+      if (salt <= 1) events
+      else {
+        val wS = Window
+          .partitionBy(col(userCol), week(col(tsCol)),
+            pmod(xxhash64(col(tieBreak)), lit(salt)))
+          .orderBy(col(tsCol).desc, col(tieBreak).asc)
+        events.withColumn("__srn", row_number().over(wS))
+          .filter(col("__srn") <= cap).drop("__srn")
+      }
     val w = Window.partitionBy(col(userCol), week(col(tsCol)))
       .orderBy(col(tsCol).desc, col(tieBreak).asc)
-    events.withColumn("__rn", row_number().over(w))
+    pre.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }

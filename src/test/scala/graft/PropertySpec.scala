@@ -1,0 +1,127 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.Minifloat
+
+/** ScalaCheck laws for the quantization kernels (SURVEY §5 plan item 2:
+  * "quantize monotonicity/idempotence"). Pure JVM — the Catalyst
+  * expressions call these same static kernels from codegen. */
+object MinifloatProps extends Properties("Minifloat") {
+
+  private val finiteDouble: Gen[Double] =
+    Gen.chooseNum(-1e6, 1e6).suchThat(d => !d.isNaN && !d.isInfinite)
+
+  private val kernels: Seq[(String, Double => Float)] = Seq(
+    ("fp16", Minifloat.fp16), ("fp8e4m3", Minifloat.fp8e4m3),
+    ("fp8e5m2", Minifloat.fp8e5m2))
+
+  for ((name, q) <- kernels) {
+    property(s"$name idempotent") = forAll(finiteDouble) { d =>
+      val once = q(d)
+      q(once.toDouble) == once
+    }
+    property(s"$name monotone") = forAll(finiteDouble, finiteDouble) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      q(lo) <= q(hi)
+    }
+    property(s"$name sign-preserving") = forAll(finiteDouble) { d =>
+      val r = q(d)
+      r == 0f || (r > 0f) == (d > 0.0)
+    }
+  }
+
+  property("fp16 relative error <= 2^-11 in normal range") =
+    forAll(Gen.chooseNum(6.2e-5, 6.0e4)) { d =>
+      math.abs(Minifloat.fp16(d) - d) / d <= math.pow(2, -11) + 1e-12
+    }
+
+  property("fp8e4m3 saturates at max finite") = Prop(
+    Minifloat.fp8e4m3(1e9) == Minifloat.fp8e4m3(448.0) &&
+    Minifloat.fp8e4m3(-1e9) == Minifloat.fp8e4m3(-448.0))
+}
+
+// ---------------------------------------------------------------------
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.Rpn
+import graft.operators.InteractionStore
+
+/** Seeded randomized Spark-side properties (SURVEY §5 plan items:
+  * "RPN compiler vs direct eval on random expressions", "merge-sort-cap
+  * invariants"). Uses a fixed-seed generator and a bounded case count
+  * so runs are deterministic and fast. */
+class RandomizedSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  /** Reference stack interpreter for RPN over a row of named values —
+    * independent of the Column compiler under test. */
+  private def interp(rpn: String, row: Map[String, Double]): Double = {
+    val stack = scala.collection.mutable.Stack[Double]()
+    rpn.split("\\s+").foreach {
+      case "+" => val b = stack.pop(); val a = stack.pop(); stack.push(a + b)
+      case "-" => val b = stack.pop(); val a = stack.pop(); stack.push(a - b)
+      case "*" => val b = stack.pop(); val a = stack.pop(); stack.push(a * b)
+      case "min" => val b = stack.pop(); val a = stack.pop(); stack.push(math.min(a, b))
+      case "max" => val b = stack.pop(); val a = stack.pop(); stack.push(math.max(a, b))
+      case "abs" => stack.push(math.abs(stack.pop()))
+      case t if row.contains(t) => stack.push(row(t))
+      case lit => stack.push(lit.toDouble)
+    }
+    require(stack.size == 1); stack.pop()
+  }
+
+  private def randomRpn(depth: Int): String = {
+    val bin = Seq("+", "-", "*", "min", "max")
+    def gen(d: Int): Seq[String] =
+      if (d == 0) Seq(rnd.shuffle(Seq("a", "b", "c",
+        f"${rnd.nextDouble() * 10 - 5}%.3f")).head)
+      else rnd.nextInt(5) match {
+        case 0 => gen(0)
+        case 4 => gen(d - 1) :+ "abs"
+        case _ => gen(d - 1) ++ gen(d - 1) :+ bin(rnd.nextInt(bin.size))
+      }
+    gen(depth).mkString(" ")
+  }
+
+  test("RPN compiler matches an independent stack interpreter (30 random exprs)") {
+    val rows = Seq.fill(20)((rnd.nextDouble() * 20 - 10,
+      rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10))
+    val df = rows.toDF("a", "b", "c")
+    (1 to 30).foreach { _ =>
+      val e = randomRpn(2 + rnd.nextInt(2))
+      val got = Rpn(df, e, "out").select("out").as[Double].collect()
+      val want = rows.map { case (a, b, c) =>
+        interp(e, Map("a" -> a, "b" -> b, "c" -> c)) }
+      got.zip(want).foreach { case (g, w) =>
+        assert(g === w, s"expr: $e") } // identical fp op order → bit-exact
+    }
+  }
+
+  test("mergeCap invariants + salted two-phase equivalence (random event sets)") {
+    val events = Seq.fill(800)((
+      rnd.nextInt(5).toLong,
+      java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:00:00"),
+      rnd.nextLong().abs
+    )).toDF("user_id", "ts", "event_id").cache()
+    val cap = 7
+    val unsalted = InteractionStore.mergeCap(events, cap = cap)
+    val salted = InteractionStore.mergeCap(events, cap = cap, salt = 8)
+    // invariant: per (user, week) at most cap rows, and they are the newest
+    val counts = unsalted
+      .groupBy($"user_id", InteractionStore.week($"ts")).count()
+      .select("count").as[Long].collect()
+    assert(counts.forall(_ <= cap))
+    assert(unsalted.count() > 0)
+    // salted == unsalted exactly
+    val key = Seq("user_id", "ts", "event_id")
+    assert(salted.exceptAll(unsalted).isEmpty && unsalted.exceptAll(salted).isEmpty)
+    // output ⊆ input
+    assert(unsalted.exceptAll(events).isEmpty)
+    events.unpersist()
+  }
+}
