@@ -394,6 +394,32 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("score"), col("rank"))
     }),
 
+    // ---- IVF ANN: nearest-cells probe then exact re-rank (S11 scale
+    // path #2). No SQL oracle (cell assignment is index state);
+    // probe-all == brute-force is asserted in SimilaritySpec. ----
+    "q38_ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      graft.operators.IvfIndex.build(emb, cells = 8)
+        .search(queries, k = 10, nProbe = 2)
+    }),
+
+    // ---- skye GetSimilarCandidates lifecycle (SURVEY 3.5): candidate
+    // ids -> stored embeddings -> payload-filtered corpus -> top-K ----
+    "q39_skye_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val candidateIds = emb.filter(col("vec_id") % 250 === 3)
+        .select(col("vec_id").as("query_id"))
+      val queries = SimilaritySearch.resolveEmbeddings(candidateIds, emb)
+      SimilaritySearch.topK(emb, queries, k = 8,
+        metric = SimilaritySearch.Dot,
+        filters = Filters.in(col("label"), 0, 1, 2) &&
+          Filters.btwe(col("vec_id"), 10, 4000),
+        excludeSelf = true)
+        .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -808,6 +834,23 @@ object SparkEntry {
          |    ORDER BY score DESC, l_linenumber ASC) AS INT) AS rank
          |  FROM scored)
          |WHERE rank <= 3""".stripMargin,
+
+    "q39_skye_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id % 250 = 3),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE label IN (0, 1, 2) AND vec_id BETWEEN 10 AND 4000),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_reduce(list_transform(
+        |      list_zip(CAST(e.embedding AS DOUBLE[]), q.qe), x -> x[1]*x[2]),
+        |      (a,b) -> a+b) AS score
+        |  FROM corpus e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, score, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 8""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,
