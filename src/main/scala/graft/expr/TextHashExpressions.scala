@@ -1,0 +1,45 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Codegen'd SimHash / MinHash signature expressions over word/shingle
+  * arrays (SURVEY north-star dedup ops). One static-kernel call per row
+  * ([[graft.functions.TextHashKernels]]) replaces the interpreted
+  * aggregate/zip_with vote loop and the per-seed transform+array_min
+  * chain — semantics identical to the column forms and the DuckDB
+  * oracles (same md5-derived 32-bit hash, same affine constants).
+  */
+case class SimHashText(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHashKernels.simhash(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.simhash($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): SimHashText =
+    copy(child = c)
+}
+
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.TextHashKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("sig")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData $res =
+      |  graft.functions.TextHashKernels.minhashSig($c, $k);
+      |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Text-analysis column functions for large-scale training-data
   * pipelines: tokenization, shingling, MinHash, SimHash, language ID,
@@ -63,7 +64,8 @@ object TextFunctions {
   /** `k` MinHash minima from ONE base-hash array: per seed `i`, the
     * minimum over shingles of `(a_i*h + b_i) mod 2^32` — classic affine
     * universal hashing, so the expensive md5 runs once per shingle
-    * instead of once per (shingle, seed). */
+    * instead of once per (shingle, seed). Column-HOF form kept for
+    * cross-checking the codegen kernel. */
   def minhashFromHashes(hashes: Column, k: Int): Column = {
     require(k <= MinhashA.length, s"k must be <= ${MinhashA.length}")
     array((0 until k).map { i =>
@@ -72,13 +74,22 @@ object TextFunctions {
     }: _*)
   }
 
+  /** MinHash signature straight from a shingle array — codegen'd kernel
+    * ([[graft.expr.MinHashSignature]]): md5 + k affine minima in one
+    * primitive loop per row. */
+  def minhashOfShingles(shingleArr: Column, k: Int): Column = {
+    require(k <= MinhashA.length, s"k must be <= ${MinhashA.length}")
+    ColumnBridge.column(graft.expr.MinHashSignature(
+      ColumnBridge.expression(shingleArr), k))
+  }
+
   /** MinHash signature over word `n`-gram shingles: array of `k`
     * minima. Convenience single-column form; [[operators.Dedup]] stages
-    * the word/shingle/hash arrays in separate projections so each is
+    * the word/shingle arrays in separate projections so each is
     * computed once per row. */
   def minhashSignature(text: Column, n: Int, k: Int,
       hash: (Column, Int) => Column = md5Hash32): Column =
-    minhashFromHashes(transform(shingles(text, n), hash(_, 0)), k)
+    minhashOfShingles(shingles(text, n), k)
 
   /** LSH band keys from a minhash signature: `bands` strings of
     * `k/bands` signature entries each. */
@@ -108,9 +119,16 @@ object TextFunctions {
       lit(0L), _ + _)
   }
 
+  /** SimHash straight from a word array — codegen'd kernel
+    * ([[graft.expr.SimHashText]]): md5 + bit votes in one primitive
+    * loop per row. */
+  def simhashOfWords(wordArr: Column, bits: Int = 32): Column =
+    ColumnBridge.column(graft.expr.SimHashText(
+      ColumnBridge.expression(wordArr), bits))
+
   def simhash(text: Column, bits: Int = 32,
       hash: (Column, Int) => Column = md5Hash32): Column =
-    simhashFromHashes(transform(words(text), hash(_, 0)), bits)
+    simhashOfWords(words(text), bits)
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,88 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Primitive kernels behind the text-hash expressions — one tight loop
+  * per row instead of interpreted HOF lambdas. Called from whole-stage
+  * codegen (static forwarders) and from interpreted eval.
+  *
+  * `hash32` reproduces the engine-portable column form
+  * `conv(substring(md5(concat(seed, ":", s)), 1, 8), 16, 10)` bit for
+  * bit: the first 8 hex chars of an md5 are its first 4 bytes,
+  * big-endian. The DuckDB oracles use the same construction.
+  */
+object TextHashKernels {
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** First 32 bits of md5("<seed>:<s>") as an unsigned value in a long. */
+  def hash32(s: UTF8String, seed: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    val bytes = (seed.toString + ":" + s.toString)
+      .getBytes(StandardCharsets.UTF_8)
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  /** SimHash of a word array: bit b set iff Σ_words (±1 per word-hash
+    * bit b) ≥ 0. Null words vote -1 on every bit (the HOF two-valued
+    * `when` semantics). */
+  def simhash(words: ArrayData, bits: Int): Long = {
+    val n = words.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) {
+        var b = 0
+        while (b < bits) { votes(b) -= 1; b += 1 }
+      } else {
+        val h = hash32(words.getUTF8String(i), 0)
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >> b) & 1L) != 0L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var res = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) >= 0) res |= 1L << b; b += 1 }
+    res
+  }
+
+  /** MinHash signature of a shingle array: per seed i the minimum over
+    * shingles of `(a_i*hash32(s) + b_i) mod 2^32`. Null shingles are
+    * skipped (array_min semantics); an all-null/empty array yields null
+    * minima, so callers see the same nulls as the column form. */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val a = TextFunctions.MinhashA
+    val b = TextFunctions.MinhashB
+    val n = shingles.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = hash32(shingles.getUTF8String(i), 0)
+        var j = 0
+        while (j < k) {
+          val v = (a(j) * h + b(j)) % 4294967296L
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (mins(0) == Long.MaxValue) null
+    else new GenericArrayData(mins)
+  }
+}

@@ -95,4 +95,20 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
     // stopwordHits counts distinct stopword TYPES present ("the" once)
     assert(r.getAs[Double]("stopword_ratio") === 0.25)
   }
+
+  test("codegen hash kernels match the column-HOF forms bit for bit") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs", "a b", "").toDF("text")
+    val w = df.select(words($"text").as("w"))
+    val simKernel = w.select(simhashOfWords($"w").as("s")).as[Long].collect()
+    val simHof = w.select(simhashFromHashes(
+      transform($"w", x => md5Hash32(x, 0)), 32).as("s")).as[Long].collect()
+    assert(simKernel.toSeq === simHof.toSeq)
+    val sh = df.select(shingles($"text", 3).as("sh"))
+    val sigKernel = sh.select(minhashOfShingles($"sh", 8).as("g"))
+      .as[Seq[Long]].collect()
+    val sigHof = sh.select(minhashFromHashes(
+      transform($"sh", x => md5Hash32(x, 0)), 8).as("g")).as[Seq[Long]].collect()
+    assert(sigKernel.toSeq === sigHof.toSeq)
+  }
 }
