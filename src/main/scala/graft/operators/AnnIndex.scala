@@ -85,11 +85,13 @@ object AnnIndex {
     val b = withBuckets(df.select(col(idCol), col(embCol)), embCol,
       numPlanes, bands, seed)
       .select(col(idCol), col("band_idx"), col("bucket"))
-    val l = b.select(col("band_idx"), col("bucket"), col(idCol).as("id_a"))
-    val r = b.select(col("band_idx"), col("bucket"), col(idCol).as("id_b"))
-    l.join(r, Seq("band_idx", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // identical join sides → ReuseExchange hashes the buckets once
+    b.as("l").join(b.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.bucket") === col("r.bucket") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
   }
 
   /** ANN top-K via LSH buckets: score only bucket-colliding candidates,

@@ -90,15 +90,14 @@ object SimilaritySearch {
       threshold: Double,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(blockCol).as("__blk"), col(idCol).as("id_a"),
-      col(embCol).as("emb_a"))
-    val b = corpus.select(col(blockCol).as("__blk"), col(idCol).as("id_b"),
-      col(embCol).as("emb_b"))
-    a.join(b, "__blk")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("emb_a"), col("emb_b")))
+    // identical join sides → ReuseExchange shuffles the corpus once
+    val side = corpus.select(col(blockCol), col(idCol), col(embCol))
+    side.as("a").join(side.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        Similarity.cosine(col(s"a.$embCol"), col(s"b.$embCol")).as("cosine"))
       .filter(col("cosine") > threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }
 
