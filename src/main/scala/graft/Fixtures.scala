@@ -36,6 +36,14 @@ object Fixtures {
     features = Seq(
       FeatureDef("p_retailprice", FeatureType.FP64, default = 0.0)))
 
+  /** Vector feature group: fixed-length FP32 embedding with an all-zero
+    * default (FeatureMeta.VectorLength semantics, models.go:77). */
+  val embeddingFg: FeatureGroupDef = FeatureGroupDef(
+    label = "embedding_fg", id = 5,
+    features = Seq(
+      FeatureDef("embedding", FeatureType.FP32Vector,
+        default = Seq.fill(64)(0.0f), vectorLength = 64)))
+
   val customerEntity: EntityDef = EntityDef(
     "customer", Seq("c_custkey"), Seq(customerProfile, customerOrderStats))
 

@@ -420,6 +420,21 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
     }),
 
+    // ---- vector feature retrieve: fixed-length FP32Vector with
+    // zero-vector default fill (P1/P3 over vector features) ----
+    "q40_vector_retrieve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val present = emb.filter(col("vec_id") % 9 === 2).select(col("vec_id"))
+      val keys = present.unionByName(
+        present.select((col("vec_id") + 1000000L).as("vec_id")))
+      FeatureStore.retrieve(keys, emb, Seq("vec_id"),
+          Fixtures.embeddingFg, Seq("embedding"))
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          Similarity.dot(col("embedding"), col("embedding")).as("l2sq"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -851,6 +866,21 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
         |  FROM scored)
         |WHERE rank <= 8""".stripMargin,
+
+    "q40_vector_retrieve" ->
+      """WITH keys AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 9 = 2
+        |  UNION
+        |  SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 9 = 2),
+        |z AS (SELECT list_transform(generate_series(1, 64),
+        |        x -> CAST(0.0 AS FLOAT)) AS zz),
+        |j AS (SELECT k.vec_id, COALESCE(e.embedding, z.zz) AS emb
+        |      FROM keys k LEFT JOIN embeddings e USING (vec_id), z)
+        |SELECT vec_id, CAST(len(emb) AS INT) AS dim,
+        |  CAST(emb[1] AS DOUBLE) AS e1,
+        |  list_reduce(list_transform(CAST(emb AS DOUBLE[]), x -> x*x),
+        |    (a,b) -> a+b) AS l2sq
+        |FROM j""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

@@ -44,6 +44,18 @@ object Ingest {
   def routeByKey(df: DataFrame, keyCols: Seq[String], partitions: Int): DataFrame =
     df.repartition(partitions, keyCols.map(col): _*)
 
+  /** ST8 dead-letter routing: inside a foreachBatch, append rows that
+    * failed decode (null `requiredCol`, the [[jsonEvents]] malformed
+    * marker) to a DLQ path and return the valid remainder — the skye
+    * realtime consumer's re-produce-on-error, minus the retry loop
+    * (`skye/internal/consumers/listener/delta_realtime/realtime.go:48-82`). */
+  def withDeadLetter(batch: DataFrame, requiredCol: String,
+      dlqPath: String): DataFrame = {
+    val bad = batch.filter(col(requiredCol).isNull)
+    if (!bad.isEmpty) bad.write.mode("append").parquet(dlqPath)
+    batch.filter(col(requiredCol).isNotNull)
+  }
+
   /** ST7-safe in-batch reduction: collapse duplicate keys inside one
     * micro-batch to the latest version BEFORE merging, so the merge is
     * deterministic regardless of source row order. */

@@ -74,6 +74,11 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
       .select(graft.operators.FeatureStore.keyString(Seq("user_id", "catalog_id")))
       .as[String].head()
     assert(ks === "7|c1")
+    // dead-letter routing: malformed rows land in the DLQ, valid flow on
+    val dlq = tmp("graft-dlq") + "/bad"
+    val valid = Ingest.withDeadLetter(out, "user_id", dlq)
+    assert(valid.count() === 1)
+    assert(spark.read.parquet(dlq).count() === 1)
   }
 
   test("weeklyCounts groups by event-time week under a watermark (ST5/ST6)") {
