@@ -124,4 +124,16 @@ class RandomizedSpec extends AnyFunSuite with SparkSuite {
     assert(unsalted.exceptAll(events).isEmpty)
     events.unpersist()
   }
+
+  test("uint64 maps to DecimalType(20,0): full unsigned range survives") {
+    import graft.core.FeatureType
+    val maxU64 = BigDecimal("18446744073709551615") // 2^64 - 1
+    val df = Seq(maxU64, BigDecimal(0), BigDecimal("9223372036854775808"))
+      .toDF("u").select($"u".cast(FeatureType.Uint64.sparkType).as("u"))
+    val vals = df.as[java.math.BigDecimal].collect().map(BigDecimal(_)).sorted
+    assert(vals === Seq(BigDecimal(0), BigDecimal("9223372036854775808"), maxU64))
+    // aggregates stay exact at the top of the range
+    val total = df.agg(sum($"u")).as[java.math.BigDecimal].head()
+    assert(BigDecimal(total) === maxU64 + BigDecimal("9223372036854775808"))
+  }
 }
