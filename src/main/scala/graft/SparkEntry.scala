@@ -74,8 +74,9 @@ object SparkEntry {
     }),
 
     // ---- quantized projection feature@DataTypeFP16 (P2/F7) ----
-    // No DuckDB oracle (fp16/fp8 not SQL-expressible); bit-exactness is
-    // covered by QuantizeSpec, this declares the operator end-to-end.
+    // Oracle mirrors Minifloat.roundTo in SQL: round-to-nearest-even on
+    // the minifloat grid via round_even + exact power-of-two steps
+    // (every step/midpoint is exact in binary64 in both engines).
     "q5_quantized_projection" -> ((s, dir) => {
       val keys = Tables.customer(s, dir).select(col("c_custkey"))
       FeatureStore.retrieve(keys, Tables.customer(s, dir), Seq("c_custkey"),
@@ -201,8 +202,9 @@ object SparkEntry {
     }),
 
     // ---- ANN top-K via seeded sign-random-projection LSH (S11 scale
-    // path). No SQL oracle (seeded hyperplanes); recall-vs-brute-force
-    // is asserted in SimilaritySpec — this declares the operator. ----
+    // path). Hyperplanes are md5-hash-derived, so the oracle rebuilds
+    // the identical index in SQL; recall-vs-brute-force is additionally
+    // asserted in SimilaritySpec. ----
     "q19_ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
@@ -395,8 +397,9 @@ object SparkEntry {
     }),
 
     // ---- IVF ANN: nearest-cells probe then exact re-rank (S11 scale
-    // path #2). No SQL oracle (cell assignment is index state);
-    // probe-all == brute-force is asserted in SimilaritySpec. ----
+    // path #2). Centroids are a deterministic id-sample, so build +
+    // probe + re-rank reproduce in SQL; probe-all == brute-force is
+    // additionally asserted in SimilaritySpec. ----
     "q38_ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
@@ -500,6 +503,25 @@ object SparkEntry {
         |  CASE WHEN o.o_orderdate + INTERVAL 34560000 SECOND > TIMESTAMP '1998-08-01'
         |       THEN COALESCE(o.o_orderpriority, 'NONE') ELSE 'NONE' END AS o_orderpriority
         |FROM keys k LEFT JOIN orders o USING (o_orderkey)""".stripMargin,
+
+    // Minifloat.roundTo in SQL: shared adjusted exponent `ea`, then per
+    // format round-to-nearest-even on the 2^(e-manBits) grid with one
+    // binade-carry recompute and max-finite saturation.
+    "q5_quantized_projection" ->
+      s"""WITH x AS (SELECT c_custkey,
+         |             CAST(c_acctbal AS DOUBLE) AS xv,
+         |             abs(CAST(c_acctbal AS DOUBLE)) AS a
+         |           FROM customer),
+         |e0t AS (SELECT *, CAST(floor(log2(CASE WHEN a = 0 THEN 1.0 ELSE a END))
+         |                       AS INT) AS e0 FROM x),
+         |et AS (SELECT *, CASE WHEN power(2.0, e0) > a THEN e0 - 1
+         |                      WHEN power(2.0, e0 + 1) <= a THEN e0 + 1
+         |                      ELSE e0 END AS ea FROM e0t)
+         |SELECT c_custkey, xv AS c_acctbal,
+         |  ${sqlMinifloat(10, -14, "65504.0")} AS c_acctbal__fp16,
+         |  ${sqlMinifloat(3, -6, "448.0")} AS c_acctbal__fp8e4m3,
+         |  ${sqlMinifloat(2, -14, "57344.0")} AS c_acctbal__fp8e5m2
+         |FROM et""".stripMargin,
 
     "q6_interaction_timerange" ->
       """SELECT user_id, event_id, ts, event_type, rank FROM (
@@ -638,6 +660,42 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine > 0.3""".stripMargin,
+
+    // Rebuilds the LSH index in SQL: md5-derived hyperplanes (exact in
+    // binary64), sign-bit signatures, banded buckets, candidate join,
+    // exact cosine re-rank — bit-identical to AnnIndex.topK.
+    "q19_ann_lsh_topk" ->
+      s"""WITH planes AS (
+         |  SELECT i, list(c ORDER BY j) AS p FROM (
+         |    SELECT t.i AS i, u.j AS j,
+         |      CAST(('0x'||substr(md5('42:'||CAST(t.i AS VARCHAR)||':'||
+         |        CAST(u.j AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        / 4294967296.0 * 2 - 1 AS c
+         |    FROM generate_series(0, 11) t(i), generate_series(0, 63) u(j))
+         |  GROUP BY i),
+         |sigs AS (
+         |  SELECT e.vec_id,
+         |    list(CASE WHEN ${sqlDotOf("CAST(e.embedding AS DOUBLE[])", "pl.p")} >= 0
+         |         THEN 1 ELSE 0 END ORDER BY pl.i) AS sig
+         |  FROM embeddings e, planes pl GROUP BY e.vec_id),
+         |cb AS (
+         |  SELECT vec_id, b.b AS band_idx,
+         |    array_to_string(list_slice(sig, b.b*2+1, b.b*2+2), ',') AS bucket
+         |  FROM sigs, generate_series(0, 5) b(b)),
+         |qb AS (SELECT vec_id AS query_id, band_idx, bucket FROM cb WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT DISTINCT qb.query_id, cb.vec_id
+         |  FROM cb JOIN qb ON cb.band_idx = qb.band_idx AND cb.bucket = qb.bucket),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    ${sqlCosOf("CAST(e.embedding AS DOUBLE[])", "CAST(q.embedding AS DOUBLE[])")} AS score
+         |  FROM cand c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings q ON c.query_id = q.vec_id)
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
 
     "q20_dedup_exact" ->
       s"""SELECT doc_id, source, n_chars FROM (
@@ -850,6 +908,39 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 3""".stripMargin,
 
+    // Rebuilds the IVF index in SQL: deterministic id-sampled centroids
+    // (stride = n // cells), nearest-centroid assignment, 2-cell probe,
+    // exact cosine re-rank — bit-identical to IvfIndex.build().search().
+    "q38_ann_ivf_topk" ->
+      s"""WITH p AS (SELECT greatest(count(*) // 8, 1) AS stride FROM embeddings),
+         |cent AS (SELECT e.vec_id // p.stride AS cell_id,
+         |                CAST(e.embedding AS DOUBLE[]) AS centroid
+         |         FROM embeddings e, p
+         |         WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 8),
+         |asg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlEuclidOf("CAST(e.embedding AS DOUBLE[])", "c.centroid")} ASC,
+         |               c.cell_id ASC) AS rn
+         |  FROM embeddings e, cent c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT query_id, cell_id FROM (
+         |  SELECT q.query_id, c.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlEuclidOf("q.qe", "c.centroid")} ASC, c.cell_id ASC) AS rn
+         |  FROM q, cent c) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qc.query_id, a.vec_id,
+         |    ${sqlCosOf("CAST(e.embedding AS DOUBLE[])", "q2.qe")} AS score
+         |  FROM asg a JOIN qc ON a.cell_id = qc.cell_id
+         |  JOIN embeddings e ON a.vec_id = e.vec_id
+         |  JOIN q q2 ON qc.query_id = q2.query_id)
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
     "q39_skye_search" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id % 250 = 3),
@@ -891,6 +982,37 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
         |FROM documents""".stripMargin
   )
+
+  // --- shared DuckDB SQL fragments for the vector oracles ---
+  // Same ascending-index left fold as graft.expr.{DotProduct,
+  // SquaredDistance}; bit-exact across engines.
+  private def sqlDotOf(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> x[1]*x[2]), (p,q) -> p+q)"
+  private def sqlL2Of(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x*x), (p,q) -> p+q))"
+  private def sqlCosOf(a: String, b: String): String =
+    s"${sqlDotOf(a, b)} / (${sqlL2Of(a)} * ${sqlL2Of(b)})"
+  private def sqlEuclidOf(a: String, b: String): String =
+    s"sqrt(list_reduce(list_transform(list_zip($a, $b), " +
+      s"x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q))"
+
+  /** SQL twin of [[graft.functions.Minifloat.roundTo]], reading columns
+    * `xv` (signed value), `a` (abs) and `ea` (adjusted binade exponent)
+    * from the enclosing query. round_even == Math.rint; every step and
+    * comparison is exact in binary64.
+    */
+  private def sqlMinifloat(manBits: Int, minExp: Int, maxFinite: String): String = {
+    val e = s"GREATEST(ea, $minExp)"
+    def rAt(exp: String): String =
+      s"round_even(a / power(2.0, $exp - $manBits), 0) * power(2.0, $exp - $manBits)"
+    val r1 = rAt(e)
+    val r2 = rAt(s"$e + 1")
+    s"""CAST(CASE WHEN a = 0 THEN xv ELSE
+       |    (CASE WHEN xv < 0 THEN -1.0 ELSE 1.0 END) *
+       |    LEAST(CASE WHEN $r1 >= power(2.0, $e + 1) THEN $r2 ELSE $r1 END,
+       |          $maxFinite)
+       |  END AS FLOAT)""".stripMargin
+  }
 
   // --- shared DuckDB SQL fragments for the text oracles ---
   private val sqlWords =

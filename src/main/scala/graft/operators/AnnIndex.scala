@@ -25,11 +25,19 @@ import graft.functions.Similarity
   */
 object AnnIndex {
 
-  /** Deterministic unit-free hyperplanes: dim doubles in [-1, 1). */
-  private[operators] def hyperplanes(n: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val r = new scala.util.Random(seed)
-    Seq.fill(n)(Seq.fill(dim)(r.nextDouble() * 2 - 1))
-  }
+  /** Deterministic unit-free hyperplanes: dim doubles in [-1, 1).
+    * Component (i, j) = hash32("seed:i:j") / 2^32 * 2 - 1 — the same
+    * engine-portable md5 construction as the text hashes, so any SQL
+    * engine reproduces the planes (and hence the whole index) exactly;
+    * every step of the mapping is exact in binary64. */
+  private[operators] def hyperplanes(n: Int, dim: Int, seed: Long): Seq[Seq[Double]] =
+    Seq.tabulate(n) { i =>
+      Seq.tabulate(dim) { j =>
+        val h = graft.functions.TextHashKernels.hash32(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$i:$j"), seed.toInt)
+        h / 4294967296.0 * 2 - 1
+      }
+    }
 
   /** Signature bits: sign(emb · plane_i) for each plane. */
   private def signature(emb: Column, planes: Seq[Seq[Double]]): Column =
