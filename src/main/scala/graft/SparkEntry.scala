@@ -438,6 +438,46 @@ object SparkEntry {
           Similarity.dot(col("embedding"), col("embedding")).as("l2sq"))
     }),
 
+    // ---- winnowing document fingerprints (SWA SIGMOD'03): char-gram
+    // hashes -> sliding-window minima -> distinct local fingerprints ----
+    "q41_fingerprint_winnow" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprint(col("text"), k = 8, w = 4))
+          .as("fp"))
+    }),
+
+    // ---- near-dup clusters: minhash pairs -> connected components ->
+    // canonical representative per cluster (cluster-level dedup) ----
+    "q42_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir),
+        n = 3, k = 8, bands = 4, threshold = 0.2)
+      Dedup.connectedComponents(pairs)
+        .withColumn("is_canonical", col("doc_id") === col("component"))
+    }),
+
+    // ---- multimodal feature extraction: binary media -> fixed-dim
+    // embedding (deterministic stub standing in for a vision encoder;
+    // the Spark plumbing — binary column, codegen'd expression, long
+    // output — is the real thing) ----
+    "q43_multimodal_features" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .select(col("doc_id"),
+          posexplode(Multimodal.featurizeStub(col("media"), dim = 8))
+            .as(Seq("pos", "feat")))
+    }),
+
+    // ---- uint64 full-range aggregation: DecimalType(20,0) carries the
+    // unsigned 64-bit range exactly (Types.scala mapping) ----
+    "q44_uint64_agg" -> ((s, dir) => {
+      val u64max = lit("18446744073709551615").cast("decimal(20,0)")
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), (u64max - col("o_orderkey")).as("u"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("u")).as("u_sum"), min(col("u")).as("u_min"),
+          max(col("u")).as("u_max"), count(lit(1)).as("n"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -732,31 +772,8 @@ object SparkEntry {
          |FROM h""".stripMargin,
 
     "q23_minhash_pairs" ->
-      s"""WITH sh AS (SELECT doc_id, $sqlShingles AS sh
-         |            FROM (SELECT doc_id, $sqlWords AS w FROM documents)),
-         |hs AS (SELECT doc_id, sh,
-         |         list_transform(sh, s -> ${sqlHash32(0, "s")}) AS hs FROM sh),
-         |sig AS (SELECT doc_id, sh, [${(0 until 8).map(i =>
-                    s"list_min(list_transform(hs, h -> (h*${TextFunctions.MinhashA(i)} + ${TextFunctions.MinhashB(i)}) % 4294967296))")
-                    .mkString(", ")}] AS sig FROM hs),
-         |banded AS (
-         |  SELECT doc_id, sh, b.band_idx,
-         |    array_to_string(list_slice(sig, b.band_idx*2+1, b.band_idx*2+2), ',')
-         |      AS bucket
-         |  FROM sig, (SELECT unnest([0,1,2,3]) AS band_idx) b),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-         |         l.sh AS sha, r.sh AS shb
-         |  FROM banded l JOIN banded r
-         |    ON l.band_idx = r.band_idx AND l.bucket = r.bucket
-         |   AND l.doc_id < r.doc_id)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_intersect(list_distinct(sha), list_distinct(shb))) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(list_distinct(sha),
-         |        list_distinct(shb)))) AS DOUBLE) AS jaccard
-         |  FROM cand)
-         |WHERE jaccard >= 0.2""".stripMargin,
+      s"""WITH $sqlMinhashPairCtes
+         |SELECT id_a, id_b, jaccard FROM mh_pairs""".stripMargin,
 
     "q24_simhash_pairs" ->
       s"""WITH h AS (
@@ -973,6 +990,55 @@ object SparkEntry {
         |    (a,b) -> a+b) AS l2sq
         |FROM j""".stripMargin,
 
+    "q41_fingerprint_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(length(nt) - 7, 1)),
+        |      i -> CAST(('0x'||substr(md5('0:'||substr(nt, i, 8)), 1, 8))
+        |             AS BIGINT)) AS hs
+        |  FROM t),
+        |wm AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(
+        |      list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+        |        j -> list_min(list_slice(hs, j, j + 3))))) AS fps
+        |  FROM g)
+        |SELECT doc_id, unnest(fps) AS fp FROM wm""".stripMargin,
+
+    // transitive closure by recursive min-label reachability — the
+    // declarative twin of the iterative label propagation
+    "q42_dedup_components" ->
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(lbl) AS component,
+         |       min(lbl) = id AS is_canonical
+         |FROM reach GROUP BY id""".stripMargin,
+
+    // media bytes are UTF-8 of the text, so md5(blob) == md5(string)
+    "q43_multimodal_features" ->
+      """SELECT doc_id, CAST(t.i AS INT) AS pos,
+        |  CAST(('0x'||substr(md5(text||CAST(t.i AS VARCHAR)), 1, 6))
+        |    AS BIGINT) / 16777215.0 AS feat
+        |FROM documents, generate_series(0, 7) t(i)""".stripMargin,
+
+    "q44_uint64_agg" ->
+      """SELECT o_orderpriority,
+        |  SUM(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS u_sum,
+        |  MIN(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS u_min,
+        |  MAX(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS u_max,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
     "q31_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'png'
@@ -982,6 +1048,37 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
         |FROM documents""".stripMargin
   )
+
+  /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and
+    * q42 (connected components over the pairs). Ends with `mh_pairs`
+    * (id_a, id_b, jaccard ≥ 0.2). */
+  private def sqlMinhashPairCtes: String =
+    s"""sh AS (SELECT doc_id, $sqlShingles AS sh
+       |            FROM (SELECT doc_id, $sqlWords AS w FROM documents)),
+       |hs AS (SELECT doc_id, sh,
+       |         list_transform(sh, s -> ${sqlHash32(0, "s")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, sh, [${(0 until 8).map(i =>
+                  s"list_min(list_transform(hs, h -> (h*${TextFunctions.MinhashA(i)} + ${TextFunctions.MinhashB(i)}) % 4294967296))")
+                  .mkString(", ")}] AS sig FROM hs),
+       |banded AS (
+       |  SELECT doc_id, sh, b.band_idx,
+       |    array_to_string(list_slice(sig, b.band_idx*2+1, b.band_idx*2+2), ',')
+       |      AS bucket
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |         l.sh AS sha, r.sh AS shb
+       |  FROM banded l JOIN banded r
+       |    ON l.band_idx = r.band_idx AND l.bucket = r.bucket
+       |   AND l.doc_id < r.doc_id),
+       |mh_pairs AS (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_intersect(list_distinct(sha), list_distinct(shb))) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(list_distinct(sha),
+       |          list_distinct(shb)))) AS DOUBLE) AS jaccard
+       |    FROM cand)
+       |  WHERE jaccard >= 0.2)""".stripMargin
 
   // --- shared DuckDB SQL fragments for the vector oracles ---
   // Same ascending-index left fold as graft.expr.{DotProduct,

@@ -25,6 +25,24 @@ case class SimHashText(child: Expression, bits: Int)
     copy(child = c)
 }
 
+/** Winnowing fingerprint over pre-normalized text (the
+  * [[graft.functions.TextHashKernels.winnow]] deque kernel): child is
+  * evaluated once per row, so the normalization regex never re-runs
+  * inside a per-element lambda. */
+case class WinnowText(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHashKernels.winnow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowText =
+    copy(child = c)
+}
+
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))

@@ -145,6 +145,41 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", words(text)))
 
+  /** Normalized text: lowercased, whitespace collapsed to single
+    * spaces, trimmed — the base string for char-gram fingerprints. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Character `k`-gram hashes of ALREADY-normalized text ([[normalized]]
+    * staged as its own attribute — inlining it here would re-run the
+    * normalization regex per element): position i → 32-bit portable hash
+    * of the k chars starting at i (the hash sequence a rolling
+    * Rabin-Karp hash would produce, in engine-portable form). */
+  def charGramHashes(norm: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => md5Hash32(norm.substr(i, lit(k)), 0))
+
+  /** Winnowing document fingerprint (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03): slide a window of `w` over the char `k`-gram hashes,
+    * keep each window's minimum, dedupe + sort. Guarantees any shared
+    * substring of length ≥ k+w-1 yields a shared fingerprint — the
+    * standard local-fingerprint scheme for partial-overlap detection at
+    * corpus scale (pairs meet through fingerprint buckets, never an
+    * unblocked self-join). Codegen'd deque kernel
+    * ([[graft.expr.WinnowText]]), O(chars) per row. */
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(graft.expr.WinnowText(
+      ColumnBridge.expression(normalized(text)), k, w))
+
+  /** Column-HOF twin of [[winnowFingerprint]] for cross-checking the
+    * kernel — pass the normalized text attribute. */
+  def winnowFingerprintHof(norm: Column, k: Int, w: Int): Column = {
+    val hs = charGramHashes(norm, k)
+    array_sort(array_distinct(
+      transform(sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+        j => array_min(slice(hs, j, lit(w))))))
+  }
+
   // --- language ID + quality -------------------------------------------
 
   /** Tiny per-language stopword lists (top function words). Public

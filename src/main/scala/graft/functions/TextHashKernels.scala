@@ -59,6 +59,41 @@ object TextHashKernels {
     res
   }
 
+  /** Winnowing fingerprint of normalized text: char k-gram hashes, a
+    * sliding window of `w`, the minimum per window, distinct + sorted.
+    * One pass with a monotonic deque — O(chars) per row vs the
+    * O(chars·w) HOF form (whose per-window slice+array_min re-walks).
+    * Tie handling is value-irrelevant: only the distinct minima values
+    * are kept, so any index choice among equal minima agrees. */
+  def winnow(norm: UTF8String, k: Int, w: Int): ArrayData = {
+    val len = norm.numChars()
+    val g = math.max(len - k + 1, 1)
+    val hs = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      hs(i) = hash32(norm.substringSQL(i + 1, k), 0)
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](g)
+    var head = 0
+    var tail = 0 // deque holds indices of a non-decreasing hash run
+    var j = 0
+    while (j < g) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1) out.add(hs(deque(head)))
+      j += 1
+    }
+    if (g < w) out.add(hs(deque(head))) // single short window
+    val res = new Array[Long](out.size())
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { res(o) = it.next(); o += 1 }
+    new GenericArrayData(res)
+  }
+
   /** MinHash signature of a shingle array: per seed i the minimum over
     * shingles of `(a_i*hash32(s) + b_i) mod 2^32`. Null shingles are
     * skipped (array_min semantics); an all-null/empty array yields null

@@ -111,4 +111,18 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
       transform($"sh", x => md5Hash32(x, 0)), 8).as("g")).as[Seq[Long]].collect()
     assert(sigKernel.toSeq === sigHof.toSeq)
   }
+
+  test("winnow kernel matches the column-HOF form bit for bit") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the  QUICK\tbrown fox", "short", "ab", "").toDF("text")
+      .union(Tables.documents(spark, sf).select($"text").limit(20))
+    for ((k, w) <- Seq((8, 4), (5, 5), (3, 1))) {
+      val kernel = df.select(winnowFingerprint($"text", k, w).as("f"))
+        .as[Seq[Long]].collect()
+      val hof = df.select(normalized($"text").as("nt"))
+        .select(winnowFingerprintHof($"nt", k, w).as("f"))
+        .as[Seq[Long]].collect()
+      assert(kernel.toSeq === hof.toSeq, s"k=$k w=$w")
+    }
+  }
 }
