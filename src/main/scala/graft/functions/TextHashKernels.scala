@@ -21,16 +21,21 @@ object TextHashKernels {
       MessageDigest.getInstance("MD5")
   }
 
-  /** First 32 bits of md5("<seed>:<s>") as an unsigned value in a long. */
+  /** First 32 bits of md5("<seed>:<s>") as an unsigned value in a long.
+    * The digest is fed "<seed>:" and the string's UTF-8 bytes as two
+    * updates — identical bytes, no per-call string concatenation. */
   def hash32(s: UTF8String, seed: Int): Long = {
     val d = md5.get()
     d.reset()
-    val bytes = (seed.toString + ":" + s.toString)
-      .getBytes(StandardCharsets.UTF_8)
-    val h = d.digest(bytes)
+    d.update((if (seed == 0) Zero else (seed.toString + ":")
+      .getBytes(StandardCharsets.US_ASCII)))
+    d.update(s.getBytes)
+    val h = d.digest()
     ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
       ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
   }
+
+  private val Zero = "0:".getBytes(StandardCharsets.US_ASCII)
 
   /** SimHash of a word array: bit b set iff Σ_words (±1 per word-hash
     * bit b) ≥ 0. Null words vote -1 on every bit (the HOF two-valued

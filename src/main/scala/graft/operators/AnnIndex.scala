@@ -116,15 +116,22 @@ object AnnIndex {
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_embedding"): DataFrame = {
-    val cb = withBuckets(corpus.select(col(idCol), col(embCol)), embCol,
+    // double-cast + L2 norms staged per vector (not per candidate pair)
+    val cb = withBuckets(corpus.select(col(idCol),
+        col(embCol).cast("array<double>").as(embCol),
+        Similarity.l2(col(embCol)).as("__n")), embCol,
       numPlanes, bands, seed)
-    val qb = withBuckets(queries.select(col(queryIdCol), col(queryEmbCol)),
+    val qb = withBuckets(queries.select(col(queryIdCol),
+        col(queryEmbCol).cast("array<double>").as(queryEmbCol),
+        Similarity.l2(col(queryEmbCol)).as("__qn")),
       queryEmbCol, numPlanes, bands, seed)
     val cands = cb.join(broadcast(qb), Seq("band_idx", "bucket"))
-      .select(col(queryIdCol), col(idCol), col(embCol), col(queryEmbCol))
+      .select(col(queryIdCol), col(idCol), col(embCol), col(queryEmbCol),
+        col("__n"), col("__qn"))
       .dropDuplicates(queryIdCol, idCol)
     val scored = cands.select(col(queryIdCol), col(idCol),
-      Similarity.cosine(col(embCol), col(queryEmbCol)).as("score"))
+      (Similarity.dot(col(embCol), col(queryEmbCol)) /
+        (col("__n") * col("__qn"))).as("score"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -149,15 +156,24 @@ final case class IvfIndex(
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_embedding"): DataFrame = {
-    val qCells = queries.crossJoin(broadcast(centroids))
+    // double-cast + L2 norms staged per vector (not per candidate pair)
+    val qCells = queries
+      .select(col(queryIdCol),
+        col(queryEmbCol).cast("array<double>").as(queryEmbCol),
+        Similarity.l2(col(queryEmbCol)).as("__qn"))
+      .crossJoin(broadcast(centroids))
       .withColumn("__d", Similarity.euclidean(col(queryEmbCol), col("centroid")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc, col("cell_id").asc)))
       .filter(col("__r") <= nProbe)
-      .select(col(queryIdCol), col(queryEmbCol), col("cell_id"))
-    val cands = assigned.join(qCells, "cell_id") // cell-pruned candidate set
+      .select(col(queryIdCol), col(queryEmbCol), col("__qn"), col("cell_id"))
+    val corp = assigned.select(col(idCol), col("cell_id"),
+      col(embCol).cast("array<double>").as(embCol),
+      Similarity.l2(col(embCol)).as("__n"))
+    val cands = corp.join(qCells, "cell_id") // cell-pruned candidate set
     val scored = cands.select(col(queryIdCol), col(idCol),
-      Similarity.cosine(col(embCol), col(queryEmbCol)).as("score"))
+      (Similarity.dot(col(embCol), col(queryEmbCol)) /
+        (col("__n") * col("__qn"))).as("score"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -165,24 +181,80 @@ final case class IvfIndex(
 }
 
 object IvfIndex {
-  /** Build with centroids = vectors whose id ≡ 0 (mod |corpus|/cells) —
-    * deterministic; swap for k-means centroids at will. */
-  def build(
+
+  /** Nearest-centroid assignment: corpus × broadcast(centroids), keep
+    * the closest cell per vector (ties → lowest cell_id). One broadcast
+    * join, no corpus shuffle — the only full-corpus pass per build
+    * iteration. */
+  private def assign(
       corpus: DataFrame,
-      cells: Int,
-      idCol: String = "vec_id",
-      embCol: String = "embedding"): IvfIndex = {
-    val n = corpus.count()
-    val stride = math.max(n / cells, 1L)
-    val centroids = corpus.filter(col(idCol) % stride === 0 && col(idCol) < stride * cells)
-      .select((col(idCol) / stride).cast("long").as("cell_id"),
-        col(embCol).cast("array<double>").as("centroid"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
       .withColumn("__d", Similarity.euclidean(col(embCol), col("centroid")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col("cell_id").asc)))
       .filter(col("__r") === 1)
       .drop("__d", "__r", "centroid")
-    IvfIndex(assigned, centroids)
+
+  /** Deterministic id-sampled seed centroids (also the k-means init). */
+  private def seedCentroids(
+      corpus: DataFrame,
+      cells: Int,
+      idCol: String,
+      embCol: String): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(n / cells, 1L)
+    corpus.filter(col(idCol) % stride === 0 && col(idCol) < stride * cells)
+      .select((col(idCol) / stride).cast("long").as("cell_id"),
+        col(embCol).cast("array<double>").as("centroid"))
+  }
+
+  /** Build with centroids = vectors whose id ≡ 0 (mod |corpus|/cells) —
+    * deterministic; [[buildKMeans]] refines the same seed. */
+  def build(
+      corpus: DataFrame,
+      cells: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): IvfIndex = {
+    val centroids = seedCentroids(corpus, cells, idCol, embCol)
+    IvfIndex(assign(corpus, centroids, idCol, embCol), centroids)
+  }
+
+  /** Lloyd's k-means refinement of the id-sampled seed. Per iteration:
+    * one broadcast-join assignment over the corpus, then cell means via
+    * a shuffle keyed (cell_id, dim-pos) — the distributed k-means shape
+    * (no per-row collect, centroid table stays tiny and broadcastable).
+    * Cells that lose all members keep their previous centroid so the
+    * index always has `cells` probe targets. Centroids are
+    * `localCheckpoint`ed per round: the plan stays O(1) in `iters`.
+    */
+  def buildKMeans(
+      corpus: DataFrame,
+      cells: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): IvfIndex = {
+    var centroids = seedCentroids(corpus, cells, idCol, embCol)
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val means = assign(corpus, centroids, idCol, embCol)
+        .select(col("cell_id"),
+          posexplode(col(embCol).cast("array<double>")).as(Seq("__p", "__v")))
+        .groupBy(col("cell_id"), col("__p"))
+        .agg(avg(col("__v")).as("__m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
+          s => s.getField("__m")).as("centroid"))
+      centroids = centroids.select(col("cell_id"), col("centroid").as("__prev"))
+        .join(means, Seq("cell_id"), "left")
+        .select(col("cell_id"),
+          coalesce(col("centroid"), col("__prev")).as("centroid"))
+        .localCheckpoint()
+      i += 1
+    }
+    IvfIndex(assign(corpus, centroids, idCol, embCol), centroids)
   }
 }

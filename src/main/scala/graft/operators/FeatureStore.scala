@@ -19,15 +19,16 @@ import graft.core.FeatureGroupDef
   * of a few thousand keys. `retrieve` therefore broadcasts the KEY SET,
   * not the table:
   *
-  *   hits    = fgTable ⋈_inner broadcast(keys)      // table streamed once,
-  *                                                  // no shuffle, scan prunes
-  *   missing = keys ⋈_anti broadcast(hits.keys)     // both sides tiny
-  *   result  = hits ∪ (missing + defaults)
+  *   hits   = fgTable ⋈_inner broadcast(keys)   // table streamed once,
+  *                                              // no shuffle, scan prunes
+  *   result = keys ⋈_left broadcast(hits)       // both sides tiny;
+  *                                              // nulls → defaults
   *
   * A plain `keys.join(fgTable, pk, "left")` cannot broadcast the small
   * side (Spark only broadcasts the non-preserved side of an outer join),
-  * so it would sort-merge-shuffle the full table. The two-pass shape
-  * keeps every exchange proportional to the key count.
+  * so it would sort-merge-shuffle the full table. The two-stage shape
+  * scans the table exactly once and keeps every exchange proportional
+  * to the key count.
   */
 object FeatureStore {
 
@@ -78,25 +79,26 @@ object FeatureStore {
 
     val dedupKeys = keys.dropDuplicates(pk)
 
-    // inner join streamed over the table; broadcast the key set
+    // ONE streamed pass over the table: inner join against the
+    // broadcast key set. (A direct outer join can't broadcast its
+    // preserved small side, and hits/anti/union shapes scan the table
+    // twice — this scans once and every later join is key-set-sized.)
     val hits = fgTable
       .select((pk ++ neededCols ++ (if (fg.ttlSeconds > 0 && fgTable.columns.contains(writtenAt)) Seq(writtenAt) else Nil)).distinct.map(col): _*)
       .join(maybeBroadcast(dedupKeys), pk, "inner")
 
-    val hitCols = pk.map(col) ++ projections.map { p =>
+    // key-set-sized left join re-attaches hits to every requested key;
+    // a missing or expired row falls through the same coalesce to the
+    // per-feature default (P3/P4/P5 in one projection)
+    val resultCols = pk.map(col) ++ projections.map { p =>
       val raw = when(expired, p.default).otherwise(col(p.source))
       p.quantize(coalesce(raw, p.default)).as(p.outName)
     }
-    val hitRows = hits.select(hitCols: _*)
-
-    // keys with no stored row → all defaults (P3/P5 negative-cache path)
-    val missing = dedupKeys.join(
-      maybeBroadcast(hitRows.select(pk.map(col): _*).dropDuplicates(pk)), pk, "left_anti")
-    val missRows = missing.select(
-      pk.map(col) ++ projections.map(p => p.quantize(p.default).as(p.outName)): _*)
+    val perKey = dedupKeys.join(maybeBroadcast(hits), pk, "left")
+      .select(resultCols: _*)
 
     // fan results back out to the original (possibly duplicated) keys
-    keys.join(maybeBroadcast(hitRows.unionByName(missRows)), pk, "left")
+    keys.join(maybeBroadcast(perKey), pk, "left")
       .select((pk ++ projections.map(_.outName)).map(col): _*)
   }
 

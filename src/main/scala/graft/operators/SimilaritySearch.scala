@@ -25,6 +25,13 @@ object SimilaritySearch {
     def score(a: Column, b: Column): Column
     /** true = larger is better */
     def descending: Boolean
+    /** does [[stagedScore]] consume pre-computed per-vector norms? */
+    def needsNorm: Boolean = false
+    /** score from pre-staged double arrays and norms: `an`/`bn` are the
+      * vectors' L2 norms computed ONCE per vector before the pair join,
+      * not once per pair — same expression tree, so bit-identical. */
+    def stagedScore(a: Column, an: Column, b: Column, bn: Column): Column =
+      score(a, b)
   }
   case object Dot extends Metric {
     def score(a: Column, b: Column): Column = Similarity.dot(a, b)
@@ -33,6 +40,9 @@ object SimilaritySearch {
   case object Cosine extends Metric {
     def score(a: Column, b: Column): Column = Similarity.cosine(a, b)
     def descending = true
+    override def needsNorm = true
+    override def stagedScore(a: Column, an: Column, b: Column, bn: Column): Column =
+      Similarity.dot(a, b) / (an * bn)
   }
   case object Euclidean extends Metric {
     def score(a: Column, b: Column): Column = Similarity.euclidean(a, b)
@@ -58,11 +68,22 @@ object SimilaritySearch {
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_embedding",
       excludeSelf: Boolean = false): DataFrame = {
-    val scored = corpus.filter(filters)
-      .crossJoin(broadcast(queries))
+    // Stage the double-cast (and for cosine the L2 norm) per VECTOR
+    // before the pair join — O(corpus + queries) array work instead of
+    // O(corpus × queries); the staged score is the same expression
+    // tree, so results are bit-identical.
+    def norms(emb: String): Seq[Column] =
+      if (metric.needsNorm) Seq(Similarity.l2(col(emb)).as(s"__n_$emb")) else Nil
+    val c = corpus.filter(filters).select(
+      Seq(col(idCol), col(embCol).cast("array<double>").as(embCol)) ++ norms(embCol): _*)
+    val q = queries.select(
+      Seq(col(queryIdCol), col(queryEmbCol).cast("array<double>").as(queryEmbCol)) ++
+        norms(queryEmbCol): _*)
+    val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
       .select(col(queryIdCol), col(idCol),
-        metric.score(col(embCol), col(queryEmbCol)).as("score"))
+        metric.stagedScore(col(embCol), col(s"__n_$embCol"),
+          col(queryEmbCol), col(s"__n_$queryEmbCol")).as("score"))
     val ord = if (metric.descending) col("score").desc else col("score").asc
     val w = Window.partitionBy(col(queryIdCol)).orderBy(ord, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -90,13 +111,18 @@ object SimilaritySearch {
       threshold: Double,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    // identical join sides → ReuseExchange shuffles the corpus once
-    val side = corpus.select(col(blockCol), col(idCol), col(embCol))
+    // identical join sides → ReuseExchange shuffles the corpus once;
+    // double-cast + L2 norm staged per VECTOR (each vector's norm would
+    // otherwise be recomputed for every one of its pairs)
+    val side = corpus.select(col(blockCol), col(idCol),
+      col(embCol).cast("array<double>").as(embCol),
+      Similarity.l2(col(embCol)).as("__n"))
     side.as("a").join(side.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        Similarity.cosine(col(s"a.$embCol"), col(s"b.$embCol")).as("cosine"))
+        (Similarity.dot(col(s"a.$embCol"), col(s"b.$embCol")) /
+          (col("a.__n") * col("b.__n"))).as("cosine"))
       .filter(col("cosine") > threshold)
   }
 }

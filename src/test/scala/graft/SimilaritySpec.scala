@@ -79,6 +79,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(ivfAll === exact) // probing every cell recovers exact search
   }
 
+  test("k-means IVF: inertia improves on the seed; probe-all stays exact") {
+    val emb = Tables.embeddings(spark, sf)
+    def inertia(idx: IvfIndex): Double =
+      idx.assigned.join(idx.centroids, "cell_id")
+        .select(sum(pow(Similarity.euclidean($"embedding", $"centroid"), 2)))
+        .as[Double].head()
+    val seed = IvfIndex.build(emb, cells = 4)
+    val refined = IvfIndex.buildKMeans(emb, cells = 4, iters = 3)
+    assert(refined.centroids.count() === 4)
+    assert(inertia(refined) <= inertia(seed) + 1e-9)
+    val queries = emb.filter($"vec_id" === 7)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val all = refined.search(queries, k = 5, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = SimilaritySearch.topK(emb, queries, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all === exact)
+  }
+
   test("filters builder semantics (P7)") {
     val df = Seq((1, "abc", 5.0), (2, null, 15.0), (3, "xbcz", 25.0))
       .toDF("id", "s", "v")
