@@ -1,10 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
+
+/** One interaction event for the typed stateful merge (ST7). `ts` is
+  * event-time epoch millis (the wire form of `clicked_at`). */
+final case class StreamEvent(user_id: Long, event_id: Long, ts: Long)
+
+/** Per-(user, week) state: the bounded newest-first event list, plus a
+  * revision counter so consumers can pick each key's latest emission. */
+final case class WeekBucketState(events: Array[StreamEvent], rev: Long)
+
+/** Emitted row: the merged bucket content at revision `rev`. */
+final case class MergedEvent(
+    user_id: Long, event_id: Long, ts: Long, week_idx: Long, rev: Long)
 
 /** Streaming ingestion with upsert semantics (SURVEY §2.9, §3.2).
   *
@@ -104,6 +116,42 @@ object Ingest {
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(staging, target)
     latest.unpersist()
+  }
+
+  /** ST7 as a TYPED stateful operator: the reference's per-(user, week)
+    * read-modify-write (`persistToBucket`, click.go:61-91 — read stored
+    * list, merge, sort desc, cap, write back) expressed with
+    * `flatMapGroupsWithState`. State is the bounded bucket itself
+    * (≤ cap events, so state size is hard-bounded per key — the 500-cap
+    * is exactly what makes this state-safe at 100 TB of events); each
+    * trigger emits the merged bucket tagged with a revision, consumers
+    * keep each key's max revision. The `foreachBatch` MERGE
+    * ([[upsertSink]]) remains the recommended shape; this one exists
+    * because the reference's semantics are genuinely stateful-streaming
+    * and the typed form proves state boundedness.
+    */
+  def statefulMergeCap(
+      events: Dataset[StreamEvent],
+      cap: Int): Dataset[MergedEvent] = {
+    import events.sparkSession.implicits._
+    val weekMs = 604800000L
+    events
+      .groupByKey(e => (e.user_id, e.ts / weekMs))
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Long), rows: Iterator[StreamEvent],
+         state: GroupState[WeekBucketState]) =>
+          val prev = if (state.exists) state.get else WeekBucketState(Array.empty, 0L)
+          // newest first, event_id tiebreak — the A1/mergeCap ordering
+          val merged = (prev.events ++ rows)
+            .distinct
+            .sortWith((a, b) => a.ts > b.ts || (a.ts == b.ts && a.event_id < b.event_id))
+            .take(cap)
+          val rev = prev.rev + 1
+          state.update(WeekBucketState(merged, rev))
+          merged.iterator.map(e =>
+            MergedEvent(e.user_id, e.event_id, e.ts, key._2, rev))
+      }
   }
 
   /** Weekly event-time aggregation with watermark-driven late-data

@@ -100,4 +100,32 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map { case (u, _, n) => (u, n) } ===
       Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
+
+  test("statefulMergeCap keeps the newest `cap` per (user, week) across batches (ST7)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{MergedEvent, StreamEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val week0 = 1704067200000L // 2024-01-01, all within one epoch week bucket? no — fixed base
+    val mem = MemoryStream[StreamEvent]
+    val merged = Ingest.statefulMergeCap(mem.toDS(), cap = 3)
+    val q = merged.writeStream.format("memory").queryName("merged")
+      .outputMode("update").start()
+    // batch 1: four events in one (user, week) bucket → capped to 3 newest
+    mem.addData(
+      StreamEvent(1L, 10L, week0 + 1000), StreamEvent(1L, 11L, week0 + 2000),
+      StreamEvent(1L, 12L, week0 + 3000), StreamEvent(1L, 13L, week0 + 4000))
+    q.processAllAvailable()
+    // batch 2: a newer event displaces the oldest survivor; another user
+    mem.addData(StreamEvent(1L, 14L, week0 + 5000), StreamEvent(2L, 20L, week0 + 1000))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("merged").as[MergedEvent].collect()
+    val latest = out.groupBy(e => (e.user_id, e.week_idx)).map { case (_, es) =>
+      val maxRev = es.map(_.rev).max
+      es.filter(_.rev == maxRev).map(e => (e.user_id, e.event_id)).toSet
+    }.toSet
+    assert(latest === Set(
+      Set((1L, 14L), (1L, 13L), (1L, 12L)), // newest 3 after both batches
+      Set((2L, 20L))))
+  }
 }
