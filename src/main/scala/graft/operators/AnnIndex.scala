@@ -166,7 +166,12 @@ final case class IvfIndex(
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc, col("cell_id").asc)))
       .filter(col("__r") <= nProbe)
-      .select(col(queryIdCol), col(queryEmbCol), col("__qn"), col("cell_id"))
+      // align the probe key's type with the corpus side so any type
+      // coercion casts THIS (tiny) side — a cast over the corpus scan's
+      // partition column would defeat dynamic partition pruning on
+      // cell-partitioned layouts (sources/Layout.writeIvf)
+      .select(col(queryIdCol), col(queryEmbCol), col("__qn"),
+        col("cell_id").cast(assigned.schema("cell_id").dataType).as("cell_id"))
     val corp = assigned.select(col(idCol), col("cell_id"),
       col(embCol).cast("array<double>").as(embCol),
       Similarity.l2(col(embCol)).as("__n"))

@@ -46,4 +46,21 @@ object Layout {
 
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Persist an IVF index with the corpus partitioned by `cell_id`.
+    * Probing then prunes at the DIRECTORY level: the `cell_id` join in
+    * [[graft.operators.IvfIndex.search]] triggers dynamic partition
+    * pruning, so a search over a 100 TB corpus lists and reads only the
+    * `nProbe` probed cells' files — the IVF promise carried all the way
+    * into the scan. */
+  def writeIvf(idx: graft.operators.IvfIndex, path: String): Unit = {
+    idx.assigned.write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$path/assigned")
+    idx.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvf(spark: SparkSession, path: String): graft.operators.IvfIndex =
+    graft.operators.IvfIndex(
+      spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centroids"))
 }

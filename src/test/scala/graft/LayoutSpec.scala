@@ -54,4 +54,26 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     // pruned scan reads strictly fewer rows than the full table
     assert(scan.count() < Layout.readEvents(spark, dir).count())
   }
+
+  test("cell-partitioned IVF search dynamic-prunes to the probed cells") {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, sf)
+    val idx = IvfIndex.build(emb, cells = 8)
+    val dir = Files.createTempDirectory("graft-ivf").toString + "/ivf"
+    Layout.writeIvf(idx, dir)
+    val loaded = Layout.loadIvf(spark, dir)
+    val queries = emb.filter($"vec_id" === 7)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val res = loaded.search(queries, k = 5, nProbe = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"cell_id probe join must dynamic-prune partitions:\n$plan")
+    // layout-backed search returns exactly the in-memory index's result
+    val fromDisk = res.select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val fromMem = idx.search(queries, k = 5, nProbe = 2)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fromDisk === fromMem)
+  }
 }
