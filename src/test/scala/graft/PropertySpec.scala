@@ -125,6 +125,47 @@ class RandomizedSpec extends AnyFunSuite with SparkSuite {
     events.unpersist()
   }
 
+  test("winnowing: docs sharing a substring of length >= k+w-1 share a fingerprint") {
+    import graft.functions.TextFunctions
+    val (k, w) = (5, 4)
+    def randStr(len: Int) =
+      Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+    (1 to 10).foreach { _ =>
+      // SWA guarantee: a shared substring of >= k+w-1 chars contains a
+      // full window of k-grams, whose minimum lands in both sets
+      val shared = randStr(k + w - 1 + rnd.nextInt(10))
+      val d1 = randStr(rnd.nextInt(30)) + shared + randStr(rnd.nextInt(30))
+      val d2 = randStr(rnd.nextInt(30)) + shared + randStr(rnd.nextInt(30))
+      val fps = Seq(d1, d2).toDF("text")
+        .select(TextFunctions.winnowFingerprint($"text", k, w).as("f"))
+        .as[Seq[Long]].collect()
+      assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty, s"$d1 | $d2")
+    }
+  }
+
+  test("connectedComponents equals brute-force union-find (random graphs)") {
+    import graft.operators.Dedup
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = Seq.fill(35)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // union-find with union-by-min: each root ends as its component min
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(got.size === nodes.size)
+      nodes.foreach { v =>
+        assert(got(v) === find(v.toInt).toLong, s"node $v") }
+    }
+  }
+
   test("uint64 maps to DecimalType(20,0): full unsigned range survives") {
     import graft.core.FeatureType
     val maxU64 = BigDecimal("18446744073709551615") // 2^64 - 1
