@@ -69,5 +69,20 @@ object GraftExtensions {
       { case Seq(c) => SimHashText(c, 32) }: Seq[Expression] => Expression),
     (FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "8-seed minhash signature of a shingle array"),
-      { case Seq(c) => MinHashSignature(c, 8) }: Seq[Expression] => Expression))
+      { case Seq(c) => MinHashSignature(c, 8) }: Seq[Expression] => Expression),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow", "winnowing fingerprints (k=8, w=4) of normalized text"),
+      { case Seq(c) => WinnowText(c, 8, 4) }: Seq[Expression] => Expression),
+    (FunctionIdentifier("graft_pack_bools"),
+      info("graft_pack_bools", "bit-pack array<boolean>, 8 per byte LSB-first"),
+      { case Seq(c) => graft.functions.PackBools(c) }: Seq[Expression] => Expression),
+    (FunctionIdentifier("graft_unpack_bools"),
+      info("graft_unpack_bools", "unpack bit-packed bools given element count"),
+      { case Seq(b, n) => graft.functions.UnpackBools(b, n) }: Seq[Expression] => Expression),
+    (FunctionIdentifier("graft_proto_encode"),
+      info("graft_proto_encode", "proto3-encode a persist event (entity, key, version, values)"),
+      { case Seq(e, k, v, vs) => graft.functions.EncodePersistProto(e, k, v, vs) }: Seq[Expression] => Expression),
+    (FunctionIdentifier("graft_proto_decode"),
+      info("graft_proto_decode", "decode a proto3 persist event to a struct"),
+      { case Seq(c) => graft.functions.DecodePersistProto(c) }: Seq[Expression] => Expression))
 }

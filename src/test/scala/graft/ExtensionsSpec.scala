@@ -28,6 +28,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkSuite {
     assert(sim === simApi)
     assert(spark.sql("SELECT size(graft_minhash(array('x y z'))) AS n")
       .as[Int].head() === 8)
+    val wn = spark.sql("SELECT graft_winnow('the quick brown fox') AS f")
+      .as[Seq[Long]].head()
+    val wnApi = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.TextFunctions.winnowFingerprint($"t", 8, 4))
+      .as[Seq[Long]].head()
+    assert(wn === wnApi)
+    assert(spark.sql(
+      "SELECT graft_unpack_bools(graft_pack_bools(array(true,false,true)), 3) AS b")
+      .as[Seq[Boolean]].head() === Seq(true, false, true))
+    val proto = spark.sql(
+      """SELECT m.* FROM (SELECT graft_proto_decode(
+        |  graft_proto_encode('u', 'k', 7L, array(CAST(1.5 AS FLOAT)))) AS m)""".stripMargin)
+      .as[(String, String, Long, Seq[Float])].head()
+    assert(proto === (("u", "k", 7L, Seq(1.5f))))
   }
 
   test("FoldQuantize collapses idempotent chains, keeps mixed chains") {
