@@ -478,6 +478,29 @@ object SparkEntry {
           max(col("u")).as("u_max"), count(lit(1)).as("n"))
     }),
 
+    // ---- int8-quantized embedding top-K (storage scale path: 4x less
+    // IO, integer dot kernel; deterministic quantization -> SQL oracle
+    // rebuilds codes and scores bit-identically) ----
+    "q45_ann_int8_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val staged = emb
+        .select(col("vec_id"), col("embedding"),
+          Similarity.int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          Similarity.int8Codes(col("embedding"), col("scale")).as("codes"))
+      val queries = staged.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("scale").as("qscale"),
+          col("codes").as("qcodes"))
+      val scored = staged.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.dotInt8Scored(col("codes"), col("scale"),
+            col("qcodes"), col("qscale")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -989,6 +1012,32 @@ object SparkEntry {
         |  list_reduce(list_transform(CAST(emb AS DOUBLE[]), x -> x*x),
         |    (a,b) -> a+b) AS l2sq
         |FROM j""".stripMargin,
+
+    // int8 codes: round_even == Spark rint; integer dot exact in
+    // BIGINT; score = dot * scale_a * scale_b left-assoc in double
+    "q45_ann_int8_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |        CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+        |      FROM (SELECT vec_id, emb,
+        |              list_max(list_transform(emb, x -> abs(x))) AS mx
+        |            FROM e)),
+        |c AS (SELECT vec_id, scale,
+        |        list_transform(emb, x -> CAST(greatest(least(
+        |          round_even(x / scale, 0), 127.0), -127.0) AS BIGINT)) AS codes
+        |      FROM s),
+        |q AS (SELECT vec_id AS query_id, scale AS qscale, codes AS qcodes
+        |      FROM c WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_reduce(list_transform(list_zip(c.codes, q.qcodes),
+        |      x -> x[1]*x[2]), (p,w) -> p+w) * c.scale * q.qscale AS score
+        |  FROM c, q)
+        |SELECT query_id, vec_id, score, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM scored)
+        |WHERE rank <= 10""".stripMargin,
 
     "q41_fingerprint_winnow" ->
       """WITH t AS (

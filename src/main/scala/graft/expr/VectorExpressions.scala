@@ -73,6 +73,56 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFoldBas
     copy(left = l, right = r)
 }
 
+/** Σ qaᵢ·qbᵢ over int8 codes — the integer kernel of quantized
+  * similarity search ([[graft.functions.Similarity.int8Codes]]): 4×
+  * less IO than fp32 embeddings, exact long accumulation (max
+  * |dot| ≤ dim·127² — no overflow until dim ≈ 5.7e14). */
+case class DotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(org.apache.spark.sql.types.ByteType),
+      ArrayType(org.apache.spark.sql.types.ByteType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getByte(i).toLong * b.getByte(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (long) $a.getByte($i) * $b.getByte($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductInt8 =
+    copy(left = l, right = r)
+}
+
 /** Σ (aᵢ-bᵢ)². `sqrt` of this is the euclidean distance. */
 case class SquaredDistance(left: Expression, right: Expression) extends VectorFoldBase {
   override protected def termJava(x: String, y: String): String =

@@ -72,6 +72,25 @@ class FeatureStoreSpec extends AnyFunSuite with SparkSuite {
     assert(out === Array(Row(1L, 10.0), Row(2L, 22.0), Row(3L, 30.0)))
   }
 
+  test("schema versioning on read: rows written before a feature exists resolve to its default") {
+    // The reference resolves a requested feature in the VERSION each row
+    // was written under, falling back to the active version's default
+    // when absent (retrieve.go:819-858). Spark-native equivalent:
+    // parquet schema evolution — v1 files lack the new column, a
+    // mergeSchema read nulls it for old rows, and the retrieve
+    // projection coalesces those nulls to the registry default.
+    val dir = java.nio.file.Files.createTempDirectory("graft-schemaver").toString
+    Seq((1L, 10.0)).toDF("k", "v")
+      .write.mode("append").parquet(dir)                  // written under v1
+    Seq((2L, 20.0, "fresh")).toDF("k", "v", "s")
+      .write.mode("append").parquet(dir)                  // written under v2
+    val table = spark.read.option("mergeSchema", "true").parquet(dir)
+    val out = FeatureStore.retrieve(
+        Seq(1L, 2L).toDF("k"), table, Seq("k"), fg, Seq("v", "s"))
+      .orderBy("k").collect()
+    assert(out === Array(Row(1L, 10.0, "D"), Row(2L, 20.0, "fresh")))
+  }
+
   test("retrieve plan broadcasts the key set, never shuffles the table") {
     val table = Tables.customer(spark, sf)
     val keys = Seq(1L, 2L, 3L).toDF("c_custkey")

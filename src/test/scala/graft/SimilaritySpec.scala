@@ -98,6 +98,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(all === exact)
   }
 
+  test("int8 quantization: bounded error, high top-K agreement with fp32") {
+    val emb = Tables.embeddings(spark, sf)
+    val staged = emb
+      .select($"vec_id", $"embedding", Similarity.int8Scale($"embedding").as("s"))
+      .select($"vec_id", $"embedding", $"s",
+        Similarity.int8Codes($"embedding", $"s").as("c"))
+    // reconstruction error per element <= scale/2
+    val maxErr = staged.select(max(array_max(zip_with(
+        $"embedding".cast("array<double>"),
+        transform($"c", x => x.cast("double") * $"s"),
+        (x, r) => abs(x - r) - $"s" / 2)))).as[Double].head()
+    assert(maxErr <= 1e-12, s"reconstruction error must be <= scale/2 (got excess $maxErr)")
+    // int8 top-10 overlaps fp32 top-10 heavily on real embeddings
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val exact = SimilaritySearch.topK(emb, queries, 10,
+        metric = SimilaritySearch.Dot, excludeSelf = true)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = SparkEntry.queries("q45_ann_int8_topk")(spark, sf)
+      .filter($"vec_id" =!= $"query_id").filter($"query_id" < 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"int8 top-K recall $recall too low")
+  }
+
   test("filters builder semantics (P7)") {
     val df = Seq((1, "abc", 5.0), (2, null, 15.0), (3, "xbcz", 25.0))
       .toDF("id", "s", "v")
