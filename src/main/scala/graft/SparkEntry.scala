@@ -501,6 +501,28 @@ object SparkEntry {
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
     }),
 
+    // ---- trailing-window aggregate feature materialization (the
+    // offline feature-engineering pass that feeds persist/upsert) ----
+    "q46_feature_materialize" -> ((s, dir) => {
+      graft.operators.Training.aggregateFeatures(
+        Tables.events(s, dir), keys = Seq("user_id"), tsCol = "ts",
+        valueCol = "value", asOf = lit("2024-02-01 00:00:00").cast("timestamp"),
+        windowsDays = Seq(7, 30))
+    }),
+
+    // ---- point-in-time-correct feature join (leakage-free training
+    // data assembly): latest feature value at-or-before each label ts,
+    // one windowed pass, no per-label history explosion ----
+    "q47_point_in_time" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val history = events.groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      val labels = events.filter(col("event_id") % 97 === 0)
+        .select(col("user_id"), col("ts"), col("event_id").as("label_id"))
+      graft.operators.Training.pointInTime(labels, history,
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value")
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1079,6 +1101,27 @@ object SparkEntry {
         |  CAST(('0x'||substr(md5(text||CAST(t.i AS VARCHAR)), 1, 6))
         |    AS BIGINT) / 16777215.0 AS feat
         |FROM documents, generate_series(0, 7) t(i)""".stripMargin,
+
+    "q46_feature_materialize" ->
+      s"""SELECT user_id,
+         |  COUNT(CASE WHEN ts > TIMESTAMP '2024-02-01' - INTERVAL 7 DAY
+         |             AND ts <= TIMESTAMP '2024-02-01' THEN 1 END) AS cnt_7d,
+         |  ${sqlSum("CASE WHEN ts > TIMESTAMP '2024-02-01' - INTERVAL 7 DAY AND ts <= TIMESTAMP '2024-02-01' THEN value END")} AS sum_7d,
+         |  COUNT(CASE WHEN ts > TIMESTAMP '2024-02-01' - INTERVAL 30 DAY
+         |             AND ts <= TIMESTAMP '2024-02-01' THEN 1 END) AS cnt_30d,
+         |  ${sqlSum("CASE WHEN ts > TIMESTAMP '2024-02-01' - INTERVAL 30 DAY AND ts <= TIMESTAMP '2024-02-01' THEN value END")} AS sum_30d
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    // DuckDB's native ASOF join is the declarative twin of the
+    // union+window single-shuffle shape
+    "q47_point_in_time" ->
+      """WITH hist AS (SELECT user_id, ts, max(value) AS value
+        |              FROM events GROUP BY 1, 2),
+        |lab AS (SELECT user_id, ts, event_id AS label_id FROM events
+        |        WHERE event_id % 97 = 0)
+        |SELECT l.user_id, l.ts, l.label_id, h.value
+        |FROM lab l ASOF LEFT JOIN hist h
+        |  ON l.user_id = h.user_id AND h.ts <= l.ts""".stripMargin,
 
     "q44_uint64_agg" ->
       """SELECT o_orderpriority,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly over the feature/event stores — the offline
+  * half of a feature platform (the reference serves online lookups;
+  * producing leakage-free training sets from the same data is the
+  * batch-engine counterpart every user of the stack runs on Spark).
+  *
+  * == Scale design ==
+  * [[pointInTime]] is the classic as-of feature join done as ONE
+  * shuffle: label rows and feature-history rows are unioned and
+  * windowed per entity in event-time order, so each label picks up the
+  * latest feature value at-or-before its timestamp via
+  * `last(ignoreNulls)` — no per-label history explosion, no range
+  * join. [[aggregateFeatures]] materializes trailing-window aggregates
+  * in a single pass with conditional aggregation (one shuffle on the
+  * entity key, map-side partial aggregation for free).
+  */
+object Training {
+
+  /** Point-in-time-correct feature join: for each label row, the
+    * latest `valueCol` from `history` with `history.tsCol <=
+    * label.tsCol`, per entity key. Labels with no prior history get
+    * null (coalesce defaults downstream like any retrieve miss).
+    *
+    * `history` must be unique per (keys, ts) — pre-aggregate if not
+    * (duplicate timestamps would make "the latest value" ambiguous).
+    */
+  def pointInTime(
+      labels: DataFrame,
+      history: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val labelCols = labels.columns
+    // tag and union: history rows sort before label rows at equal ts,
+    // so a feature written exactly at label time is visible (<=)
+    val h = history.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__is_label"),
+        col(valueCol).as("__v")) ++
+        labelCols.filterNot(c => keys.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(labels.schema(c).dataType).as(c)): _*)
+    val l = labels.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__is_label"),
+        lit(null).cast(history.schema(valueCol).dataType).as("__v")) ++
+        labelCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__is_label").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.unionByName(l)
+      .withColumn(valueCol, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__is_label") === 1)
+      .select(labelCols.map(col) :+ col(valueCol): _*)
+  }
+
+  /** Materialize trailing-window aggregate features per entity as of a
+    * fixed instant: for each window of `windowsDays`, the count and sum
+    * of `valueCol` over `(asOf - window, asOf]`. One conditional-
+    * aggregation pass; emits one row per entity with
+    * `cnt_{d}d` / `sum_{d}d` columns (the FG shape
+    * [[FeatureStore.upsert]] persists).
+    */
+  def aggregateFeatures(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      asOf: Column,
+      windowsDays: Seq[Int]): DataFrame = {
+    val aggs = windowsDays.flatMap { d =>
+      val in = col(tsCol) > asOf - expr(s"INTERVAL $d DAYS") &&
+        col(tsCol) <= asOf
+      Seq(
+        count(when(in, lit(1))).as(s"cnt_${d}d"),
+        graft.OracleMath.xsum(when(in, col(valueCol))).as(s"sum_${d}d"))
+    }
+    events.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}
