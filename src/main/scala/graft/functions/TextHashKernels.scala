@@ -74,10 +74,28 @@ object TextHashKernels {
     val len = norm.numChars()
     val g = math.max(len - k + 1, 1)
     val hs = new Array[Long](g)
-    var i = 0
-    while (i < g) {
-      hs(i) = hash32(norm.substringSQL(i + 1, k), 0)
-      i += 1
+    val bytes = norm.getBytes
+    if (bytes.length == len) {
+      // ASCII fast path: char i == byte i, so each gram hashes as a
+      // zero-copy slice of the shared byte array (same bytes as the
+      // substring path — bit-identical hashes)
+      val d = md5.get()
+      var i = 0
+      while (i < g) {
+        d.reset()
+        d.update(Zero)
+        d.update(bytes, i, math.min(k, bytes.length - i))
+        val h = d.digest()
+        hs(i) = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < g) {
+        hs(i) = hash32(norm.substringSQL(i + 1, k), 0)
+        i += 1
+      }
     }
     val out = new java.util.TreeSet[java.lang.Long]()
     val deque = new Array[Int](g)
