@@ -9,7 +9,8 @@ object PlanAudit {
     val spark = GraftSession.get("graft-plan-audit")
     val interesting = args.toSeq match {
       case Nil => Seq("q1_pricing_agg", "q2_feature_retrieve", "q6_interaction_timerange",
-        "q15_topk_cosine", "q23_minhash_pairs", "q24_simhash_pairs", "q37_inferflow_pointwise")
+        "q15_topk_cosine", "q23_minhash_pairs", "q24_simhash_pairs", "q37_inferflow_pointwise",
+        "q41_fingerprint_winnow", "q42_dedup_components", "q45_ann_int8_topk", "q47_point_in_time")
       case qs => qs
     }
     interesting.foreach { name =>
