@@ -523,6 +523,16 @@ object SparkEntry {
         keys = Seq("user_id"), tsCol = "ts", valueCol = "value")
     }),
 
+    // ---- IVF x int8 composition: cell-pruned probe + integer-dot
+    // re-rank (directory pruning x 4x-smaller payload at scale) ----
+    "q48_ann_ivf_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      graft.operators.IvfIndex.build(emb, cells = 8)
+        .searchInt8(queries, k = 10, nProbe = 2)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -998,6 +1008,47 @@ object SparkEntry {
          |  FROM asg a JOIN qc ON a.cell_id = qc.cell_id
          |  JOIN embeddings e ON a.vec_id = e.vec_id
          |  JOIN q q2 ON qc.query_id = q2.query_id)
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
+    // q38's probe x q45's scoring: same CTE shapes, composed
+    "q48_ann_ivf_int8" ->
+      s"""WITH p AS (SELECT greatest(count(*) // 8, 1) AS stride FROM embeddings),
+         |cent AS (SELECT e.vec_id // p.stride AS cell_id,
+         |                CAST(e.embedding AS DOUBLE[]) AS centroid
+         |         FROM embeddings e, p
+         |         WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 8),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |s AS (SELECT vec_id, emb,
+         |        CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS scale
+         |      FROM (SELECT vec_id, emb,
+         |              list_max(list_transform(emb, x -> abs(x))) AS mx FROM e)),
+         |c AS (SELECT vec_id, scale,
+         |        list_transform(emb, x -> CAST(greatest(least(
+         |          round_even(x / scale, 0), 127.0), -127.0) AS BIGINT)) AS codes
+         |      FROM s),
+         |asg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, cc.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlEuclidOf("e.emb", "cc.centroid")} ASC,
+         |               cc.cell_id ASC) AS rn
+         |  FROM e, cent cc) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+         |qq AS (SELECT q.query_id, q.qe, cq.scale AS qscale, cq.codes AS qcodes
+         |       FROM q JOIN c cq ON q.query_id = cq.vec_id),
+         |qc AS (SELECT query_id, qscale, qcodes, cell_id FROM (
+         |  SELECT qq.query_id, qq.qscale, qq.qcodes, cc.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qq.query_id
+         |      ORDER BY ${sqlEuclidOf("qq.qe", "cc.centroid")} ASC, cc.cell_id ASC) AS rn
+         |  FROM qq, cent cc) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qc.query_id, a.vec_id,
+         |    list_reduce(list_transform(list_zip(cv.codes, qc.qcodes),
+         |      x -> x[1]*x[2]), (pp,w) -> pp+w) * cv.scale * qc.qscale AS score
+         |  FROM asg a JOIN qc ON a.cell_id = qc.cell_id
+         |  JOIN c cv ON a.vec_id = cv.vec_id)
          |SELECT query_id, vec_id, score, rank FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM scored)

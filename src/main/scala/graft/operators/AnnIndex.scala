@@ -183,6 +183,47 @@ final case class IvfIndex(
       .orderBy(col("score").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Cell-pruned search with int8-quantized scoring: the probe runs on
+    * float centroids, the re-rank on int8 codes with the integer dot
+    * kernel — the composition a 100 TB corpus wants (directory-pruned
+    * scan × 4×-smaller vector payload). Deterministic end to end, so
+    * it carries a full SQL oracle (q48). */
+  def searchInt8(
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_embedding"): DataFrame = {
+    val qCells = queries
+      .select(col(queryIdCol),
+        col(queryEmbCol).cast("array<double>").as(queryEmbCol),
+        Similarity.int8Scale(col(queryEmbCol)).as("__qs"))
+      .select(col(queryIdCol), col(queryEmbCol), col("__qs"),
+        Similarity.int8Codes(col(queryEmbCol), col("__qs")).as("__qc"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d", Similarity.euclidean(col(queryEmbCol), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc, col("cell_id").asc)))
+      .filter(col("__r") <= nProbe)
+      .select(col(queryIdCol), col("__qs"), col("__qc"),
+        col("cell_id").cast(assigned.schema("cell_id").dataType).as("cell_id"))
+    val corp = assigned
+      .select(col(idCol), col("cell_id"),
+        Similarity.int8Scale(col(embCol)).as("__s"),
+        col(embCol).cast("array<double>").as(embCol))
+      .select(col(idCol), col("cell_id"), col("__s"),
+        Similarity.int8Codes(col(embCol), col("__s")).as("__c"))
+    val scored = corp.join(qCells, "cell_id")
+      .select(col(queryIdCol), col(idCol),
+        (Similarity.dotInt8(col("__c"), col("__qc")) * col("__s") * col("__qs"))
+          .as("score"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }
 
 object IvfIndex {

@@ -123,6 +123,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.7, s"int8 top-K recall $recall too low")
   }
 
+  test("IVF int8 search: probe-all equals brute-force int8 ranking") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = IvfIndex.build(emb, cells = 4)
+    val queries = emb.filter($"vec_id" === 7)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val probeAll = idx.searchInt8(queries, k = 5, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // brute-force int8: same quantized scoring over the whole corpus
+    val staged = emb
+      .select($"vec_id", Similarity.int8Scale($"embedding").as("s"),
+        $"embedding")
+      .select($"vec_id", $"s", Similarity.int8Codes($"embedding", $"s").as("c"))
+    val q = staged.filter($"vec_id" === 7)
+      .select($"s".as("qs"), $"c".as("qc"))
+    val brute = staged.crossJoin(broadcast(q))
+      .select($"vec_id",
+        (Similarity.dotInt8($"c", $"qc") * $"s" * $"qs").as("score"))
+      .orderBy($"score".desc, $"vec_id".asc).limit(5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(probeAll === brute)
+  }
+
   test("filters builder semantics (P7)") {
     val df = Seq((1, "abc", 5.0), (2, null, 15.0), (3, "xbcz", 25.0))
       .toDF("id", "s", "v")
