@@ -533,6 +533,27 @@ object SparkEntry {
         .searchInt8(queries, k = 10, nProbe = 2)
     }),
 
+    // ---- language-ID evaluation against the corpus ground truth
+    // (confusion counts; 'zh' has no stopword list -> 'und') ----
+    "q49_langid_eval" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- JSON payload decode on the real events stream (F14) ----
+    "q50_props_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val props = StructType(Seq(StructField("k", LongType)))
+      val decoded = graft.streaming.Ingest.jsonEvents(
+        Tables.events(s, dir).select(col("event_type"), col("props")),
+        "props", props)
+      decoded.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1181,6 +1202,26 @@ object SparkEntry {
         |  MAX(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS u_max,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q49_langid_eval" ->
+      s"""WITH lt AS (SELECT doc_id, lang, $sqlWords AS w FROM documents),
+         |lh AS (SELECT doc_id, lang,
+         |  ${sqlHits("de")} AS h_de, ${sqlHits("en")} AS h_en,
+         |  ${sqlHits("es")} AS h_es, ${sqlHits("fr")} AS h_fr FROM lt),
+         |lp AS (SELECT doc_id, lang,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred
+         |  FROM lh)
+         |SELECT lang, lang_pred, COUNT(*) AS n FROM lp GROUP BY 1, 2""".stripMargin,
+
+    "q50_props_decode" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,
