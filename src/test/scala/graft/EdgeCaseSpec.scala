@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{FeatureDef, FeatureGroupDef, FeatureType}
+import graft.functions.{Similarity, TextFunctions}
+import graft.operators.{Dedup, FeatureStore, InteractionStore, SimilaritySearch, Training}
+
+/** Degenerate-input hardening: every operator must behave on empty
+  * inputs, empty strings and zero vectors — the shapes a 100 TB
+  * pipeline inevitably feeds it. */
+class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val fg = FeatureGroupDef("f", 1, Seq(
+    FeatureDef("v", FeatureType.FP64, default = -1.0)))
+
+  test("retrieve with an empty key set returns no rows") {
+    val table = Seq((1L, 10.0)).toDF("k", "v")
+    val keys = Seq.empty[Long].toDF("k")
+    assert(FeatureStore.retrieve(keys, table, Seq("k"), fg, Seq("v")).count() === 0)
+  }
+
+  test("retrieve against an empty table yields all defaults") {
+    val table = Seq.empty[(Long, Double)].toDF("k", "v")
+    val out = FeatureStore.retrieve(Seq(1L, 2L).toDF("k"), table,
+      Seq("k"), fg, Seq("v")).orderBy("k").as[(Long, Double)].collect()
+    assert(out === Array((1L, -1.0), (2L, -1.0)))
+  }
+
+  test("mergeCap and retention on an empty event set") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "event_id")
+    assert(InteractionStore.mergeCap(empty, cap = 5).count() === 0)
+    assert(InteractionStore.retention(empty, horizonWeeks = 2).count() === 0)
+  }
+
+  test("connectedComponents on an empty pair list") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+  }
+
+  test("similarity on zero vectors: cosine null-safe via int8 scale guard") {
+    val zero = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // int8 scale of the zero vector is 1.0 (codes all zero), not 0/NaN
+    val (s, c) = zero.select(Similarity.int8Scale($"embedding").as("s"),
+        Similarity.int8Codes($"embedding", Similarity.int8Scale($"embedding")).as("c"))
+      .as[(Double, Seq[Byte])].head()
+    assert(s === 1.0 && c === Seq(0.toByte, 0.toByte))
+    // dot with itself is 0; cosine divides by zero norm → NaN stays NaN
+    val d = zero.select(Similarity.dot($"embedding", $"embedding")).as[Double].head()
+    assert(d === 0.0)
+  }
+
+  test("text functions on empty and whitespace-only strings") {
+    val df = Seq("", "   ", "\t\n").toDF("text")
+    val rows = df.select(
+      TextFunctions.tokenCount($"text").as("n"),
+      TextFunctions.langId($"text").as("l"),
+      size(TextFunctions.winnowFingerprint($"text", 8, 4)).as("w"))
+      .as[(Int, String, Int)].collect()
+    rows.foreach { case (n, l, w) =>
+      assert(n <= 1)        // split of "" yields [""]
+      assert(l === "und")
+      assert(w === 1)       // one short-gram fingerprint, never a crash
+    }
+  }
+
+  test("topK with k larger than the corpus returns the whole corpus ranked") {
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((9L, Seq(1.0, 1.0))).toDF("query_id", "query_embedding")
+    assert(SimilaritySearch.topK(corpus, queries, k = 100).count() === 2)
+  }
+
+  test("pointInTime with empty history: all labels null-valued") {
+    val history = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    val labels = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L))
+      .toDF("user_id", "ts", "label_id")
+    val out = Training.pointInTime(labels, history, Seq("user_id"), "ts", "value")
+      .collect()
+    assert(out.length === 1 && out(0).isNullAt(3))
+  }
+}
