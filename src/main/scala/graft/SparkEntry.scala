@@ -554,6 +554,24 @@ object SparkEntry {
           min(col("k")).as("k_min"), max(col("k")).as("k_max"))
     }),
 
+    // ---- gap-based sessionization (lag-gap / cumulative-sum) ----
+    "q51_sessionize" -> ((s, dir) => {
+      InteractionStore.sessionize(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts")),
+        gap = "3 days")
+    }),
+
+    // ---- deterministic stratified sampling: membership from a key
+    // hash, stable under re-execution and repartitioning ----
+    "q52_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratified(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        keyCol = "o_orderkey", strataCol = "o_orderpriority",
+        rates = Map("1-URGENT" -> 0.2, "2-HIGH" -> 0.1),
+        defaultRate = 0.05)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1222,6 +1240,24 @@ object SparkEntry {
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q51_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, event_id, ts,
+        |  CAST(SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 3 DAY
+        |                THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |FROM x""".stripMargin,
+
+    "q52_stratified_sample" ->
+      s"""SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         |WHERE ${sqlHash32(7, "CAST(o_orderkey AS VARCHAR)")} % 1000000 <
+         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 200000
+         |       WHEN o_orderpriority = '2-HIGH' THEN 100000
+         |       ELSE 50000 END""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

@@ -150,4 +150,26 @@ object InteractionStore {
       events.filter(col("event_type").isin(types: _*))
         .withColumn("event_class", lit(tag))
     }.reduce(_.unionByName(_))
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the user's previous event exceeds `gap` (e.g. "3 days"). One
+    * window pass per user in event-time order (tiebreak on
+    * `orderTiebreak` for determinism); `session_idx` is the running
+    * count of session starts — the standard lag-gap/cumulative-sum
+    * shape, one shuffle on the user key. */
+  def sessionize(
+      events: DataFrame,
+      gap: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      orderTiebreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(orderTiebreak).asc)
+    val prev = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prev.isNull || col(tsCol) > prev + expr(s"INTERVAL $gap"), 1L)
+      .otherwise(0L)
+    events.withColumn("session_idx",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }
