@@ -572,6 +572,31 @@ object SparkEntry {
         defaultRate = 0.05)
     }),
 
+    // ---- sliding event-time windows (14d length / 7d slide): each
+    // event lands in two overlapping windows ----
+    "q53_sliding_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), window(col("ts"), "14 days", "7 days"))
+        .agg(count(lit(1)).as("n"), xsum(col("value")).as("value_sum"))
+        .select(col("user_id"), col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("n"), col("value_sum"))
+    }),
+
+    // ---- training-data curation pipeline: quality gate -> language
+    // filter -> exact dedup -> deterministic sample (the north-star
+    // ops composed end to end) ----
+    "q54_curation_pipeline" -> ((s, dir) => {
+      val q = TextFunctions.qualityFeatures(col("text"))
+      val gated = Tables.documents(s, dir)
+        .withColumn("n_tokens", q.getField("n_tokens"))
+        .withColumn("punct_ratio", q.getField("punct_ratio"))
+        .filter(TextFunctions.langId(col("text")) === "en" &&
+          col("n_tokens") >= 5 && col("punct_ratio") < 0.2)
+      val deduped = Dedup.exact(gated)
+      graft.operators.Sampling.byHash(deduped, "doc_id", rate = 0.5)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1258,6 +1283,41 @@ object SparkEntry {
          |  CASE WHEN o_orderpriority = '1-URGENT' THEN 200000
          |       WHEN o_orderpriority = '2-HIGH' THEN 100000
          |       ELSE 50000 END""".stripMargin,
+
+    // Spark's sliding windows are epoch-aligned: for slide 7d each
+    // event belongs to windows starting at week-index e and e-1
+    "q53_sliding_window" ->
+      s"""WITH x AS (
+         |  SELECT user_id, value, epoch_ms(ts) // 604800000 AS e, t.off
+         |  FROM events, (SELECT unnest([0, 1]) AS off) t)
+         |SELECT user_id,
+         |  epoch_ms((e - off) * 604800000) AS w_start,
+         |  epoch_ms((e - off) * 604800000 + 1209600000) AS w_end,
+         |  COUNT(*) AS n, ${sqlSum("value")} AS value_sum
+         |FROM x GROUP BY 1, 2, 3""".stripMargin,
+
+    "q54_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $sqlWords AS w FROM documents),
+         |h AS (SELECT doc_id, source, text, w,
+         |  CAST(len(w) AS DOUBLE) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  ${sqlHits("de")} AS h_de, ${sqlHits("en")} AS h_en,
+         |  ${sqlHits("es")} AS h_es, ${sqlHits("fr")} AS h_fr
+         |  FROM t),
+         |gated AS (
+         |  SELECT doc_id, source, n_tokens, w FROM h
+         |  WHERE h_en > 0 AND h_en >= h_de AND h_en >= h_es AND h_en >= h_fr
+         |    AND NOT (h_de >= h_en AND h_de >= h_es AND h_de >= h_fr)
+         |    AND n_tokens >= 5 AND punct_ratio < 0.2),
+         |deduped AS (
+         |  SELECT doc_id, source, n_tokens FROM (
+         |    SELECT doc_id, source, n_tokens, ROW_NUMBER() OVER (
+         |      PARTITION BY md5(array_to_string(w, ' '))
+         |      ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1)
+         |SELECT doc_id, source, n_tokens FROM deduped
+         |WHERE ${sqlHash32(7, "CAST(doc_id AS VARCHAR)")} % 1000000 < 500000""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,
