@@ -227,15 +227,27 @@ object SparkEntry {
         length(col("text")).as("n_chars_actual"))
     }),
 
-    // ---- quality scoring + heuristic language ID ----
+    // ---- quality scoring + heuristic language ID (word split and
+    // per-language hits staged once per row) ----
     "q22_quality_langid" -> ((s, dir) => {
-      val q = TextFunctions.qualityFeatures(col("text"))
-      Tables.documents(s, dir).select(col("doc_id"),
-        q.getField("n_tokens").as("n_tokens"),
-        q.getField("mean_word_len").as("mean_word_len"),
-        q.getField("punct_ratio").as("punct_ratio"),
-        q.getField("stopword_ratio").as("stopword_ratio"),
-        TextFunctions.langId(col("text")).as("lang_pred"))
+      val h = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.words(col("text")).as("__w"))
+        .select(col("doc_id"), col("text"), col("__w"),
+          TextFunctions.stopwordHitsFromWords(col("__w"), "de").as("__hde"),
+          TextFunctions.stopwordHitsFromWords(col("__w"), "en").as("__hen"),
+          TextFunctions.stopwordHitsFromWords(col("__w"), "es").as("__hes"),
+          TextFunctions.stopwordHitsFromWords(col("__w"), "fr").as("__hfr"))
+      h.select(col("doc_id"),
+        size(col("__w")).cast("double").as("n_tokens"),
+        (length(concat_ws("", col("__w"))).cast("double") /
+          size(col("__w")).cast("double")).as("mean_word_len"),
+        (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("double") / length(col("text")).cast("double")).as("punct_ratio"),
+        (col("__hen").cast("double") / size(col("__w")).cast("double"))
+          .as("stopword_ratio"),
+        TextFunctions.langIdFromHits(col("__hde"), col("__hen"),
+          col("__hes"), col("__hfr")).as("lang_pred"))
     }),
 
     // ---- MinHash + LSH near-dup pairs, jaccard-verified ----
@@ -537,7 +549,13 @@ object SparkEntry {
     // (confusion counts; 'zh' has no stopword list -> 'und') ----
     "q49_langid_eval" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .select(col("lang"), TextFunctions.words(col("text")).as("__w"))
+        .select(col("lang"),
+          TextFunctions.langIdFromHits(
+            TextFunctions.stopwordHitsFromWords(col("__w"), "de"),
+            TextFunctions.stopwordHitsFromWords(col("__w"), "en"),
+            TextFunctions.stopwordHitsFromWords(col("__w"), "es"),
+            TextFunctions.stopwordHitsFromWords(col("__w"), "fr")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -586,12 +604,20 @@ object SparkEntry {
     // filter -> exact dedup -> deterministic sample (the north-star
     // ops composed end to end) ----
     "q54_curation_pipeline" -> ((s, dir) => {
-      val q = TextFunctions.qualityFeatures(col("text"))
-      val gated = Tables.documents(s, dir)
-        .withColumn("n_tokens", q.getField("n_tokens"))
-        .withColumn("punct_ratio", q.getField("punct_ratio"))
-        .filter(TextFunctions.langId(col("text")) === "en" &&
-          col("n_tokens") >= 5 && col("punct_ratio") < 0.2)
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.words(col("text")).as("__w"))
+        .select(col("doc_id"), col("source"), col("text"), col("__w"),
+          size(col("__w")).cast("double").as("n_tokens"),
+          (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+            .cast("double") / length(col("text")).cast("double")).as("punct_ratio"),
+          TextFunctions.langIdFromHits(
+            TextFunctions.stopwordHitsFromWords(col("__w"), "de"),
+            TextFunctions.stopwordHitsFromWords(col("__w"), "en"),
+            TextFunctions.stopwordHitsFromWords(col("__w"), "es"),
+            TextFunctions.stopwordHitsFromWords(col("__w"), "fr")).as("lang_pred"))
+      val gated = staged.filter(col("lang_pred") === "en" &&
+        col("n_tokens") >= 5 && col("punct_ratio") < 0.2)
       val deduped = Dedup.exact(gated)
       graft.operators.Sampling.byHash(deduped, "doc_id", rate = 0.5)
         .select(col("doc_id"), col("source"), col("n_tokens"))
