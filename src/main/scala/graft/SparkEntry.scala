@@ -623,6 +623,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"))
     }),
 
+    // ---- rollup + distinct aggregation (beyond the reference's
+    // surface; table stakes for the analytics side) ----
+    "q55_rollup_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .rollup(col("event_type"), InteractionStore.week(col("ts")).as("week"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          xsum(col("value")).as("value_sum"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1344,6 +1354,13 @@ object SparkEntry {
          |    FROM gated) WHERE rn = 1)
          |SELECT doc_id, source, n_tokens FROM deduped
          |WHERE ${sqlHash32(7, "CAST(doc_id AS VARCHAR)")} % 1000000 < 500000""".stripMargin,
+
+    "q55_rollup_distinct" ->
+      s"""SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+         |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |  ${sqlSum("value")} AS value_sum
+         |FROM events
+         |GROUP BY ROLLUP (event_type, CAST(date_trunc('week', ts) AS DATE))""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

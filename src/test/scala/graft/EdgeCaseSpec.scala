@@ -73,6 +73,17 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(SimilaritySearch.topK(corpus, queries, k = 100).count() === 2)
   }
 
+  test("saltedJoin equals the plain join, spreads the hot key") {
+    import graft.operators.Skew
+    val big = (1L to 2000L).map(i => (if (i % 10 == 0) 1L else i, i))
+      .toDF("k", "payload") // key 1 is hot (~10% of rows)
+    val small = Seq((1L, "hot"), (2L, "a"), (500L, "b")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), col("payload"), salt = 8)
+    val plain = big.join(small, "k")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() === plain.count())
+  }
+
   test("pointInTime with empty history: all labels null-valued") {
     val history = Seq.empty[(Long, java.sql.Timestamp, Double)]
       .toDF("user_id", "ts", "value")
