@@ -633,6 +633,16 @@ object SparkEntry {
           xsum(col("value")).as("value_sum"))
     }),
 
+    // ---- SCD2 history from a snapshot series: change-only rows with
+    // validity intervals (feeds the q47 point-in-time join) ----
+    "q56_scd2_history" -> ((s, dir) => {
+      val snaps = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(floor(max(col("value")) / 10).as("tier"))
+      ChangeCapture.scd2(snaps, keys = Seq("user_id"), tsCol = "ts",
+        valueCols = Seq("tier"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1361,6 +1371,20 @@ object SparkEntry {
          |  ${sqlSum("value")} AS value_sum
          |FROM events
          |GROUP BY ROLLUP (event_type, CAST(date_trunc('week', ts) AS DATE))""".stripMargin,
+
+    "q56_scd2_history" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts, CAST(floor(max(value) / 10) AS BIGINT) AS tier
+        |  FROM events GROUP BY 1, 2),
+        |chg AS (
+        |  SELECT user_id, ts, tier,
+        |    (tier IS DISTINCT FROM lag(tier) OVER w
+        |     OR lag(ts) OVER w IS NULL) AS is_chg
+        |  FROM snaps WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, tier, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |    AS valid_to
+        |FROM (SELECT user_id, ts AS valid_from, tier FROM chg WHERE is_chg)""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

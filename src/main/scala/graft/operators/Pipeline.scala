@@ -85,4 +85,31 @@ object ChangeCapture {
       .reduce(_ || _)
     joined.filter(changed).drop(compareCols.map(c => s"__old_$c"): _*)
   }
+
+  /** Collapse a per-key snapshot/event series into SCD2 validity
+    * intervals: keep only rows where any of `valueCols` changed
+    * (null-safe) vs the key's previous snapshot, stamp `valid_from` =
+    * the snapshot time and `valid_to` = the next change's time (null
+    * while current). The output is the feature HISTORY table
+    * [[Training.pointInTime]] consumes — snapshots → history → PIT
+    * join closes the training-data loop. One window shuffle on the
+    * key; input must be unique per (keys, tsCol). */
+  def scd2(
+      snapshots: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    val changed = valueCols.map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _) || lag(col(tsCol), 1).over(w).isNull
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("valid_from").asc)
+    snapshots
+      .withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .withColumnRenamed(tsCol, "valid_from")
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wc))
+      .drop("__chg")
+  }
 }
