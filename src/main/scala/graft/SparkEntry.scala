@@ -643,6 +643,23 @@ object SparkEntry {
         valueCols = Seq("tier"))
     }),
 
+    // ---- banded interval join: click -> purchase attribution within
+    // a 3-day horizon (equi-join on time bands, hard 2x fan-out) ----
+    "q57_attribution_join" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val clicks = events.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      InteractionStore.intervalJoin(clicks, purchases, Seq("user_id"),
+          horizon = "3 days", leftTs = "click_ts", rightTs = "purchase_ts")
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+            .as("gap_ms"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1385,6 +1402,17 @@ object SparkEntry {
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
         |    AS valid_to
         |FROM (SELECT user_id, ts AS valid_from, tier FROM chg WHERE is_chg)""".stripMargin,
+
+    "q57_attribution_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_id, p.purchase_id,
+        |  epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts) AS gap_ms
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND p.purchase_ts >= c.click_ts
+        | AND p.purchase_ts <= c.click_ts + INTERVAL 3 DAY""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

@@ -151,6 +151,46 @@ object InteractionStore {
         .withColumn("event_class", lit(tag))
     }.reduce(_.unionByName(_))
 
+  /** Banded interval join: pairs each left event with the same key's
+    * right events whose timestamp falls in `[left.ts, left.ts +
+    * horizon]` (click→conversion attribution, exposure windows).
+    *
+    * A naive range join is a per-key cross product; Spark would plan a
+    * broadcast-nested-loop at scale. Banding makes it an EQUI join:
+    * both sides bucket by `horizon`-sized time bands, each left event
+    * additionally probes the next band (an interval of length h spans
+    * at most two h-sized bands), and the exact interval predicate
+    * filters inside the join — fan-out is a hard 2×, the shape that
+    * survives a 100× scale-up.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      horizon: String,
+      leftTs: String = "ts",
+      rightTs: String = "ts"): DataFrame = {
+    val horizonMs = expr(s"INTERVAL $horizon")
+    val bandMs = {
+      // band length = horizon in millis, computed plan-side
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+      require(iv.months == 0, "horizon must be a fixed-length interval")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    require(bandMs > 0, "horizon must be positive")
+    val l = left
+      .withColumn("__off", explode(array(lit(0L), lit(1L))))
+      .withColumn("__band",
+        col("__off") + (unix_millis(col(leftTs)) / bandMs).cast("long"))
+      .drop("__off")
+    val r = right.withColumn("__band",
+      (unix_millis(col(rightTs)) / bandMs).cast("long"))
+    l.join(r, keys :+ "__band")
+      .filter(r(rightTs).between(l(leftTs), l(leftTs) + horizonMs))
+      .drop("__band")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to
     * the user's previous event exceeds `gap` (e.g. "3 days"). One
     * window pass per user in event-time order (tiebreak on

@@ -84,6 +84,25 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(salted.count() === plain.count())
   }
 
+  test("intervalJoin equals the naive range join (banding is exact)") {
+    val rnd = new scala.util.Random(7)
+    def t(off: Long) = new java.sql.Timestamp(1704067200000L + off)
+    val left = (1 to 200).map(i =>
+      (i.toLong % 5, i.toLong, t(rnd.nextInt(30) * 86400000L + rnd.nextInt(1000) * 1000L)))
+      .toDF("k", "lid", "lts")
+    val right = (1 to 200).map(i =>
+      (i.toLong % 5, 1000L + i, t(rnd.nextInt(30) * 86400000L + rnd.nextInt(1000) * 1000L)))
+      .toDF("k", "rid", "rts")
+    val banded = InteractionStore.intervalJoin(left, right, Seq("k"),
+        horizon = "3 days", leftTs = "lts", rightTs = "rts")
+      .select("lid", "rid")
+    val naive = left.join(right, "k")
+      .filter($"rts".between($"lts", $"lts" + expr("INTERVAL 3 DAYS")))
+      .select("lid", "rid")
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+    assert(banded.count() === naive.count())
+  }
+
   test("pointInTime with empty history: all labels null-valued") {
     val history = Seq.empty[(Long, java.sql.Timestamp, Double)]
       .toDF("user_id", "ts", "value")
