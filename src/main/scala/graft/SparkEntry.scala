@@ -660,6 +660,17 @@ object SparkEntry {
             .as("gap_ms"))
     }),
 
+    // ---- product quantization ANN (Jegou et al. PAMI'11): m=8
+    // subspace codebooks, ADC lookup-table scoring — 32x smaller
+    // vector payload; deterministic -> full SQL oracle ----
+    "q58_ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      graft.operators.PqIndex.build(emb, m = 8, k = 16)
+        .searchDot(queries, kResults = 10)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1414,6 +1425,44 @@ object SparkEntry {
         | AND p.purchase_ts >= c.click_ts
         | AND p.purchase_ts <= c.click_ts + INTERVAL 3 DAY""".stripMargin,
 
+    "q58_ann_pq_topk" -> {
+      val vParts = (0 until 8).map(j =>
+        s"MAX(CASE WHEN c.j = $j THEN l.v END) AS v$j").mkString(",\n|         ")
+      val vSum = (0 until 8).map(j => s"v$j").mkString(" + ")
+      s"""WITH p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cb AS (SELECT (s.vec_id // p.stride) AS cid, j.j AS j,
+         |         list_slice(s.emb, j.j*8 + 1, j.j*8 + 8) AS centroid
+         |       FROM e s, p, generate_series(0, 7) j(j)
+         |       WHERE s.vec_id % p.stride = 0 AND s.vec_id < p.stride * 16),
+         |sv AS (SELECT e.vec_id, j.j AS j,
+         |         list_slice(e.emb, j.j*8 + 1, j.j*8 + 8) AS sub
+         |       FROM e, generate_series(0, 7) j(j)),
+         |codes AS (SELECT vec_id, j, cid AS code FROM (
+         |  SELECT sv.vec_id, sv.j, cb.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
+         |      ORDER BY ${sqlSqDistOf("sv.sub", "cb.centroid")} ASC,
+         |               cb.cid ASC) AS rn
+         |  FROM sv JOIN cb ON sv.j = cb.j) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 5),
+         |qsv AS (SELECT query_id, j.j AS j,
+         |          list_slice(emb, j.j*8 + 1, j.j*8 + 8) AS qsub
+         |        FROM q, generate_series(0, 7) j(j)),
+         |lut AS (SELECT qsv.query_id, qsv.j, cb.cid,
+         |          ${sqlDotOf("qsv.qsub", "cb.centroid")} AS v
+         |        FROM qsv JOIN cb ON qsv.j = cb.j),
+         |sc AS (SELECT l.query_id, c.vec_id,
+         |         $vParts
+         |       FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
+         |       GROUP BY 1, 2)
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT query_id, vec_id, $vSum AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $vSum DESC, vec_id ASC) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin
+    },
+
     "q31_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'png'
@@ -1465,8 +1514,10 @@ object SparkEntry {
   private def sqlCosOf(a: String, b: String): String =
     s"${sqlDotOf(a, b)} / (${sqlL2Of(a)} * ${sqlL2Of(b)})"
   private def sqlEuclidOf(a: String, b: String): String =
-    s"sqrt(list_reduce(list_transform(list_zip($a, $b), " +
-      s"x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q))"
+    s"sqrt(${sqlSqDistOf(a, b)})"
+  private def sqlSqDistOf(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), " +
+      s"x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q)"
 
   /** SQL twin of [[graft.functions.Minifloat.roundTo]], reading columns
     * `xv` (signed value), `a` (abs) and `ea` (adjusted binade exponent)

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.functions.Similarity
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", PAMI'11): vectors split into `m`
+  * subvectors, each encoded as the id of its nearest codeword from a
+  * per-subspace codebook of `k` entries → `m` small codes per vector
+  * (dim·4 bytes → m bytes: 32× compression at dim 64, m 8).
+  *
+  * Scoring is asymmetric (ADC): the query builds an (m × k)
+  * lookup table of subvector dot products, and a candidate's score is
+  * the sum of `m` table lookups — no decompression.
+  *
+  * Codebooks here are a deterministic id-sample of the corpus (the
+  * same convention as [[IvfIndex.build]] — k-means refinement drops in
+  * per subspace), so encode + score reproduce bit-identically in the
+  * SQL oracle. Everything is joins on the tiny codebook: one broadcast
+  * join to encode, one to build the query LUT, one equi-join on
+  * (subspace, code) to score.
+  */
+final case class PqIndex(
+    codebook: DataFrame,  // j, cid, centroid (array<double> of subDim)
+    codes: DataFrame,     // vec_id, j, code
+    m: Int,
+    k: Int,
+    subDim: Int) {
+
+  /** Top-`kResults` by ADC dot-product score per query. */
+  def searchDot(
+      queries: DataFrame,
+      kResults: Int,
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_embedding"): DataFrame = {
+    val qsv = PqIndex.explodeSubspaces(
+      queries.select(col(queryIdCol),
+        col(queryEmbCol).cast("array<double>").as(queryEmbCol)),
+      queryEmbCol, m, subDim, "__qsub")
+    val lut = qsv.join(broadcast(codebook), "j")
+      .select(col(queryIdCol), col("j").as("__lj"), col("cid"),
+        Similarity.dot(col("__qsub"), col("centroid")).as("__v"))
+    // sum the m lookups in fixed subspace order (deterministic fp sum)
+    val parts = (0 until m).map(j =>
+      max(when(col("j") === j, col("__v"))).as(s"__v$j"))
+    val scored = codes.join(broadcast(lut),
+        col("j") === col("__lj") && col("code") === col("cid"))
+      .groupBy(col(queryIdCol), col("vec_id"))
+      .agg(parts.head, parts.tail: _*)
+      .select(col(queryIdCol), col("vec_id"),
+        (0 until m).map(j => col(s"__v$j")).reduce(_ + _).as("score"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kResults)
+  }
+}
+
+object PqIndex {
+
+  private[operators] def explodeSubspaces(
+      df: DataFrame, embCol: String, m: Int, subDim: Int,
+      subName: String): DataFrame =
+    df.withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn(subName,
+        slice(col(embCol), col("j") * subDim + 1, lit(subDim)))
+      .drop(embCol)
+
+  private def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.expr.SquaredDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Nearest-codeword assignment per (vector, subspace). */
+  private def assign(sv: DataFrame, codebook: DataFrame, idCol: String): DataFrame =
+    sv.join(broadcast(codebook), "j")
+      .withColumn("__d", sqDist(col("__sub"), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol), col("j"))
+          .orderBy(col("__d").asc, col("cid").asc)))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col("j"), col("cid").as("code"))
+
+  private def prepared(corpus: DataFrame, m: Int, k: Int,
+      idCol: String, embCol: String): (DataFrame, DataFrame, Int) = {
+    import corpus.sparkSession.implicits._
+    val dim = corpus.select(size(col(embCol))).as[Int].head()
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val n = corpus.count()
+    val stride = math.max(n / k, 1L)
+    val base = corpus.select(col(idCol),
+      col(embCol).cast("array<double>").as(embCol))
+    val seed = explodeSubspaces(
+        base.filter(col(idCol) % stride === 0 && col(idCol) < stride * k)
+          .select((col(idCol) / stride).cast("long").as("cid"), col(embCol)),
+        embCol, m, subDim, "centroid")
+      .select(col("j"), col("cid"), col("centroid"))
+    (explodeSubspaces(base, embCol, m, subDim, "__sub"), seed, subDim)
+  }
+
+  /** Build with per-subspace codebooks sampled at ids ≡ 0 (mod n/k). */
+  def build(
+      corpus: DataFrame,
+      m: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): PqIndex = {
+    val (sv, codebook, subDim) = prepared(corpus, m, k, idCol, embCol)
+    PqIndex(codebook, assign(sv, codebook, idCol), m, k, subDim)
+  }
+
+  /** Lloyd's refinement of every subspace codebook in one joint loop:
+    * assignment is a broadcast join, means shuffle on (j, cid,
+    * dim-pos). Empty codewords keep their previous centroid. */
+  def buildKMeans(
+      corpus: DataFrame,
+      m: Int,
+      k: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): PqIndex = {
+    val (sv0, seed, subDim) = prepared(corpus, m, k, idCol, embCol)
+    val sv = sv0.localCheckpoint()
+    var codebook = seed.localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val means = assign(sv, codebook, idCol)
+        .join(sv, Seq(idCol, "j"))
+        .select(col("j"), col("code").as("cid"),
+          posexplode(col("__sub")).as(Seq("__p", "__v")))
+        .groupBy(col("j"), col("cid"), col("__p"))
+        .agg(avg(col("__v")).as("__mv"))
+        .groupBy(col("j"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("__p"), col("__mv")))),
+          s => s.getField("__mv")).as("centroid"))
+      codebook = codebook.select(col("j"), col("cid"), col("centroid").as("__prev"))
+        .join(means, Seq("j", "cid"), "left")
+        .select(col("j"), col("cid"),
+          coalesce(col("centroid"), col("__prev")).as("centroid"))
+        .localCheckpoint()
+      i += 1
+    }
+    PqIndex(codebook, assign(sv, codebook, idCol), m, k, subDim)
+  }
+}

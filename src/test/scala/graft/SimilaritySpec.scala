@@ -145,6 +145,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(probeAll === brute)
   }
 
+  test("PQ: m codes per vector, ADC top-K overlaps exact dot top-K") {
+    import graft.operators.PqIndex
+    val emb = Tables.embeddings(spark, sf)
+    val idx = PqIndex.build(emb, m = 8, k = 16)
+    assert(idx.codes.count() === emb.count() * 8)
+    assert(idx.codebook.count() === 8 * 16)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val exact = SimilaritySearch.topK(emb, queries, 10,
+        metric = SimilaritySearch.Dot)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(i: PqIndex): Double = {
+      val approx = i.searchDot(queries, 10)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val seedRecall = recallOf(idx)
+    assert(seedRecall >= 0.15, s"seed PQ recall $seedRecall") // 32x compression
+    val refined = recallOf(PqIndex.buildKMeans(emb, m = 8, k = 16, iters = 3))
+    assert(refined >= seedRecall,
+      s"k-means codebooks must not lose recall ($refined < $seedRecall)")
+  }
+
   test("filters builder semantics (P7)") {
     val df = Seq((1, "abc", 5.0), (2, null, 15.0), (3, "xbcz", 25.0))
       .toDF("id", "s", "v")
