@@ -154,6 +154,29 @@ object Ingest {
       }
   }
 
+  /** Stream-stream attribution join: left events matched to same-key
+    * right events within `[leftTs, leftTs + horizon]`, both sides
+    * watermarked so join state is bounded and cleaned up — the
+    * streaming twin of `InteractionStore.intervalJoin` (which banding
+    * optimizes for batch; streaming needs the raw time condition so
+    * Spark can derive state-eviction bounds from the watermark).
+    */
+  def streamIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      horizon: String,
+      leftTs: String,
+      rightTs: String,
+      watermarkDelay: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val cond = keys.map(c => l(c) === r(c)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $horizon")
+    keys.foldLeft(l.join(r, cond))((df, c) => df.drop(r(c)))
+  }
+
   /** Weekly event-time aggregation with watermark-driven late-data
     * drop (ST5/ST6): events later than `horizon` behind the max seen
     * event time are dropped, mirroring the reference's 24-week ring

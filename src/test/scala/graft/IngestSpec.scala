@@ -101,6 +101,32 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
       Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("streamIntervalJoin: clicks meet purchases inside the horizon only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Ingest.streamIntervalJoin(
+      clicks.toDF.toDF("user_id", "click_id", "cts"),
+      purchases.toDF.toDF("user_id", "purchase_id", "pts"),
+      keys = Seq("user_id"), horizon = "1 hour",
+      leftTs = "cts", rightTs = "pts")
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    clicks.addData(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 20L, ts("2024-01-01 10:00:00")))
+    purchases.addData(
+      (1L, 100L, ts("2024-01-01 10:30:00")), // inside horizon → match
+      (1L, 101L, ts("2024-01-01 12:00:00")), // outside → no match
+      (2L, 200L, ts("2024-01-01 09:00:00"))) // before click → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib").as[(Long, Long)].collect().toSet
+    assert(rows === Set((10L, 100L)))
+  }
+
   test("statefulMergeCap keeps the newest `cap` per (user, week) across batches (ST7)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{MergedEvent, StreamEvent}
