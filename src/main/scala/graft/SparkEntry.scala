@@ -671,6 +671,18 @@ object SparkEntry {
         .searchDot(queries, kResults = 10)
     }),
 
+    // ---- IVF x PQ: cell-pruned probe, ADC-scored candidates — the
+    // full corpus-scale composition (directory pruning x 32x payload
+    // compression), deterministic end to end ----
+    "q59_ann_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      val ivf = graft.operators.IvfIndex.build(emb, cells = 8)
+      graft.operators.PqIndex.build(emb, m = 8, k = 16)
+        .searchDotIvf(ivf, queries, kResults = 10, nProbe = 2)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1454,6 +1466,66 @@ object SparkEntry {
          |sc AS (SELECT l.query_id, c.vec_id,
          |         $vParts
          |       FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
+         |       GROUP BY 1, 2)
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT query_id, vec_id, $vSum AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $vSum DESC, vec_id ASC) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    // q38's probe CTEs x q58's PQ CTEs, candidates = probed cells only
+    "q59_ann_ivf_pq" -> {
+      val vParts = (0 until 8).map(j =>
+        s"MAX(CASE WHEN c.j = $j THEN l.v END) AS v$j").mkString(",\n|         ")
+      val vSum = (0 until 8).map(j => s"v$j").mkString(" + ")
+      s"""WITH pi AS (SELECT greatest(count(*) // 8, 1) AS stride FROM embeddings),
+         |pp AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |ci AS (SELECT e.vec_id // pi.stride AS cell_id, e.emb AS centroid
+         |       FROM e, pi
+         |       WHERE e.vec_id % pi.stride = 0 AND e.vec_id < pi.stride * 8),
+         |asg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, ci.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlEuclidOf("e.emb", "ci.centroid")} ASC,
+         |               ci.cell_id ASC) AS rn
+         |  FROM e, ci) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 5),
+         |qc AS (SELECT query_id, cell_id FROM (
+         |  SELECT q.query_id, ci.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlEuclidOf("q.emb", "ci.centroid")} ASC,
+         |               ci.cell_id ASC) AS rn
+         |  FROM q, ci) WHERE rn <= 2),
+         |cand AS (SELECT qc.query_id, a.vec_id
+         |         FROM asg a JOIN qc ON a.cell_id = qc.cell_id),
+         |cb AS (SELECT (s.vec_id // pp.stride) AS cid, j.j AS j,
+         |         list_slice(s.emb, j.j*8 + 1, j.j*8 + 8) AS centroid
+         |       FROM e s, pp, generate_series(0, 7) j(j)
+         |       WHERE s.vec_id % pp.stride = 0 AND s.vec_id < pp.stride * 16),
+         |sv AS (SELECT e.vec_id, j.j AS j,
+         |         list_slice(e.emb, j.j*8 + 1, j.j*8 + 8) AS sub
+         |       FROM e, generate_series(0, 7) j(j)),
+         |codes AS (SELECT vec_id, j, cid AS code FROM (
+         |  SELECT sv.vec_id, sv.j, cb.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
+         |      ORDER BY ${sqlSqDistOf("sv.sub", "cb.centroid")} ASC,
+         |               cb.cid ASC) AS rn
+         |  FROM sv JOIN cb ON sv.j = cb.j) WHERE rn = 1),
+         |qsv AS (SELECT query_id, j.j AS j,
+         |          list_slice(emb, j.j*8 + 1, j.j*8 + 8) AS qsub
+         |        FROM q, generate_series(0, 7) j(j)),
+         |lut AS (SELECT qsv.query_id, qsv.j, cb.cid,
+         |          ${sqlDotOf("qsv.qsub", "cb.centroid")} AS v
+         |        FROM qsv JOIN cb ON qsv.j = cb.j),
+         |sc AS (SELECT l.query_id, c.vec_id,
+         |         $vParts
+         |       FROM codes c
+         |       JOIN cand ON c.vec_id = cand.vec_id
+         |       JOIN lut l ON c.j = l.j AND c.code = l.cid
+         |                 AND l.query_id = cand.query_id
          |       GROUP BY 1, 2)
          |SELECT query_id, vec_id, score, rank FROM (
          |  SELECT query_id, vec_id, $vSum AS score,

@@ -30,27 +30,61 @@ final case class PqIndex(
     k: Int,
     subDim: Int) {
 
+  /** Top-`kResults` by ADC dot-product score per query, optionally
+    * restricted to an IVF probe's candidates: the full composition —
+    * directory-prunable cell filter × 32×-compressed payload — scores
+    * only `nProbe` cells' vectors through the m-lookup table. */
+  def searchDotIvf(
+      ivf: IvfIndex,
+      queries: DataFrame,
+      kResults: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      queryIdCol: String = "query_id",
+      queryEmbCol: String = "query_embedding"): DataFrame = {
+    val qCells = queries
+      .select(col(queryIdCol),
+        col(queryEmbCol).cast("array<double>").as(queryEmbCol))
+      .crossJoin(broadcast(ivf.centroids))
+      .withColumn("__d", Similarity.euclidean(col(queryEmbCol), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc, col("cell_id").asc)))
+      .filter(col("__r") <= nProbe)
+      .select(col(queryIdCol), col("cell_id"))
+    val cand = ivf.assigned.select(col(idCol), col("cell_id"))
+      .join(qCells, "cell_id")
+      .select(col(queryIdCol), col(idCol))
+    searchDot(queries, kResults, queryIdCol, queryEmbCol,
+      candidates = Some(cand))
+  }
+
   /** Top-`kResults` by ADC dot-product score per query. */
   def searchDot(
       queries: DataFrame,
       kResults: Int,
       queryIdCol: String = "query_id",
-      queryEmbCol: String = "query_embedding"): DataFrame = {
+      queryEmbCol: String = "query_embedding",
+      candidates: Option[DataFrame] = None): DataFrame = {
     val qsv = PqIndex.explodeSubspaces(
       queries.select(col(queryIdCol),
         col(queryEmbCol).cast("array<double>").as(queryEmbCol)),
       queryEmbCol, m, subDim, "__qsub")
     val lut = qsv.join(broadcast(codebook), "j")
-      .select(col(queryIdCol), col("j").as("__lj"), col("cid"),
+      .select(col(queryIdCol).as("__lq"), col("j").as("__lj"), col("cid"),
         Similarity.dot(col("__qsub"), col("centroid")).as("__v"))
     // sum the m lookups in fixed subspace order (deterministic fp sum)
     val parts = (0 until m).map(j =>
       max(when(col("j") === j, col("__v"))).as(s"__v$j"))
-    val scored = codes.join(broadcast(lut),
-        col("j") === col("__lj") && col("code") === col("cid"))
-      .groupBy(col(queryIdCol), col("vec_id"))
+    val scoredCodes = candidates match {
+      case Some(cand) => codes.join(cand, "vec_id") // + queryIdCol column
+      case None       => codes
+    }
+    val joinCond = col("j") === col("__lj") && col("code") === col("cid") &&
+      (if (candidates.isDefined) col(queryIdCol) === col("__lq") else lit(true))
+    val scored = scoredCodes.join(broadcast(lut), joinCond)
+      .groupBy(col("__lq"), col("vec_id"))
       .agg(parts.head, parts.tail: _*)
-      .select(col(queryIdCol), col("vec_id"),
+      .select(col("__lq").as(queryIdCol), col("vec_id"),
         (0 until m).map(j => col(s"__v$j")).reduce(_ + _).as("score"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col("vec_id").asc)
