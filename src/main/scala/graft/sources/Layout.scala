@@ -63,4 +63,44 @@ object Layout {
     graft.operators.IvfIndex(
       spark.read.parquet(s"$path/assigned"),
       spark.read.parquet(s"$path/centroids"))
+
+  /** Compact a parquet directory to ~`targetRowsPerFile` rows per file
+    * (streaming upserts and partitioned writes accumulate small files;
+    * at 1000 executors, file-open overhead dominates a scan of a
+    * million 1 MB files). Rewrites via a staging dir + swap like
+    * [[graft.streaming.Ingest.upsertBatch]].
+    */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val files = math.max(1, math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
+    df.repartition(files).write.mode("overwrite").parquet(staging.toString)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+
+  /** Morton (Z-order) code of two non-negative int columns: the low
+    * `bits` bits of each, interleaved. Clustering a table by this code
+    * keeps both dimensions' value ranges narrow inside every file, so
+    * parquet min/max stats prune scans on EITHER predicate — the
+    * standard multi-dimensional layout trick (Delta/Iceberg Z-ORDER),
+    * here as a plain expression + range repartition. */
+  def mortonCode(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).map { b =>
+      (shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)).cast("long")
+    }.reduce(_ + _) // bit-disjoint terms: + == bitwise OR
+
+  /** Write `df` Z-ordered on (xCol, yCol) into `files` files. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      files: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", mortonCode(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -55,6 +55,34 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     assert(scan.count() < Layout.readEvents(spark, dir).count())
   }
 
+  test("compact rewrites a many-file table into the target file count") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    (1L to 1000L).toDF("v").repartition(40).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= 30)
+    Layout.compact(spark, dir, targetRowsPerFile = 500)
+    assert(nFiles <= 3)
+    assert(spark.read.parquet(dir).count() === 1000L)
+  }
+
+  test("Z-order clustering keeps both dimensions narrow per file") {
+    val rnd = new scala.util.Random(3)
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/t"
+    val df = (1 to 20000).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("x", "y")
+    Layout.writeZOrdered(df, dir, "x", "y", files = 16)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+      .agg(avg($"xs"), avg($"ys")).as[(Double, Double)].head()
+    // random assignment would give ~full span (~65k) per file on both
+    // axes; Z-order must keep each well under half of it
+    assert(spans._1 < 32768 && spans._2 < 32768,
+      s"per-file spans too wide: $spans")
+  }
+
   test("cell-partitioned IVF search dynamic-prunes to the probed cells") {
     import graft.operators.IvfIndex
     val emb = Tables.embeddings(spark, sf)
