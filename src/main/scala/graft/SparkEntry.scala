@@ -683,6 +683,14 @@ object SparkEntry {
         .searchDotIvf(ivf, queries, kResults = 10, nProbe = 2)
     }),
 
+    // ---- weight-proportional systematic sampling (exact micro-unit
+    // arithmetic: same sample on any engine / partitioning) ----
+    "q60_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.systematicByWeight(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        keyCol = "o_orderkey", weightCol = "o_totalprice", n = 50)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1534,6 +1542,18 @@ object SparkEntry {
          |  FROM sc)
          |WHERE rank <= 10""".stripMargin
     },
+
+    "q60_weighted_sample" ->
+      """WITH w AS (SELECT o_orderkey, o_totalprice,
+        |             CAST(round(o_totalprice * 1000000.0, 0) AS BIGINT) AS wi
+        |           FROM orders),
+        |c AS (SELECT *,
+        |        SUM(wi) OVER (ORDER BY o_orderkey
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(wi) OVER () AS total
+        |      FROM w)
+        |SELECT o_orderkey, o_totalprice FROM c
+        |WHERE (cum * 50) // total > ((cum - wi) * 50) // total""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

@@ -58,8 +58,13 @@ object Normalize {
   def percentRank(df: DataFrame, c: String, out: String,
       rangePartitions: Int = 32): DataFrame = {
     val counts = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+    // materialized ONCE: `ranged` feeds both the local cumsum and the
+    // partition totals; re-executing repartitionByRange re-samples its
+    // range bounds (fresh sampling seed per physical execution), which
+    // could hand the two subplans inconsistent partition ids
     val ranged = counts.repartitionByRange(rangePartitions, col("__v"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val wIn = Window.partitionBy(col("__pid")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged.withColumn("__before_local",

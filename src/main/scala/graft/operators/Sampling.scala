@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -25,6 +26,50 @@ object Sampling {
   /** Keep each row iff its key hashes under `rate`. */
   def byHash(df: DataFrame, keyCol: String, rate: Double, seed: Int = 7): DataFrame =
     df.filter(hashBucket(col(keyCol), seed) < (rate * Bucket).toLong)
+
+  /** Deterministic weight-proportional systematic sampling: rows are
+    * laid on the cumulative-weight axis in `keyCol` order and one row
+    * is taken wherever the axis crosses a multiple of total/n.
+    * Weights become micro-unit integers, so every comparison is exact —
+    * the same sample on any engine and any partitioning (no RNG, no
+    * float rounding). Cumulative sums use the range-partitioned
+    * prefix-sum construction (cf. [[Normalize.percentRank]]) — no
+    * global single-partition window.
+    *
+    * Requires unique `keyCol` values and `total_micro_weight * n <
+    * 2^63`. A row whose weight spans several boundaries is taken once,
+    * so the sample size can fall slightly below `n` on heavy-tailed
+    * weights.
+    */
+  def systematicByWeight(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      n: Int,
+      rangePartitions: Int = 32): DataFrame = {
+    val wi = df.withColumn("__wi", round(col(weightCol) * 1e6).cast("long"))
+    // materialized ONCE: `ranged` feeds two subplans, and a re-executed
+    // repartitionByRange re-SAMPLES its range bounds (fresh RDD id →
+    // fresh sampling seed), which would hand `local` and `partTotals`
+    // inconsistent partition ids — the checkpoint pins one layout
+    val ranged = wi.repartitionByRange(rangePartitions, col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__cum_local", sum(col("__wi")).over(wIn))
+    val partTotals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__wi")).as("__ptotal"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤ rangePartitions rows
+    val offsets = partTotals.withColumn("__offset",
+      coalesce(sum(col("__ptotal")).over(wOff), lit(0L)))
+    val total = wi.agg(sum(col("__wi"))).head().getLong(0)
+    local.join(broadcast(offsets.select(col("__pid"), col("__offset"))), "__pid")
+      .withColumn("__cum", col("__cum_local") + col("__offset"))
+      .filter(expr(s"(__cum * $n) div ${total}L > ((__cum - __wi) * $n) div ${total}L"))
+      .drop("__pid", "__wi", "__cum_local", "__offset", "__cum")
+  }
 
   /** Per-stratum rates: `rates(stratumValue) -> rate`, keys absent from
     * the map fall back to `defaultRate`. */
