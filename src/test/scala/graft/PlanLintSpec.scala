@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated scale-guards over the whole query surface: every declared
+  * query must plan and execute at sf0.001, and no plan may fall back
+  * to a non-broadcast cartesian product (the unbounded-shuffle shape
+  * that dies at 100 TB; intentional small-side cross joins compile to
+  * BroadcastNestedLoopJoin instead). */
+class PlanLintSpec extends AnyFunSuite with SparkSuite {
+
+  test("all queries run at sf0.001 and avoid CartesianProduct plans") {
+    val dir = "/root/testdata/sf0.001"
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          failures += s"$name: CartesianProduct in plan"
+        df.count() // must execute
+      } catch {
+        case e: Throwable => failures += s"$name: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("systematicByWeight is invariant to input partitioning") {
+    import spark.implicits._
+    val df = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice")
+    val a = graft.operators.Sampling
+      .systematicByWeight(df, "o_orderkey", "o_totalprice", n = 20)
+      .select("o_orderkey").as[Long].collect().toSet
+    val b = graft.operators.Sampling
+      .systematicByWeight(df.repartition(7, $"o_totalprice"),
+        "o_orderkey", "o_totalprice", n = 20)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(a === b)
+    assert(a.size >= 18 && a.size <= 20)
+  }
+}
