@@ -64,11 +64,13 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1) // ≤ rangePartitions rows
     val offsets = partTotals.withColumn("__offset",
       coalesce(sum(col("__ptotal")).over(wOff), lit(0L)))
-    val total = wi.agg(sum(col("__wi"))).head().getLong(0)
+    // total rides along as a broadcast scalar — no separate driver job
+    val total = partTotals.agg(sum(col("__ptotal")).as("__t"))
     local.join(broadcast(offsets.select(col("__pid"), col("__offset"))), "__pid")
+      .crossJoin(broadcast(total))
       .withColumn("__cum", col("__cum_local") + col("__offset"))
-      .filter(expr(s"(__cum * $n) div ${total}L > ((__cum - __wi) * $n) div ${total}L"))
-      .drop("__pid", "__wi", "__cum_local", "__offset", "__cum")
+      .filter(expr(s"(__cum * $n) div __t > ((__cum - __wi) * $n) div __t"))
+      .drop("__pid", "__wi", "__cum_local", "__offset", "__cum", "__t")
   }
 
   /** Per-stratum rates: `rates(stratumValue) -> rate`, keys absent from
