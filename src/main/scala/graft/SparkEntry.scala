@@ -691,6 +691,16 @@ object SparkEntry {
         keyCol = "o_orderkey", weightCol = "o_totalprice", n = 50)
     }),
 
+    // ---- deduped corpus: near-dup pairs -> components -> keep only
+    // canonical representatives (the final dedup pipeline step) ----
+    "q61_dedup_prune" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, n = 3, k = 8, bands = 4,
+        threshold = 0.2)
+      Dedup.pruneByComponents(docs, Dedup.connectedComponents(pairs))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1554,6 +1564,19 @@ object SparkEntry {
         |      FROM w)
         |SELECT o_orderkey, o_totalprice FROM c
         |WHERE (cum * 50) // total > ((cum - wi) * 50) // total""".stripMargin,
+
+    "q61_dedup_prune" ->
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+         |SELECT doc_id, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE lbl <> id)""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,
