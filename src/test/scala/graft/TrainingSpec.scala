@@ -36,6 +36,52 @@ class TrainingSpec extends AnyFunSuite with SparkSuite {
       Row(3L, ts("2024-01-05 00:00:00"), 103L, null)))
   }
 
+  test("pointInTime equals the naive as-of join on random data") {
+    val rnd = new scala.util.Random(11)
+    def t(d: Int, h: Int) = ts(f"2024-01-${1 + d}%02d $h%02d:00:00")
+    val history = (1 to 300).map(_ =>
+      (rnd.nextInt(8).toLong, t(rnd.nextInt(28), rnd.nextInt(24)), rnd.nextDouble()))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, ts)
+      .toDF("user_id", "ts", "value")
+    val labels = (1 to 100).map(i =>
+      (rnd.nextInt(10).toLong, t(rnd.nextInt(28), rnd.nextInt(24)), i.toLong))
+      .toDF("user_id", "ts", "label_id")
+    val got = Training.pointInTime(labels, history, Seq("user_id"), "ts", "value")
+      .select("label_id", "value").as[(Long, Option[Double])].collect().toMap
+    // naive: per label, value at the max history ts <= label ts
+    val h = history.as[(Long, Timestamp, Double)].collect()
+    labels.as[(Long, Timestamp, Long)].collect().foreach { case (u, lts, lid) =>
+      val prior = h.filter(e => e._1 == u && !e._2.after(lts))
+      val want = if (prior.isEmpty) None else Some(prior.maxBy(_._2.getTime)._3)
+      assert(got(lid) === want, s"label $lid")
+    }
+  }
+
+  test("scd2 intervals reconstruct the snapshot series exactly") {
+    val rnd = new scala.util.Random(5)
+    val snaps = (0 until 6).flatMap(u => (0 until 20).map(i =>
+      (u.toLong, ts(f"2024-01-${1 + i}%02d 00:00:00"), rnd.nextInt(3).toLong)))
+      .toDF("user_id", "ts", "tier")
+    val hist = graft.operators.ChangeCapture.scd2(
+      snaps, Seq("user_id"), "ts", Seq("tier"))
+      .as[(Long, Timestamp, Long, Option[Timestamp])].collect()
+    // every snapshot's tier must equal the covering interval's tier
+    snaps.as[(Long, Timestamp, Long)].collect().foreach { case (u, t0, tier) =>
+      val cover = hist.filter(h => h._1 == u && !h._2.after(t0) &&
+        h._4.forall(vt => t0.before(vt)))
+      assert(cover.length === 1 && cover.head._3 === tier, s"($u, $t0)")
+    }
+    // intervals per user are disjoint and contiguous
+    hist.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._2))
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+  }
+
   test("aggregateFeatures: trailing windows are (asOf - d, asOf]") {
     val events = Seq(
       (1L, ts("2024-01-31 12:00:00"), 1.0), // inside 7d and 30d
