@@ -103,6 +103,27 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(banded.count() === naive.count())
   }
 
+  test("sessionize equals a naive per-user scan on random data") {
+    val rnd = new scala.util.Random(13)
+    val events = (1 to 400).map(i => (rnd.nextInt(6).toLong, i.toLong,
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(30) * 86400000L +
+          rnd.nextInt(86400) * 1000L)))
+      .toDF("user_id", "event_id", "ts")
+    val gapMs = 3L * 86400000L
+    val got = InteractionStore.sessionize(events, gap = "3 days")
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    events.as[(Long, Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1).foreach { case (_, es) =>
+        var last = Long.MinValue
+        var idx = 0L
+        es.sortBy(e => (e._3.getTime, e._2)).foreach { case (_, eid, t) =>
+          if (last == Long.MinValue || t.getTime > last + gapMs) idx += 1
+          last = t.getTime
+          assert(got(eid) === idx, s"event $eid")
+        }
+      }
+  }
+
   test("pointInTime with empty history: all labels null-valued") {
     val history = Seq.empty[(Long, java.sql.Timestamp, Double)]
       .toDF("user_id", "ts", "value")
