@@ -177,6 +177,50 @@ object Ingest {
     keys.foldLeft(l.join(r, cond))((df, c) => df.drop(r(c)))
   }
 
+  /** Schema-generic twin of [[statefulMergeCap]]: the same per-(keys,
+    * week) bounded read-modify-write for ANY row schema. State is the
+    * kryo-encoded bucket (≤ cap rows — still hard-bounded per key);
+    * output rows carry a `rev` column, consumers keep each key's max.
+    * `tsCol` must be event-time epoch millis, `tieCol` a long.
+    */
+  def statefulMergeCapRows(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val weekMs = 604800000L
+    val schema = events.schema
+    val tsIdx = schema.fieldIndex(tsCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.kryo[(Array[Row], Long)]
+    implicit val outEnc = RowEncoder.encoderFor(
+      schema.add("rev", org.apache.spark.sql.types.LongType))
+    events.groupByKey { r =>
+      keyIdx.map(i => String.valueOf(r.get(i))).mkString("|") +
+        "|" + (r.getLong(tsIdx) / weekMs)
+    }.flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+      (_: String, rows: Iterator[Row], state: GroupState[(Array[Row], Long)]) =>
+        val (prev, prevRev) =
+          if (state.exists) state.get else (Array.empty[Row], 0L)
+        val merged = (prev ++ rows).distinct
+          .sortWith { (a, b) =>
+            a.getLong(tsIdx) > b.getLong(tsIdx) ||
+              (a.getLong(tsIdx) == b.getLong(tsIdx) &&
+                a.getLong(tieIdx) < b.getLong(tieIdx))
+          }
+          .take(cap)
+        val rev = prevRev + 1
+        state.update((merged, rev))
+        merged.iterator.map(r => Row.fromSeq(r.toSeq :+ rev))
+    }
+  }
+
   /** Weekly event-time aggregation with watermark-driven late-data
     * drop (ST5/ST6): events later than `horizon` behind the max seen
     * event time are dropped, mirroring the reference's 24-week ring

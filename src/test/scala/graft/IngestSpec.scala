@@ -127,6 +127,29 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(rows === Set((10L, 100L)))
   }
 
+  test("statefulMergeCapRows: generic schema, same bounded-bucket semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val merged = Ingest.statefulMergeCapRows(
+      mem.toDF.toDF("user_id", "event_id", "ts", "payload"),
+      keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id", cap = 2)
+    val q = merged.writeStream.format("memory").queryName("merged_rows")
+      .outputMode("update").start()
+    mem.addData((1L, 10L, base + 1000, "a"), (1L, 11L, base + 2000, "b"),
+      (1L, 12L, base + 3000, "c"))
+    q.processAllAvailable()
+    mem.addData((1L, 13L, base + 4000, "d"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("merged_rows")
+      .as[(Long, Long, Long, String, Long)].collect()
+    val maxRev = out.map(_._5).max
+    val latest = out.filter(_._5 == maxRev).map(r => (r._2, r._4)).toSet
+    assert(latest === Set((13L, "d"), (12L, "c"))) // newest 2, payload intact
+  }
+
   test("statefulMergeCap keeps the newest `cap` per (user, week) across batches (ST7)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{MergedEvent, StreamEvent}
