@@ -480,14 +480,18 @@ object SparkEntry {
     }),
 
     // ---- uint64 full-range aggregation: DecimalType(20,0) carries the
-    // unsigned 64-bit range exactly (Types.scala mapping) ----
+    // unsigned 64-bit range exactly (Types.scala mapping). Aggregates
+    // stay exact decimal; the OUTPUT is the canonical digit string so
+    // the compare is loader-invariant (decimal precision differs
+    // between engines; digits don't). ----
     "q44_uint64_agg" -> ((s, dir) => {
       val u64max = lit("18446744073709551615").cast("decimal(20,0)")
       Tables.orders(s, dir)
         .select(col("o_orderpriority"), (u64max - col("o_orderkey")).as("u"))
         .groupBy(col("o_orderpriority"))
-        .agg(sum(col("u")).as("u_sum"), min(col("u")).as("u_min"),
-          max(col("u")).as("u_max"), count(lit(1)).as("n"))
+        .agg(sum(col("u")).cast("string").as("u_sum"),
+          min(col("u")).cast("string").as("u_min"),
+          max(col("u")).cast("string").as("u_max"), count(lit(1)).as("n"))
     }),
 
     // ---- int8-quantized embedding top-K (storage scale path: 4x less
@@ -1344,9 +1348,9 @@ object SparkEntry {
 
     "q44_uint64_agg" ->
       """SELECT o_orderpriority,
-        |  SUM(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS u_sum,
-        |  MIN(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS u_min,
-        |  MAX(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS u_max,
+        |  CAST(SUM(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS VARCHAR) AS u_sum,
+        |  CAST(MIN(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS VARCHAR) AS u_min,
+        |  CAST(MAX(CAST('18446744073709551615' AS DECIMAL(38,0)) - o_orderkey) AS VARCHAR) AS u_max,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
@@ -1365,7 +1369,7 @@ object SparkEntry {
 
     "q50_props_decode" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type""".stripMargin,
