@@ -705,6 +705,62 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // ---- deterministic train/val/test split: hash-bucket assignment,
+    // stable across runs/partitionings/engines ----
+    "q62_hash_split" -> ((s, dir) => {
+      graft.operators.Sampling.split(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        keyCol = "doc_id",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
+    // ---- concat-and-chunk sequence packing: documents onto one token
+    // axis, cut into 256-token training blocks (prefix sum + explode,
+    // no sequential scan) ----
+    "q63_pack_sequences" -> ((s, dir) => {
+      graft.operators.Training.packSequences(
+        Tables.documents(s, dir), orderCol = "doc_id",
+        tokens = TextFunctions.tokenCount(col("text")), blockTokens = 256)
+    }),
+
+    // ---- JL random projection to 8 dims via md5-derived hyperplanes
+    // (deterministic -> SQL oracle rebuilds every component) ----
+    "q64_random_projection" -> ((s, dir) => {
+      graft.operators.AnnIndex.randomProject(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        embCol = "embedding", outDim = 8)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("dim", "value")))
+    }),
+
+    // ---- corpus vocabulary: top-100 tokens by count (TakeOrdered,
+    // never a global sort) ----
+    "q65_vocab_topk" -> ((s, dir) => {
+      graft.operators.Corpus.vocab(Tables.documents(s, dir), "text", n = 100)
+    }),
+
+    // ---- TF-IDF top terms per document (scores rounded before
+    // ranking: engine-portable ordering) ----
+    "q66_tfidf_topterms" -> ((s, dir) => {
+      graft.operators.Corpus.tfIdfTopTerms(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text", topPerDoc = 3)
+    }),
+
+    // ---- exact per-class quota downsampling (class balancing) ----
+    "q67_class_quota" -> ((s, dir) => {
+      graft.operators.Sampling.quotaPerClass(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        keyCol = "vec_id", classCol = "label", n = 20)
+    }),
+
+    // ---- equal-width histogram: one bounds aggregate broadcast back,
+    // one groupBy — no sort, no window ----
+    "q68_histogram" -> ((s, dir) => {
+      graft.operators.Corpus.histogram(
+        Tables.orders(s, dir).select(col("o_totalprice")),
+        "o_totalprice", buckets = 20)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1373,6 +1429,84 @@ object SparkEntry {
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q62_hash_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN h < 800000 THEN 'train'
+         |       WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang,
+         |  ${sqlHash32(7, "CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |  FROM documents)""".stripMargin,
+
+    "q63_pack_sequences" ->
+      s"""WITH toks AS (SELECT doc_id, len($sqlWords) AS tok FROM documents),
+         |cum AS (SELECT doc_id, tok,
+         |    CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS e
+         |  FROM toks WHERE tok > 0),
+         |blocks AS (SELECT doc_id, e - tok AS st, e,
+         |    unnest(generate_series((e - tok) // 256, (e - 1) // 256)) AS block_id
+         |  FROM cum)
+         |SELECT doc_id, block_id,
+         |  LEAST(e, (block_id + 1) * 256) - GREATEST(st, block_id * 256)
+         |    AS tok_in_block
+         |FROM blocks""".stripMargin,
+
+    "q64_random_projection" ->
+      s"""WITH planes AS (
+         |  SELECT i, list(c ORDER BY j) AS p FROM (
+         |    SELECT t.i AS i, u.j AS j,
+         |      CAST(('0x'||substr(md5('42:'||CAST(t.i AS VARCHAR)||':'||
+         |        CAST(u.j AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        / 4294967296.0 * 2 - 1 AS c
+         |    FROM generate_series(0, 7) t(i), generate_series(0, 63) u(j))
+         |  GROUP BY i)
+         |SELECT e.vec_id, CAST(pl.i AS INT) AS dim,
+         |  ${sqlDotOf("CAST(e.embedding AS DOUBLE[])", "pl.p")} AS value
+         |FROM embeddings e, planes pl""".stripMargin,
+
+    "q65_vocab_topk" ->
+      s"""WITH tok AS (SELECT unnest($sqlWords) AS token FROM documents),
+         |cnts AS (SELECT token, COUNT(*) AS cnt FROM tok
+         |         WHERE token <> '' GROUP BY token)
+         |SELECT token, cnt,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
+         |FROM cnts ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q66_tfidf_topterms" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($sqlWords) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf_cnt FROM terms
+         |       WHERE token <> '' GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, SUM(tf_cnt) AS len FROM tf GROUP BY doc_id),
+         |dfreq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY token),
+         |nd AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.token,
+         |    ROUND(CAST(tf.tf_cnt AS DOUBLE) / dl.len *
+         |      ln(CAST(nd.n AS DOUBLE) / dfreq.dfc), 6) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token), nd)
+         |SELECT doc_id, token, score, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token ASC) AS INT) AS rank FROM sc)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q67_class_quota" ->
+      s"""SELECT vec_id, label FROM (
+         |  SELECT vec_id, label, ROW_NUMBER() OVER (PARTITION BY label
+         |    ORDER BY ${sqlHash32(7, "CAST(vec_id AS VARCHAR)")} % 1000000 ASC,
+         |      vec_id ASC) AS rn
+         |  FROM embeddings) WHERE rn <= 20""".stripMargin,
+
+    "q68_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |           FROM orders),
+        |assigned AS (SELECT
+        |    LEAST(CAST(FLOOR((o_totalprice - mn) / (mx - mn) * 20) AS BIGINT),
+        |      19) AS bucket, mn, mx
+        |  FROM orders, b)
+        |SELECT bucket, COUNT(*) AS n,
+        |  MIN(mn) + bucket * (MIN(mx) - MIN(mn)) / 20 AS lo,
+        |  MIN(mn) + (bucket + 1) * (MIN(mx) - MIN(mn)) / 20 AS hi
+        |FROM assigned GROUP BY bucket""".stripMargin,
 
     "q51_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts,

@@ -80,6 +80,28 @@ object AnnIndex {
     df.select(size(col(embCol))).as[Int].head()
   }
 
+  /** Johnson-Lindenstrauss-style random projection to `outDim`
+    * dimensions using the same md5-derived hyperplanes as the LSH
+    * family: out[j] = emb · plane_j. The input cast is staged once per
+    * row (not once per output dim); every dot is the ascending-index
+    * fold, so a SQL oracle rebuilds the projected vectors
+    * bit-identically. The cheap dimensionality-reduction front half of
+    * an embedding pipeline (coarse filtering, visualization, LSH
+    * pre-hash) — pure per-row arithmetic, no shuffle. */
+  def randomProject(
+      df: DataFrame,
+      embCol: String,
+      outDim: Int,
+      seed: Long = 42L,
+      out: String = "projected"): DataFrame = {
+    val planes = hyperplanes(outDim, dimOf(df, embCol), seed)
+    df.withColumn("__e", col(embCol).cast("array<double>"))
+      .withColumn(out, array(planes.map { p =>
+        Similarity.dot(col("__e"), array(p.map(lit): _*))
+      }: _*))
+      .drop("__e")
+  }
+
   /** Candidate pairs for near-dup detection: ids sharing any band
     * bucket, deduplicated. Pair with an exact re-rank (cosine) after.
     */

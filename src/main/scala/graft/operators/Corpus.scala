@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level text statistics for training-data pipelines: vocabulary
+  * construction and TF-IDF term weighting. Both are pure
+  * explode/groupBy shapes — one shuffle per aggregation level, map-side
+  * partial aggregation for free, no UDFs.
+  */
+object Corpus {
+
+  /** Corpus vocabulary: global token counts, top `n` by
+    * (count desc, token asc) with a 1-based rank.
+    *
+    * == Scale ==
+    * The count is a plain explode + groupBy (shuffled by token, partial
+    * aggregation map-side). The top-n runs as `TakeOrderedAndProject` —
+    * a per-partition bounded heap + driver merge, never a global sort —
+    * and only the n survivors enter the rank window.
+    */
+  def vocab(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(n)
+      .withColumn("rank", row_number().over( // n rows only
+        Window.orderBy(col("cnt").desc, col("token").asc)))
+  }
+
+  /** Top TF-IDF terms per document: tf = in-doc count / doc length,
+    * idf = ln(N / df), scores rounded to `scale` dp BEFORE ranking so
+    * the ordering is reproducible across engines (ln differs in the
+    * last ulps between libm implementations; 6 dp is far above that
+    * noise), ties broken by token ascending.
+    *
+    * == Scale ==
+    * Three aggregations over the exploded terms — (doc, token) counts,
+    * per-doc lengths, document frequencies — each a keyed shuffle with
+    * partial aggregation; the df table joins back by token (AQE
+    * broadcasts it when the vocabulary is small). No global windows:
+    * ranking partitions by document.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topPerDoc: Int,
+      scale: Int = 6): DataFrame = {
+    val nDocs = docs.select(count(lit(1)).as("__n"))
+    val terms = docs
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = terms.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf_cnt"))
+    val docLen = tf.groupBy(col(idCol)).agg(sum(col("tf_cnt")).as("__len"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val scored = tf
+      .join(docLen, idCol)
+      .join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf_cnt").cast("double") / col("__len") *
+          log(col("__n").cast("double") / col("__df")), scale))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("token").asc)))
+      .filter(col("rank") <= topPerDoc)
+      .select(col(idCol), col("token"), col("score"), col("rank"))
+  }
+
+  /** Equal-width histogram of a numeric column: `buckets` bins spanning
+    * [min, max], the max value clamped into the last bin. Bin edges ride
+    * along so the result is self-describing. One aggregate for the
+    * bounds (broadcast back) + one groupBy — no sort, no window.
+    */
+  def histogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
+    val bounds = df.agg(min(col(c)).as("__mn"), max(col(c)).as("__mx"))
+    df.crossJoin(broadcast(bounds))
+      .select(least(
+        floor((col(c) - col("__mn")) / (col("__mx") - col("__mn")) * buckets),
+        lit(buckets - 1L)).cast("long").as("bucket"),
+        col("__mn"), col("__mx"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        // per-group constants: edges derive from the global bounds
+        (first(col("__mn")) + col("bucket") *
+          (first(col("__mx")) - first(col("__mn"))) / buckets).as("lo"),
+        (first(col("__mn")) + (col("bucket") + 1) *
+          (first(col("__mx")) - first(col("__mn"))) / buckets).as("hi"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Range-partitioned global prefix sum — the scalable replacement for a
+  * single-partition `Window.orderBy` cumulative sum (the same
+  * construction [[Normalize.percentRank]] and
+  * [[Sampling.systematicByWeight]] inline):
+  *
+  *   1. `repartitionByRange` on the order key, then `localCheckpoint`:
+  *      a re-executed range exchange re-SAMPLES its bounds (fresh
+  *      sampling seed per physical execution), so two consumers of the
+  *      same subplan could see inconsistent partition ids — the
+  *      checkpoint pins one layout (round-2 correctness bug class);
+  *   2. cumulative sum WITHIN each range partition via a window keyed
+  *      on `spark_partition_id()` — partition-parallel;
+  *   3. per-partition totals (one row per partition) → prefix offsets
+  *      via a tiny ≤`rangePartitions`-row window;
+  *   4. global inclusive cumsum = local cumsum + broadcast offset.
+  *
+  * Every stage is partition-parallel; nothing materializes more than
+  * `rangePartitions` rows on a single partition.
+  */
+object PrefixSum {
+
+  /** `df` plus `out` = inclusive prefix sum of `valueCol` in `orderCol`
+    * order. `orderCol` must be a total order (unique values). */
+  def inclusive(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      out: String,
+      rangePartitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(rangePartitions, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__cum_local", sum(col(valueCol)).over(wIn))
+    val partTotals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__ptotal"))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤ rangePartitions rows
+    val offsets = partTotals.withColumn("__offset",
+      coalesce(sum(col("__ptotal")).over(wOff), lit(0L)))
+    local.join(broadcast(offsets.select(col("__pid"), col("__offset"))), "__pid")
+      .withColumn(out, col("__cum_local") + col("__offset"))
+      .drop("__pid", "__cum_local", "__offset")
+  }
+}

@@ -73,6 +73,49 @@ object Sampling {
       .drop("__pid", "__wi", "__cum_local", "__offset", "__cum", "__t")
   }
 
+  /** Deterministic train/val/test assignment: the key's hash bucket
+    * falls into one of the `splits` fractions (must sum to 1). Stable
+    * under re-execution, repartitioning and engine changes — the same
+    * document lands in the same split on every run, the property that
+    * keeps a held-out set held out across pipeline versions. The bucket
+    * is staged as an attribute so the md5 runs once per row, not once
+    * per when-branch. */
+  def split(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      seed: Int = 7,
+      out: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * Bucket))
+    val chain = splits.map(_._1).zip(cuts).init
+      .foldRight(lit(splits.last._1): Column) {
+        case ((name, cut), acc) => when(col("__b") < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("__b", hashBucket(col(keyCol), seed))
+      .withColumn(out, chain)
+      .drop("__b")
+  }
+
+  /** Exact per-class quota: the `n` rows of each class whose key hashes
+    * lowest (ties by key) — deterministic class-balancing downsampling.
+    * One shuffle on the class key; the rank window is per-class, never
+    * global. */
+  def quotaPerClass(
+      df: DataFrame,
+      keyCol: String,
+      classCol: String,
+      n: Int,
+      seed: Int = 7): DataFrame =
+    df.withColumn("__b", hashBucket(col(keyCol), seed))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(classCol))
+          .orderBy(col("__b").asc, col(keyCol).asc)))
+      .filter(col("__r") <= n)
+      .drop("__b", "__r")
+
   /** Per-stratum rates: `rates(stratumValue) -> rate`, keys absent from
     * the map fall back to `defaultRate`. */
   def stratified(

@@ -79,4 +79,42 @@ object Training {
     }
     events.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Concat-and-chunk sequence packing — the pretraining data layout
+    * that concatenates documents on one token axis and cuts the axis
+    * into fixed `blockTokens` training sequences. A document spans every
+    * block its token interval `[start, start+len)` touches; emits one
+    * row per (document, block) with the tokens that document
+    * contributes to that block (`block_id`, `tok_in_block`).
+    *
+    * == Scale ==
+    * The only global coordination is the prefix sum of token counts in
+    * `orderCol` order — [[PrefixSum.inclusive]], one range shuffle, no
+    * single-partition window, no sequential scan. Block assignment is
+    * then pure per-row arithmetic + an explode whose fan-out is
+    * `ceil(len / blockTokens) + 1` (documents rarely straddle more than
+    * two blocks). Works unchanged at any corpus size.
+    */
+  def packSequences(
+      docs: DataFrame,
+      orderCol: String,
+      tokens: Column,
+      blockTokens: Int,
+      rangePartitions: Int = 32): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val staged = docs.select(col(orderCol), tokens.cast("long").as("__tok"))
+      .filter(col("__tok") > 0)
+    val cum = PrefixSum.inclusive(staged, orderCol, "__tok", "__end",
+        rangePartitions)
+      .withColumn("__start", col("__end") - col("__tok"))
+    // `div` keeps the block math in exact integer arithmetic (a double
+    // division would round above 2^53 total tokens)
+    cum.select(col(orderCol), col("__tok"), col("__start"), col("__end"),
+        explode(sequence(expr(s"__start div $blockTokens"),
+          expr(s"(__end - 1) div $blockTokens"))).as("block_id"))
+      .select(col(orderCol), col("block_id"),
+        (least(col("__end"), (col("block_id") + 1) * blockTokens) -
+          greatest(col("__start"), col("block_id") * blockTokens))
+          .as("tok_in_block"))
+  }
 }
