@@ -234,6 +234,42 @@ object Ingest {
       .groupBy(col(userCol), window(col(tsCol), "7 days").as("week"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Event-time session windows over a stream: gap-based sessions per
+    * user via the native `session_window` aggregation — the streaming
+    * twin of [[graft.operators.InteractionStore.sessionize]] (whose
+    * lag/cumsum construction is batch-only). The watermark bounds
+    * session state: a session closes and emits once the watermark
+    * passes its last event + gap, so state per key is one open session,
+    * never unbounded history. */
+  def sessionWindows(
+      events: DataFrame,
+      tsCol: String = "ts",
+      userCol: String = "user_id",
+      gap: String = "3 days",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming exact dedup with hard-bounded state:
+    * `dropDuplicatesWithinWatermark` holds a key's fingerprint only
+    * until the watermark passes its event time — the streaming twin of
+    * [[graft.operators.Dedup.exact]] for at-least-once sources (Kafka
+    * redeliveries, consumer seek-back replays like the reference's
+    * panic-seek in kafka.go:136-147). Duplicates arriving within the
+    * delay window are dropped; state is evicted after it. */
+  def streamDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** A9: group rows into bounded batches per partition key — the py
     * client's intra_batch_size protobuf batching (client.py:247-266).
     * Batch index is deterministic: rank within key ÷ batchSize. */

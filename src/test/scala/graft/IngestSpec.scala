@@ -177,4 +177,53 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
       Set((1L, 14L), (1L, 13L), (1L, 12L)), // newest 3 after both batches
       Set((2L, 20L))))
   }
+
+  test("sessionWindows: gap-based sessions close when the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = Ingest.sessionWindows(
+      mem.toDF.toDF("user_id", "ts"), gap = "10 minutes",
+      watermarkDelay = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
+      (1L, ts("2024-01-01 10:12:00")), // within gap → same session
+      (1L, ts("2024-01-01 11:00:00")), // > 10 min later → new session
+      (2L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // push the watermark far past every session's close
+    mem.addData((9L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(rows(1L) === Seq(1L, 3L)) // [10:00-10:12+gap]=3 events, [11:00]=1
+    assert(rows(2L) === Seq(1L))
+  }
+
+  test("streamDedup drops redelivered keys within the watermark (ST8 replays)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val deduped = Ingest.streamDedup(
+      mem.toDF.toDF("event_id", "ts", "payload"),
+      keyCols = Seq("event_id"), watermarkDelay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    mem.addData(
+      (10L, ts("2024-01-01 10:00:00"), "a"),
+      (10L, ts("2024-01-01 10:00:30"), "a-dup"), // same key, same batch
+      (11L, ts("2024-01-01 10:01:00"), "b"))
+    q.processAllAvailable()
+    // a later batch redelivers key 10 within the watermark delay
+    mem.addData((10L, ts("2024-01-01 10:20:00"), "a-redelivery"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("deduped").select($"event_id")
+      .as[Long].collect().sorted
+    assert(out === Array(10L, 11L)) // each key exactly once
+  }
 }
