@@ -761,6 +761,36 @@ object SparkEntry {
         "o_totalprice", buckets = 20)
     }),
 
+    // ---- cube aggregation: all grouping-set combinations in one
+    // pass (table-stakes analytics beyond the reference's surface) ----
+    "q69_cube_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .cube(col("event_type"), InteractionStore.week(col("ts")).as("week"))
+        .agg(count(lit(1)).as("n"), xsum(col("value")).as("value_sum"))
+    }),
+
+    // ---- pivot: per-user event-type counts as columns (fixed pivot
+    // value list -> single-pass conditional aggregation; absent combos
+    // coalesced to 0 to match FILTER-count semantics) ----
+    "q70_pivot_counts" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // ---- exact interpolated percentiles per group (rounded: the
+    // interpolation arithmetic differs in the last ulps per engine) ----
+    "q71_group_percentiles" -> ((s, dir) => {
+      Tables.orders(s, dir).groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1429,6 +1459,28 @@ object SparkEntry {
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q69_cube_agg" ->
+      s"""SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+         |  COUNT(*) AS n, ${sqlSum("value")} AS value_sum
+         |FROM events
+         |GROUP BY CUBE (event_type, CAST(date_trunc('week', ts) AS DATE))""".stripMargin,
+
+    "q70_pivot_counts" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'view') AS view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q71_group_percentiles" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q62_hash_split" ->
       s"""SELECT doc_id, lang,
