@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.OracleMath._
 import graft.expr.Rpn
 import graft.functions.{Decode, Similarity, TextFunctions}
-import graft.operators.{ChangeCapture, Dedup, FeatureStore, Filters, InteractionStore, Multimodal, Normalize, Pipeline, SimilaritySearch}
+import graft.operators.{ChangeCapture, Dedup, FeatureStore, Filters, InteractionStore, Multimodal, Normalize, Pipeline, SimilaritySearch, Sketches}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB-equivalent SQL oracle where the
@@ -791,6 +791,13 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // ---- KMV distinct sketch: O(k)-state mergeable distinct counts
+    // (custom TypedImperativeAggregate; bounded buffers cross the
+    // shuffle instead of every distinct value) ----
+    "q72_kmv_distinct" -> ((s, dir) =>
+      Sketches.distinctByGroup(Tables.events(s, dir),
+        "event_type", "user_id", k = 64)),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1481,6 +1488,30 @@ object SparkEntry {
         |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    // KMV = order statistics of the portable md5 hash, so the sketch
+    // estimate itself is exactly reproducible in SQL
+    "q72_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${sqlHash32(7, "CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |est AS (
+         |  SELECT event_type,
+         |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+         |         ELSE 63.0 * 4294967296.0 /
+         |           CAST(max(CASE WHEN rn <= 64 THEN h END) AS DOUBLE)
+         |    END AS kmv_distinct
+         |  FROM r GROUP BY event_type),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+         |  FROM events GROUP BY event_type)
+         |SELECT ex.event_type, ex.exact_distinct, est.kmv_distinct
+         |FROM ex JOIN est USING (event_type)""".stripMargin,
 
     "q62_hash_split" ->
       s"""SELECT doc_id, lang,

@@ -84,5 +84,10 @@ object GraftExtensions {
       { case Seq(e, k, v, vs) => graft.functions.EncodePersistProto(e, k, v, vs) }: Seq[Expression] => Expression),
     (FunctionIdentifier("graft_proto_decode"),
       info("graft_proto_decode", "decode a proto3 persist event to a struct"),
-      { case Seq(c) => graft.functions.DecodePersistProto(c) }: Seq[Expression] => Expression))
+      { case Seq(c) => graft.functions.DecodePersistProto(c) }: Seq[Expression] => Expression),
+    (FunctionIdentifier("graft_kmv"),
+      info("graft_kmv", "KMV sketch: k smallest distinct values of a long hash column"),
+      { case Seq(c, k) =>
+        KmvSketch(c, k.eval().asInstanceOf[Number].intValue)
+      }: Seq[Expression] => Expression))
 }

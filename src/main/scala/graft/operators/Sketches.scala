@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.expr.KmvSketch
+import graft.functions.TextFunctions
+
+/** Mergeable distinct-count sketches (KMV) as first-class aggregation
+  * columns. The reference has no sketch surface (SURVEY §2.4 notes "no
+  * HLL"); at the 100 TB training-pipeline scale this engine targets,
+  * exact `count(distinct)` over high-cardinality keys shuffles every
+  * distinct value — the sketch ships O(k) longs per group instead and
+  * stays mergeable across rollup levels.
+  */
+object Sketches {
+
+  /** KMV sketch aggregate: sorted k smallest distinct values of a long
+    * hash column (ascending `array<long>`, size ≤ k). Bounded O(k)
+    * state, map-side partial aggregation. */
+  def kmvMinima(hash: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSketch(ColumnBridge.expression(hash), k).toAggregateExpression())
+
+  /** Distinct-count estimate from a [[kmvMinima]] array over hashes
+    * uniform in [0, 2^hashBits): exact size when the sketch is not
+    * full, else `(k-1) * 2^hashBits / kth_min`. */
+  def kmvEstimate(minima: Column, k: Int, hashBits: Int = 32): Column =
+    when(size(minima) < k, size(minima).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, hashBits)) /
+        element_at(minima, k).cast("double"))
+
+  /** Merge two KMV minima arrays (set-union of sketches): the k
+    * smallest distinct values across both — lets rollups combine
+    * finer-grained sketches without touching raw data. */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Per-group approximate distinct count of `valueCol` next to the
+    * exact count: one aggregation pass, the engine-portable md5 hash
+    * (swap for `fastHash64` + hashBits=64 in production). */
+  def distinctByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int,
+      seed: Int = 7): DataFrame = {
+    val hashed = df.select(col(groupCol),
+      col(valueCol),
+      TextFunctions.md5Hash32(col(valueCol).cast("string"), seed).as("__h"))
+    hashed.groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(valueCol)).as("exact_distinct"),
+        kmvEstimate(kmvMinima(col("__h"), k), k).as("kmv_distinct"))
+  }
+}
