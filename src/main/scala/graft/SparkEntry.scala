@@ -798,6 +798,25 @@ object SparkEntry {
       Sketches.distinctByGroup(Tables.events(s, dir),
         "event_type", "user_id", k = 64)),
 
+    // ---- Gopher-family repetition quality: duplicate-word fraction
+    // and top-bigram character coverage, keep flag on the rounded
+    // metrics; all signals row-local (no shuffle) over staged
+    // word/bigram/top attributes ----
+    "q73_repetition_quality" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("__w"))
+      val bg = base.select(col("doc_id"), col("__w"),
+        TextFunctions.shinglesFromWords(col("__w"), 2).as("__bg"))
+      val top = bg.select(col("doc_id"), col("__w"),
+        TextFunctions.topGram(col("__bg")).as("__top"))
+      top
+        .select(col("doc_id"),
+          TextFunctions.repetitionFeatures(col("__w"), col("__top")).as("__r"))
+        .select(col("doc_id"), col("__r.*"))
+        .withColumn("keep",
+          col("dup_word_frac") <= 0.4 && col("top_bigram_char_frac") <= 0.2)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1512,6 +1531,32 @@ object SparkEntry {
          |  FROM events GROUP BY event_type)
          |SELECT ex.event_type, ex.exact_distinct, est.kmv_distinct
          |FROM ex JOIN est USING (event_type)""".stripMargin,
+
+    "q73_repetition_quality" ->
+      s"""WITH w0 AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |bg AS (SELECT doc_id, w,
+         |    list_transform(generate_series(1, greatest(len(w)-1, 1)),
+         |      i -> array_to_string(list_slice(w, i, i+1), ' ')) AS bg
+         |  FROM w0),
+         |cnt AS (SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(bg) AS g FROM bg) GROUP BY doc_id, g),
+         |top AS (SELECT doc_id, g, c FROM (
+         |    SELECT doc_id, g, c, row_number() OVER
+         |      (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn FROM cnt)
+         |  WHERE rn = 1),
+         |m AS (SELECT b.doc_id,
+         |    CAST(len(b.w) AS BIGINT) AS n_words,
+         |    ROUND(1.0 - CAST(len(list_distinct(b.w)) AS DOUBLE) /
+         |      CAST(len(b.w) AS DOUBLE), 6) AS dup_word_frac,
+         |    t.g AS top_bigram,
+         |    CAST(t.c AS BIGINT) AS top_bigram_cnt,
+         |    ROUND(CAST(t.c * len(t.g) AS DOUBLE) /
+         |      CAST(len(array_to_string(b.w, '')) AS DOUBLE), 6)
+         |      AS top_bigram_char_frac
+         |  FROM bg b JOIN top t USING (doc_id))
+         |SELECT *, (dup_word_frac <= 0.4 AND top_bigram_char_frac <= 0.2)
+         |  AS keep
+         |FROM m""".stripMargin,
 
     "q62_hash_split" ->
       s"""SELECT doc_id, lang,

@@ -235,4 +235,32 @@ object TextFunctions {
     struct(nTok.as("n_tokens"), meanLen.as("mean_word_len"),
       punct.as("punct_ratio"), stopRatio.as("stopword_ratio"))
   }
+
+  /** Most frequent element of a staged bigram array as
+    * `struct(c, g)` — count first so the natural struct ordering is
+    * (count, then gram), ties resolved to the lexicographically larger
+    * gram in BOTH engines. O(d²) in distinct grams per row, but fully
+    * row-local (no shuffle); stage the result as an attribute — it
+    * feeds several metrics and must not re-expand per use. */
+  def topGram(bg: Column): Column =
+    array_max(transform(array_distinct(bg),
+      g => struct(size(filter(bg, x => x === g)).as("c"), g.as("g"))))
+
+  /** Repetition quality signals (the Gopher-family repetition rules —
+    * Rae et al. 2021, "Scaling Language Models", Table A1): fraction of
+    * duplicate words and fraction of word characters covered by the
+    * most frequent word bigram. Computed over staged word/bigram/top
+    * attributes; every signal is row-local arithmetic. */
+  def repetitionFeatures(w: Column, top: Column): Column = {
+    val nW = size(w).cast("double")
+    val chars = length(concat_ws("", w)).cast("double")
+    struct(
+      size(w).cast("long").as("n_words"),
+      round(lit(1.0) - size(array_distinct(w)).cast("double") / nW, 6)
+        .as("dup_word_frac"),
+      top.getField("g").as("top_bigram"),
+      top.getField("c").cast("long").as("top_bigram_cnt"),
+      round((top.getField("c") * length(top.getField("g"))).cast("double") /
+        chars, 6).as("top_bigram_char_frac"))
+  }
 }

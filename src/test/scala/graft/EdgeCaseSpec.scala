@@ -133,4 +133,32 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
       .collect()
     assert(out.length === 1 && out(0).isNullAt(3))
   }
+
+  test("repetition signals: tie-break, one-word doc, full repetition") {
+    val docs = Seq(
+      (1L, "a b a b a"),     // top bigram "a b" x2 ("b a" also 2 -> larger gram wins? "b a" > "a b")
+      (2L, "hello"),         // single word: bigram list = [hello]
+      (3L, "x x x x"))       // all duplicate words
+      .toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), TextFunctions.words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        TextFunctions.shinglesFromWords(col("w"), 2).as("bg"))
+      .select(col("doc_id"), col("w"), TextFunctions.topGram(col("bg")).as("t"))
+      .select(col("doc_id"),
+        TextFunctions.repetitionFeatures(col("w"), col("t")).as("r"))
+      .select(col("doc_id"), col("r.*"))
+      .orderBy("doc_id").collect()
+    // doc 1: bigrams [a b, b a, a b, b a] -> both x2, tie -> "b a" (lexicographically larger)
+    assert(base(0).getAs[String]("top_bigram") === "b a")
+    assert(base(0).getAs[Long]("top_bigram_cnt") === 2L)
+    assert(base(0).getAs[Double]("dup_word_frac") === 0.6)
+    // doc 2: degenerate single-word bigram = the word itself, full char coverage
+    assert(base(1).getAs[String]("top_bigram") === "hello")
+    assert(base(1).getAs[Double]("top_bigram_char_frac") === 1.0)
+    assert(base(1).getAs[Double]("dup_word_frac") === 0.0)
+    // doc 3: 4 words, 1 distinct
+    assert(base(2).getAs[Double]("dup_word_frac") === 0.75)
+    assert(base(2).getAs[String]("top_bigram") === "x x")
+    assert(base(2).getAs[Long]("top_bigram_cnt") === 3L)
+  }
 }
