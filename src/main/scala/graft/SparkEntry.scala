@@ -675,6 +675,23 @@ object SparkEntry {
         .searchDot(queries, kResults = 10)
     }),
 
+    // ---- OPQ-lite: variance-balanced subspace allocation before PQ
+    // (Ge et al. CVPR'13 allocation step) — same m-byte code budget,
+    // better-conditioned codebooks; the permutation is dim-sized
+    // metadata applied as a row-local literal projection ----
+    "q74_ann_opq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val perm = graft.operators.PqIndex.varianceBalancedPerm(emb, m = 8)
+      val pcorpus = emb.select(col("vec_id"),
+        graft.operators.PqIndex.permuted(
+          col("embedding").cast("array<double>"), perm).as("embedding"))
+      val queries = pcorpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      graft.operators.PqIndex.build(pcorpus, m = 8, k = 16)
+        .searchDot(queries, kResults = 10)
+    }),
+
     // ---- IVF x PQ: cell-pruned probe, ADC-scored candidates — the
     // full corpus-scale composition (directory pruning x 32x payload
     // compression), deterministic end to end ----
@@ -1727,6 +1744,65 @@ object SparkEntry {
       val vSum = (0 until 8).map(j => s"v$j").mkString(" + ")
       s"""WITH p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cb AS (SELECT (s.vec_id // p.stride) AS cid, j.j AS j,
+         |         list_slice(s.emb, j.j*8 + 1, j.j*8 + 8) AS centroid
+         |       FROM e s, p, generate_series(0, 7) j(j)
+         |       WHERE s.vec_id % p.stride = 0 AND s.vec_id < p.stride * 16),
+         |sv AS (SELECT e.vec_id, j.j AS j,
+         |         list_slice(e.emb, j.j*8 + 1, j.j*8 + 8) AS sub
+         |       FROM e, generate_series(0, 7) j(j)),
+         |codes AS (SELECT vec_id, j, cid AS code FROM (
+         |  SELECT sv.vec_id, sv.j, cb.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
+         |      ORDER BY ${sqlSqDistOf("sv.sub", "cb.centroid")} ASC,
+         |               cb.cid ASC) AS rn
+         |  FROM sv JOIN cb ON sv.j = cb.j) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 5),
+         |qsv AS (SELECT query_id, j.j AS j,
+         |          list_slice(emb, j.j*8 + 1, j.j*8 + 8) AS qsub
+         |        FROM q, generate_series(0, 7) j(j)),
+         |lut AS (SELECT qsv.query_id, qsv.j, cb.cid,
+         |          ${sqlDotOf("qsv.qsub", "cb.centroid")} AS v
+         |        FROM qsv JOIN cb ON qsv.j = cb.j),
+         |sc AS (SELECT l.query_id, c.vec_id,
+         |         $vParts
+         |       FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
+         |       GROUP BY 1, 2)
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT query_id, vec_id, $vSum AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $vSum DESC, vec_id ASC) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    // q58's PQ CTEs over a variance-permuted corpus: per-dim moments
+    // via decimal-exact sums -> rank -> snake allocation -> list()
+    // reassembly ordered by new position
+    "q74_ann_opq_topk" -> {
+      val vParts = (0 until 8).map(j =>
+        s"MAX(CASE WHEN c.j = $j THEN l.v END) AS v$j").mkString(",\n|         ")
+      val vSum = (0 until 8).map(j => s"v$j").mkString(" + ")
+      s"""WITH p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+         |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |dx AS (SELECT i AS pos, e0.emb[i] AS x
+         |       FROM e0, generate_series(1, 64) t(i)),
+         |mv AS (SELECT pos,
+         |         CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         |         CAST(SUM(CAST(ROUND(x*x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s2,
+         |         COUNT(*) AS n
+         |       FROM dx GROUP BY pos),
+         |rk AS (SELECT pos, ROW_NUMBER() OVER
+         |         (ORDER BY (s2/n - (s1/n)*(s1/n)) DESC, pos ASC) - 1 AS r
+         |       FROM mv),
+         |perm AS (SELECT pos,
+         |    (CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+         |          ELSE 7 - (r % 8) END) * 8 + (r // 8) AS newpos
+         |  FROM rk),
+         |e AS (SELECT t.vec_id, list(t.x ORDER BY t.newpos) AS emb FROM (
+         |    SELECT e0.vec_id, pm.newpos, e0.emb[pm.pos] AS x
+         |    FROM e0, perm pm) t
+         |  GROUP BY t.vec_id),
          |cb AS (SELECT (s.vec_id // p.stride) AS cid, j.j AS j,
          |         list_slice(s.emb, j.j*8 + 1, j.j*8 + 8) AS centroid
          |       FROM e s, p, generate_series(0, 7) j(j)
