@@ -834,6 +834,77 @@ object SparkEntry {
           col("dup_word_frac") <= 0.4 && col("top_bigram_char_frac") <= 0.2)
     }),
 
+    // ---- exact fixed-point Gram matrix X^T.X over the embedding
+    // corpus (custom TypedImperativeAggregate: d(d+1)/2-long triangle
+    // state per task, one buffer across the shuffle — no d^2 row
+    // inflation; integer micro-unit math = order-independent) ----
+    "q75_gram_matrix" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(graft.operators.LinAlg.microVec(col("embedding")).as("__m"))
+      graft.operators.LinAlg.gramUpper(emb, col("__m"))
+    }),
+
+    // ---- benchmark decontamination: corpus docs sharing any word
+    // 3-gram with the (broadcast) benchmark set — the pretraining
+    // hygiene sweep (real suites use 8-13-grams; 3 fits the short
+    // synthetic docs); map-side semi-join, the corpus never
+    // shuffles ----
+    "q76_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+      val corpus = docs.filter(col("doc_id") % 41 =!= 0)
+      graft.operators.Decontaminate.overlapReport(
+        corpus, bench, "doc_id", "text", n = 3)
+    }),
+
+    // ---- incremental aggregate maintenance: history state + delta
+    // state merged == full recompute, without rescanning history ----
+    "q77_incremental_agg" -> ((s, dir) => {
+      import graft.operators.Incremental
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-20").cast("timestamp")
+      val keys = Seq("user_id", "event_type")
+      val hist = Incremental.aggState(ev.filter(col("ts") < cut), keys, "value")
+      val delta = Incremental.aggState(ev.filter(col("ts") >= cut), keys, "value")
+      Incremental.finish(Incremental.mergeStates(Seq(hist, delta), keys), keys)
+    }),
+
+    // ---- ordered funnel (view -> click -> purchase): all stage
+    // timestamps are chained windows over ONE user partitioning —
+    // single exchange, no self-joins ----
+    "q78_funnel_reach" -> ((s, dir) => {
+      graft.operators.Funnel.reach(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // ---- sliding-window document chunking (64-token chunks, stride
+    // 48): per-row explode, zero shuffle ----
+    "q79_chunks" -> ((s, dir) => {
+      graft.operators.Corpus.chunk(Tables.documents(s, dir),
+        "doc_id", "text", chunkSize = 64, stride = 48)
+    }),
+
+    // ---- temperature-based multi-source mixture sampling (quota ∝
+    // n^0.5, largest-remainder, integer micro-unit allocation) ----
+    "q80_temperature_mix" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir)
+        .filter(col("n_chars") % 7 < 5)
+        .select(col("doc_id"), col("source"), col("lang"))
+      graft.operators.Sampling.temperatureMix(corpus,
+        keyCol = "doc_id", sourceCol = "source", alpha = 0.5, total = 100)
+    }),
+
+    // ---- rolling-frame sequence features + next-event label (the
+    // frame-spec window surface the reference lacks; decimal-carried
+    // frame sums are engine-portable) ----
+    "q81_rolling_features" -> ((s, dir) => {
+      graft.operators.Training.rollingFeatures(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        valueCol = "value", frameRows = 6)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -1919,6 +1990,94 @@ object SparkEntry {
          |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
          |SELECT doc_id, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE lbl <> id)""".stripMargin,
+
+    "q75_gram_matrix" ->
+      """WITH e AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings)
+        |SELECT CAST(s1.i AS INT) AS i, CAST(s2.j AS INT) AS j,
+        |       CAST(SUM(v[s1.i] * v[s2.j]) AS BIGINT) AS g
+        |FROM e, generate_series(1, 64) AS s1(i), generate_series(1, 64) AS s2(j)
+        |WHERE s2.j >= s1.i
+        |GROUP BY s1.i, s2.j""".stripMargin,
+
+    "q76_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct($sqlShingles)) AS gram
+         |      FROM t),
+         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0)
+         |SELECT c.doc_id, COUNT(*) AS n_hit_grams
+         |FROM (SELECT * FROM g WHERE doc_id % 41 <> 0) c
+         |JOIN b USING (gram)
+         |GROUP BY c.doc_id""".stripMargin,
+
+    "q77_incremental_agg" ->
+      s"""SELECT user_id, event_type, COUNT(value) AS cnt,
+         |  ${sqlSum("value")} AS val_sum,
+         |  ${sqlAvg("value")} AS val_avg
+         |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    "q78_funnel_reach" ->
+      """WITH a AS (SELECT user_id, ts, event_type,
+        |  MIN(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS ts_view FROM events),
+        |b AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+        |    AND ts_view IS NOT NULL AND ts >= ts_view THEN ts END)
+        |    OVER (PARTITION BY user_id) AS ts_click FROM a),
+        |c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+        |    AND ts_click IS NOT NULL AND ts >= ts_click THEN ts END)
+        |    OVER (PARTITION BY user_id) AS ts_purchase FROM b)
+        |SELECT DISTINCT user_id, ts_view, ts_click, ts_purchase,
+        |  (CASE WHEN ts_view IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN ts_click IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0 END) AS depth
+        |FROM c""".stripMargin,
+
+    "q79_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST((start - 1) // 48 AS INT) AS chunk_idx,
+         |  array_to_string(list_slice(w, start, start + 63), ' ') AS chunk_text,
+         |  CAST(least(64, len(w) - start + 1) AS INT) AS n_tokens
+         |FROM t, unnest(generate_series(1, greatest(len(w) - 63, 1), 48))
+         |       AS u(start)""".stripMargin,
+
+    "q80_temperature_mix" ->
+      s"""WITH corpus AS (SELECT doc_id, source, lang FROM documents
+         |                WHERE n_chars % 7 < 5),
+         |cnt AS (SELECT source, COUNT(*) AS n FROM corpus GROUP BY source),
+         |w AS (SELECT source,
+         |        CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000000) AS BIGINT)
+         |          AS wm FROM cnt),
+         |a AS (SELECT source, wm, SUM(wm) OVER () AS tw FROM w),
+         |b AS (SELECT source, wm, tw, (wm * 100) // tw AS base,
+         |        (wm * 100) % tw AS rem FROM a),
+         |c AS (SELECT *, 100 - SUM(base) OVER () AS leftover,
+         |        ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+         |      FROM b),
+         |q AS (SELECT source,
+         |        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |          AS BIGINT) AS quota FROM c),
+         |r AS (SELECT corpus.*,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY ${sqlHash32(7, "CAST(doc_id AS VARCHAR)")} % 1000000
+         |            ASC, doc_id ASC) AS rr
+         |      FROM corpus)
+         |SELECT doc_id, source, lang
+         |FROM r JOIN q USING (source) WHERE rr <= quota""".stripMargin,
+
+    "q81_rolling_features" ->
+      """SELECT user_id, ts, event_id, value,
+        |  COUNT(value) OVER f AS frame_n,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) OVER f
+        |    AS DOUBLE) AS frame_sum,
+        |  CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) OVER f AS DOUBLE)
+        |    / COUNT(value) OVER f AS frame_avg,
+        |  LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS next_value
+        |FROM events
+        |WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

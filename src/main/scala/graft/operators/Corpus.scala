@@ -74,6 +74,39 @@ object Corpus {
       .select(col(idCol), col("token"), col("score"), col("rank"))
   }
 
+  /** Fixed-size sliding-window chunking of documents into token
+    * chunks — the pretraining/RAG sharding step: windows of `size`
+    * tokens starting every `stride` tokens (stride < size ⇒ overlap;
+    * a document shorter than `size` yields one chunk of itself).
+    *
+    * == Scale ==
+    * Pure per-row explode — embarrassingly parallel, no shuffle at
+    * all. The word split runs ONCE per document (staged projection),
+    * chunk texts are built by `slice` + `concat_ws` over the staged
+    * array inside codegen.
+    */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      "chunk needs chunkSize > 0 and stride > 0")
+    val staged = docs.select(col(idCol),
+      TextFunctions.words(col(textCol)).as("__w"))
+    staged
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(1),
+          greatest(size(col("__w")) - (chunkSize - 1), lit(1)), lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("__w"), col("__start"), lit(chunkSize)))
+          .as("chunk_text"),
+        least(lit(chunkSize), size(col("__w")) - col("__start") + 1)
+          .as("n_tokens"))
+  }
+
   /** Equal-width histogram of a numeric column: `buckets` bins spanning
     * [min, max], the max value clamped into the last bin. Bin edges ride
     * along so the result is self-describing. One aggregate for the

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination for training corpora: flag documents that
+  * share any word n-gram with a held-out benchmark/eval set. This is
+  * the standard pretraining hygiene step (n-gram overlap against eval
+  * suites) that any 100 TB corpus build runs before training.
+  *
+  * == Scale design ==
+  * The benchmark side is tiny relative to the corpus (eval suites are
+  * MBs; the corpus is TBs), so its distinct gram set is broadcast and
+  * the corpus-side probe is a map-side hash semi-join — the 100 TB scan
+  * never shuffles. Corpus grams are deduped per document BEFORE the
+  * join (`array_distinct` inside the row) so a document repeating a
+  * contaminated gram doesn't inflate the probe. When the benchmark side
+  * outgrows broadcast, the same plan degrades gracefully: Spark's
+  * runtime Bloom-filter join (AQE `runtime.bloomFilter.enabled`)
+  * prunes the corpus scan with the benchmark's gram filter before the
+  * shuffle; semantics are unchanged.
+  */
+object Decontaminate {
+
+  /** Per-document contamination report: for every document in `docs`
+    * sharing at least one word `n`-gram with `bench`, the number of
+    * distinct overlapping grams. Clean documents are absent (join
+    * semantics — anti-join against the result is the "keep" set).
+    */
+  def overlapReport(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val docGrams = docs.select(col(idCol),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
+        .as("gram"))
+    val benchGrams = bench
+      .select(explode(array_distinct(
+        TextFunctions.shingles(col(textCol), n))).as("gram"))
+      .distinct()
+    docGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_grams"))
+  }
+
+  /** The decontaminated corpus: documents from `docs` with NO word
+    * n-gram overlap against `bench` — a broadcast left-anti join, so
+    * the corpus scan streams map-side. */
+  def clean(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val contaminated = overlapReport(docs, bench, idCol, textCol, n)
+      .select(col(idCol))
+    docs.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over the event stream: for each user, the
+  * earliest time each stage of a funnel (`view → click → purchase`)
+  * was reached IN ORDER — stage k counts only at-or-after stage k-1
+  * was reached. The offline twin of the interaction store's
+  * click/order retrieval (SURVEY §2.1 S8/J5): same events table, but
+  * whole-corpus conversion analysis instead of per-user point lookup.
+  *
+  * == Scale design ==
+  * ONE shuffle: all stage timestamps are window aggregates over the
+  * same `partitionBy(user)` partitioning, so Catalyst plans a single
+  * exchange and chains the Window operators over it — no self-joins,
+  * no per-stage scans. The per-user reduction at the end reuses the
+  * same partitioning (no second exchange under AQE).
+  */
+object Funnel {
+
+  /** Per-user funnel timestamps: one row per user with
+    * `ts_<stage>` = earliest in-order reach time (null = never
+    * reached) and `depth` = number of stages reached. */
+  def reach(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    // chain: ts_k = min ts of a stage-k event at-or-after ts_{k-1}
+    val withStages = stages.zipWithIndex.foldLeft(events) {
+      case (df, (stage, i)) =>
+        val cond = if (i == 0) col(typeCol) === stage
+          else col(typeCol) === stage &&
+            col(s"ts_${stages(i - 1)}").isNotNull &&
+            col(tsCol) >= col(s"ts_${stages(i - 1)}")
+        df.withColumn(s"ts_$stage", min(when(cond, col(tsCol))).over(w))
+    }
+    val firstAggs = stages.map(s => first(col(s"ts_$s")).as(s"ts_$s"))
+    withStages
+      .groupBy(col(userCol))
+      .agg(firstAggs.head, firstAggs.tail: _*)
+      .withColumn("depth",
+        stages.map(s => when(col(s"ts_$s").isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+  }
+
+  /** Funnel summary: users reaching each stage in order, with
+    * stage-over-stage conversion. Tiny output (|stages| rows). */
+  def summary(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    val r = reach(events, userCol, tsCol, typeCol, stages)
+    val aggs = stages.map(s => count(col(s"ts_$s")).as(s"n_$s"))
+    r.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.expr.GramMatrix
+
+/** Corpus-level linear algebra over embedding columns: the exact
+  * fixed-point Gram matrix Xᵀ·X (and the covariance that derives from
+  * it) — the statistics PCA/whitening/OPQ rotations are fit from.
+  *
+  * == Scale design ==
+  * One aggregation pass: each map task folds its rows into a
+  * d(d+1)/2-long triangle buffer ([[graft.expr.GramMatrix]]), the
+  * shuffle carries one buffer per task, the final merge adds
+  * triangles. No explode, no d²-row inflation, no float
+  * non-determinism (micro-unit integer math is exact and
+  * order-independent — see the quantization bound in the kernel doc).
+  */
+object LinAlg {
+
+  /** Fixed-point quantization of a float/double vector to micro-unit
+    * longs: `floor(x * 10^scale)` per element. `floor` (not round) —
+    * its semantics are identical in every engine. */
+  def microVec(vec: Column, scale: Int = 6): Column =
+    transform(vec, x => floor(x.cast("double") * math.pow(10, scale).toLong)
+      .cast("long"))
+
+  /** Upper-triangle Gram matrix of a micro-quantized vector column as
+    * (i, j, g) rows, 1-based indices, j ≥ i; `g` is the exact integer
+    * Σ xᵢ·xⱼ in micro²-units. One aggregate pass + a single-row
+    * posexplode of the d² result. */
+  def gramUpper(df: DataFrame, microCol: Column): DataFrame = {
+    val g = df.agg(ColumnBridge.column(
+      GramMatrix(ColumnBridge.expression(microCol)).toAggregateExpression())
+      .as("__g"))
+    val d = sqrt(size(col("__g")).cast("double")).cast("int")
+    g.select(col("__g"), d.as("__d"))
+      .select(posexplode(col("__g")).as(Seq("__pos", "g")), col("__d"))
+      .select((col("__pos") / col("__d")).cast("int").as("i"),
+        (col("__pos") % col("__d")).cast("int").as("j"), col("g"))
+      .filter(col("j") >= col("i"))
+      .select((col("i") + 1).as("i"), (col("j") + 1).as("j"), col("g"))
+  }
+}

@@ -116,6 +116,59 @@ object Sampling {
       .filter(col("__r") <= n)
       .drop("__b", "__r")
 
+  /** Temperature-based multi-source mixture sampling: source `s` gets a
+    * quota ∝ n_s^alpha of the `total` sample (alpha < 1 flattens the
+    * source distribution — the standard multi-corpus pretraining mix),
+    * quotas resolved by the largest-remainder method and filled with
+    * the deterministic lowest-hash rows of each source.
+    *
+    * Every allocation step is integer arithmetic (micro-unit weights,
+    * integer div/mod remainders), so the quota vector — and therefore
+    * the sample — is bit-stable across engines and partitionings.
+    *
+    * == Scale ==
+    * One aggregation for source counts (|sources| rows — window ops on
+    * it are driver-trivial), quotas broadcast back, then ONE shuffle of
+    * the corpus by source for the per-source rank. A source's quota
+    * rank is a bounded-heap shape; skewed source sizes stay one
+    * partition each only in the rank window — salt via
+    * [[Skew.saltedJoin]] patterns if a single source dominates at
+    * extreme scale.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      alpha: Double,
+      total: Int,
+      seed: Int = 7): DataFrame = {
+    require(alpha > 0 && total > 0, "temperatureMix needs alpha > 0, total > 0")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    // micro-unit weight n^alpha (floor — unambiguous in every engine)
+    val w = counts.withColumn("__wm",
+      floor(pow(col("__n").cast("double"), lit(alpha)) * 1e6).cast("long"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val alloc = w
+      .withColumn("__W", sum(col("__wm")).over(wAll))
+      .withColumn("__base", expr(s"(__wm * $total) div __W"))
+      .withColumn("__rem", expr(s"(__wm * $total) % __W"))
+      .withColumn("__left", lit(total) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(sourceCol).asc)))
+      .withColumn("quota",
+        (col("__base") + when(col("__rk") <= col("__left"), 1).otherwise(0))
+          .cast("long"))
+      .select(col(sourceCol), col("quota"))
+    df.join(broadcast(alloc), sourceCol)
+      .withColumn("__b", hashBucket(col(keyCol), seed))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("__b").asc, col(keyCol).asc)))
+      .filter(col("__r") <= col("quota"))
+      .drop("__b", "__r", "quota")
+  }
+
   /** Per-stratum rates: `rates(stratumValue) -> rate`, keys absent from
     * the map fall back to `defaultRate`. */
   def stratified(

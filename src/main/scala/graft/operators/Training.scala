@@ -117,4 +117,39 @@ object Training {
           greatest(col("__start"), col("block_id") * blockTokens))
           .as("tok_in_block"))
   }
+
+  /** Rolling-frame sequence features per entity: for each event, the
+    * trailing `frameRows`-event count/sum/mean of `valueCol` (frame
+    * `ROWS BETWEEN frameRows-1 PRECEDING AND CURRENT ROW` in
+    * (tsCol, tieCol) order) plus the next event's value as the
+    * supervised label (`lead`). The feature shape sequence models
+    * train on — and the frame-spec window surface the reference lacks
+    * (SURVEY §2.5 "no frame-spec windows").
+    *
+    * Frame sums ride the [[graft.OracleMath]] decimal carrier, so a
+    * frame's sum is the same on any engine despite float
+    * order-sensitivity. ONE shuffle on the entity key; count, sum and
+    * lead all share the same window partitioning.
+    */
+  def rollingFeatures(
+      events: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      frameRows: Int,
+      scale: Int = 6): DataFrame = {
+    require(frameRows > 0, "frameRows must be positive")
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val frame = ord.rowsBetween(-(frameRows - 1), Window.currentRow)
+    val decSum = sum(round(col(valueCol), scale)
+      .cast(org.apache.spark.sql.types.DecimalType(38, scale))).over(frame)
+    events.select(keys.map(col) ++ Seq(col(tsCol), col(tieCol),
+      col(valueCol)): _*)
+      .withColumn("frame_n", count(col(valueCol)).over(frame))
+      .withColumn("frame_sum", decSum.cast("double"))
+      .withColumn("frame_avg", decSum.cast("double") / col("frame_n"))
+      .withColumn("next_value", lead(col(valueCol), 1).over(ord))
+  }
 }

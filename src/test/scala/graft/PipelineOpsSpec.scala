@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Decontaminate, Funnel, Incremental, LinAlg, Sampling, Training}
+
+/** Round-3 pipeline operators: Gram matrix, decontamination,
+  * incremental aggregate maintenance, funnel, chunking, temperature
+  * mixing, rolling-frame features. */
+class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gramMatrix agg equals the naive per-pair sum, across partitions") {
+    val vecs = Seq(
+      Array(1.0, -2.0, 3.0),
+      Array(0.5, 0.25, -1.0),
+      Array(-3.0, 0.0, 2.0),
+      Array(2.0, 2.0, 2.0))
+    val df = vecs.toDF("v").repartition(3) // force partial/merge path
+      .select(LinAlg.microVec(col("v"), 6).as("m"))
+    val got = LinAlg.gramUpper(df, col("m"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val micro = vecs.map(_.map(x => math.floor(x * 1e6).toLong))
+    for (i <- 0 until 3; j <- i until 3) {
+      val expect = micro.map(v => v(i) * v(j)).sum
+      assert(got((i + 1, j + 1)) === expect, s"($i,$j)")
+    }
+    assert(got.size === 6) // upper triangle of d=3
+  }
+
+  test("decontaminate: overlapReport finds shared n-grams, clean drops them") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),     // shares "quick brown fox"
+      (2L, "totally unrelated text here"),
+      (3L, "quick brown fox again appears")  // shares too
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox ran")).toDF("doc_id", "text")
+    val report = Decontaminate.overlapReport(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report === Map(1L -> 1L, 3L -> 1L))
+    val clean = Decontaminate.clean(corpus, bench, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq === Seq(2L))
+  }
+
+  test("incremental: merged shard states equal the full recompute") {
+    val full = Seq(
+      ("a", 1.25), ("a", 2.5), ("a", -0.75), ("b", 10.0), ("b", 0.125),
+      ("c", 3.0)).toDF("k", "value")
+    val shards = Seq(
+      full.filter(col("value") > 1), full.filter(col("value") <= 1))
+    val merged = Incremental.finish(
+      Incremental.mergeStates(shards.map(s =>
+        Incremental.aggState(s, Seq("k"), "value")), Seq("k")), Seq("k"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val direct = Incremental.finish(
+      Incremental.aggState(full, Seq("k"), "value"), Seq("k"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(merged === direct)
+    assert(merged("a") === ((3L, 3.0, 1.0)))
+  }
+
+  test("funnel: stages count only in order") {
+    val events = Seq(
+      // u1: full ordered funnel
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-02 00:00:00"), "click"),
+      (1L, ts("2024-01-03 00:00:00"), "purchase"),
+      // u2: purchase BEFORE click → depth 2, purchase not counted
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-02 00:00:00"), "purchase"),
+      (2L, ts("2024-01-03 00:00:00"), "click"),
+      // u3: click with no view → depth 0
+      (3L, ts("2024-01-01 00:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.reach(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 0))
+  }
+
+  test("chunk: stride windows, short doc yields one chunk") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 3 stride 2 → starts 1,3,5
+      (2L, "x y")            // shorter than size → one chunk
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunk(docs, "doc_id", "text", chunkSize = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3),
+      (2L, 0, "x y", 2)))
+  }
+
+  test("temperatureMix: quotas sum to total, stable under repartition") {
+    val df = (1 to 300).map { i =>
+      val src = if (i <= 200) "big" else if (i <= 280) "mid" else "small"
+      (i.toLong, src)
+    }.toDF("id", "src")
+    val a = Sampling.temperatureMix(df, "id", "src", alpha = 0.5, total = 50)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a.size === 50)
+    val b = Sampling.temperatureMix(df.repartition(7), "id", "src",
+      alpha = 0.5, total = 50).select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // alpha=0.5 flattens: small source gets MORE than its proportional
+    // share (proportional would be 50*20/300 ≈ 3)
+    val bySrc = Sampling.temperatureMix(df, "id", "src", alpha = 0.5, total = 50)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") >= 5)
+    assert(bySrc.values.sum === 50L)
+  }
+
+  test("rollingFeatures: frame math and next-event label") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 2.0),
+      (1L, ts("2024-01-02 00:00:00"), 2L, 4.0),
+      (1L, ts("2024-01-03 00:00:00"), 3L, 6.0),
+      (2L, ts("2024-01-01 00:00:00"), 4L, 10.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Training.rollingFeatures(events, Seq("user_id"), "ts",
+        "event_id", "value", frameRows = 2)
+      .orderBy("user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), Option(r.get(7)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1L, 2.0, 2.0, Some(4.0)),
+      (1L, 2L, 2L, 6.0, 3.0, Some(6.0)),
+      (1L, 3L, 2L, 10.0, 5.0, None),   // frame = rows 2..3
+      (2L, 4L, 1L, 10.0, 10.0, None)))
+  }
+}
