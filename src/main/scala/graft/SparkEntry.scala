@@ -905,6 +905,23 @@ object SparkEntry {
         valueCol = "value", frameRows = 6)
     }),
 
+    // ---- BM25 keyword retrieval: one corpus scan, window df, tiny
+    // broadcast stats, bounded-heap top-N — the lexical-search twin
+    // of the vector top-K path ----
+    "q82_bm25_search" -> ((s, dir) => {
+      graft.operators.Corpus.bm25Search(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text",
+        terms = Seq("hash", "join", "vector"), topN = 20)
+    }),
+
+    // ---- adjacent-token PMI: the co-occurrence statistic phrase /
+    // embedding pipelines are built on (two staged explodes, vocab-
+    // sized downstream) ----
+    "q83_cooccurrence_pmi" -> ((s, dir) => {
+      graft.operators.Corpus.cooccurrencePmi(Tables.documents(s, dir),
+        textCol = "text", minCount = 5)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -2078,6 +2095,52 @@ object SparkEntry {
         |FROM events
         |WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q82_bm25_search" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |stats AS (SELECT COUNT(*) AS N,
+         |  ${sqlAvg("CAST(len(w) AS DOUBLE)")} AS avglen FROM t),
+         |tf AS (SELECT doc_id, dlen, token, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, len(w) AS dlen, unnest(w) AS token FROM t)
+         |       WHERE token IN ('hash', 'join', 'vector')
+         |       GROUP BY doc_id, dlen, token),
+         |sc AS (SELECT doc_id, dlen, token, tf,
+         |         COUNT(*) OVER (PARTITION BY token) AS df FROM tf),
+         |x AS (SELECT doc_id,
+         |        ln(1.0 + (N - df + 0.5) / (df + 0.5))
+         |          * (tf * 2.2)
+         |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen / avglen))
+         |          AS term_score
+         |      FROM sc, stats)
+         |SELECT doc_id,
+         |  ROUND(${sqlSum("term_score", 8)}, 6) AS score,
+         |  COUNT(*) AS n_terms_hit
+         |FROM x GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q83_cooccurrence_pmi" ->
+      s"""WITH t AS (SELECT $sqlWords AS w FROM documents),
+         |uni AS (SELECT token, COUNT(*) AS c
+         |        FROM (SELECT unnest(w) AS token FROM t)
+         |        WHERE token <> '' GROUP BY token),
+         |ut AS (SELECT SUM(c) AS tot FROM uni),
+         |pr AS (SELECT pair, COUNT(*) AS c_ab
+         |       FROM (SELECT unnest(list_transform(
+         |               generate_series(1, greatest(len(w)-1, 1)),
+         |               i -> array_to_string(list_slice(w, i, i+1), ' ')))
+         |               AS pair FROM t)
+         |       WHERE len(string_split(pair, ' ')) = 2
+         |       GROUP BY pair HAVING COUNT(*) >= 5),
+         |pt AS (SELECT SUM(len(w) - 1) AS p FROM t WHERE len(w) > 1)
+         |SELECT string_split(pair, ' ')[1] AS tok_a,
+         |       string_split(pair, ' ')[2] AS tok_b,
+         |       c_ab, a.c AS c_a, b.c AS c_b,
+         |       ROUND(ln((CAST(c_ab AS DOUBLE) / pt.p) /
+         |         ((CAST(a.c AS DOUBLE) / ut.tot)
+         |          * (CAST(b.c AS DOUBLE) / ut.tot))), 6) AS pmi
+         |FROM pr
+         |JOIN uni a ON a.token = string_split(pair, ' ')[1]
+         |JOIN uni b ON b.token = string_split(pair, ' ')[2], ut, pt""".stripMargin,
 
     "q31_multimodal_meta" ->
       """SELECT doc_id,

@@ -107,6 +107,109 @@ object Corpus {
           .as("n_tokens"))
   }
 
+  /** BM25 keyword retrieval (Robertson/Spärck Jones): rank documents
+    * against a bag-of-terms query. Scores are rounded to `scale` dp
+    * BEFORE ranking (engine-portable ordering, cf. [[tfIdfTopTerms]]),
+    * ties broken by document id ascending.
+    *
+    * == Scale ==
+    * ONE scan of the corpus: the staged projection carries
+    * (id, len, token) through the explode with the non-query tokens
+    * filtered out immediately (the explode's output is |terms|-bounded
+    * per doc). Per-token document frequencies are a window over the
+    * small tf table; corpus stats (N, avg len) are one tiny aggregate
+    * broadcast back. The final top-N is TakeOrderedAndProject — a
+    * bounded heap, never a global sort.
+    */
+  def bm25Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      topN: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scale: Int = 6): DataFrame = {
+    require(terms.nonEmpty && topN > 0, "bm25 needs terms and topN > 0")
+    val staged = docs.select(col(idCol),
+      TextFunctions.words(col(textCol)).as("__w"))
+    // corpus stats: N and average doc length (decimal-sum → exact)
+    val stats = staged.agg(count(lit(1)).as("__N"),
+      graft.OracleMath.xavg(size(col("__w")).cast("double")).as("__avglen"))
+    val tf = staged
+      .select(col(idCol), size(col("__w")).as("__len"),
+        explode(col("__w")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("__len"), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+    // tf has one row per (doc, token) → df is a plain count window
+    val scored = tf
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__N") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__term_score",
+        col("__idf") * (col("__tf") * (k1 + 1)) /
+          (col("__tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avglen"))))
+    // per-term scores rounded then decimal-summed: the ≤|terms|-element
+    // sum is order-independent, so the rounded score — and the top-N
+    // cut — is identical on any engine
+    scored.groupBy(col(idCol))
+      .agg(round(graft.OracleMath.xsum(col("__term_score"), scale + 2), scale)
+        .as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topN)
+  }
+
+  /** Pointwise mutual information of adjacent token pairs — the
+    * co-occurrence statistic embedding/phrase pipelines are built on:
+    * `pmi(a,b) = ln( (c_ab/P) / ((c_a/T)·(c_b/T)) )` with P total
+    * pairs, T total tokens, keeping pairs with `c_ab >= minCount`.
+    * Rounded to `scale` dp; deterministic ordering by (pmi desc,
+    * pair asc).
+    *
+    * == Scale ==
+    * One explode for unigrams, one for adjacent pairs (both staged off
+    * a single word-split projection), each into a groupBy with
+    * map-side partial aggregation. Totals ride along as broadcast
+    * scalars. Everything downstream of the two counts is
+    * |vocab|-sized, not corpus-sized.
+    */
+  def cooccurrencePmi(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Int,
+      scale: Int = 6): DataFrame = {
+    val staged = docs.select(TextFunctions.words(col(textCol)).as("__w"))
+    val uni = staged.select(explode(col("__w")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum(col("c")).as("__T"))
+    val pairs = staged
+      .select(explode(TextFunctions.shinglesFromWords(col("__w"), 2)).as("pair"))
+      .filter(size(split(col("pair"), " ")) === 2)
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val pairTot = staged
+      .select((size(col("__w")) - 1).as("n"))
+      .filter(col("n") > 0)
+      .agg(sum(col("n")).as("__P"))
+    pairs
+      .withColumn("tok_a", split(col("pair"), " ").getItem(0))
+      .withColumn("tok_b", split(col("pair"), " ").getItem(1))
+      .join(uni.withColumnRenamed("token", "tok_a")
+        .withColumnRenamed("c", "c_a"), "tok_a")
+      .join(uni.withColumnRenamed("token", "tok_b")
+        .withColumnRenamed("c", "c_b"), "tok_b")
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(pairTot))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log((col("c_ab").cast("double") / col("__P")) /
+          ((col("c_a").cast("double") / col("__T")) *
+            (col("c_b").cast("double") / col("__T")))), scale).as("pmi"))
+  }
+
   /** Equal-width histogram of a numeric column: `buckets` bins spanning
     * [min, max], the max value clamped into the last bin. Bin edges ride
     * along so the result is self-describing. One aggregate for the

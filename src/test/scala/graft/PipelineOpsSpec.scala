@@ -115,6 +115,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(bySrc.values.sum === 50L)
   }
 
+  test("bm25: term saturation and length normalization rank as expected") {
+    val docs = Seq(
+      (1L, "cat cat cat cat dog"),          // high tf(cat), short
+      (2L, "cat mouse bird fish lion bear wolf deer"), // one cat, long
+      (3L, "dog dog dog"),                  // no query term
+      (4L, "cat cat")                       // 2x cat, shortest
+    ).toDF("doc_id", "text")
+    val got = Corpus.bm25Search(docs, "doc_id", "text",
+        terms = Seq("cat"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // doc 3 absent; doc 4 beats doc 2 (shorter, more hits); scores > 0
+    assert(got.map(_._1).toSet === Set(1L, 2L, 4L))
+    assert(got.forall(_._3 === 1L))
+    val score = got.map(t => t._1 -> t._2).toMap
+    assert(score(4L) > score(2L))
+    assert(got.forall(_._2 > 0))
+  }
+
+  test("cooccurrencePmi: frequent collocation scores above independence") {
+    // "new york" always adjacent; "aa"/"bb" frequent but never adjacent
+    val rows = (1 to 10).map(i => (i.toLong, "new york aa bb")) ++
+      Seq((11L, "bb aa"), (12L, "aa"), (13L, "bb"))
+    val got = Corpus.cooccurrencePmi(rows.toDF("doc_id", "text"), "text",
+        minCount = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(5)))).toMap
+    val (nyCount, nyPmi) = got(("new", "york"))
+    assert(nyCount === 10L)
+    assert(nyPmi > 0) // collocated far above chance
+    // adjacent pair "york aa" exists 10 times too but its PMI is lower
+    // than the perfect collocation (york follows new exclusively)
+    assert(got(("york", "aa"))._2 <= nyPmi)
+  }
+
   test("rollingFeatures: frame math and next-event label") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, 2.0),
