@@ -149,6 +149,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got(("york", "aa"))._2 <= nyPmi)
   }
 
+  test("plan shapes: decontaminate broadcasts, gram matrix partial-aggregates") {
+    val docs = Tables.documents(spark, sf)
+    val decon = Decontaminate.overlapReport(
+      docs.filter(col("doc_id") % 41 =!= 0),
+      docs.filter(col("doc_id") % 41 === 0), "doc_id", "text", 3)
+    val dplan = decon.queryExecution.executedPlan.toString
+    // the corpus side must probe a broadcast gram set, never sort-merge
+    assert(dplan.contains("BroadcastHashJoin"), dplan.take(2000))
+    assert(!dplan.contains("SortMergeJoin"), dplan.take(2000))
+    val gram = LinAlg.gramUpper(
+      Tables.embeddings(spark, sf)
+        .select(LinAlg.microVec(col("embedding")).as("m")), col("m"))
+    val gplan = gram.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate runs as ObjectHashAggregate with a
+    // partial stage: triangle buffers cross the shuffle, not rows
+    assert(gplan.contains("ObjectHashAggregate"), gplan.take(2000))
+    assert(gplan.contains("partial_graft_gram_matrix") ||
+      gplan.contains("graft_gram_matrix"), gplan.take(2000))
+  }
+
   test("rollingFeatures: frame math and next-event label") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, 2.0),
