@@ -118,6 +118,47 @@ object Ingest {
     latest.unpersist()
   }
 
+  /** Streaming incremental-aggregate maintenance: each micro-batch is
+    * reduced to its per-key (count, decimal-sum) state and MERGED into
+    * the persisted state table ([[graft.operators.Incremental]]) — the
+    * streaming twin of delta-based materialized-view refresh. Only the
+    * batch and the (key-cardinality-sized) state are touched per
+    * trigger; raw history is never rescanned, and the merge is exact
+    * regardless of how events were batched (decimal sums are
+    * order-independent).
+    */
+  def incrementalAggSink(
+      stream: DataFrame,
+      path: String,
+      keys: Seq[String],
+      valueCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        incrementalAggBatch(batch, path, keys, valueCol)
+      }
+
+  /** One micro-batch state merge (staging + swap like [[upsertBatch]]). */
+  def incrementalAggBatch(batch: DataFrame, path: String, keys: Seq[String],
+      valueCol: String): Unit = {
+    import graft.operators.Incremental
+    val spark = batch.sparkSession
+    val delta = Incremental.aggState(batch, keys, valueCol)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val merged =
+      if (fs.exists(target))
+        Incremental.mergeStates(Seq(spark.read.parquet(path), delta), keys)
+      else delta
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(staging, target)
+  }
+
   /** ST7 as a TYPED stateful operator: the reference's per-(user, week)
     * read-modify-write (`persistToBucket`, click.go:61-91 — read stored
     * list, merge, sort desc, cap, write back) expressed with

@@ -55,6 +55,28 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(out === Array((1L, "x", 1L), (2L, "y2", 2L)))
   }
 
+  test("incrementalAggSink: streamed state merge equals full recompute") {
+    val src = tmp("graft-inc-src")
+    val store = tmp("graft-inc-store") + "/agg_state"
+    val ckpt = tmp("graft-inc-ckpt")
+    Seq(("a", 1.5), ("a", 2.5), ("b", 10.0)).toDF("k", "value")
+      .write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    Ingest.incrementalAggSink(Ingest.fileSource(spark, src, schema),
+      store, Seq("k"), "value", ckpt).start().awaitTermination()
+    // second batch arrives later; only IT is scanned, state is merged
+    Seq(("a", -1.0), ("c", 7.0)).toDF("k", "value")
+      .write.mode("append").parquet(src)
+    Ingest.incrementalAggSink(Ingest.fileSource(spark, src, schema),
+      store, Seq("k"), "value", ckpt).start().awaitTermination()
+    val got = graft.operators.Incremental
+      .finish(spark.read.parquet(store), Seq("k"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map("a" -> ((3L, 3.0)), "b" -> ((1L, 10.0)),
+      "c" -> ((1L, 7.0))))
+  }
+
   test("jsonEvents decodes typed columns; malformed rows null out (F14/ST8)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
