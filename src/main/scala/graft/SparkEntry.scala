@@ -922,6 +922,16 @@ object SparkEntry {
         textCol = "text", minCount = 5)
     }),
 
+    // ---- cross-corpus LSH linkage join: near-dups of a query set
+    // inside the corpus (record linkage / entity resolution) — band
+    // buckets equi-joined, never a cross join ----
+    "q84_lsh_linkage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.minhashLshLink(docs, queries, n = 3, k = 8, bands = 4,
+        threshold = 0.2)
+    }),
+
     // ---- multimodal: binary column + batch-decoded metadata ----
     "q31_multimodal_meta" -> ((s, dir) => {
       val withBin = Tables.documents(s, dir)
@@ -2142,6 +2152,23 @@ object SparkEntry {
          |JOIN uni a ON a.token = string_split(pair, ' ')[1]
          |JOIN uni b ON b.token = string_split(pair, ' ')[2], ut, pt""".stripMargin,
 
+    "q84_lsh_linkage" ->
+      s"""WITH $sqlMinhashBandCtes,
+         |lcand AS (
+         |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+         |         l.sh AS sha, r.sh AS shb
+         |  FROM banded l JOIN banded r
+         |    ON l.band_idx = r.band_idx AND l.bucket = r.bucket
+         |   AND r.doc_id % 5 = 0 AND l.doc_id <> r.doc_id)
+         |SELECT left_id, right_id, jaccard FROM (
+         |  SELECT left_id, right_id,
+         |    CAST(len(list_intersect(list_distinct(sha), list_distinct(shb)))
+         |      AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(list_distinct(sha),
+         |        list_distinct(shb)))) AS DOUBLE) AS jaccard
+         |  FROM lcand)
+         |WHERE jaccard >= 0.2""".stripMargin,
+
     "q31_multimodal_meta" ->
       """SELECT doc_id,
         |  CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'png'
@@ -2155,7 +2182,10 @@ object SparkEntry {
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and
     * q42 (connected components over the pairs). Ends with `mh_pairs`
     * (id_a, id_b, jaccard ≥ 0.2). */
-  private def sqlMinhashPairCtes: String =
+  /** MinHash banding CTE prefix (shingles → signatures → band
+    * buckets), shared by the within-corpus pair chain and the q84
+    * cross-corpus linkage oracle. Ends with `banded`. */
+  private def sqlMinhashBandCtes: String =
     s"""sh AS (SELECT doc_id, $sqlShingles AS sh
        |            FROM (SELECT doc_id, $sqlWords AS w FROM documents)),
        |hs AS (SELECT doc_id, sh,
@@ -2167,7 +2197,10 @@ object SparkEntry {
        |  SELECT doc_id, sh, b.band_idx,
        |    array_to_string(list_slice(sig, b.band_idx*2+1, b.band_idx*2+2), ',')
        |      AS bucket
-       |  FROM sig, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+       |  FROM sig, (SELECT unnest([0,1,2,3]) AS band_idx) b)""".stripMargin
+
+  private def sqlMinhashPairCtes: String =
+    s"""$sqlMinhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
        |         l.sh AS sha, r.sh AS shb

@@ -53,6 +53,24 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
     assert(j > 0.4 && j < 1.0)
   }
 
+  test("minhashLshLink: cross-corpus roles preserved, identity excluded") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and looked at the dog outside"),
+      (2L, "the cat sat on the mat and looked at the dog inside"),
+      (3L, "completely different words appear here nothing shared at all today")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "the cat sat on the mat and looked at the dog outside"), // = doc 1
+      (3L, "completely different words appear here nothing shared at all today")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshLink(corpus, queries, n = 3, k = 8, bands = 4,
+        threshold = 0.4)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // query 10 links to corpus 1 (identical) and 2 (near-dup); the
+    // query with the SAME id as corpus doc 3 is identity-excluded
+    assert(got === Set((1L, 10L), (2L, 10L)))
+  }
+
   test("simhash: identical → distance 0; near-identical → small distance") {
     val df = Seq(
       ("the cat sat on the mat", "the cat sat on the mat"),
