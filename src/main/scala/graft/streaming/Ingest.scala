@@ -126,6 +126,12 @@ object Ingest {
     * trigger; raw history is never rescanned, and the merge is exact
     * regardless of how events were batched (decimal sums are
     * order-independent).
+    *
+    * Unlike last-write-wins MERGE ([[upsertSink]]), a count/sum merge
+    * is NOT naturally idempotent, so the foreachBatch `batchId` is
+    * recorded with the state and replayed batches (at-least-once
+    * delivery after a crash between the state swap and the checkpoint
+    * commit) are skipped instead of double-counted.
     */
   def incrementalAggSink(
       stream: DataFrame,
@@ -136,25 +142,52 @@ object Ingest {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        incrementalAggBatch(batch, path, keys, valueCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalAggBatch(batch, path, keys, valueCol, batchId)
       }
 
-  /** One micro-batch state merge (staging + swap like [[upsertBatch]]). */
+  /** Marker file recording the last applied foreachBatch id. It lives
+    * INSIDE the state directory (underscore-prefixed — parquet readers
+    * ignore it), so the directory swap commits data + marker in one
+    * atomic rename. */
+  private val LastBatchMarker = "_graft_last_batch_id"
+
+  private def readLastBatchId(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long = {
+    val marker = new org.apache.hadoop.fs.Path(dir, LastBatchMarker)
+    if (!fs.exists(marker)) Long.MinValue
+    else {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** One micro-batch state merge (staging + swap like [[upsertBatch]]).
+    * `batchId >= 0` makes the merge idempotent: a batch whose id is
+    * <= the state's recorded last-applied id is a replay and is
+    * skipped. Batch-mode callers may omit it (every call applies). */
   def incrementalAggBatch(batch: DataFrame, path: String, keys: Seq[String],
-      valueCol: String): Unit = {
+      valueCol: String, batchId: Long = Long.MinValue): Unit = {
     import graft.operators.Incremental
     val spark = batch.sparkSession
     val delta = Incremental.aggState(batch, keys, valueCol)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    if (batchId != Long.MinValue && fs.exists(target) &&
+        batchId <= readLastBatchId(fs, target)) return
     val merged =
       if (fs.exists(target))
         Incremental.mergeStates(Seq(spark.read.parquet(path), delta), keys)
       else delta
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     merged.write.mode("overwrite").parquet(staging.toString)
+    if (batchId != Long.MinValue) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, LastBatchMarker), true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(staging, target)
   }
