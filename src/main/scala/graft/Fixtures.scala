@@ -44,6 +44,22 @@ object Fixtures {
       FeatureDef("embedding", FeatureType.FP32Vector,
         default = Seq.fill(64)(0.0f), vectorLength = 64)))
 
+  /** Evolving-schema variant of [[customerProfile]]: the FG is on
+    * schema version 3; `c_acctbal` was added in v2 and `c_mktsegment`
+    * in v3. A row written under an older version resolves the missing
+    * features to the active version's defaults
+    * (`retrieve.go:833-858` — seq == -1 in the written version →
+    * active-version default). */
+  val customerProfileVersioned: FeatureGroupDef = FeatureGroupDef(
+    label = "profile_versioned", id = 6,
+    features = Seq(
+      FeatureDef("c_name", FeatureType.Str, default = "N/A"),
+      FeatureDef("c_acctbal", FeatureType.FP64, default = 0.0,
+        sinceVersion = 2),
+      FeatureDef("c_mktsegment", FeatureType.Str, default = "NONE",
+        sinceVersion = 3)),
+    activeVersion = 3)
+
   val customerEntity: EntityDef = EntityDef(
     "customer", Seq("c_custkey"), Seq(customerProfile, customerOrderStats))
 

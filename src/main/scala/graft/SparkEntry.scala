@@ -17,6 +17,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Scratch path for persisted index layouts (q48/q58 exercise the
+    * stored-code read path), keyed by index kind + source sf dir. */
+  private def indexPath(kind: String, sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-idx-$kind-" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- headline aggregation (TPC-H q1 shape; A2-style groupBy) ----
     "q1_pricing_agg" -> ((s, dir) => {
@@ -540,12 +546,18 @@ object SparkEntry {
     }),
 
     // ---- IVF x int8 composition: cell-pruned probe + integer-dot
-    // re-rank (directory pruning x 4x-smaller payload at scale) ----
+    // re-rank (directory pruning x 4x-smaller payload at scale). Runs
+    // against the PERSISTED layout: codes+scales are materialized at
+    // build (Layout.writeIvf) and the query scans only the code
+    // columns — the embedding floats are column-pruned away ----
     "q48_ann_ivf_int8" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
-      graft.operators.IvfIndex.build(emb, cells = 8)
+      val path = indexPath("ivf-int8", dir)
+      graft.sources.Layout.writeIvf(
+        graft.operators.IvfIndex.build(emb, cells = 8), path)
+      graft.sources.Layout.loadIvf(s, path)
         .searchInt8(queries, k = 10, nProbe = 2)
     }),
 
@@ -671,8 +683,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
-      graft.operators.PqIndex.build(emb, m = 8, k = 16)
-        .searchDot(queries, kResults = 10)
+      // persisted layout: the m-byte codes are the stored corpus payload;
+      // the ADC query scans codes + codebook only, never the embeddings
+      val path = indexPath("pq", dir)
+      graft.sources.Layout.writePq(
+        graft.operators.PqIndex.build(emb, m = 8, k = 16), path)
+      graft.sources.Layout.loadPq(s, path).searchDot(queries, kResults = 10)
     }),
 
     // ---- OPQ-lite: variance-balanced subspace allocation before PQ
@@ -942,6 +958,49 @@ object SparkEntry {
           col("media_meta.width").as("width"),
           col("media_meta.height").as("height"),
           col("media_meta.n_bytes").as("n_bytes"))
+    }),
+
+    // ---- the streaming incremental-aggregate sink driven end-to-end:
+    // events stream in via the file source (Kafka stand-in), the
+    // foreachBatch merge maintains the per-key (cnt, decimal-sum)
+    // state table through the crash-safe swap, and a SECOND run
+    // against the same checkpoint must be a no-op (replay marker) —
+    // the state the driver checks is the real sink output ----
+    "q86_streaming_agg_state" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val keys = Seq("user_id", "event_type")
+      val base = java.nio.file.Files.createTempDirectory("graft-q86").toString
+      val in = s"$base/in"
+      val statePath = s"$base/state"
+      val ckpt = s"$base/ckpt"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$in/events.parquet"))
+      val schema = Tables.load(s, dir, "events").schema
+      Ingest.incrementalAggSink(
+          Ingest.fileSource(s, in, schema), statePath, keys, "value", ckpt)
+        .start().awaitTermination()
+      // restart on the same checkpoint: no new files + the scoped
+      // replay marker ⇒ state unchanged
+      Ingest.incrementalAggSink(
+          Ingest.fileSource(s, in, schema), statePath, keys, "value", ckpt)
+        .start().awaitTermination()
+      graft.operators.Incremental.finish(s.read.parquet(statePath), keys)
+    }),
+
+    // ---- per-row schema-version resolution on read: each stored row
+    // resolves requested features against the version it was WRITTEN
+    // under; features added later read as the active default
+    // (retrieve.go:819-858). Synthetic written-version column keeps the
+    // oracle deterministic ----
+    "q85_schema_version_read" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .withColumn("schema_version", (col("c_custkey") % 3 + 1).cast("int"))
+      val keys = cust.select(col("c_custkey"))
+      FeatureStore.retrieve(keys, cust, Seq("c_custkey"),
+        Fixtures.customerProfileVersioned,
+        Seq("c_name", "c_acctbal", "c_mktsegment"))
     })
   )
 
@@ -1013,7 +1072,7 @@ object SparkEntry {
          |                      ELSE e0 END AS ea FROM e0t)
          |SELECT c_custkey, xv AS c_acctbal,
          |  ${sqlMinifloat(10, -14, "65504.0")} AS c_acctbal__fp16,
-         |  ${sqlMinifloat(3, -6, "448.0")} AS c_acctbal__fp8e4m3,
+         |  ${sqlMinifloat(3, -6, "448.0", infOnOverflow = false)} AS c_acctbal__fp8e4m3,
          |  ${sqlMinifloat(2, -14, "57344.0")} AS c_acctbal__fp8e5m2
          |FROM et""".stripMargin,
 
@@ -2061,13 +2120,18 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     "q79_chunks" ->
-      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents)
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |s AS (SELECT doc_id, w, greatest(len(w) - 63, 1) AS ls FROM t),
+         |st AS (SELECT doc_id, w, CASE WHEN (ls - 1) % 48 = 0
+         |         THEN generate_series(1, ls, 48)
+         |         ELSE list_append(generate_series(1, ls, 48), ls) END AS starts
+         |       FROM s)
          |SELECT doc_id,
-         |  CAST((start - 1) // 48 AS INT) AS chunk_idx,
+         |  CAST((start - 1) // 48
+         |    + CASE WHEN (start - 1) % 48 = 0 THEN 0 ELSE 1 END AS INT) AS chunk_idx,
          |  array_to_string(list_slice(w, start, start + 63), ' ') AS chunk_text,
          |  CAST(least(64, len(w) - start + 1) AS INT) AS n_tokens
-         |FROM t, unnest(generate_series(1, greatest(len(w) - 63, 1), 48))
-         |       AS u(start)""".stripMargin,
+         |FROM st, unnest(starts) AS u(start)""".stripMargin,
 
     "q80_temperature_mix" ->
       s"""WITH corpus AS (SELECT doc_id, source, lang FROM documents
@@ -2076,14 +2140,30 @@ object SparkEntry {
          |w AS (SELECT source,
          |        CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000000) AS BIGINT)
          |          AS wm FROM cnt),
-         |a AS (SELECT source, wm, SUM(wm) OVER () AS tw FROM w),
-         |b AS (SELECT source, wm, tw, (wm * 100) // tw AS base,
-         |        (wm * 100) % tw AS rem FROM a),
-         |c AS (SELECT *, 100 - SUM(base) OVER () AS leftover,
+         |a AS (SELECT cnt.source, n, wm, SUM(wm) OVER () AS tw,
+         |        COALESCE(SUM(n) OVER pre, 0) AS cumnp,
+         |        COALESCE(SUM(wm) OVER pre, 0) AS cumwp
+         |      FROM w JOIN cnt USING (source)
+         |      WINDOW pre AS (ORDER BY CAST(n AS DOUBLE) / wm ASC, source ASC
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |s AS (SELECT *, MIN(CASE WHEN wm * (100 - cumnp) >= n * (tw - cumwp)
+         |                         THEN 1 ELSE 0 END)
+         |        OVER (ORDER BY CAST(n AS DOUBLE) / wm ASC, source ASC
+         |              ROWS UNBOUNDED PRECEDING) = 1 AS sat FROM a),
+         |u AS (SELECT *,
+         |        100 - COALESCE(SUM(CASE WHEN sat THEN n END) OVER (), 0) AS rr,
+         |        COALESCE(SUM(CASE WHEN NOT sat THEN wm END) OVER (), 0) AS uw
+         |      FROM s),
+         |b AS (SELECT *,
+         |        CASE WHEN sat OR uw = 0 THEN 0 ELSE (wm * rr) // uw END AS base,
+         |        CASE WHEN sat OR uw = 0 THEN -1 ELSE (wm * rr) % uw END AS rem
+         |      FROM u),
+         |c AS (SELECT *, rr - SUM(base) OVER () AS leftover,
          |        ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
          |      FROM b),
          |q AS (SELECT source,
-         |        CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |        CAST(CASE WHEN sat THEN n ELSE least(
+         |          base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n) END
          |          AS BIGINT) AS quota FROM c),
          |r AS (SELECT corpus.*,
          |        ROW_NUMBER() OVER (PARTITION BY source
@@ -2176,7 +2256,27 @@ object SparkEntry {
         |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
         |  CAST(1 + octet_length(encode(text)) % 64 AS INT) AS height,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the streamed state table must equal the one-shot aggregate over
+    // all events — merge exactness + replay protection in one check
+    "q86_streaming_agg_state" ->
+      s"""SELECT user_id, event_type, COUNT(value) AS cnt,
+         |  ${sqlSum("value")} AS val_sum,
+         |  ${sqlAvg("value")} AS val_avg
+         |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    // the fallback rule as CASE over the row's written version:
+    // c_acctbal exists since v2, c_mktsegment since v3 (active = 3)
+    "q85_schema_version_read" ->
+      """SELECT c_custkey,
+        |  COALESCE(c_name, 'N/A') AS c_name,
+        |  CASE WHEN (c_custkey % 3 + 1) >= 2
+        |       THEN COALESCE(c_acctbal, 0.0) ELSE 0.0 END AS c_acctbal,
+        |  CASE WHEN (c_custkey % 3 + 1) >= 3
+        |       THEN COALESCE(c_mktsegment, 'NONE') ELSE 'NONE' END
+        |    AS c_mktsegment
+        |FROM customer""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and
@@ -2234,18 +2334,24 @@ object SparkEntry {
   /** SQL twin of [[graft.functions.Minifloat.roundTo]], reading columns
     * `xv` (signed value), `a` (abs) and `ea` (adjusted binade exponent)
     * from the enclosing query. round_even == Math.rint; every step and
-    * comparison is exact in binary64.
+    * comparison is exact in binary64. Overflow pins the reference byte
+    * conversions: formats with an Inf encoding (fp16/e5m2) round
+    * overflow to ±Inf; e4m3 (no Inf) lands on the NaN byte.
     */
-  private def sqlMinifloat(manBits: Int, minExp: Int, maxFinite: String): String = {
+  private def sqlMinifloat(manBits: Int, minExp: Int, maxFinite: String,
+      infOnOverflow: Boolean = true): String = {
     val e = s"GREATEST(ea, $minExp)"
     def rAt(exp: String): String =
       s"round_even(a / power(2.0, $exp - $manBits), 0) * power(2.0, $exp - $manBits)"
     val r1 = rAt(e)
     val r2 = rAt(s"$e + 1")
-    s"""CAST(CASE WHEN a = 0 THEN xv ELSE
-       |    (CASE WHEN xv < 0 THEN -1.0 ELSE 1.0 END) *
-       |    LEAST(CASE WHEN $r1 >= power(2.0, $e + 1) THEN $r2 ELSE $r1 END,
-       |          $maxFinite)
+    val r = s"CASE WHEN $r1 >= power(2.0, $e + 1) THEN $r2 ELSE $r1 END"
+    val overflow =
+      if (infOnOverflow) s"(CASE WHEN xv < 0 THEN -1.0 ELSE 1.0 END) * CAST('Infinity' AS DOUBLE)"
+      else "CAST('NaN' AS DOUBLE)"
+    s"""CAST(CASE WHEN a = 0 THEN xv
+       |    WHEN $r > $maxFinite THEN $overflow
+       |    ELSE (CASE WHEN xv < 0 THEN -1.0 ELSE 1.0 END) * ($r)
        |  END AS FLOAT)""".stripMargin
   }
 

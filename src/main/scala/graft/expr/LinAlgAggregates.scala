@@ -58,15 +58,38 @@ case class GramMatrix(
     val d = arr.numElements()
     if (buf.d == 0) { buf.d = d; buf.tri = new Array[Long](d * (d + 1) / 2) }
     require(d == buf.d, s"gram_matrix: dim mismatch ($d vs ${buf.d})")
-    val x = arr.toLongArray()
     val tri = buf.tri
-    var i = 0
-    var k = 0
-    while (i < d) {
-      val xi = x(i)
-      var j = i
-      while (j < d) { tri(k) += xi * x(j); j += 1; k += 1 }
-      i += 1
+    var hasNull = false
+    var p = 0
+    while (p < d && !hasNull) { hasNull = arr.isNullAt(p); p += 1 }
+    if (!hasNull) {
+      val x = arr.toLongArray()
+      var i = 0
+      var k = 0
+      while (i < d) {
+        val xi = x(i)
+        var j = i
+        while (j < d) { tri(k) += xi * x(j); j += 1; k += 1 }
+        i += 1
+      }
+    } else {
+      // SQL SUM-skip parity: a product involving a null element is null
+      // and contributes nothing to that cell; the row's other cells
+      // still accumulate (matches the oracle's SUM(v[i]*v[j]))
+      var i = 0
+      var k = 0
+      while (i < d) {
+        if (arr.isNullAt(i)) k += d - i
+        else {
+          val xi = arr.getLong(i)
+          var j = i
+          while (j < d) {
+            if (!arr.isNullAt(j)) tri(k) += xi * arr.getLong(j)
+            j += 1; k += 1
+          }
+        }
+        i += 1
+      }
     }
     buf
   }

@@ -6,11 +6,20 @@ package graft.functions
   * (`online-feature-store/internal/quantization/quantization_utils.go:123-268`,
   * `pkg/float8/float8_e4m3.go`, `float8_e5m2.go`). Spark has no reduced-
   * precision types, so the engine reproduces the semantics: quantize =
-  * round the value to the nearest representable minifloat (ties to even,
-  * finite overflow saturates to ±max-finite) and return it widened back
-  * to float. Formats follow the public IEEE-754 half and OCP 8-bit
-  * floating point specifications: fp16 = 1-5-10 bias 15, e4m3 = 1-4-3
-  * bias 7 (no infinities, max 448), e5m2 = 1-5-2 bias 15 (max 57344).
+  * round the value to the nearest representable minifloat (ties to even)
+  * and return it widened back to float. Formats follow the public
+  * IEEE-754 half and OCP 8-bit floating point specifications: fp16 =
+  * 1-5-10 bias 15, e4m3 = 1-4-3 bias 7 (no infinities, max 448),
+  * e5m2 = 1-5-2 bias 15 (max 57344).
+  *
+  * Specials pin the reference byte-level conversions exactly:
+  *  - fp16 / e5m2 HAVE infinities: finite overflow rounds to ±Inf and
+  *    ±Inf passes through (`float8_e5m2.go:37-42` emits 0x7C = Inf for
+  *    |f| ≥ 2^16; fp16 via the IEEE x448/float16 lib).
+  *  - e4m3 has NO infinity encoding: overflow and ±Inf land on the
+  *    all-ones byte 0x7f, which decodes as NaN
+  *    (`float8_e4m3.go:34-35,69-71`) — so overflow → NaN, not
+  *    saturation.
   *
   * All arithmetic is in double: every representable value, step size and
   * rounding midpoint of these formats is exact in binary64, so
@@ -19,10 +28,14 @@ package graft.functions
 object Minifloat extends Serializable {
 
   /** Round `v` to a minifloat with `manBits` mantissa bits, minimum
-    * normal exponent `minExp`, and largest finite value `maxFinite`. */
-  private def roundTo(v: Double, manBits: Int, minExp: Int, maxFinite: Double): Double = {
+    * normal exponent `minExp`, and largest finite value `maxFinite`.
+    * `infOnOverflow`: true → format has ±Inf (fp16/e5m2), overflow
+    * rounds to ±Inf; false → no-Inf format (e4m3), overflow → NaN. */
+  private def roundTo(v: Double, manBits: Int, minExp: Int, maxFinite: Double,
+      infOnOverflow: Boolean): Double = {
     if (java.lang.Double.isNaN(v)) return Double.NaN
-    if (java.lang.Double.isInfinite(v)) return v
+    if (java.lang.Double.isInfinite(v))
+      return if (infOnOverflow) v else Double.NaN
     val a = math.abs(v)
     if (a == 0.0) return v
     // exponent of the target bucket; clamp to minExp for subnormals
@@ -35,7 +48,10 @@ object Minifloat extends Serializable {
       step = Math.scalb(1.0, e + 1 - manBits)
       r = Math.rint(a / step) * step
     }
-    if (r > maxFinite) r = maxFinite // saturating conversion
+    if (r > maxFinite)
+      return if (infOnOverflow) {
+        if (v < 0) Double.NegativeInfinity else Double.PositiveInfinity
+      } else Double.NaN
     if (v < 0) -r else r
   }
 
@@ -43,7 +59,7 @@ object Minifloat extends Serializable {
   final val E4M3MaxFinite   = 448.0
   final val E5M2MaxFinite   = 57344.0
 
-  def fp16(v: Double): Float    = roundTo(v, 10, -14, Fp16MaxFinite).toFloat
-  def fp8e4m3(v: Double): Float = roundTo(v, 3, -6, E4M3MaxFinite).toFloat
-  def fp8e5m2(v: Double): Float = roundTo(v, 2, -14, E5M2MaxFinite).toFloat
+  def fp16(v: Double): Float    = roundTo(v, 10, -14, Fp16MaxFinite, infOnOverflow = true).toFloat
+  def fp8e4m3(v: Double): Float = roundTo(v, 3, -6, E4M3MaxFinite, infOnOverflow = false).toFloat
+  def fp8e5m2(v: Double): Float = roundTo(v, 2, -14, E5M2MaxFinite, infOnOverflow = true).toFloat
 }

@@ -206,11 +206,31 @@ final case class IvfIndex(
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Materialize int8 codes + scales as stored columns of the assigned
+    * table (column names [[IvfIndex.Int8CodeCol]]/[[IvfIndex.Int8ScaleCol]]).
+    * [[searchInt8]] then reads the codes instead of re-quantizing the
+    * float embeddings on every query run — at 100 TB the 4×-smaller
+    * code payload IS the point of int8 (the reference persists indexed
+    * vectors in its vector store,
+    * `skye/internal/repositories/embedding/embedding_store.go:114-180`).
+    * [[graft.sources.Layout.writeIvf]] calls this before persisting, so
+    * a loaded index scans (id, cell_id, scale, code) and prunes the
+    * embedding column away entirely. The arithmetic is identical to the
+    * derive-on-read path, so results are bit-equal either way. */
+  def materializeInt8(embCol: String = "embedding"): IvfIndex =
+    copy(assigned = assigned
+      .withColumn(IvfIndex.Int8ScaleCol, Similarity.int8Scale(col(embCol)))
+      .withColumn(IvfIndex.Int8CodeCol,
+        Similarity.int8Codes(col(embCol).cast("array<double>"),
+          col(IvfIndex.Int8ScaleCol))))
+
   /** Cell-pruned search with int8-quantized scoring: the probe runs on
     * float centroids, the re-rank on int8 codes with the integer dot
     * kernel — the composition a 100 TB corpus wants (directory-pruned
     * scan × 4×-smaller vector payload). Deterministic end to end, so
-    * it carries a full SQL oracle (q48). */
+    * it carries a full SQL oracle (q48). Uses codes materialized by
+    * [[materializeInt8]] when the assigned table carries them (the
+    * stored-index fast path); otherwise derives them inline. */
   def searchInt8(
       queries: DataFrame,
       k: Int,
@@ -232,12 +252,19 @@ final case class IvfIndex(
       .filter(col("__r") <= nProbe)
       .select(col(queryIdCol), col("__qs"), col("__qc"),
         col("cell_id").cast(assigned.schema("cell_id").dataType).as("cell_id"))
-    val corp = assigned
-      .select(col(idCol), col("cell_id"),
-        Similarity.int8Scale(col(embCol)).as("__s"),
-        col(embCol).cast("array<double>").as(embCol))
-      .select(col(idCol), col("cell_id"), col("__s"),
-        Similarity.int8Codes(col(embCol), col("__s")).as("__c"))
+    val corp =
+      if (assigned.columns.contains(IvfIndex.Int8CodeCol) &&
+          assigned.columns.contains(IvfIndex.Int8ScaleCol))
+        // stored codes: the scan never touches the embedding column
+        assigned.select(col(idCol), col("cell_id"),
+          col(IvfIndex.Int8ScaleCol).as("__s"),
+          col(IvfIndex.Int8CodeCol).as("__c"))
+      else assigned
+        .select(col(idCol), col("cell_id"),
+          Similarity.int8Scale(col(embCol)).as("__s"),
+          col(embCol).cast("array<double>").as(embCol))
+        .select(col(idCol), col("cell_id"), col("__s"),
+          Similarity.int8Codes(col(embCol), col("__s")).as("__c"))
     val scored = corp.join(qCells, "cell_id")
       .select(col(queryIdCol), col(idCol),
         (Similarity.dotInt8(col("__c"), col("__qc")) * col("__s") * col("__qs"))
@@ -249,6 +276,10 @@ final case class IvfIndex(
 }
 
 object IvfIndex {
+
+  /** Stored-code column names written by [[IvfIndex.materializeInt8]]. */
+  val Int8CodeCol  = "int8_code"
+  val Int8ScaleCol = "int8_scale"
 
   /** Nearest-centroid assignment: corpus × broadcast(centroids), keep
     * the closest cell per vector (ties → lowest cell_id). One broadcast

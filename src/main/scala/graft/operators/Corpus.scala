@@ -95,11 +95,19 @@ object Corpus {
       "chunk needs chunkSize > 0 and stride > 0")
     val staged = docs.select(col(idCol),
       TextFunctions.words(col(textCol)).as("__w"))
+    // stride-sequence starts, plus a final window ANCHORED at
+    // len-chunkSize+1 when the sequence doesn't land there — otherwise
+    // up to stride-1 trailing tokens would appear in no chunk (silent
+    // data loss for a pretraining chunker). The anchored tail keeps
+    // every chunk full-size; only docs shorter than chunkSize yield a
+    // partial chunk.
+    val lastStart = greatest(size(col("__w")) - (chunkSize - 1), lit(1))
+    val seqStarts = sequence(lit(1), lastStart, lit(stride))
+    val starts = when((lastStart - 1) % stride === 0, seqStarts)
+      .otherwise(concat(seqStarts, array(lastStart)))
     staged
       .select(col(idCol), col("__w"),
-        posexplode(sequence(lit(1),
-          greatest(size(col("__w")) - (chunkSize - 1), lit(1)), lit(stride)))
-          .as(Seq("chunk_idx", "__start")))
+        posexplode(starts).as(Seq("chunk_idx", "__start")))
       .select(col(idCol), col("chunk_idx"),
         concat_ws(" ", slice(col("__w"), col("__start"), lit(chunkSize)))
           .as("chunk_text"),

@@ -49,6 +49,16 @@ object FeatureStore {
     * @param asOf      evaluation time for TTL expiry (P4); pass a fixed
     *                  literal for deterministic tests
     * @param writtenAt name of the write-timestamp column in fgTable
+    * @param schemaVersionCol name of the per-row written-schema-version
+    *                  column in fgTable. When present, each row resolves
+    *                  a requested feature against the schema version it
+    *                  was WRITTEN under: a feature added after that
+    *                  version (`FeatureDef.sinceVersion > row version`)
+    *                  did not exist when the row was stored, so the read
+    *                  falls back to the active version's default —
+    *                  `retrieve.go:833-858` (seq == -1 in the written
+    *                  version → active-version default, negative-cache
+    *                  semantics). Absent column ⇒ all rows are current.
     */
   def retrieve(
       keys: DataFrame,
@@ -58,7 +68,8 @@ object FeatureStore {
       features: Seq[String],
       asOf: Option[Column] = None,
       writtenAt: String = "written_at",
-      broadcastKeys: Boolean = true): DataFrame = {
+      broadcastKeys: Boolean = true,
+      schemaVersionCol: String = "schema_version"): DataFrame = {
 
     // point-lookup path broadcasts the key set; for scoring-sized key
     // sets (millions of keys, too big to broadcast) pass
@@ -77,21 +88,35 @@ object FeatureStore {
           asOf.getOrElse(current_timestamp())
       else lit(false)
 
+    val hasVersion = fgTable.columns.contains(schemaVersionCol)
+
     val dedupKeys = keys.dropDuplicates(pk)
 
     // ONE streamed pass over the table: inner join against the
     // broadcast key set. (A direct outer join can't broadcast its
     // preserved small side, and hits/anti/union shapes scan the table
     // twice — this scans once and every later join is key-set-sized.)
+    val extraCols =
+      (if (fg.ttlSeconds > 0 && fgTable.columns.contains(writtenAt))
+         Seq(writtenAt) else Nil) ++
+      (if (hasVersion) Seq(schemaVersionCol) else Nil)
     val hits = fgTable
-      .select((pk ++ neededCols ++ (if (fg.ttlSeconds > 0 && fgTable.columns.contains(writtenAt)) Seq(writtenAt) else Nil)).distinct.map(col): _*)
+      .select((pk ++ neededCols ++ extraCols).distinct.map(col): _*)
       .join(maybeBroadcast(dedupKeys), pk, "inner")
 
     // key-set-sized left join re-attaches hits to every requested key;
     // a missing or expired row falls through the same coalesce to the
-    // per-feature default (P3/P4/P5 in one projection)
+    // per-feature default (P3/P4/P5 in one projection). Per-row schema
+    // versioning rides the same projection: a feature that did not yet
+    // exist in the version the row was written under reads as the
+    // active default, never as whatever bytes sit in the column.
     val resultCols = pk.map(col) ++ projections.map { p =>
-      val raw = when(expired, p.default).otherwise(col(p.source))
+      val notInWrittenVersion: Column =
+        if (hasVersion && p.sinceVersion > 1)
+          col(schemaVersionCol) < p.sinceVersion
+        else lit(false)
+      val raw = when(expired || notInWrittenVersion, p.default)
+        .otherwise(col(p.source))
       p.quantize(coalesce(raw, p.default)).as(p.outName)
     }
     val perKey = dedupKeys.join(maybeBroadcast(hits), pk, "left")

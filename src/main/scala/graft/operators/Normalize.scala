@@ -73,14 +73,18 @@ object Normalize {
       .agg(sum(col("__cnt")).as("__ptotal"))
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1) // ≤ rangePartitions rows
-    val offsets = partTotals.withColumn("__offset",
-      coalesce(sum(col("__ptotal")).over(wOff), lit(0L)))
-    val total = df.count()
+    val wAll = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the grand total rides the same tiny per-partition-totals table —
+    // no separate df.count() action (= a full extra pass over the data)
+    val offsets = partTotals
+      .withColumn("__offset", coalesce(sum(col("__ptotal")).over(wOff), lit(0L)))
+      .withColumn("__total", sum(col("__ptotal")).over(wAll))
     val rankTable = local
-      .join(broadcast(offsets.select(col("__pid"), col("__offset"))), "__pid")
+      .join(broadcast(offsets.select(col("__pid"), col("__offset"), col("__total"))), "__pid")
       .select(col("__v"),
         ((col("__before_local") + col("__offset")) /
-          lit((total - 1).toDouble)).as(out))
+          (col("__total") - lit(1L)).cast("double")).as(out))
     // no broadcast hint: the distinct-value table can be large for
     // continuous columns — AQE converts to broadcast when it is small
     df.join(rankTable, df(c) === rankTable("__v"), "left")

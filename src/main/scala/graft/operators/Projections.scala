@@ -17,7 +17,8 @@ final case class Projection(
     source: String,
     outName: String,
     default: Column,
-    target: Option[FeatureType]) {
+    target: Option[FeatureType],
+    sinceVersion: Int = 1) {
 
   def quantize(c: Column): Column = target match {
     case None => c
@@ -38,12 +39,14 @@ object Projections {
   def parse(fg: FeatureGroupDef, request: String): Projection =
     request.split("@") match {
       case Array(name) =>
-        Projection(name, name, fg.feature(name).defaultLit, None)
+        val f = fg.feature(name)
+        Projection(name, name, f.defaultLit, None, f.sinceVersion)
       case Array(name, dt) =>
         val t = FeatureType.parse(dt).getOrElse(
           throw new IllegalArgumentException(s"unknown data type suffix '$dt'"))
+        val f = fg.feature(name)
         Projection(name, s"${name}__${t.name.toLowerCase}",
-          fg.feature(name).defaultLit, Some(t))
+          f.defaultLit, Some(t), f.sinceVersion)
       case _ =>
         throw new IllegalArgumentException(s"bad feature request '$request'")
     }

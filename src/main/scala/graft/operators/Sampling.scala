@@ -119,8 +119,10 @@ object Sampling {
   /** Temperature-based multi-source mixture sampling: source `s` gets a
     * quota ∝ n_s^alpha of the `total` sample (alpha < 1 flattens the
     * source distribution — the standard multi-corpus pretraining mix),
-    * quotas resolved by the largest-remainder method and filled with
-    * the deterministic lowest-hash rows of each source.
+    * quotas resolved by exact waterfilling (a quota never exceeds the
+    * source's row count; surplus re-allocates by the largest-remainder
+    * method) and filled with the deterministic lowest-hash rows of each
+    * source.
     *
     * Every allocation step is integer arithmetic (micro-unit weights,
     * integer div/mod remainders), so the quota vector — and therefore
@@ -147,17 +149,56 @@ object Sampling {
     // micro-unit weight n^alpha (floor — unambiguous in every engine)
     val w = counts.withColumn("__wm",
       floor(pow(col("__n").cast("double"), lit(alpha)) * 1e6).cast("long"))
+    // Exact waterfill: a source whose proportional share exceeds its row
+    // count SATURATES (quota = its size) and its surplus re-allocates to
+    // the others — a quota must never exceed the rows that exist. The
+    // saturated set is a prefix of the sources ordered by fill rate
+    // n/w ascending (i saturates iff n_i/w_i <= final rate t), so one
+    // ordered scan with prefix sums finds it: source i saturates iff
+    //   w_i * (total - satN_before) >= n_i * (W - satW_before)
+    // guarded by a prefix-AND so nothing after the first miss counts.
+    // The remaining budget then splits among unsaturated sources by the
+    // same largest-remainder rule as before (integer micro-unit math —
+    // bit-stable in every engine; all windows ride the |sources|-row
+    // table). If total exceeds the corpus, every source saturates and
+    // the sample is the full corpus — the remaining shortfall is
+    // unavoidable without replacement (documented, as systematicByWeight
+    // does).
+    val ordRate = Seq((col("__n").cast("double") / col("__wm")).asc,
+      col(sourceCol).asc)
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val alloc = w
+    val wPre = Window.orderBy(ordRate: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPreIncl = Window.orderBy(ordRate: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = w
       .withColumn("__W", sum(col("__wm")).over(wAll))
-      .withColumn("__base", expr(s"(__wm * $total) div __W"))
-      .withColumn("__rem", expr(s"(__wm * $total) % __W"))
-      .withColumn("__left", lit(total) - sum(col("__base")).over(wAll))
+      .withColumn("__cumNp", coalesce(sum(col("__n")).over(wPre), lit(0L)))
+      .withColumn("__cumWp", coalesce(sum(col("__wm")).over(wPre), lit(0L)))
+      .withColumn("__sat", min(
+        when(col("__wm") * (lit(total.toLong) - col("__cumNp")) >=
+             col("__n") * (col("__W") - col("__cumWp")), 1).otherwise(0))
+        .over(wPreIncl) === 1)
+    val alloc = staged
+      .withColumn("__R", lit(total.toLong) -
+        coalesce(sum(when(col("__sat"), col("__n"))).over(wAll), lit(0L)))
+      .withColumn("__U",
+        coalesce(sum(when(!col("__sat"), col("__wm"))).over(wAll), lit(0L)))
+      .withColumn("__base", when(col("__sat") || col("__U") === 0, lit(0L))
+        .otherwise(expr("(__wm * __R) div __U")))
+      .withColumn("__rem", when(col("__sat") || col("__U") === 0, lit(-1L))
+        .otherwise(expr("(__wm * __R) % __U")))
+      .withColumn("__left",
+        col("__R") - coalesce(sum(col("__base")).over(wAll), lit(0L)))
       .withColumn("__rk", row_number().over(
         Window.orderBy(col("__rem").desc, col(sourceCol).asc)))
       .withColumn("quota",
-        (col("__base") + when(col("__rk") <= col("__left"), 1).otherwise(0))
+        when(col("__sat"), col("__n"))
+          .otherwise(least(
+            col("__base") +
+              when(col("__rk") <= col("__left"), 1).otherwise(0),
+            col("__n")))
           .cast("long"))
       .select(col(sourceCol), col("quota"))
     df.join(broadcast(alloc), sourceCol)

@@ -52,9 +52,18 @@ object Layout {
     * [[graft.operators.IvfIndex.search]] triggers dynamic partition
     * pruning, so a search over a 100 TB corpus lists and reads only the
     * `nProbe` probed cells' files — the IVF promise carried all the way
-    * into the scan. */
-  def writeIvf(idx: graft.operators.IvfIndex, path: String): Unit = {
-    idx.assigned.write.mode("overwrite")
+    * into the scan.
+    *
+    * `materializeInt8` (default on) additionally stores int8 codes +
+    * scales as columns, so [[graft.operators.IvfIndex.searchInt8]] over
+    * the loaded index scans the 4×-smaller code payload and column-
+    * prunes the float embeddings entirely — quantize once at build,
+    * never per query (the reference persists indexed vectors the same
+    * way, `skye/internal/repositories/embedding/embedding_store.go:114-180`). */
+  def writeIvf(idx: graft.operators.IvfIndex, path: String,
+      materializeInt8: Boolean = true, embCol: String = "embedding"): Unit = {
+    val toWrite = if (materializeInt8) idx.materializeInt8(embCol) else idx
+    toWrite.assigned.write.mode("overwrite")
       .partitionBy("cell_id").parquet(s"$path/assigned")
     idx.centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -63,6 +72,29 @@ object Layout {
     graft.operators.IvfIndex(
       spark.read.parquet(s"$path/assigned"),
       spark.read.parquet(s"$path/centroids"))
+
+  /** Persist a PQ index: the m-byte codes ARE the stored corpus payload
+    * (32× smaller than the float vectors at dim 64, m 8) plus the tiny
+    * (m·k)-row codebook and one metadata row. Queries over the loaded
+    * index never read an embedding column — ADC scoring is a join of
+    * the code table against the broadcast query lookup table. */
+  def writePq(idx: graft.operators.PqIndex, path: String): Unit = {
+    idx.codes.write.mode("overwrite").parquet(s"$path/codes")
+    idx.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    val spark = idx.codebook.sparkSession
+    spark.createDataFrame(Seq((idx.m, idx.k, idx.subDim)))
+      .toDF("m", "k", "subDim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadPq(spark: SparkSession, path: String): graft.operators.PqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    graft.operators.PqIndex(
+      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/codes"),
+      m = meta.getAs[Int]("m"), k = meta.getAs[Int]("k"),
+      subDim = meta.getAs[Int]("subDim"))
+  }
 
   /** Compact a parquet directory to ~`targetRowsPerFile` rows per file
     * (streaming upserts and partitioned writes accumulate small files;
@@ -73,13 +105,19 @@ object Layout {
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Unit = {
     val df = spark.read.parquet(path)
     val files = math.max(1, math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    // resolve the FILESYSTEM OF THE PATH (FileSystem.get would return
+    // the default FS and break s3a:// etc.)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(path + "__compacting")
     df.repartition(files).write.mode("overwrite").parquet(staging.toString)
-    val target = new org.apache.hadoop.fs.Path(path)
-    fs.delete(target, true)
+    // rename the old table aside before the swap so no crash window
+    // leaves NO table (delete-then-rename has exactly that window)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(target, old)
     fs.rename(staging, target)
+    fs.delete(old, true)
   }
 
   /** Morton (Z-order) code of two non-negative int columns: the low

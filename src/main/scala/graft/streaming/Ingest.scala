@@ -103,9 +103,9 @@ object Ingest {
       versionCol: String): Unit = {
     val spark = batch.sparkSession
     val latest = latestPerKey(batch, pk, versionCol).cache()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, target)
     val merged =
       if (fs.exists(target)) {
         val current = spark.read.parquet(path)
@@ -113,9 +113,34 @@ object Ingest {
       } else latest
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     merged.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(staging, target)
+    swapInto(fs, staging, target)
     latest.unpersist()
+  }
+
+  /** Crash-safe directory replacement: the old table is renamed ASIDE
+    * (`target__old`) before the staging dir takes its place, so no
+    * crash window ever leaves NO table — at worst the previous state
+    * survives under `__old` and [[recoverSwap]] restores it on the next
+    * call. (A delete-then-rename swap has a window where the entire
+    * state table and its replay marker are gone; a replayed batch would
+    * then silently re-initialize state from itself alone.) */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(staging, target)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Heal an interrupted [[swapInto]]: a crash between the two renames
+    * leaves `target` missing and `target__old` holding the last good
+    * state — put it back before reading. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + "__old")
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
   }
 
   /** Streaming incremental-aggregate maintenance: each micro-batch is
@@ -143,53 +168,91 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        incrementalAggBatch(batch, path, keys, valueCol, batchId)
+        // the checkpoint path scopes the replay marker: batch ids only
+        // mean "already applied" within ONE query lineage
+        incrementalAggBatch(batch, path, keys, valueCol, batchId,
+          scopeId = checkpoint)
       }
 
-  /** Marker file recording the last applied foreachBatch id. It lives
-    * INSIDE the state directory (underscore-prefixed — parquet readers
-    * ignore it), so the directory swap commits data + marker in one
-    * atomic rename. */
+  /** Marker file recording the last applied foreachBatch id plus the
+    * query scope (checkpoint path) it belongs to. It lives INSIDE the
+    * state directory (underscore-prefixed — parquet readers ignore it),
+    * so the [[swapInto]] sequence commits data + marker together.
+    *
+    * The scope line exists because bare batch ids are only monotonic
+    * within one checkpoint lineage: a stream restarted against a FRESH
+    * checkpoint restarts ids at 0, and without the scope every new
+    * batch would compare <= the recorded marker and be silently
+    * dropped (same if two different queries ever wrote one path) —
+    * the same scoping rule as Delta's idempotent `txnAppId`/`txnVersion`
+    * writes. A marker from a different scope, or an unreadable one, is
+    * ignored (the batch applies and overwrites it).
+    */
   private val LastBatchMarker = "_graft_last_batch_id"
 
-  private def readLastBatchId(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Long = {
+  /** Parse the marker → (lastBatchId, scopeId). Missing, truncated or
+    * corrupt markers read as None: applying a batch is the safe default
+    * (the merge-then-skip protection exists for replays; a garbled
+    * marker must not fail the query or silently drop data forever). */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[(Long, String)] = {
     val marker = new org.apache.hadoop.fs.Path(dir, LastBatchMarker)
-    if (!fs.exists(marker)) Long.MinValue
-    else {
+    if (!fs.exists(marker)) None
+    else scala.util.Try {
+      // Try covers the READ too: a torn write/checksum error is the
+      // same "marker unusable" case as garbled content
       val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      try scala.io.Source.fromInputStream(in).mkString
       finally in.close()
+    }.toOption.flatMap { text =>
+      val lines = text.split("\n", 2)
+      scala.util.Try(lines(0).trim.toLong).toOption
+        .map(id => (id, if (lines.length > 1) lines(1).trim else ""))
     }
   }
 
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, batchId: Long, scopeId: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, LastBatchMarker), true)
+    try out.write(s"$batchId\n$scopeId".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** One micro-batch state merge (staging + swap like [[upsertBatch]]).
-    * `batchId >= 0` makes the merge idempotent: a batch whose id is
-    * <= the state's recorded last-applied id is a replay and is
-    * skipped. Batch-mode callers may omit it (every call applies). */
+    * `batchId >= 0` makes the merge idempotent WITHIN `scopeId`: a
+    * batch whose id is <= the state's recorded last-applied id for the
+    * same scope is a replay and is skipped; markers from other scopes
+    * (fresh checkpoint, different query) never suppress a batch.
+    * Batch-mode callers may omit `batchId` (every call applies); the
+    * existing marker is carried forward so a later streaming replay is
+    * still recognized. */
   def incrementalAggBatch(batch: DataFrame, path: String, keys: Seq[String],
-      valueCol: String, batchId: Long = Long.MinValue): Unit = {
+      valueCol: String, batchId: Long = Long.MinValue,
+      scopeId: String = ""): Unit = {
     import graft.operators.Incremental
     val spark = batch.sparkSession
     val delta = Incremental.aggState(batch, keys, valueCol)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
-    if (batchId != Long.MinValue && fs.exists(target) &&
-        batchId <= readLastBatchId(fs, target)) return
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, target)
+    val existing =
+      if (fs.exists(target)) readMarker(fs, target) else None
+    if (batchId != Long.MinValue &&
+        existing.exists { case (id, sc) => sc == scopeId && batchId <= id })
+      return
     val merged =
       if (fs.exists(target))
         Incremental.mergeStates(Seq(spark.read.parquet(path), delta), keys)
       else delta
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     merged.write.mode("overwrite").parquet(staging.toString)
-    if (batchId != Long.MinValue) {
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(staging, LastBatchMarker), true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (batchId != Long.MinValue)
+      writeMarker(fs, staging, batchId, scopeId)
+    else existing.foreach { case (id, sc) =>
+      // batch-mode rewrite keeps the stream's replay protection intact
+      writeMarker(fs, staging, id, sc)
     }
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(staging, target)
+    swapInto(fs, staging, target)
   }
 
   /** ST7 as a TYPED stateful operator: the reference's per-(user, week)

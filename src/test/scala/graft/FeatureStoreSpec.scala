@@ -43,6 +43,27 @@ class FeatureStoreSpec extends AnyFunSuite with SparkSuite {
     assert(out === Array(Row(1L, -1.0), Row(2L, 20.0))) // 1 expired, 2 live
   }
 
+  test("per-row schema-version resolution: features missing in the " +
+      "written version read as active defaults (retrieve.go:819-858)") {
+    val vFg = FeatureGroupDef("f", 1, Seq(
+      FeatureDef("v", FeatureType.FP64, default = -1.0),               // v1
+      FeatureDef("s", FeatureType.Str, default = "D", sinceVersion = 2)), // v2+
+      activeVersion = 2)
+    // row 1 written under v1 (before `s` existed — its column bytes are
+    // stale garbage and must NOT surface); row 2 written under v2
+    val table = Seq((1L, 10.0, "stale", 1), (2L, 20.0, "real", 2))
+      .toDF("k", "v", "s", "schema_version")
+    val out = FeatureStore.retrieve(Seq(1L, 2L).toDF("k"), table,
+        Seq("k"), vFg, Seq("v", "s"))
+      .orderBy("k").collect()
+    assert(out === Array(Row(1L, 10.0, "D"), Row(2L, 20.0, "real")))
+    // a table without the version column behaves as before
+    val plain = FeatureStore.retrieve(Seq(1L).toDF("k"),
+        Seq((1L, 10.0, "a")).toDF("k", "v", "s"), Seq("k"), vFg, Seq("s"))
+      .collect()
+    assert(plain === Array(Row(1L, "a")))
+  }
+
   test("composite keys (ordered multi-column PK)") {
     val table = Seq((1L, "x", 5.0), (1L, "y", 6.0)).toDF("k1", "k2", "v")
     val keys = Seq((1L, "x"), (1L, "z")).toDF("k1", "k2")

@@ -77,6 +77,56 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
       "c" -> ((1L, 7.0))))
   }
 
+  test("incrementalAgg replay marker is scoped: a fresh checkpoint's " +
+      "batch 0 must apply, a same-scope replay must not") {
+    val store = tmp("graft-inc-scope") + "/state"
+    val df = Seq(("a", 1.0)).toDF("k", "value")
+    Ingest.incrementalAggBatch(df, store, Seq("k"), "value",
+      batchId = 5L, scopeId = "ckpt-A")
+    // same scope, same id → replay → skipped
+    Ingest.incrementalAggBatch(df, store, Seq("k"), "value",
+      batchId = 5L, scopeId = "ckpt-A")
+    // DIFFERENT scope (stream restarted on a fresh checkpoint dir —
+    // ids restart at 0): must apply, NOT be mistaken for a replay
+    Ingest.incrementalAggBatch(df, store, Seq("k"), "value",
+      batchId = 0L, scopeId = "ckpt-B")
+    val cnt = spark.read.parquet(store)
+      .filter($"k" === "a").select($"cnt").as[Long].head()
+    assert(cnt === 2L) // A:5 applied once + B:0 applied; A-replay skipped
+  }
+
+  test("batch-mode incrementalAgg rewrite preserves the stream's marker") {
+    val store = tmp("graft-inc-keep") + "/state"
+    val df = Seq(("a", 1.0)).toDF("k", "value")
+    Ingest.incrementalAggBatch(df, store, Seq("k"), "value",
+      batchId = 3L, scopeId = "ckpt-A")
+    // batch-mode call (no batchId): applies, and must carry the marker
+    Ingest.incrementalAggBatch(df, store, Seq("k"), "value")
+    // the stream replays batch 3 → still recognized → skipped
+    Ingest.incrementalAggBatch(df, store, Seq("k"), "value",
+      batchId = 3L, scopeId = "ckpt-A")
+    val cnt = spark.read.parquet(store)
+      .filter($"k" === "a").select($"cnt").as[Long].head()
+    assert(cnt === 2L)
+  }
+
+  test("corrupt replay marker: batch applies instead of failing") {
+    val store = tmp("graft-inc-corrupt") + "/state"
+    val df = Seq(("a", 1.0)).toDF("k", "value")
+    Ingest.incrementalAggBatch(df, store, Seq("k"), "value",
+      batchId = 1L, scopeId = "ckpt-A")
+    // truncate the marker to garbage
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store, "_graft_last_batch_id"),
+      "not-a-number".getBytes("UTF-8"))
+    Ingest.incrementalAggBatch(df, store, Seq("k"), "value",
+      batchId = 1L, scopeId = "ckpt-A") // would be a replay, but the
+      // marker is unreadable → safe default is to apply
+    val cnt = spark.read.parquet(store)
+      .filter($"k" === "a").select($"cnt").as[Long].head()
+    assert(cnt === 2L)
+  }
+
   test("jsonEvents decodes typed columns; malformed rows null out (F14/ST8)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -104,4 +104,54 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(fromDisk === fromMem)
   }
+
+  test("stored int8 codes: searchInt8 over a written index scans the " +
+      "code columns and prunes the embeddings away") {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, sf)
+    val idx = IvfIndex.build(emb, cells = 8)
+    val dir = Files.createTempDirectory("graft-ivf8").toString + "/ivf"
+    Layout.writeIvf(idx, dir) // materializes int8_code/int8_scale
+    val loaded = Layout.loadIvf(spark, dir)
+    assert(loaded.assigned.columns.contains(IvfIndex.Int8CodeCol))
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val res = loaded.searchInt8(queries, k = 5, nProbe = 2)
+    // the corpus-side parquet scan must read codes, not float vectors —
+    // the 4x-smaller payload is the reason the codes are stored
+    val plan = res.queryExecution.executedPlan.toString
+    val readSchemas =
+      "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    val corpusScan = readSchemas.find(_.contains("int8_code"))
+    assert(corpusScan.isDefined,
+      s"corpus scan must read the stored codes:\n$plan")
+    assert(!corpusScan.get.contains("embedding"),
+      s"embedding must be column-pruned from the code scan: ${corpusScan.get}")
+    // bit-equal to the derive-on-read path
+    val fromDisk = res.select("query_id", "vec_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val fromMem = idx.searchInt8(queries, k = 5, nProbe = 2)
+      .select("query_id", "vec_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(fromDisk === fromMem)
+  }
+
+  test("stored PQ codes round-trip and score without any embedding read") {
+    import graft.operators.PqIndex
+    val emb = Tables.embeddings(spark, sf)
+    val idx = PqIndex.build(emb, m = 8, k = 16)
+    val dir = Files.createTempDirectory("graft-pq").toString + "/pq"
+    Layout.writePq(idx, dir)
+    val loaded = Layout.loadPq(spark, dir)
+    assert((loaded.m, loaded.k, loaded.subDim) === (idx.m, idx.k, idx.subDim))
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val res = loaded.searchDot(queries, kResults = 5)
+    val fromDisk = res.select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val fromMem = idx.searchDot(queries, kResults = 5)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fromDisk === fromMem)
+  }
 }

@@ -31,6 +31,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.size === 6) // upper triangle of d=3
   }
 
+  test("gramMatrix null elements follow SQL SUM-skip (oracle parity)") {
+    // a null element nullifies only the products it participates in —
+    // the row's other cells still accumulate, exactly like the q75
+    // oracle's SUM(v[i]*v[j]) over exploded pairs
+    val rows: Seq[Seq[Option[Long]]] = Seq(
+      Seq(Some(2L), None, Some(3L)),
+      Seq(Some(1L), Some(4L), Some(-2L)),
+      Seq(None, Some(5L), Some(7L)))
+    val df = rows.toDF("m").repartition(2)
+    val got = LinAlg.gramUpper(df, col("m"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    for (i <- 0 until 3; j <- i until 3) {
+      val expect = rows.flatMap { v =>
+        for (a <- v(i); b <- v(j)) yield a * b // None product skipped
+      }.sum
+      assert(got((i + 1, j + 1)) === expect, s"($i,$j)")
+    }
+  }
+
   test("decontaminate: overlapReport finds shared n-grams, clean drops them") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),     // shares "quick brown fox"
@@ -95,6 +114,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       (2L, 0, "x y", 2)))
   }
 
+  test("chunk: anchored tail — every token of every doc is in >=1 chunk") {
+    // 8 tokens, size 3 stride 2: stride starts 1,3,5 cover a..g only —
+    // the anchored tail start 6 (len-size+1) picks up token 8
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d"),         // starts 1 + tail 2
+      (3L, "a b c")            // exact fit, no tail
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunk(docs, "doc_id", "text", chunkSize = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3),
+      (1L, 3, "f g h", 3),   // anchored tail, full-size
+      (2L, 0, "a b c", 3), (2L, 1, "b c d", 3),
+      (3L, 0, "a b c", 3)))
+    // coverage property across a spread of shapes
+    for (len <- 1 to 12; size <- Seq(3, 4); stride <- Seq(2, 3)) {
+      val text = (1 to len).map(i => s"t$i").mkString(" ")
+      val chunks = Corpus.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", size, stride)
+        .collect().flatMap(_.getString(2).split(" ")).toSet
+      assert((1 to len).forall(i => chunks.contains(s"t$i")),
+        s"len=$len size=$size stride=$stride missing tokens")
+    }
+  }
+
   test("temperatureMix: quotas sum to total, stable under repartition") {
     val df = (1 to 300).map { i =>
       val src = if (i <= 200) "big" else if (i <= 280) "mid" else "small"
@@ -113,6 +159,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySrc("small") >= 5)
     assert(bySrc.values.sum === 50L)
+  }
+
+  test("temperatureMix: a source smaller than its quota saturates, " +
+      "surplus re-allocates, total still met") {
+    // alpha=0.1 flattens hard: "tiny" (3 rows) would be allocated ~1/3
+    // of total=60 — far more rows than it has. Waterfill caps it at 3
+    // and re-allocates the surplus, so the sample still has 60 rows.
+    val df = ((1L to 3L).map(i => (i, "tiny")) ++
+      (100L to 299L).map(i => (i, "mid")) ++
+      (1000L to 1999L).map(i => (i, "big"))).toDF("id", "src")
+    val got = Sampling.temperatureMix(df, "id", "src", alpha = 0.1, total = 60)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("tiny") === 3L)                 // capped at source size
+    assert(got.values.sum === 60L)             // surplus redistributed
+    assert(got("mid") > 0L && got("big") > 0L)
+    // degenerate: total larger than the corpus → the whole corpus,
+    // shortfall documented (sampling without replacement)
+    val small = (1L to 5L).map(i => (i, if (i < 3) "a" else "b")).toDF("id", "src")
+    assert(Sampling.temperatureMix(small, "id", "src", alpha = 0.5,
+      total = 50).count() === 5L)
   }
 
   test("bm25: term saturation and length normalization rank as expected") {

@@ -16,19 +16,25 @@ object MinifloatProps extends Properties("Minifloat") {
     ("fp16", Minifloat.fp16), ("fp8e4m3", Minifloat.fp8e4m3),
     ("fp8e5m2", Minifloat.fp8e5m2))
 
+  // e4m3 has no Inf encoding: overflow → NaN (reference float8_e4m3.go
+  // emits the 0x7f NaN byte). NaN is unordered, so the order/sign laws
+  // quantify over the format's finite range only.
   for ((name, q) <- kernels) {
     property(s"$name idempotent") = forAll(finiteDouble) { d =>
       val once = q(d)
-      q(once.toDouble) == once
+      if (once.isNaN) q(once.toDouble).isNaN else q(once.toDouble) == once
     }
-    property(s"$name monotone") = forAll(finiteDouble, finiteDouble) { (a, b) =>
-      val (lo, hi) = if (a <= b) (a, b) else (b, a)
-      q(lo) <= q(hi)
-    }
-    property(s"$name sign-preserving") = forAll(finiteDouble) { d =>
-      val r = q(d)
-      r == 0f || (r > 0f) == (d > 0.0)
-    }
+    property(s"$name monotone (finite outputs)") =
+      forAll(finiteDouble, finiteDouble) { (a, b) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        val (ql, qh) = (q(lo), q(hi))
+        ql.isNaN || qh.isNaN || ql <= qh
+      }
+    property(s"$name sign-preserving (finite outputs)") =
+      forAll(finiteDouble) { d =>
+        val r = q(d)
+        r.isNaN || r == 0f || (r > 0f) == (d > 0.0)
+      }
   }
 
   property("fp16 relative error <= 2^-11 in normal range") =
@@ -36,9 +42,14 @@ object MinifloatProps extends Properties("Minifloat") {
       math.abs(Minifloat.fp16(d) - d) / d <= math.pow(2, -11) + 1e-12
     }
 
-  property("fp8e4m3 saturates at max finite") = Prop(
-    Minifloat.fp8e4m3(1e9) == Minifloat.fp8e4m3(448.0) &&
-    Minifloat.fp8e4m3(-1e9) == Minifloat.fp8e4m3(-448.0))
+  property("overflow specials pin the reference byte conversions") = Prop(
+    // e4m3: no infinities — overflow and ±Inf land on the NaN byte
+    Minifloat.fp8e4m3(1e9).isNaN && Minifloat.fp8e4m3(-1e9).isNaN &&
+    Minifloat.fp8e4m3(Double.PositiveInfinity).isNaN &&
+    // fp16/e5m2 HAVE infinities — overflow rounds to ±Inf
+    Minifloat.fp16(1e9).isPosInfinity &&
+    Minifloat.fp8e5m2(1e9).isPosInfinity &&
+    Minifloat.fp8e5m2(-1e9).isNegInfinity)
 }
 
 // ---------------------------------------------------------------------
