@@ -138,6 +138,18 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("norm"))
     }),
 
+    // ---- RPN in f32 compute mode: numerix picks f32 vs f64 kernels
+    // per request (handler.rs:120-174, fp32_ops.rs); every op here
+    // rounds to 24-bit, so scores match a real f32 deployment bit for
+    // bit (ops restricted to + - * min, whose f32 results are exact
+    // under double-then-round — the oracle casts each step to REAL) ----
+    "q87_rpn_fp32" -> ((s, dir) => {
+      Rpn(Tables.lineitem(s, dir),
+          "l_extendedprice 1 l_discount - * l_quantity 10 min * l_tax 100 * +",
+          "score_f32", fp32 = true)
+        .select(col("l_orderkey"), col("l_linenumber"), col("score_f32"))
+    }),
+
     // ---- percentile clamp normalization (A4) ----
     "q12_percentile_clamp" -> ((s, dir) => {
       Normalize.percentileClamp(Tables.lineitem(s, dir),
@@ -989,6 +1001,47 @@ object SparkEntry {
       graft.operators.Incremental.finish(s.read.parquet(statePath), keys)
     }),
 
+    // ---- wire codecs driven through the driver oracle as encode→
+    // decode roundtrips: the 40-bit expiry timestamp (F11, PSDB
+    // header) and the LSB-first bool bit-pack (F12, serializeBoolV2)
+    // must reproduce the source values exactly — the oracle is the
+    // plain SQL of the pre-encode expressions. 10 flags span two
+    // packed bytes, exercising the partial-final-byte path ----
+    "q88_wire_roundtrip" -> ((s, dir) => {
+      import graft.functions.WireCodecs
+      val ev = Tables.events(s, dir)
+      val secs = floor(unix_millis(col("ts")) / lit(1000L)).cast("long")
+      val flags = array(
+        col("value") > 50.0, col("value") < 10.0,
+        col("user_id") % 2 === 0, col("user_id") % 3 === 0,
+        col("event_type") === "click", col("event_type") === "view",
+        col("value") >= 25.0, col("user_id") % 5 === 0,
+        col("value") >= 75.0, col("event_type") =!= "purchase")
+      ev.select(col("event_id"),
+        WireCodecs.decodeExpiry40(WireCodecs.encodeExpiry40(secs))
+          .as("expiry_s"),
+        WireCodecs.unpackBools(WireCodecs.packBools(flags), lit(10))
+          .as("flags"))
+    }),
+
+    // ---- proto3 persist-event wire format (F15) + composite key
+    // string (F9) as a driver-oracled roundtrip: encode each embedding
+    // row to public proto3 bytes (varint / length-delimited / packed
+    // LE floats), decode it back, and the decoded struct must equal
+    // the source columns — the oracle is the identity SQL ----
+    "q89_proto_roundtrip" -> ((s, dir) => {
+      import graft.functions.ProtoWire
+      val e = Tables.embeddings(s, dir)
+      e.select(col("vec_id"),
+          ProtoWire.protoDecode(ProtoWire.protoEncode(
+            lit("embedding"),
+            FeatureStore.keyString(Seq("vec_id", "label")),
+            col("vec_id"), col("embedding"))).as("p"))
+        .select(col("vec_id"), col("p.entity").as("entity"),
+          col("p.key").as("pkey"), col("p.version").as("version"),
+          col("p.values").as("vals"))
+    }),
+
     // ---- per-row schema-version resolution on read: each stored row
     // resolves requested features against the version it was WRITTEN
     // under; features added later read as the active default
@@ -1126,6 +1179,21 @@ object SparkEntry {
         |agg AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM t)
         |SELECT l_orderkey, l_linenumber, (v - mn) / (mx - mn) AS norm
         |FROM t, agg""".stripMargin,
+
+    // f32 compute mode: each intermediate is cast to REAL so the
+    // oracle rounds to 24-bit at every step exactly like the f32
+    // kernel chain (+,-,*,min are exact in double, so
+    // double-op-then-cast ≡ native f32 op)
+    "q87_rpn_fp32" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(
+        |    CAST(CAST(CAST(l_extendedprice AS REAL) *
+        |      CAST(CAST(1.0 AS REAL) - CAST(l_discount AS REAL) AS REAL)
+        |      AS REAL) *
+        |      LEAST(CAST(l_quantity AS REAL), CAST(10.0 AS REAL)) AS REAL) +
+        |    CAST(CAST(l_tax AS REAL) * CAST(100.0 AS REAL) AS REAL)
+        |  AS REAL) AS score_f32
+        |FROM lineitem""".stripMargin,
 
     "q12_percentile_clamp" ->
       """WITH agg AS (
@@ -2265,6 +2333,23 @@ object SparkEntry {
          |  ${sqlSum("value")} AS val_sum,
          |  ${sqlAvg("value")} AS val_avg
          |FROM events GROUP BY user_id, event_type""".stripMargin,
+
+    // the codec roundtrips must be identities, so the oracle is the
+    // plain pre-encode SQL (epoch seconds fit 40 bits until year 36812)
+    "q88_wire_roundtrip" ->
+      """SELECT event_id, epoch_ms(ts) // 1000 AS expiry_s,
+        |  [value > 50.0, value < 10.0, user_id % 2 = 0, user_id % 3 = 0,
+        |   event_type = 'click', event_type = 'view', value >= 25.0,
+        |   user_id % 5 = 0, value >= 75.0, event_type <> 'purchase']
+        |    AS flags
+        |FROM events""".stripMargin,
+
+    "q89_proto_roundtrip" ->
+      """SELECT vec_id, 'embedding' AS entity,
+        |  concat_ws('|', CAST(vec_id AS VARCHAR), CAST(label AS VARCHAR))
+        |    AS pkey,
+        |  vec_id AS version, embedding AS vals
+        |FROM embeddings""".stripMargin,
 
     // the fallback rule as CASE over the row's written version:
     // c_acctbal exists since v2, c_mktsegment since v3 (active = 3)

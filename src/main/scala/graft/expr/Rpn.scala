@@ -41,9 +41,28 @@ object Rpn {
     * Normalization ops materialize the stack top as a temp column and
     * rewrite it via [[Normalize]]; everything else stays one fused
     * projection.
+    *
+    * `fp32 = true` selects the reference's f32 compute mode (numerix
+    * dispatches f32 vs f64 kernels per request,
+    * `numerix/src/handler/handler.rs:120-174`, `ops/fp32_ops.rs`):
+    * inputs and literals load as FloatType and every op result is a
+    * FloatType column, so the whole chain rounds to 24-bit at each
+    * step exactly like the f32 kernels. `+ - * min max` and the
+    * comparisons are bit-identical to native f32 (their double results
+    * are exact before the float cast); `/ ^ exp log` are computed in
+    * double and rounded once to float — within 1 ulp of a native
+    * f32 libm, which itself varies by platform.
     */
   def apply(df0: DataFrame, rpn: String, out: String,
-      strict: Boolean = true): DataFrame = {
+      strict: Boolean = true, fp32: Boolean = false): DataFrame = {
+
+    val ftype = if (fp32) "float" else "double"
+    // comparison/boolean results are 0/1 vectors IN the compute dtype
+    val one: Column = if (fp32) lit(1.0f) else lit(1.0)
+    val zero: Column = if (fp32) lit(0.0f) else lit(0.0)
+    // ops whose Spark implementation computes in double regardless of
+    // input dtype get one rounding step back to the compute dtype
+    def inMode(c: Column): Column = if (fp32) c.cast(ftype) else c
 
     def bool01(c: Column, side: String, op: String): Column =
       if (!strict) c
@@ -65,7 +84,7 @@ object Rpn {
         case "percentile_rank"      => Normalize.percentRank(df, tmp, tmp + "n")
       }
       df = df.drop(tmp)
-      stack = col(tmp + "n") :: stack.tail
+      stack = inMode(col(tmp + "n")) :: stack.tail
     }
 
     val tokens = rpn.trim.split("\\s+").filter(_.nonEmpty)
@@ -82,18 +101,20 @@ object Rpn {
           case "/" =>
             // ANSI mode (Spark 4 default) already fails the query on
             // division by zero, matching numerix; non-strict mode keeps
-            // Spark's legacy null semantics via try_divide
-            if (strict) a / b else try_divide(a, b)
-          case "^"   => pow(a, b)
-          case ">"   => when(a > b, 1.0).otherwise(0.0)
-          case "<"   => when(a < b, 1.0).otherwise(0.0)
-          case ">="  => when(a >= b, 1.0).otherwise(0.0)
-          case "<="  => when(a <= b, 1.0).otherwise(0.0)
-          case "=="  => when(a === b, 1.0).otherwise(0.0)
+            // Spark's legacy null semantics via try_divide.
+            // Spark's Divide always computes in double — inMode rounds
+            // back to float for f32 requests
+            inMode(if (strict) a / b else try_divide(a, b))
+          case "^"   => inMode(pow(a, b))
+          case ">"   => when(a > b, one).otherwise(zero)
+          case "<"   => when(a < b, one).otherwise(zero)
+          case ">="  => when(a >= b, one).otherwise(zero)
+          case "<="  => when(a <= b, one).otherwise(zero)
+          case "=="  => when(a === b, one).otherwise(zero)
           case "&"   => when((bool01(a, "left", "&") === 1.0) &&
-                             (bool01(b, "right", "&") === 1.0), 1.0).otherwise(0.0)
+                             (bool01(b, "right", "&") === 1.0), one).otherwise(zero)
           case "|"   => when((bool01(a, "left", "|") === 1.0) ||
-                             (bool01(b, "right", "|") === 1.0), 1.0).otherwise(0.0)
+                             (bool01(b, "right", "|") === 1.0), one).otherwise(zero)
           case "min" => least(a, b)
           case "max" => greatest(a, b)
         }
@@ -103,11 +124,11 @@ object Rpn {
         require(stack.nonEmpty, s"stack underflow at '$op'")
         val a = stack.head
         val r = op match {
-          case "exp" => exp(a)
+          case "exp" => inMode(exp(a))
           case "log" =>
-            if (strict)
+            inMode(if (strict)
               when(a <= 0.0, raise_error(lit("log of non-positive value"))).otherwise(log(a))
-            else log(a)
+            else log(a))
           case "abs" => abs(a)
         }
         stack = r :: stack.tail
@@ -117,10 +138,10 @@ object Rpn {
         applyNorm(op)
 
       case tok => num(tok) match {
-        case Some(d) => stack = lit(d) :: stack
+        case Some(d) => stack = (if (fp32) lit(d.toFloat) else lit(d)) :: stack
         case None =>
           require(df.columns.contains(tok), s"unknown column or op '$tok'")
-          stack = col(tok).cast("double") :: stack
+          stack = col(tok).cast(ftype) :: stack
       }
     }
     require(stack.size == 1,
