@@ -72,8 +72,19 @@ def main():
             print(f"FAIL {name}: columns {sorted(spark.columns)} vs {sorted(orc.columns)}")
             n_fail += 1; continue
         cols = sorted(spark.columns)
-        sp = spark[cols].sort_values(by=cols).reset_index(drop=True)
-        oc = orc[cols].sort_values(by=cols).reset_index(drop=True)
+
+        def row_sorted(df):
+            # arrays/lists aren't sortable directly — sort on a
+            # stringified rendering (arrays print identically from both
+            # loaders for the numeric payloads we emit)
+            key = df[cols].map(
+                lambda v: str(list(v)) if isinstance(v, (list, np.ndarray))
+                else v)
+            order = key.sort_values(by=cols).index
+            return df[cols].loc[order].reset_index(drop=True)
+
+        sp = row_sorted(spark)
+        oc = row_sorted(orc)
         if len(sp) != len(oc):
             print(f"FAIL {name}: rows {len(sp)} vs {len(oc)}"); n_fail += 1; continue
         bad = []
@@ -94,7 +105,20 @@ def main():
                 bad.append((c, f"dtype-class {ca} (spark)", f"{cb} (oracle)"))
                 continue
             try:
-                if ca == "float":
+                if ca == "array":
+                    def arr_eq(x, y):
+                        if x is None or y is None:
+                            return x is None and y is None
+                        xa, ya = np.asarray(x), np.asarray(y)
+                        if xa.shape != ya.shape:
+                            return False
+                        if xa.dtype.kind == "f" or ya.dtype.kind == "f":
+                            xf, yf = xa.astype(float), ya.astype(float)
+                            nn = np.isnan(xf) & np.isnan(yf)
+                            return bool(((xf == yf) | nn).all())
+                        return bool((xa == ya).all())
+                    eq = np.array([arr_eq(x, y) for x, y in zip(a, b)])
+                elif ca == "float":
                     aa = a.astype(float); bb = b.astype(float)
                     both_nan = aa.isna() & bb.isna()
                     eq = (aa == bb) | both_nan
