@@ -23,6 +23,45 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft-idx-$kind-" +
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Stage the events table into a fresh temp dir and open it as a
+    * file stream (the Kafka-topic stand-in, `streaming/Ingest.scala`
+    * header note) so streaming operators run driver-oracled end to
+    * end. `ts` gets the same nanos→micros normalization as
+    * [[Tables.events]]. Returns (stream, tempBase). */
+  private def streamedEvents(s: SparkSession, dir: String, tag: String)
+      : (DataFrame, String) = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$in/events.parquet"))
+    val schema = Tables.load(s, dir, "events").schema
+    val raw = graft.streaming.Ingest.fileSource(s, in, schema)
+    val ev =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    (ev, base)
+  }
+
+  /** Drain a streaming DataFrame to parquet with AvailableNow (one
+    * shot over everything staged) and return the materialized result. */
+  private def runStreamTo(df: DataFrame, base: String,
+      outputMode: String = "append"): DataFrame = {
+    val out = s"$base/out"
+    val writeMode = if (outputMode == "complete") "overwrite" else "append"
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(writeMode).parquet(out)
+      }
+      .start().awaitTermination()
+    df.sparkSession.read.parquet(out)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- headline aggregation (TPC-H q1 shape; A2-style groupBy) ----
     "q1_pricing_agg" -> ((s, dir) => {
@@ -1054,6 +1093,110 @@ object SparkEntry {
       FeatureStore.retrieve(keys, cust, Seq("c_custkey"),
         Fixtures.customerProfileVersioned,
         Seq("c_name", "c_acctbal", "c_mktsegment"))
+    }),
+
+    // ---- stream-stream attribution join: click → purchase within 3
+    // days per user, both sides watermarked so join state is bounded
+    // (the streaming twin of InteractionStore.intervalJoin) ----
+    "q90_stream_interval_join" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val (ev, base) = streamedEvents(s, dir, "q90")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      val joined = Ingest.streamIntervalJoin(clicks, purchases,
+        Seq("user_id"), "3 days", "click_ts", "purchase_ts")
+      runStreamTo(
+        joined.select(col("user_id"), col("click_id"), col("purchase_id")),
+        base)
+    }),
+
+    // ---- ST2 per-key routing: after hash-routing on the entity key,
+    // every key's rows sit in exactly ONE partition — the consumer's
+    // per-key worker ordering invariant, asserted as data ----
+    "q91_route_by_key" -> ((s, dir) => {
+      val routed = graft.streaming.Ingest.routeByKey(
+        Tables.events(s, dir), Seq("user_id"), partitions = 32)
+      routed.withColumn("__pid", spark_partition_id())
+        .groupBy(col("user_id"))
+        .agg(count_distinct(col("__pid")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- streaming exact dedup with watermark-bounded state: the
+    // at-least-once consumer's redelivery suppression; output keyed
+    // columns only, so first-seen nondeterminism can't leak ----
+    "q92_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val (ev, base) = streamedEvents(s, dir, "q92")
+      val dd = Ingest.streamDedup(ev, Seq("user_id", "event_type"))
+      runStreamTo(dd.select(col("user_id"), col("event_type")), base)
+    }),
+
+    // ---- ST9 delta vs reset ingestion: a typed change log (UPSERT /
+    // DELETE per key, latest version wins — indexer/models.go:6-8)
+    // applies first; then a full sync wholesale-replaces two entities'
+    // row sets (embedding.go:216-263) ----
+    "q93_reset_vs_delta" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val deltas = base.filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("value") * 2).as("value"), lit(1L).as("version"),
+          when(col("event_id") % 21 === 0, "DELETE")
+            .otherwise("UPSERT").as("op"))
+      val afterDelta = FeatureStore.applyChangeEvents(
+        base, deltas, Seq("user_id", "event_id"), "version", "op")
+      val replacement = base
+        .filter(col("user_id") % 10 === 3 && col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          lit(0.0).as("value"))
+      FeatureStore.reset(afterDelta, replacement, Seq("user_id"))
+    }),
+
+    // ---- ST8 dead-letter routing: malformed JSON payloads decode to
+    // null and divert to a DLQ inside the micro-batch; valid rows land
+    // in the good table, and the DLQ count rides along as a column ----
+    "q94_dead_letter" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      import org.apache.spark.sql.types._
+      val b = java.nio.file.Files.createTempDirectory("graft-q94").toString
+      val (in, out, dlq) = (s"$b/in", s"$b/out", s"$b/dlq")
+      val evSchema = new StructType()
+        .add("event_id", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType)
+      val payload = to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("value")))
+      // rows with value < 10 arrive garbled on the wire
+      Tables.events(s, dir)
+        .select(when(col("value") < 10, concat(lit("garbled:"), payload))
+          .otherwise(payload).as("js"))
+        .write.parquet(in)
+      val wire = Ingest.fileSource(s, in,
+        new StructType().add("js", StringType))
+      val decoded = Ingest.jsonEvents(wire, "js", evSchema)
+      decoded.writeStream
+        .option("checkpointLocation", s"$b/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Ingest.withDeadLetter(batch, "event_id", dlq)
+            .write.mode("append").parquet(out)
+        }
+        .start().awaitTermination()
+      s.read.parquet(out).crossJoin(
+        broadcast(s.read.parquet(dlq).agg(count(lit(1)).as("n_dlq"))))
+    }),
+
+    // ---- streaming event-time session windows (native session_window
+    // aggregation, the streaming twin of q51's batch sessionize) ----
+    "q95_stream_sessions" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val (ev, base) = streamedEvents(s, dir, "q95")
+      runStreamTo(Ingest.sessionWindows(ev, gap = "3 days"), base,
+        outputMode = "complete")
     })
   )
 
@@ -2361,7 +2504,68 @@ object SparkEntry {
         |  CASE WHEN (c_custkey % 3 + 1) >= 3
         |       THEN COALESCE(c_mktsegment, 'NONE') ELSE 'NONE' END
         |    AS c_mktsegment
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q90_stream_interval_join" ->
+      """SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 3 DAY""".stripMargin,
+
+    // the routing invariant IS the oracle: one partition per key
+    "q91_route_by_key" ->
+      """SELECT user_id, CAST(1 AS BIGINT) AS n_parts,
+        |  COUNT(*) AS n_rows
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q92_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q93_reset_vs_delta" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type, value FROM events),
+        |deltas AS (
+        |  SELECT user_id, event_id, event_type, value * 2 AS value,
+        |    CASE WHEN event_id % 21 = 0 THEN 'DELETE' ELSE 'UPSERT' END AS op
+        |  FROM base WHERE event_id % 7 = 0),
+        |after_delta AS (
+        |  SELECT * FROM base b WHERE NOT EXISTS
+        |    (SELECT 1 FROM deltas d
+        |     WHERE d.user_id = b.user_id AND d.event_id = b.event_id)
+        |  UNION ALL
+        |  SELECT user_id, event_id, event_type, value FROM deltas
+        |  WHERE op = 'UPSERT'),
+        |repl AS (
+        |  SELECT user_id, event_id, event_type, 0.0 AS value FROM base
+        |  WHERE user_id % 10 = 3 AND event_type = 'click')
+        |SELECT * FROM after_delta
+        |WHERE user_id NOT IN (SELECT user_id FROM repl)
+        |UNION ALL SELECT * FROM repl""".stripMargin,
+
+    "q94_dead_letter" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  (SELECT COUNT(*) FROM events WHERE value < 10) AS n_dlq
+        |FROM events WHERE NOT (value < 10)""".stripMargin,
+
+    // lag-gap sessionization with Spark's strict-overlap merge rule
+    // (same session iff ts < prev + gap); session_end = last ts + gap
+    "q95_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 3 DAY
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 3 DAY AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -165,4 +165,57 @@ object FeatureStore {
     current.join(latest.select(pk.map(col): _*), pk, "left_anti")
       .unionByName(latest.select(current.columns.map(col): _*))
   }
+
+  /** Entity-level RESET ingestion (SURVEY ST9, "reset" leg): a full
+    * sync replaces an entity's stored rows WHOLESALE — every current
+    * row for an entity present in `replacement` is dropped, then the
+    * replacement rows come in. This is the skye embedding full-sync
+    * listener's semantics (a new model/variant version supersedes the
+    * entity's whole vector set,
+    * `skye/internal/consumers/listener/embedding/embedding.go:216-263`),
+    * vs [[applyChangeEvents]] which applies per-row deltas.
+    *
+    * Scale note: one shuffle of `current` on the entity key (the
+    * anti-join); `replacement` is typically a small refresh batch —
+    * Spark broadcasts it when below the threshold, and on a bucketed
+    * table the anti-join is shuffle-free on the `current` side.
+    */
+  def reset(
+      current: DataFrame,
+      replacement: DataFrame,
+      entityCols: Seq[String]): DataFrame =
+    current
+      .join(replacement.select(entityCols.map(col): _*).distinct(),
+        entityCols, "left_anti")
+      .unionByName(replacement.select(current.columns.map(col): _*))
+
+  /** Delta change-log application (SURVEY ST9, "delta" leg): the skye
+    * realtime delta stream carries typed events — `UPSERT` replaces a
+    * row, `DELETE` tombstones it
+    * (`skye/internal/consumers/handler/indexer/models.go:6-8`, applied
+    * in `embedding.go:216-279`). Duplicate keys inside one change
+    * batch resolve to the highest `versionCol` (the per-key serial
+    * consumer applies the latest offset last), then the winning event
+    * either replaces or removes the current row.
+    *
+    * `events` = `current`'s columns + `versionCol` + `opCol`.
+    * Same one-shuffle shape as [[upsert]]; DELETE rides the same
+    * anti-join (a tombstone just contributes no replacement row).
+    */
+  def applyChangeEvents(
+      current: DataFrame,
+      events: DataFrame,
+      pk: Seq[String],
+      versionCol: String,
+      opCol: String): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(versionCol).desc,
+        xxhash64(events.columns.filterNot(pk.contains).map(col): _*))
+    val latest = events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    current.join(latest.select(pk.map(col): _*), pk, "left_anti")
+      .unionByName(latest.filter(col(opCol) =!= "DELETE")
+        .select(current.columns.map(col): _*))
+  }
 }

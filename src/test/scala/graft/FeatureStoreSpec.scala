@@ -93,6 +93,28 @@ class FeatureStoreSpec extends AnyFunSuite with SparkSuite {
     assert(out === Array(Row(1L, 10.0), Row(2L, 22.0), Row(3L, 30.0)))
   }
 
+  test("applyChangeEvents: latest-version-wins with DELETE tombstones (ST9 delta)") {
+    val current = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val events = Seq(
+      (2L, 21.0, 1L, "UPSERT"), (2L, 0.0, 2L, "DELETE"),   // delete wins at v2
+      (3L, 31.0, 1L, "DELETE"), (3L, 32.0, 2L, "UPSERT"),  // resurrect at v2
+      (4L, 40.0, 1L, "UPSERT"))                            // fresh insert
+      .toDF("k", "v", "ver", "op")
+    val out = FeatureStore.applyChangeEvents(current, events, Seq("k"), "ver", "op")
+      .orderBy("k").collect()
+    assert(out === Array(Row(1L, 10.0), Row(3L, 32.0), Row(4L, 40.0)))
+  }
+
+  test("reset replaces an entity's rows wholesale (ST9 full sync)") {
+    val current = Seq((1L, 100L, 1.0), (1L, 101L, 2.0), (2L, 200L, 3.0))
+      .toDF("ent", "id", "v")
+    // entity 1 resyncs to a SMALLER row set; entity 2 untouched
+    val replacement = Seq((1L, 102L, 9.0)).toDF("ent", "id", "v")
+    val out = FeatureStore.reset(current, replacement, Seq("ent"))
+      .orderBy("ent", "id").collect()
+    assert(out === Array(Row(1L, 102L, 9.0), Row(2L, 200L, 3.0)))
+  }
+
   test("schema versioning on read: rows written before a feature exists resolve to its default") {
     // The reference resolves a requested feature in the VERSION each row
     // was written under, falling back to the active version's default
