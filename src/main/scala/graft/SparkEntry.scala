@@ -1197,6 +1197,16 @@ object SparkEntry {
       val (ev, base) = streamedEvents(s, dir, "q95")
       runStreamTo(Ingest.sessionWindows(ev, gap = "3 days"), base,
         outputMode = "complete")
+    }),
+
+    // ---- EXACT heavy hitters at sketch cost: Misra-Gries candidate
+    // pass (bounded map per task, never shuffles the vocabulary) +
+    // exact confirm over candidates only ----
+    "q96_heavy_hitters" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(TextFunctions.words(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      Sketches.heavyHitters(tok, "token", sketchSize = 63, minShare = 0.034)
     })
   )
 
@@ -2565,7 +2575,17 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL 3 DAY AS session_end,
         |  CAST(COUNT(*) AS BIGINT) AS n_events
-        |FROM s GROUP BY user_id, sid""".stripMargin
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // the sketch pass is exact above its guarantee threshold, so the
+    // oracle is the plain HAVING-share query
+    "q96_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($sqlWords) AS token FROM documents),
+         |t AS (SELECT token FROM tok WHERE token <> ''),
+         |n AS (SELECT COUNT(*) AS total FROM t),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token)
+         |SELECT c.token, c.cnt, n.total FROM c, n
+         |WHERE c.cnt > 0.034 * n.total""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -85,4 +85,65 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
       === Seq(("a", 2L, 2.0), ("b", 1L, 1.0)))
   }
+
+  // ---- Misra-Gries frequent items ----
+
+  /** Zipf-ish skew over a large domain: item i repeated max(1, n/i)
+    * times — far more distinct values than sketch counters, so the
+    * decrement (update) and cut (merge) paths both fire. */
+  private def skewed(parts: Int) = {
+    val rows = (1 to 400).flatMap(i => Seq.fill(math.max(1, 2000 / i))(s"item$i"))
+    rows.toDF("v").repartition(parts)
+  }
+
+  test("misra-gries guarantee: every item with share > 1/(k+1) survives " +
+      "the sketch, under heavy decrement pressure and any partitioning") {
+    for (parts <- Seq(1, 7, 32)) {
+      val df = skewed(parts)
+      val n = df.count()
+      val k = 9
+      val mg = df.agg(Sketches.misraGries(col("v"), k).as("m"))
+        .select(map_keys(col("m"))).as[Seq[String]].head().toSet
+      assert(mg.size <= k)
+      val truth = df.groupBy("v").count()
+        .filter(col("count") > n.toDouble / (k + 1))
+        .select("v").as[String].collect().toSet
+      assert(truth.subsetOf(mg),
+        s"parts=$parts: lost heavy hitters ${truth -- mg}")
+    }
+  }
+
+  test("misra-gries counts are lower bounds within n/(k+1) of truth") {
+    val df = skewed(13)
+    val n = df.count()
+    val k = 9
+    val mg = df.agg(Sketches.misraGries(col("v"), k).as("m"))
+      .select(explode(col("m"))).as[(String, Long)].collect().toMap
+    val truth = df.groupBy("v").count().as[(String, Long)].collect().toMap
+    mg.foreach { case (item, c) =>
+      assert(c <= truth(item), s"$item overcounted: $c > ${truth(item)}")
+      assert(c >= truth(item) - n / (k + 1),
+        s"$item undercounted beyond the bound: $c vs ${truth(item)}")
+    }
+  }
+
+  test("heavyHitters is EXACT vs the brute-force HAVING plan") {
+    val df = skewed(11)
+    val n = df.count()
+    val out = Sketches.heavyHitters(df, "v", sketchSize = 9, minShare = 0.12)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val brute = df.groupBy("v").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 0.12 * n)
+      .withColumn("total", lit(n))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(out === brute)
+    assert(out.nonEmpty) // the threshold must actually select something
+  }
+
+  test("heavyHitters rejects thresholds below the sketch guarantee") {
+    val df = Seq("a", "b").toDF("v")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, "v", sketchSize = 9, minShare = 0.05)
+    }
+  }
 }
