@@ -1207,6 +1207,21 @@ object SparkEntry {
         .select(explode(TextFunctions.words(col("text"))).as("token"))
         .filter(col("token") =!= "")
       Sketches.heavyHitters(tok, "token", sketchSize = 63, minShare = 0.034)
+    }),
+
+    // ---- incremental IVF maintenance: the index builds on 80% of the
+    // corpus, the remaining 20% appends against the EXISTING centroids
+    // (no rebuild, one pass over the delta), and search covers both ----
+    "q97_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 5 =!= 4)
+      val delta = emb.filter(col("vec_id") % 5 === 4)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      graft.operators.IvfIndex.build(base, cells = 8)
+        .append(delta)
+        .search(queries, k = 10, nProbe = 2)
     })
   )
 
@@ -2585,7 +2600,41 @@ object SparkEntry {
          |n AS (SELECT COUNT(*) AS total FROM t),
          |c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token)
          |SELECT c.token, c.cnt, n.total FROM c, n
-         |WHERE c.cnt > 0.034 * n.total""".stripMargin
+         |WHERE c.cnt > 0.034 * n.total""".stripMargin,
+
+    // q38's IVF oracle with centroids seeded from the BASE corpus only
+    // (the build set); assignment and scoring run over the full corpus
+    // because the delta appends into the same cells
+    "q97_ivf_append" ->
+      s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 4),
+         |p AS (SELECT greatest(count(*) // 8, 1) AS stride FROM base),
+         |cent AS (SELECT e.vec_id // p.stride AS cell_id,
+         |                CAST(e.embedding AS DOUBLE[]) AS centroid
+         |         FROM base e, p
+         |         WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 8),
+         |asg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlEuclidOf("CAST(e.embedding AS DOUBLE[])", "c.centroid")} ASC,
+         |               c.cell_id ASC) AS rn
+         |  FROM embeddings e, cent c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT query_id, cell_id FROM (
+         |  SELECT q.query_id, c.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlEuclidOf("q.qe", "c.centroid")} ASC, c.cell_id ASC) AS rn
+         |  FROM q, cent c) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qc.query_id, a.vec_id,
+         |    ${sqlCosOf("CAST(e.embedding AS DOUBLE[])", "q2.qe")} AS score
+         |  FROM asg a JOIN qc ON a.cell_id = qc.cell_id
+         |  JOIN embeddings e ON a.vec_id = e.vec_id
+         |  JOIN q q2 ON qc.query_id = q2.query_id)
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

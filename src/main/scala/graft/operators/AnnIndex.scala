@@ -224,6 +224,38 @@ final case class IvfIndex(
         Similarity.int8Codes(col(embCol).cast("array<double>"),
           col(IvfIndex.Int8ScaleCol))))
 
+  /** Assign `newVectors` to the EXISTING centroids, producing rows in
+    * the `assigned` schema (int8 codes included when the stored table
+    * carries them) — the delta leg of incremental index maintenance,
+    * shared by [[append]] and [[graft.sources.Layout.appendIvf]]. */
+  def assignNew(
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val fresh = IvfIndex.assign(newVectors, centroids, idCol, embCol)
+    val coded =
+      if (assigned.columns.contains(IvfIndex.Int8CodeCol))
+        IvfIndex(fresh, centroids).materializeInt8(embCol).assigned
+      else fresh
+    coded.select(assigned.columns.map(col): _*)
+  }
+
+  /** Incremental index maintenance: absorb an ingest batch WITHOUT a
+    * rebuild. New vectors go to their nearest existing centroid; stored
+    * vectors' assignments never change, and the centroid table is
+    * untouched — so a daily delta costs one broadcast-join pass over
+    * the delta alone, never over the corpus. (Recall drifts as the data
+    * distribution moves away from the centroids; rebuild cadence is the
+    * operator's knob, exactly as with any IVF deployment.) Mirrors the
+    * reference's delta ingestion into a live vector collection
+    * (`skye/internal/consumers/listener/delta_realtime.go:15-37` —
+    * upserts land in the serving index without re-training it). */
+  def append(
+      newVectors: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): IvfIndex =
+    copy(assigned = assigned.unionByName(assignNew(newVectors, idCol, embCol)))
+
   /** Cell-pruned search with int8-quantized scoring: the probe runs on
     * float centroids, the re-rank on int8 codes with the integer dot
     * kernel — the composition a 100 TB corpus wants (directory-pruned

@@ -73,6 +73,20 @@ object Layout {
       spark.read.parquet(s"$path/assigned"),
       spark.read.parquet(s"$path/centroids"))
 
+  /** Append an ingest batch into a PERSISTED IVF layout without a
+    * rebuild: assign against the stored centroids, code the new rows if
+    * the stored table carries int8 columns, and append files into the
+    * touched `cell_id` partition directories — existing files are
+    * never rewritten, so the append costs one pass over the DELTA, not
+    * the corpus. Pair with [[compact]] per partition when small ingest
+    * files accumulate. */
+  def appendIvf(spark: SparkSession, path: String, newVectors: DataFrame,
+      embCol: String = "embedding"): Unit =
+    loadIvf(spark, path)
+      .assignNew(newVectors, embCol = embCol)
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$path/assigned")
+
   /** Persist a PQ index: the m-byte codes ARE the stored corpus payload
     * (32× smaller than the float vectors at dim 64, m 8) plus the tiny
     * (m·k)-row codebook and one metadata row. Queries over the loaded

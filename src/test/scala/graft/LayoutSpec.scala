@@ -154,4 +154,47 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(fromDisk === fromMem)
   }
+
+  test("appendIvf absorbs a delta without rewriting stored files and " +
+      "matches the in-memory appended index") {
+    import graft.operators.IvfIndex
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val delta = emb.filter($"vec_id" % 5 === 4)
+    val idx = IvfIndex.build(base, cells = 8)
+    val dir = Files.createTempDirectory("graft-ivfapp").toString + "/ivf"
+    Layout.writeIvf(idx, dir)
+    def dataFiles() = {
+      val fs = java.nio.file.Paths.get(dir, "assigned")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fs).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = dataFiles()
+    Layout.appendIvf(spark, dir, delta)
+    val after = dataFiles()
+    // every pre-existing file survives untouched; the delta only ADDS
+    before.foreach { case (f, mtime) =>
+      assert(after.contains(f), s"append rewrote/removed $f")
+      assert(after(f) === mtime, s"append modified $f")
+    }
+    assert(after.size > before.size, "append added no files")
+    // the reloaded layout answers exactly like the in-memory append,
+    // with codes materialized for the delta rows too
+    val loaded = Layout.loadIvf(spark, dir)
+    assert(loaded.assigned.count() === emb.count())
+    assert(loaded.assigned.filter(col(IvfIndex.Int8CodeCol).isNull).count() === 0)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val fromDisk = loaded.search(queries, k = 5, nProbe = 2)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val fromMem = idx.append(delta).search(queries, k = 5, nProbe = 2)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fromDisk === fromMem)
+  }
 }
