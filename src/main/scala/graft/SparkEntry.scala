@@ -1222,6 +1222,14 @@ object SparkEntry {
       graft.operators.IvfIndex.build(base, cells = 8)
         .append(delta)
         .search(queries, k = 10, nProbe = 2)
+    }),
+
+    // ---- group mean-pooling of embeddings (label centroid): exact
+    // fixed-point sums, one double division per element at the end —
+    // bit-reproducible under any partitioning ----
+    "q98_mean_pool" -> ((s, dir) => {
+      graft.operators.LinAlg.meanPool(
+        Tables.embeddings(s, dir), Seq("label"), "embedding")
     })
   )
 
@@ -2634,7 +2642,23 @@ object SparkEntry {
          |SELECT query_id, vec_id, score, rank FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM scored)
-         |WHERE rank <= 10""".stripMargin
+         |WHERE rank <= 10""".stripMargin,
+
+    // same micro-unit staging as q75: integer sums are exact in both
+    // engines, and the single final division is bit-identical double math
+    "q98_mean_pool" ->
+      """WITH e AS (SELECT label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, generate_subscripts(v, 1) AS p, unnest(v) AS x
+        |      FROM e),
+        |a AS (SELECT label, p, CAST(SUM(x) AS BIGINT) AS s,
+        |             CAST(COUNT(x) AS BIGINT) AS c
+        |      FROM u GROUP BY label, p)
+        |SELECT label,
+        |  array_agg(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * 1000000.0)
+        |            ORDER BY p) AS mean_embedding
+        |FROM a GROUP BY label""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

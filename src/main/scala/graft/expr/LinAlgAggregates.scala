@@ -153,3 +153,117 @@ object GramMatrix {
     * (row-major over j ≥ i). d == 0 ⇒ no input seen yet. */
   final class Buffer(var d: Int, var tri: Array[Long])
 }
+
+/** Elementwise (sum, count) of a fixed-point vector column — the exact
+  * accumulator behind group mean-pooling of embeddings
+  * ([[graft.operators.LinAlg.meanPool]]: user profile = mean of item
+  * vectors, doc vector = mean of chunk vectors). Same design choice as
+  * [[GramMatrix]]: inputs are `array<long>` micro-units, so sums are
+  * exact integer math — associative, order-independent, bit-equal in
+  * any engine (float sums would drift with partition order and could
+  * never hash-match an oracle). Per-position counts carry SQL AVG
+  * null-skip parity: a null element contributes to neither the sum nor
+  * the count of its position.
+  *
+  * == Scale design ==
+  * State is 2·d longs per group regardless of input size; update is a
+  * primitive add loop. Spark runs partial → final aggregation, so each
+  * map task ships one (sums, counts) pair per group across the shuffle
+  * — the declarative posexplode+groupBy equivalent inflates every row
+  * d× before map-side combine absorbs it.
+  */
+case class VectorSumCount(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VectorSumCount.Buffer]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  import VectorSumCount.Buffer
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("sums", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("counts", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_vector_sum_count"
+
+  override def createAggregationBuffer(): Buffer = new Buffer(0, null, null)
+
+  override def update(buf: Buffer, input: InternalRow): Buffer = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    if (buf.d == 0) {
+      buf.d = d; buf.sums = new Array[Long](d); buf.counts = new Array[Long](d)
+    }
+    require(d == buf.d, s"vector_sum_count: dim mismatch ($d vs ${buf.d})")
+    var i = 0
+    while (i < d) {
+      if (!arr.isNullAt(i)) {
+        buf.sums(i) += arr.getLong(i)
+        buf.counts(i) += 1L
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Buffer, other: Buffer): Buffer = {
+    if (other.d == 0) return buf
+    if (buf.d == 0) {
+      buf.d = other.d
+      buf.sums = other.sums.clone(); buf.counts = other.counts.clone()
+      return buf
+    }
+    require(buf.d == other.d, "vector_sum_count: dim mismatch in merge")
+    var i = 0
+    while (i < buf.d) {
+      buf.sums(i) += other.sums(i); buf.counts(i) += other.counts(i); i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Buffer): Any = {
+    val d = buf.d
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.update(0, new GenericArrayData(
+      if (d == 0) Array.empty[Long] else buf.sums))
+    row.update(1, new GenericArrayData(
+      if (d == 0) Array.empty[Long] else buf.counts))
+    row
+  }
+
+  override def serialize(buf: Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.d)
+    bb.putInt(buf.d)
+    var i = 0
+    while (i < buf.d) { bb.putLong(buf.sums(i)); bb.putLong(buf.counts(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val d = bb.getInt
+    if (d == 0) return new Buffer(0, null, null)
+    val sums = new Array[Long](d)
+    val counts = new Array[Long](d)
+    var i = 0
+    while (i < d) { sums(i) = bb.getLong; counts(i) = bb.getLong; i += 1 }
+    new Buffer(d, sums, counts)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumCount =
+    copy(child = newChild)
+}
+
+object VectorSumCount {
+  /** Mutable state: dimension + per-position exact sums and non-null
+    * counts. d == 0 ⇒ no input seen yet. */
+  final class Buffer(var d: Int, var sums: Array[Long], var counts: Array[Long])
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expr.GramMatrix
+import graft.expr.{GramMatrix, VectorSumCount}
 
 /** Corpus-level linear algebra over embedding columns: the exact
   * fixed-point Gram matrix Xᵀ·X (and the covariance that derives from
@@ -41,5 +41,42 @@ object LinAlg {
         (col("__pos") % col("__d")).cast("int").as("j"), col("g"))
       .filter(col("j") >= col("i"))
       .select((col("i") + 1).as("i"), (col("j") + 1).as("j"), col("g"))
+  }
+
+  /** Exact vector (sums, counts) aggregate over a micro-quantized
+    * column — see [[graft.expr.VectorSumCount]]. */
+  def vectorSumCount(microCol: Column): Column =
+    ColumnBridge.column(
+      VectorSumCount(ColumnBridge.expression(microCol)).toAggregateExpression())
+
+  /** Group mean-pooling of an embedding column (user profile = mean of
+    * item vectors, doc vector = mean of chunk vectors): per-group
+    * elementwise average, reproducible to the bit.
+    *
+    * Floats quantize to micro-unit longs first ([[microVec]]), the
+    * aggregate sums exactly (order-independent), and ONE double
+    * division per element at the end recovers the mean — so the result
+    * never depends on partitioning or merge order, unlike a naive
+    * float `sum`. Null elements follow SQL AVG (skip, per position);
+    * a position with no non-null contributions yields null.
+    *
+    * == Scale ==
+    * One aggregation pass, 2·d longs per group across the shuffle.
+    */
+  def meanPool(
+      df: DataFrame,
+      groupCols: Seq[String],
+      embCol: String,
+      scale: Int = 6,
+      outCol: String = "mean_embedding"): DataFrame = {
+    val factor = math.pow(10, scale)
+    df.select(groupCols.map(col) :+ microVec(col(embCol), scale).as("__m"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(vectorSumCount(col("__m")).as("__sc"))
+      .select(groupCols.map(col) :+
+        zip_with(col("__sc.sums"), col("__sc.counts"),
+          (s, c) => when(c === 0L, lit(null))
+            .otherwise(s.cast("double") / (c.cast("double") * lit(factor))))
+          .as(outCol): _*)
   }
 }

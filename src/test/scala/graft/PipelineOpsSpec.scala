@@ -31,6 +31,24 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.size === 6) // upper triangle of d=3
   }
 
+  test("meanPool: exact label centroids, invariant to partitioning, " +
+      "AVG null-skip per position") {
+    val rows: Seq[(String, Seq[Option[Double]])] = Seq(
+      ("a", Seq(Some(1.0), Some(2.0), None)),
+      ("a", Seq(Some(3.0), None, None)),
+      ("b", Seq(Some(-1.5), Some(0.25), Some(4.0))))
+    def run(parts: Int) = LinAlg.meanPool(
+        rows.toDF("label", "embedding").repartition(parts),
+        Seq("label"), "embedding")
+      .orderBy("label")
+      .collect().map(r => (r.getString(0), r.getSeq[Any](1).toSeq)).toSeq
+    val got = run(3)
+    assert(got === run(1)) // bit-equal under any partitioning
+    // label a: pos1 avg(1,3)=2.0, pos2 avg(2)=2.0, pos3 no data -> null
+    assert(got(0) === ("a", Seq(2.0, 2.0, null)))
+    assert(got(1) === ("b", Seq(-1.5, 0.25, 4.0)))
+  }
+
   test("gramMatrix null elements follow SQL SUM-skip (oracle parity)") {
     // a null element nullifies only the products it participates in —
     // the row's other cells still accumulate, exactly like the q75
