@@ -1230,7 +1230,14 @@ object SparkEntry {
     "q98_mean_pool" -> ((s, dir) => {
       graft.operators.LinAlg.meanPool(
         Tables.embeddings(s, dir), Seq("label"), "embedding")
-    })
+    }),
+
+    // ---- exact substring-duplicate spans (Lee et al. 2022): token
+    // windows of length 5 occurring >=2x corpus-wide, merged into
+    // maximal per-doc spans. The dedup pass a pretraining pipeline
+    // runs BEFORE tokenization ----
+    "q99_duplicate_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), l = 5))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2658,7 +2665,32 @@ object SparkEntry {
         |SELECT label,
         |  array_agg(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * 1000000.0)
         |            ORDER BY p) AS mean_embedding
-        |FROM a GROUP BY label""".stripMargin
+        |FROM a GROUP BY label""".stripMargin,
+
+    // token windows hashed exactly as the Spark side (15-hex-char md5
+    // prefix = 60-bit), duplicates corpus-wide, gaps-and-islands merge
+    "q99_duplicate_spans" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS tk FROM documents),
+         |w0 AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 4),
+         |         i -> CAST(('0x'||substr(md5(
+         |           array_to_string(list_slice(tk, i, i + 4), ' ')), 1, 15))
+         |           AS BIGINT)) AS hs
+         |       FROM t WHERE len(tk) >= 5),
+         |w AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos,
+         |        unnest(hs) AS h FROM w0),
+         |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+         |m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (h)),
+         |x AS (SELECT doc_id, pos,
+         |        max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |      FROM m),
+         |y AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
+         |        OR pos > prev_end + 1 THEN 1 ELSE 0 END AS f FROM x),
+         |z AS (SELECT doc_id, pos,
+         |        SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM y)
+         |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
+         |  CAST(MAX(pos) + 4 AS INT) AS span_end, COUNT(*) AS n_windows
+         |FROM z GROUP BY doc_id, isl""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

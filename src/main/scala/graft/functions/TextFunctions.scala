@@ -43,6 +43,12 @@ object TextFunctions {
   def md5Hash32(s: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit engine-portable hash: first 15 hex chars of md5(s). Wide
+    * enough that corpus-scale window sets (billions) see no birthday
+    * collisions, yet always fits a signed 64-bit int in any engine. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** Spark-native 64-bit hash (production path). */
   def fastHash64(s: Column, seed: Int): Column = xxhash64(lit(seed), s)
 

@@ -130,6 +130,38 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
     assert(sigKernel.toSeq === sigHof.toSeq)
   }
 
+  test("duplicateSpans marks every duplicated window and merges overlaps") {
+    // docs 1 and 2 share the 6-token run "one two three four five six"
+    // -> two overlapping l=5 windows merge into one span of 6 tokens;
+    // doc 3 repeats a 5-token run WITHIN itself -> both occurrences
+    // marked; doc 4 shares nothing -> no rows.
+    val docs = Seq(
+      (1L, "one two three four five six alpha beta gamma delta"),
+      (2L, "prefix words here one two three four five six suffix"),
+      (3L, "p q r s t filler filler2 filler3 p q r s t"),
+      (4L, "nothing shared with anything else at all in here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, l = 5)
+      .select($"doc_id", $"span_start", $"span_end", $"n_windows")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(spans === Set(
+      (1L, 0, 5, 2L),   // windows at 0 and 1 merge
+      (2L, 3, 8, 2L),
+      (3L, 0, 4, 1L),   // within-doc repeat: both occurrences
+      (3L, 8, 12, 1L)))
+  }
+
+  test("duplicateSpans ignores docs shorter than the window") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, l = 5).count() === 0)
+    // but an identical 5-token doc pair is fully marked
+    val docs2 = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs2, l = 5)
+      .select($"doc_id", $"span_start", $"span_end").as[(Long, Int, Int)]
+      .collect().toSet
+    assert(spans === Set((1L, 0, 4), (2L, 0, 4)))
+  }
+
   test("winnow kernel matches the column-HOF form bit for bit") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the  QUICK\tbrown fox", "short", "ab", "").toDF("text")
