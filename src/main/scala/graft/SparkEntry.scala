@@ -1237,7 +1237,14 @@ object SparkEntry {
     // maximal per-doc spans. The dedup pass a pretraining pipeline
     // runs BEFORE tokenization ----
     "q99_duplicate_spans" -> ((s, dir) =>
-      Dedup.duplicateSpans(Tables.documents(s, dir), l = 5))
+      Dedup.duplicateSpans(Tables.documents(s, dir), l = 5)),
+
+    // ---- embedding-centroid outlier ranking (SemDeDup-style quality
+    // signal): exact fixed-point label centroid, broadcast back,
+    // 20 least-similar members per label ----
+    "q100_centroid_outliers" -> ((s, dir) =>
+      graft.operators.LinAlg.centroidOutliers(Tables.embeddings(s, dir),
+        Seq("label"), "embedding", "vec_id", k = 20))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2690,7 +2697,31 @@ object SparkEntry {
          |        SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM y)
          |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
          |  CAST(MAX(pos) + 4 AS INT) AS span_end, COUNT(*) AS n_windows
-         |FROM z GROUP BY doc_id, isl""".stripMargin
+         |FROM z GROUP BY doc_id, isl""".stripMargin,
+
+    // centroid = q98's exact micro-unit mean; cosine is the same
+    // ascending-index double fold both engines use everywhere else
+    "q100_centroid_outliers" ->
+      s"""WITH e AS (SELECT label, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |u AS (SELECT label, generate_subscripts(v, 1) AS p, unnest(v) AS x
+         |      FROM e),
+         |a AS (SELECT label, p, CAST(SUM(x) AS BIGINT) AS s,
+         |             CAST(COUNT(x) AS BIGINT) AS c
+         |      FROM u GROUP BY label, p),
+         |cent AS (SELECT label,
+         |    array_agg(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * 1000000.0)
+         |              ORDER BY p) AS ce
+         |  FROM a GROUP BY label),
+         |scored AS (SELECT em.vec_id, em.label,
+         |    ${sqlCosOf("CAST(em.embedding AS DOUBLE[])", "c.ce")} AS cos_centroid
+         |  FROM embeddings em JOIN cent c ON em.label = c.label)
+         |SELECT vec_id, label, cos_centroid, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label
+         |    ORDER BY cos_centroid ASC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 20""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

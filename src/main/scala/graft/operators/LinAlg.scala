@@ -79,4 +79,39 @@ object LinAlg {
             .otherwise(s.cast("double") / (c.cast("double") * lit(factor))))
           .as(outCol): _*)
   }
+
+  /** Embedding→group-centroid cosine, ranked ascending (SemDeDup-style
+    * curation signal): the group centroid is the exact fixed-point
+    * mean ([[meanPool]], bit-reproducible), broadcast back to members;
+    * each member scores cosine(vec, centroid). The k lowest-similarity
+    * members per group are the outliers a quality pipeline drops or
+    * audits; the same score descending finds redundant near-centroid
+    * duplicates.
+    *
+    * == Scale ==
+    * One aggregation pass for centroids (2·d longs per group over the
+    * shuffle), then a broadcast join (centroid table is #groups rows —
+    * never shuffle the corpus to meet it), a codegen'd cosine, and a
+    * per-group top-k window. */
+  def centroidOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      embCol: String,
+      idCol: String,
+      k: Int,
+      scale: Int = 6): DataFrame = {
+    import graft.functions.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val cent = meanPool(df, groupCols, embCol, scale)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("cos_centroid").asc, col(idCol).asc)
+    df.select((idCol +: groupCols).map(col) :+ col(embCol): _*)
+      .join(broadcast(cent), groupCols)
+      .withColumn("cos_centroid",
+        Similarity.cosine(col(embCol), col("mean_embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select((idCol +: groupCols).map(col) :+
+        col("cos_centroid") :+ col("rank"): _*)
+  }
 }

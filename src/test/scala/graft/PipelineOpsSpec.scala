@@ -49,6 +49,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got(1) === ("b", Seq(-1.5, 0.25, 4.0)))
   }
 
+  test("centroidOutliers ranks least-centroid-similar members first") {
+    // group g: three vectors near +x, one near -x (the outlier)
+    val rows = Seq(
+      (1L, "g", Seq(1.0, 0.1)), (2L, "g", Seq(1.0, -0.1)),
+      (3L, "g", Seq(0.9, 0.0)), (4L, "g", Seq(-1.0, 0.0)),
+      (5L, "h", Seq(0.0, 1.0)), (6L, "h", Seq(0.0, 2.0)))
+      .toDF("vec_id", "label", "embedding")
+    val got = LinAlg.centroidOutliers(rows, Seq("label"), "embedding",
+        "vec_id", k = 2)
+      .select("label", "rank", "vec_id", "cos_centroid")
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3)))
+    val g = got.filter(_._1 == "g").sortBy(_._2)
+    assert(g.head._3 === 4L)         // the -x vector is rank 1 (worst)
+    assert(g.head._4 < 0.0)          // opposes the centroid
+    assert(g(1)._4 > g.head._4)      // ranks ascend in similarity
+    // colinear group: both members cosine 1.0, ties broken by id
+    val h = got.filter(_._1 == "h").sortBy(_._2).map(_._3)
+    assert(h.toSeq === Seq(5L, 6L))
+  }
+
   test("gramMatrix null elements follow SQL SUM-skip (oracle parity)") {
     // a null element nullifies only the products it participates in —
     // the row's other cells still accumulate, exactly like the q75
