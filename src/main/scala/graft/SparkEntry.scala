@@ -1244,7 +1244,28 @@ object SparkEntry {
     // 20 least-similar members per label ----
     "q100_centroid_outliers" -> ((s, dir) =>
       graft.operators.LinAlg.centroidOutliers(Tables.embeddings(s, dir),
-        Seq("label"), "embedding", "vec_id", k = 20))
+        Seq("label"), "embedding", "vec_id", k = 20)),
+
+    // ---- PII scrubbing: the corpus has no real PII, so each doc is
+    // salted with a deterministic email/IP/phone derived from doc_id
+    // (identically in the oracle), then counted and masked ----
+    "q101_pii_mask" -> ((s, dir) => {
+      val salted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 10.0."), col("doc_id") % 256, lit("."),
+          col("doc_id") % 40, lit(" phone "),
+          lit(1000000000L) + col("doc_id") * 7).as("__t"))
+      salted.select(col("doc_id"),
+        TextFunctions.piiCount(col("__t"), TextFunctions.EmailRe).as("n_emails"),
+        TextFunctions.piiCount(col("__t"), TextFunctions.Ipv4Re).as("n_ipv4"),
+        TextFunctions.piiCount(col("__t"), TextFunctions.PhoneRe).as("n_phones"),
+        TextFunctions.maskPii(col("__t")).as("masked"))
+    }),
+
+    // ---- paragraph-level exact dedup, keep-first corpus-wide
+    // (8-token blocks stand in for crawl paragraphs) ----
+    "q102_para_dedup" -> ((s, dir) =>
+      Dedup.dedupeParagraphs(Tables.documents(s, dir), paraTokens = 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2721,7 +2742,51 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label
          |    ORDER BY cos_centroid ASC, vec_id ASC) AS INT) AS rank
          |  FROM scored)
-         |WHERE rank <= 20""".stripMargin
+         |WHERE rank <= 20""".stripMargin,
+
+    // same salting expression; patterns are in the Java-regex ∩ RE2
+    // common subset so they apply verbatim ('g' = replace-all, Spark's
+    // default)
+    "q101_pii_mask" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{10}\\b"
+      s"""WITH t AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST(doc_id % 40 AS VARCHAR)
+         |      || ' phone ' || CAST(1000000000 + doc_id * 7 AS VARCHAR) AS tt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(tt, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(tt, '$ipv4')) AS INT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(tt, '$phone')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(tt,
+         |    '$email', '<EMAIL>', 'g'), '$ipv4', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS masked
+         |FROM t""".stripMargin
+    },
+
+    // 8-token blocks, 60-bit hash, keep-first by (doc_id, pos)
+    "q102_para_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |p0 AS (SELECT doc_id, list_transform(
+         |         generate_series(1, greatest(len(w), 1), 8),
+         |         i -> array_to_string(list_slice(w, i, i + 7), ' ')) AS ps
+         |       FROM t),
+         |p AS (SELECT doc_id, len(ps) AS n_paras,
+         |        generate_subscripts(ps, 1) - 1 AS pos, unnest(ps) AS para
+         |      FROM p0),
+         |h AS (SELECT *, CAST(('0x'||substr(md5(para), 1, 15)) AS BIGINT)
+         |        AS hh FROM p),
+         |k AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY hh ORDER BY doc_id, pos) AS rn FROM h)
+         |      WHERE rn = 1)
+         |SELECT doc_id, CAST(n_paras AS INT) AS n_paras,
+         |  string_agg(para, ' ' ORDER BY pos) AS text_dedup,
+         |  COUNT(*) AS n_kept,
+         |  CAST(n_paras - COUNT(*) AS BIGINT) AS n_dropped
+         |FROM k GROUP BY doc_id, n_paras""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -52,6 +52,26 @@ object TextFunctions {
   /** Spark-native 64-bit hash (production path). */
   def fastHash64(s: Column, seed: Int): Column = xxhash64(lit(seed), s)
 
+  // ---- PII scrubbing (the masking pass a curation pipeline runs
+  // before releasing or training on scraped text). The three patterns
+  // stay inside the Java-regex ∩ RE2 common subset (classes, bounded
+  // repeats, \b) so the DuckDB oracle applies them verbatim. ----
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{10}\\b"
+
+  /** Count of non-overlapping matches of `re` (count first, mask after). */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Mask emails → `<EMAIL>`, IPv4 → `<IP>`, 10-digit phones →
+    * `<PHONE>`. Email first (its local part may contain digits/dots),
+    * then IP (so `<EMAIL>` can't create digit runs), then phone (an
+    * IPv4 octet is ≤3 digits, so masking order can't conflate them). */
+  def maskPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+
   /** Universal-hash constants for MinHash: fixed odd multipliers
     * a < 2^31 and addends b < 2^31, so `a*h + b` for a 32-bit `h` stays
     * inside a signed 64-bit long in every engine (no wraparound —

@@ -162,6 +162,40 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
     assert(spans === Set((1L, 0, 4), (2L, 0, 4)))
   }
 
+  test("maskPii masks emails, IPv4s and phones; counts match") {
+    val df = Seq(
+      "mail a.b+c@test.org and 192.168.0.1 then call 9876543210 twice 9876543210",
+      "no pii here at all",
+      "ip 1.2.3.4 next to email x@y.io").toDF("text")
+    val got = df.select(
+      piiCount($"text", EmailRe).as("e"), piiCount($"text", Ipv4Re).as("i"),
+      piiCount($"text", PhoneRe).as("p"), maskPii($"text").as("m"))
+      .as[(Int, Int, Int, String)].collect()
+    assert(got(0) === ((1, 1, 2,
+      "mail <EMAIL> and <IP> then call <PHONE> twice <PHONE>")))
+    assert(got(1) === ((0, 0, 0, "no pii here at all")))
+    assert(got(2) === ((1, 1, 0, "ip <IP> next to email <EMAIL>")))
+  }
+
+  test("dedupeParagraphs keeps first corpus-wide occurrence, reassembles") {
+    // 2-token blocks; doc 1 = [a b][c d], doc 2 = [c d][e f] (block
+    // "c d" repeats -> doc 2 loses it), doc 3 duplicates doc 1 fully
+    // and disappears
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.dedupeParagraphs(docs, paraTokens = 2)
+      .select($"doc_id", $"n_paras", $"text_dedup", $"n_kept", $"n_dropped")
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2, "a b c d", 2L, 0L),
+      (2L, 2, "e f", 1L, 1L)))
+    // partial tail block participates too
+    val docs2 = Seq((1L, "x y z"), (2L, "z q")).toDF("doc_id", "text")
+    val got2 = Dedup.dedupeParagraphs(docs2, paraTokens = 2)
+      .select($"doc_id", $"text_dedup").as[(Long, String)].collect().toSet
+    assert(got2 === Set((1L, "x y z"), (2L, "z q")))
+  }
+
   test("winnow kernel matches the column-HOF form bit for bit") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the  QUICK\tbrown fox", "short", "ab", "").toDF("text")
