@@ -1265,7 +1265,34 @@ object SparkEntry {
     // ---- paragraph-level exact dedup, keep-first corpus-wide
     // (8-token blocks stand in for crawl paragraphs) ----
     "q102_para_dedup" -> ((s, dir) =>
-      Dedup.dedupeParagraphs(Tables.documents(s, dir), paraTokens = 8))
+      Dedup.dedupeParagraphs(Tables.documents(s, dir), paraTokens = 8)),
+
+    // ---- deterministic global shuffle + fixed-size training shards
+    // (range-partitioned prefix-sum rank — no single-partition window) ----
+    "q103_shard_assign" -> ((s, dir) =>
+      graft.operators.Training.shard(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", 64L)
+        .select(col("doc_id"), col("shard_id"), col("shard_offset"))),
+
+    // ---- item co-visitation candidate generation: recency-capped
+    // per-user item sets -> within-user pairs -> cross-user counts ----
+    "q104_covisitation" -> ((s, dir) =>
+      graft.operators.Recsys.covisitation(Tables.events(s, dir),
+        recentPerUser = 30, minUsers = 2)),
+
+    // ---- deterministic negative sampling against the click set ----
+    "q105_negative_sample" -> ((s, dir) =>
+      graft.operators.Recsys.negativeSample(Tables.events(s, dir),
+        posType = "click", nItems = 100, perUser = 4, oversample = 8)),
+
+    // ---- leave-one-out target encoding of event_type on value ----
+    "q106_target_encode" -> ((s, dir) =>
+      graft.operators.Recsys.targetEncodeLoo(Tables.events(s, dir),
+        "event_type", "value", Seq("event_id"), alpha = 10.0)),
+
+    // ---- time-decayed engagement profile per user ----
+    "q107_decayed_engagement" -> ((s, dir) =>
+      graft.operators.Recsys.decayedEngagement(Tables.events(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2786,7 +2813,86 @@ object SparkEntry {
          |  string_agg(para, ' ' ORDER BY pos) AS text_dedup,
          |  COUNT(*) AS n_kept,
          |  CAST(n_paras - COUNT(*) AS BIGINT) AS n_dropped
-         |FROM k GROUP BY doc_id, n_paras""".stripMargin
+         |FROM k GROUP BY doc_id, n_paras""".stripMargin,
+
+    // order key = (md5_32(doc_id) mod 2^31)·2^32 + doc_id, exactly as
+    // Training.shard builds it
+    "q103_shard_assign" ->
+      """WITH t AS (SELECT doc_id,
+        |    (CAST(('0x'||substr(md5('0:'||CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) % 2147483648) * 4294967296 + doc_id AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |        ROW_NUMBER() OVER (ORDER BY k) - 1 AS rn FROM t)
+        |SELECT doc_id, CAST(rn // 64 AS INT) AS shard_id,
+        |  CAST(rn % 64 AS INT) AS shard_offset FROM r""".stripMargin,
+
+    "q104_covisitation" ->
+      """WITH ui AS (
+        |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item_id,
+        |    MAX(ts) AS last_ts
+        |  FROM events
+        |  WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |capped AS (SELECT user_id, item_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+        |  WHERE rn <= 30)
+        |SELECT a.item_id AS item_a, b.item_id AS item_b,
+        |  COUNT(*) AS n_users
+        |FROM capped a JOIN capped b
+        |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // draws = md5(seed:user:slot) mod 100, exactly as the Spark side
+    "q105_negative_sample" ->
+      """WITH pos AS (SELECT DISTINCT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+        |  FROM events WHERE event_type = 'click'
+        |    AND json_extract(props, '$.k') IS NOT NULL),
+        |u AS (SELECT DISTINCT user_id FROM pos),
+        |d0 AS (SELECT user_id, list_transform(generate_series(0, 31),
+        |         i -> CAST(('0x'||substr(md5('7:'||CAST(user_id AS VARCHAR)
+        |           ||':'||CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 100) AS ds
+        |       FROM u),
+        |d AS (SELECT user_id, generate_subscripts(ds, 1) - 1 AS slot,
+        |        unnest(ds) AS item_id FROM d0),
+        |neg AS (SELECT d.user_id, d.item_id, MIN(d.slot) AS slot
+        |  FROM d LEFT JOIN pos p
+        |    ON d.user_id = p.user_id AND d.item_id = p.item_id
+        |  WHERE p.user_id IS NULL
+        |  GROUP BY d.user_id, d.item_id)
+        |SELECT user_id, item_id, rank FROM (
+        |  SELECT user_id, item_id, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY slot ASC) AS INT) AS rank
+        |  FROM neg)
+        |WHERE rank <= 4""".stripMargin,
+
+    // identical double expression tree over exact micro-unit longs
+    "q106_target_encode" ->
+      """WITH m AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS xm FROM events),
+        |cs AS (SELECT event_type, CAST(SUM(xm) AS BIGINT) AS s,
+        |         COUNT(*) AS c FROM m GROUP BY event_type),
+        |g AS (SELECT CAST(SUM(xm) AS BIGINT) AS gs, COUNT(*) AS gc FROM m)
+        |SELECT m.event_id, m.event_type,
+        |  (CAST(cs.s - m.xm AS DOUBLE)
+        |     + 10.0 * (CAST(g.gs AS DOUBLE) / CAST(g.gc AS DOUBLE)))
+        |    / (CAST(cs.c - 1 AS DOUBLE) + 10.0) / 1000000.0 AS te
+        |FROM m JOIN cs USING (event_type) CROSS JOIN g""".stripMargin,
+
+    // hyperbolic decay: floor(micro / (1 + age_days)) is exact binary64
+    // in both engines; the per-user sum is an exact long
+    "q107_decayed_engagement" ->
+      """WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+        |c AS (SELECT user_id,
+        |    CAST(floor(CAST(CAST(floor(value * 1000000) AS BIGINT) AS DOUBLE)
+        |      / CAST(1 + date_diff('day', CAST(ts AS DATE), a.anchor)
+        |             AS DOUBLE)) AS BIGINT) AS cm
+        |  FROM events CROSS JOIN a)
+        |SELECT user_id, CAST(SUM(cm) AS DOUBLE) / 1000000.0 AS decayed,
+        |  COUNT(*) AS n_events
+        |FROM c GROUP BY user_id""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.md5Hash32
+
+/** Recommender-training data preparation over the interaction log —
+  * the feature/label assembly a BharatML-style stack feeds its ranking
+  * models from: co-visitation candidate generation, deterministic
+  * negative sampling, leave-one-out target encoding, and time-decayed
+  * engagement profiles.
+  *
+  * == Scale design ==
+  * Everything is bounded before anything fans out: co-visitation caps
+  * items per user BEFORE the per-user pair explosion (quadratic in the
+  * cap, never in raw activity), negative sampling explodes a fixed
+  * slot budget per user, and both encodings are single aggregation
+  * passes whose join-back sides are category- or single-row-sized
+  * (broadcast). Label sums ride exact micro-unit longs — the standard
+  * fixed-point staging ([[LinAlg.microVec]]) that keeps double results
+  * independent of partitioning and merge order.
+  */
+object Recsys {
+
+  /** Item surrogate carried in the event props JSON (`$.k`). */
+  def itemOf(props: Column): Column =
+    get_json_object(props, "$.k").cast("long")
+
+  /** Item-item co-visitation counts (classic candidate generation):
+    * users' `recentPerUser` most recent distinct items, all within-user
+    * pairs `a < b`, counted across users; pairs below `minUsers` drop.
+    * The recency cap is what keeps the per-user pair fan-out at
+    * `cap²/2` regardless of how active a user is. */
+  def covisitation(
+      events: DataFrame,
+      recentPerUser: Int = 30,
+      minUsers: Long = 2): DataFrame = {
+    val byRecency = Window.partitionBy(col("user_id"))
+      .orderBy(col("__last").desc, col("item_id").asc)
+    val capped = events
+      .select(col("user_id"), itemOf(col("props")).as("item_id"), col("ts"))
+      .filter(col("item_id").isNotNull)
+      .groupBy(col("user_id"), col("item_id")).agg(max(col("ts")).as("__last"))
+      .withColumn("__rn", row_number().over(byRecency))
+      .filter(col("__rn") <= recentPerUser)
+      .select(col("user_id"), col("item_id"))
+    capped.as("a").join(capped.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.item_id") < col("b.item_id"))
+      .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= minUsers)
+  }
+
+  /** Deterministic negative sampling: per user with ≥1 positive
+    * (`posType` events), draw `oversample·perUser` pseudo-random item
+    * slots (`md5(seed:user:slot) mod nItems` — reproducible in any
+    * engine), drop candidates the user actually interacted with
+    * (anti-join on the positive set), dedup repeated draws keeping the
+    * earliest slot, and keep the first `perUser` survivors in slot
+    * order. Output: `(user_id, item_id, rank)`. */
+  def negativeSample(
+      events: DataFrame,
+      posType: String = "click",
+      nItems: Int = 100,
+      perUser: Int = 4,
+      oversample: Int = 8,
+      seed: Int = 7): DataFrame = {
+    val pos = events.filter(col("event_type") === posType)
+      .select(col("user_id"), itemOf(col("props")).as("item_id"))
+      .filter(col("item_id").isNotNull)
+      .distinct()
+    val slots = sequence(lit(0), lit(oversample * perUser - 1))
+    val draws = pos.select(col("user_id")).distinct()
+      .select(col("user_id"), posexplode(transform(slots, i =>
+        pmod(md5Hash32(concat(col("user_id"), lit(":"), i), seed),
+          lit(nItems.toLong)))).as(Seq("slot", "item_id")))
+    val bySlot = Window.partitionBy(col("user_id")).orderBy(col("slot").asc)
+    draws
+      .join(pos, Seq("user_id", "item_id"), "left_anti")
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(min(col("slot")).as("__slot"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("__slot").asc)))
+      .filter(col("rank") <= perUser)
+      .select(col("user_id"), col("item_id"), col("rank"))
+  }
+
+  /** Leave-one-out target encoding with additive smoothing: each row's
+    * category mean EXCLUDES its own label (no target leakage), shrunk
+    * toward the global prior by `alpha` virtual rows:
+    * `te = ((Σcat − x) + α·prior) / (cnt − 1 + α)`.
+    * Sums are exact micro-unit longs; the one double expression at the
+    * end is written identically in the SQL oracle, so the encoding is
+    * bit-reproducible. */
+  def targetEncodeLoo(
+      df: DataFrame,
+      catCol: String,
+      labelCol: String,
+      idCols: Seq[String],
+      alpha: Double = 10.0): DataFrame = {
+    val micro = floor(col(labelCol).cast("double") * 1e6).cast("long")
+    val staged = df.select(
+      (idCols :+ catCol).map(col) :+ micro.as("__xm"): _*)
+    val catStats = staged.groupBy(col(catCol))
+      .agg(sum(col("__xm")).as("__s"), count(lit(1)).as("__c"))
+    val global = staged
+      .agg(sum(col("__xm")).as("__gs"), count(lit(1)).as("__gc"))
+    val prior = col("__gs").cast("double") / col("__gc").cast("double")
+    staged
+      .join(broadcast(catStats), catCol)
+      .crossJoin(broadcast(global))
+      .withColumn("te",
+        ((col("__s") - col("__xm")).cast("double") + lit(alpha) * prior) /
+          ((col("__c") - 1).cast("double") + lit(alpha)) / lit(1e6))
+      .select((idCols :+ catCol).map(col) :+ col("te"): _*)
+  }
+
+  /** Time-decayed engagement profile per user: each event contributes
+    * `value / (1 + age_days)` (hyperbolic decay — exact in binary64,
+    * unlike exp/pow whose libm rounding differs across engines), age
+    * measured against the corpus max date. Contributions quantize to
+    * micro-unit longs so the per-user sum is order-independent. */
+  def decayedEngagement(events: DataFrame): DataFrame = {
+    val anchor = events.agg(max(to_date(col("ts"))).as("__anchor"))
+    val contrib = floor(
+      floor(col("value").cast("double") * 1e6).cast("long").cast("double") /
+        (lit(1) + datediff(col("__anchor"), to_date(col("ts"))))
+          .cast("double")).cast("long")
+    events.select(col("user_id"), col("ts"), col("value"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"), contrib.as("__cm"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("__cm")).cast("double") / lit(1e6)).as("decayed"),
+        count(lit(1)).as("n_events"))
+  }
+}

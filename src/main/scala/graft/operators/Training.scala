@@ -152,4 +152,25 @@ object Training {
       .withColumn("frame_avg", decSum.cast("double") / col("frame_n"))
       .withColumn("next_value", lead(col(valueCol), 1).over(ord))
   }
+
+  /** Deterministic global shuffle + shard assignment (the export step
+    * before training: rows land in pseudo-random order across
+    * fixed-size shards, reproducibly). Order key = 31-bit md5 hash of
+    * the id with the id itself as tie-break (total order even under
+    * hash collisions); the global rank comes from the range-partitioned
+    * prefix sum ([[PrefixSum.inclusive]]) — NO single-partition window
+    * anywhere, so the construction survives any corpus size. */
+  def shard(df: DataFrame, idCol: String, rowsPerShard: Long): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    val key = pmod(graft.functions.TextFunctions
+        .md5Hash32(col(idCol).cast("string"), 0), lit(2147483648L)) *
+      lit(4294967296L) + col(idCol)
+    val rn = col("__rank") - 1
+    PrefixSum.inclusive(
+        df.withColumn("__key", key).withColumn("__one", lit(1L)),
+        "__key", "__one", "__rank")
+      .withColumn("shard_id", floor(rn / rowsPerShard).cast("int"))
+      .withColumn("shard_offset", (rn % rowsPerShard).cast("int"))
+      .drop("__key", "__one", "__rank")
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Recsys, Training}
+
+class RecsysSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, typ: String, value: Double,
+      item: Long, ts: String) =
+    (id, user, typ, value, s"""{"k": $item}""", ts)
+
+  private def eventsDf(rows: Seq[(Long, Long, String, Double, String, String)]) =
+    rows.toDF("event_id", "user_id", "event_type", "value", "props", "__ts")
+      .withColumn("ts", to_timestamp($"__ts")).drop("__ts")
+
+  test("covisitation counts within-user pairs, caps by recency") {
+    val df = eventsDf(Seq(
+      ev(1, 1, "click", 1.0, 10, "2024-01-01 10:00:00"),
+      ev(2, 1, "view", 1.0, 20, "2024-01-01 11:00:00"),
+      ev(3, 1, "view", 1.0, 30, "2024-01-01 12:00:00"),
+      ev(4, 2, "click", 1.0, 10, "2024-01-02 10:00:00"),
+      ev(5, 2, "view", 1.0, 20, "2024-01-02 11:00:00"),
+      ev(6, 3, "view", 1.0, 10, "2024-01-03 10:00:00"),
+      ev(7, 3, "view", 1.0, 20, "2024-01-03 11:00:00")))
+    // (10,20) seen by users 1,2,3; (10,30)/(20,30) only by user 1
+    val got = Recsys.covisitation(df, recentPerUser = 30, minUsers = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L, 3L)))
+    // recency cap 1 keeps only each user's newest item -> no pairs
+    assert(Recsys.covisitation(df, recentPerUser = 1, minUsers = 1)
+      .count() === 0)
+  }
+
+  test("negativeSample never collides with positives, caps per user") {
+    val df = eventsDf((0 until 40).map(i =>
+      ev(i, i % 3, "click", 1.0, i % 7, f"2024-01-01 10:00:${i % 60}%02d")))
+    val neg = Recsys.negativeSample(df, posType = "click", nItems = 10,
+      perUser = 3, oversample = 8)
+    val pos = df.select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("item_id"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val got = neg.select($"user_id", $"item_id").as[(Long, Long)]
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(p => !pos.contains(p)), "negative hit a positive")
+    val perUser = got.groupBy(_._1).view.mapValues(_.length)
+    assert(perUser.values.forall(_ <= 3))
+    // deterministic under repartitioning
+    val again = Recsys.negativeSample(df.repartition(7), posType = "click",
+        nItems = 10, perUser = 3, oversample = 8)
+      .select($"user_id", $"item_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val first = neg.select($"user_id", $"item_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again === first)
+  }
+
+  test("targetEncodeLoo excludes own label, shrinks to prior") {
+    // cat a: values 1,2,3 (sum 6); cat b: single value 10
+    val df = eventsDf(Seq(
+      ev(1, 1, "a", 1.0, 0, "2024-01-01 00:00:00"),
+      ev(2, 1, "a", 2.0, 0, "2024-01-01 00:00:01"),
+      ev(3, 1, "a", 3.0, 0, "2024-01-01 00:00:02"),
+      ev(4, 1, "b", 10.0, 0, "2024-01-01 00:00:03")))
+    val te = Recsys.targetEncodeLoo(df, "event_type", "value",
+        Seq("event_id"), alpha = 2.0)
+      .select($"event_id", $"te").as[(Long, Double)].collect().toMap
+    val prior = 16.0e6 / 4.0 // micro-units
+    // row 1 (cat a, x=1): ((6-1)e6 + 2*prior) / (3-1+2) / 1e6
+    assert(math.abs(te(1L) - ((5e6 + 2.0 * prior) / 4.0 / 1e6)) < 1e-12)
+    // row 4 (cat b, singleton): denominator is alpha alone, no leakage
+    assert(math.abs(te(4L) - ((0.0 + 2.0 * prior) / 2.0 / 1e6)) < 1e-12)
+  }
+
+  test("decayedEngagement weights value by 1/(1+age_days)") {
+    val df = eventsDf(Seq(
+      ev(1, 1, "view", 4.0, 0, "2024-01-03 08:00:00"), // age 0 -> 4.0
+      ev(2, 1, "view", 4.0, 0, "2024-01-01 23:00:00"), // age 2 -> 4/3
+      ev(3, 2, "view", 1.5, 0, "2024-01-02 00:00:00"))) // age 1 -> 0.75
+    val got = Recsys.decayedEngagement(df)
+      .as[(Long, Double, Long)].collect()
+      .map { case (u, d, n) => (u, (d, n)) }.toMap
+    assert(got(2L) === ((0.75, 1L)))
+    val expect1 = (4000000L + math.floor(4000000.0 / 3.0).toLong) / 1e6
+    assert(got(1L) === ((expect1, 2L)))
+  }
+
+  test("shard: permutation into fixed-size shards, partition-invariant") {
+    val df = spark.range(0, 500).toDF("doc_id")
+    val got = Training.shard(df, "doc_id", 64L)
+      .select($"doc_id", $"shard_id", $"shard_offset")
+      .as[(Long, Int, Int)].collect()
+    assert(got.length === 500)
+    val byShard = got.groupBy(_._2).view.mapValues(_.map(_._3).sorted).toMap
+    assert(byShard.keys.toSeq.sorted === (0 to 7))
+    for (s <- 0 to 6) assert(byShard(s).toSeq === (0 until 64))
+    assert(byShard(7).toSeq === (0 until 500 - 7 * 64))
+    // same assignment under different input partitioning
+    val again = Training.shard(df.repartition(13), "doc_id", 64L)
+      .select($"doc_id", $"shard_id", $"shard_offset")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(again === got.toSet)
+  }
+}
