@@ -1292,7 +1292,13 @@ object SparkEntry {
 
     // ---- time-decayed engagement profile per user ----
     "q107_decayed_engagement" -> ((s, dir) =>
-      graft.operators.Recsys.decayedEngagement(Tables.events(s, dir)))
+      graft.operators.Recsys.decayedEngagement(Tables.events(s, dir))),
+
+    // ---- next-item-prediction example assembly (session-based
+    // recsys training): trailing item-context window per user ----
+    "q108_next_item" -> ((s, dir) =>
+      graft.operators.Recsys.nextItemExamples(Tables.events(s, dir),
+        contextLen = 5))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2892,7 +2898,21 @@ object SparkEntry {
         |  FROM events CROSS JOIN a)
         |SELECT user_id, CAST(SUM(cm) AS DOUBLE) / 1000000.0 AS decayed,
         |  COUNT(*) AS n_events
-        |FROM c GROUP BY user_id""".stripMargin
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    // DuckDB's empty list() frame is NULL where Spark's collect_list
+    // is []; both sides drop context-less first events, so the
+    // surviving rows agree
+    "q108_next_item" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |w AS (SELECT user_id, event_id, item AS label,
+        |    list(item) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS context
+        |  FROM e)
+        |SELECT user_id, event_id, context, label FROM w
+        |WHERE context IS NOT NULL AND len(context) >= 1""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

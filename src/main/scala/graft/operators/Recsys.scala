@@ -118,6 +118,28 @@ object Recsys {
       .select((idCols :+ catCol).map(col) :+ col("te"): _*)
   }
 
+  /** Next-item-prediction training examples (GRU4Rec/SASRec-style
+    * assembly): per user in event-time order, each event with ≥1
+    * predecessor becomes `(context = up to contextLen preceding items,
+    * label = this item)`. The context is a trailing window frame — one
+    * shuffle on user_id, no self-join, output bounded by
+    * `contextLen + 1` items per example. Users' first events produce
+    * no example (their context frame is empty). */
+  def nextItemExamples(events: DataFrame, contextLen: Int = 5): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        itemOf(col("props")).as("__item"))
+      .filter(col("__item").isNotNull)
+      .withColumn("context", collect_list(col("__item"))
+        .over(ord.rowsBetween(-contextLen, -1)))
+      .filter(size(col("context")) >= 1)
+      .select(col("user_id"), col("event_id"), col("context"),
+        col("__item").as("label"))
+  }
+
   /** Time-decayed engagement profile per user: each event contributes
     * `value / (1 + age_days)` (hyperbolic decay — exact in binary64,
     * unlike exp/pow whose libm rounding differs across engines), age

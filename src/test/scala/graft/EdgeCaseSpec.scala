@@ -161,4 +161,31 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(base(2).getAs[String]("top_bigram") === "x x")
     assert(base(2).getAs[Long]("top_bigram_cnt") === 3L)
   }
+
+  test("duplicateSpans/dedupeParagraphs on empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(empty, l = 5).count() === 0)
+    assert(Dedup.dedupeParagraphs(empty).count() === 0)
+    // empty-string docs: both collapse to one empty paragraph, dedup
+    // keeps the first doc's; no duplicate spans (0 tokens < l)
+    val blank = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(blank, l = 5).count() === 0)
+    val paras = Dedup.dedupeParagraphs(blank, paraTokens = 2)
+      .select($"doc_id", $"n_kept").as[(Long, Long)].collect().toSet
+    assert(paras === Set((1L, 1L)))
+  }
+
+  test("recsys ops on empty event logs") {
+    val empty = Seq.empty[(Long, Long, String, Double, String)]
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .filter(lit(false))
+    assert(graft.operators.Recsys.covisitation(empty).count() === 0)
+    assert(graft.operators.Recsys.negativeSample(empty).count() === 0)
+    assert(graft.operators.Recsys.decayedEngagement(empty).count() === 0)
+    assert(graft.operators.Recsys.targetEncodeLoo(empty, "event_type",
+      "value", Seq("event_id")).count() === 0)
+    assert(Training.shard(Seq.empty[Long].toDF("doc_id"), "doc_id", 64L)
+      .count() === 0)
+  }
 }

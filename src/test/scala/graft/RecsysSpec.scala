@@ -87,6 +87,23 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
     assert(got(1L) === ((expect1, 2L)))
   }
 
+  test("nextItemExamples builds trailing contexts, drops first events") {
+    val df = eventsDf(Seq(
+      ev(1, 1, "view", 1.0, 10, "2024-01-01 10:00:00"),
+      ev(2, 1, "view", 1.0, 20, "2024-01-01 11:00:00"),
+      ev(3, 1, "view", 1.0, 30, "2024-01-01 12:00:00"),
+      ev(4, 1, "view", 1.0, 40, "2024-01-01 13:00:00"),
+      ev(5, 2, "view", 1.0, 50, "2024-01-01 10:00:00")))
+    val got = Recsys.nextItemExamples(df, contextLen = 2)
+      .select($"event_id", $"context", $"label")
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    // user 2's single event and user 1's first event yield no example
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 4L))
+    assert(got.map(_._2).toSeq ===
+      Seq(Seq(10L), Seq(10L, 20L), Seq(20L, 30L)))
+    assert(got.map(_._3).toSeq === Seq(20L, 30L, 40L))
+  }
+
   test("shard: permutation into fixed-size shards, partition-invariant") {
     val df = spark.range(0, 500).toDF("doc_id")
     val got = Training.shard(df, "doc_id", 64L)
