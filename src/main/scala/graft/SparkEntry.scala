@@ -1298,7 +1298,26 @@ object SparkEntry {
     // recsys training): trailing item-context window per user ----
     "q108_next_item" -> ((s, dir) =>
       graft.operators.Recsys.nextItemExamples(Tables.events(s, dir),
-        contextLen = 5))
+        contextLen = 5)),
+
+    // ---- hashed feature cross of (user_id, event_type) into 256
+    // buckets, histogrammed ----
+    "q109_hashed_cross" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("bucket", graft.operators.Recsys.hashedCross(
+          Seq(col("user_id"), col("event_type")), buckets = 256))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))),
+
+    // ---- equal-frequency calibration table of value -> click rate ----
+    "q110_calibration_bins" -> ((s, dir) =>
+      graft.operators.Normalize.calibrationBins(
+        Tables.events(s, dir).select(col("value"),
+          (col("event_type") === "click").cast("long").as("label")),
+        "value", "label", nBins = 10)),
+
+    // ---- frequency-ranked vocabulary ids (embedding-table prep) ----
+    "q111_vocab_ids" -> ((s, dir) =>
+      graft.operators.Corpus.vocabIds(Tables.documents(s, dir), "text"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2912,7 +2931,36 @@ object SparkEntry {
         |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS context
         |  FROM e)
         |SELECT user_id, event_id, context, label FROM w
-        |WHERE context IS NOT NULL AND len(context) >= 1""".stripMargin
+        |WHERE context IS NOT NULL AND len(context) >= 1""".stripMargin,
+
+    // same 32-bit md5 over the chr(1)-joined string forms
+    "q109_hashed_cross" ->
+      """SELECT CAST(('0x'||substr(md5('0:'||CAST(user_id AS VARCHAR)
+        |    ||chr(1)||event_type), 1, 8)) AS BIGINT) % 256 AS bucket,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // PERCENT_RANK ties collapse to one value per distinct score in
+    // both engines; the bin floor/clamp is the identical double expr
+    "q110_calibration_bins" ->
+      """WITH s AS (SELECT value,
+        |    CAST(event_type = 'click' AS BIGINT) AS y,
+        |    PERCENT_RANK() OVER (ORDER BY value) AS pr
+        |  FROM events),
+        |b AS (SELECT value, y,
+        |    CAST(least(floor(pr * 10), 9) AS INT) AS bin FROM s)
+        |SELECT bin, COUNT(*) AS n, MIN(value) AS score_min,
+        |  MAX(value) AS score_max,
+        |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+        |FROM b GROUP BY bin""".stripMargin,
+
+    "q111_vocab_ids" ->
+      s"""WITH c AS (SELECT token, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($sqlWords) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY token)
+         |SELECT token, cnt, CAST(ROW_NUMBER() OVER (
+         |  ORDER BY cnt DESC, token ASC) - 1 AS INT) AS vocab_id
+         |FROM c""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -230,6 +230,27 @@ object Corpus {
     * along so the result is self-describing. One aggregate for the
     * bounds (broadcast back) + one groupBy — no sort, no window.
     */
+  /** Frequency-ranked vocabulary id assignment (embedding-table prep):
+    * every distinct token gets a contiguous 0-based id in
+    * `(count DESC, token ASC)` order — id 0 is the most frequent
+    * token, exactly the layout an embedding lookup table wants.
+    *
+    * The global rank is the range-partitioned prefix sum
+    * ([[PrefixSum.inclusiveBy]] over the composite sort key) — NO
+    * single-partition window, so a billion-token vocabulary ranks with
+    * the same plan shape as a thousand. */
+  def vocabIds(docs: DataFrame, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__one", lit(1L))
+    PrefixSum.inclusiveBy(counts,
+        Seq(col("cnt").desc, col("token").asc), "__one", "__rank")
+      .select(col("token"), col("cnt"),
+        (col("__rank") - 1).cast("int").as("vocab_id"))
+  }
+
   def histogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
     val bounds = df.agg(min(col(c)).as("__mn"), max(col(c)).as("__mx"))
     df.crossJoin(broadcast(bounds))

@@ -90,4 +90,33 @@ object Normalize {
     df.join(rankTable, df(c) === rankTable("__v"), "left")
       .drop("__v")
   }
+
+  /** Equal-frequency score-calibration table: rows bin by
+    * `floor(percent_rank(score) · nBins)` (clamped to the last bin),
+    * each bin reporting its score range, row count, and positive rate.
+    * The model-calibration artifact (reliability diagram / isotonic
+    * input) for a ranking model's score column.
+    *
+    * Rides [[percentRank]]'s range-partitioned construction — no
+    * single-partition window at any size. The positive rate is an
+    * exact integer ratio (labels are 0/1 longs) divided once. */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int,
+      rangePartitions: Int = 32): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val binned = percentRank(
+        df.select(col(scoreCol), col(labelCol).cast("long").as("__y")),
+        scoreCol, "__pr", rangePartitions)
+      .withColumn("bin", least(floor(col("__pr") * nBins), lit(nBins - 1))
+        .cast("int"))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col(scoreCol)).as("score_min"),
+        max(col(scoreCol)).as("score_max"),
+        (sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
+          .as("pos_rate"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,11 +32,22 @@ object PrefixSum {
       orderCol: String,
       valueCol: String,
       out: String,
+      rangePartitions: Int = 32): DataFrame =
+    inclusiveBy(df, Seq(col(orderCol)), valueCol, out, rangePartitions)
+
+  /** [[inclusive]] over a composite sort key (e.g. `cnt DESC, token
+    * ASC` for frequency-ranked vocabularies). The key columns together
+    * must form a total order. */
+  def inclusiveBy(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      valueCol: String,
+      out: String,
       rangePartitions: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(rangePartitions, col(orderCol))
+    val ranged = df.repartitionByRange(rangePartitions, orderBy: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__cum_local", sum(col(valueCol)).over(wIn))
     val partTotals = ranged.groupBy(col("__pid"))

@@ -118,6 +118,16 @@ object Recsys {
       .select((idCols :+ catCol).map(col) :+ col("te"): _*)
   }
 
+  /** Hashed feature cross (wide-and-deep style): the cross of
+    * `cols`' string forms, md5-hashed into `buckets` buckets. Columns
+    * join on U+0001 (a byte that can't appear in normal values) so
+    * `("a","bc")` and `("ab","c")` cross to different buckets. Pure
+    * column expression — codegen'd, engine-portable, no vocabulary to
+    * maintain. */
+  def hashedCross(cols: Seq[Column], buckets: Int, seed: Int = 0): Column =
+    pmod(md5Hash32(concat_ws("\u0001", cols.map(_.cast("string")): _*), seed),
+      lit(buckets.toLong))
+
   /** Next-item-prediction training examples (GRU4Rec/SASRec-style
     * assembly): per user in event-time order, each event with ≥1
     * predecessor becomes `(context = up to contextLen preceding items,

@@ -104,6 +104,45 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._3).toSeq === Seq(20L, 30L, 40L))
   }
 
+  test("hashedCross separates boundary-ambiguous crosses") {
+    val df = Seq(("a", "bc"), ("ab", "c"), ("a", "bc"))
+      .toDF("x", "y")
+      .select(Recsys.hashedCross(Seq($"x", $"y"), buckets = 1 << 20).as("b"))
+    val got = df.as[Long].collect()
+    assert(got(0) === got(2))          // same inputs -> same bucket
+    assert(got(0) !== got(1))          // ("a","bc") vs ("ab","c") differ
+    assert(got.forall(b => b >= 0 && b < (1 << 20)))
+  }
+
+  test("calibrationBins: near-equal bins, exact positive rates") {
+    // 100 distinct scores; label 1 iff score >= 80 -> top bins all
+    // positive, bottom bins all negative
+    val df = (0 until 100).map(i => (i.toDouble, if (i >= 80) 1L else 0L))
+      .toDF("score", "label")
+    val got = graft.operators.Normalize
+      .calibrationBins(df, "score", "label", nBins = 10)
+      .select($"bin", $"n", $"score_min", $"pos_rate")
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0 until 10))
+    assert(got.forall(_._2 === 10L))
+    assert(got.take(8).forall(_._4 === 0.0))
+    assert(got.drop(8).forall(_._4 === 1.0))
+    assert(got(8)._3 === 80.0)
+  }
+
+  test("vocabIds: contiguous frequency-ranked ids, partition-invariant") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a c d"), (3L, "c")).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=3, d=1 -> order (cnt desc, token asc)
+    def run(parts: Int) = graft.operators.Corpus
+      .vocabIds(docs.repartition(parts), "text")
+      .select($"token", $"cnt", $"vocab_id")
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    val got = run(1)
+    assert(got.toSeq === Seq(("a", 3L, 0), ("b", 3L, 1), ("c", 3L, 2),
+      ("d", 1L, 3)))
+    assert(run(5).toSeq === got.toSeq)
+  }
+
   test("shard: permutation into fixed-size shards, partition-invariant") {
     val df = spark.range(0, 500).toDF("doc_id")
     val got = Training.shard(df, "doc_id", 64L)
