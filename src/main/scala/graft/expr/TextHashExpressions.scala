@@ -61,3 +61,21 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
     copy(child = c)
 }
+
+/** 60-bit token-window hashes over pre-normalized text
+  * ([[graft.functions.TextHashKernels.wordWindowHash60]]): one digest
+  * per window over zero-copy byte slices — the hot inner loop of
+  * substring-duplicate detection ([[graft.operators.Dedup.duplicateSpans]]). */
+case class WordWindowHash60(child: Expression, l: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHashKernels.wordWindowHash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.wordWindowHash60($c, $l)")
+  override protected def withNewChildInternal(c: Expression): WordWindowHash60 =
+    copy(child = c)
+}

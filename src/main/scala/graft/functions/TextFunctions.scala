@@ -185,6 +185,21 @@ object TextFunctions {
     transform(sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
       i => md5Hash32(norm.substr(i, lit(k)), 0))
 
+  /** 60-bit hashes of every `l`-token window (the substring-dedup
+    * inner loop): codegen'd single-digest-per-window kernel
+    * ([[graft.expr.WordWindowHash60]]); values identical to
+    * `md5Hash60(concat_ws(" ", slice(words, i, l)))`. */
+  def wordWindowHashes(text: Column, l: Int): Column =
+    ColumnBridge.column(graft.expr.WordWindowHash60(
+      ColumnBridge.expression(normalized(text)), l))
+
+  /** Column-HOF twin of [[wordWindowHashes]] for cross-checking the
+    * kernel (and as the form any md5-capable engine can replay). */
+  def wordWindowHashesHof(ws: Column, l: Int): Column =
+    when(size(ws) < l, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(1), size(ws) - (l - 1)),
+        i => md5Hash60(concat_ws(" ", slice(ws, i, lit(l))))))
+
   /** Winnowing document fingerprint (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03): slide a window of `w` over the char `k`-gram hashes,
     * keep each window's minimum, dedupe + sort. Guarantees any shared

@@ -117,6 +117,56 @@ object TextHashKernels {
     new GenericArrayData(res)
   }
 
+  /** 60-bit hashes of every `l`-token window of ALREADY-normalized
+    * text (single-space separated, as [[TextFunctions.normalized]]
+    * produces): window i covers tokens i..i+l-1 and hashes as
+    * `md5Hash60` of the window's text. Because normalized tokens are
+    * contiguous byte ranges joined by single 0x20 bytes, each window
+    * IS a byte slice of the input — the kernel runs one digest per
+    * window with zero string building, where the column-HOF form
+    * allocates a concat_ws + slice copy per window. Fewer than `l`
+    * tokens → empty array. */
+  def wordWindowHash60(norm: UTF8String, l: Int): ArrayData = {
+    val bytes = norm.getBytes
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) nTokens += 1
+      i += 1
+    }
+    if (nTokens < l) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) {
+        ends(t) = i; t += 1; starts(t) = i + 1
+      }
+      i += 1
+    }
+    ends(t) = bytes.length
+    val g = nTokens - l + 1
+    val out = new Array[Long](g)
+    val d = md5.get()
+    var w = 0
+    while (w < g) {
+      val from = starts(w)
+      val until = ends(w + l - 1)
+      d.reset()
+      d.update(bytes, from, until - from)
+      val h = d.digest()
+      // first 15 hex chars = bytes 0..6 (56 bits) then h(7)'s high nibble
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      out(w) = (v << 4) | ((h(7) & 0xf0L) >> 4)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature of a shingle array: per seed i the minimum over
     * shingles of `(a_i*hash32(s) + b_i) mod 2^32`. Null shingles are
     * skipped (array_min semantics); an all-null/empty array yields null

@@ -196,6 +196,20 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
     assert(got2 === Set((1L, "x y z"), (2L, "z q")))
   }
 
+  test("wordWindowHash60 kernel matches the column-HOF form bit for bit") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "  Mixed   CASE  and\tmulti  space ", "three token doc", "ab", "",
+      "unicode é tokens naïve café test six").toDF("text")
+      .union(Tables.documents(spark, sf).select($"text").limit(20))
+    for (l <- Seq(2, 3, 5)) {
+      val kernel = df.select(wordWindowHashes($"text", l).as("h"))
+        .as[Seq[Long]].collect()
+      val hof = df.select(words($"text").as("w"))
+        .select(wordWindowHashesHof($"w", l).as("h")).as[Seq[Long]].collect()
+      assert(kernel.toSeq === hof.toSeq, s"l=$l")
+    }
+  }
+
   test("winnow kernel matches the column-HOF form bit for bit") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the  QUICK\tbrown fox", "short", "ab", "").toDF("text")
