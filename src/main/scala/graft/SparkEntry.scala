@@ -1317,7 +1317,24 @@ object SparkEntry {
 
     // ---- frequency-ranked vocabulary ids (embedding-table prep) ----
     "q111_vocab_ids" -> ((s, dir) =>
-      graft.operators.Corpus.vocabIds(Tables.documents(s, dir), "text"))
+      graft.operators.Corpus.vocabIds(Tables.documents(s, dir), "text")),
+
+    // ---- vocab-id document encoding with a capped (top-20) vocab:
+    // the tokenize→ids step before sequence packing; OOV -> -1 ----
+    "q112_encode_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Corpus.vocabIds(docs, "text")
+        .filter(col("vocab_id") < 20)
+      graft.operators.Corpus.encodeDocs(docs, vocab)
+    }),
+
+    // ---- deterministic random walks over the co-visitation graph
+    // (DeepWalk-style graph-embedding corpus) ----
+    "q113_random_walks" -> ((s, dir) =>
+      graft.operators.Recsys.randomWalks(
+        graft.operators.Recsys.covisitation(Tables.events(s, dir),
+          recentPerUser = 30, minUsers = 2),
+        walkLen = 3))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2960,7 +2977,62 @@ object SparkEntry {
          |  WHERE token <> '' GROUP BY token)
          |SELECT token, cnt, CAST(ROW_NUMBER() OVER (
          |  ORDER BY cnt DESC, token ASC) - 1 AS INT) AS vocab_id
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    "q112_encode_docs" ->
+      s"""WITH c AS (SELECT token, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($sqlWords) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY token),
+         |v AS (SELECT token, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY cnt DESC, token ASC) - 1 AS INT) AS vocab_id FROM c),
+         |vv AS (SELECT * FROM v WHERE vocab_id < 20),
+         |tk AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+         |         unnest(w) AS token
+         |       FROM (SELECT doc_id, $sqlWords AS w FROM documents)),
+         |e AS (SELECT tk.doc_id, tk.pos,
+         |        COALESCE(vv.vocab_id, -1) AS id, vv.vocab_id AS vid
+         |      FROM tk LEFT JOIN vv USING (token) WHERE tk.token <> '')
+         |SELECT doc_id, array_agg(id ORDER BY pos) AS ids,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov
+         |FROM e GROUP BY doc_id""".stripMargin,
+
+    // q104's co-visitation CTE -> undirected adjacency -> three argmin-
+    // hash steps, exactly the Spark iteration
+    "q113_random_walks" -> {
+      // single-line body: nesting stripMargin templates would strip
+      // the inner margins twice
+      def step(t: Int, prev: String, prevCols: String, curCol: String) =
+        s"s$t AS (SELECT start, $prevCols nbr AS $curCol FROM (" +
+          s"SELECT $prev.*, adj.nbr, ROW_NUMBER() OVER (" +
+          s"PARTITION BY $prev.start ORDER BY " +
+          s"CAST(('0x'||substr(md5('11:'||CAST($prev.start AS VARCHAR)" +
+          s"||':$t:'||CAST(adj.nbr AS VARCHAR)), 1, 8)) AS BIGINT), " +
+          s"adj.nbr) AS rn FROM $prev JOIN adj ON " +
+          s"$prev.${if (t == 1) "start" else s"c${t - 1}"} = adj.node) " +
+          "WHERE rn = 1)"
+      s"""WITH ui AS (SELECT user_id,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item_id,
+         |    MAX(ts) AS last_ts
+         |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |capped AS (SELECT user_id, item_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+         |  WHERE rn <= 30),
+         |cov AS (SELECT a.item_id AS item_a, b.item_id AS item_b
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT item_a AS node, item_b AS nbr FROM cov
+         |        UNION SELECT item_b, item_a FROM cov),
+         |s0 AS (SELECT DISTINCT node AS start FROM adj),
+         |${step(1, "s0", "", "c1")},
+         |${step(2, "s1", "c1,", "c2")},
+         |${step(3, "s2", "c1, c2,", "c3")}
+         |SELECT start, [start, c1, c2, c3] AS path FROM s3""".stripMargin
+    }
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

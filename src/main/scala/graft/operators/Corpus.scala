@@ -251,6 +251,31 @@ object Corpus {
         (col("__rank") - 1).cast("int").as("vocab_id"))
   }
 
+  /** Encode documents to ordered vocab-id sequences (the tokenize→ids
+    * step before [[Training.packSequences]]): whitespace tokens join
+    * the [[vocabIds]] table by token; out-of-vocabulary tokens encode
+    * as -1. Output: `(doc_id, ids, n_tokens, n_oov)`.
+    *
+    * One explode + one equi-join on token (AQE broadcasts when the
+    * vocab is small; shuffles on token otherwise — never the corpus on
+    * doc_id until the final per-doc reassembly). */
+  def encodeDocs(docs: DataFrame, vocab: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(TextFunctions.words(col(textCol)))
+        .as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    toks
+      .join(vocab.select(col("token"), col("vocab_id")), Seq("token"), "left")
+      .withColumn("__id", coalesce(col("vocab_id"), lit(-1)))
+      .groupBy(col(idCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos").as("p"),
+          col("__id").as("i")))), s => s.getField("i")).as("ids"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vocab_id").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   def histogram(df: DataFrame, c: String, buckets: Int): DataFrame = {
     val bounds = df.agg(min(col(c)).as("__mn"), max(col(c)).as("__mx"))
     df.crossJoin(broadcast(bounds))

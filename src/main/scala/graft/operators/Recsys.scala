@@ -150,6 +150,42 @@ object Recsys {
         col("__item").as("label"))
   }
 
+  /** Deterministic random walks over an item graph (DeepWalk-style
+    * graph-embedding training corpus): one walk per node, `walkLen`
+    * steps; at step `t` the walker from `start` moves to the neighbor
+    * minimizing `md5(seed:start:t:neighbor)` — a reproducible stand-in
+    * for a uniform draw (each (start, step) keys an independent hash
+    * ordering). Dead-end nodes' walks end early (inner join drops
+    * them); on an undirected graph every visited node has a neighbor.
+    *
+    * == Scale ==
+    * `walkLen` rounds of (frontier ⋈ adjacency on current node +
+    * per-start argmin window) — frontier stays one row per start node,
+    * the join fan-out is bounded by node degree, and each round is one
+    * shuffle. Walk count scales with nodes, never edges². */
+  def randomWalks(edges: DataFrame, walkLen: Int, seed: Int = 11): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    val adj = edges
+      .select(col("item_a").as("node"), col("item_b").as("nbr"))
+      .union(edges.select(col("item_b"), col("item_a")))
+      .distinct()
+    var frontier = adj.select(col("node").as("start")).distinct()
+      .withColumn("cur", col("start"))
+      .withColumn("path", array(col("start")))
+    for (t <- 1 to walkLen) {
+      val h = md5Hash32(concat(col("start"), lit(":"), lit(t), lit(":"),
+        col("nbr")), seed)
+      val w = Window.partitionBy(col("start")).orderBy(h.asc, col("nbr").asc)
+      frontier = frontier
+        .join(adj, frontier("cur") === adj("node"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("start"), col("nbr").as("cur"),
+          concat(col("path"), array(col("nbr"))).as("path"))
+    }
+    frontier.select(col("start"), col("path"))
+  }
+
   /** Time-decayed engagement profile per user: each event contributes
     * `value / (1 + age_days)` (hyperbolic decay — exact in binary64,
     * unlike exp/pow whose libm rounding differs across engines), age

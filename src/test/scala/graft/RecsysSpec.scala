@@ -143,6 +143,36 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
     assert(run(5).toSeq === got.toSeq)
   }
 
+  test("encodeDocs: ordered ids, OOV -> -1, counts consistent") {
+    val docs = Seq((1L, "b a d b"), (2L, "a a c")).toDF("doc_id", "text")
+    // vocab: a=0 (cnt 3), b=1 (cnt 2); c and d OOV
+    val vocab = graft.operators.Corpus.vocabIds(docs, "text")
+      .filter($"vocab_id" < 2)
+    val got = graft.operators.Corpus.encodeDocs(docs, vocab)
+      .select($"doc_id", $"ids", $"n_tokens", $"n_oov")
+      .as[(Long, Seq[Int], Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, Seq(1, 0, -1, 1), 4L, 1L)))
+    assert(got(1) === ((2L, Seq(0, 0, -1), 3L, 1L)))
+  }
+
+  test("randomWalks: valid edges, deterministic, one walk per node") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L))
+      .toDF("item_a", "item_b")
+    val adj = Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (3L, 1L), (4L, 1L), (1L, 4L))
+    val got = Recsys.randomWalks(edges, walkLen = 3)
+      .select($"start", $"path").as[(Long, Seq[Long])].collect()
+    assert(got.length === 4)
+    got.foreach { case (start, path) =>
+      assert(path.length === 4 && path.head === start)
+      path.sliding(2).foreach { s =>
+        assert(adj.contains((s(0), s(1))), s"bad edge in $path") }
+    }
+    val again = Recsys.randomWalks(edges.repartition(3), walkLen = 3)
+      .select($"start", $"path").as[(Long, Seq[Long])].collect().toSet
+    assert(again === got.toSet)
+  }
+
   test("shard: permutation into fixed-size shards, partition-invariant") {
     val df = spark.range(0, 500).toDF("doc_id")
     val got = Training.shard(df, "doc_id", 64L)
