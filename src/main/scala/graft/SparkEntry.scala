@@ -1334,7 +1334,25 @@ object SparkEntry {
       graft.operators.Recsys.randomWalks(
         graft.operators.Recsys.covisitation(Tables.events(s, dir),
           recentPerUser = 30, minUsers = 2),
-        walkLen = 3))
+        walkLen = 3)),
+
+    // ---- end-to-end text->tensors pipeline: paragraph keep-first
+    // dedup -> boilerplate-ratio gate -> capped-vocab encoding ->
+    // OOV-ratio gate -> fixed-size training blocks. Every stage is a
+    // previously-oracled operator; this is the composition a
+    // pretraining data pipeline actually runs ----
+    "q114_text_to_tensors" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clean = Dedup.dedupeParagraphs(docs, paraTokens = 8)
+        .filter(col("n_dropped") * 2 < col("n_paras"))
+        .select(col("doc_id"), col("text_dedup").as("text"))
+      val vocab = graft.operators.Corpus.vocabIds(clean, "text")
+        .filter(col("vocab_id") < 20)
+      val enc = graft.operators.Corpus.encodeDocs(clean, vocab)
+        .filter(col("n_oov") * 2 <= col("n_tokens"))
+      graft.operators.Training.packSequences(enc, "doc_id",
+        col("n_tokens"), blockTokens = 256)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3032,7 +3050,55 @@ object SparkEntry {
          |${step(2, "s1", "c1,", "c2")},
          |${step(3, "s2", "c1, c2,", "c3")}
          |SELECT start, [start, c1, c2, c3] AS path FROM s3""".stripMargin
-    }
+    },
+
+    // q102's dedup CTEs -> ratio gate -> q112's encode counts ->
+    // q63's prefix-sum block packing, chained
+    "q114_text_to_tensors" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |p0 AS (SELECT doc_id, list_transform(
+         |         generate_series(1, greatest(len(w), 1), 8),
+         |         i -> array_to_string(list_slice(w, i, i + 7), ' ')) AS ps
+         |       FROM t),
+         |p AS (SELECT doc_id, len(ps) AS n_paras,
+         |        generate_subscripts(ps, 1) - 1 AS pos, unnest(ps) AS para
+         |      FROM p0),
+         |h AS (SELECT *, CAST(('0x'||substr(md5(para), 1, 15)) AS BIGINT)
+         |        AS hh FROM p),
+         |k AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY hh ORDER BY doc_id, pos) AS rn FROM h)
+         |      WHERE rn = 1),
+         |clean AS (SELECT doc_id,
+         |    string_agg(para, ' ' ORDER BY pos) AS text
+         |  FROM k GROUP BY doc_id, n_paras
+         |  HAVING (n_paras - COUNT(*)) * 2 < n_paras),
+         |cw AS (SELECT doc_id, $sqlWords AS w FROM clean),
+         |c AS (SELECT token, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(w) AS token FROM cw)
+         |  WHERE token <> '' GROUP BY token),
+         |v AS (SELECT token, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY cnt DESC, token ASC) - 1 AS INT) AS vocab_id FROM c),
+         |vv AS (SELECT * FROM v WHERE vocab_id < 20),
+         |tk AS (SELECT doc_id, unnest(w) AS token FROM cw),
+         |e AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+         |        SUM(CASE WHEN vv.vocab_id IS NULL THEN 1 ELSE 0 END)
+         |          AS n_oov
+         |      FROM tk LEFT JOIN vv USING (token) WHERE tk.token <> ''
+         |      GROUP BY tk.doc_id),
+         |keep AS (SELECT doc_id, n_tokens AS tok FROM e
+         |         WHERE n_oov * 2 <= n_tokens AND n_tokens > 0),
+         |cum AS (SELECT doc_id, tok,
+         |    CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS en
+         |  FROM keep),
+         |blocks AS (SELECT doc_id, en - tok AS st, en,
+         |    unnest(generate_series((en - tok) // 256, (en - 1) // 256))
+         |      AS block_id
+         |  FROM cum)
+         |SELECT doc_id, block_id,
+         |  LEAST(en, (block_id + 1) * 256) - GREATEST(st, block_id * 256)
+         |    AS tok_in_block
+         |FROM blocks""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and
