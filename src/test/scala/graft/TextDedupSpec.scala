@@ -196,6 +196,70 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
     assert(got2 === Set((1L, "x y z"), (2L, "z q")))
   }
 
+  test("duplicateSpans matches an independent reimplementation on a " +
+      "random dup-heavy corpus, any partitioning") {
+    val rnd = new scala.util.Random(42)
+    val vocabW = Vector("red", "blue", "ox", "sky", "run", "jump")
+    val docs = (1L to 30L).map { id =>
+      val n = rnd.nextInt(21)
+      (id, Seq.fill(n)(vocabW(rnd.nextInt(vocabW.size))).mkString(" "))
+    }
+    val l = 3
+    // independent model: window strings -> corpus counts -> marked
+    // positions -> merged islands
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSeq }.toMap
+    val winOf = (ts: Seq[String]) =>
+      if (ts.length < l) Seq.empty
+      else (0 to ts.length - l).map(i => ts.slice(i, i + l).mkString(" "))
+    val counts = toks.values.flatMap(winOf).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val expect = toks.toSeq.flatMap { case (id, ts) =>
+      val marked = winOf(ts).zipWithIndex.collect {
+        case (w, i) if counts(w) > 1 => i }
+      // windows [p, p+l-1] merge while the next start p <= end + 1
+      val spans = marked.foldLeft(List.empty[(Int, Int, Long)]) {
+        case ((s, e, n) :: rest, p) if p <= e + 1 =>
+          (s, p + l - 1, n + 1) :: rest
+        case (acc, p) => (p, p + l - 1, 1L) :: acc
+      }.reverse
+      spans.map { case (s, e, n) => (id, s, e, n) }
+    }.toSet
+    for (parts <- Seq(1, 7)) {
+      val got = Dedup.duplicateSpans(
+          docs.toDF("doc_id", "text").repartition(parts), l = l)
+        .select($"doc_id", $"span_start", $"span_end", $"n_windows")
+        .as[(Long, Int, Int, Long)].collect().toSet
+      assert(got === expect, s"parts=$parts")
+    }
+  }
+
+  test("dedupeParagraphs matches an independent reimplementation") {
+    val rnd = new scala.util.Random(7)
+    val blocks = Vector("a b", "c d", "e f", "g h")
+    val docs = (1L to 20L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(4))(blocks(rnd.nextInt(blocks.size)))
+        .mkString(" "))
+    }
+    val p = 2
+    val paras = docs.flatMap { case (id, t) =>
+      t.split(" ").grouped(p).zipWithIndex
+        .map { case (b, i) => (id, i, b.mkString(" ")) } }
+    val firstOf = paras.groupBy(_._3).view
+      .mapValues(_.minBy(r => (r._1, r._2))).toMap
+    val expect = paras.filter(r => firstOf(r._3) == r)
+      .groupBy(_._1).map { case (id, kept) =>
+        val total = paras.count(_._1 == id)
+        (id, total, kept.sortBy(_._2).map(_._3).mkString(" "),
+          kept.size.toLong, (total - kept.size).toLong) }.toSet
+    val got = Dedup.dedupeParagraphs(
+        docs.toDF("doc_id", "text").repartition(5), paraTokens = p)
+      .select($"doc_id", $"n_paras", $"text_dedup", $"n_kept", $"n_dropped")
+      .as[(Long, Int, String, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+    assert(got === expect)
+  }
+
   test("wordWindowHash60 kernel matches the column-HOF form bit for bit") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "  Mixed   CASE  and\tmulti  space ", "three token doc", "ab", "",
