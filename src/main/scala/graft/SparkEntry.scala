@@ -1352,6 +1352,22 @@ object SparkEntry {
         .filter(col("n_oov") * 2 <= col("n_tokens"))
       graft.operators.Training.packSequences(enc, "doc_id",
         col("n_tokens"), blockTokens = 256)
+    }),
+
+    // ---- offline eval: tie-aware ROC AUC of `value` against a
+    // deterministic pseudo-label, per event_type; plus precision@20 ----
+    "q115_group_auc" -> ((s, dir) => {
+      val scored = Tables.events(s, dir).select(col("event_type"),
+        col("value"), (col("user_id") % 5 === 0).cast("long").as("label"))
+      graft.operators.Evaluation.groupAuc(
+        scored, Seq("event_type"), "value", "label")
+    }),
+    "q116_precision_at_k" -> ((s, dir) => {
+      val scored = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), col("value"),
+        (col("user_id") % 5 === 0).cast("long").as("label"))
+      graft.operators.Evaluation.precisionAtK(scored, Seq("event_type"),
+        "value", "label", "event_id", k = 20)
     })
   )
 
@@ -3098,7 +3114,34 @@ object SparkEntry {
          |SELECT doc_id, block_id,
          |  LEAST(en, (block_id + 1) * 256) - GREATEST(st, block_id * 256)
          |    AS tok_in_block
-         |FROM blocks""".stripMargin
+         |FROM blocks""".stripMargin,
+
+    // Mann-Whitney U with tie-averaged ranks in exact 2x-unit integers
+    "q115_group_auc" ->
+      """WITH s AS (SELECT event_type, value,
+        |    CAST(user_id % 5 = 0 AS BIGINT) AS y,
+        |    RANK() OVER (PARTITION BY event_type ORDER BY value ASC) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type, value) AS eq
+        |  FROM events),
+        |a AS (SELECT event_type, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+        |    CAST(SUM(y * (2 * (r - 1) + eq + 1)) AS BIGINT) AS s2
+        |  FROM s GROUP BY event_type)
+        |SELECT event_type, n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) END AS auc
+        |FROM a""".stripMargin,
+
+    "q116_precision_at_k" ->
+      """WITH s AS (SELECT event_type, event_id, value,
+        |    CAST(user_id % 5 = 0 AS BIGINT) AS y,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_at_k,
+        |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
+        |FROM s WHERE rn <= 20 GROUP BY event_type""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

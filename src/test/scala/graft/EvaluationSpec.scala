@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Evaluation
+
+class EvaluationSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("groupAuc matches brute-force pair counting, ties at 1/2") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 200).map { i =>
+      ("g" + (i % 2), (rnd.nextInt(20) / 2.0), rnd.nextInt(2).toLong) }
+    val got = Evaluation.groupAuc(rows.toDF("g", "score", "label"),
+        Seq("g"), "score", "label")
+      .select($"g", $"auc").as[(String, Double)].collect().toMap
+    for (g <- Seq("g0", "g1")) {
+      val in = rows.filter(_._1 == g)
+      val pos = in.filter(_._3 == 1L).map(_._2)
+      val neg = in.filter(_._3 == 0L).map(_._2)
+      val pairs = for (p <- pos; n <- neg)
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+      val brute = pairs.sum / (pos.size.toDouble * neg.size.toDouble)
+      assert(math.abs(got(g) - brute) < 1e-12, g)
+    }
+  }
+
+  test("groupAuc: degenerate groups yield null; perfect ranking 1.0") {
+    val df = Seq(
+      ("all_pos", 1.0, 1L), ("all_pos", 2.0, 1L),
+      ("perfect", 1.0, 0L), ("perfect", 2.0, 0L), ("perfect", 3.0, 1L),
+      ("inverted", 1.0, 1L), ("inverted", 2.0, 0L))
+      .toDF("g", "score", "label")
+    val got = Evaluation.groupAuc(df, Seq("g"), "score", "label")
+      .select($"g", $"auc").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(got("all_pos") === None)
+    assert(got("perfect") === Some(1.0))
+    assert(got("inverted") === Some(0.0))
+  }
+
+  test("precisionAtK takes top-k by score with deterministic ties") {
+    val df = Seq(
+      ("g", 1L, 9.0, 1L), ("g", 2L, 9.0, 0L), ("g", 3L, 8.0, 1L),
+      ("g", 4L, 7.0, 0L), ("g", 5L, 6.0, 1L))
+      .toDF("g", "id", "score", "label")
+    val got = Evaluation.precisionAtK(df, Seq("g"), "score", "label",
+        "id", k = 3)
+      .select($"n_at_k", $"precision").as[(Long, Double)].head()
+    // top-3: ids 1 (9.0), 2 (9.0 tie -> id asc), 3 (8.0) -> 2 positives
+    assert(got === ((3L, 2.0 / 3.0)))
+  }
+}
