@@ -1368,7 +1368,31 @@ object SparkEntry {
         (col("user_id") % 5 === 0).cast("long").as("label"))
       graft.operators.Evaluation.precisionAtK(scored, Seq("event_type"),
         "value", "label", "event_id", k = 20)
-    })
+    }),
+
+    // ---- NDCG@20 with graded relevance (micro-unit literal discount
+    // table — no libm in the compare path) ----
+    "q117_ndcg" -> ((s, dir) => {
+      val scored = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), col("value"), (col("user_id") % 3).as("rel"))
+      graft.operators.Evaluation.ndcgAtK(scored, Seq("event_type"),
+        "value", "rel", "event_id", k = 20)
+    }),
+
+    // ---- reciprocal rank of the first positive per group ----
+    "q118_reciprocal_rank" -> ((s, dir) => {
+      val scored = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), col("value"),
+        (col("user_id") % 5 === 0).cast("long").as("label"))
+      graft.operators.Evaluation.reciprocalRank(scored, Seq("event_type"),
+        "value", "label", "event_id")
+    }),
+
+    // ---- chi-square contingency cells: event_type x user bucket ----
+    "q119_chi_square" -> ((s, dir) =>
+      graft.operators.Evaluation.chiSquareCells(
+        Tables.events(s, dir).withColumn("ub", col("user_id") % 4),
+        "event_type", "ub"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3141,7 +3165,61 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, COUNT(*) AS n_at_k,
         |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
-        |FROM s WHERE rn <= 20 GROUP BY event_type""".stripMargin
+        |FROM s WHERE rn <= 20 GROUP BY event_type""".stripMargin,
+
+    // the SAME micro-unit discount literals the Spark side embeds
+    "q117_ndcg" -> {
+      val disc = graft.operators.Evaluation.dcgDiscountsMicro(20)
+        .mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT event_type,
+         |    CAST(user_id % 3 AS BIGINT) AS rel,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY value DESC, event_id ASC) AS r,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY CAST(user_id % 3 AS BIGINT) DESC, event_id ASC)
+         |      AS ri
+         |  FROM events),
+         |a AS (SELECT event_type,
+         |    CAST(SUM(CASE WHEN r <= 20 THEN rel * ($disc)[r]
+         |      ELSE 0 END) AS BIGINT) AS dcg,
+         |    CAST(SUM(CASE WHEN ri <= 20 THEN rel * ($disc)[ri]
+         |      ELSE 0 END) AS BIGINT) AS idcg
+         |  FROM s GROUP BY event_type)
+         |SELECT event_type, CASE WHEN idcg = 0 THEN NULL
+         |  ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END AS ndcg
+         |FROM a""".stripMargin
+    },
+
+    "q118_reciprocal_rank" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(user_id % 5 = 0 AS BIGINT) AS y,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS r
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(MIN(CASE WHEN y = 1 THEN r END) AS INT) AS first_pos_rank,
+        |  COALESCE(1.0 / CAST(MIN(CASE WHEN y = 1 THEN r END) AS DOUBLE),
+        |    0.0) AS rr
+        |FROM s GROUP BY event_type""".stripMargin,
+
+    // identical fixed double expression tree over exact integer counts
+    "q119_chi_square" ->
+      """WITH c AS (SELECT event_type, CAST(user_id % 4 AS BIGINT) AS ub,
+        |    COUNT(*) AS o FROM events GROUP BY 1, 2),
+        |ra AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS ta
+        |       FROM c GROUP BY 1),
+        |rb AS (SELECT ub, CAST(SUM(o) AS BIGINT) AS tb FROM c GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM c)
+        |SELECT c.event_type, c.ub, c.o,
+        |  CAST(ra.ta * rb.tb AS DOUBLE) / CAST(n.nn AS DOUBLE) AS expected,
+        |  (CAST(c.o AS DOUBLE)
+        |     - CAST(ra.ta * rb.tb AS DOUBLE) / CAST(n.nn AS DOUBLE))
+        |  * (CAST(c.o AS DOUBLE)
+        |     - CAST(ra.ta * rb.tb AS DOUBLE) / CAST(n.nn AS DOUBLE))
+        |  / (CAST(ra.ta * rb.tb AS DOUBLE) / CAST(n.nn AS DOUBLE))
+        |    AS contrib
+        |FROM c JOIN ra USING (event_type) JOIN rb USING (ub)
+        |CROSS JOIN n""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -51,6 +51,96 @@ object Evaluation {
       .drop("__s2")
   }
 
+  /** Micro-unit DCG discount table: `round(10^12 / log2(r+1))` for
+    * ranks 1..k, materialized as exact integer literals so any engine
+    * reproduces the sum without touching libm (whose last-ulp rounding
+    * differs across platforms). */
+  def dcgDiscountsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e12 * math.log(2) / math.log(r + 1)))
+
+  /** NDCG@k per group with graded relevance: DCG and ideal DCG
+    * accumulate `rel · discountMicro(rank)` as exact longs (order-free
+    * sums); one double division at the end. Groups with zero total
+    * relevance in the top-k ideal yield null. Ties in score break by
+    * `tieCol` ascending; the ideal ranking orders by relevance
+    * descending with the same tie-break. */
+  def ndcgAtK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      relCol: String,
+      tieCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = groupCols.map(col)
+    val disc = dcgDiscountsMicro(k)
+    val discOf = (r: Column) => element_at(
+      array(disc.map(lit): _*), r.cast("int"))
+    val byScore = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val byRel = Window.partitionBy(g: _*)
+      .orderBy(col("__rel").desc, col(tieCol).asc)
+    val staged = df.select(g :+ col(scoreCol) :+ col(tieCol) :+
+        col(relCol).cast("long").as("__rel"): _*)
+      .withColumn("__r", row_number().over(byScore))
+      .withColumn("__ri", row_number().over(byRel))
+    val dcg = sum(when(col("__r") <= k, col("__rel") * discOf(col("__r")))
+      .otherwise(0L))
+    val idcg = sum(when(col("__ri") <= k, col("__rel") * discOf(col("__ri")))
+      .otherwise(0L))
+    staged.groupBy(g: _*)
+      .agg(dcg.as("__dcg"), idcg.as("__idcg"))
+      .withColumn("ndcg", when(col("__idcg") === 0, lit(null))
+        .otherwise(col("__dcg").cast("double") / col("__idcg").cast("double")))
+      .drop("__dcg", "__idcg")
+  }
+
+  /** Reciprocal rank of the first positive per group (score
+    * descending, `tieCol` ascending): the MRR building block. Groups
+    * with no positive yield rank null / rr 0.0. */
+  def reciprocalRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      labelCol: String,
+      tieCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.select(g :+ col(scoreCol) :+ col(tieCol) :+
+        col(labelCol).cast("long").as("__y"): _*)
+      .withColumn("__r", row_number().over(w))
+      .groupBy(g: _*)
+      .agg(min(when(col("__y") === 1, col("__r"))).as("first_pos_rank"))
+      .withColumn("rr", when(col("first_pos_rank").isNull, lit(0.0))
+        .otherwise(lit(1.0) / col("first_pos_rank").cast("double")))
+  }
+
+  /** Per-cell chi-square contingency table of two categorical columns
+    * (feature-selection signal): observed counts, expected
+    * `rowTotal·colTotal/N`, and the cell's `(o−e)²/e` contribution.
+    * All inputs to the double arithmetic are exact integers and the
+    * expression tree is fixed, so every cell reproduces exactly; the
+    * statistic is the (per-cell-emitted, order-free) sum. One shuffle
+    * for the cell counts; margins ride tiny broadcast joins. */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val aTot = cells.groupBy(col(aCol)).agg(sum(col("o")).as("__ra"))
+    val bTot = cells.groupBy(col(bCol)).agg(sum(col("o")).as("__rb"))
+    val n = cells.agg(sum(col("o")).as("__n"))
+    val e = (col("__ra") * col("__rb")).cast("double") /
+      col("__n").cast("double")
+    cells
+      .join(broadcast(aTot), aCol)
+      .join(broadcast(bTot), bCol)
+      .crossJoin(broadcast(n))
+      .withColumn("expected", e)
+      .withColumn("contrib",
+        (col("o").cast("double") - col("expected")) *
+          (col("o").cast("double") - col("expected")) / col("expected"))
+      .select(col(aCol), col(bCol), col("o"), col("expected"), col("contrib"))
+  }
+
   /** Precision@k per group: of each group's top-`k` rows by score
     * (ties broken by `tieCol` ascending for determinism), the fraction
     * with a positive label. */

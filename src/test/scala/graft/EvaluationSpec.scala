@@ -40,6 +40,53 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(got("inverted") === Some(0.0))
   }
 
+  test("ndcgAtK: perfect ranking = 1.0, inverted < 1, zero-rel null") {
+    val df = Seq(
+      // perfect: score order == relevance order
+      ("p", 1L, 3.0, 2L), ("p", 2L, 2.0, 1L), ("p", 3L, 1.0, 0L),
+      // inverted: best item ranked last
+      ("i", 4L, 3.0, 0L), ("i", 5L, 2.0, 1L), ("i", 6L, 1.0, 2L),
+      // no relevance anywhere
+      ("z", 7L, 1.0, 0L), ("z", 8L, 2.0, 0L))
+      .toDF("g", "id", "score", "rel")
+    val got = Evaluation.ndcgAtK(df, Seq("g"), "score", "rel", "id", k = 3)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got("p") === Some(1.0))
+    assert(got("z") === None)
+    val inv = got("i").get
+    assert(inv > 0.0 && inv < 1.0)
+    // hand-check with the micro discount table
+    val d = Evaluation.dcgDiscountsMicro(3)
+    val expect = (1L * d(1) + 2L * d(2)).toDouble /
+      (2L * d(0) + 1L * d(1)).toDouble
+    assert(got("i").get === expect)
+  }
+
+  test("reciprocalRank finds the first positive; no-positive -> rr 0") {
+    val df = Seq(
+      ("a", 1L, 5.0, 0L), ("a", 2L, 4.0, 1L), ("a", 3L, 3.0, 1L),
+      ("b", 4L, 9.0, 0L))
+      .toDF("g", "id", "score", "label")
+    val got = Evaluation.reciprocalRank(df, Seq("g"), "score", "label", "id")
+      .select($"g", $"rr").as[(String, Double)].collect().toMap
+    assert(got("a") === 0.5)
+    assert(got("b") === 0.0)
+  }
+
+  test("chiSquareCells: independent columns give ~zero contribs, " +
+      "margins consistent") {
+    // perfectly independent 2x2: o = 25 each, expected = 25
+    val rows = for (a <- Seq("x", "y"); b <- Seq(0, 1); _ <- 1 to 25)
+      yield (a, b)
+    val got = Evaluation.chiSquareCells(rows.toDF("a", "b"), "a", "b")
+      .select($"o", $"expected", $"contrib")
+      .as[(Long, Double, Double)].collect()
+    assert(got.length === 4)
+    got.foreach { case (o, e, c) =>
+      assert(o === 25L && e === 25.0 && c === 0.0) }
+  }
+
   test("precisionAtK takes top-k by score with deterministic ties") {
     val df = Seq(
       ("g", 1L, 9.0, 1L), ("g", 2L, 9.0, 0L), ("g", 3L, 8.0, 1L),
