@@ -1392,7 +1392,22 @@ object SparkEntry {
     "q119_chi_square" -> ((s, dir) =>
       graft.operators.Evaluation.chiSquareCells(
         Tables.events(s, dir).withColumn("ub", col("user_id") % 4),
-        "event_type", "ub"))
+        "event_type", "ub")),
+
+    // ---- exposure Gini of item interaction counts ----
+    "q120_exposure_gini" -> ((s, dir) =>
+      graft.operators.Evaluation.exposureGini(
+        Tables.events(s, dir)
+          .select(graft.operators.Recsys.itemOf(col("props")).as("item_id"))
+          .filter(col("item_id").isNotNull),
+        "item_id")),
+
+    // ---- reliability bins: score confidence vs positive rate ----
+    "q121_reliability_bins" -> ((s, dir) =>
+      graft.operators.Evaluation.reliabilityBins(
+        Tables.events(s, dir).select((col("value") / lit(20.0)).as("score"),
+          (col("user_id") % 5 === 0).cast("long").as("label")),
+        "score", "label", nBins = 10))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3219,7 +3234,38 @@ object SparkEntry {
         |  / (CAST(ra.ta * rb.tb AS DOUBLE) / CAST(n.nn AS DOUBLE))
         |    AS contrib
         |FROM c JOIN ra USING (event_type) JOIN rb USING (ub)
-        |CROSS JOIN n""".stripMargin
+        |CROSS JOIN n""".stripMargin,
+
+    "q120_exposure_gini" ->
+      """WITH c AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT)
+        |    AS item_id, COUNT(*) AS cnt
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (SELECT cnt, ROW_NUMBER() OVER (
+        |        ORDER BY cnt ASC, item_id ASC) AS rk FROM c)
+        |SELECT COUNT(*) AS n_items, CAST(SUM(cnt) AS BIGINT) AS total,
+        |  CAST(2 * SUM(rk * cnt) - (COUNT(*) + 1) * SUM(cnt) AS DOUBLE)
+        |    / CAST(COUNT(*) * SUM(cnt) AS DOUBLE) AS gini
+        |FROM r""".stripMargin,
+
+    // conf rides exact micro-unit sums; the double expression trees
+    // for conf/pos_rate/gap mirror the Spark side
+    "q121_reliability_bins" ->
+      """WITH s0 AS (SELECT value / 20.0 AS score,
+        |    CAST(user_id % 5 = 0 AS BIGINT) AS y FROM events),
+        |s AS (SELECT score,
+        |    CAST(floor(score * 1000000) AS BIGINT) AS sm, y,
+        |    PERCENT_RANK() OVER (ORDER BY score) AS pr FROM s0),
+        |b AS (SELECT sm, y,
+        |    CAST(least(floor(pr * 10), 9) AS INT) AS bin FROM s)
+        |SELECT bin, COUNT(*) AS n,
+        |  CAST(SUM(sm) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+        |    AS conf,
+        |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+        |  abs(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    - CAST(SUM(sm) AS DOUBLE)
+        |      / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)) AS gap
+        |FROM b GROUP BY bin""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -141,6 +141,57 @@ object Evaluation {
       .select(col(aCol), col(bCol), col("o"), col("expected"), col("contrib"))
   }
 
+  /** Exposure Gini coefficient over item interaction counts (the
+    * popularity-concentration diagnostic for a recommender's catalog):
+    * with counts `c` ranked ascending (ties by item id),
+    * `G = (2·Σ r·c_r − (n+1)·Σc) / (n·Σc)`. Everything up to the one
+    * final division is exact integer arithmetic; the rank comes from
+    * the range-partitioned prefix sum ([[PrefixSum.inclusiveBy]]), so
+    * a billion-item catalog ranks without a single-partition window.
+    * Output: one row `(n_items, total, gini)`. */
+  def exposureGini(df: DataFrame, itemCol: String): DataFrame = {
+    val counts = df.groupBy(col(itemCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__one", lit(1L))
+    PrefixSum.inclusiveBy(counts,
+        Seq(col("__c").asc, col(itemCol).asc), "__one", "__r")
+      .agg(count(lit(1)).as("n_items"), sum(col("__c")).as("total"),
+        sum(col("__r") * col("__c")).as("__s"))
+      .withColumn("gini",
+        (lit(2) * col("__s") - (col("n_items") + 1) * col("total"))
+          .cast("double") /
+          (col("n_items") * col("total")).cast("double"))
+      .drop("__s")
+  }
+
+  /** Reliability table with confidence (the per-bin components of
+    * expected calibration error): [[Normalize.calibrationBins]]'s
+    * equal-frequency bins, each reporting its mean score (`conf`,
+    * exact micro-unit staging), positive rate, and `|rate − conf|`
+    * gap. ECE = Σ (n/N)·gap over the emitted rows — an order-free
+    * reduction the caller runs on bin-count-sized data. */
+  def reliabilityBins(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int,
+      rangePartitions: Int = 32): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val binned = Normalize.percentRank(
+        df.select(col(scoreCol),
+          floor(col(scoreCol).cast("double") * 1e6).cast("long").as("__sm"),
+          col(labelCol).cast("long").as("__y")),
+        scoreCol, "__pr", rangePartitions)
+      .withColumn("bin", least(floor(col("__pr") * nBins), lit(nBins - 1))
+        .cast("int"))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__sm")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6))).as("conf"),
+        (sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
+          .as("pos_rate"))
+      .withColumn("gap", abs(col("pos_rate") - col("conf")))
+  }
+
   /** Precision@k per group: of each group's top-`k` rows by score
     * (ties broken by `tieCol` ascending for determinism), the fraction
     * with a positive label. */

@@ -87,6 +87,32 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
       assert(o === 25L && e === 25.0 && c === 0.0) }
   }
 
+  test("exposureGini: uniform counts -> 0, concentrated -> near 1") {
+    val uniform = (1 to 50).flatMap(i => Seq.fill(4)(i.toLong)).toDF("item")
+    val g0 = Evaluation.exposureGini(uniform, "item")
+      .select($"gini").as[Double].head()
+    assert(math.abs(g0) < 1e-12)
+    // one item takes 9600 of 9698 interactions
+    val skewed = ((1 to 98).map(_.toLong) ++ Seq.fill(9600)(999L)).toDF("item")
+    val g1 = Evaluation.exposureGini(skewed, "item")
+      .select($"gini").as[Double].head()
+    assert(g1 > 0.9)
+  }
+
+  test("reliabilityBins: perfectly calibrated scores have ~zero gap") {
+    // score = true positive probability, realized deterministically:
+    // for score s=k/10, exactly k of 10 rows per block are positive
+    val rows = for (k <- 0 to 9; i <- 0 until 10)
+      yield (k / 10.0 + 1e-9 * i, if (i < k) 1L else 0L)
+    val got = Evaluation.reliabilityBins(rows.toDF("score", "label"),
+        "score", "label", nBins = 10)
+      .select($"bin", $"n", $"gap").as[(Int, Long, Double)].collect()
+    assert(got.length === 10)
+    assert(got.map(_._2).sum === 100L)
+    // each decile's mean score ~= its positive rate
+    got.foreach { case (b, _, gap) => assert(gap < 0.02, s"bin $b") }
+  }
+
   test("precisionAtK takes top-k by score with deterministic ties") {
     val df = Seq(
       ("g", 1L, 9.0, 1L), ("g", 2L, 9.0, 0L), ("g", 3L, 8.0, 1L),
