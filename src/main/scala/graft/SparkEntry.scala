@@ -1407,7 +1407,21 @@ object SparkEntry {
       graft.operators.Evaluation.reliabilityBins(
         Tables.events(s, dir).select((col("value") / lit(20.0)).as("score"),
           (col("user_id") % 5 === 0).cast("long").as("label")),
-        "score", "label", nBins = 10))
+        "score", "label", nBins = 10)),
+
+    // ---- two-proportion z-test: user_id parity as the variant split,
+    // click as conversion, per event-week segment ----
+    "q122_ab_test" -> ((s, dir) =>
+      graft.operators.Evaluation.abTest(
+        Tables.events(s, dir).select(
+          date_trunc("week", col("ts")).cast("date").as("week"),
+          (col("user_id") % 2).as("variant"),
+          (col("event_type") === "click").cast("long").as("converted")),
+        Seq("week"), "variant", "converted")),
+
+    // ---- weekly cohort retention over the event log ----
+    "q123_cohort_retention" -> ((s, dir) =>
+      graft.operators.Evaluation.cohortRetention(Tables.events(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3265,7 +3279,43 @@ object SparkEntry {
         |  abs(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    - CAST(SUM(sm) AS DOUBLE)
         |      / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)) AS gap
-        |FROM b GROUP BY bin""".stripMargin
+        |FROM b GROUP BY bin""".stripMargin,
+
+    // division + sqrt only (both correctly-rounded IEEE ops)
+    "q122_ab_test" ->
+      """WITH s AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    user_id % 2 AS v,
+        |    CAST(event_type = 'click' AS BIGINT) AS y FROM events),
+        |a AS (SELECT week,
+        |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS pos_a,
+        |    CAST(SUM(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS pos_b
+        |  FROM s GROUP BY week)
+        |SELECT week, n_a, n_b, pos_a, pos_b,
+        |  CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        |  CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE
+        |    (CAST(pos_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |     - CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(pos_a + pos_b AS DOUBLE)
+        |            / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(pos_a + pos_b AS DOUBLE)
+        |            / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  END AS z
+        |FROM a""".stripMargin,
+
+    "q123_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY 1)
+        |SELECT c.cohort,
+        |  CAST(date_diff('day', c.cohort, uw.week) // 7 AS INT)
+        |    AS week_offset,
+        |  COUNT(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

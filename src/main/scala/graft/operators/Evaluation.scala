@@ -192,6 +192,56 @@ object Evaluation {
       .withColumn("gap", abs(col("pos_rate") - col("conf")))
   }
 
+  /** Two-proportion z-test per group (experiment readout): variant 0
+    * vs variant 1 conversion rates, pooled-variance z-score. Counts
+    * are exact longs; the z expression uses only division and `sqrt`
+    * — both correctly-rounded IEEE 754 operations — so the score
+    * reproduces bit-for-bit in any engine (unlike exp/log/pow, whose
+    * libm rounding varies). Groups missing a variant yield null z. */
+  def abTest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      variantCol: String,
+      labelCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val v = col(variantCol).cast("long")
+    val y = col(labelCol).cast("long")
+    val d = (c: Column) => c.cast("double")
+    val agged = df.select(g :+ v.as("__v") :+ y.as("__y"): _*)
+      .groupBy(g: _*)
+      .agg(sum(when(col("__v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__v") === 0, col("__y")).otherwise(0L)).as("pos_a"),
+        sum(when(col("__v") === 1, col("__y")).otherwise(0L)).as("pos_b"))
+    val pA = d(col("pos_a")) / d(col("n_a"))
+    val pB = d(col("pos_b")) / d(col("n_b"))
+    val pool = d(col("pos_a") + col("pos_b")) / d(col("n_a") + col("n_b"))
+    agged
+      .withColumn("p_a", pA).withColumn("p_b", pB)
+      .withColumn("z",
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+          .otherwise((col("p_a") - col("p_b")) /
+            sqrt(pool * (lit(1.0) - pool) *
+              (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))))
+  }
+
+  /** Cohort retention: users cohorted by their first active week;
+    * each (cohort, week-offset) cell counts the distinct users active
+    * that many weeks later. Two shuffles (per-user first week, then
+    * the cell distinct-count); weeks are ISO date_trunc weeks and the
+    * offset is exact integer day arithmetic. */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val week = date_trunc("week", col(tsCol)).cast("date")
+    val uw = events.select(col(userCol), week.as("week")).distinct()
+    val cohorts = uw.groupBy(col(userCol)).agg(min(col("week")).as("cohort"))
+    uw.join(cohorts, userCol)
+      .withColumn("week_offset",
+        expr("datediff(week, cohort) div 7").cast("int"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
   /** Precision@k per group: of each group's top-`k` rows by score
     * (ties broken by `tieCol` ascending for determinism), the fraction
     * with a positive label. */

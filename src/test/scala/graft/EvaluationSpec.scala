@@ -113,6 +113,40 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     got.foreach { case (b, _, gap) => assert(gap < 0.02, s"bin $b") }
   }
 
+  test("abTest: no-difference split gives z ~ 0, strong lift large z") {
+    // identical 30% conversion both variants -> z = 0 exactly
+    val flat = (0 until 200).map { i =>
+      ("g", i % 2, if ((i / 2) % 10 < 3) 1L else 0L) }
+    val z0 = Evaluation.abTest(flat.toDF("g", "variant", "label"),
+        Seq("g"), "variant", "label")
+      .select($"z").as[Double].head()
+    assert(z0 === 0.0)
+    // variant 1 converts 60% vs 10%
+    val lift = (0 until 400).map { i =>
+      val v = i % 2
+      ("g", v, if (v == 1 && i % 10 < 6 || v == 0 && i % 20 == 0) 1L else 0L) }
+    val got = Evaluation.abTest(lift.toDF("g", "variant", "label"),
+        Seq("g"), "variant", "label")
+      .select($"p_a", $"p_b", $"z").as[(Double, Double, Double)].head()
+    assert(got._2 > got._1 && got._3 < -5.0)
+  }
+
+  test("cohortRetention counts distinct users per (cohort, offset)") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day).atStartOfDay())
+    // 2024-01-01 is a Monday. u1 active weeks 0 and 2; u2 weeks 0, 1;
+    // u3 joins week 1 only
+    val df = Seq((1L, ts(0)), (1L, ts(2)), (1L, ts(15)),
+      (2L, ts(3)), (2L, ts(8)), (3L, ts(9)))
+      .toDF("user_id", "ts")
+    val got = Evaluation.cohortRetention(df)
+      .select($"cohort".cast("string"), $"week_offset", $"n_users")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L)))
+  }
+
   test("precisionAtK takes top-k by score with deterministic ties") {
     val df = Seq(
       ("g", 1L, 9.0, 1L), ("g", 2L, 9.0, 0L), ("g", 3L, 8.0, 1L),
