@@ -1421,7 +1421,26 @@ object SparkEntry {
 
     // ---- weekly cohort retention over the event log ----
     "q123_cohort_retention" -> ((s, dir) =>
-      graft.operators.Evaluation.cohortRetention(Tables.events(s, dir)))
+      graft.operators.Evaluation.cohortRetention(Tables.events(s, dir))),
+
+    // ---- data-contract validation report: one scan, one row per rule ----
+    "q124_data_quality" -> ((s, dir) =>
+      graft.operators.Validate.report(Tables.events(s, dir), Seq(
+        "value_null" -> col("value").isNull,
+        "value_out_of_range" -> (col("value") < 0 || col("value") > 1000),
+        "event_type_unknown" -> !col("event_type").isin(
+          "click", "view", "purchase", "error"),
+        "props_k_missing" ->
+          get_json_object(col("props"), "$.k").isNull,
+        "user_id_null" -> col("user_id").isNull,
+        "ts_before_2020" ->
+          (col("ts") < lit("2020-01-01").cast("timestamp"))))),
+
+    // ---- z-score standardization of event values ----
+    "q125_zscore" -> ((s, dir) =>
+      graft.operators.Normalize.zscore(
+        Tables.events(s, dir).select(col("event_id"), col("value")),
+        "value", "z"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3315,7 +3334,42 @@ object SparkEntry {
         |    AS week_offset,
         |  COUNT(DISTINCT uw.user_id) AS n_users
         |FROM uw JOIN c USING (user_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q124_data_quality" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS v1,
+        |  CAST(SUM(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN event_type NOT IN
+        |    ('click', 'view', 'purchase', 'error') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v3,
+        |  CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS v5,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2020-01-01' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v6
+        |  FROM events)
+        |SELECT r.rule, r.violations, a.n AS n_rows,
+        |  CAST(r.violations AS DOUBLE) / CAST(a.n AS DOUBLE) AS rate
+        |FROM a, LATERAL (VALUES
+        |  ('value_null', v1), ('value_out_of_range', v2),
+        |  ('event_type_unknown', v3), ('props_k_missing', v4),
+        |  ('user_id_null', v5), ('ts_before_2020', v6))
+        |  AS r(rule, violations)""".stripMargin,
+
+    // moments on the xsum decimal carrier; mean/var/z mirror the
+    // Spark expression tree (division, multiply, subtract, IEEE sqrt)
+    "q125_zscore" ->
+      s"""WITH a AS (SELECT ${sqlSum("value")} AS sx,
+         |    ${sqlSum("value * value")} AS sxx,
+         |    COUNT(value) AS cnt FROM events)
+         |SELECT event_id, value,
+         |  (value - sx / cnt) / sqrt(sxx / cnt - (sx / cnt) * (sx / cnt))
+         |    AS z
+         |FROM events CROSS JOIN a""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

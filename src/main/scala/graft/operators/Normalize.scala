@@ -91,6 +91,24 @@ object Normalize {
       .drop("__v")
   }
 
+  /** Z-score standardization against the column's population mean and
+    * stddev (the A3 family's third member beside min-max and
+    * percentile clamp). Moments ride [[graft.OracleMath.xsum]]'s exact
+    * decimal carrier (order-independent); mean/variance/σ then use
+    * only division, subtraction, multiplication and IEEE `sqrt`, so
+    * every z-score reproduces bit-for-bit in any engine. A
+    * zero-variance column yields NaN (0/0) in every engine alike. */
+  def zscore(df: DataFrame, c: String, out: String): DataFrame = {
+    import graft.OracleMath.xsum
+    val stats = df.agg(xsum(col(c)).as("__sx"),
+      xsum(col(c) * col(c)).as("__sxx"), count(col(c)).as("__cnt"))
+    val mean = col("__sx") / col("__cnt")
+    val variance = col("__sxx") / col("__cnt") - mean * mean
+    df.crossJoin(broadcast(stats))
+      .withColumn(out, (col(c) - mean) / sqrt(variance))
+      .drop("__sx", "__sxx", "__cnt")
+  }
+
   /** Equal-frequency score-calibration table: rows bin by
     * `floor(percent_rank(score) · nBins)` (clamped to the last bin),
     * each bin reporting its score range, row count, and positive rate.

@@ -147,6 +147,35 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
       ("2024-01-08", 0, 1L)))
   }
 
+  test("Validate.report counts violations per rule in one pass") {
+    val df = Seq((1L, 5.0, "click"), (2L, -1.0, "view"),
+      (3L, 2.0, "weird"), (4L, -3.0, "weird"))
+      .toDF("id", "v", "t")
+    val got = graft.operators.Validate.report(df, Seq(
+        "v_negative" -> ($"v" < 0),
+        "t_unknown" -> !$"t".isin("click", "view")))
+      .select($"rule", $"violations", $"n_rows", $"rate")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (r, v, n, rt) => r -> ((v, n, rt)) }.toMap
+    assert(got("v_negative") === ((2L, 4L, 0.5)))
+    assert(got("t_unknown") === ((2L, 4L, 0.5)))
+  }
+
+  test("zscore standardizes to mean 0, unit variance; invariant to " +
+      "partitioning") {
+    val vals = (1 to 100).map(_.toDouble)
+    def run(parts: Int) = graft.operators.Normalize.zscore(
+        vals.toDF("v").repartition(parts), "v", "z")
+      .select($"v", $"z").as[(Double, Double)].collect().sortBy(_._1)
+    val got = run(1)
+    assert(got === run(7))
+    val zs = got.map(_._2)
+    assert(math.abs(zs.sum) < 1e-9)
+    assert(math.abs(zs.map(z => z * z).sum / 100 - 1.0) < 1e-9)
+    // monotone in v
+    assert(zs.sliding(2).forall(p => p(0) < p(1)))
+  }
+
   test("precisionAtK takes top-k by score with deterministic ties") {
     val df = Seq(
       ("g", 1L, 9.0, 1L), ("g", 2L, 9.0, 0L), ("g", 3L, 8.0, 1L),
