@@ -109,6 +109,44 @@ object Normalize {
       .drop("__sx", "__sxx", "__cnt")
   }
 
+  /** Isotonic calibration via pool-adjacent-violators, fit on a
+    * reliability table (e.g. [[Evaluation.reliabilityBins]]'s output):
+    * bins ordered by `orderCol` get the maximal non-decreasing fit to
+    * their positive rates under bin weights. The ONLY driver-side data
+    * is the bin table itself — bounded by `nBins` at construction,
+    * exactly like a k-means centroid set — so this composes with any
+    * corpus size. Returns `(orderCol, calibrated)` to broadcast-join
+    * back onto scored rows. */
+  def pavCalibrate(
+      bins: DataFrame,
+      orderCol: String,
+      rateCol: String,
+      weightCol: String): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val rows = bins
+      .select(col(orderCol).cast("int"), col(rateCol).cast("double"),
+        col(weightCol).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    // each block: (weighted rate sum, weight, member bins); merge while
+    // the tail violates monotonicity
+    var blocks = List.empty[(Double, Long, List[Int])]
+    for ((b, r, w) <- rows) {
+      var cur = (r * w, w, List(b))
+      while (blocks.nonEmpty &&
+          blocks.head._1 / blocks.head._2 >= cur._1 / cur._2) {
+        val h = blocks.head
+        blocks = blocks.tail
+        cur = (h._1 + cur._1, h._2 + cur._2, h._3 ::: cur._3)
+      }
+      blocks = cur :: blocks
+    }
+    blocks.reverse.flatMap { case (s, w, bs) =>
+      bs.map(b => (b, s / w)) }
+      .toDF(orderCol, "calibrated")
+  }
+
   /** Equal-frequency score-calibration table: rows bin by
     * `floor(percent_rank(score) · nBins)` (clamped to the last bin),
     * each bin reporting its score range, row count, and positive rate.

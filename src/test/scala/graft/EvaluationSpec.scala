@@ -176,6 +176,30 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(zs.sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("pavCalibrate pools adjacent violators with weights") {
+    val bins = Seq((0, 0.1, 1L), (1, 0.3, 1L), (2, 0.2, 1L), (3, 0.4, 1L))
+      .toDF("bin", "pos_rate", "n")
+    val got = graft.operators.Normalize
+      .pavCalibrate(bins, "bin", "pos_rate", "n")
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(got.toSeq === Seq(0.1, 0.25, 0.25, 0.4))
+    // weighted merge: (0.5*1 + 0.1*3) / 4 = 0.2
+    val wbins = Seq((0, 0.5, 1L), (1, 0.1, 3L)).toDF("bin", "pos_rate", "n")
+    val wgot = graft.operators.Normalize
+      .pavCalibrate(wbins, "bin", "pos_rate", "n")
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(wgot.toSeq === Seq(0.2, 0.2))
+    // composes with reliabilityBins: output is monotone non-decreasing
+    val rows = (0 until 200).map(i => (i / 200.0, (i % 3 == 0, i).hashCode
+      .abs % 2L))
+    val rel = Evaluation.reliabilityBins(rows.toDF("score", "label"),
+      "score", "label", nBins = 8)
+    val cal = graft.operators.Normalize
+      .pavCalibrate(rel, "bin", "pos_rate", "n")
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(cal.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("precisionAtK takes top-k by score with deterministic ties") {
     val df = Seq(
       ("g", 1L, 9.0, 1L), ("g", 2L, 9.0, 0L), ("g", 3L, 8.0, 1L),
