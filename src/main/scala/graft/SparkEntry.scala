@@ -1440,7 +1440,16 @@ object SparkEntry {
     "q125_zscore" -> ((s, dir) =>
       graft.operators.Normalize.zscore(
         Tables.events(s, dir).select(col("event_id"), col("value")),
-        "value", "z"))
+        "value", "z")),
+
+    // ---- salted two-stage aggregation under a manufactured celebrity
+    // key (80% of rows share key 0): result identical to a direct
+    // groupBy, largest reduce task bounded at ~1/16 ----
+    "q126_skew_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedCountSum(
+        Tables.events(s, dir).withColumn("skey",
+          when(col("event_id") % 10 < 8, lit(0L)).otherwise(col("user_id"))),
+        Seq("skey"), "value", col("event_id"), salt = 16))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3369,7 +3378,14 @@ object SparkEntry {
          |SELECT event_id, value,
          |  (value - sx / cnt) / sqrt(sxx / cnt - (sx / cnt) * (sx / cnt))
          |    AS z
-         |FROM events CROSS JOIN a""".stripMargin
+         |FROM events CROSS JOIN a""".stripMargin,
+
+    // the salt is physical-plan-only: the oracle is the DIRECT groupBy
+    "q126_skew_salted_agg" ->
+      s"""SELECT CASE WHEN event_id % 10 < 8 THEN 0 ELSE user_id END
+         |    AS skey,
+         |  COUNT(*) AS n, ${sqlSum("value")} AS value_sum
+         |FROM events GROUP BY 1""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -31,4 +31,31 @@ object Skew {
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     b.join(s, keys :+ "__salt").drop("__salt")
   }
+
+  /** Salted two-stage count/sum aggregation for skewed group keys:
+    * rows scatter into `salt` sub-groups per key by a deterministic
+    * hash, partial-aggregate on (key, salt), final-aggregate on key.
+    * Map-side partials already cap combiner state, but when ONE key
+    * dominates whole partitions (celebrity keys), the salt bounds the
+    * largest REDUCE task at ~1/salt of the key's volume. The value sum
+    * rides the exact decimal carrier ([[graft.OracleMath]]), so the
+    * two-stage result is bit-identical to a direct groupBy. */
+  def saltedCountSum(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      saltSource: Column,
+      salt: Int,
+      scale: Int = 6): DataFrame = {
+    require(salt > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, scale)
+    val partial = df
+      .withColumn("__salt", pmod(xxhash64(saltSource), lit(salt.toLong)))
+      .groupBy(keys.map(col) :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(round(col(valueCol), scale).cast(dec)).as("__s"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__s")).cast("double").as("value_sum"))
+  }
 }

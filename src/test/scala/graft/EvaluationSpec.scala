@@ -200,6 +200,20 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(cal.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("saltedCountSum equals direct groupBy on a skewed key") {
+    val df = (0 until 1000).map { i =>
+      (if (i % 10 < 8) 0L else i.toLong % 37, i.toLong, i * 0.25) }
+      .toDF("k", "id", "v")
+    val salted = graft.operators.Skew
+      .saltedCountSum(df, Seq("k"), "v", $"id", salt = 8)
+      .select($"k", $"n", $"value_sum")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), graft.OracleMath.xsum($"v").as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(salted === direct)
+  }
+
   test("precisionAtK takes top-k by score with deterministic ties") {
     val df = Seq(
       ("g", 1L, 9.0, 1L), ("g", 2L, 9.0, 0L), ("g", 3L, 8.0, 1L),
