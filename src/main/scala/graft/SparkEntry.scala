@@ -1449,7 +1449,27 @@ object SparkEntry {
       graft.operators.Skew.saltedCountSum(
         Tables.events(s, dir).withColumn("skey",
           when(col("event_id") % 10 < 8, lit(0L)).otherwise(col("user_id"))),
-        Seq("skey"), "value", col("event_id"), salt = 16))
+        Seq("skey"), "value", col("event_id"), salt = 16)),
+
+    // ---- REAL media-header parsing: PNG/JPEG containers synthesized
+    // byte-exact from doc_id, then parsed back by the codec-free
+    // header expression; the oracle computes the dims analytically ----
+    "q127_media_headers" -> ((s, dir) => {
+      val w = lpad(hex(lit(1) + col("doc_id") % 500), 8, "0")
+      val h = lpad(hex(lit(1) + col("doc_id") % 300), 8, "0")
+      val w16 = substring(w, 5, 4)
+      val h16 = substring(h, 5, 4)
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"), w, h,
+        lit("08060000001F15C489"))
+      val jpegHex = concat(lit("FFD8FFE000104A46494600010100000100010000"),
+        lit("FFC0001108"), h16, w16, lit("03012200021101031101"))
+      val bin = unhex(when(col("doc_id") % 2 === 0, pngHex)
+        .otherwise(jpegHex))
+      Tables.documents(s, dir).select(col("doc_id"),
+          graft.operators.Multimodal.imageDims(bin).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3385,7 +3405,15 @@ object SparkEntry {
       s"""SELECT CASE WHEN event_id % 10 < 8 THEN 0 ELSE user_id END
          |    AS skey,
          |  COUNT(*) AS n, ${sqlSum("value")} AS value_sum
-         |FROM events GROUP BY 1""".stripMargin
+         |FROM events GROUP BY 1""".stripMargin,
+
+    // the parser must recover exactly the dims the bytes encode
+    "q127_media_headers" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(1 + doc_id % 500 AS INT) AS width,
+        |  CAST(1 + doc_id % 300 AS INT) AS height
+        |FROM documents""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

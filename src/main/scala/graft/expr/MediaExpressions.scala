@@ -1,0 +1,52 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Codegen'd media-header expressions over `binary` columns
+  * ([[graft.functions.MediaHeaders]]): container metadata without any
+  * codec dependency, null for unrecognized/truncated bytes. */
+case class ImageDims(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.MediaHeaders.imageDims(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("dims")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.InternalRow $res =
+      |  graft.functions.MediaHeaders.imageDims($c);
+      |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): ImageDims =
+    copy(child = c)
+}
+
+case class WavMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.MediaHeaders.wavMeta(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("meta")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.InternalRow $res =
+      |  graft.functions.MediaHeaders.wavMeta($c);
+      |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+      |""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): WavMeta =
+    copy(child = c)
+}

@@ -68,6 +68,21 @@ object Multimodal {
       (conv(substring(md5(concat(bin, i.cast("string").cast("binary"))), 1, 6), 16, 10)
         .cast("double") / lit(16777215.0)))
 
+  /** REAL (not stubbed) image dimensions from PNG/JPEG/GIF container
+    * headers — codec-free byte parsing, codegen'd
+    * ([[graft.expr.ImageDims]]); null for unrecognized bytes. */
+  def imageDims(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.ImageDims(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(bin)))
+
+  /** REAL WAV audio metadata (channels, sample rate, bit depth) from
+    * the RIFF header — codec-free ([[graft.expr.WavMeta]]). */
+  def wavMeta(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expr.WavMeta(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(bin)))
+
   /** Frame sampling for a video-like `array<binary>` column: every
     * `stride`-th frame (SURVEY's frame-sample op). */
   def frameSample(frames: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column =

@@ -45,6 +45,45 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(rows.map(_._2).distinct.length === 3)
   }
 
+  test("imageDims parses PNG/JPEG/GIF headers, null on junk") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val png = hexBytes("89504E470D0A1A0A0000000D49484452" +
+      "00000280" + "000001E0" + "0806000000")  // 640x480
+    // JPEG: APP0 segment, a fill byte, then SOF2 (progressive)
+    val jpeg = hexBytes("FFD8" + "FFE000104A46494600010100000100010000" +
+      "FF" + "FFC2001108" + "0100" + "0180" + "03012200021101031101")
+    val gif = hexBytes("474946383961" + "2003" + "5802" + "00")  // 800x600
+    val rows = Seq(png, jpeg, gif, "notanimage".getBytes,
+      Array.empty[Byte], png.take(10))
+      .map(Tuple1(_)).toDF("bin")
+      .select(Multimodal.imageDims($"bin").as("m"))
+      .select($"m.format", $"m.width", $"m.height").collect()
+    assert(rows(0).toSeq === Seq("png", 640, 480))
+    assert(rows(1).toSeq === Seq("jpeg", 384, 256))
+    assert(rows(2).toSeq === Seq("gif", 800, 600))
+    for (i <- 3 to 5) assert(rows(i).toSeq === Seq(null, null, null), s"$i")
+  }
+
+  test("wavMeta parses the RIFF fmt block, null on junk") {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2)          // PCM, stereo
+    bb.putInt(44100); bb.putInt(44100 * 4)  // rate, byte rate
+    bb.putShort(4); bb.putShort(16)         // block align, bits
+    val wav = bb.array()
+    val rows = Seq(wav, "RIFFjunk".getBytes, Array.empty[Byte])
+      .map(Tuple1(_)).toDF("bin")
+      .select(Multimodal.wavMeta($"bin").as("m"))
+      .select($"m.channels", $"m.sample_rate", $"m.bits_per_sample")
+      .collect()
+    assert(rows(0).toSeq === Seq(2, 44100, 16))
+    assert(rows(1).toSeq === Seq(null, null, null))
+    assert(rows(2).toSeq === Seq(null, null, null))
+  }
+
   test("frameSample keeps every stride-th frame, order preserved") {
     val frames = Seq(Tuple1(Seq("f0", "f1", "f2", "f3", "f4").map(_.getBytes)))
       .toDF("frames")
