@@ -1469,6 +1469,19 @@ object SparkEntry {
           graft.operators.Multimodal.imageDims(bin).as("m"))
         .select(col("doc_id"), col("m.format").as("format"),
           col("m.width").as("width"), col("m.height").as("height"))
+    }),
+
+    // ---- unicode cleanup: control-char strip + NFC composition; the
+    // corpus is salted with combining sequences and control bytes so
+    // the normalization actually fires ----
+    "q128_text_clean" -> ((s, dir) => {
+      // NOTE: Spark's chr() wraps at 256, so the combining acute
+      // (U+0301) and bell ride as direct literals
+      val salted = concat(col("text"), lit(" cafe"), lit("\u0301"),
+        lit("x"), lit("\u0007"), lit("end"))
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextFunctions.cleanText(salted).as("cleaned"))
+        .withColumn("n_chars", length(col("cleaned")))
     })
   )
 
@@ -3413,7 +3426,16 @@ object SparkEntry {
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |  CAST(1 + doc_id % 500 AS INT) AS width,
         |  CAST(1 + doc_id % 300 AS INT) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // strip control bytes first, then NFC — same order as cleanText
+    "q128_text_clean" ->
+      """WITH t AS (SELECT doc_id, nfc_normalize(regexp_replace(
+        |    text || ' cafe' || chr(769) || 'x' || chr(7) || 'end',
+        |    '[\x00-\x1f\x7f]', '', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id, cleaned, CAST(length(cleaned) AS INT) AS n_chars
+        |FROM t""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -50,3 +50,36 @@ case class WavMeta(child: Expression)
   override protected def withNewChildInternal(c: Expression): WavMeta =
     copy(child = c)
 }
+
+/** Unicode NFC normalization (java.text.Normalizer — the JVM's
+  * canonical composition, matching DuckDB's `nfc_normalize`). */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.MediaHeaders.nfc(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaHeaders.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+/** Deflate compression ratio of a text's UTF-8 bytes (the Gopher/
+  * CCNet quality signal: highly repetitive text compresses far below
+  * natural prose). Deterministic for a fixed JVM zlib level. */
+case class CompressionRatio(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.MediaHeaders.deflateRatio(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaHeaders.deflateRatio($c)")
+  override protected def withNewChildInternal(c: Expression): CompressionRatio =
+    copy(child = c)
+}

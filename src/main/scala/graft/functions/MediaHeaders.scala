@@ -58,6 +58,27 @@ object MediaHeaders {
     null
   }
 
+  /** Unicode NFC canonical composition. */
+  def nfc(s: UTF8String): UTF8String = UTF8String.fromString(
+    java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Deflate (zlib level 6) size ratio of the UTF-8 bytes: compressed
+    * size / raw size. Repetitive boilerplate lands well under natural
+    * prose; the empty string reports 1.0. */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
   /** `(channels, sample_rate, bits_per_sample)` from a RIFF/WAVE
     * header with the canonical 44-byte fmt layout; null otherwise. */
   def wavMeta(b: Array[Byte]): InternalRow = {

@@ -64,6 +64,23 @@ object TextFunctions {
   def piiCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0)))
 
+  /** Unicode text cleanup: strip control characters, then NFC
+    * canonical composition (combining sequences collapse to their
+    * precomposed forms) — the normalization pass before any hashing or
+    * dedup so visually-identical text fingerprints identically.
+    * Portable: DuckDB's `nfc_normalize` implements the same Unicode
+    * algorithm. */
+  def cleanText(text: Column): Column =
+    ColumnBridge.column(graft.expr.NfcNormalize(ColumnBridge.expression(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", ""))))
+
+  /** Deflate compression ratio (Gopher/CCNet quality signal):
+    * repetitive boilerplate compresses far below natural prose.
+    * Codegen'd kernel over the UTF-8 bytes. */
+  def compressionRatio(text: Column): Column =
+    ColumnBridge.column(graft.expr.CompressionRatio(
+      ColumnBridge.expression(text)))
+
   /** Mask emails → `<EMAIL>`, IPv4 → `<IP>`, 10-digit phones →
     * `<PHONE>`. Email first (its local part may contain digits/dots),
     * then IP (so `<EMAIL>` can't create digit runs), then phone (an

@@ -84,6 +84,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(rows(2).toSeq === Seq(null, null, null))
   }
 
+  test("cleanText strips controls and composes NFC") {
+    import graft.functions.TextFunctions.cleanText
+    val rows = Seq("cafe\u0301 ok", "a\u0007bc", "plain", "")
+      .toDF("t").select(cleanText($"t")).as[String].collect()
+    assert(rows(0) === "caf\u00e9 ok") // combining acute composes
+    assert(rows(1) === "abc")
+    assert(rows(2) === "plain")
+    assert(rows(3) === "")
+  }
+
+  test("compressionRatio separates repetitive from varied text") {
+    import graft.functions.TextFunctions.compressionRatio
+    val rep = "spam spam spam spam " * 50
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val got = Seq(rep, varied, "").toDF("t")
+      .select(compressionRatio($"t")).as[Double].collect()
+    assert(got(0) < 0.1)            // boilerplate crushes
+    assert(got(1) > got(0) * 3)     // varied text compresses far less
+    assert(got(2) === 1.0)          // empty-string convention
+    // deterministic across evaluations
+    val again = Seq(rep).toDF("t")
+      .select(compressionRatio($"t")).as[Double].head()
+    assert(again === got(0))
+  }
+
   test("frameSample keeps every stride-th frame, order preserved") {
     val frames = Seq(Tuple1(Seq("f0", "f1", "f2", "f3", "f4").map(_.getBytes)))
       .toDF("frames")
