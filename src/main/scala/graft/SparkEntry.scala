@@ -1482,6 +1482,32 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
           TextFunctions.cleanText(salted).as("cleaned"))
         .withColumn("n_chars", length(col("cleaned")))
+    }),
+
+    // ---- training/serving skew: features "logged at serving" (acctbal
+    // through a lossy fp32 serving encoding) vs recomputed exact.
+    // float<->double casts are IEEE-exact in every engine, so the
+    // mismatch set is deterministic ----
+    "q129_feature_skew" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val logged = cust.select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("float").cast("double").as("c_acctbal"),
+        col("c_mktsegment"))
+      graft.operators.Validate.skewReport(logged, cust,
+        Seq("c_custkey"), Seq("c_name", "c_acctbal", "c_mktsegment"))
+    }),
+
+    // ---- stream-static enrichment: the event stream joins the static
+    // customer feature table (broadcast per micro-batch) ----
+    "q130_stream_enrich" -> ((s, dir) => {
+      val (ev, base) = streamedEvents(s, dir, "q130")
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val enriched = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .join(cust, Seq("user_id"), "left")
+      runStreamTo(enriched.select(col("event_id"), col("user_id"),
+        col("value"), col("c_mktsegment")), base)
     })
   )
 
@@ -3427,6 +3453,30 @@ object SparkEntry {
         |  CAST(1 + doc_id % 500 AS INT) AS width,
         |  CAST(1 + doc_id % 300 AS INT) AS height
         |FROM documents""".stripMargin,
+
+    // fp32 round-trip mirrored; mismatch = IS DISTINCT FROM
+    "q129_feature_skew" ->
+      """WITH j AS (SELECT
+        |    CAST(CAST(l.c_acctbal AS REAL) AS DOUBLE)
+        |      IS DISTINCT FROM r.c_acctbal AS m_bal,
+        |    l.c_name IS DISTINCT FROM r.c_name AS m_name,
+        |    l.c_mktsegment IS DISTINCT FROM r.c_mktsegment AS m_seg
+        |  FROM customer l JOIN customer r USING (c_custkey)),
+        |a AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN m_name THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN m_bal THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN m_seg THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |  FROM j)
+        |SELECT f.feature, f.n_mismatch, a.n AS n_joined,
+        |  CAST(f.n_mismatch AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |    AS mismatch_rate
+        |FROM a, LATERAL (VALUES ('c_name', v1), ('c_acctbal', v2),
+        |  ('c_mktsegment', v3)) AS f(feature, n_mismatch)""".stripMargin,
+
+    "q130_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'click'""".stripMargin,
 
     // strip control bytes first, then NFC — same order as cleanText
     "q128_text_clean" ->

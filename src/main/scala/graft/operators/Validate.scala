@@ -13,6 +13,38 @@ import org.apache.spark.sql.functions._
   * one aggregated row. */
 object Validate {
 
+  /** Training/serving skew report: join feature rows LOGGED at serving
+    * time against the same features RECOMPUTED offline and report, per
+    * feature, how many keys disagree (null-safe compare). The check
+    * that catches drifting transformations, stale snapshots, and
+    * lossy serving encodings before they silently poison training.
+    *
+    * One equi-join on the keys + one aggregate; per-feature rows
+    * explode from the single aggregated row ([[report]]'s shape). */
+  def skewReport(
+      logged: DataFrame,
+      recomputed: DataFrame,
+      keys: Seq[String],
+      featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val l = logged.select((keys ++ featureCols).map(col): _*)
+    val r = recomputed.select(
+      keys.map(col) ++ featureCols.map(c => col(c).as(s"__r_$c")): _*)
+    val joined = l.join(r, keys)
+    val aggs = count(lit(1)).as("__n") +: featureCols.map { c =>
+      sum(when(!(col(c) <=> col(s"__r_$c")), 1L).otherwise(0L))
+        .as(s"__m_$c") }
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    one.select(col("__n"), explode(array(featureCols.map { c =>
+        struct(lit(c).as("feature"), col(s"__m_$c").as("n_mismatch"))
+      }: _*)).as("__f"))
+      .select(col("__f.feature").as("feature"),
+        col("__f.n_mismatch").as("n_mismatch"),
+        col("__n").as("n_joined"),
+        (col("__f.n_mismatch").cast("double") / col("__n").cast("double"))
+          .as("mismatch_rate"))
+  }
+
   def report(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
     val aggs = count(lit(1)).as("__n") +:

@@ -214,6 +214,20 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(salted === direct)
   }
 
+  test("skewReport counts per-feature null-safe mismatches") {
+    val logged = Seq((1L, "a", 1.0), (2L, "b", 2.5), (3L, null, 3.0))
+      .toDF("k", "f1", "f2")
+    val recomputed = Seq((1L, "a", 1.0), (2L, "B", 2.5), (3L, null, 3.5))
+      .toDF("k", "f1", "f2")
+    val got = graft.operators.Validate
+      .skewReport(logged, recomputed, Seq("k"), Seq("f1", "f2"))
+      .select($"feature", $"n_mismatch", $"n_joined")
+      .as[(String, Long, Long)].collect()
+      .map { case (f, m, n) => f -> ((m, n)) }.toMap
+    assert(got("f1") === ((1L, 3L)))  // "b" vs "B"; null==null is a match
+    assert(got("f2") === ((1L, 3L)))  // 3.0 vs 3.5
+  }
+
   test("precisionAtK takes top-k by score with deterministic ties") {
     val df = Seq(
       ("g", 1L, 9.0, 1L), ("g", 2L, 9.0, 0L), ("g", 3L, 8.0, 1L),
