@@ -83,3 +83,21 @@ case class CompressionRatio(child: Expression)
   override protected def withNewChildInternal(c: Expression): CompressionRatio =
     copy(child = c)
 }
+
+/** Row-local dense mat-vec against a literal row-major d×d matrix
+  * (the broadcast-back step of [[graft.operators.PcaRotate]]). */
+case class MatVecLit(child: Expression, mat: Array[Double], d: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.VectorKernels.matVec(mat, d,
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rotmat", mat, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.matVec($ref, $d, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): MatVecLit =
+    copy(child = c)
+}
