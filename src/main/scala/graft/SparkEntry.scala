@@ -1508,7 +1508,22 @@ object SparkEntry {
         .join(cust, Seq("user_id"), "left")
       runStreamTo(enriched.select(col("event_id"), col("user_id"),
         col("value"), col("c_mktsegment")), base)
-    })
+    }),
+
+    // ---- category-capped slate rerank: per user, top-10 events by
+    // value with at most 2 per item-category bucket ----
+    "q131_constrained_rerank" -> ((s, dir) =>
+      graft.operators.Pipeline.constrainedRerank(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("value"),
+          (graft.operators.Recsys.itemOf(col("props")) % 8).as("cat"))
+          .filter(col("cat").isNotNull),
+        Seq("user_id"), "value", "cat", "event_id",
+        maxPerCat = 2, k = 10)),
+
+    // ---- first-order behavior transition matrix over event streams ----
+    "q132_transitions" -> ((s, dir) =>
+      graft.operators.Funnel.transitionCounts(Tables.events(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3477,6 +3492,33 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'click'""".stripMargin,
+
+    "q131_constrained_rerank" ->
+      """WITH s AS (SELECT user_id, event_id, value,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) % 8 AS cat
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |c AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, cat
+        |    ORDER BY value DESC, event_id ASC) AS cr FROM s)
+        |  WHERE cr <= 2)
+        |SELECT user_id, event_id, value, cat, rank FROM (
+        |  SELECT user_id, event_id, value, cat,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id ASC) AS INT) AS rank
+        |  FROM c)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q132_transitions" ->
+      """WITH s AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
+        |    AS DOUBLE) AS p
+        |FROM c""".stripMargin,
 
     // strip control bytes first, then NFC — same order as cleanText
     "q128_text_clean" ->

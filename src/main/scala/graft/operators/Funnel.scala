@@ -50,6 +50,32 @@ object Funnel {
 
   /** Funnel summary: users reaching each stage in order, with
     * stage-over-stage conversion. Tiny output (|stages| rows). */
+  /** Behavior transition matrix (first-order Markov counts): for each
+    * user's event stream in time order, count `from → to` event-type
+    * transitions and their conditional probability per source state.
+    * One shuffle on the user key for the `lead`, one aggregate; the
+    * probability is a single exact-integer division. */
+  def transitionCounts(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val fromTotal = Window.partitionBy(col("from_type"))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(ord))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(fromTotal).cast("double"))
+  }
+
   def summary(
       events: DataFrame,
       userCol: String,

@@ -62,6 +62,34 @@ object Pipeline {
       .drop(slateMembers)
       .join(targets, col("__member") === col(targetIdx))
       .drop("__member")
+
+  /** Category-capped slate rerank (the diversity constraint a slate
+    * composer applies before serving): per group, keep each
+    * candidate's within-category rank ≤ `maxPerCat`, then the best `k`
+    * survivors overall. Two window specs over the SAME group
+    * partitioning — one shuffle; ties break by `tieCol` ascending so
+    * the slate is reproducible. */
+  def constrainedRerank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      catCol: String,
+      tieCol: String,
+      maxPerCat: Int,
+      k: Int): DataFrame = {
+    require(maxPerCat >= 1 && k >= 1, "maxPerCat and k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val byCat = Window.partitionBy(g :+ col(catCol): _*)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val byGroup = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("__cr", row_number().over(byCat))
+      .filter(col("__cr") <= maxPerCat)
+      .withColumn("rank", row_number().over(byGroup))
+      .filter(col("rank") <= k)
+      .drop("__cr")
+  }
 }
 
 /** Changed-row detection (SURVEY A7) — the skye Scylla aggregator's

@@ -70,6 +70,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(h.toSeq === Seq(5L, 6L))
   }
 
+  test("constrainedRerank caps per-category then takes global top-k") {
+    // user 1: cat A scores 9,8,7; cat B scores 6,5 -> cap 2 drops the
+    // 7; k=3 keeps 9,8,6
+    val df = Seq(
+      (1L, 10L, 9.0, "A"), (1L, 11L, 8.0, "A"), (1L, 12L, 7.0, "A"),
+      (1L, 13L, 6.0, "B"), (1L, 14L, 5.0, "B"),
+      (2L, 20L, 1.0, "A"))
+      .toDF("u", "id", "score", "cat")
+    val got = graft.operators.Pipeline.constrainedRerank(df, Seq("u"),
+        "score", "cat", "id", maxPerCat = 2, k = 3)
+      .select($"u", $"id", $"rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got === Set((1L, 10L, 1), (1L, 11L, 2), (1L, 13L, 3),
+      (2L, 20L, 1)))
+  }
+
+  test("transitionCounts builds the per-source stochastic matrix") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val df = Seq(
+      (1L, 1L, "view", ts(1)), (1L, 2L, "click", ts(2)),
+      (1L, 3L, "view", ts(3)),
+      (2L, 4L, "view", ts(1)), (2L, 5L, "click", ts(2)),
+      (2L, 6L, "purchase", ts(3)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.operators.Funnel.transitionCounts(df)
+      .select($"from_type", $"to_type", $"n", $"p")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("view", "click")) === ((2L, 1.0)))
+    assert(got(("click", "view")) === ((1L, 0.5)))
+    assert(got(("click", "purchase")) === ((1L, 0.5)))
+    assert(got.size === 3)
+  }
+
   test("gramMatrix null elements follow SQL SUM-skip (oracle parity)") {
     // a null element nullifies only the products it participates in —
     // the row's other cells still accumulate, exactly like the q75
