@@ -1523,7 +1523,56 @@ object SparkEntry {
 
     // ---- first-order behavior transition matrix over event streams ----
     "q132_transitions" -> ((s, dir) =>
-      graft.operators.Funnel.transitionCounts(Tables.events(s, dir)))
+      graft.operators.Funnel.transitionCounts(Tables.events(s, dir))),
+
+    // ---- embedding version-migration QA: v2 zeroes dimension 1
+    // (simulating a dropped feature); per-vector cosine drift report ----
+    "q133_embedding_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val v1 = col("embedding").cast("array<double>")
+      val v2 = zip_with(v1,
+        sequence(lit(1), size(col("embedding"))),
+        (x, i) => when(i === 1, lit(0.0)).otherwise(x))
+      e.select(col("vec_id"),
+          graft.functions.Similarity.cosine(v1, v2).as("cos_v1v2"))
+        .withColumn("is_drifted", col("cos_v1v2") < 0.99)
+    }),
+
+    // ---- hard-negative mining: per query, top-10 most similar
+    // vectors with a DIFFERENT label (metric-learning training prep) ----
+    "q134_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5).select(
+        col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("embedding").cast("array<double>").as("qe"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      e.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("ce"))
+        .crossJoin(broadcast(q))
+        .filter(col("label") =!= col("query_label"))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.Similarity.cosine(col("ce"), col("qe"))
+            .as("score"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 10)
+    }),
+
+    // ---- length-bucketed batching stats: pad-to-16 buckets with
+    // exact padding-waste accounting (inference batching prep) ----
+    "q135_length_buckets" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextFunctions.tokenCount(col("text")).as("nt"))
+        .withColumn("bucket",
+          (ceil(col("nt").cast("double") / 16.0) * 16).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt").cast("long")).as("total_tokens"))
+        .withColumn("padded", col("bucket").cast("long") * col("n_docs"))
+        .withColumn("waste_rate",
+          (col("padded") - col("total_tokens")).cast("double") /
+            col("padded").cast("double")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3519,6 +3568,43 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
         |    AS DOUBLE) AS p
         |FROM c""".stripMargin,
+
+    "q133_embedding_drift" ->
+      s"""WITH t AS (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS v1,
+         |    list_transform(list_zip(CAST(embedding AS DOUBLE[]),
+         |      generate_series(1, len(embedding))),
+         |      z -> CASE WHEN z[2] = 1 THEN 0.0 ELSE z[1] END) AS v2
+         |  FROM embeddings)
+         |SELECT vec_id, ${sqlCosOf("v1", "v2")} AS cos_v1v2,
+         |  ${sqlCosOf("v1", "v2")} < 0.99 AS is_drifted
+         |FROM t""".stripMargin,
+
+    "q134_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+         |    CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, e.vec_id,
+         |    ${sqlCosOf("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS score
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.label <> q.query_label)
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM scored)
+         |WHERE rank <= 10""".stripMargin,
+
+    "q135_length_buckets" ->
+      s"""WITH t AS (SELECT len($sqlWords) AS nt FROM documents),
+         |b AS (SELECT CAST(ceil(CAST(nt AS DOUBLE) / 16.0) * 16 AS INT)
+         |        AS bucket,
+         |      COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
+         |  FROM t GROUP BY 1)
+         |SELECT bucket, n_docs, total_tokens,
+         |  CAST(bucket AS BIGINT) * n_docs AS padded,
+         |  CAST(CAST(bucket AS BIGINT) * n_docs - total_tokens AS DOUBLE)
+         |    / CAST(CAST(bucket AS BIGINT) * n_docs AS DOUBLE)
+         |    AS waste_rate
+         |FROM b""".stripMargin,
 
     // strip control bytes first, then NFC — same order as cleanText
     "q128_text_clean" ->
