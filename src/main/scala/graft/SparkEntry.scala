@@ -1572,7 +1572,24 @@ object SparkEntry {
         .withColumn("padded", col("bucket").cast("long") * col("n_docs"))
         .withColumn("waste_rate",
           (col("padded") - col("total_tokens")).cast("double") /
-            col("padded").cast("double")))
+            col("padded").cast("double"))),
+
+    // ---- referential integrity: event users vs the customer table ----
+    "q136_ref_integrity" -> ((s, dir) =>
+      graft.operators.Validate.refIntegrity(
+        Tables.events(s, dir), Tables.customer(s, dir),
+        "user_id", "c_custkey")),
+
+    // ---- snapshot column profile of the events table ----
+    "q137_profile" -> ((s, dir) =>
+      graft.operators.Validate.profile(Tables.events(s, dir),
+        Seq("user_id", "event_type", "value", "props"))),
+
+    // ---- association rules (support / confidence / lift) over the
+    // recency-capped co-visitation sets ----
+    "q138_association_rules" -> ((s, dir) =>
+      graft.operators.Recsys.associationRules(Tables.events(s, dir),
+        recentPerUser = 30, minUsers = 2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3605,6 +3622,64 @@ object SparkEntry {
          |    / CAST(CAST(bucket AS BIGINT) * n_docs AS DOUBLE)
          |    AS waste_rate
          |FROM b""".stripMargin,
+
+    "q136_ref_integrity" ->
+      """WITH p AS (SELECT DISTINCT c_custkey FROM customer),
+        |j AS (SELECT e.user_id, p.c_custkey FROM events e
+        |      LEFT JOIN p ON e.user_id = p.c_custkey)
+        |SELECT COUNT(*) AS n_child,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orphans,
+        |  COUNT(DISTINCT CASE WHEN c_custkey IS NULL THEN user_id END)
+        |    AS n_distinct_orphan_keys,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS orphan_rate
+        |FROM j""".stripMargin,
+
+    "q137_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nu, COUNT(DISTINCT user_id) AS du,
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS ne, COUNT(DISTINCT event_type) AS de,
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nv, COUNT(DISTINCT value) AS dv,
+        |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS np, COUNT(DISTINCT props) AS dp
+        |  FROM events)
+        |SELECT c."column", a.n AS n_rows, c.n_null, c.n_distinct
+        |FROM a, LATERAL (VALUES
+        |  ('user_id', nu, du), ('event_type', ne, de),
+        |  ('value', nv, dv), ('props', np, dp))
+        |  AS c("column", n_null, n_distinct)""".stripMargin,
+
+    "q138_association_rules" ->
+      """WITH ui AS (SELECT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id,
+        |    MAX(ts) AS last_ts
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |capped AS (SELECT user_id, item_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+        |  WHERE rn <= 30),
+        |pairs AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+        |    COUNT(*) AS supp_ab
+        |  FROM capped a JOIN capped b
+        |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |supp AS (SELECT item_id, COUNT(*) AS s FROM capped GROUP BY 1),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM capped),
+        |d AS (SELECT item_a AS antecedent, item_b AS consequent, supp_ab
+        |        FROM pairs
+        |      UNION ALL
+        |      SELECT item_b, item_a, supp_ab FROM pairs)
+        |SELECT d.antecedent, d.consequent, d.supp_ab,
+        |  CAST(d.supp_ab AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence,
+        |  CAST(d.supp_ab * nu.n AS DOUBLE)
+        |    / CAST(sa.s * sc.s AS DOUBLE) AS lift
+        |FROM d JOIN supp sa ON d.antecedent = sa.item_id
+        |JOIN supp sc ON d.consequent = sc.item_id CROSS JOIN nu""".stripMargin,
 
     // strip control bytes first, then NFC — same order as cleanText
     "q128_text_clean" ->

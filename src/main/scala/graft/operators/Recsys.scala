@@ -150,6 +150,57 @@ object Recsys {
         col("__item").as("label"))
   }
 
+  /** Association rules over the co-visitation pairs: support,
+    * directed confidence, and lift. `pairs` is [[covisitation]]'s
+    * output (undirected, `item_a < item_b`); supports come from the
+    * same recency-capped per-user item sets, so the probabilities
+    * compose exactly. Emits BOTH directions of each pair with
+    * `conf = supp(ab)/supp(a)` and
+    * `lift = supp(ab)·N / (supp(a)·supp(b))` where N = #users with
+    * ≥1 capped item. All counts exact; two divisions at the end. */
+  def associationRules(
+      events: DataFrame,
+      recentPerUser: Int = 30,
+      minUsers: Long = 2): DataFrame = {
+    val byRecency = Window.partitionBy(col("user_id"))
+      .orderBy(col("__last").desc, col("item_id").asc)
+    val capped = events
+      .select(col("user_id"), itemOf(col("props")).as("item_id"), col("ts"))
+      .filter(col("item_id").isNotNull)
+      .groupBy(col("user_id"), col("item_id")).agg(max(col("ts")).as("__last"))
+      .withColumn("__rn", row_number().over(byRecency))
+      .filter(col("__rn") <= recentPerUser)
+      .select(col("user_id"), col("item_id"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.item_id") < col("b.item_id"))
+      .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minUsers)
+    val supp = capped.groupBy(col("item_id")).agg(count(lit(1)).as("supp"))
+    val nUsers = capped.agg(
+      count_distinct(col("user_id")).as("__n_users"))
+    val directed = pairs
+      .select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("supp_ab"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("supp_ab")))
+    directed
+      .join(supp.select(col("item_id").as("antecedent"),
+        col("supp").as("__sa")), "antecedent")
+      .join(supp.select(col("item_id").as("consequent"),
+        col("supp").as("__sc")), "consequent")
+      .crossJoin(broadcast(nUsers))
+      .withColumn("confidence",
+        col("supp_ab").cast("double") / col("__sa").cast("double"))
+      .withColumn("lift",
+        (col("supp_ab") * col("__n_users")).cast("double") /
+          (col("__sa") * col("__sc")).cast("double"))
+      .select(col("antecedent"), col("consequent"), col("supp_ab"),
+        col("confidence"), col("lift"))
+  }
+
   /** Deterministic random walks over an item graph (DeepWalk-style
     * graph-embedding training corpus): one walk per node, `walkLen`
     * steps; at step `t` the walker from `start` moves to the neighbor

@@ -45,6 +45,45 @@ object Validate {
           .as("mismatch_rate"))
   }
 
+  /** Referential-integrity check: child keys with no parent row.
+    * One left-anti-shaped aggregate (left join + null test) — returns
+    * a single row `(n_child, n_orphans, orphan_rate,
+    * n_distinct_orphan_keys)`. */
+  def refIntegrity(
+      child: DataFrame,
+      parent: DataFrame,
+      childKey: String,
+      parentKey: String): DataFrame = {
+    val p = parent.select(col(parentKey).as("__pk")).distinct()
+      .withColumn("__present", lit(1))
+    child.select(col(childKey).as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__present").isNull, 1L).otherwise(0L)).as("n_orphans"),
+        count_distinct(when(col("__present").isNull, col("__ck")))
+          .as("n_distinct_orphan_keys"))
+      .withColumn("orphan_rate",
+        col("n_orphans").cast("double") / col("n_child").cast("double"))
+  }
+
+  /** Column profile (the `ANALYZE TABLE` artifact a pipeline publishes
+    * with each snapshot): per column, row count, null count, distinct
+    * count. ONE aggregate pass over the table. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        count_distinct(col(c)).as(s"__dist_$c")) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(col("__n"), explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col(s"__null_$c").as("n_null"),
+          col(s"__dist_$c").as("n_distinct"))
+      }: _*)).as("__c"))
+      .select(col("__c.column").as("column"), col("__n").as("n_rows"),
+        col("__c.n_null").as("n_null"),
+        col("__c.n_distinct").as("n_distinct"))
+  }
+
   def report(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
     val aggs = count(lit(1)).as("__n") +:

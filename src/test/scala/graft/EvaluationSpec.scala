@@ -228,6 +228,47 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(got("f2") === ((1L, 3L)))  // 3.0 vs 3.5
   }
 
+  test("refIntegrity and profile report table health in one pass each") {
+    val child = Seq(1L, 2L, 2L, 9L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val ri = graft.operators.Validate
+      .refIntegrity(child, parent, "k", "pk")
+      .select($"n_child", $"n_orphans", $"n_distinct_orphan_keys",
+        $"orphan_rate")
+      .as[(Long, Long, Long, Double)].head()
+    assert(ri === ((4L, 1L, 1L, 0.25)))
+    val prof = graft.operators.Validate
+      .profile(Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+        .toDF("id", "s"), Seq("id", "s"))
+      .select($"column", $"n_rows", $"n_null", $"n_distinct")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(prof("id") === ((3L, 0L, 3L)))
+    assert(prof("s") === ((3L, 1L, 1L)))
+  }
+
+  test("associationRules: confidence and lift from exact supports") {
+    def ev(id: Long, user: Long, item: Long) =
+      (id, user, "view", 1.0, s"""{"k": $item}""",
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${id % 60}%02d:00"))
+    // items 1,2 co-occur for users 1,2,3; item 3 only with user 1
+    val rows = Seq(
+      ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 3),
+      ev(4, 2, 1), ev(5, 2, 2),
+      ev(6, 3, 1), ev(7, 3, 2))
+    val df = rows.toDF("event_id", "user_id", "event_type", "value",
+      "props", "ts")
+    val got = graft.operators.Recsys.associationRules(df, minUsers = 2)
+      .select($"antecedent", $"consequent", $"supp_ab", $"confidence",
+        $"lift")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // supp(1)=3, supp(2)=3, supp(12)=3, N=3 users
+    assert(got((1L, 2L)) === ((3L, 1.0, 1.0)))
+    assert(got((2L, 1L)) === ((3L, 1.0, 1.0)))
+    assert(!got.contains((1L, 3L))) // below minUsers
+  }
+
   test("precisionAtK takes top-k by score with deterministic ties") {
     val df = Seq(
       ("g", 1L, 9.0, 1L), ("g", 2L, 9.0, 0L), ("g", 3L, 8.0, 1L),
