@@ -51,15 +51,26 @@ object SparkEntry {
       outputMode: String = "append"): DataFrame = {
     val out = s"$base/out"
     val writeMode = if (outputMode == "complete") "overwrite" else "append"
-    df.writeStream
-      .outputMode(outputMode)
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode(writeMode).parquet(out)
-      }
-      .start().awaitTermination()
-    df.sparkSession.read.parquet(out)
+    // Stateful streaming parallelism is pinned at the first checkpoint;
+    // size it to the fixture's volume (state-store open/commit dominates
+    // these micro-batches at 32 partitions — a real deployment sizes
+    // this to stream volume the same way). Scoped to the stream run:
+    // batch plans in the same session are unaffected because each
+    // query() call re-reads the conf at planning time, sequentially.
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      df.writeStream
+        .outputMode(outputMode)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode(writeMode).parquet(out)
+        }
+        .start().awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(out)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
