@@ -1600,7 +1600,24 @@ object SparkEntry {
     // recency-capped co-visitation sets ----
     "q138_association_rules" -> ((s, dir) =>
       graft.operators.Recsys.associationRules(Tables.events(s, dir),
-        recentPerUser = 30, minUsers = 2))
+        recentPerUser = 30, minUsers = 2)),
+
+    // ---- OPQ with the LEARNED PCA rotation, end to end (no SQL
+    // oracle can eigendecompose — deliberately registered without an
+    // oracleSql entry so the driver records the weaker rows-only
+    // check; exact semantics are spec-gated in OpqSpec) ----
+    "q139_ann_opq_rotated" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val rot = graft.operators.PcaRotate.fit(e, "embedding")
+      val rotated = e.select(col("vec_id"), col("label"),
+        graft.operators.PcaRotate.rotate(col("embedding"), rot)
+          .as("embedding"))
+      val q = rotated.filter(col("vec_id") < 5).select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("query_embedding"))
+      graft.operators.PqIndex.build(rotated, m = 8, k = 16)
+        .searchDot(q, kResults = 10)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
