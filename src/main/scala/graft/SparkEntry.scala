@@ -1617,6 +1617,53 @@ object SparkEntry {
         col("embedding").as("query_embedding"))
       graft.operators.PqIndex.build(rotated, m = 8, k = 16)
         .searchDot(q, kResults = 10)
+    }),
+
+    // ---- language-agnostic stopword induction: tokens present in
+    // most documents are function words ----
+    "q140_stopword_induction" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(count_distinct(col("doc_id")).as("__nd"))
+      docs.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.words(col("text"))))
+            .as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+        .crossJoin(broadcast(n))
+        .withColumn("df_ratio",
+          col("doc_freq").cast("double") / col("__nd").cast("double"))
+        .withColumn("is_stopword", col("df_ratio") > 0.6)
+        .select(col("token"), col("doc_freq"), col("df_ratio"),
+          col("is_stopword"))
+    }),
+
+    // ---- mixed-language detection: langid per 8-token block, per-doc
+    // majority language + consistency ratio ----
+    "q141_lang_consistency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = col("__w")
+      val chunks = transform(
+        sequence(lit(1), greatest(size(w), lit(1)), lit(8)),
+        i => slice(w, i, lit(8)))
+      val clang = TextFunctions.langIdFromHits(
+        TextFunctions.stopwordHitsFromWords(col("cw"), "de"),
+        TextFunctions.stopwordHitsFromWords(col("cw"), "en"),
+        TextFunctions.stopwordHitsFromWords(col("cw"), "es"),
+        TextFunctions.stopwordHitsFromWords(col("cw"), "fr"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.words(col("text")).as("__w"))
+        .select(col("doc_id"), explode(chunks).as("cw"))
+        .select(col("doc_id"), clang.as("clang"))
+        .groupBy(col("doc_id"), col("clang")).agg(count(lit(1)).as("n"))
+        .withColumn("n_chunks", sum(col("n")).over(byDoc))
+        .withColumn("__rn", row_number().over(
+          byDoc.orderBy(col("n").desc, col("clang").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("clang").as("major_lang"),
+          col("n_chunks"), col("n").as("n_major"),
+          (col("n").cast("double") / col("n_chunks").cast("double"))
+            .as("consistency"))
     })
   )
 
@@ -3680,6 +3727,44 @@ object SparkEntry {
         |  ('user_id', nu, du), ('event_type', ne, de),
         |  ('value', nv, dv), ('props', np, dp))
         |  AS c("column", n_null, n_distinct)""".stripMargin,
+
+    "q140_stopword_induction" ->
+      s"""WITH n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_distinct($sqlWords)) AS token
+         |       FROM documents),
+         |c AS (SELECT token, COUNT(*) AS doc_freq FROM tk
+         |      WHERE token <> '' GROUP BY token)
+         |SELECT c.token, c.doc_freq,
+         |  CAST(c.doc_freq AS DOUBLE) / CAST(n.nd AS DOUBLE) AS df_ratio,
+         |  CAST(c.doc_freq AS DOUBLE) / CAST(n.nd AS DOUBLE) > 0.6
+         |    AS is_stopword
+         |FROM c CROSS JOIN n""".stripMargin,
+
+    "q141_lang_consistency" ->
+      s"""WITH t AS (SELECT doc_id, $sqlWords AS w0 FROM documents),
+         |c0 AS (SELECT doc_id, list_transform(
+         |         generate_series(1, greatest(len(w0), 1), 8),
+         |         i -> list_slice(w0, i, i + 7)) AS cs FROM t),
+         |c AS (SELECT doc_id, unnest(cs) AS w FROM c0),
+         |lh AS (SELECT doc_id,
+         |  ${sqlHits("de")} AS h_de, ${sqlHits("en")} AS h_en,
+         |  ${sqlHits("es")} AS h_es, ${sqlHits("fr")} AS h_fr FROM c),
+         |lp AS (SELECT doc_id,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS clang
+         |  FROM lh),
+         |g AS (SELECT doc_id, clang, COUNT(*) AS n FROM lp GROUP BY 1, 2),
+         |m AS (SELECT * FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY n DESC, clang ASC) AS rn,
+         |    SUM(n) OVER (PARTITION BY doc_id) AS tot FROM g)
+         |  WHERE rn = 1)
+         |SELECT doc_id, clang AS major_lang, CAST(tot AS BIGINT)
+         |    AS n_chunks, n AS n_major,
+         |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS consistency
+         |FROM m""".stripMargin,
 
     "q138_association_rules" ->
       """WITH ui AS (SELECT user_id,
