@@ -1664,7 +1664,28 @@ object SparkEntry {
           col("n_chunks"), col("n").as("n_major"),
           (col("n").cast("double") / col("n_chunks").cast("double"))
             .as("consistency"))
-    })
+    }),
+
+    // ---- weight-sensitive random walks over co-visitation edges ----
+    "q142_weighted_walks" -> ((s, dir) =>
+      graft.operators.Recsys.weightedRandomWalks(
+        graft.operators.Recsys.covisitation(Tables.events(s, dir),
+          recentPerUser = 30, minUsers = 2),
+        walkLen = 3)),
+
+    // ---- skip-gram (center, context) pairs from the walk corpus ----
+    "q143_skipgram_pairs" -> ((s, dir) =>
+      graft.operators.Recsys.skipGramPairs(
+        graft.operators.Recsys.randomWalks(
+          graft.operators.Recsys.covisitation(Tables.events(s, dir),
+            recentPerUser = 30, minUsers = 2),
+          walkLen = 3),
+        window = 2)),
+
+    // ---- churn-label training set with a strict temporal split ----
+    "q144_churn_labels" -> ((s, dir) =>
+      graft.operators.Recsys.churnLabels(Tables.events(s, dir),
+        labelDays = 7))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3765,6 +3786,98 @@ object SparkEntry {
          |    AS n_chunks, n AS n_major,
          |  CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS consistency
          |FROM m""".stripMargin,
+
+    // q113's walk chain with hash/weight keys on the weighted adjacency
+    "q142_weighted_walks" -> {
+      def step(t: Int, prev: String, prevCols: String, curCol: String) =
+        s"s$t AS (SELECT start, $prevCols nbr AS $curCol FROM (" +
+          s"SELECT $prev.*, adj.nbr, ROW_NUMBER() OVER (" +
+          s"PARTITION BY $prev.start ORDER BY " +
+          s"CAST(CAST(('0x'||substr(md5('11:'||CAST($prev.start AS VARCHAR)" +
+          s"||':$t:'||CAST(adj.nbr AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)" +
+          s" / CAST(adj.wt AS DOUBLE), " +
+          s"adj.nbr) AS rn FROM $prev JOIN adj ON " +
+          s"$prev.${if (t == 1) "start" else s"c${t - 1}"} = adj.node) " +
+          "WHERE rn = 1)"
+      s"""WITH ui AS (SELECT user_id,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item_id,
+         |    MAX(ts) AS last_ts
+         |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |capped AS (SELECT user_id, item_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+         |  WHERE rn <= 30),
+         |cov AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+         |    COUNT(*) AS n_users
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT item_a AS node, item_b AS nbr, n_users AS wt
+         |        FROM cov
+         |        UNION SELECT item_b, item_a, n_users FROM cov),
+         |s0 AS (SELECT DISTINCT node AS start FROM adj),
+         |${step(1, "s0", "", "c1")},
+         |${step(2, "s1", "c1,", "c2")},
+         |${step(3, "s2", "c1, c2,", "c3")}
+         |SELECT start, [start, c1, c2, c3] AS path FROM s3""".stripMargin
+    },
+
+    // q113's walks, then every ordered position pair within 2 hops
+    "q143_skipgram_pairs" -> {
+      def step(t: Int, prev: String, prevCols: String, curCol: String) =
+        s"s$t AS (SELECT start, $prevCols nbr AS $curCol FROM (" +
+          s"SELECT $prev.*, adj.nbr, ROW_NUMBER() OVER (" +
+          s"PARTITION BY $prev.start ORDER BY " +
+          s"CAST(('0x'||substr(md5('11:'||CAST($prev.start AS VARCHAR)" +
+          s"||':$t:'||CAST(adj.nbr AS VARCHAR)), 1, 8)) AS BIGINT), " +
+          s"adj.nbr) AS rn FROM $prev JOIN adj ON " +
+          s"$prev.${if (t == 1) "start" else s"c${t - 1}"} = adj.node) " +
+          "WHERE rn = 1)"
+      s"""WITH ui AS (SELECT user_id,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item_id,
+         |    MAX(ts) AS last_ts
+         |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |capped AS (SELECT user_id, item_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+         |  WHERE rn <= 30),
+         |cov AS (SELECT a.item_id AS item_a, b.item_id AS item_b
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT item_a AS node, item_b AS nbr FROM cov
+         |        UNION SELECT item_b, item_a FROM cov),
+         |s0 AS (SELECT DISTINCT node AS start FROM adj),
+         |${step(1, "s0", "", "c1")},
+         |${step(2, "s1", "c1,", "c2")},
+         |${step(3, "s2", "c1, c2,", "c3")},
+         |p AS (SELECT [start, c1, c2, c3] AS path FROM s3),
+         |e1 AS (SELECT path, generate_subscripts(path, 1) - 1 AS i,
+         |         unnest(path) AS center FROM p),
+         |e2 AS (SELECT i, center, generate_subscripts(path, 1) - 1 AS j,
+         |         unnest(path) AS context FROM e1)
+         |SELECT center, context, COUNT(*) AS n FROM e2
+         |WHERE i <> j AND abs(i - j) <= 2 GROUP BY 1, 2""".stripMargin
+    },
+
+    "q144_churn_labels" ->
+      """WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+        |s AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type, value,
+        |        a.anchor - 7 AS cutoff FROM events CROSS JOIN a),
+        |f AS (SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_clicks,
+        |    CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE)
+        |      / 1000000.0 AS value_sum,
+        |    MAX(d) AS last_d, MAX(cutoff) AS co
+        |  FROM s WHERE d < cutoff GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id FROM s WHERE d >= cutoff)
+        |SELECT f.user_id, f.n_events, f.n_clicks, f.value_sum,
+        |  CAST(date_diff('day', f.last_d, f.co) AS INT) AS recency_days,
+        |  act.user_id IS NULL AS churned
+        |FROM f LEFT JOIN act ON f.user_id = act.user_id""".stripMargin,
 
     "q138_association_rules" ->
       """WITH ui AS (SELECT user_id,

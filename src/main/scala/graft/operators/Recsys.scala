@@ -237,6 +237,87 @@ object Recsys {
     frontier.select(col("start"), col("path"))
   }
 
+  /** [[randomWalks]] with edge-weight-sensitive neighbor choice:
+    * at each step the walker minimizes `hash/weight` — heavier
+    * co-visitation edges win more hash draws, steering walks along
+    * popular transitions while staying fully deterministic (the
+    * division is one IEEE double op, portable everywhere; exact E-S
+    * weighted sampling would need `u^(1/w)`, and `pow`'s libm rounding
+    * is not). `edges` must carry a positive `weightCol`. */
+  def weightedRandomWalks(edges: DataFrame, walkLen: Int,
+      weightCol: String = "n_users", seed: Int = 11): DataFrame = {
+    require(walkLen >= 1, s"walkLen must be >= 1, got $walkLen")
+    val adj = edges
+      .select(col("item_a").as("node"), col("item_b").as("nbr"),
+        col(weightCol).as("__wt"))
+      .union(edges.select(col("item_b"), col("item_a"),
+        col(weightCol)))
+      .distinct()
+    var frontier = adj.select(col("node").as("start")).distinct()
+      .withColumn("cur", col("start"))
+      .withColumn("path", array(col("start")))
+    for (t <- 1 to walkLen) {
+      val h = md5Hash32(concat(col("start"), lit(":"), lit(t), lit(":"),
+        col("nbr")), seed)
+      val key = h.cast("double") / col("__wt").cast("double")
+      val w = Window.partitionBy(col("start")).orderBy(key.asc, col("nbr").asc)
+      frontier = frontier
+        .join(adj, frontier("cur") === adj("node"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("start"), col("nbr").as("cur"),
+          concat(col("path"), array(col("nbr"))).as("path"))
+    }
+    frontier.select(col("start"), col("path"))
+  }
+
+  /** Skip-gram training pairs from walk paths (the word2vec-style
+    * (center, context) assembly DeepWalk feeds its embedding model):
+    * every ordered position pair within `window` hops, counted across
+    * walks. Row-local pair generation — the only shuffle is the final
+    * count. */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    walks
+      .select(col("path"), posexplode(col("path")).as(Seq("i", "center")))
+      .select(col("i"), col("center"),
+        posexplode(col("path")).as(Seq("j", "context")))
+      .filter(col("i") =!= col("j") &&
+        abs(col("i") - col("j")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Churn-label training set: the supervised assembly for a retention
+    * model. Users active before the cutoff (= corpus max date −
+    * `labelDays`) get feature-window aggregates (counts, exact
+    * micro-unit value sum, recency) and a churn label = "no activity
+    * in the final `labelDays`-day window". A strict temporal split —
+    * features never see the label window. */
+  def churnLabels(events: DataFrame, labelDays: Int = 7): DataFrame = {
+    val anchor = events.agg(max(to_date(col("ts"))).as("__anchor"))
+    val staged = events
+      .select(col("user_id"), to_date(col("ts")).as("__d"),
+        col("event_type"), col("value"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("__cutoff", date_sub(col("__anchor"), labelDays))
+    val features = staged.filter(col("__d") < col("__cutoff"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        (sum(floor(col("value").cast("double") * 1e6).cast("long"))
+          .cast("double") / lit(1e6)).as("value_sum"),
+        max(col("__d")).as("__last"), max(col("__cutoff")).as("__co"))
+      .withColumn("recency_days", datediff(col("__co"), col("__last")))
+    val active = staged.filter(col("__d") >= col("__cutoff"))
+      .select(col("user_id")).distinct().withColumn("__active", lit(1))
+    features.join(active, Seq("user_id"), "left")
+      .withColumn("churned", col("__active").isNull)
+      .select(col("user_id"), col("n_events"), col("n_clicks"),
+        col("value_sum"), col("recency_days"), col("churned"))
+  }
+
   /** Time-decayed engagement profile per user: each event contributes
     * `value / (1 + age_days)` (hyperbolic decay — exact in binary64,
     * unlike exp/pow whose libm rounding differs across engines), age

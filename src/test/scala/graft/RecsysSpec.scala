@@ -173,6 +173,55 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
     assert(again === got.toSet)
   }
 
+  test("weightedRandomWalks favors heavy edges but stays valid") {
+    // node 1 has neighbors 2 (weight 1000) and 3 (weight 1): the
+    // hash/weight key makes 2 the practically-certain first hop
+    val edges = Seq((1L, 2L, 1000L), (1L, 3L, 1L), (2L, 3L, 5L))
+      .toDF("item_a", "item_b", "n_users")
+    val got = Recsys.weightedRandomWalks(edges, walkLen = 2)
+      .select($"start", $"path").as[(Long, Seq[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got.size === 3)
+    assert(got(1L)(1) === 2L) // heavy edge wins the first hop
+    val adj = Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L))
+    got.values.foreach(p =>
+      p.sliding(2).foreach(s => assert(adj.contains((s(0), s(1))))))
+  }
+
+  test("skipGramPairs emits ordered pairs within the window") {
+    val walks = Seq((1L, Seq(10L, 20L, 30L, 40L)))
+      .toDF("start", "path")
+    val got = Recsys.skipGramPairs(walks, window = 2)
+      .select($"center", $"context", $"n").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // distance 3 pair absent; distance <=2 pairs present, symmetric
+    assert(!got.contains((10L, 40L)))
+    assert(got((10L, 20L)) === 1L && got((20L, 10L)) === 1L)
+    assert(got((10L, 30L)) === 1L && got((20L, 40L)) === 1L)
+    assert(got.size === 10) // 3 adjacent pairs + 2 distance-2, both dirs
+  }
+
+  test("churnLabels: strict temporal split, churn = silent label window") {
+    def e(id: Long, u: Long, day: Int, typ: String = "view") =
+      (id, u, typ, 2.5, """{"k": 1}""",
+        java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00"))
+    // anchor = Jan 20, cutoff = Jan 13. u1 active both windows (not
+    // churned); u2 only before cutoff (churned); u3 only in the label
+    // window (no feature row)
+    val df = Seq(e(1, 1, 2, "click"), e(2, 1, 15), e(3, 2, 5), e(4, 2, 10),
+      e(5, 3, 14), e(6, 1, 20))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+    val got = Recsys.churnLabels(df, labelDays = 7)
+      .select($"user_id", $"n_events", $"n_clicks", $"recency_days",
+        $"churned")
+      .as[(Long, Long, Long, Int, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((1L, 1L, 11, false)))
+    assert(got(2L) === ((2L, 0L, 3, true)))
+    assert(!got.contains(3L))
+  }
+
   test("shard: permutation into fixed-size shards, partition-invariant") {
     val df = spark.range(0, 500).toDF("doc_id")
     val got = Training.shard(df, "doc_id", 64L)
