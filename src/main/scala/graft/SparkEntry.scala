@@ -1685,7 +1685,27 @@ object SparkEntry {
     // ---- churn-label training set with a strict temporal split ----
     "q144_churn_labels" -> ((s, dir) =>
       graft.operators.Recsys.churnLabels(Tables.events(s, dir),
-        labelDays = 7))
+        labelDays = 7)),
+
+    // ---- position-bias curve: CTR by within-session display position
+    // (session = user-day, position = time order) — the examination
+    // curve an unbiased-LTR pipeline estimates before IPS weighting ----
+    "q145_position_bias" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = Window.partitionBy(col("user_id"), col("__day"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          to_date(col("ts")).as("__day"),
+          (col("event_type") === "click").cast("long").as("__click"))
+        .withColumn("position", row_number().over(sess))
+        .filter(col("position") <= 20)
+        .groupBy(col("position"))
+        .agg(count(lit(1)).as("n_impressions"),
+          sum(col("__click")).as("n_clicks"))
+        .withColumn("ctr", col("n_clicks").cast("double") /
+          col("n_impressions").cast("double"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3861,6 +3881,18 @@ object SparkEntry {
          |SELECT center, context, COUNT(*) AS n FROM e2
          |WHERE i <> j AND abs(i - j) <= 2 GROUP BY 1, 2""".stripMargin
     },
+
+    "q145_position_bias" ->
+      """WITH s AS (SELECT
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts ASC, event_id ASC) AS position,
+        |    CAST(event_type = 'click' AS BIGINT) AS y
+        |  FROM events)
+        |SELECT CAST(position AS INT) AS position,
+        |  COUNT(*) AS n_impressions,
+        |  CAST(SUM(y) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ctr
+        |FROM s WHERE position <= 20 GROUP BY position""".stripMargin,
 
     "q144_churn_labels" ->
       """WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
