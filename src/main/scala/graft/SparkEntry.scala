@@ -1687,6 +1687,47 @@ object SparkEntry {
       graft.operators.Recsys.churnLabels(Tables.events(s, dir),
         labelDays = 7)),
 
+    // ---- dedup cluster-size histogram: the reporting artifact a
+    // dedup run publishes (how much of the corpus collapses, and into
+    // how big clusters) ----
+    "q146_cluster_sizes" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir),
+        n = 3, k = 8, bands = 4, threshold = 0.2)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
+    // ---- Pearson correlation matrix of lineitem's numeric features:
+    // exact decimal moments, one r per pair via division + IEEE sqrt ----
+    "q147_feature_corr" -> ((s, dir) => {
+      val cols2 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables.lineitem(s, dir)
+      val stats = li.agg(count(lit(1)).as("n"),
+        cols2.flatMap(c => Seq(
+          xsum(col(c), 6).as(s"s_$c"),
+          xsum(col(c) * col(c), 9).as(s"q_$c"))) ++
+        (for (a <- cols2; b <- cols2 if a < b)
+          yield xsum(col(a) * col(b), 9).as(s"p_${a}_$b")): _*)
+      val pairs = (for (a <- cols2; b <- cols2 if a < b) yield
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          ((col("n").cast("double") * col(s"p_${a}_$b") -
+            col(s"s_$a") * col(s"s_$b")) /
+          sqrt((col("n").cast("double") * col(s"q_$a") -
+            col(s"s_$a") * col(s"s_$a")) *
+            (col("n").cast("double") * col(s"q_$b") -
+              col(s"s_$b") * col(s"s_$b")))).as("r")))
+      stats.select(explode(array(pairs: _*)).as("__p"))
+        .select(col("__p.col_a"), col("__p.col_b"), col("__p.r"))
+    }),
+
+    // ---- seasonality profile: engagement by day-of-week and hour ----
+    "q148_seasonality" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), xsum(col("value")).as("value_sum"))),
+
     // ---- position-bias curve: CTR by within-session display position
     // (session = user-day, position = time order) — the examination
     // curve an unbiased-LTR pipeline estimates before IPS weighting ----
@@ -3881,6 +3922,43 @@ object SparkEntry {
          |SELECT center, context, COUNT(*) AS n FROM e2
          |WHERE i <> j AND abs(i - j) <= 2 GROUP BY 1, 2""".stripMargin
     },
+
+    "q146_cluster_sizes" ->
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, COUNT(*) AS csz FROM comp GROUP BY 1)
+         |SELECT csz AS cluster_size, COUNT(*) AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    "q147_feature_corr" -> {
+      val cols2 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val moments = cols2.flatMap(c => Seq(
+        s"${sqlSum(c, 6)} AS s_$c", s"${sqlSum(s"$c * $c", 9)} AS q_$c")) ++
+        (for (a <- cols2; b <- cols2 if a < b)
+          yield s"${sqlSum(s"$a * $b", 9)} AS p_${a}_$b")
+      val rows = (for (a <- cols2; b <- cols2 if a < b) yield
+        s"('$a', '$b', (CAST(n AS DOUBLE) * p_${a}_$b - s_$a * s_$b)" +
+          s" / sqrt((CAST(n AS DOUBLE) * q_$a - s_$a * s_$a)" +
+          s" * (CAST(n AS DOUBLE) * q_$b - s_$b * s_$b)))").mkString(",\n  ")
+      s"""WITH m AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")}
+         |  FROM lineitem)
+         |SELECT p.col_a, p.col_b, p.r
+         |FROM m, LATERAL (VALUES
+         |  $rows) AS p(col_a, col_b, r)""".stripMargin
+    },
+
+    "q148_seasonality" ->
+      s"""SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         |  CAST(hour(ts) AS INT) AS hr,
+         |  COUNT(*) AS n, ${sqlSum("value")} AS value_sum
+         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q145_position_bias" ->
       """WITH s AS (SELECT
