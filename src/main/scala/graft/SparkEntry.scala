@@ -1705,18 +1705,35 @@ object SparkEntry {
     // at the sum — ~5x cheaper than per-row decimal rounding);
     // r per pair is division + IEEE sqrt over the exact moments ----
     "q147_feature_corr" -> ((s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
       val cols2 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val li = Tables.lineitem(s, dir).select(cols2.map(c =>
         rint(col(c) * 100).cast("long").as(s"c_$c")): _*)
-      val dsum = (e: org.apache.spark.sql.Column) => sum(e.cast(DecimalType(38, 0)))
-      val stats = li.agg(count(lit(1)).as("n"),
-        cols2.flatMap(c => Seq(
-          sum(col(s"c_$c")).as(s"s_$c"),
-          dsum(col(s"c_$c") * col(s"c_$c")).cast("double").as(s"q_$c"))) ++
+      // product moments exceed 2^53, and decimal→double conversion of
+      // such values rounds differently across engines (caught by the
+      // sf0.1 sweep). Sum exact hi/lo LONG halves instead (each stays
+      // under 2^53, i.e. exact in double) and reconstruct with one
+      // fixed double expression — identical rounding everywhere.
+      // Bound: holds to ~10^11 rows per aggregate.
+      val half = 67108864L // 2^26
+      def hiLo(e: org.apache.spark.sql.Column, name: String) = {
+        // per-row values < 2^47, so the (e - e%2^26)/2^26 double path
+        // is exact — no SQL-string round-trip needed for integer div
+        val hi = ((e - e % half).cast("double") / half).cast("long")
+        Seq(sum(hi).as(s"${name}_hi"), sum(e % half).as(s"${name}_lo"))
+      }
+      def rebuilt(name: String) =
+        col(s"${name}_hi").cast("double") * half.toDouble +
+          col(s"${name}_lo").cast("double")
+      val stats0 = li.agg(count(lit(1)).as("n"),
+        cols2.flatMap(c => Seq(sum(col(s"c_$c")).as(s"s_$c")) ++
+          hiLo(col(s"c_$c") * col(s"c_$c"), s"q_$c")) ++
         (for (a <- cols2; b <- cols2 if a < b)
-          yield dsum(col(s"c_$a") * col(s"c_$b")).cast("double")
-            .as(s"p_${a}_$b")): _*)
+          yield hiLo(col(s"c_$a") * col(s"c_$b"), s"p_${a}_$b")).flatten: _*)
+      val stats = stats0.select(col("n") +:
+        (cols2.map(c => col(s"s_$c")) ++
+          cols2.map(c => rebuilt(s"q_$c").as(s"q_$c")) ++
+          (for (a <- cols2; b <- cols2 if a < b)
+            yield rebuilt(s"p_${a}_$b").as(s"p_${a}_$b"))): _*)
       val pairs = (for (a <- cols2; b <- cols2 if a < b) yield
         struct(lit(a).as("col_a"), lit(b).as("col_b"),
           ((col("n").cast("double") * col(s"p_${a}_$b") -
@@ -3948,19 +3965,26 @@ object SparkEntry {
     "q147_feature_corr" -> {
       val cols2 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       def cc(c: String) = s"CAST(round_even($c * 100, 0) AS BIGINT)"
+      // hi/lo split mirrors the Spark side exactly: both halves sum as
+      // exact BIGINTs (< 2^53), and the rebuild expression
+      // hi*2^26 + lo runs in double with identical rounding
+      def hiLo(prod: String, name: String) = Seq(
+        s"CAST(SUM(($prod) // 67108864) AS BIGINT) AS ${name}_hi",
+        s"CAST(SUM(($prod) % 67108864) AS BIGINT) AS ${name}_lo")
+      def rebuilt(name: String) =
+        s"(CAST(${name}_hi AS DOUBLE) * 67108864.0" +
+          s" + CAST(${name}_lo AS DOUBLE))"
       val moments = cols2.flatMap(c => Seq(
-        s"CAST(SUM(${cc(c)}) AS BIGINT) AS s_$c",
-        s"CAST(SUM(CAST(${cc(c)} * ${cc(c)} AS DECIMAL(38,0)))" +
-          s" AS DOUBLE) AS q_$c")) ++
+        s"CAST(SUM(${cc(c)}) AS BIGINT) AS s_$c") ++
+        hiLo(s"${cc(c)} * ${cc(c)}", s"q_$c")) ++
         (for (a <- cols2; b <- cols2 if a < b)
-          yield s"CAST(SUM(CAST(${cc(a)} * ${cc(b)} AS DECIMAL(38,0)))" +
-            s" AS DOUBLE) AS p_${a}_$b")
+          yield hiLo(s"${cc(a)} * ${cc(b)}", s"p_${a}_$b")).flatten
       val rows = (for (a <- cols2; b <- cols2 if a < b) yield
-        s"('$a', '$b', (CAST(n AS DOUBLE) * p_${a}_$b" +
+        s"('$a', '$b', (CAST(n AS DOUBLE) * ${rebuilt(s"p_${a}_$b")}" +
           s" - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))" +
-          s" / sqrt((CAST(n AS DOUBLE) * q_$a" +
+          s" / sqrt((CAST(n AS DOUBLE) * ${rebuilt(s"q_$a")}" +
           s" - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))" +
-          s" * (CAST(n AS DOUBLE) * q_$b" +
+          s" * (CAST(n AS DOUBLE) * ${rebuilt(s"q_$b")}" +
           s" - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))))")
         .mkString(",\n  ")
       s"""WITH m AS (SELECT COUNT(*) AS n, ${moments.mkString(", ")}
