@@ -1067,11 +1067,15 @@ object SparkEntry {
         col("event_type") === "click", col("event_type") === "view",
         col("value") >= 25.0, col("user_id") % 5 === 0,
         col("value") >= 75.0, col("event_type") =!= "purchase")
+      // flags render as a 10-char '0'/'1' string: every unpacked bit is
+      // hash-compared, and the output stays scalar so the driver's
+      // row-sorting comparator can handle it
       ev.select(col("event_id"),
         WireCodecs.decodeExpiry40(WireCodecs.encodeExpiry40(secs))
           .as("expiry_s"),
-        WireCodecs.unpackBools(WireCodecs.packBools(flags), lit(10))
-          .as("flags"))
+        concat_ws("", transform(
+          WireCodecs.unpackBools(WireCodecs.packBools(flags), lit(10)),
+          f => f.cast("int").cast("string"))).as("flag_bits"))
     }),
 
     // ---- proto3 persist-event wire format (F15) + composite key
@@ -1089,7 +1093,11 @@ object SparkEntry {
             col("vec_id"), col("embedding"))).as("p"))
         .select(col("vec_id"), col("p.entity").as("entity"),
           col("p.key").as("pkey"), col("p.version").as("version"),
-          col("p.values").as("vals"))
+          posexplode(col("p.values")).as(Seq("idx", "__v")))
+        // one row per decoded element (scalar output for the driver's
+        // comparator); float→double widening is exact
+        .select(col("vec_id"), col("entity"), col("pkey"), col("version"),
+          col("idx"), col("__v").cast("double").as("val"))
     }),
 
     // ---- per-row schema-version resolution on read: each stored row
@@ -1240,7 +1248,11 @@ object SparkEntry {
     // bit-reproducible under any partitioning ----
     "q98_mean_pool" -> ((s, dir) => {
       graft.operators.LinAlg.meanPool(
-        Tables.embeddings(s, dir), Seq("label"), "embedding")
+          Tables.embeddings(s, dir), Seq("label"), "embedding")
+        // (label, idx, value) rows — scalar output for the driver's
+        // comparator; the pooled vector is checked element by element
+        .select(col("label"),
+          posexplode(col("mean_embedding")).as(Seq("idx", "mean_val")))
     }),
 
     // ---- exact substring-duplicate spans (Lee et al. 2022): token
@@ -1309,7 +1321,13 @@ object SparkEntry {
     // recsys training): trailing item-context window per user ----
     "q108_next_item" -> ((s, dir) =>
       graft.operators.Recsys.nextItemExamples(Tables.events(s, dir),
-        contextLen = 5)),
+          contextLen = 5)
+        // csv-render the context window (ids are digits, ',' can't
+        // collide) so the driver's comparator gets scalar rows
+        .select(col("user_id"), col("event_id"),
+          concat_ws(",", transform(col("context"), x => x.cast("string")))
+            .as("context_ids"),
+          col("label"))),
 
     // ---- hashed feature cross of (user_id, event_type) into 256
     // buckets, histogrammed ----
@@ -1337,15 +1355,26 @@ object SparkEntry {
       val vocab = graft.operators.Corpus.vocabIds(docs, "text")
         .filter(col("vocab_id") < 20)
       graft.operators.Corpus.encodeDocs(docs, vocab)
+        // csv-render the id sequence (scalar output for the driver's
+        // comparator); every position is still hash-compared
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("ids"), x => x.cast("string")))
+            .as("ids_csv"),
+          col("n_tokens"), col("n_oov"))
     }),
 
     // ---- deterministic random walks over the co-visitation graph
     // (DeepWalk-style graph-embedding corpus) ----
     "q113_random_walks" -> ((s, dir) =>
       graft.operators.Recsys.randomWalks(
-        graft.operators.Recsys.covisitation(Tables.events(s, dir),
-          recentPerUser = 30, minUsers = 2),
-        walkLen = 3)),
+          graft.operators.Recsys.covisitation(Tables.events(s, dir),
+            recentPerUser = 30, minUsers = 2),
+          walkLen = 3)
+        // csv-render the walk path (scalar output for the driver's
+        // comparator); every hop is still hash-compared in order
+        .select(col("start"),
+          concat_ws(",", transform(col("path"), x => x.cast("string")))
+            .as("path_csv"))),
 
     // ---- end-to-end text->tensors pipeline: paragraph keep-first
     // dedup -> boilerplate-ratio gate -> capped-vocab encoding ->
@@ -1669,9 +1698,13 @@ object SparkEntry {
     // ---- weight-sensitive random walks over co-visitation edges ----
     "q142_weighted_walks" -> ((s, dir) =>
       graft.operators.Recsys.weightedRandomWalks(
-        graft.operators.Recsys.covisitation(Tables.events(s, dir),
-          recentPerUser = 30, minUsers = 2),
-        walkLen = 3)),
+          graft.operators.Recsys.covisitation(Tables.events(s, dir),
+            recentPerUser = 30, minUsers = 2),
+          walkLen = 3)
+        // csv path rendering, as in q113
+        .select(col("start"),
+          concat_ws(",", transform(col("path"), x => x.cast("string")))
+            .as("path_csv"))),
 
     // ---- skip-gram (center, context) pairs from the walk corpus ----
     "q143_skipgram_pairs" -> ((s, dir) =>
@@ -3055,17 +3088,20 @@ object SparkEntry {
     // plain pre-encode SQL (epoch seconds fit 40 bits until year 36812)
     "q88_wire_roundtrip" ->
       """SELECT event_id, epoch_ms(ts) // 1000 AS expiry_s,
-        |  [value > 50.0, value < 10.0, user_id % 2 = 0, user_id % 3 = 0,
-        |   event_type = 'click', event_type = 'view', value >= 25.0,
-        |   user_id % 5 = 0, value >= 75.0, event_type <> 'purchase']
-        |    AS flags
+        |  array_to_string(list_transform(
+        |    [value > 50.0, value < 10.0, user_id % 2 = 0, user_id % 3 = 0,
+        |     event_type = 'click', event_type = 'view', value >= 25.0,
+        |     user_id % 5 = 0, value >= 75.0, event_type <> 'purchase'],
+        |    f -> CAST(CAST(f AS INT) AS VARCHAR)), '') AS flag_bits
         |FROM events""".stripMargin,
 
     "q89_proto_roundtrip" ->
       """SELECT vec_id, 'embedding' AS entity,
         |  concat_ws('|', CAST(vec_id AS VARCHAR), CAST(label AS VARCHAR))
         |    AS pkey,
-        |  vec_id AS version, embedding AS vals
+        |  vec_id AS version,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS idx,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
         |FROM embeddings""".stripMargin,
 
     // the fallback rule as CASE over the row's written version:
@@ -3196,10 +3232,9 @@ object SparkEntry {
         |a AS (SELECT label, p, CAST(SUM(x) AS BIGINT) AS s,
         |             CAST(COUNT(x) AS BIGINT) AS c
         |      FROM u GROUP BY label, p)
-        |SELECT label,
-        |  array_agg(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * 1000000.0)
-        |            ORDER BY p) AS mean_embedding
-        |FROM a GROUP BY label""".stripMargin,
+        |SELECT label, CAST(p - 1 AS INT) AS idx,
+        |  CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * 1000000.0) AS mean_val
+        |FROM a""".stripMargin,
 
     // token windows hashed exactly as the Spark side (15-hex-char md5
     // prefix = 60-bit), duplicates corpus-wide, gaps-and-islands merge
@@ -3384,7 +3419,8 @@ object SparkEntry {
         |    list(item) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS context
         |  FROM e)
-        |SELECT user_id, event_id, context, label FROM w
+        |SELECT user_id, event_id,
+        |  array_to_string(context, ',') AS context_ids, label FROM w
         |WHERE context IS NOT NULL AND len(context) >= 1""".stripMargin,
 
     // same 32-bit md5 over the chr(1)-joined string forms
@@ -3429,7 +3465,8 @@ object SparkEntry {
          |e AS (SELECT tk.doc_id, tk.pos,
          |        COALESCE(vv.vocab_id, -1) AS id, vv.vocab_id AS vid
          |      FROM tk LEFT JOIN vv USING (token) WHERE tk.token <> '')
-         |SELECT doc_id, array_agg(id ORDER BY pos) AS ids,
+         |SELECT doc_id,
+         |  array_to_string(array_agg(id ORDER BY pos), ',') AS ids_csv,
          |  COUNT(*) AS n_tokens,
          |  CAST(SUM(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_oov
@@ -3468,7 +3505,8 @@ object SparkEntry {
          |${step(1, "s0", "", "c1")},
          |${step(2, "s1", "c1,", "c2")},
          |${step(3, "s2", "c1, c2,", "c3")}
-         |SELECT start, [start, c1, c2, c3] AS path FROM s3""".stripMargin
+         |SELECT start, array_to_string([start, c1, c2, c3], ',')
+         |  AS path_csv FROM s3""".stripMargin
     },
 
     // q102's dedup CTEs -> ratio gate -> q112's encode counts ->
@@ -3906,7 +3944,8 @@ object SparkEntry {
          |${step(1, "s0", "", "c1")},
          |${step(2, "s1", "c1,", "c2")},
          |${step(3, "s2", "c1, c2,", "c3")}
-         |SELECT start, [start, c1, c2, c3] AS path FROM s3""".stripMargin
+         |SELECT start, array_to_string([start, c1, c2, c3], ',')
+         |  AS path_csv FROM s3""".stripMargin
     },
 
     // q113's walks, then every ordered position pair within 2 hops
