@@ -37,7 +37,7 @@ object SparkEntry {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$in/events.parquet"))
     val schema = Tables.load(s, dir, "events").schema
-    val raw = graft.streaming.Ingest.fileSource(s, in, schema)
+    val raw = graft.streaming.Ingest.fileSource(streamSession(s), in, schema)
     val ev =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -45,32 +45,37 @@ object SparkEntry {
     (ev, base)
   }
 
+  /** Session clone for stream fixtures. Stateful streaming parallelism
+    * is pinned at the first checkpoint; size it to the fixture's volume
+    * (state-store open/commit dominates these micro-batches at 32
+    * partitions — a real deployment sizes this to stream volume the
+    * same way). A `newSession()` clone (same SparkContext, own
+    * SessionState) scopes the override to streams built on it: the
+    * shared session's conf is never mutated, so any concurrently
+    * planned batch query keeps the session default. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss
+  }
+
   /** Drain a streaming DataFrame to parquet with AvailableNow (one
-    * shot over everything staged) and return the materialized result. */
+    * shot over everything staged) and return the materialized result.
+    * `df` must be built on a [[streamSession]] clone (streamedEvents
+    * does this), which carries the stream-scoped shuffle setting. */
   private def runStreamTo(df: DataFrame, base: String,
       outputMode: String = "append"): DataFrame = {
     val out = s"$base/out"
     val writeMode = if (outputMode == "complete") "overwrite" else "append"
-    // Stateful streaming parallelism is pinned at the first checkpoint;
-    // size it to the fixture's volume (state-store open/commit dominates
-    // these micro-batches at 32 partitions — a real deployment sizes
-    // this to stream volume the same way). Scoped to the stream run:
-    // batch plans in the same session are unaffected because each
-    // query() call re-reads the conf at planning time, sequentially.
-    val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      df.writeStream
-        .outputMode(outputMode)
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode(writeMode).parquet(out)
-        }
-        .start().awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.read.parquet(out)
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(writeMode).parquet(out)
+      }
+      .start().awaitTermination()
+    df.sparkSession.read.parquet(out)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1194,7 +1199,7 @@ object SparkEntry {
         .select(when(col("value") < 10, concat(lit("garbled:"), payload))
           .otherwise(payload).as("js"))
         .write.parquet(in)
-      val wire = Ingest.fileSource(s, in,
+      val wire = Ingest.fileSource(streamSession(s), in,
         new StructType().add("js", StringType))
       val decoded = Ingest.jsonEvents(wire, "js", evSchema)
       decoded.writeStream
@@ -1804,6 +1809,48 @@ object SparkEntry {
           sum(col("__click")).as("n_clicks"))
         .withColumn("ctr", col("n_clicks").cast("double") /
           col("n_impressions").cast("double"))
+    }),
+
+    // ---- isotonic (PAV) score calibration fit over q110's reliability
+    // bins: exact long (pos, n) per bin, integer block merges, one
+    // division per output — the monotone calibration map a ranking
+    // pipeline broadcast-joins onto scored rows ----
+    "q149_isotonic_fit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("value"),
+        (col("event_type") === "click").cast("long").as("__y"))
+      val bins = graft.operators.Normalize.percentRank(ev, "value", "__pr")
+        .withColumn("bin",
+          least(floor(col("__pr") * 10), lit(9)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(sum(col("__y")).as("pos"), count(lit(1)).as("n"))
+      graft.operators.Normalize.pavCalibrateCounts(bins, "bin", "pos", "n")
+    }),
+
+    // ---- Deflate compression ratio (Gopher/CCNet quality signal).
+    // NO SQL oracle: DuckDB ships no deflate scalar, so this entry is
+    // rows-only by necessity; the kernel's values are pinned by
+    // TextFunctionsSpec golden cases instead ----
+    "q150_compression_ratio" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.compressionRatio(col("text"))
+          .as("compression_ratio"))),
+
+    // ---- bulk-keys retrieve (the scoring path): the key set is the
+    // full orders key domain with duplicates — too big to broadcast at
+    // scale — so broadcastKeys=false routes the shuffled equi-join
+    // path, which degenerates to a per-bucket zip with NO exchange on
+    // the table side when the FG table is bucketed on its pk
+    // (Layout.writeBucketedFeatureTable; plan asserted in LayoutSpec) ----
+    "q151_retrieve_bulk_keys" -> ((s, dir) => {
+      val tbl = "graft_q151_cust_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(tbl))
+        graft.sources.Layout.writeBucketedFeatureTable(
+          Tables.customer(s, dir), tbl, Seq("c_custkey"), buckets = 8)
+      val keys = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"))
+      FeatureStore.retrieve(keys, s.table(tbl), Seq("c_custkey"),
+        Fixtures.customerProfile, Seq("c_name", "c_acctbal", "c_mktsegment"),
+        broadcastKeys = false)
     })
   )
 
@@ -4103,7 +4150,38 @@ object SparkEntry {
         |    '[\x00-\x1f\x7f]', '', 'g')) AS cleaned
         |  FROM documents)
         |SELECT doc_id, cleaned, CAST(length(cleaned) AS INT) AS n_chars
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // isotonic regression via its minimax characterization
+    // f(i) = max_{j<=i} min_{k>=i} avg(j..k) — block-exact, so each
+    // value is the same single division of exact integers the Spark
+    // PAV merge performs (identical correctly-rounded double)
+    "q149_isotonic_fit" ->
+      """WITH s AS (SELECT value,
+        |    CAST(event_type = 'click' AS BIGINT) AS y,
+        |    PERCENT_RANK() OVER (ORDER BY value) AS pr FROM events),
+        |b AS (SELECT CAST(least(floor(pr * 10), 9) AS INT) AS bin,
+        |    CAST(SUM(y) AS BIGINT) AS pos, COUNT(*) AS n
+        |  FROM s GROUP BY 1),
+        |seg AS (SELECT j.bin AS j, k.bin AS k,
+        |    CAST(SUM(m.pos) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE) AS avgr
+        |  FROM b j JOIN b k ON j.bin <= k.bin
+        |  JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+        |  GROUP BY 1, 2),
+        |mn AS (SELECT seg.j, i.bin AS bin, MIN(seg.avgr) AS m
+        |  FROM seg JOIN b i ON seg.j <= i.bin AND seg.k >= i.bin
+        |  GROUP BY 1, 2)
+        |SELECT bin, MAX(m) AS calibrated FROM mn GROUP BY bin""".stripMargin,
+
+    // q2's retrieve oracle over the bulk key set (orders fan-out keys,
+    // duplicates preserved)
+    "q151_retrieve_bulk_keys" ->
+      """SELECT o.o_custkey AS c_custkey,
+        |  COALESCE(c.c_name, 'N/A') AS c_name,
+        |  COALESCE(c.c_acctbal, 0.0) AS c_acctbal,
+        |  COALESCE(c.c_mktsegment, 'NONE') AS c_mktsegment
+        |FROM orders o LEFT JOIN customer c
+        |  ON o.o_custkey = c.c_custkey""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -39,8 +39,12 @@ object Evaluation {
       .withColumn("__eq", count(lit(1)).over(tieSpec))
     val nPos = sum(col("__y"))
     val nNeg = sum(lit(1L) - col("__y"))
-    // Σ over positives of 2·avgRank, as an exact long
-    val s2 = sum(col("__y") * (lit(2) * (col("__rank") - 1) + col("__eq") + 1))
+    // Σ over positives of 2·avgRank, as an exact long; rank() is
+    // 32-bit, so widen BEFORE the arithmetic or groups past ~2^30
+    // rows silently wrap
+    val s2 = sum(col("__y") *
+      (lit(2L) * (col("__rank").cast("long") - 1L) +
+        col("__eq").cast("long") + 1L))
     staged.groupBy(g: _*)
       .agg(nPos.as("n_pos"), nNeg.as("n_neg"), s2.as("__s2"))
       .withColumn("auc",

@@ -147,6 +147,49 @@ object Normalize {
       .toDF(orderCol, "calibrated")
   }
 
+  /** [[pavCalibrate]] with exact integer block arithmetic: bins carry
+    * a positive-COUNT numerator (`posCol`) and weight (`weightCol`) as
+    * longs, blocks merge by long sums, and the monotonicity test is the
+    * cross-multiplication `s₁·w₂ ≥ s₂·w₁` — no float accumulates
+    * anywhere, so the fit is bit-reproducible and each output value is
+    * ONE correctly-rounded division of exact integers. That makes the
+    * fit oracle-able: the minimax characterization
+    * `f(i) = max_{j≤i} min_{k≥i} (Σpos_{j..k} / Σw_{j..k})` attains the
+    * same exact rational at the same blocks, and IEEE division of equal
+    * rationals yields the identical double in any engine.
+    *
+    * Same scale posture as [[pavCalibrate]]: the ONLY driver-side data
+    * is the bin table, bounded by construction (like a centroid set). */
+  def pavCalibrateCounts(
+      bins: DataFrame,
+      orderCol: String,
+      posCol: String,
+      weightCol: String): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val rows = bins
+      .select(col(orderCol).cast("int"), col(posCol).cast("long"),
+        col(weightCol).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // each block: (Σpos, Σweight, member bins); merge while the tail
+    // violates monotonicity (head mean ≥ incoming mean, exactly)
+    var blocks = List.empty[(Long, Long, List[Int])]
+    for ((b, p, w) <- rows) {
+      var cur = (p, w, List(b))
+      while (blocks.nonEmpty &&
+          blocks.head._1 * cur._2 >= cur._1 * blocks.head._2) {
+        val h = blocks.head
+        blocks = blocks.tail
+        cur = (h._1 + cur._1, h._2 + cur._2, h._3 ::: cur._3)
+      }
+      blocks = cur :: blocks
+    }
+    blocks.reverse.flatMap { case (s, w, bs) =>
+      bs.map(b => (b, s.toDouble / w.toDouble)) }
+      .toDF(orderCol, "calibrated")
+  }
+
   /** Equal-frequency score-calibration table: rows bin by
     * `floor(percent_rank(score) · nBins)` (clamped to the last bin),
     * each bin reporting its score range, row count, and positive rate.

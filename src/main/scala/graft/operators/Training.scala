@@ -155,22 +155,24 @@ object Training {
 
   /** Deterministic global shuffle + shard assignment (the export step
     * before training: rows land in pseudo-random order across
-    * fixed-size shards, reproducibly). Order key = 31-bit md5 hash of
-    * the id with the id itself as tie-break (total order even under
-    * hash collisions); the global rank comes from the range-partitioned
-    * prefix sum ([[PrefixSum.inclusive]]) — NO single-partition window
-    * anywhere, so the construction survives any corpus size. */
+    * fixed-size shards, reproducibly). Order key = (31-bit md5 hash of
+    * the id, id) as a COMPOSITE sort key — the id tie-break survives
+    * hash collisions and, unlike packing both into one long
+    * (hash·2^32 + id overflows once id ≥ 2^32), stays a total order
+    * for every id domain; the global rank comes from the range-
+    * partitioned prefix sum ([[PrefixSum.inclusiveBy]]) — NO single-
+    * partition window anywhere, so the construction survives any
+    * corpus size. */
   def shard(df: DataFrame, idCol: String, rowsPerShard: Long): DataFrame = {
     require(rowsPerShard > 0, "rowsPerShard must be positive")
-    val key = pmod(graft.functions.TextFunctions
-        .md5Hash32(col(idCol).cast("string"), 0), lit(2147483648L)) *
-      lit(4294967296L) + col(idCol)
+    val h = pmod(graft.functions.TextFunctions
+      .md5Hash32(col(idCol).cast("string"), 0), lit(2147483648L))
     val rn = col("__rank") - 1
-    PrefixSum.inclusive(
-        df.withColumn("__key", key).withColumn("__one", lit(1L)),
-        "__key", "__one", "__rank")
+    PrefixSum.inclusiveBy(
+        df.withColumn("__h", h).withColumn("__one", lit(1L)),
+        Seq(col("__h"), col(idCol)), "__one", "__rank")
       .withColumn("shard_id", floor(rn / rowsPerShard).cast("int"))
       .withColumn("shard_offset", (rn % rowsPerShard).cast("int"))
-      .drop("__key", "__one", "__rank")
+      .drop("__h", "__one", "__rank")
   }
 }
