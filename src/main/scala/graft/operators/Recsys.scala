@@ -220,19 +220,34 @@ object Recsys {
       .select(col("item_a").as("node"), col("item_b").as("nbr"))
       .union(edges.select(col("item_b"), col("item_a")))
       .distinct()
+    walkFrontier(adj, walkLen, t =>
+      md5Hash32(concat(col("start"), lit(":"), lit(t), lit(":"),
+        col("nbr")), seed))
+  }
+
+  /** Shared frontier loop for the walk operators: `walkLen` rounds of
+    * (frontier ⋈ adjacency + per-start argmin window on `stepKey(t)`).
+    * Each round appends one join+window to the logical plan, so every
+    * 4th round the frontier `localCheckpoint`s (the
+    * [[Dedup.connectedComponents]] convention) — analysis and
+    * optimization cost stays bounded at ANY walk length instead of
+    * growing linearly with it, and the materialized frontier is only
+    * one row per start node. */
+  private def walkFrontier(adj: DataFrame, walkLen: Int,
+      stepKey: Int => Column): DataFrame = {
     var frontier = adj.select(col("node").as("start")).distinct()
       .withColumn("cur", col("start"))
       .withColumn("path", array(col("start")))
     for (t <- 1 to walkLen) {
-      val h = md5Hash32(concat(col("start"), lit(":"), lit(t), lit(":"),
-        col("nbr")), seed)
-      val w = Window.partitionBy(col("start")).orderBy(h.asc, col("nbr").asc)
+      val w = Window.partitionBy(col("start"))
+        .orderBy(stepKey(t).asc, col("nbr").asc)
       frontier = frontier
         .join(adj, frontier("cur") === adj("node"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("start"), col("nbr").as("cur"),
           concat(col("path"), array(col("nbr"))).as("path"))
+      if (t % 4 == 0 && t < walkLen) frontier = frontier.localCheckpoint()
     }
     frontier.select(col("start"), col("path"))
   }
@@ -253,22 +268,10 @@ object Recsys {
       .union(edges.select(col("item_b"), col("item_a"),
         col(weightCol)))
       .distinct()
-    var frontier = adj.select(col("node").as("start")).distinct()
-      .withColumn("cur", col("start"))
-      .withColumn("path", array(col("start")))
-    for (t <- 1 to walkLen) {
-      val h = md5Hash32(concat(col("start"), lit(":"), lit(t), lit(":"),
-        col("nbr")), seed)
-      val key = h.cast("double") / col("__wt").cast("double")
-      val w = Window.partitionBy(col("start")).orderBy(key.asc, col("nbr").asc)
-      frontier = frontier
-        .join(adj, frontier("cur") === adj("node"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("start"), col("nbr").as("cur"),
-          concat(col("path"), array(col("nbr"))).as("path"))
-    }
-    frontier.select(col("start"), col("path"))
+    walkFrontier(adj, walkLen, t =>
+      md5Hash32(concat(col("start"), lit(":"), lit(t), lit(":"),
+          col("nbr")), seed)
+        .cast("double") / col("__wt").cast("double"))
   }
 
   /** Skip-gram training pairs from walk paths (the word2vec-style

@@ -189,6 +189,24 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
       p.sliding(2).foreach(s => assert(adj.contains((s(0), s(1))))))
   }
 
+  test("walk plan depth stays bounded via periodic checkpoints") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L))
+      .toDF("item_a", "item_b")
+    def planNodes(walkLen: Int): Int =
+      Recsys.randomWalks(edges, walkLen)
+        .queryExecution.analyzed.collect { case p => p }.length
+    // walkLen 4 runs without a checkpoint; walkLen 12 checkpoints at
+    // rounds 4 and 8, so only the last 4 rounds sit in the final plan —
+    // the analyzed tree must NOT grow linearly with walk length
+    val short = planNodes(4)
+    val long = planNodes(12)
+    assert(long <= short + 8,
+      s"plan grew with walk length: $short nodes @4 vs $long @12")
+    val got = Recsys.randomWalks(edges, walkLen = 12)
+      .select($"start", $"path").as[(Long, Seq[Long])].collect()
+    assert(got.length === 4 && got.forall(_._2.length === 13))
+  }
+
   test("skipGramPairs emits ordered pairs within the window") {
     val walks = Seq((1L, Seq(10L, 20L, 30L, 40L)))
       .toDF("start", "path")
