@@ -27,7 +27,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Plan-shape audit at the BENCH sf, not just PlanLintSpec's
+    // sf0.001: AQE may broadcast at tiny scale what it must shuffle
+    // here, so re-audit the most expensive queries' FINAL adaptive
+    // plans for the unbounded-shuffle shape that dies at 100 TB.
+    val audit = results.toSeq.sortBy(-_._2).take(3).map { case (name, _) =>
+      val verdict =
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.count() // AQE finalizes the executed plan
+          val plan = df.queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct")) "CartesianProduct" else "ok"
+        } catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
+      s"\"" + name + "\":\"" + verdict + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan_audit":$audit,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1843,9 +1843,15 @@ object SparkEntry {
     // (Layout.writeBucketedFeatureTable; plan asserted in LayoutSpec) ----
     "q151_retrieve_bulk_keys" -> ((s, dir) => {
       val tbl = "graft_q151_cust_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!s.catalog.tableExists(tbl))
+      if (!s.catalog.tableExists(tbl)) {
+        // a previous session's warehouse dir may survive while the
+        // in-memory catalog starts empty — clear the stale location
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+        if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
         graft.sources.Layout.writeBucketedFeatureTable(
           Tables.customer(s, dir), tbl, Seq("c_custkey"), buckets = 8)
+      }
       val keys = Tables.orders(s, dir)
         .select(col("o_custkey").as("c_custkey"))
       FeatureStore.retrieve(keys, s.table(tbl), Seq("c_custkey"),

@@ -36,10 +36,43 @@ final case class MergedEvent(
   */
 object Ingest {
 
-  /** File-based streaming source (stand-in for the Kafka topic). */
+  /** Declarative source config — the ONE seam between the deployment's
+    * transport and the processing graph. The container has no broker,
+    * so every fixture runs a [[FileTopic]]; a broker-backed deployment
+    * swaps in a [[KafkaTopic]] and every operator downstream of the
+    * returned DataFrame — routing, dedup, stateful merge, upsert sink,
+    * DLQ — runs unchanged, because the graph is declared over the
+    * DataFrame, not the transport. */
+  sealed trait SourceConf
+  /** Staged-directory stream (the Kafka-topic stand-in). */
+  final case class FileTopic(dir: String, schema: StructType,
+      format: String = "parquet") extends SourceConf
+  /** Broker-backed stream: value bytes decode through the same
+    * [[jsonEvents]] path the consumers use (`kafka.go:133-226`'s
+    * poll + unmarshal collapses into one declarative read). */
+  final case class KafkaTopic(bootstrapServers: String, topic: String,
+      payloadSchema: StructType, startingOffsets: String = "earliest")
+    extends SourceConf
+
+  /** Open a streaming source from its config. */
+  def source(spark: SparkSession, conf: SourceConf): DataFrame = conf match {
+    case FileTopic(dir, schema, fmt) =>
+      spark.readStream.format(fmt).schema(schema).load(dir)
+    case KafkaTopic(servers, topic, payload, offsets) =>
+      jsonEvents(
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", servers)
+          .option("subscribe", topic)
+          .option("startingOffsets", offsets)
+          .load()
+          .select(col("value").cast("string").as("__payload")),
+        "__payload", payload)
+  }
+
+  /** File-based streaming source ([[FileTopic]] shorthand). */
   def fileSource(spark: SparkSession, dir: String, schema: StructType,
       format: String = "parquet"): DataFrame =
-    spark.readStream.format(format).schema(schema).load(dir)
+    source(spark, FileTopic(dir, schema, format))
 
   /** Decode JSON event payloads into typed columns (SURVEY F14: the
     * Kafka click/order consumers' `json.Unmarshal`,

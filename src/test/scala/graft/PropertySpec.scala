@@ -177,6 +177,49 @@ class RandomizedSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("constrainedRerank invariant under 1/4/32-partition shuffles") {
+    // few distinct scores → heavy ties; the event-id tie-break must
+    // make the slate identical under any physical row order
+    val rows = Seq.fill(600)((
+      rnd.nextInt(5).toLong, rnd.nextInt(4).toLong,
+      rnd.nextInt(6) * 0.5, rnd.nextLong().abs)).distinct
+    val df = rows.toDF("g", "cat", "score", "id")
+    def run(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      graft.operators.Pipeline.constrainedRerank(
+          d, Seq("g"), "score", "cat", "id", maxPerCat = 2, k = 5)
+        .select($"g", $"id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val base = run(df.repartition(1))
+    assert(base.nonEmpty)
+    assert(run(df.repartition(4, $"cat")) === base)
+    assert(run(df.repartition(32, $"id")) === base)
+  }
+
+  test("position-bias session ranking invariant under 1/4/32-partition shuffles") {
+    // q145's window shape: row_number over (user, day) ordered by
+    // (ts, event_id); duplicated ts values stress the tie-break
+    val rows = Seq.fill(500)((
+      rnd.nextInt(6).toLong,
+      java.sql.Timestamp.valueOf(
+        f"2024-02-${1 + rnd.nextInt(3)}%02d ${rnd.nextInt(4)}%02d:00:00"),
+      rnd.nextLong().abs,
+      rnd.nextInt(2).toLong)).distinct
+    val df = rows.toDF("user_id", "ts", "event_id", "click")
+    def run(d: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long)] = {
+      val sess = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", to_date($"ts"))
+        .orderBy($"ts".asc, $"event_id".asc)
+      d.withColumn("position", row_number().over(sess))
+        .filter($"position" <= 20)
+        .groupBy($"position")
+        .agg(count(lit(1)).as("n"), sum($"click").as("c"))
+        .as[(Int, Long, Long)].collect().toSet
+    }
+    val base = run(df.repartition(1))
+    assert(base.nonEmpty)
+    assert(run(df.repartition(4, $"ts")) === base)
+    assert(run(df.repartition(32)) === base)
+  }
+
   test("uint64 maps to DecimalType(20,0): full unsigned range survives") {
     import graft.core.FeatureType
     val maxU64 = BigDecimal("18446744073709551615") // 2^64 - 1
