@@ -1811,6 +1811,24 @@ object SparkEntry {
           col("n_impressions").cast("double"))
     }),
 
+    // ---- deterministic PageRank popularity prior over the
+    // co-visitation item graph: exact 1e-12-unit integer iteration,
+    // bit-reproducible under any partitioning (the graph-global
+    // popularity signal next to q113's walk corpus) ----
+    "q152_pagerank" -> ((s, dir) =>
+      graft.operators.Recsys.pageRank(
+        graft.operators.Recsys.covisitation(Tables.events(s, dir),
+          recentPerUser = 30, minUsers = 2),
+        iterations = 3)),
+
+    // ---- engine-portable quantile sketch: bottom-200-by-hash sample
+    // (deterministic, mergeable — the KMV trick applied to rows) with
+    // exact rank statistics over the bounded sample; the reproducible
+    // stand-in for percentile_approx at 100 TB ----
+    "q153_sample_quantiles" -> ((s, dir) =>
+      Sketches.hashSampleQuantiles(Tables.events(s, dir),
+        "value", "event_id", k = 200, probs = Seq(0.1, 0.5, 0.9, 0.99))),
+
     // ---- isotonic (PAV) score calibration fit over q110's reliability
     // bins: exact long (pos, n) per bin, integer block merges, one
     // division per output — the monotone calibration map a ranking
@@ -4157,6 +4175,71 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, cleaned, CAST(length(cleaned) AS INT) AS n_chars
         |FROM t""".stripMargin,
+
+    // q113's co-visitation adjacency, then three unrolled iterations of
+    // the SAME integral divisions the Spark side performs (// on
+    // positive BIGINTs = div = floor); sums of longs are exact, so the
+    // ranks agree to the last unit
+    "q152_pagerank" ->
+      s"""WITH ui AS (SELECT user_id,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item_id,
+         |    MAX(ts) AS last_ts
+         |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |capped AS (SELECT user_id, item_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+         |  WHERE rn <= 30),
+         |cov AS (SELECT a.item_id AS item_a, b.item_id AS item_b
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj AS (SELECT item_a AS node, item_b AS nbr FROM cov
+         |        UNION SELECT item_b, item_a FROM cov),
+         |deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS nn FROM deg),
+         |r0 AS (SELECT deg.node, deg.d, 1000000000000 // n.nn AS r
+         |       FROM deg CROSS JOIN n),
+         |c1 AS (SELECT adj.nbr AS node,
+         |    CAST(SUM((r0.r * 85) // (100 * r0.d)) AS BIGINT) AS infl
+         |  FROM r0 JOIN adj ON r0.node = adj.node GROUP BY 1),
+         |r1 AS (SELECT deg.node, deg.d,
+         |    ((1000000000000 * 15) // (100 * n.nn))
+         |      + COALESCE(c1.infl, 0) AS r
+         |  FROM deg CROSS JOIN n LEFT JOIN c1 ON deg.node = c1.node),
+         |c2 AS (SELECT adj.nbr AS node,
+         |    CAST(SUM((r1.r * 85) // (100 * r1.d)) AS BIGINT) AS infl
+         |  FROM r1 JOIN adj ON r1.node = adj.node GROUP BY 1),
+         |r2 AS (SELECT deg.node, deg.d,
+         |    ((1000000000000 * 15) // (100 * n.nn))
+         |      + COALESCE(c2.infl, 0) AS r
+         |  FROM deg CROSS JOIN n LEFT JOIN c2 ON deg.node = c2.node),
+         |c3 AS (SELECT adj.nbr AS node,
+         |    CAST(SUM((r2.r * 85) // (100 * r2.d)) AS BIGINT) AS infl
+         |  FROM r2 JOIN adj ON r2.node = adj.node GROUP BY 1),
+         |r3 AS (SELECT deg.node, deg.d,
+         |    ((1000000000000 * 15) // (100 * n.nn))
+         |      + COALESCE(c3.infl, 0) AS r
+         |  FROM deg CROSS JOIN n LEFT JOIN c3 ON deg.node = c3.node)
+         |SELECT node, r AS rank_micro,
+         |  CAST(r AS DOUBLE) / 1000000000000.0 AS pagerank
+         |FROM r3""".stripMargin,
+
+    // the identical bottom-k-by-hash sample, ranked the same way; the
+    // rank index 1 + floor(p·(m-1)) is the same double expression on
+    // exact integers in both engines
+    "q153_sample_quantiles" ->
+      """WITH h AS (SELECT value,
+        |    CAST(('0x'||substr(md5('7:'||CAST(event_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS hh
+        |  FROM events),
+        |s AS (SELECT * FROM h ORDER BY hh ASC, value ASC LIMIT 200),
+        |r AS (SELECT value,
+        |    ROW_NUMBER() OVER (ORDER BY value ASC, hh ASC) AS rn,
+        |    COUNT(*) OVER () AS m FROM s),
+        |p AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS p)
+        |SELECT p.p, r.value FROM p JOIN r
+        |  ON r.rn = 1 + CAST(floor(p.p * (r.m - 1)) AS BIGINT)""".stripMargin,
 
     // isotonic regression via its minimax characterization
     // f(i) = max_{j<=i} min_{k>=i} avg(j..k) — block-exact, so each

@@ -274,6 +274,52 @@ object Recsys {
         .cast("double") / col("__wt").cast("double"))
   }
 
+  /** Deterministic PageRank over the undirected item graph (the
+    * popularity prior a candidate generator blends with similarity
+    * scores; DeepWalk's companion signal on the same co-visitation
+    * edges). Ranks are staged as exact 1e-12-unit longs: every
+    * iteration distributes `r·85 div (100·deg)` along each edge and
+    * adds the floored teleport share `10^12·15 div (100·N)` — all
+    * integral arithmetic, so the iteration reproduces bit-for-bit
+    * under any partitioning and in any engine (the oracle unrolls the
+    * same divisions). Positive operands make `div` (truncation) equal
+    * to floor everywhere. An undirected graph has no dangling nodes,
+    * so no dangling redistribution term is needed.
+    *
+    * == Scale ==
+    * Each of the fixed `iterations` rounds is ONE shuffle: ranks join
+    * the adjacency on the source node and re-aggregate by destination;
+    * rank/degree tables stay one row per node, the edge fan-out is the
+    * graph itself. The frontier localCheckpoints every 4th round (the
+    * [[walkFrontier]] convention) so plan depth stays bounded. */
+  def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val scale = 1000000000000L
+    val adj = edges
+      .select(col("item_a").as("node"), col("item_b").as("nbr"))
+      .union(edges.select(col("item_b"), col("item_a")))
+      .distinct()
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    val n = deg.agg(count(lit(1)).as("__n"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .withColumn("__r", expr(s"${scale}L div __n"))
+    for (t <- 1 to iterations) {
+      val contrib = ranks.join(adj, "node")
+        .select(col("nbr").as("node"),
+          expr("__r * 85L div (100L * __deg)").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      ranks = deg.crossJoin(broadcast(n))
+        .join(contrib, Seq("node"), "left")
+        .withColumn("__r",
+          expr(s"${scale}L * 15L div (100L * __n)") +
+            coalesce(col("__in"), lit(0L)))
+        .select(col("node"), col("__deg"), col("__n"), col("__r"))
+      if (t % 4 == 0 && t < iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("__r").as("rank_micro"),
+      (col("__r").cast("double") / lit(1.0e12)).as("pagerank"))
+  }
+
   /** Skip-gram training pairs from walk paths (the word2vec-style
     * (center, context) assembly DeepWalk feeds its embedding model):
     * every ordered position pair within `window` hops, counted across

@@ -54,6 +54,57 @@ object Sketches {
         kmvEstimate(kmvMinima(col("__h"), k), k).as("kmv_distinct"))
   }
 
+  /** Quantiles from a deterministic bottom-k-by-hash sample: the k
+    * rows with the smallest `md5Hash32(id)` are a uniform sample of
+    * the data that every engine and every partitioning selects
+    * IDENTICALLY (the KMV trick applied to row sampling), and exact
+    * rank statistics over that bounded sample estimate the quantiles.
+    * Unlike `percentile_approx` (whose sketch is
+    * implementation-defined and engine-specific), this estimator is
+    * reproducible to the bit and mergeable: the union of two bottom-k
+    * samples re-limited to k IS the bottom-k sample of the union.
+    *
+    * Each requested probability p reports the sample value at rank
+    * `1 + floor(p·(m-1))` (lower-value rank, no interpolation — both
+    * engines compute the same index), ties ordered by (value, hash).
+    *
+    * == Scale ==
+    * The scan reduces through Spark's sort+limit (per-partition top-k,
+    * TakeOrderedAndProject — never a global sort); every later stage
+    * touches only the ≤k-row sample, the same bounded-driver-data
+    * class as the PAV bin table or a centroid set. */
+  def hashSampleQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      k: Int,
+      probs: Seq[Double],
+      seed: Int = 7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "probs must be within [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sample = df
+      .select(col(valueCol).cast("double").as("__v"),
+        TextFunctions.md5Hash32(col(idCol).cast("string"), seed).as("__h"))
+      .orderBy(col("__h").asc, col("__v").asc)
+      .limit(k)
+    // single-partition windows are fine HERE: the sample is ≤ k rows
+    val ranked = sample
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__v").asc, col("__h").asc)))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pDf = probs.toDF("p")
+    ranked.crossJoin(broadcast(pDf))
+      .filter(col("__rn") ===
+        (lit(1) + floor(col("p") * (col("__m") - 1))).cast("int"))
+      .select(col("p"), col("__v").as("value"))
+  }
+
   /** Misra–Gries frequent-items summary of a string column: at most
     * `k` counters, emitted as `map<string,long>` of item → lower-bound
     * count. Every item with share > 1/(k+1) is guaranteed present. */

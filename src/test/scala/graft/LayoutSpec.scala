@@ -37,6 +37,38 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bulk-keys retrieve keeps the bucketed table side exchange-free") {
+    import graft.operators.FeatureStore
+    val features = (1L to 1000L).map(k => (k, s"name$k", k * 1.5, "SEG"))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    spark.sql("DROP TABLE IF EXISTS fg_bulk")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "fg_bulk")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    Layout.writeBucketedFeatureTable(features, "fg_bulk", Seq("c_custkey"), 8)
+    // scoring-sized key set with duplicates and misses
+    val keys = (1L to 3000L).map(k => k % 1500 + 1).toDF("c_custkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = FeatureStore.retrieve(keys, spark.table("fg_bulk"),
+        Seq("c_custkey"), Fixtures.customerProfile,
+        Seq("c_name", "c_acctbal", "c_mktsegment"), broadcastKeys = false)
+      assert(out.count() === 3000L)
+      // the 100 TB invariant behind q151: the feature table is joined
+      // on its bucket key, so no Exchange may sit between its scan and
+      // the join — only the key-set side shuffles
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.Exchange
+      val shuffledScans = out.queryExecution.executedPlan.collect {
+        case e: Exchange => e.collect { case s: FileSourceScanExec => s }
+      }.flatten
+      assert(shuffledScans.isEmpty,
+        s"bucketed table reached a join through an Exchange:\n" +
+          out.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("week-partitioned events prune partitions on time-range scans") {
     val dir = Files.createTempDirectory("graft-events").toString + "/events"
     val ev = (0 until 200).map { i =>

@@ -207,6 +207,37 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
     assert(got.length === 4 && got.forall(_._2.length === 13))
   }
 
+  test("pageRank matches an independent integer reference on random graphs") {
+    val r = new scala.util.Random(7)
+    val scale = 1000000000000L
+    (1 to 3).foreach { trial =>
+      val n = 3 + r.nextInt(7)
+      val edges = ((0L, 1L) +: (for {
+        a <- 0 until n; b <- 0 until n
+        if a < b && r.nextInt(3) == 0
+      } yield (a.toLong, b.toLong))).distinct
+      val got = Recsys.pageRank(edges.toDF("item_a", "item_b"),
+          iterations = 3)
+        .select($"node", $"rank_micro").as[(Long, Long)].collect().toMap
+      // driver-side reference: the same integral iteration, computed
+      // with plain Scala longs (truncating / = div on positives)
+      val adj = (edges ++ edges.map(_.swap)).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nodes = adj.keys.toSeq.sorted
+      var rank = nodes.map(v => v -> scale / nodes.size).toMap
+      (1 to 3).foreach { _ =>
+        val in = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for ((u, nbrs) <- adj; v <- nbrs)
+          in(v) += rank(u) * 85L / (100L * nbrs.size)
+        rank = nodes.map(v =>
+          v -> (scale * 15L / (100L * nodes.size) + in(v))).toMap
+      }
+      assert(got.keySet === rank.keySet, s"trial $trial")
+      nodes.foreach(v => assert(got(v) === rank(v), s"trial $trial node $v"))
+    }
+  }
+
   test("skipGramPairs emits ordered pairs within the window") {
     val walks = Seq((1L, Seq(10L, 20L, 30L, 40L)))
       .toDF("start", "path")

@@ -96,6 +96,36 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     rows.toDF("v").repartition(parts)
   }
 
+  test("hashSampleQuantiles: deterministic, partition-invariant, merge law") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 5000L).map(i => (i, rnd.nextDouble() * 100))
+    val df = rows.toDF("id", "v")
+    val probs = Seq(0.1, 0.5, 0.9)
+    def run(d: org.apache.spark.sql.DataFrame): Seq[(Double, Double)] =
+      Sketches.hashSampleQuantiles(d, "v", "id", k = 100, probs)
+        .as[(Double, Double)].collect().sortBy(_._1).toSeq
+    val base = run(df)
+    assert(base.map(_._1) === probs.sorted)
+    assert(run(df.repartition(32, $"id")) === base)
+    assert(run(df.repartition(1)) === base)
+    // merge law: bottom-k of the union == bottom-k over re-limited
+    // halves unioned (the sample, not just the estimate, merges)
+    val bottom = (half: org.apache.spark.sql.DataFrame) =>
+      half.select($"id", $"v",
+          graft.functions.TextFunctions.md5Hash32($"id".cast("string"), 7)
+            .as("h"))
+        .orderBy($"h".asc, $"v".asc).limit(100)
+    val merged = bottom(df.filter($"id" % 2 === 0))
+      .unionByName(bottom(df.filter($"id" % 2 =!= 0)))
+      .orderBy($"h".asc, $"v".asc).limit(100)
+      .select($"h").as[Long].collect().toSeq
+    val direct = bottom(df).select($"h").as[Long].collect().toSeq
+    assert(merged === direct)
+    // sanity: median of a uniform[0,100) sample sits mid-range
+    val med = base.find(_._1 == 0.5).get._2
+    assert(med > 20 && med < 80)
+  }
+
   test("misra-gries guarantee: every item with share > 1/(k+1) survives " +
       "the sketch, under heavy decrement pressure and any partitioning") {
     for (parts <- Seq(1, 7, 32)) {
