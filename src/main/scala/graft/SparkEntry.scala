@@ -1829,6 +1829,25 @@ object SparkEntry {
       Sketches.hashSampleQuantiles(Tables.events(s, dir),
         "value", "event_id", k = 200, probs = Seq(0.1, 0.5, 0.9, 0.99))),
 
+    // ---- source/sink format breadth: the same relation written and
+    // re-read as JSON lines AND headered CSV must aggregate exactly
+    // like the parquet original (doubles round-trip losslessly through
+    // both text formats — asserted by the micro-unit sum) ----
+    "q154_format_roundtrip" -> ((s, dir) => {
+      val base =
+        java.nio.file.Files.createTempDirectory("graft-q154").toString
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      ev.write.mode("overwrite").json(s"$base/json")
+      ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      val j = s.read.schema(ev.schema).json(s"$base/json")
+      val c = s.read.schema(ev.schema).option("header", "true")
+        .csv(s"$base/csv")
+      j.unionByName(c).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6).cast("long")).as("value_micro"))
+    }),
+
     // ---- isotonic (PAV) score calibration fit over q110's reliability
     // bins: exact long (pos, n) per bin, integer block merges, one
     // division per output — the monotone calibration map a ranking
@@ -4240,6 +4259,14 @@ object SparkEntry {
         |p AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS p)
         |SELECT p.p, r.value FROM p JOIN r
         |  ON r.rn = 1 + CAST(floor(p.p * (r.m - 1)) AS BIGINT)""".stripMargin,
+
+    // both text formats re-read to the identical doubles, so the
+    // doubled aggregate equals 2x the parquet original
+    "q154_format_roundtrip" ->
+      """SELECT event_type, 2 * COUNT(*) AS n,
+        |  2 * CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+        |    AS BIGINT) AS value_micro
+        |FROM events GROUP BY 1""".stripMargin,
 
     // isotonic regression via its minimax characterization
     // f(i) = max_{j<=i} min_{k>=i} avg(j..k) — block-exact, so each
