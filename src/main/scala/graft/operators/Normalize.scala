@@ -173,12 +173,15 @@ object Normalize {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     // each block: (Σpos, Σweight, member bins); merge while the tail
-    // violates monotonicity (head mean ≥ incoming mean, exactly)
+    // violates monotonicity (head mean ≥ incoming mean, exactly).
+    // BigInt cross-products: at 100 TB a bin's weight can pass 2^31.5,
+    // where the long product would wrap — this loop is driver-side
+    // over ≤nBins entries, so exactness is free
     var blocks = List.empty[(Long, Long, List[Int])]
     for ((b, p, w) <- rows) {
       var cur = (p, w, List(b))
       while (blocks.nonEmpty &&
-          blocks.head._1 * cur._2 >= cur._1 * blocks.head._2) {
+          BigInt(blocks.head._1) * cur._2 >= BigInt(cur._1) * blocks.head._2) {
         val h = blocks.head
         blocks = blocks.tail
         cur = (h._1 + cur._1, h._2 + cur._2, h._3 ::: cur._3)
