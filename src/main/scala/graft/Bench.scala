@@ -35,7 +35,11 @@ object Bench {
       val verdict =
         try {
           val df = SparkEntry.queries(name)(spark, sfDir)
-          df.count() // AQE finalizes the executed plan
+          // execute through THIS DataFrame's QueryExecution —
+          // df.count() would plan a separate aggregate query and leave
+          // df's adaptive plan unfinalized (isFinalPlan=false, initial
+          // static plan), defeating the audit's purpose
+          df.queryExecution.toRdd.count()
           val plan = df.queryExecution.executedPlan.toString
           if (plan.contains("CartesianProduct")) "CartesianProduct" else "ok"
         } catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }

@@ -1880,15 +1880,12 @@ object SparkEntry {
     // (Layout.writeBucketedFeatureTable; plan asserted in LayoutSpec) ----
     "q151_retrieve_bulk_keys" -> ((s, dir) => {
       val tbl = "graft_q151_cust_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      if (!s.catalog.tableExists(tbl)) {
-        // a previous session's warehouse dir may survive while the
-        // in-memory catalog starts empty — clear the stale location
-        val loc = new java.io.File(
-          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
-        if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      // buckets must match the join parallelism (32 = session shuffle
+      // partitions) or the planner disables the bucketed scan and
+      // re-shuffles the TABLE side — see Layout.writeBucketedFeatureTable
+      if (!s.catalog.tableExists(tbl))
         graft.sources.Layout.writeBucketedFeatureTable(
-          Tables.customer(s, dir), tbl, Seq("c_custkey"), buckets = 8)
-      }
+          Tables.customer(s, dir), tbl, Seq("c_custkey"), buckets = 32)
       val keys = Tables.orders(s, dir)
         .select(col("o_custkey").as("c_custkey"))
       FeatureStore.retrieve(keys, s.table(tbl), Seq("c_custkey"),
@@ -3421,13 +3418,16 @@ object SparkEntry {
 
     // order key = (md5_32(doc_id) mod 2^31)·2^32 + doc_id, exactly as
     // Training.shard builds it
+    // composite (hash, id) ORDER BY — the same unpacked pair
+    // Training.shard sorts by (the packed hash*2^32+id form overflows
+    // for id >= 2^32, which is exactly why shard abandoned it)
     "q103_shard_assign" ->
       """WITH t AS (SELECT doc_id,
-        |    (CAST(('0x'||substr(md5('0:'||CAST(doc_id AS VARCHAR)), 1, 8))
-        |       AS BIGINT) % 2147483648) * 4294967296 + doc_id AS k
+        |    CAST(('0x'||substr(md5('0:'||CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2147483648 AS h
         |  FROM documents),
         |r AS (SELECT doc_id,
-        |        ROW_NUMBER() OVER (ORDER BY k) - 1 AS rn FROM t)
+        |        ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS rn FROM t)
         |SELECT doc_id, CAST(rn // 64 AS INT) AS shard_id,
         |  CAST(rn % 64 AS INT) AS shard_offset FROM r""".stripMargin,
 

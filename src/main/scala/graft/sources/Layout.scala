@@ -22,17 +22,38 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Write a feature-group table bucketed+sorted by its entity key.
-    * Bucketed tables require the session catalog (`saveAsTable`). */
+    * Bucketed tables require the session catalog (`saveAsTable`).
+    * Replaces any previous incarnation: the in-memory catalog starts
+    * empty each session while the warehouse directory survives on
+    * disk, so a stale location is cleared before the write (otherwise
+    * saveAsTable fails with LOCATION_ALREADY_EXISTS).
+    *
+    * SIZE `buckets` ≥ the join parallelism you plan to run
+    * (`spark.sql.shuffle.partitions`): when a bucketed table joins a
+    * non-bucketed side, the planner keeps the table side shuffle-free
+    * only if the bucket count can serve as the join's partition count —
+    * with fewer buckets it disables the bucketed scan and re-shuffles
+    * the BIG side to the shuffle-partition count (observed: 8 buckets
+    * vs 32 shuffle partitions shuffles the table; 32 buckets do not —
+    * LayoutSpec "bulk-keys retrieve" pins this). At 100 TB you want
+    * thousands of buckets anyway (file-size bound), which naturally
+    * clears any sane parallelism. */
   def writeBucketedFeatureTable(
       df: DataFrame,
       table: String,
       pk: Seq[String],
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
     df.write.mode("overwrite")
       .bucketBy(buckets, pk.head, pk.tail: _*)
       .sortBy(pk.head, pk.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Write an event table partitioned by event-time week. */
   def writeWeekPartitionedEvents(

@@ -15,12 +15,6 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       .toDF("k", "name", "score")
     val stats = (1L to 1000L).map(k => (k, k % 7))
       .toDF("k", "cnt")
-    Seq("fg_profile", "fg_stats").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
-    }
     Layout.writeBucketedFeatureTable(features, "fg_profile", Seq("k"), 8)
     Layout.writeBucketedFeatureTable(stats, "fg_stats", Seq("k"), 8)
     // force the shuffle-join path a 100 TB table would take (broadcast
@@ -41,16 +35,17 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     import graft.operators.FeatureStore
     val features = (1L to 1000L).map(k => (k, s"name$k", k * 1.5, "SEG"))
       .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-    spark.sql("DROP TABLE IF EXISTS fg_bulk")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "fg_bulk")
-    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
-    Layout.writeBucketedFeatureTable(features, "fg_bulk", Seq("c_custkey"), 8)
+    Layout.writeBucketedFeatureTable(features, "fg_bulk", Seq("c_custkey"), 32)
     // scoring-sized key set with duplicates and misses
     val keys = (1L to 3000L).map(k => k % 1500 + 1).toDF("c_custkey")
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf — tree
+      // traversal can't see inside); bucketed-join planning is a
+      // static property, so assert it on the non-adaptive plan
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val out = FeatureStore.retrieve(keys, spark.table("fg_bulk"),
         Seq("c_custkey"), Fixtures.customerProfile,
         Seq("c_name", "c_acctbal", "c_mktsegment"), broadcastKeys = false)
@@ -60,13 +55,18 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
       // the join — only the key-set side shuffles
       import org.apache.spark.sql.execution.FileSourceScanExec
       import org.apache.spark.sql.execution.exchange.Exchange
-      val shuffledScans = out.queryExecution.executedPlan.collect {
+      val plan = out.queryExecution.executedPlan
+      val allScans = plan.collect { case s: FileSourceScanExec => s }
+      assert(allScans.nonEmpty, s"expected a file scan in:\n$plan")
+      val shuffledScans = plan.collect {
         case e: Exchange => e.collect { case s: FileSourceScanExec => s }
       }.flatten
       assert(shuffledScans.isEmpty,
-        s"bucketed table reached a join through an Exchange:\n" +
-          out.queryExecution.executedPlan)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        s"bucketed table reached a join through an Exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("week-partitioned events prune partitions on time-range scans") {
