@@ -1891,6 +1891,142 @@ object SparkEntry {
       FeatureStore.retrieve(keys, s.table(tbl), Seq("c_custkey"),
         Fixtures.customerProfile, Seq("c_name", "c_acctbal", "c_mktsegment"),
         broadcastKeys = false)
+    }),
+
+    // ---- causal-LM supervision assembly: q112's encoded sequences →
+    // (input_id, label_id) next-token pairs. Array-side 1-shift zip —
+    // a pure projection, no window and no extra shuffle ----
+    "q155_next_token_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Corpus.vocabIds(docs, "text")
+        .filter(col("vocab_id") < 20)
+      graft.operators.Training.nextTokenPairs(
+        graft.operators.Corpus.encodeDocs(docs, vocab))
+    }),
+
+    // ---- partial-overlap (containment) detection over winnowing
+    // fingerprints (q41's scheme): catches a document quoted inside a
+    // larger one, which symmetric Jaccard dilutes. Inverted-index
+    // pairing with a document-frequency cutoff on boilerplate
+    // fingerprints ----
+    "q156_fp_containment" -> ((s, dir) =>
+      Dedup.fingerprintContainment(Tables.documents(s, dir),
+        k = 8, w = 4, threshold = 0.5, maxDocFreq = 50)),
+
+    // ---- deterministic per-group bottom-k-by-hash sample (the
+    // mergeable per-class "reservoir"; KMV property per group) ----
+    "q157_group_sample" -> ((s, dir) =>
+      graft.operators.Sampling.bottomKPerGroup(Tables.events(s, dir),
+          "event_type", "event_id", k = 20)
+        .select(col("event_type"), col("event_id"), col("user_id"),
+          col("sample_rank"))),
+
+    // ---- hourly resample + forward fill over the event stream: the
+    // regular time grid (gap hours at 0 events, value carried) a
+    // freshness monitor or equal-spaced model reads. Exact integer
+    // carry via micro-unit staging ----
+    "q158_resample_fill" -> ((s, dir) =>
+      graft.operators.InteractionStore.resampleHourlyFill(
+        Tables.events(s, dir).filter(col("user_id") % 5 === 0))),
+
+    // ---- Cohen's kappa between the stored language label and the
+    // stopword-hit language ID (q49's predictor): annotator-agreement
+    // analytics in one exact-count pass ----
+    "q159_cohen_kappa" -> ((s, dir) => {
+      val pred = Tables.documents(s, dir)
+        .select(col("lang"), TextFunctions.words(col("text")).as("__w"))
+        .select(col("lang"),
+          TextFunctions.langIdFromHits(
+            TextFunctions.stopwordHitsFromWords(col("__w"), "de"),
+            TextFunctions.stopwordHitsFromWords(col("__w"), "en"),
+            TextFunctions.stopwordHitsFromWords(col("__w"), "es"),
+            TextFunctions.stopwordHitsFromWords(col("__w"), "fr"))
+            .as("lang_pred"))
+      graft.operators.Evaluation.cohenKappa(pred, "lang", "lang_pred")
+    }),
+
+    // ---- per-segment isotonic calibration (q149 grouped): an
+    // independent exact-integer PAV fit per user segment — one global
+    // map under-corrects any segment whose score distribution shifts ----
+    "q160_isotonic_by_segment" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        (col("user_id") % 3).cast("string").as("seg"), col("value"),
+        (col("event_type") === "click").cast("long").as("__y"))
+      val bins = graft.operators.Normalize.percentRank(ev, "value", "__pr")
+        .withColumn("bin",
+          least(floor(col("__pr") * 10), lit(9)).cast("int"))
+        .groupBy(col("seg"), col("bin"))
+        .agg(sum(col("__y")).as("pos"), count(lit(1)).as("n"))
+      graft.operators.Normalize.pavCalibrateCountsBy(
+        bins, "seg", "bin", "pos", "n")
+    }),
+
+    // ---- token-budget mixture (q80's waterfill with the budget in
+    // TOKENS — the unit pretraining mixes are specified in): source
+    // token quotas ∝ (Σtokens)^0.5, lowest-hash docs fill each quota
+    // in hash order, first-crossing doc included ----
+    "q161_token_budget_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetMix(docs, "doc_id", "source",
+        "n_tokens", alpha = 0.5, totalTokens = 20000L)
+    }),
+
+    // ---- robust per-group location/scale: EXACT lower median + MAD
+    // via rank arithmetic on the distinct-value prefix-sum table (no
+    // single-partition window), plus the 3·MAD outlier count — the
+    // heavy-tail-proof twin of q125's z-score screen ----
+    "q162_robust_stats" -> ((s, dir) =>
+      graft.operators.Normalize.robustStatsBy(
+        Tables.events(s, dir), "event_type", "value")),
+
+    // ---- session-scoped co-visitation: item pairs count per (user,
+    // session) intent window instead of per user (q104's variant with
+    // the browsing-signal semantics); sessions from q51's lag-gap
+    // scan ----
+    "q163_session_covisitation" -> ((s, dir) =>
+      graft.operators.Recsys.covisitationBySession(Tables.events(s, dir),
+        gap = "1 day", recentPerSession = 30, minSessions = 2)),
+
+    // ---- position-debiased item popularity: every click weighted by
+    // 1/propensity(position) with the propensity curve estimated from
+    // the same log (q145). Exact fixed-order double per (item, pos)
+    // term, floored to micro-units — deterministic IPS totals ----
+    "q164_ips_item_clicks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = Window.partitionBy(col("user_id"), col("__day"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val imp = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          to_date(col("ts")).as("__day"),
+          graft.operators.Recsys.itemOf(col("props")).as("item_id"),
+          (col("event_type") === "click").cast("long").as("__click"))
+        .filter(col("item_id").isNotNull)
+        .withColumn("position", row_number().over(sess))
+        .filter(col("position") <= 20)
+      graft.operators.Evaluation.ipsItemClicks(imp,
+        "item_id", "position", "__click")
+    }),
+
+    // ---- candidate-quality gate: recall@5 of the co-visitation
+    // generator against observed next-item transitions ----
+    "q165_candidate_recall" -> ((s, dir) =>
+      graft.operators.Recsys.candidateRecallAtK(Tables.events(s, dir),
+        k = 5)),
+
+    // ---- point-in-time join with a staleness horizon — the offline
+    // twin of TTL-on-read (P4): features older than 2 days at label
+    // time read as null, matching what serving would have returned ----
+    "q166_pit_fresh" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+      val history = events.groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
+      val labels = events.filter(col("event_id") % 97 === 0)
+        .select(col("user_id"), col("ts"), col("event_id").as("label_id"))
+      graft.operators.Training.pointInTimeFresh(labels, history,
+        keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+        maxAge = "2 days")
     })
   )
 
@@ -4297,7 +4433,319 @@ object SparkEntry {
         |  COALESCE(c.c_acctbal, 0.0) AS c_acctbal,
         |  COALESCE(c.c_mktsegment, 'NONE') AS c_mktsegment
         |FROM orders o LEFT JOIN customer c
-        |  ON o.o_custkey = c.c_custkey""".stripMargin
+        |  ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    // q112's encode CTEs -> LEAD over in-doc position; rn-1 matches
+    // the 0-based posexplode position of the pair array
+    "q155_next_token_pairs" ->
+      s"""WITH c AS (SELECT token, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($sqlWords) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY token),
+         |v AS (SELECT token, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY cnt DESC, token ASC) - 1 AS INT) AS vocab_id FROM c),
+         |vv AS (SELECT * FROM v WHERE vocab_id < 20),
+         |tk AS (SELECT doc_id, generate_subscripts(w, 1) AS pos,
+         |         unnest(w) AS token
+         |       FROM (SELECT doc_id, $sqlWords AS w FROM documents)),
+         |e AS (SELECT tk.doc_id, tk.pos,
+         |        CAST(COALESCE(vv.vocab_id, -1) AS INT) AS id
+         |      FROM tk LEFT JOIN vv USING (token) WHERE tk.token <> ''),
+         |o AS (SELECT doc_id, id,
+         |        LEAD(id) OVER (PARTITION BY doc_id ORDER BY pos) AS nid,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |      FROM e)
+         |SELECT doc_id, CAST(rn - 1 AS INT) AS pos, id AS input_id,
+         |  nid AS label_id
+         |FROM o WHERE nid IS NOT NULL""".stripMargin,
+
+    // q41's winnow CTEs -> df cutoff -> inverted-index pairing ->
+    // containment over the smaller doc's kept-fingerprint count
+    "q156_fp_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(length(nt) - 7, 1)),
+        |      i -> CAST(('0x'||substr(md5('0:'||substr(nt, i, 8)), 1, 8))
+        |             AS BIGINT)) AS hs
+        |  FROM t),
+        |wm AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(
+        |      list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+        |        j -> list_min(list_slice(hs, j, j + 3))))) AS fps
+        |  FROM g),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM wm),
+        |keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 50),
+        |kf AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM kf GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |  FROM kf a JOIN kf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared,
+        |  CAST(p.shared AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        |FROM pairs p JOIN sz sa ON p.id_a = sa.doc_id
+        |  JOIN sz sb ON p.id_b = sb.doc_id
+        |WHERE CAST(p.shared AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5""".stripMargin,
+
+    "q157_group_sample" ->
+      s"""SELECT event_type, event_id, user_id, CAST(rn AS INT) AS sample_rank
+         |FROM (SELECT event_type, event_id, user_id, ROW_NUMBER() OVER (
+         |    PARTITION BY event_type
+         |    ORDER BY ${sqlHash32(7, "CAST(event_id AS VARCHAR)")}, event_id)
+         |    AS rn
+         |  FROM events)
+         |WHERE rn <= 20""".stripMargin,
+
+    "q158_resample_fill" ->
+      """WITH f AS (SELECT * FROM events WHERE user_id % 5 = 0),
+        |hourly AS (SELECT user_id,
+        |    CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS h,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS vm
+        |  FROM f GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(h) AS mn, max(h) AS mx
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h
+        |  FROM b),
+        |j AS (SELECT g.user_id, g.h, hourly.n, hourly.vm
+        |  FROM grid g LEFT JOIN hourly
+        |    ON g.user_id = hourly.user_id AND g.h = hourly.h)
+        |SELECT user_id, h AS hour_epoch, COALESCE(n, 0) AS n_events,
+        |  last_value(vm IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_micro_filled
+        |FROM j""".stripMargin,
+
+    // q49's predictor CTEs -> contingency counts -> kappa from exact
+    // marginal products (integer-valued doubles; sums < 2^53 => every
+    // division sees identical operands in both engines)
+    "q159_cohen_kappa" ->
+      s"""WITH lt AS (SELECT doc_id, lang, $sqlWords AS w FROM documents),
+         |lh AS (SELECT doc_id, lang,
+         |  ${sqlHits("de")} AS h_de, ${sqlHits("en")} AS h_en,
+         |  ${sqlHits("es")} AS h_es, ${sqlHits("fr")} AS h_fr FROM lt),
+         |lp AS (SELECT doc_id, lang,
+         |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         |       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         |       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_pred
+         |  FROM lh),
+         |cells AS (SELECT lang AS a, lang_pred AS b, COUNT(*) AS o
+         |  FROM lp GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(CASE WHEN a = b THEN o END), 0) AS BIGINT)
+         |      AS agree
+         |  FROM cells),
+         |ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+         |rb AS (SELECT b, SUM(o) AS rb FROM cells GROUP BY 1),
+         |pe AS (SELECT COALESCE(SUM(CAST(ra.ra AS DOUBLE)
+         |    * CAST(rb.rb AS DOUBLE)), 0.0) AS pen
+         |  FROM ra JOIN rb ON ra.a = rb.b)
+         |SELECT n, agree, po, pe,
+         |  CASE WHEN pe = 1.0 THEN 1.0 ELSE (po - pe) / (1.0 - pe) END
+         |    AS kappa
+         |FROM (SELECT tot.n, tot.agree,
+         |    CAST(tot.agree AS DOUBLE) / CAST(tot.n AS DOUBLE) AS po,
+         |    pe.pen / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)) AS pe
+         |  FROM tot, pe)""".stripMargin,
+
+    // q149's minimax characterization, grouped: every join carries the
+    // segment key, so each segment fits independently
+    "q160_isotonic_by_segment" ->
+      """WITH s AS (SELECT CAST(user_id % 3 AS VARCHAR) AS seg, value,
+        |    CAST(event_type = 'click' AS BIGINT) AS y,
+        |    PERCENT_RANK() OVER (ORDER BY value) AS pr FROM events),
+        |b AS (SELECT seg, CAST(least(floor(pr * 10), 9) AS INT) AS bin,
+        |    CAST(SUM(y) AS BIGINT) AS pos, COUNT(*) AS n
+        |  FROM s GROUP BY 1, 2),
+        |sg AS (SELECT j.seg, j.bin AS j, k.bin AS k,
+        |    CAST(SUM(m.pos) AS DOUBLE) / CAST(SUM(m.n) AS DOUBLE) AS avgr
+        |  FROM b j JOIN b k ON j.seg = k.seg AND j.bin <= k.bin
+        |  JOIN b m ON m.seg = j.seg AND m.bin BETWEEN j.bin AND k.bin
+        |  GROUP BY 1, 2, 3),
+        |mn AS (SELECT sg.seg, sg.j, i.bin AS bin, MIN(sg.avgr) AS m
+        |  FROM sg JOIN b i ON i.seg = sg.seg
+        |    AND sg.j <= i.bin AND sg.k >= i.bin
+        |  GROUP BY 1, 2, 3)
+        |SELECT seg, bin, MAX(m) AS calibrated FROM mn GROUP BY seg, bin""".stripMargin,
+
+    // q80's waterfill CTEs with token sums; selection keeps a doc iff
+    // its source's cumulative tokens BEFORE it are inside the quota
+    "q161_token_budget_mix" ->
+      s"""WITH corpus AS (SELECT doc_id, source, lang,
+         |                  CAST(len($sqlWords) AS INT) AS n_tokens
+         |                FROM documents),
+         |cnt AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n
+         |        FROM corpus GROUP BY source),
+         |w AS (SELECT source,
+         |        CAST(floor(pow(CAST(n AS DOUBLE), 0.5) * 1000000) AS BIGINT)
+         |          AS wm FROM cnt),
+         |a AS (SELECT cnt.source, n, wm, SUM(wm) OVER () AS tw,
+         |        COALESCE(SUM(n) OVER pre, 0) AS cumnp,
+         |        COALESCE(SUM(wm) OVER pre, 0) AS cumwp
+         |      FROM w JOIN cnt USING (source)
+         |      WINDOW pre AS (ORDER BY CAST(n AS DOUBLE) / wm ASC, source ASC
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |s AS (SELECT *, MIN(CASE WHEN wm * (20000 - cumnp) >= n * (tw - cumwp)
+         |                         THEN 1 ELSE 0 END)
+         |        OVER (ORDER BY CAST(n AS DOUBLE) / wm ASC, source ASC
+         |              ROWS UNBOUNDED PRECEDING) = 1 AS sat FROM a),
+         |u AS (SELECT *,
+         |        20000 - COALESCE(SUM(CASE WHEN sat THEN n END) OVER (), 0) AS rr,
+         |        COALESCE(SUM(CASE WHEN NOT sat THEN wm END) OVER (), 0) AS uw
+         |      FROM s),
+         |b AS (SELECT *,
+         |        CASE WHEN sat OR uw = 0 THEN 0 ELSE (wm * rr) // uw END AS base,
+         |        CASE WHEN sat OR uw = 0 THEN -1 ELSE (wm * rr) % uw END AS rem
+         |      FROM u),
+         |c AS (SELECT *, rr - SUM(base) OVER () AS leftover,
+         |        ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+         |      FROM b),
+         |q AS (SELECT source,
+         |        CAST(CASE WHEN sat THEN n ELSE least(
+         |          base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n) END
+         |          AS BIGINT) AS quota FROM c),
+         |r AS (SELECT corpus.*,
+         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+         |          ORDER BY ${sqlHash32(7, "CAST(doc_id AS VARCHAR)")} % 1000000
+         |            ASC, doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cumpre
+         |      FROM corpus)
+         |SELECT doc_id, source, lang, n_tokens
+         |FROM r JOIN q USING (source) WHERE cumpre < quota""".stripMargin,
+
+    // exact lower-median / MAD by rank pick — ROW_NUMBER is unique, so
+    // rn = (n+1)//2 selects exactly one row per group
+    "q162_robust_stats" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS vm FROM events),
+        |t AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+        |r AS (SELECT event_type, vm, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY vm) AS rn FROM v),
+        |med AS (SELECT r.event_type, r.vm AS med FROM r
+        |  JOIN t USING (event_type) WHERE r.rn = (t.n + 1) // 2),
+        |d AS (SELECT v.event_type, v.vm, med.med,
+        |    abs(v.vm - med.med) AS dev
+        |  FROM v JOIN med USING (event_type)),
+        |r2 AS (SELECT event_type, dev, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY dev) AS rn FROM d),
+        |mad AS (SELECT r2.event_type, r2.dev AS mad FROM r2
+        |  JOIN t USING (event_type) WHERE r2.rn = (t.n + 1) // 2)
+        |SELECT d.event_type, CAST(t.n AS BIGINT) AS n,
+        |  med.med AS median_micro, mad.mad AS mad_micro,
+        |  CAST(SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN t USING (event_type) JOIN med USING (event_type)
+        |  JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // q51's lag-gap session CTE (filtered to item events) -> q104's
+    // pair chain, keyed by (user, session)
+    "q163_session_covisitation" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |sx AS (SELECT user_id, item_id, ts,
+        |    SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1 DAY
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |ui AS (SELECT user_id, sid, item_id, MAX(ts) AS last_ts
+        |  FROM sx GROUP BY 1, 2, 3),
+        |capped AS (SELECT user_id, sid, item_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+        |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+        |  WHERE rn <= 30)
+        |SELECT a.item_id AS item_a, b.item_id AS item_b,
+        |  COUNT(*) AS n_sessions
+        |FROM capped a JOIN capped b
+        |  ON a.user_id = b.user_id AND a.sid = b.sid
+        |    AND a.item_id < b.item_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // q145's position construction (item events only) -> per-position
+    // propensities -> fixed-order IPS term, floored to micro-units
+    "q164_ips_item_clicks" ->
+      """WITH imp AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id,
+        |    CAST(event_type = 'click' AS BIGINT) AS click,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS position
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |i2 AS (SELECT * FROM imp WHERE position <= 20),
+        |pa AS (SELECT position, COUNT(*) AS imps,
+        |    CAST(SUM(click) AS BIGINT) AS clicks FROM i2 GROUP BY 1),
+        |base AS (SELECT imps AS imps1, clicks AS clicks1 FROM pa
+        |         WHERE position = 1),
+        |ip AS (SELECT item_id, position, CAST(SUM(click) AS BIGINT) AS cip
+        |       FROM i2 GROUP BY 1, 2 HAVING SUM(click) > 0)
+        |SELECT item_id, CAST(SUM(cip) AS BIGINT) AS n_clicks,
+        |  CAST(SUM(CAST(floor((((CAST(cip AS DOUBLE) * CAST(imps AS DOUBLE))
+        |      * CAST(clicks1 AS DOUBLE))
+        |    / (CAST(clicks AS DOUBLE) * CAST(imps1 AS DOUBLE))) * 1e6)
+        |    AS BIGINT)) AS BIGINT) AS ips_clicks_micro
+        |FROM ip JOIN pa USING (position), base
+        |WHERE clicks > 0 AND clicks1 > 0
+        |GROUP BY 1""".stripMargin,
+
+    // q104's co-visitation CTEs -> symmetric top-5 neighbor rank ->
+    // lag-pair transitions -> hit counting
+    "q165_candidate_recall" ->
+      """WITH ui AS (SELECT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id,
+        |    MAX(ts) AS last_ts
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |capped AS (SELECT user_id, item_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+        |  WHERE rn <= 30),
+        |cov AS (SELECT a.item_id AS item_a, b.item_id AS item_b,
+        |    COUNT(*) AS n_users
+        |  FROM capped a JOIN capped b
+        |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adjn AS (SELECT item_a AS node, item_b AS nbr, n_users FROM cov
+        |  UNION ALL SELECT item_b, item_a, n_users FROM cov),
+        |topk AS (SELECT node, nbr FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY n_users DESC, nbr ASC) AS rn FROM adjn)
+        |  WHERE rn <= 5),
+        |tr AS (SELECT user_id, ts, event_id, item_id,
+        |    lag(item_id) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM (SELECT user_id, ts, event_id,
+        |      CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+        |    FROM events WHERE json_extract(props, '$.k') IS NOT NULL)),
+        |t2 AS (SELECT * FROM tr
+        |  WHERE prev IS NOT NULL AND prev <> item_id)
+        |SELECT COUNT(*) AS n_transitions,
+        |  CAST(COALESCE(SUM(CASE WHEN topk.node IS NOT NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(SUM(CASE WHEN topk.node IS NOT NULL
+        |      THEN 1 ELSE 0 END), 0) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM t2 LEFT JOIN topk
+        |  ON t2.prev = topk.node AND t2.item_id = topk.nbr""".stripMargin,
+
+    // q47's ASOF oracle + the staleness null-out
+    "q166_pit_fresh" ->
+      """WITH hist AS (SELECT user_id, ts, max(value) AS value
+        |              FROM events GROUP BY 1, 2),
+        |lab AS (SELECT user_id, ts, event_id AS label_id FROM events
+        |        WHERE event_id % 97 = 0)
+        |SELECT l.user_id, l.ts, l.label_id,
+        |  CASE WHEN h.ts >= l.ts - INTERVAL 2 DAY THEN h.value END AS value
+        |FROM lab l ASOF LEFT JOIN hist h
+        |  ON l.user_id = h.user_id AND h.ts <= l.ts""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -193,6 +193,43 @@ object Normalize {
       .toDF(orderCol, "calibrated")
   }
 
+  /** Per-group [[pavCalibrateCounts]]: an independent isotonic fit per
+    * `groupCol` value (per-segment / per-surface calibration — one
+    * global map under-corrects any segment whose score distribution
+    * shifts). Same exact-integer block merges, same oracle-ability,
+    * per group. Driver-side data stays bounded: |groups| × |bins|
+    * rows, a calibration artifact, not data (the q149 rationale,
+    * grouped). Output: `(groupCol, orderCol, calibrated)`. */
+  def pavCalibrateCountsBy(
+      bins: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      posCol: String,
+      weightCol: String): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val rows = bins
+      .select(col(groupCol).cast("string"), col(orderCol).cast("int"),
+        col(posCol).cast("long"), col(weightCol).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).toSeq.flatMap { case (g, grows) =>
+      var blocks = List.empty[(Long, Long, List[Int])]
+      for ((_, b, p, w) <- grows.sortBy(_._2)) {
+        var cur = (p, w, List(b))
+        while (blocks.nonEmpty &&
+            BigInt(blocks.head._1) * cur._2 >= BigInt(cur._1) * blocks.head._2) {
+          val h = blocks.head
+          blocks = blocks.tail
+          cur = (h._1 + cur._1, h._2 + cur._2, h._3 ::: cur._3)
+        }
+        blocks = cur :: blocks
+      }
+      blocks.reverse.flatMap { case (s, w, bs) =>
+        bs.map(b => (g, b, s.toDouble / w.toDouble)) }
+    }.toDF(groupCol, orderCol, "calibrated")
+  }
+
   /** Equal-frequency score-calibration table: rows bin by
     * `floor(percent_rank(score) · nBins)` (clamped to the last bin),
     * each bin reporting its score range, row count, and positive rate.
@@ -220,5 +257,65 @@ object Normalize {
         max(col(scoreCol)).as("score_max"),
         (sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
           .as("pos_rate"))
+  }
+
+  /** EXACT per-group lower median of a long column, with no
+    * single-partition window: the group's (n+1)/2-th order statistic
+    * located by rank arithmetic on the distinct-value count table.
+    *
+    *   1. `(group, value)` counts — one shuffle, map-side combine;
+    *   2. global inclusive prefix sum over the total order
+    *      `(group asc, value asc)` ([[PrefixSum.inclusiveBy]] — range
+    *      partitioned, partition-parallel);
+    *   3. each group's rank offset = `min(cum − cnt)` within the
+    *      group, and its total — one aggregation over the distinct
+    *      table;
+    *   4. the median row is the one whose within-group inclusive rank
+    *      interval `(cum−off−cnt, cum−off]` covers `(n+1) div 2` —
+    *      a broadcast join against the |groups|-row table.
+    *
+    * Output: `(groupCol, n, median)`. Exact integer arithmetic
+    * end-to-end — the same value on any engine and partitioning. */
+  def medianBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = PrefixSum.inclusiveBy(counts,
+      Seq(col(groupCol).asc, col("__v").asc), "__cnt", "__cum")
+    val groups = cum.groupBy(col(groupCol))
+      .agg(min(col("__cum") - col("__cnt")).as("__off"),
+        sum(col("__cnt")).as("n"))
+    cum.join(broadcast(groups), Seq(groupCol))
+      .withColumn("__k", expr("(n + 1) div 2"))
+      .filter(col("__cum") - col("__off") - col("__cnt") < col("__k") &&
+        col("__k") <= col("__cum") - col("__off"))
+      .select(col(groupCol), col("n"), col("__v").as("median"))
+  }
+
+  /** Robust per-group location/scale summary on exact micro-unit
+    * integers: lower median, MAD (median absolute deviation — both via
+    * [[medianBy]]'s rank arithmetic), and the count of |x−med| >
+    * 3·MAD outliers. The outlier screen that survives the heavy tails
+    * which wreck mean/σ z-scores on interaction data. Output:
+    * `(groupCol, n, median_micro, mad_micro, n_outliers)`. */
+  def robustStatsBy(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val vm = df.select(col(groupCol),
+      floor(col(valueCol) * 1e6).cast("long").as("__vm"))
+    val med = medianBy(vm, groupCol, "__vm")
+      .select(col(groupCol), col("median").as("median_micro"))
+    val dev = vm.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col("__vm") - col("median_micro")))
+    val mad = medianBy(dev, groupCol, "__dev")
+      .select(col(groupCol), col("median").as("mad_micro"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol), col("median_micro"), col("mad_micro"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__dev") > lit(3L) * col("mad_micro"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(groupCol), col("n"), col("median_micro"),
+        col("mad_micro"), col("n_outliers"))
   }
 }

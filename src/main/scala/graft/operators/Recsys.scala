@@ -54,6 +54,89 @@ object Recsys {
       .filter(col("n_users") >= minUsers)
   }
 
+  /** Session-scoped co-visitation: pairs count per `(user, session)`
+    * instead of per user — the intent-window variant (two items seen
+    * months apart by the same user are NOT a browsing signal; two
+    * items in one session are). Sessions come from
+    * [[InteractionStore.sessionize]]'s lag-gap scan; the recency cap
+    * applies per session, so the fan-out bound tightens to
+    * `cap²/2 · sessions-per-user`, each term tiny. Output:
+    * `(item_a, item_b, n_sessions)`. */
+  def covisitationBySession(
+      events: DataFrame,
+      gap: String = "1 day",
+      recentPerSession: Int = 30,
+      minSessions: Long = 2): DataFrame = {
+    val sess = InteractionStore.sessionize(
+        events.filter(itemOf(col("props")).isNotNull), gap)
+      .select(col("user_id"), col("session_idx"),
+        itemOf(col("props")).as("item_id"), col("ts"))
+    val byRecency = Window
+      .partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("__last").desc, col("item_id").asc)
+    val capped = sess
+      .groupBy(col("user_id"), col("session_idx"), col("item_id"))
+      .agg(max(col("ts")).as("__last"))
+      .withColumn("__rn", row_number().over(byRecency))
+      .filter(col("__rn") <= recentPerSession)
+      .select(col("user_id"), col("session_idx"), col("item_id"))
+    capped.as("a").join(capped.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.session_idx") === col("b.session_idx") &&
+        col("a.item_id") < col("b.item_id"))
+      .select(col("a.item_id").as("item_a"), col("b.item_id").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= minSessions)
+  }
+
+  /** Offline recall@k of the co-visitation candidate generator
+    * against observed next-item transitions — the candidate-quality
+    * gate a recommender team runs before shipping a new candidate
+    * source: of all consecutive item transitions `a → b` (per user,
+    * event-time order, `a ≠ b`), what fraction has `b` among `a`'s
+    * top-`k` co-visitation neighbors (ranked by co-count desc, id
+    * asc)? Output: one row `(n_transitions, n_hits, recall)`.
+    *
+    * One window pass for the transition list (shuffle on user), the
+    * bounded [[covisitation]] fan-out, a per-node top-k rank
+    * (`WindowGroupLimit` pushes the cut map-side), and an equi-join of
+    * transitions against the k-bounded candidate edges. The single
+    * final division is the only float op. */
+  def candidateRecallAtK(
+      events: DataFrame,
+      k: Int = 5,
+      recentPerUser: Int = 30,
+      minUsers: Long = 2): DataFrame = {
+    val cov = covisitation(events, recentPerUser, minUsers)
+    val adj = cov
+      .select(col("item_a").as("__node"), col("item_b").as("__nbr"),
+        col("n_users"))
+      .unionByName(cov.select(col("item_b").as("__node"),
+        col("item_a").as("__nbr"), col("n_users")))
+    val topk = adj
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__node"))
+          .orderBy(col("n_users").desc, col("__nbr").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("__node"), col("__nbr"))
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        itemOf(col("props")).as("__item"))
+      .filter(col("__item").isNotNull)
+      .withColumn("__prev", lag(col("__item"), 1).over(byTime))
+      .filter(col("__prev").isNotNull && col("__prev") =!= col("__item"))
+    trans
+      .join(topk, trans("__prev") === topk("__node") &&
+        trans("__item") === topk("__nbr"), "left")
+      .agg(count(lit(1)).as("n_transitions"),
+        count(col("__node")).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_transitions").cast("double"))
+  }
+
   /** Deterministic negative sampling: per user with ≥1 positive
     * (`posType` events), draw `oversample·perUser` pseudo-random item
     * slots (`md5(seed:user:slot) mod nItems` — reproducible in any

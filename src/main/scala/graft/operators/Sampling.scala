@@ -146,6 +146,28 @@ object Sampling {
       seed: Int = 7): DataFrame = {
     require(alpha > 0 && total > 0, "temperatureMix needs alpha > 0, total > 0")
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val alloc = waterfillQuota(counts, sourceCol, alpha, total.toLong)
+    df.join(broadcast(alloc), sourceCol)
+      .withColumn("__b", hashBucket(col(keyCol), seed))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("__b").asc, col(keyCol).asc)))
+      .filter(col("__r") <= col("quota"))
+      .drop("__b", "__r", "quota")
+  }
+
+  /** Exact waterfill quota allocation shared by [[temperatureMix]] and
+    * [[tokenBudgetMix]]: `counts` is the |sources|-row table
+    * `(sourceCol, __n)`; source `s` receives a quota ∝ `__n^alpha` of
+    * `total`, quotas never exceed `__n` (saturation + largest-
+    * remainder redistribution, all integer micro-unit arithmetic).
+    * Returns `(sourceCol, quota)`. Every window rides the
+    * |sources|-row table — driver-trivial at any corpus size. */
+  private def waterfillQuota(
+      counts: DataFrame,
+      sourceCol: String,
+      alpha: Double,
+      total: Long): DataFrame = {
     // micro-unit weight n^alpha (floor — unambiguous in every engine)
     val w = counts.withColumn("__wm",
       floor(pow(col("__n").cast("double"), lit(alpha)) * 1e6).cast("long"))
@@ -177,11 +199,11 @@ object Sampling {
       .withColumn("__cumNp", coalesce(sum(col("__n")).over(wPre), lit(0L)))
       .withColumn("__cumWp", coalesce(sum(col("__wm")).over(wPre), lit(0L)))
       .withColumn("__sat", min(
-        when(col("__wm") * (lit(total.toLong) - col("__cumNp")) >=
+        when(col("__wm") * (lit(total) - col("__cumNp")) >=
              col("__n") * (col("__W") - col("__cumWp")), 1).otherwise(0))
         .over(wPreIncl) === 1)
     val alloc = staged
-      .withColumn("__R", lit(total.toLong) -
+      .withColumn("__R", lit(total) -
         coalesce(sum(when(col("__sat"), col("__n"))).over(wAll), lit(0L)))
       .withColumn("__U",
         coalesce(sum(when(!col("__sat"), col("__wm"))).over(wAll), lit(0L)))
@@ -201,13 +223,46 @@ object Sampling {
             col("__n")))
           .cast("long"))
       .select(col(sourceCol), col("quota"))
+    alloc
+  }
+
+  /** Token-budget mixture sampling — [[temperatureMix]] with the
+    * budget denominated in TOKENS, the unit pretraining mixes are
+    * actually specified in: source `s` gets a token quota
+    * ∝ `(Σ tokens_s)^alpha` of `totalTokens` (same exact waterfill —
+    * a quota never exceeds the tokens the source has; surplus
+    * re-allocates by largest remainder), then the source's
+    * lowest-hash documents fill the quota in hash order, including
+    * the document that first crosses it (so every source with a
+    * positive quota emits at least one document; the overshoot is
+    * bounded by one document).
+    *
+    * Same integer-exact determinism and the same scale posture as
+    * [[temperatureMix]]: quota math on the |sources|-row table, one
+    * shuffle of the corpus by source for the per-source cumulative
+    * token sum. */
+  def tokenBudgetMix(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      tokensCol: String,
+      alpha: Double,
+      totalTokens: Long,
+      seed: Int = 7): DataFrame = {
+    require(alpha > 0 && totalTokens > 0,
+      "tokenBudgetMix needs alpha > 0, totalTokens > 0")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).cast("long").as("__n"))
+    val alloc = waterfillQuota(counts, sourceCol, alpha, totalTokens)
+    val wCum = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__b").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     df.join(broadcast(alloc), sourceCol)
       .withColumn("__b", hashBucket(col(keyCol), seed))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col(sourceCol))
-          .orderBy(col("__b").asc, col(keyCol).asc)))
-      .filter(col("__r") <= col("quota"))
-      .drop("__b", "__r", "quota")
+      .withColumn("__cumPre",
+        coalesce(sum(col(tokensCol)).over(wCum), lit(0L)))
+      .filter(col("__cumPre") < col("quota"))
+      .drop("__b", "__cumPre", "quota")
   }
 
   /** Per-stratum rates: `rates(stratumValue) -> rate`, keys absent from
@@ -224,5 +279,34 @@ object Sampling {
         when(col(strataCol) === value, lit((rate * Bucket).toLong)).otherwise(acc)
     }
     df.filter(hashBucket(col(keyCol), seed) < rateCol)
+  }
+
+  /** Deterministic bottom-k-by-hash sample per group — the mergeable
+    * per-group "reservoir": a row survives iff its key's md5 ranks in
+    * the group's k smallest, so the union of two samples re-limited to
+    * k IS the union's sample (the KMV property per group; cf.
+    * [[Sketches.hashSampleQuantiles]] for the global variant). No RNG,
+    * no seed state — any engine, any partitioning, any merge order
+    * reproduces the identical sample.
+    *
+    * One shuffle on the group key; the window's `row_number` reduces
+    * per-partition before ranking (`WindowGroupLimit` pushes the k
+    * cut map-side in Spark ≥ 3.5), so a billion-row group moves only
+    * its candidate tail, not its whole extent. */
+  def bottomKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      seed: Int = 7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df
+      .withColumn("__h", TextFunctions.md5Hash32(col(keyCol).cast("string"), seed))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__h").asc, col(keyCol).asc)))
+      .filter(col("sample_rank") <= k)
+      .drop("__h")
   }
 }

@@ -56,6 +56,46 @@ object Training {
       .select(labelCols.map(col) :+ col(valueCol): _*)
   }
 
+  /** [[pointInTime]] with a staleness horizon — the offline twin of
+    * the store's TTL-on-read (P4): a feature older than `maxAge` at
+    * label time reads as null, exactly like an expired online lookup.
+    * Training sets built with this match what the serving path would
+    * actually have returned, TTL included.
+    *
+    * Same ONE-shuffle union-window shape as [[pointInTime]]; the
+    * window additionally carries the matched feature's timestamp so
+    * the staleness test is a pure projection afterward. */
+  def pointInTimeFresh(
+      labels: DataFrame,
+      history: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      maxAge: String): DataFrame = {
+    val labelCols = labels.columns
+    val h = history.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__is_label"),
+        col(valueCol).as("__v"), col(tsCol).as("__vts")) ++
+        labelCols.filterNot(c => keys.contains(c) || c == tsCol)
+          .map(c => lit(null).cast(labels.schema(c).dataType).as(c)): _*)
+    val l = labels.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__is_label"),
+        lit(null).cast(history.schema(valueCol).dataType).as("__v"),
+        lit(null).cast(history.schema(tsCol).dataType).as("__vts")) ++
+        labelCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__is_label").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.unionByName(l)
+      .withColumn("__vLast", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__vtsLast", last(col("__vts"), ignoreNulls = true).over(w))
+      .filter(col("__is_label") === 1)
+      .withColumn(valueCol,
+        when(col("__vtsLast") >= col(tsCol) - expr(s"INTERVAL $maxAge"),
+          col("__vLast")))
+      .select(labelCols.map(col) :+ col(valueCol): _*)
+  }
+
   /** Materialize trailing-window aggregate features per entity as of a
     * fixed instant: for each window of `windowsDays`, the count and sum
     * of `valueCol` over `(asOf - window, asOf]`. One conditional-
@@ -174,5 +214,33 @@ object Training {
       .withColumn("shard_id", floor(rn / rowsPerShard).cast("int"))
       .withColumn("shard_offset", (rn % rowsPerShard).cast("int"))
       .drop("__h", "__one", "__rank")
+  }
+
+  /** Next-token training pairs from encoded id sequences (the
+    * `(input_id, label_id)` supervision a causal-LM data pipeline
+    * emits after [[graft.operators.Corpus.encodeDocs]]): position `p`
+    * pairs `ids[p]` with `ids[p+1]`; the final token has no label and
+    * emits nothing. Output: `(idCol, pos, input_id, label_id)` with
+    * `pos` 0-based.
+    *
+    * Array-side zip of the sequence with its own 1-shift — a pure
+    * per-row projection, NO window and NO shuffle (the lead() trick
+    * would re-shuffle the corpus on `idCol` for values that are
+    * already adjacent in the array). */
+  def nextTokenPairs(
+      encoded: DataFrame,
+      idCol: String = "doc_id",
+      idsCol: String = "ids"): DataFrame = {
+    val n1 = greatest(size(col(idsCol)) - 1, lit(0))
+    encoded
+      .select(col(idCol),
+        posexplode(zip_with(
+          slice(col(idsCol), lit(1), n1),
+          slice(col(idsCol), lit(2), n1),
+          (a, b) => struct(a.as("input_id"), b.as("label_id"))))
+          .as(Seq("pos", "__p")))
+      .select(col(idCol), col("pos"),
+        col("__p.input_id").as("input_id"),
+        col("__p.label_id").as("label_id"))
   }
 }

@@ -188,4 +188,36 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(Training.shard(Seq.empty[Long].toDF("doc_id"), "doc_id", 64L)
       .count() === 0)
   }
+
+  test("resampleHourlyFill equals a naive per-user grid walk on random data") {
+    val rnd = new scala.util.Random(31)
+    val events = (1 to 300).map(i => (rnd.nextInt(5).toLong, i.toLong,
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(72) * 3600000L +
+          rnd.nextInt(3600) * 1000L),
+        rnd.nextInt(10000) / 100.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = InteractionStore.resampleHourlyFill(events)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val raw = events.as[(Long, Long, java.sql.Timestamp, Double)].collect()
+    raw.groupBy(_._1).foreach { case (u, es) =>
+      val hourly = es.groupBy(e => e._3.getTime / 3600000L)
+        .map { case (h, rows) =>
+          h -> ((rows.size.toLong,
+            rows.map(e => math.floor(e._4 * 1e6).toLong).sum)) }
+      var lastVm = 0L
+      val (mn, mx) = (hourly.keys.min, hourly.keys.max)
+      (mn to mx).foreach { h =>
+        val (n, vm) = hourly.getOrElse(h, (0L, -1L))
+        if (vm != -1L) lastVm = vm
+        assert(got((u, h)) === ((n, lastVm)), s"user=$u hour=$h")
+      }
+      // grid stays within the observed bounds
+      assert(!got.contains((u, mn - 1)) && !got.contains((u, mx + 1)))
+    }
+    assert(got.size === raw.groupBy(_._1).map { case (_, es) =>
+      val hs = es.map(_._3.getTime / 3600000L)
+      hs.max - hs.min + 1
+    }.sum)
+  }
 }

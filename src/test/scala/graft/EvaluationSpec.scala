@@ -280,4 +280,106 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     // top-3: ids 1 (9.0), 2 (9.0 tie -> id asc), 3 (8.0) -> 2 positives
     assert(got === ((3L, 2.0 / 3.0)))
   }
+
+  test("cohenKappa matches the hand computation; edge cases guarded") {
+    // cells: (a,a)x2 (a,b)x1 (b,b)x3 → n=6 agree=5 po=5/6
+    // marginals: row a=3 b=3; col a=2 b=4 → pe=(3·2+3·4)/36=1/2 → κ=2/3
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("b", "b")).toDF("r1", "r2")
+    val got = Evaluation.cohenKappa(df, "r1", "r2")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got === ((6L, 5L, 5.0 / 6.0, 0.5, (5.0 / 6.0 - 0.5) / 0.5)))
+    // disjoint label sets: agreement 0, pe 0 → kappa = po = 0
+    val disj = Seq(("x", "y"), ("x", "y")).toDF("r1", "r2")
+    val d = Evaluation.cohenKappa(disj, "r1", "r2")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(d === ((2L, 0L, 0.0, 0.0, 0.0)))
+    // constant identical labels: pe = 1 → guarded κ = 1
+    val const = Seq(("x", "x"), ("x", "x")).toDF("r1", "r2")
+    val c = Evaluation.cohenKappa(const, "r1", "r2")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(c === ((2L, 2L, 1.0, 1.0, 1.0)))
+  }
+
+  test("pavCalibrateCountsBy fits each group exactly like the global " +
+      "fit applied per group") {
+    val bins = Seq(
+      ("s0", 0, 1L, 10L), ("s0", 1, 5L, 10L), ("s0", 2, 3L, 10L),
+      ("s0", 3, 9L, 10L),
+      ("s1", 0, 8L, 10L), ("s1", 1, 2L, 10L), ("s1", 2, 1L, 10L))
+      .toDF("seg", "bin", "pos", "n")
+    val grouped = graft.operators.Normalize
+      .pavCalibrateCountsBy(bins, "seg", "bin", "pos", "n")
+      .as[(String, Int, Double)].collect().sorted.toSeq
+    val perGroup = Seq("s0", "s1").flatMap { g =>
+      graft.operators.Normalize
+        .pavCalibrateCounts(bins.filter($"seg" === g), "bin", "pos", "n")
+        .as[(Int, Double)].collect().map { case (b, v) => (g, b, v) }
+    }.sorted
+    assert(grouped === perGroup)
+    // s1 is fully decreasing → one pooled block at (8+2+1)/30
+    assert(grouped.filter(_._1 == "s1").map(_._3).distinct ===
+      Seq(11.0 / 30.0))
+  }
+
+  test("ipsItemClicks reweights clicks by 1/propensity(position)") {
+    // pos 1: 4 imps, 2 clicks (ctr 0.5, propensity 1)
+    // pos 2: 4 imps, 1 click  (ctr 0.25, propensity 0.5 → click counts 2)
+    val rows = Seq(
+      ("A", 1, 1L), ("B", 1, 1L), ("A", 1, 0L), ("B", 1, 0L),
+      ("A", 2, 1L), ("B", 2, 0L), ("A", 2, 0L), ("B", 2, 0L))
+      .toDF("item", "pos", "click")
+    val got = Evaluation.ipsItemClicks(rows, "item", "pos", "click")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // A: 1 click at pos1 (×1) + 1 click at pos2 (×2) = 3.0 → 3e6 micro
+    // B: 1 click at pos1 (×1) = 1.0 → 1e6 micro
+    assert(got === Seq(("A", 2L, 3000000L), ("B", 1L, 1000000L)))
+    // a zero-click position contributes nothing and causes no 0/0
+    val deadPos = rows.unionByName(
+      Seq(("A", 3, 0L), ("B", 3, 0L)).toDF("item", "pos", "click"))
+    val got2 = Evaluation.ipsItemClicks(deadPos, "item", "pos", "click")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 === got)
+  }
+
+  test("medianBy picks the exact lower median per group, any partitioning") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 2000).map(_ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(200).toLong - 100L))
+    val naive = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      (g, sorted.length.toLong, sorted((sorted.length + 1) / 2 - 1))
+    }.toSeq.sorted
+    for (parts <- Seq(1, 9)) {
+      val got = graft.operators.Normalize
+        .medianBy(rows.toDF("g", "v").repartition(parts), "g", "v")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(got === naive, s"parts=$parts")
+    }
+    // single-row and two-row groups: lower median = first element
+    val tiny = Seq(("a", 7L), ("b", 1L), ("b", 9L)).toDF("g", "v")
+    assert(graft.operators.Normalize.medianBy(tiny, "g", "v")
+      .as[(String, Long, Long)].collect().sorted.toSeq ===
+      Seq(("a", 1L, 7L), ("b", 2L, 1L)))
+  }
+
+  test("robustStatsBy: median/MAD/outliers match the naive computation") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 1500).map { _ =>
+      val heavy = if (rnd.nextInt(50) == 0) 1000.0 else 0.0
+      (s"g${rnd.nextInt(3)}", rnd.nextDouble() * 10 + heavy)
+    }
+    val naive = rows.groupBy(_._1).map { case (g, vs) =>
+      val vm = vs.map(v => math.floor(v._2 * 1e6).toLong).sorted
+      def lowerMedian(xs: Seq[Long]) = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      val med = lowerMedian(vm)
+      val dev = vm.map(x => math.abs(x - med))
+      val mad = lowerMedian(dev)
+      (g, vm.length.toLong, med, mad, dev.count(_ > 3 * mad).toLong)
+    }.toSeq.sorted
+    val got = graft.operators.Normalize
+      .robustStatsBy(rows.toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got === naive)
+  }
 }

@@ -327,4 +327,61 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       (1L, 3L, 2L, 10.0, 5.0, None),   // frame = rows 2..3
       (2L, 4L, 1L, 10.0, 10.0, None)))
   }
+
+  test("bottomKPerGroup: deterministic under partitioning; merge of " +
+      "samples re-limited IS the union's sample (KMV property)") {
+    val df = (1 to 500).map(i => (if (i % 3 == 0) "a" else "b", i.toLong))
+      .toDF("grp", "id")
+    val full = Sampling.bottomKPerGroup(df, "grp", "id", k = 10)
+      .select("grp", "id", "sample_rank")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(full.count(_._1 == "a") === 10 && full.count(_._1 == "b") === 10)
+    val reparted = Sampling.bottomKPerGroup(df.repartition(9), "grp", "id", 10)
+      .select("grp", "id", "sample_rank")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(full === reparted)
+    // mergeability: sample each half, union, re-limit → same sample
+    val (h1, h2) = (df.filter($"id" <= 250), df.filter($"id" > 250))
+    val merged = Sampling.bottomKPerGroup(
+        Sampling.bottomKPerGroup(h1, "grp", "id", 10)
+          .unionByName(Sampling.bottomKPerGroup(h2, "grp", "id", 10))
+          .drop("sample_rank"),
+        "grp", "id", k = 10)
+      .select("grp", "id", "sample_rank")
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    assert(merged === full)
+  }
+
+  test("tokenBudgetMix: per-source token spend stays within quota + one " +
+      "doc; saturated sources ship whole; deterministic") {
+    val rnd = new scala.util.Random(43)
+    val df = (1 to 300).map { i =>
+      val src = if (i <= 200) "big" else if (i <= 280) "mid" else "tiny"
+      (i.toLong, src, 50 + rnd.nextInt(150))
+    }.toDF("id", "src", "tok")
+    val budget = 8000L
+    val got = Sampling.tokenBudgetMix(df, "id", "src", "tok",
+        alpha = 0.5, totalTokens = budget)
+      .select("id", "src", "tok").as[(Long, String, Int)].collect()
+    val spend = got.groupBy(_._2).view.mapValues(_.map(_._3.toLong).sum).toMap
+    val maxTok = got.map(_._3).max.toLong
+    // every source spends, and the total overshoot is bounded by one
+    // doc per source
+    assert(spend.keySet === Set("big", "mid", "tiny"))
+    assert(spend.values.sum <= budget + 3 * maxTok)
+    // alpha=0.5 flattens: tiny source exceeds its proportional share
+    val tinyTotal = df.filter($"src" === "tiny")
+      .agg(sum($"tok")).as[Long].head()
+    assert(spend("tiny") > budget * tinyTotal /
+      df.agg(sum($"tok")).as[Long].head())
+    val again = Sampling.tokenBudgetMix(df.repartition(11), "id", "src",
+        "tok", alpha = 0.5, totalTokens = budget)
+      .select("id", "src", "tok").as[(Long, String, Int)].collect()
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // a budget above the corpus total saturates every source: the full
+    // corpus ships, exactly once
+    val all = Sampling.tokenBudgetMix(df, "id", "src", "tok",
+      alpha = 0.5, totalTokens = 10000000L)
+    assert(all.count() === 300)
+  }
 }

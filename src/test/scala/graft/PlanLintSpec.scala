@@ -27,6 +27,16 @@ class PlanLintSpec extends AnyFunSuite with SparkSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("every oracle key names a query; only the two documented " +
+      "rows-only queries lack oracles") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty,
+      s"oracles without queries: ${(os -- qs).mkString(", ")}")
+    assert((qs -- os) === Set("q139_ann_opq_rotated", "q150_compression_ratio"),
+      s"queries without oracles: ${(qs -- os).mkString(", ")}")
+  }
+
   test("systematicByWeight is invariant to input partitioning") {
     import spark.implicits._
     val df = Tables.orders(spark, sf)

@@ -287,4 +287,89 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Int, Int)].collect().toSet
     assert(again === got.toSet)
   }
+
+  test("candidateRecallAtK counts next-item hits against top-k neighbors") {
+    // cov pairs ≥2 users: (10,20) n=2 (u1,u2), (10,30) n=2 (u1,u3);
+    // (20,30) and (10,99) drop at minUsers=2 → nbrs(10)={20,30},
+    // nbrs(20)={10}, nbrs(30)={10}
+    val df = eventsDf(Seq(
+      ev(1, 1, "view", 1.0, 10, "2024-01-01 10:00:00"),
+      ev(2, 1, "view", 1.0, 20, "2024-01-01 11:00:00"),
+      ev(3, 1, "view", 1.0, 30, "2024-01-01 12:00:00"),
+      ev(4, 2, "view", 1.0, 10, "2024-01-02 10:00:00"),
+      ev(5, 2, "view", 1.0, 20, "2024-01-02 11:00:00"),
+      ev(6, 3, "view", 1.0, 10, "2024-01-03 10:00:00"),
+      ev(7, 3, "view", 1.0, 30, "2024-01-03 11:00:00"),
+      // user 4's second item 99 is nobody's neighbor → the only miss
+      ev(8, 4, "view", 1.0, 10, "2024-01-04 10:00:00"),
+      ev(9, 4, "view", 1.0, 99, "2024-01-04 11:00:00")))
+    // transitions: u1 10→20 hit, 20→30 miss (nbrs(20)={10});
+    // u2 10→20 hit; u3 10→30 hit; u4 10→99 miss
+    val got = Recsys.candidateRecallAtK(df, k = 5, minUsers = 2)
+      .as[(Long, Long, Double)].head()
+    assert(got === ((5L, 3L, 0.6)))
+    // k = 1 keeps only the strongest neighbor: top-1(10) = 20 (n=3),
+    // top-1(20) = 10; 20→30 and 10→30 become misses
+    val got1 = Recsys.candidateRecallAtK(df, k = 1, minUsers = 2)
+      .as[(Long, Long, Double)].head()
+    assert(got1 === ((5L, 2L, 0.4)))
+  }
+
+  test("covisitationBySession pairs within the intent window only") {
+    val df = eventsDf(Seq(
+      // user 1, one session: 10-20 pair
+      ev(1, 1, "view", 1.0, 10, "2024-01-01 10:00:00"),
+      ev(2, 1, "view", 1.0, 20, "2024-01-01 11:00:00"),
+      // user 1, a NEW session 5 days later: 30 pairs with nothing
+      ev(3, 1, "view", 1.0, 30, "2024-01-06 10:00:00"),
+      // user 2, one session: 10-20 again
+      ev(4, 2, "view", 1.0, 10, "2024-01-02 10:00:00"),
+      ev(5, 2, "view", 1.0, 20, "2024-01-02 11:00:00")))
+    val got = Recsys.covisitationBySession(df, gap = "1 day",
+        recentPerSession = 30, minSessions = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L, 2L)))
+    // per-user covisitation WOULD pair 30 with 10/20 for user 1
+    assert(Recsys.covisitation(df, recentPerUser = 30, minUsers = 1)
+      .count() === 3)
+  }
+
+  test("covisitationBySession matches a naive per-session computation " +
+      "on random data, any partitioning") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 400).map { i =>
+      val t = new java.sql.Timestamp(1704067200000L +
+        rnd.nextInt(20) * 86400000L + rnd.nextInt(86400) * 1000L)
+      (i.toLong, rnd.nextInt(6).toLong, "view", 1.0,
+        s"""{"k": ${rnd.nextInt(15)}}""", t)
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "value",
+      "props", "ts")
+    val gapMs = 86400000L
+    // naive: sessionize per user by the same lag-gap rule, then count
+    // distinct sessions per unordered item pair
+    val naive = rows.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._6.getTime, e._1))
+      var sid = 0
+      var last = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (last == Long.MinValue || e._6.getTime > last + gapMs) sid += 1
+        last = e._6.getTime
+        val item = e._5.replaceAll("[^0-9]", "").toLong
+        (sid, item)
+      }
+      tagged.groupBy(_._1).values.flatMap { s =>
+        val items = s.map(_._2).distinct.sorted
+        for (a <- items; b <- items if a < b) yield (a, b)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+    for (parts <- Seq(1, 8)) {
+      val got = Recsys.covisitationBySession(df.repartition(parts),
+          gap = "1 day", recentPerSession = 30, minSessions = 2)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === naive, s"parts=$parts")
+    }
+  }
 }

@@ -287,4 +287,52 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
       assert(kernel.toSeq === hof.toSeq, s"k=$k w=$w")
     }
   }
+
+  test("fingerprintContainment flags an embedded quote, not unrelated text") {
+    val rnd = new scala.util.Random(23)
+    def randText(n: Int) =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).grouped(6)
+        .map(_.mkString).mkString(" ")
+    val big = randText(600)
+    val quote = big.substring(120, 320) // doc 2 ⊂ doc 1
+    val other = randText(600)
+    val docs = Seq((1L, big), (2L, quote), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.fingerprintContainment(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("fingerprintContainment matches a naive set computation, any partitioning") {
+    val rnd = new scala.util.Random(29)
+    def randText(n: Int) =
+      (1 to n).map(_ => ('a' + rnd.nextInt(8)).toChar).grouped(5)
+        .map(_.mkString).mkString(" ")
+    val base = (1 to 12).map(i => (i.toLong, randText(80 + rnd.nextInt(120))))
+    // splice shared spans to force partial overlaps
+    val docs = base ++ Seq(
+      (21L, base(0)._2.take(60) + " " + randText(100)),
+      (22L, base(1)._2 + " " + base(2)._2))
+    val (k, w, maxDf) = (8, 4, 50)
+    val fpSets = docs.map { case (id, t) =>
+      id -> docs.toDF("doc_id", "text").filter($"doc_id" === id)
+        .select(explode(winnowFingerprint($"text", k, w)).as("f"))
+        .as[Long].collect().toSet
+    }.toMap
+    val df = fpSets.values.flatten.groupBy(identity).map { case (f, o) => f -> o.size }
+    val kept = fpSets.map { case (id, s) => id -> s.filter(f => df(f) <= maxDf) }
+    val naive = (for {
+      (a, fa) <- kept; (b, fb) <- kept if a < b
+      shared = (fa & fb).size if shared > 0
+      cont = shared.toDouble / math.min(fa.size, fb.size) if cont >= 0.3
+    } yield (a, b, shared.toLong, cont)).toSet
+    for (parts <- Seq(1, 5)) {
+      val got = Dedup.fingerprintContainment(
+          docs.toDF("doc_id", "text").repartition(parts),
+          k = k, w = w, threshold = 0.3, maxDocFreq = maxDf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === naive, s"parts=$parts")
+    }
+  }
 }

@@ -95,4 +95,60 @@ class TrainingSpec extends AnyFunSuite with SparkSuite {
       .collect()
     assert(out === Array(Row(1L, 2L, 9.0, 3L, 11.0)))
   }
+
+  test("pointInTimeFresh nulls features staler than maxAge at label time") {
+    val history = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 50.0),
+      (2L, ts("2024-01-01 00:00:00"), 10.0)
+    ).toDF("user_id", "ts", "value")
+    val labels = Seq(
+      (1L, ts("2024-01-06 12:00:00"), 100L), // 1.5 days old → fresh
+      (1L, ts("2024-01-07 00:00:00"), 101L), // exactly 2 days → fresh
+      (1L, ts("2024-01-08 00:00:01"), 102L), // beyond horizon → null
+      (2L, ts("2024-01-10 00:00:00"), 103L)  // 9 days old → null
+    ).toDF("user_id", "ts", "label_id")
+    val got = Training.pointInTimeFresh(labels, history,
+        Seq("user_id"), "ts", "value", maxAge = "2 days")
+      .select("label_id", "value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got === Map(100L -> Some(50.0), 101L -> Some(50.0),
+      102L -> None, 103L -> None))
+    // a generous horizon reduces to plain pointInTime
+    val plain = Training.pointInTime(labels, history,
+        Seq("user_id"), "ts", "value")
+      .select("label_id", "value").as[(Long, Option[Double])]
+      .collect().toMap
+    val wide = Training.pointInTimeFresh(labels, history,
+        Seq("user_id"), "ts", "value", maxAge = "365 days")
+      .select("label_id", "value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(wide === plain)
+  }
+
+  test("nextTokenPairs: adjacent id pairs, short docs emit nothing") {
+    val df = Seq(
+      (1L, Seq(3, 1, 2)), // (0,3,1), (1,1,2)
+      (2L, Seq(5)),       // single token: no label
+      (3L, Seq.empty[Int])
+    ).toDF("doc_id", "ids")
+    val got = Training.nextTokenPairs(df)
+      .as[(Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array((1L, 0, 3, 1), (1L, 1, 1, 2)))
+  }
+
+  test("nextTokenPairs matches sliding(2) on random sequences, any partitioning") {
+    val rnd = new scala.util.Random(17)
+    val docs = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(10))(rnd.nextInt(30) - 1)))
+    val expected = docs.flatMap { case (id, ids) =>
+      ids.sliding(2).filter(_.size == 2).zipWithIndex.map {
+        case (Seq(a, b), p) => (id, p, a, b) }
+    }.sorted
+    for (parts <- Seq(1, 7)) {
+      val got = Training.nextTokenPairs(
+          docs.toDF("doc_id", "ids").repartition(parts))
+        .as[(Long, Int, Int, Int)].collect().sorted.toSeq
+      assert(got === expected, s"parts=$parts")
+    }
+  }
 }
