@@ -16,7 +16,14 @@ object Bench {
     // thread scheduling), which is far above the 2x regression signal
     // the numbers exist to detect.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 limits the run (isolated-JVM
+    // drift attribution: one query per JVM removes suite-order
+    // contention from the measurement); unset = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = queries.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -29,22 +36,50 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Plan-shape audit at the BENCH sf, not just PlanLintSpec's
     // sf0.001: AQE may broadcast at tiny scale what it must shuffle
-    // here, so re-audit the most expensive queries' FINAL adaptive
-    // plans for the unbounded-shuffle shape that dies at 100 TB.
-    val audit = results.toSeq.sortBy(-_._2).take(3).map { case (name, _) =>
-      val verdict =
-        try {
-          val df = SparkEntry.queries(name)(spark, sfDir)
-          // execute through THIS DataFrame's QueryExecution —
-          // df.count() would plan a separate aggregate query and leave
-          // df's adaptive plan unfinalized (isFinalPlan=false, initial
-          // static plan), defeating the audit's purpose
-          df.queryExecution.toRdd.count()
-          val plan = df.queryExecution.executedPlan.toString
-          if (plan.contains("CartesianProduct")) "CartesianProduct" else "ok"
-        } catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
-      s"\"" + name + "\":\"" + verdict + "\""
-    }.mkString("{", ",", "}")
+    // here, so re-audit every non-trivial query's FINAL adaptive plan
+    // (>0.5 s — below that is the job-scheduling floor) for the
+    // unbounded-join shapes that die at 100 TB (CartesianProduct AND
+    // BroadcastNestedLoopJoin — AQE picks the latter whenever one side
+    // fits the broadcast threshold at bench sf), and count its shuffle
+    // exchanges against the recorded per-query expectation
+    // (bench_exchange_baseline.json) so an AQE-masked extra shuffle
+    // can't creep in silently.
+    val baselinePath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_EXCHANGE_BASELINE", "bench_exchange_baseline.json"))
+    val baseline: Map[String, Int] =
+      if (java.nio.file.Files.exists(baselinePath)) {
+        val txt = java.nio.file.Files.readString(baselinePath)
+        "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+      } else Map.empty
+    val shuffleRe = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    val audited = results.toSeq.filter(_._2 > 0.5).sortBy(-_._2).map {
+      case (name, _) =>
+        val verdict =
+          try {
+            val df = SparkEntry.queries(name)(spark, sfDir)
+            // execute through THIS DataFrame's QueryExecution —
+            // df.count() would plan a separate aggregate query and leave
+            // df's adaptive plan unfinalized (isFinalPlan=false, initial
+            // static plan), defeating the audit's purpose
+            df.queryExecution.toRdd.count()
+            // the adaptive root prints Final Plan then Initial Plan —
+            // audit only the finalized section
+            val plan = df.queryExecution.executedPlan.toString
+              .split("== Initial Plan ==").head
+            val nEx = shuffleRe.findAllIn(plan).length
+            if (plan.contains("CartesianProduct")) "CartesianProduct"
+            else if (plan.contains("BroadcastNestedLoopJoin")) "BroadcastNestedLoopJoin"
+            else baseline.get(name) match {
+              case Some(exp) if exp != nEx => s"exchanges:$nEx!=$exp"
+              case Some(_) => "ok"
+              case None => s"ok(no-baseline:$nEx)"
+            }
+          } catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
+        name -> verdict
+    }
+    val audit = audited.map { case (n, v) => s"\"" + n + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan_audit":$audit,"sf":"$sfDir"}""")
     spark.stop()
   }

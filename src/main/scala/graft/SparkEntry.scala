@@ -1864,9 +1864,11 @@ object SparkEntry {
     }),
 
     // ---- Deflate compression ratio (Gopher/CCNet quality signal).
-    // NO SQL oracle: DuckDB ships no deflate scalar, so this entry is
-    // rows-only by necessity; the kernel's values are pinned by
-    // TextFunctionsSpec golden cases instead ----
+    // DuckDB ships no deflate scalar, so the oracle joins PINNED
+    // CPython-zlib compressed sizes (Q150Deflate, independent of the
+    // engine's java.util.zip kernel) against the real parquet text's
+    // byte length; the kernel is additionally pinned by
+    // TextFunctionsSpec golden cases ----
     "q150_compression_ratio" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.compressionRatio(col("text"))
@@ -1880,12 +1882,12 @@ object SparkEntry {
     // (Layout.writeBucketedFeatureTable; plan asserted in LayoutSpec) ----
     "q151_retrieve_bulk_keys" -> ((s, dir) => {
       val tbl = "graft_q151_cust_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      // buckets must match the join parallelism (32 = session shuffle
-      // partitions) or the planner disables the bucketed scan and
-      // re-shuffles the TABLE side — see Layout.writeBucketedFeatureTable
+      // bucket count is derived from the session's shuffle parallelism
+      // (Layout default) — a hardcoded count silently re-shuffles the
+      // TABLE side whenever the session runs at another parallelism
       if (!s.catalog.tableExists(tbl))
         graft.sources.Layout.writeBucketedFeatureTable(
-          Tables.customer(s, dir), tbl, Seq("c_custkey"), buckets = 32)
+          Tables.customer(s, dir), tbl, Seq("c_custkey"))
       val keys = Tables.orders(s, dir)
         .select(col("o_custkey").as("c_custkey"))
       FeatureStore.retrieve(keys, s.table(tbl), Seq("c_custkey"),
@@ -4099,6 +4101,65 @@ object SparkEntry {
         |  ('value', nv, dv), ('props', np, dp))
         |  AS c("column", n_null, n_distinct)""".stripMargin,
 
+    // q58's PQ CTEs over the LEARNED-rotation corpus: the d×d rotation
+    // is a deterministic artifact of the engine's exact-covariance +
+    // fixed-sweep Jacobi fit (PcaRotate), materialized as literals for
+    // the sf0.01 gate (provenance: graft.tools.GenQ139Rotation); the
+    // mat-vec is an unrolled left-associated chain matching
+    // VectorKernels.matVec's accumulation order term for term, so the
+    // rotated coordinates are bit-identical before the (independently
+    // SQL-expressed) PQ assign/score side.
+    "q139_ann_opq_rotated" -> {
+      val rot = Q139Rotation.sf001
+      val d = rot.length
+      val vParts = (0 until 8).map(j =>
+        s"MAX(CASE WHEN c.j = $j THEN l.v END) AS v$j").mkString(",\n|         ")
+      val vSum = (0 until 8).map(j => s"v$j").mkString(" + ")
+      // bare decimal literals parse as DECIMAL in DuckDB (decimal×double
+      // arithmetic then drifts ulps); an exponent forces DOUBLE parsing
+      def dlit(x: Double): String = {
+        val s = x.toString
+        if (s.contains("E") || s.contains("e")) s else s + "E0"
+      }
+      val rotated = (0 until d).map { i =>
+        (0 until d).map(j => s"(${dlit(rot(i)(j))})*emb[${j + 1}]")
+          .mkString(" + ")
+      }.mkString("list_value(\n|        ", ",\n|        ", ")")
+      s"""WITH p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+         |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |e AS (SELECT vec_id, $rotated AS emb FROM e0),
+         |cb AS (SELECT (s.vec_id // p.stride) AS cid, j.j AS j,
+         |         list_slice(s.emb, j.j*8 + 1, j.j*8 + 8) AS centroid
+         |       FROM e s, p, generate_series(0, 7) j(j)
+         |       WHERE s.vec_id % p.stride = 0 AND s.vec_id < p.stride * 16),
+         |sv AS (SELECT e.vec_id, j.j AS j,
+         |         list_slice(e.emb, j.j*8 + 1, j.j*8 + 8) AS sub
+         |       FROM e, generate_series(0, 7) j(j)),
+         |codes AS (SELECT vec_id, j, cid AS code FROM (
+         |  SELECT sv.vec_id, sv.j, cb.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
+         |      ORDER BY ${sqlSqDistOf("sv.sub", "cb.centroid")} ASC,
+         |               cb.cid ASC) AS rn
+         |  FROM sv JOIN cb ON sv.j = cb.j) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 5),
+         |qsv AS (SELECT query_id, j.j AS j,
+         |          list_slice(emb, j.j*8 + 1, j.j*8 + 8) AS qsub
+         |        FROM q, generate_series(0, 7) j(j)),
+         |lut AS (SELECT qsv.query_id, qsv.j, cb.cid,
+         |          ${sqlDotOf("qsv.qsub", "cb.centroid")} AS v
+         |        FROM qsv JOIN cb ON qsv.j = cb.j),
+         |sc AS (SELECT l.query_id, c.vec_id,
+         |         $vParts
+         |       FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
+         |       GROUP BY 1, 2)
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT query_id, vec_id, $vSum AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY $vSum DESC, vec_id ASC) AS INT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin
+    },
+
     "q140_stopword_induction" ->
       s"""WITH n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
          |tk AS (SELECT doc_id, unnest(list_distinct($sqlWords)) AS token
@@ -4424,6 +4485,25 @@ object SparkEntry {
         |  FROM seg JOIN b i ON seg.j <= i.bin AND seg.k >= i.bin
         |  GROUP BY 1, 2)
         |SELECT bin, MAX(m) AS calibrated FROM mn GROUP BY bin""".stripMargin,
+
+    // DuckDB ships no deflate scalar, so the compressed sizes are
+    // PINNED literals computed by CPython's zlib (level-6 deflate of a
+    // fixed input is deterministic; java.util.zip and CPython both
+    // wrap zlib — tools/gen_q150_oracle.py, values in Q150Deflate).
+    // The uncompressed length is the oracle's own octet_length over
+    // the real parquet text, and the ratio is ONE IEEE division of
+    // the same two numbers on both sides.
+    "q150_compression_ratio" -> {
+      val values = Q150Deflate.sf001
+        .map { case (i, n) => s"($i, $n)" }.mkString(", ")
+      s"""WITH v(doc_id, csize) AS (VALUES $values)
+         |SELECT d.doc_id,
+         |  CASE WHEN octet_length(encode(d.text)) = 0 THEN 1.0
+         |       ELSE CAST(v.csize AS DOUBLE)
+         |         / CAST(octet_length(encode(d.text)) AS DOUBLE) END
+         |    AS compression_ratio
+         |FROM documents d JOIN v USING (doc_id)""".stripMargin
+    },
 
     // q2's retrieve oracle over the bulk key set (orders fan-out keys,
     // duplicates preserved)

@@ -171,14 +171,21 @@ object Normalize {
       .select(col(orderCol).cast("int"), col(posCol).cast("long"),
         col(weightCol).cast("long"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    // each block: (Σpos, Σweight, member bins); merge while the tail
-    // violates monotonicity (head mean ≥ incoming mean, exactly).
-    // BigInt cross-products: at 100 TB a bin's weight can pass 2^31.5,
-    // where the long product would wrap — this loop is driver-side
-    // over ≤nBins entries, so exactness is free
+    pavFitCounts(rows.toSeq).toDF(orderCol, "calibrated")
+  }
+
+  /** The exact-integer PAV kernel shared by [[pavCalibrateCounts]]
+    * (driver-side, one global bin table) and [[pavCalibrateCountsBy]]
+    * (executor-side, one bounded bin list per group). Each block:
+    * (Σpos, Σweight, member bins); merge while the tail violates
+    * monotonicity (head mean ≥ incoming mean, exactly). BigInt
+    * cross-products: at 100 TB a bin's weight can pass 2^31.5, where
+    * the long product would wrap — the loop runs over ≤nBins entries,
+    * so exactness is free. */
+  private[operators] def pavFitCounts(
+      rows: Seq[(Int, Long, Long)]): Seq[(Int, Double)] = {
     var blocks = List.empty[(Long, Long, List[Int])]
-    for ((b, p, w) <- rows) {
+    for ((b, p, w) <- rows.sortBy(_._1)) {
       var cur = (p, w, List(b))
       while (blocks.nonEmpty &&
           BigInt(blocks.head._1) * cur._2 >= BigInt(cur._1) * blocks.head._2) {
@@ -190,16 +197,19 @@ object Normalize {
     }
     blocks.reverse.flatMap { case (s, w, bs) =>
       bs.map(b => (b, s.toDouble / w.toDouble)) }
-      .toDF(orderCol, "calibrated")
   }
 
   /** Per-group [[pavCalibrateCounts]]: an independent isotonic fit per
     * `groupCol` value (per-segment / per-surface calibration — one
     * global map under-corrects any segment whose score distribution
     * shifts). Same exact-integer block merges, same oracle-ability,
-    * per group. Driver-side data stays bounded: |groups| × |bins|
-    * rows, a calibration artifact, not data (the q149 rationale,
-    * grouped). Output: `(groupCol, orderCol, calibrated)`. */
+    * per group — but fully DISTRIBUTED: one shuffle gathers each
+    * group's ≤nBins bin structs with `collect_list`, and the PAV
+    * kernel runs executor-side per group. Nothing driver-side scales
+    * with |groups| (a per-user calibration over 10⁹ users is just a
+    * 10⁹-row shuffle), while per-group state stays bounded by nBins —
+    * the same invariant the driver-side variants rely on. Output:
+    * `(groupCol, orderCol, calibrated)`. */
   def pavCalibrateCountsBy(
       bins: DataFrame,
       groupCol: String,
@@ -208,26 +218,16 @@ object Normalize {
       weightCol: String): DataFrame = {
     val spark = bins.sparkSession
     import spark.implicits._
-    val rows = bins
-      .select(col(groupCol).cast("string"), col(orderCol).cast("int"),
-        col(posCol).cast("long"), col(weightCol).cast("long"))
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-    rows.groupBy(_._1).toSeq.flatMap { case (g, grows) =>
-      var blocks = List.empty[(Long, Long, List[Int])]
-      for ((_, b, p, w) <- grows.sortBy(_._2)) {
-        var cur = (p, w, List(b))
-        while (blocks.nonEmpty &&
-            BigInt(blocks.head._1) * cur._2 >= BigInt(cur._1) * blocks.head._2) {
-          val h = blocks.head
-          blocks = blocks.tail
-          cur = (h._1 + cur._1, h._2 + cur._2, h._3 ::: cur._3)
-        }
-        blocks = cur :: blocks
-      }
-      blocks.reverse.flatMap { case (s, w, bs) =>
-        bs.map(b => (g, b, s.toDouble / w.toDouble)) }
-    }.toDF(groupCol, orderCol, "calibrated")
+    bins
+      .select(col(groupCol).cast("string").as("__g"),
+        struct(col(orderCol).cast("int"), col(posCol).cast("long"),
+          col(weightCol).cast("long")).as("__bin"))
+      .groupBy(col("__g"))
+      .agg(collect_list(col("__bin")).as("__bins"))
+      .as[(String, Seq[(Int, Long, Long)])]
+      .flatMap { case (g, grows) =>
+        pavFitCounts(grows).map { case (b, v) => (g, b, v) } }
+      .toDF(groupCol, orderCol, "calibrated")
   }
 
   /** Equal-frequency score-calibration table: rows bin by
@@ -272,7 +272,9 @@ object Normalize {
     *      table;
     *   4. the median row is the one whose within-group inclusive rank
     *      interval `(cum−off−cnt, cum−off]` covers `(n+1) div 2` —
-    *      a broadcast join against the |groups|-row table.
+    *      an unhinted equi-join against the one-row-per-group table
+    *      (AQE broadcasts it when small; high-cardinality group
+    *      columns shuffle-join instead of OOMing the driver).
     *
     * Output: `(groupCol, n, median)`. Exact integer arithmetic
     * end-to-end — the same value on any engine and partitioning. */
@@ -285,7 +287,12 @@ object Normalize {
     val groups = cum.groupBy(col(groupCol))
       .agg(min(col("__cum") - col("__cnt")).as("__off"),
         sum(col("__cnt")).as("n"))
-    cum.join(broadcast(groups), Seq(groupCol))
+    // no broadcast hint: |groups| is caller-controlled (a user_id
+    // groupCol at 100 TB has billions of groups) — a forced broadcast
+    // would OOM the driver where a shuffle join is fine. AQE converts
+    // to broadcast whenever the group table is actually small (the
+    // percentRank convention above).
+    cum.join(groups, Seq(groupCol))
       .withColumn("__k", expr("(n + 1) div 2"))
       .filter(col("__cum") - col("__off") - col("__cnt") < col("__k") &&
         col("__k") <= col("__cum") - col("__off"))
@@ -306,11 +313,14 @@ object Normalize {
       floor(col(valueCol) * 1e6).cast("long").as("__vm"))
     val med = medianBy(vm, groupCol, "__vm")
       .select(col(groupCol), col("median").as("median_micro"))
-    val dev = vm.join(broadcast(med), Seq(groupCol))
+    // unhinted joins against the one-row-per-group tables: AQE
+    // broadcasts them when small; a high-cardinality groupCol gets a
+    // plain shuffle join instead of an unbounded forced broadcast
+    val dev = vm.join(med, Seq(groupCol))
       .withColumn("__dev", abs(col("__vm") - col("median_micro")))
     val mad = medianBy(dev, groupCol, "__dev")
       .select(col(groupCol), col("median").as("mad_micro"))
-    dev.join(broadcast(mad), Seq(groupCol))
+    dev.join(mad, Seq(groupCol))
       .groupBy(col(groupCol), col("median_micro"), col("mad_micro"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__dev") > lit(3L) * col("mad_micro"), 1L)

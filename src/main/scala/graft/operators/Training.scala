@@ -73,9 +73,15 @@ object Training {
       valueCol: String,
       maxAge: String): DataFrame = {
     val labelCols = labels.columns
+    // the carried timestamp must travel WITH the value: `last(__v,
+    // ignoreNulls)` skips null-valued history rows, so a null-valued
+    // row newer than a real write must not advance __vts either —
+    // otherwise the staleness gate checks the null row's timestamp
+    // while __vLast still carries the older value
     val h = history.select(
       keys.map(col) ++ Seq(col(tsCol), lit(0).as("__is_label"),
-        col(valueCol).as("__v"), col(tsCol).as("__vts")) ++
+        col(valueCol).as("__v"),
+        when(col(valueCol).isNotNull, col(tsCol)).as("__vts")) ++
         labelCols.filterNot(c => keys.contains(c) || c == tsCol)
           .map(c => lit(null).cast(labels.schema(c).dataType).as(c)): _*)
     val l = labels.select(

@@ -35,21 +35,35 @@ object Layout {
     * with fewer buckets it disables the bucketed scan and re-shuffles
     * the BIG side to the shuffle-partition count (observed: 8 buckets
     * vs 32 shuffle partitions shuffles the table; 32 buckets do not —
-    * LayoutSpec "bulk-keys retrieve" pins this). At 100 TB you want
+    * LayoutSpec "bulk-keys retrieve" pins this at two parallelisms).
+    * `buckets ≤ 0` (the default) derives the count from the session's
+    * `spark.sql.shuffle.partitions`, so the table is born matching the
+    * parallelism it will be joined at — a hardcoded count silently
+    * re-shuffles under any other session setting. At 100 TB you want
     * thousands of buckets anyway (file-size bound), which naturally
     * clears any sane parallelism. */
   def writeBucketedFeatureTable(
       df: DataFrame,
       table: String,
       pk: Seq[String],
-      buckets: Int): Unit = {
+      buckets: Int = 0): Unit = {
     val spark = df.sparkSession
+    val nBuckets =
+      if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    // the in-memory catalog starts empty each session while the
+    // warehouse dir survives on disk, so DROP may not clear a stale
+    // location. Spark lower-cases table identifiers, and the warehouse
+    // may be any Hadoop URI — resolve both via the Hadoop FS API
+    // rather than assuming a local file path with the verbatim name.
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
     df.write.mode("overwrite")
-      .bucketBy(buckets, pk.head, pk.tail: _*)
+      .bucketBy(nBuckets, pk.head, pk.tail: _*)
       .sortBy(pk.head, pk.tail: _*)
       .format("parquet")
       .saveAsTable(table)

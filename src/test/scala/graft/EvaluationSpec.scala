@@ -382,4 +382,44 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
       .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
     assert(got === naive)
   }
+
+  test("robustStatsBy: high-cardinality groupCol shuffle-joins — no forced " +
+      "broadcast of the per-group tables") {
+    // With broadcast thresholds disabled, any BroadcastExchange left in
+    // the plan comes from an explicit hint. The per-group median/MAD
+    // tables are |groups|-sized (caller-controlled, unbounded at
+    // 100 TB), so they must NOT carry one; the only hinted broadcasts
+    // allowed are PrefixSum's per-partition offset tables, bounded by
+    // the partition count by construction (2 medianBy calls → 2).
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = spark.range(100000).selectExpr(
+        "concat('g', id % 50000) as g", "cast(id % 997 as double) as v")
+      val out = graft.operators.Normalize.robustStatsBy(df, "g", "v")
+      out.queryExecution.toRdd.count() // finalize the adaptive plan
+      val plan = out.queryExecution.executedPlan.toString
+      // the only broadcast joins allowed are PrefixSum's hinted offset
+      // joins on __pid (bounded by the partition count); any broadcast
+      // join on the group key means a forced per-group-table broadcast
+      // leaked back in. (The same logical __pid join prints multiple
+      // times — DAG reuse and the Initial Plan section — so assert on
+      // the join key, not a node count.)
+      val badBroadcastJoins = plan.linesIterator
+        .filter(l => l.contains("BroadcastHashJoin") ||
+          l.contains("BroadcastNestedLoopJoin"))
+        .filterNot(_.contains("__pid")).toSeq
+      assert(badBroadcastJoins.isEmpty,
+        s"forced broadcast of a per-group table leaked into the plan:\n" +
+          s"${badBroadcastJoins.mkString("\n")}\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join for the 50k-group tables:\n$plan")
+      assert(out.count() === 50000L)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }

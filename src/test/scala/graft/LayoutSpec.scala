@@ -31,41 +31,53 @@ class LayoutSpec extends AnyFunSuite with SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("bulk-keys retrieve keeps the bucketed table side exchange-free") {
+  test("bulk-keys retrieve keeps the bucketed table side exchange-free " +
+      "at any session parallelism (derived bucket count)") {
     import graft.operators.FeatureStore
     val features = (1L to 1000L).map(k => (k, s"name$k", k * 1.5, "SEG"))
       .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-    Layout.writeBucketedFeatureTable(features, "fg_bulk", Seq("c_custkey"), 32)
     // scoring-sized key set with duplicates and misses
     val keys = (1L to 3000L).map(k => k % 1500 + 1).toDF("c_custkey")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevPar = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf — tree
       // traversal can't see inside); bucketed-join planning is a
       // static property, so assert it on the non-adaptive plan
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val out = FeatureStore.retrieve(keys, spark.table("fg_bulk"),
-        Seq("c_custkey"), Fixtures.customerProfile,
-        Seq("c_name", "c_acctbal", "c_mktsegment"), broadcastKeys = false)
-      assert(out.count() === 3000L)
-      // the 100 TB invariant behind q151: the feature table is joined
-      // on its bucket key, so no Exchange may sit between its scan and
-      // the join — only the key-set side shuffles
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.exchange.Exchange
-      val plan = out.queryExecution.executedPlan
-      val allScans = plan.collect { case s: FileSourceScanExec => s }
-      assert(allScans.nonEmpty, s"expected a file scan in:\n$plan")
-      val shuffledScans = plan.collect {
-        case e: Exchange => e.collect { case s: FileSourceScanExec => s }
-      }.flatten
-      assert(shuffledScans.isEmpty,
-        s"bucketed table reached a join through an Exchange:\n$plan")
+      // two parallelisms: the bucket count is DERIVED from the session
+      // (Layout default), so the exchange-free property must hold at
+      // both — a hardcoded count only survives its birth parallelism
+      for (parallelism <- Seq(8, 32)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parallelism.toString)
+        val tbl = s"fg_bulk_p$parallelism"
+        Layout.writeBucketedFeatureTable(features, tbl, Seq("c_custkey"))
+        val out = FeatureStore.retrieve(keys, spark.table(tbl),
+          Seq("c_custkey"), Fixtures.customerProfile,
+          Seq("c_name", "c_acctbal", "c_mktsegment"), broadcastKeys = false)
+        assert(out.count() === 3000L, s"parallelism=$parallelism")
+        // the 100 TB invariant behind q151: the feature table is joined
+        // on its bucket key, so no Exchange may sit between its scan and
+        // the join — only the key-set side shuffles
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.exchange.Exchange
+        val plan = out.queryExecution.executedPlan
+        val allScans = plan.collect { case s: FileSourceScanExec => s }
+        assert(allScans.nonEmpty,
+          s"expected a file scan (parallelism=$parallelism) in:\n$plan")
+        val shuffledScans = plan.collect {
+          case e: Exchange => e.collect { case s: FileSourceScanExec => s }
+        }.flatten
+        assert(shuffledScans.isEmpty,
+          s"bucketed table reached a join through an Exchange at " +
+            s"parallelism=$parallelism:\n$plan")
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevPar)
     }
   }
 

@@ -27,13 +27,14 @@ class PlanLintSpec extends AnyFunSuite with SparkSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("every oracle key names a query; only the two documented " +
-      "rows-only queries lack oracles") {
+  test("every oracle key names a query; every query has an oracle") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty,
       s"oracles without queries: ${(os -- qs).mkString(", ")}")
-    assert((qs -- os) === Set("q139_ann_opq_rotated", "q150_compression_ratio"),
+    // round 7 closed the last two gaps (q139 via the materialized
+    // learned rotation, q150 via pinned CPython-zlib deflate sizes)
+    assert((qs -- os).isEmpty,
       s"queries without oracles: ${(qs -- os).mkString(", ")}")
   }
 

@@ -220,6 +220,69 @@ class RandomizedSpec extends AnyFunSuite with SparkSuite {
     assert(run(df.repartition(32)) === base)
   }
 
+  test("resampleHourlyFill invariant under 1/4/32-partition shuffles") {
+    // ragged event stream with multi-event hours and gap hours; the
+    // forward-fill carry must be identical under any physical order
+    val rows = Seq.fill(400)((
+      rnd.nextInt(5).toLong,
+      java.sql.Timestamp.valueOf(
+        f"2024-03-${1 + rnd.nextInt(4)}%02d ${rnd.nextInt(24)}%02d:" +
+          f"${rnd.nextInt(60)}%02d:00"),
+      rnd.nextInt(200) * 0.25)).distinct
+    val df = rows.toDF("user_id", "ts", "value")
+    def run(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Option[Long])] =
+      graft.operators.InteractionStore.resampleHourlyFill(d)
+        .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val base = run(df.repartition(1))
+    assert(base.nonEmpty)
+    assert(run(df.repartition(4, $"user_id")) === base)
+    assert(run(df.repartition(32, $"value")) === base)
+  }
+
+  test("hashSampleQuantiles invariant under 1/4/32-partition shuffles") {
+    // heavy value ties stress the (value, hash) tie rule in both the
+    // bottom-k membership and the rank index
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(8) * 1.5))
+    val df = rows.toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame): Set[(Double, Double)] =
+      graft.operators.Sketches.hashSampleQuantiles(
+          d, "v", "id", k = 50, probs = Seq(0.1, 0.5, 0.9))
+        .as[(Double, Double)].collect().toSet
+    val base = run(df.repartition(1))
+    assert(base.size === 3)
+    assert(run(df.repartition(4, $"v")) === base)
+    assert(run(df.repartition(32, $"id")) === base)
+  }
+
+  test("IPS-weighted clicks invariant under 1/4/32-partition shuffles") {
+    // q164's full composition: position assignment via the (user, day)
+    // window with the (ts, event_id) tie-break, then ipsItemClicks —
+    // duplicated timestamps stress the tie rule, tied propensity terms
+    // stress the micro-floored sum
+    val rows = Seq.fill(600)((
+      rnd.nextInt(6).toLong,
+      java.sql.Timestamp.valueOf(
+        f"2024-02-${1 + rnd.nextInt(3)}%02d ${rnd.nextInt(4)}%02d:00:00"),
+      rnd.nextLong().abs,
+      rnd.nextInt(10).toLong,
+      rnd.nextInt(2).toLong)).distinct
+    val df = rows.toDF("user_id", "ts", "event_id", "item_id", "click")
+    def run(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", to_date($"ts"))
+        .orderBy($"ts".asc, $"event_id".asc)
+      val imp = d.withColumn("position", row_number().over(w))
+        .filter($"position" <= 20)
+      graft.operators.Evaluation.ipsItemClicks(
+          imp, "item_id", "position", "click")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    val base = run(df.repartition(1))
+    assert(base.nonEmpty)
+    assert(run(df.repartition(4, $"ts")) === base)
+    assert(run(df.repartition(32, $"item_id")) === base)
+  }
+
   test("uint64 maps to DecimalType(20,0): full unsigned range survives") {
     import graft.core.FeatureType
     val maxU64 = BigDecimal("18446744073709551615") // 2^64 - 1

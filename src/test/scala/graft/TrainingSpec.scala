@@ -125,6 +125,27 @@ class TrainingSpec extends AnyFunSuite with SparkSuite {
     assert(wide === plain)
   }
 
+  test("pointInTimeFresh: a newer NULL-valued history row does not refresh " +
+      "the staleness clock of an older real write") {
+    // user 1: real write at Jan 1, then a null-valued row at Jan 5.
+    // last(ignoreNulls) skips the null row, so the carried value is the
+    // Jan 1 one — and its AGE must be measured from Jan 1, not Jan 5.
+    val history = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(50.0)),
+      (1L, ts("2024-01-05 00:00:00"), None: Option[Double])
+    ).toDF("user_id", "ts", "value")
+    val labels = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 200L), // Jan 1 write is 1d old → fresh
+      (1L, ts("2024-01-06 00:00:00"), 201L)  // 5d old → stale, even though
+                                             // the null row is only 1d old
+    ).toDF("user_id", "ts", "label_id")
+    val got = Training.pointInTimeFresh(labels, history,
+        Seq("user_id"), "ts", "value", maxAge = "2 days")
+      .select("label_id", "value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got === Map(200L -> Some(50.0), 201L -> None))
+  }
+
   test("nextTokenPairs: adjacent id pairs, short docs emit nothing") {
     val df = Seq(
       (1L, Seq(3, 1, 2)), // (0,3,1), (1,1,2)
