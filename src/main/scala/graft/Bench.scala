@@ -5,12 +5,6 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup pass: JIT-compile the interpreted-expression and codegen
-    // paths and fault in the parquet footers/pages, so the timed pass
-    // measures query execution rather than JVM cold start.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
     // Median of >=3 timed passes per query: a single timed pass swings
     // up to 17x round-over-round on identical plans (GC, page cache,
     // thread scheduling), which is far above the 2x regression signal
@@ -23,6 +17,13 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Warmup pass over the SELECTED queries only: JIT-compile the
+    // interpreted-expression and codegen paths and fault in the
+    // parquet footers/pages, so the timed pass measures query
+    // execution rather than JVM cold start.
+    queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = queries.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
@@ -52,8 +53,12 @@ object Bench {
         "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toInt).toMap
       } else Map.empty
-    val shuffleRe = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
-    val audited = results.toSeq.filter(_._2 > 0.5).sortBy(-_._2).map {
+    // SPARK_GRAFT_AUDIT_ALL=1 audits every query regardless of time
+    // (baseline (re)generation); SPARK_GRAFT_WRITE_BASELINE=path dumps
+    // the observed shuffle counts there.
+    val auditAll = sys.env.get("SPARK_GRAFT_AUDIT_ALL").contains("1")
+    val audited = results.toSeq
+      .filter { case (_, t) => auditAll || t > 0.5 }.sortBy(-_._2).map {
       case (name, _) =>
         val verdict =
           try {
@@ -63,20 +68,41 @@ object Bench {
             // df's adaptive plan unfinalized (isFinalPlan=false, initial
             // static plan), defeating the audit's purpose
             df.queryExecution.toRdd.count()
-            // the adaptive root prints Final Plan then Initial Plan —
-            // audit only the finalized section
-            val plan = df.queryExecution.executedPlan.toString
-              .split("== Initial Plan ==").head
-            val nEx = shuffleRe.findAllIn(plan).length
-            if (plan.contains("CartesianProduct")) "CartesianProduct"
-            else if (plan.contains("BroadcastNestedLoopJoin")) "BroadcastNestedLoopJoin"
+            val shape = PlanAudit.audit(df.queryExecution.executedPlan)
+            // a `<name>!bnlj` baseline entry is a REVIEWED allowance
+            // for unprovably-bounded nested-loop joins (brute-force
+            // ANN baselines etc. — see PlanAudit scaladoc); anything
+            // above it is a regression
+            val okBnlj = baseline.getOrElse(s"$name!bnlj", 0)
+            if (shape.cartesian > 0) "CartesianProduct"
+            else if (shape.unboundedBnlj > okBnlj)
+              s"BroadcastNestedLoopJoin:${shape.unboundedBnlj}>$okBnlj"
             else baseline.get(name) match {
-              case Some(exp) if exp != nEx => s"exchanges:$nEx!=$exp"
+              case Some(exp) if exp != shape.shuffles =>
+                s"exchanges:${shape.shuffles}!=$exp"
               case Some(_) => "ok"
-              case None => s"ok(no-baseline:$nEx)"
+              case None => s"ok(no-baseline:${shape.shuffles},bnlj:${shape.unboundedBnlj})"
             }
           } catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
         name -> verdict
+    }
+    sys.env.get("SPARK_GRAFT_WRITE_BASELINE").foreach { path =>
+      val entries = audited.flatMap { case (n, v) =>
+        "no-baseline:(\\d+),bnlj:(\\d+)|exchanges:(\\d+)!=".r.findFirstMatchIn(v)
+          .map { m =>
+            val sh = Option(m.group(1)).getOrElse(m.group(3))
+            val bn = Option(m.group(2)).map(_.toInt).getOrElse(0)
+            Seq(n -> sh) ++
+              (if (bn > 0) Seq(s"$n!bnlj" -> bn.toString) else Nil)
+          }
+          .orElse(Some(baseline.filter { case (k, _) =>
+            k == n || k == s"$n!bnlj" }.toSeq.map { case (k, c) =>
+            k -> c.toString }))
+          .getOrElse(Nil)
+      }.sortBy(_._1)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        entries.map { case (n, c) => s"""  "$n": $c""" }
+          .mkString("{\n", ",\n", "\n}\n"))
     }
     val audit = audited.map { case (n, v) => s"\"" + n + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

@@ -2029,7 +2029,56 @@ object SparkEntry {
       graft.operators.Training.pointInTimeFresh(labels, history,
         keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
         maxAge = "2 days")
-    })
+    }),
+
+    // ---- per-group α-trimmed mean on exact micro-units: the robust
+    // location estimator between mean and median (the spend/latency
+    // summary one bot user can't drag). medianBy's rank arithmetic,
+    // boundary values kept by exact rank-interval intersection ----
+    "q167_trimmed_mean" -> ((s, dir) =>
+      graft.operators.Normalize.trimmedMeanBy(
+        Tables.events(s, dir).select(col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("vm")),
+        "event_type", "vm", alpha = 0.1)),
+
+    // ---- slate diversity companion to the accuracy metrics: per
+    // query, pairwise (1 − cosine) stats over the top-10 slate's
+    // embeddings — micro-floored per pair so the sums are integer
+    // order-free (Ziegler et al. WWW'05) ----
+    "q168_intra_list_diversity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val slate = SimilaritySearch.topK(emb, queries, k = 10,
+        metric = SimilaritySearch.Cosine, excludeSelf = true)
+        .select(col("query_id"), col("vec_id"))
+      graft.operators.Evaluation.intraListDiversity(slate, emb)
+    }),
+
+    // ---- PQ quantization distortion audit: per-vector squared error
+    // between the original embedding and its codeword reconstruction —
+    // the figure OPQ's rotation exists to shrink, reported next to the
+    // ANN queries it explains ----
+    "q169_pq_recon_error" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.PqIndex.build(emb, m = 8, k = 16)
+        .reconstructionError(emb)
+    }),
+
+    // ---- cross-source n-gram contamination matrix: distinct shared
+    // 3-shingles per source pair — the provenance audit run before
+    // mixing training sources or trusting a held-out split ----
+    "q170_cross_source_overlap" -> ((s, dir) =>
+      graft.operators.Dedup.crossSourceShingleOverlap(
+        Tables.documents(s, dir))),
+
+    // ---- vocabulary coverage curve: token-occurrence mass covered by
+    // the top-k tokens for each budget k — the tokenizer/vocab-size
+    // decision curve, built on the range-partitioned prefix sum ----
+    "q171_vocab_coverage" -> ((s, dir) =>
+      graft.operators.Corpus.coverageCurve(
+        Tables.documents(s, dir), "text", Seq(10, 50, 100, 500, 1000)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4825,7 +4874,115 @@ object SparkEntry {
         |SELECT l.user_id, l.ts, l.label_id,
         |  CASE WHEN h.ts >= l.ts - INTERVAL 2 DAY THEN h.value END AS value
         |FROM lab l ASOF LEFT JOIN hist h
-        |  ON l.user_id = h.user_id AND h.ts <= l.ts""".stripMargin
+        |  ON l.user_id = h.user_id AND h.ts <= l.ts""".stripMargin,
+
+    // q162's micro-unit staging -> per-group rank interval
+    // (floor(αn), n − floor(αn)]; both engines compute floor(0.1·n)
+    // in double and divide the exact kept-sum long once
+    "q167_trimmed_mean" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS vm FROM events),
+        |t AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+        |r AS (SELECT event_type, vm, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY vm) AS rn FROM v),
+        |k AS (SELECT r.event_type, r.vm FROM r JOIN t USING (event_type)
+        |  WHERE r.rn > CAST(floor(0.1 * t.n) AS BIGINT)
+        |    AND r.rn <= t.n - CAST(floor(0.1 * t.n) AS BIGINT))
+        |SELECT k.event_type, t.n, COUNT(*) AS n_kept,
+        |  CAST(SUM(k.vm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS trimmed_mean
+        |FROM k JOIN t USING (event_type) GROUP BY 1, 2""".stripMargin,
+
+    // q15's top-10 cosine slates -> within-slate pair join -> per-pair
+    // micro-floored (1 - cos) so the per-query sums are integer
+    // order-free on both engines
+    "q168_intra_list_diversity" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    ${sqlCosOf("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS score
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |slate AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 10),
+         |se AS (SELECT s.query_id, s.vec_id,
+         |         CAST(e.embedding AS DOUBLE[]) AS emb
+         |       FROM slate s JOIN embeddings e USING (vec_id)),
+         |p AS (SELECT a.query_id,
+         |    CAST(floor((1e0 - ${sqlCosOf("a.emb", "b.emb")}) * 1e6) AS BIGINT)
+         |      AS d
+         |  FROM se a JOIN se b
+         |    ON a.query_id = b.query_id AND a.vec_id < b.vec_id)
+         |SELECT query_id, COUNT(*) AS n_pairs,
+         |  CAST(SUM(d) AS BIGINT) AS ild_sum_micro,
+         |  CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ild_mean_micro
+         |FROM p GROUP BY 1""".stripMargin,
+
+    // q58's codebook/assign CTEs -> per-subspace squared distance to
+    // the assigned codeword, summed in fixed subspace order, one floor
+    "q169_pq_recon_error" -> {
+      val eParts = (0 until 8).map(j =>
+        s"MAX(CASE WHEN er.j = $j THEN er.e END) AS e$j").mkString(",\n|         ")
+      val eSum = (0 until 8).map(j => s"e$j").mkString(" + ")
+      s"""WITH p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cb AS (SELECT (s.vec_id // p.stride) AS cid, j.j AS j,
+         |         list_slice(s.emb, j.j*8 + 1, j.j*8 + 8) AS centroid
+         |       FROM e s, p, generate_series(0, 7) j(j)
+         |       WHERE s.vec_id % p.stride = 0 AND s.vec_id < p.stride * 16),
+         |sv AS (SELECT e.vec_id, j.j AS j,
+         |         list_slice(e.emb, j.j*8 + 1, j.j*8 + 8) AS sub
+         |       FROM e, generate_series(0, 7) j(j)),
+         |codes AS (SELECT vec_id, j, cid AS code FROM (
+         |  SELECT sv.vec_id, sv.j, cb.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
+         |      ORDER BY ${sqlSqDistOf("sv.sub", "cb.centroid")} ASC,
+         |               cb.cid ASC) AS rn
+         |  FROM sv JOIN cb ON sv.j = cb.j) WHERE rn = 1),
+         |er AS (SELECT sv.vec_id, sv.j,
+         |         ${sqlSqDistOf("sv.sub", "cb.centroid")} AS e
+         |       FROM sv JOIN codes c ON sv.vec_id = c.vec_id AND sv.j = c.j
+         |       JOIN cb ON cb.j = c.j AND cb.cid = c.code),
+         |pv AS (SELECT er.vec_id,
+         |         $eParts
+         |       FROM er GROUP BY 1)
+         |SELECT vec_id,
+         |  CAST(floor(($eSum) * 1e6) AS BIGINT) AS recon_err_micro
+         |FROM pv""".stripMargin
+    },
+
+    // distinct (source, shingle) -> inverted-index pair join, the q23
+    // shingle fragment shared verbatim
+    "q170_cross_source_overlap" ->
+      s"""WITH sh0 AS (SELECT source, unnest($sqlShingles) AS sh
+         |            FROM (SELECT source, $sqlWords AS w FROM documents)),
+         |sh AS (SELECT DISTINCT source, sh FROM sh0)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  COUNT(*) AS n_shared
+         |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
+
+    // frequency-ranked cumulative token mass; covered(k) = the mass at
+    // the largest rank <= k (handles k beyond the vocabulary)
+    "q171_vocab_coverage" ->
+      s"""WITH c AS (SELECT token, COUNT(*) AS cnt FROM (
+         |    SELECT unnest($sqlWords) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY 1),
+         |r AS (SELECT cnt,
+         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rnk,
+         |    SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+         |                   ROWS UNBOUNDED PRECEDING) AS mass FROM c),
+         |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+         |k(k) AS (SELECT unnest([10, 50, 100, 500, 1000]))
+         |SELECT k.k AS k,
+         |  CAST((SELECT MAX(mass) FROM r WHERE rnk <= k.k) AS BIGINT)
+         |    AS covered,
+         |  t.total,
+         |  CAST((SELECT MAX(mass) FROM r WHERE rnk <= k.k) AS DOUBLE)
+         |    / CAST(t.total AS DOUBLE) AS coverage
+         |FROM k, t""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -291,4 +291,52 @@ object Corpus {
         (first(col("__mn")) + (col("bucket") + 1) *
           (first(col("__mx")) - first(col("__mn"))) / buckets).as("hi"))
   }
+
+  /** Vocabulary coverage curve: for each requested vocabulary budget
+    * `k`, the fraction of ALL token occurrences covered by the `k`
+    * most frequent tokens — the number a tokenizer/vocab-size decision
+    * is made on (the marginal OOV rate of growing the vocab from 32k
+    * to 64k is read straight off this curve).
+    *
+    * Token counts reduce once; the cumulative occurrence mass rides
+    * [[graft.operators.PrefixSum.inclusiveBy]] over the frequency
+    * order `(cnt DESC, token ASC)` — range-partitioned, no
+    * single-partition window at any vocabulary size. The frequency
+    * RANK reuses the same prefix-sum machinery applied to a constant-1
+    * column, so both axes of the curve are exact longs; coverage is
+    * one long/long division. Output: `(k, covered, total, coverage)`,
+    * one row per requested k (a k beyond the vocabulary reports the
+    * full mass). */
+  def coverageCurve(
+      docs: DataFrame,
+      textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__one", lit(1L))
+    val order = Seq(col("cnt").desc, col("token").asc)
+    val cum = PrefixSum.inclusiveBy(
+      PrefixSum.inclusiveBy(counts, order, "cnt", "__mass"),
+      order, "__one", "__rank")
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    val kDf = ks.toDF("k")
+    // per k: the mass at rank = min(k, |vocab|) — the largest rank ≤ k;
+    // only the top-max(ks) rows can matter, so prune before the ×|ks|
+    // fan-out (at a 10⁹-token vocabulary this is the whole ballgame)
+    cum.filter(col("__rank") <= ks.max)
+      .crossJoin(broadcast(kDf))
+      .filter(col("__rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(max(struct(col("__rank"), col("__mass"))).as("__top"))
+      .select(col("k"), col("__top.__mass").as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("__total").as("total"),
+        (col("covered").cast("double") / col("__total").cast("double"))
+          .as("coverage"))
+  }
 }

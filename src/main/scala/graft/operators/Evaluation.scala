@@ -354,4 +354,47 @@ object Evaluation {
         (sum(col("__y")).cast("double") / count(lit(1)).cast("double"))
           .as("precision"))
   }
+
+  /** Intra-list diversity of recommendation slates: per query, the
+    * pairwise cosine DISTANCE (1 − cos) statistics over the slate
+    * items' embeddings. Accuracy metrics can't see a slate of ten
+    * near-identical items; this is the standard companion number
+    * (Ziegler et al., WWW'05 topic diversification).
+    *
+    * Each pair's distance is floored to micro-units BEFORE summing —
+    * integer sums are order-free, so the per-query totals are
+    * engine- and partitioning-exact (the repo's micro-unit
+    * convention); the mean is one long/long division.
+    *
+    * == Scale ==
+    * The embedding join touches k rows per query (slates are bounded:
+    * k ≤ 100 always); the pair fan-out is the within-slate self-join
+    * on the query key — k(k−1)/2 ≤ 5000 rows per query, a row-local
+    * constant factor, never a corpus×corpus product. Output:
+    * `(queryCol, n_pairs, ild_sum_micro, ild_mean_micro)`. */
+  def intraListDiversity(
+      slate: DataFrame,
+      embeddings: DataFrame,
+      queryCol: String = "query_id",
+      itemCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val withEmb = slate.select(col(queryCol), col(itemCol))
+      .join(embeddings.select(col(itemCol),
+        col(embCol).cast("array<double>").as("__e")), itemCol)
+    val a = withEmb.select(col(queryCol), col(itemCol).as("__ia"),
+      col("__e").as("__ea"))
+    val b = withEmb.select(col(queryCol), col(itemCol).as("__ib"),
+      col("__e").as("__eb"))
+    a.join(b, Seq(queryCol))
+      .filter(col("__ia") < col("__ib"))
+      .select(col(queryCol),
+        floor((lit(1.0) -
+          graft.functions.Similarity.cosine(col("__ea"), col("__eb"))) * 1e6)
+          .cast("long").as("__d"))
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__d")).as("ild_sum_micro"))
+      .withColumn("ild_mean_micro",
+        (col("ild_sum_micro").cast("double") / col("n_pairs").cast("double")))
+  }
 }

@@ -299,6 +299,54 @@ object Normalize {
       .select(col(groupCol), col("n"), col("__v").as("median"))
   }
 
+  /** EXACT per-group α-trimmed mean of a long column: drop the lowest
+    * and highest `floor(α·n)` values of each group, average the rest.
+    * The robust-location estimator between the mean (α=0) and the
+    * median (α→0.5) — the standard way to report a latency or spend
+    * metric that one bot user would otherwise drag.
+    *
+    * Same rank-arithmetic machinery as [[medianBy]] — distinct-value
+    * counts, one global prefix sum, per-group offsets — so no
+    * single-partition window at any size. A value straddling the trim
+    * boundary contributes only its in-range copies (exact interval
+    * intersection on the rank axis, in integers). The kept-value sum
+    * stays in longs; the ONE float op is the final division, so the
+    * result is bit-identical on any engine and partitioning.
+    * Output: `(groupCol, n, n_kept, trimmed_mean)`. */
+  def trimmedMeanBy(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha < 0.5, s"alpha must be in [0, 0.5), got $alpha")
+    val counts = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = PrefixSum.inclusiveBy(counts,
+      Seq(col(groupCol).asc, col("__v").asc), "__cnt", "__cum")
+    val groups = cum.groupBy(col(groupCol))
+      .agg(min(col("__cum") - col("__cnt")).as("__off"),
+        sum(col("__cnt")).as("n"))
+    // kept rank interval (floor(α·n), n − floor(α·n)]; each distinct
+    // value covers within-group ranks (cum−off−cnt, cum−off] and
+    // contributes the size of the interval intersection
+    cum.join(groups, Seq(groupCol))
+      .withColumn("__t", floor(lit(alpha) * col("n")).cast("long"))
+      .withColumn("__lo", col("__cum") - col("__off") - col("__cnt"))
+      .withColumn("__hi", col("__cum") - col("__off"))
+      .withColumn("__kept",
+        greatest(lit(0L),
+          least(col("__hi"), col("n") - col("__t")) -
+            greatest(col("__lo"), col("__t"))))
+      .filter(col("__kept") > 0)
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("__kept")).as("n_kept"),
+        sum(col("__kept") * col("__v")).as("__s"))
+      .select(col(groupCol), col("n"), col("n_kept"),
+        (col("__s").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean"))
+  }
+
   /** Robust per-group location/scale summary on exact micro-unit
     * integers: lower median, MAD (median absolute deviation — both via
     * [[medianBy]]'s rank arithmetic), and the count of |x−med| >

@@ -91,6 +91,42 @@ final case class PqIndex(
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kResults)
   }
+
+  /** Per-vector quantization distortion audit: the squared L2 distance
+    * between each original embedding and its code reconstruction
+    * (concatenated nearest codewords) — the number OPQ's rotation and
+    * k-means refinement exist to shrink. Reported in micro-units
+    * (`floor(err·1e6)`) so the figure is engine-exact: each subspace
+    * distance is the fixed-order [[graft.expr.SquaredDistance]] fold,
+    * and the m terms sum in subspace order ([[searchDot]]'s pivot
+    * trick), so the ONE floor sees the identical double everywhere.
+    *
+    * Scale: one pass over the corpus (subspace explode is a row-local
+    * ×m fan-out of subDim-sized slices), one broadcast of the
+    * m·k-row codebook, one equi-join with the stored codes on
+    * (id, subspace) — no shuffle wider than the codes table.
+    * Output: `(idCol, recon_err_micro)`. */
+  def reconstructionError(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val sv = PqIndex.explodeSubspaces(
+      corpus.select(col(idCol), col(embCol).cast("array<double>").as(embCol)),
+      embCol, m, subDim, "__sub")
+    val cb = codebook.select(col("j").as("__cj"), col("cid").as("__cc"),
+      col("centroid"))
+    val per = sv.join(codes, Seq(idCol, "j"))
+      .join(broadcast(cb), col("j") === col("__cj") && col("code") === col("__cc"))
+      .select(col(idCol), col("j").as("__j"),
+        PqIndex.sqDist(col("__sub"), col("centroid")).as("__e"))
+    val parts = (0 until m).map(j =>
+      max(when(col("__j") === j, col("__e"))).as(s"__e$j"))
+    per.groupBy(col(idCol))
+      .agg(parts.head, parts.tail: _*)
+      .select(col(idCol),
+        floor((0 until m).map(j => col(s"__e$j")).reduce(_ + _) * 1e6)
+          .cast("long").as("recon_err_micro"))
+  }
 }
 
 object PqIndex {

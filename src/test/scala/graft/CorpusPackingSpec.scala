@@ -159,4 +159,29 @@ class CorpusPackingSpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("coverageCurve matches the naive frequency-ranked mass, k beyond " +
+      "the vocabulary reports full coverage") {
+    val rnd = new scala.util.Random(31)
+    val vocabulary = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = (1 to 80).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(10))(
+        vocabulary(rnd.nextInt(vocabulary.length))).mkString(" "))
+    }
+    val counts = docs.flatMap(_._2.split(" ")).groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val total = counts.map(_._2).sum
+    val ks = Seq(1, 3, 5, 100) // 100 > |vocab| = 7
+    val naive = ks.map { k =>
+      val covered = counts.take(k).map(_._2).sum
+      (k, covered, total, covered.toDouble / total)
+    }.toSet
+    for (parts <- Seq(1, 8)) {
+      val got = graft.operators.Corpus.coverageCurve(
+          docs.toDF("doc_id", "text").repartition(parts), "text", ks)
+        .as[(Int, Long, Long, Double)].collect().toSet
+      assert(got === naive, s"parts=$parts")
+    }
+  }
 }

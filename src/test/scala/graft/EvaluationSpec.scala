@@ -383,6 +383,63 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(got === naive)
   }
 
+  test("intraListDiversity matches the naive pairwise computation") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val slate = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 4L))
+      .toDF("query_id", "vec_id")
+    val got = graft.operators.Evaluation
+      .intraListDiversity(slate, emb)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def d(a: Seq[Double], b: Seq[Double]): Long =
+      math.floor((1.0 - cos(a, b)) * 1e6).toLong
+    val e = Map(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
+      3L -> Seq(1.0, 1.0), 4L -> Seq(1.0, 0.0))
+    // q10: pairs (1,2), (1,3), (2,3); q20: pair (1,4) identical → 0
+    val s10 = d(e(1L), e(2L)) + d(e(1L), e(3L)) + d(e(2L), e(3L))
+    assert(got === Seq(
+      (10L, 3L, s10, s10.toDouble / 3),
+      (20L, 1L, 0L, 0.0)))
+  }
+
+  test("trimmedMeanBy matches the naive sorted-drop computation, any " +
+      "partitioning, ties straddling the trim boundary included") {
+    val rnd = new scala.util.Random(61)
+    // few distinct values → boundary values often have copies on both
+    // sides of the cut, exercising the rank-interval intersection
+    val rows = (1 to 1200).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(12).toLong))
+    val alpha = 0.15
+    val naive = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val t = math.floor(alpha * sorted.length).toInt
+      val kept = sorted.slice(t, sorted.length - t)
+      (g, sorted.length.toLong, kept.length.toLong,
+        kept.sum.toDouble / kept.length)
+    }.toSeq.sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val got = graft.operators.Normalize
+        .trimmedMeanBy(rows.toDF("g", "v").repartition(parts), "g", "v",
+          alpha)
+        .as[(String, Long, Long, Double)].collect().sorted.toSeq
+      assert(got === naive, s"parts=$parts")
+    }
+    // alpha = 0 reduces to the plain mean
+    val all = graft.operators.Normalize
+      .trimmedMeanBy(rows.toDF("g", "v"), "g", "v", 0.0)
+      .as[(String, Long, Long, Double)].collect().sorted.toSeq
+    val plain = rows.groupBy(_._1).map { case (g, vs) =>
+      (g, vs.length.toLong, vs.length.toLong,
+        vs.map(_._2).sum.toDouble / vs.length) }.toSeq.sorted
+    assert(all === plain)
+  }
+
   test("robustStatsBy: high-cardinality groupCol shuffle-joins — no forced " +
       "broadcast of the per-group tables") {
     // With broadcast thresholds disabled, any BroadcastExchange left in

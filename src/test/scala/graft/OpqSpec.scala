@@ -155,4 +155,45 @@ class OpqSpec extends AnyFunSuite with SparkSuite {
     assert(rRot >= rPlain - 0.05,
       s"PCA rotation badly regressed recall: $rRot vs $rPlain")
   }
+
+  test("reconstructionError: zero exactly on codebook seed vectors, " +
+      "matches the naive decode elsewhere") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val idx = graft.operators.PqIndex.build(emb, m = 8, k = 16)
+    val errs = idx.reconstructionError(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(errs.nonEmpty)
+    assert(errs.values.forall(_ >= 0L))
+    // the seed vectors ARE their own codewords: error exactly 0
+    val n = emb.count()
+    val stride = math.max(n / 16, 1L)
+    val seeds = errs.keys.filter(id => id % stride == 0 && id < stride * 16)
+    assert(seeds.nonEmpty)
+    assert(seeds.forall(id => errs(id) == 0L),
+      s"seed vectors must reconstruct exactly: " +
+        s"${seeds.filter(errs(_) != 0L).take(3)}")
+    // naive decode for a handful of vectors
+    val cb = idx.codebook.as[(Int, Long, Seq[Double])].collect()
+      .map { case (j, cid, c) => (j, cid) -> c }.toMap
+    val codes = idx.codes.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val some = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    for ((id, e) <- some) {
+      var total = 0.0
+      for (j <- 0 until 8) {
+        val cent = cb((j, codes(id)(j)))
+        val sub = e.slice(j * 8, j * 8 + 8)
+        var d = 0.0
+        for (t <- 0 until 8) {
+          val diff = sub(t) - cent(t)
+          d += diff * diff
+        }
+        total += d
+      }
+      assert(errs(id) === math.floor(total * 1e6).toLong, s"vec $id")
+    }
+  }
 }

@@ -335,4 +335,33 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
       assert(got === naive, s"parts=$parts")
     }
   }
+
+  test("crossSourceShingleOverlap equals the naive distinct-shingle " +
+      "set intersections, any partitioning") {
+    val rnd = new scala.util.Random(29)
+    val vocabulary = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    val docs = (1 to 120).map { i =>
+      val words = Seq.fill(6 + rnd.nextInt(6))(
+        vocabulary(rnd.nextInt(vocabulary.length)))
+      (i.toLong, words.mkString(" "), s"src${rnd.nextInt(4)}")
+    }
+    def shingles(text: String): Set[String] = {
+      val w = text.split(" ").toSeq
+      if (w.length < 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bySource = docs.groupBy(_._3).view
+      .mapValues(_.flatMap(d => shingles(d._2)).toSet).toMap
+    val naive = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      n = (bySource(a) & bySource(b)).size if n > 0
+    } yield (a, b, n.toLong)).toSet
+    for (parts <- Seq(1, 8)) {
+      val got = Dedup.crossSourceShingleOverlap(
+          docs.toDF("doc_id", "text", "source").repartition(parts))
+        .as[(String, String, Long)].collect().toSet
+      assert(got === naive, s"parts=$parts")
+    }
+  }
 }
