@@ -2078,7 +2078,43 @@ object SparkEntry {
     // decision curve, built on the range-partitioned prefix sum ----
     "q171_vocab_coverage" -> ((s, dir) =>
       graft.operators.Corpus.coverageCurve(
-        Tables.documents(s, dir), "text", Seq(10, 50, 100, 500, 1000)))
+        Tables.documents(s, dir), "text", Seq(10, 50, 100, 500, 1000))),
+
+    // ---- winsorized sibling of q167: the tails are CLAMPED to the
+    // boundary order statistics instead of dropped (n stays constant);
+    // clamped sum exact in longs, one division ----
+    "q172_winsorized_mean" -> ((s, dir) =>
+      graft.operators.Normalize.winsorizedMeanBy(
+        Tables.events(s, dir).select(col("event_type"),
+          floor(col("value") * 1e6).cast("long").as("vm")),
+        "event_type", "vm", alpha = 0.1)),
+
+    // ---- bigram conditional LM table P(w2|w1): adjacent-pair counts
+    // via array 1-shift zip (no window), exact rational division ----
+    "q173_bigram_conditional" -> ((s, dir) =>
+      graft.operators.Corpus.bigramConditional(
+        Tables.documents(s, dir), "text", minCount = 5)),
+
+    // ---- tokenizer fertility per language: subtokens/word and
+    // chars/word ratios per lang — the per-language tokenizer-cost
+    // table ----
+    "q174_tokenizer_fertility" -> ((s, dir) =>
+      graft.operators.Corpus.tokenizerFertility(
+        Tables.documents(s, dir), "text", "lang")),
+
+    // ---- q145's position construction -> per-position CTR with
+    // Wilson 95% intervals (small-n-safe uncertainty on the
+    // position-bias curve) ----
+    "q175_position_ctr_wilson" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val imp = Tables.events(s, dir)
+        .withColumn("position", row_number().over(w))
+        .filter(col("position") <= 20)
+        .withColumn("click", (col("event_type") === "click").cast("long"))
+      graft.operators.Evaluation.positionCtrWilson(imp, "position", "click")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4982,7 +5018,94 @@ object SparkEntry {
          |  t.total,
          |  CAST((SELECT MAX(mass) FROM r WHERE rnk <= k.k) AS DOUBLE)
          |    / CAST(t.total AS DOUBLE) AS coverage
-         |FROM k, t""".stripMargin
+         |FROM k, t""".stripMargin,
+
+    // q167's rank CTEs; clamped sum = middle + t*v_(t+1) + t*v_(n-t)
+    // in exact BIGINTs, one division by n
+    "q172_winsorized_mean" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS vm FROM events),
+        |t AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(floor(0.1 * COUNT(*)) AS BIGINT) AS tt
+        |  FROM v GROUP BY 1),
+        |r AS (SELECT event_type, vm, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY vm) AS rn FROM v),
+        |mid AS (SELECT r.event_type, CAST(SUM(r.vm) AS BIGINT) AS s
+        |  FROM r JOIN t USING (event_type)
+        |  WHERE r.rn > t.tt AND r.rn <= t.n - t.tt GROUP BY 1),
+        |lo AS (SELECT r.event_type, r.vm AS v FROM r JOIN t USING (event_type)
+        |  WHERE r.rn = t.tt + 1),
+        |hi AS (SELECT r.event_type, r.vm AS v FROM r JOIN t USING (event_type)
+        |  WHERE r.rn = t.n - t.tt)
+        |SELECT t.event_type, t.n,
+        |  CAST(mid.s + t.tt * lo.v + t.tt * hi.v AS DOUBLE)
+        |    / CAST(t.n AS DOUBLE) AS winsorized_mean
+        |FROM t JOIN mid USING (event_type) JOIN lo USING (event_type)
+        |  JOIN hi USING (event_type)""".stripMargin,
+
+    // in-doc adjacent pairs via the same word split; exact rational p
+    "q173_bigram_conditional" ->
+      s"""WITH w AS (SELECT $sqlWords AS w FROM documents),
+         |pr0 AS (SELECT list_transform(
+         |    generate_series(1, greatest(len(w) - 1, 0)),
+         |    i -> [w[i], w[i+1]]) AS ps FROM w),
+         |pr AS (SELECT p[1] AS w1, p[2] AS w2
+         |       FROM (SELECT unnest(ps) AS p FROM pr0)
+         |       WHERE p[1] <> '' AND p[2] <> ''),
+         |pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pr GROUP BY 1, 2),
+         |pf AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_prefix
+         |       FROM pc GROUP BY 1)
+         |SELECT pc.w1, pc.w2, pc.n_pair, pf.n_prefix,
+         |  CAST(pc.n_pair AS DOUBLE) / CAST(pf.n_prefix AS DOUBLE) AS p
+         |FROM pc JOIN pf USING (w1) WHERE pf.n_prefix >= 5""".stripMargin,
+
+    // q21's token-count twins aggregated per language; two exact
+    // divisions
+    "q174_tokenizer_fertility" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($sqlWords)) AS BIGINT) AS n_words,
+         |  CAST(SUM(len(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_subtokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS DOUBLE)
+         |    / CAST(SUM(len($sqlWords)) AS DOUBLE) AS fertility,
+         |  CAST(SUM(length(text)) AS DOUBLE)
+         |    / CAST(SUM(len($sqlWords)) AS DOUBLE) AS chars_per_word
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q145's position CTE -> Wilson 95% interval, identical IEEE op
+    // order and the same z / z^2 double literals on both sides
+    "q175_position_ctr_wilson" ->
+      """WITH imp AS (SELECT
+        |    CAST(event_type = 'click' AS BIGINT) AS click,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS position
+        |  FROM events),
+        |b AS (SELECT position, COUNT(*) AS n,
+        |    CAST(SUM(click) AS BIGINT) AS clicks
+        |  FROM imp WHERE position <= 20 GROUP BY 1)
+        |SELECT position, n, clicks,
+        |  CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE) AS ctr,
+        |  ((CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 3.8415999999999997E0 / (2E0 * CAST(n AS DOUBLE)))
+        |    - 1.96E0 * sqrt(
+        |        CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (1E0 - CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + 3.8415999999999997E0
+        |          / (4E0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |  / (1E0 + 3.8415999999999997E0 / CAST(n AS DOUBLE)) AS wilson_lo,
+        |  ((CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + 3.8415999999999997E0 / (2E0 * CAST(n AS DOUBLE)))
+        |    + 1.96E0 * sqrt(
+        |        CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE)
+        |          * (1E0 - CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + 3.8415999999999997E0
+        |          / (4E0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |  / (1E0 + 3.8415999999999997E0 / CAST(n AS DOUBLE)) AS wilson_hi
+        |FROM b""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

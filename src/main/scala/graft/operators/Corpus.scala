@@ -292,6 +292,73 @@ object Corpus {
           (first(col("__mx")) - first(col("__mn"))) / buckets).as("hi"))
   }
 
+  /** Bigram conditional-probability table `P(w2 | w1)` over adjacent
+    * word pairs: the simplest corpus language model, and the
+    * diagnostic behind repetition/perplexity screens ("which
+    * continuations dominate after this word"). Probabilities are ONE
+    * division of exact long counts, so the table reproduces
+    * bit-for-bit in any engine. `minCount` drops rare prefixes (the
+    * Zipf tail is noise AND the bulk of the output at corpus scale).
+    *
+    * == Scale ==
+    * One explode produces in-doc adjacent pairs row-locally (array
+    * 1-shift zip — no window, no self-join); one shuffle counts
+    * (w1, w2) with map-side combine; prefix totals aggregate the
+    * already-small pair table, not the corpus, and join back on w1.
+    * Output: `(w1, w2, n_pair, n_prefix, p)`. */
+  def bigramConditional(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Int = 2): DataFrame = {
+    val pairs = docs
+      .select(TextFunctions.words(col(textCol)).as("__w"))
+      .select(explode(arrays_zip(
+        slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+        slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0)))))
+        .as("__p"))
+      .select(col("__p.0").as("w1"), col("__p.1").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val pairCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val prefixCounts = pairCounts.groupBy(col("w1"))
+      .agg(sum(col("n_pair")).as("n_prefix"))
+    pairCounts.join(prefixCounts, "w1")
+      .filter(col("n_prefix") >= minCount)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_prefix"),
+        (col("n_pair").cast("double") / col("n_prefix").cast("double"))
+          .as("p"))
+  }
+
+  /** Tokenizer fertility per language: subtokens-per-word and
+    * chars-per-word ratios, the number a tokenizer is judged on per
+    * language (a BPE vocab tuned on English typically shows 2–3×
+    * fertility on agglutinative or non-Latin languages — this table
+    * is how that imbalance is measured). All counts exact longs; the
+    * two ratios are one division each. One explode-free scan: word
+    * and subtoken counts are row-local array lengths. Output:
+    * `(langCol, n_docs, n_words, n_subtokens, n_chars, fertility,
+    * chars_per_word)`. */
+  def tokenizerFertility(
+      docs: DataFrame,
+      textCol: String,
+      langCol: String): DataFrame =
+    docs
+      .select(col(langCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__nw"),
+        TextFunctions.subTokenCount(col(textCol)).cast("long").as("__ns"),
+        length(col(textCol)).cast("long").as("__nc"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_words"),
+        sum(col("__ns")).as("n_subtokens"),
+        sum(col("__nc")).as("n_chars"))
+      .select(col(langCol), col("n_docs"), col("n_words"),
+        col("n_subtokens"), col("n_chars"),
+        (col("n_subtokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_words").cast("double"))
+          .as("chars_per_word"))
+
   /** Vocabulary coverage curve: for each requested vocabulary budget
     * `k`, the fraction of ALL token occurrences covered by the `k`
     * most frequent tokens — the number a tokenizer/vocab-size decision

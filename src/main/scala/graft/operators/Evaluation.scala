@@ -355,6 +355,37 @@ object Evaluation {
           .as("precision"))
   }
 
+  /** Position-CTR curve with Wilson score intervals: per position,
+    * impressions, clicks, the raw rate, and the 95% Wilson bounds —
+    * the position-bias curve (q145/IPS's input) with the uncertainty
+    * that separates "position 18 converts worse" from "position 18
+    * has 40 impressions". Wilson is the standard small-n-safe
+    * interval (Brown et al., Statist. Sci. 16(2), 2001).
+    *
+    * Determinism: counts are exact longs; the interval is ONE fixed
+    * shape of IEEE ops (divisions, multiplies, one sqrt — all
+    * correctly rounded by IEEE 754) evaluated in identical order by
+    * any engine, with z and z² passed as the same double literals.
+    * Output: `(posCol, n, clicks, ctr, wilson_lo, wilson_hi)`. */
+  def positionCtrWilson(
+      impressions: DataFrame,
+      posCol: String,
+      clickCol: String,
+      z: Double = 1.96): DataFrame = {
+    val zz = z * z
+    val base = impressions.groupBy(col(posCol))
+      .agg(count(lit(1)).as("n"), sum(col(clickCol).cast("long")).as("clicks"))
+    val nD = col("n").cast("double")
+    val p = col("clicks").cast("double") / nD
+    val a = p + lit(zz) / (lit(2.0) * nD)
+    val rad = p * (lit(1.0) - p) / nD + lit(zz) / (lit(4.0) * nD * nD)
+    val den = lit(1.0) + lit(zz) / nD
+    base.select(col(posCol), col("n"), col("clicks"),
+      p.as("ctr"),
+      ((a - lit(z) * sqrt(rad)) / den).as("wilson_lo"),
+      ((a + lit(z) * sqrt(rad)) / den).as("wilson_hi"))
+  }
+
   /** Intra-list diversity of recommendation slates: per query, the
     * pairwise cosine DISTANCE (1 − cos) statistics over the slate
     * items' embeddings. Accuracy metrics can't see a slate of ten

@@ -347,6 +347,50 @@ object Normalize {
           .as("trimmed_mean"))
   }
 
+  /** EXACT per-group α-winsorized mean: the lowest and highest
+    * `floor(α·n)` values are CLAMPED to the (t+1)-th and (n−t)-th
+    * order statistics instead of dropped ([[trimmedMeanBy]]'s
+    * sibling — winsorizing keeps n constant, which some downstream
+    * consumers require). Same rank-arithmetic construction; the
+    * clamped sum is `middle + t·v_(t+1) + t·v_(n−t)` in exact longs,
+    * the ONE float op is the final division by n.
+    * Output: `(groupCol, n, winsorized_mean)`. */
+  def winsorizedMeanBy(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha < 0.5, s"alpha must be in [0, 0.5), got $alpha")
+    val counts = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = PrefixSum.inclusiveBy(counts,
+      Seq(col(groupCol).asc, col("__v").asc), "__cnt", "__cum")
+    val groups = cum.groupBy(col(groupCol))
+      .agg(min(col("__cum") - col("__cnt")).as("__off"),
+        sum(col("__cnt")).as("n"))
+    cum.join(groups, Seq(groupCol))
+      .withColumn("__t", floor(lit(alpha) * col("n")).cast("long"))
+      .withColumn("__lo", col("__cum") - col("__off") - col("__cnt"))
+      .withColumn("__hi", col("__cum") - col("__off"))
+      .withColumn("__kept",
+        greatest(lit(0L),
+          least(col("__hi"), col("n") - col("__t")) -
+            greatest(col("__lo"), col("__t"))))
+      .groupBy(col(groupCol), col("n"), col("__t"))
+      .agg(sum(col("__kept") * col("__v")).as("__mid"),
+        // the boundary order statistics: the value whose within-group
+        // rank interval (lo, hi] covers rank t+1 / rank n−t
+        max(when(col("__lo") < col("__t") + 1 &&
+          col("__t") + 1 <= col("__hi"), col("__v"))).as("__vlo"),
+        max(when(col("__lo") < col("n") - col("__t") &&
+          col("n") - col("__t") <= col("__hi"), col("__v"))).as("__vhi"))
+      .select(col(groupCol), col("n"),
+        ((col("__mid") + col("__t") * coalesce(col("__vlo"), lit(0L)) +
+          col("__t") * coalesce(col("__vhi"), lit(0L))).cast("double") /
+          col("n").cast("double")).as("winsorized_mean"))
+  }
+
   /** Robust per-group location/scale summary on exact micro-unit
     * integers: lower median, MAD (median absolute deviation — both via
     * [[medianBy]]'s rank arithmetic), and the count of |x−med| >

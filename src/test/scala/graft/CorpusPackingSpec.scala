@@ -160,6 +160,41 @@ class CorpusPackingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("bigramConditional: P(w2|w1) matches naive adjacent-pair counts; " +
+      "single-word docs emit nothing") {
+    val docs = Seq(
+      (1L, "a b a b c"),   // pairs: (a,b) x2... (a,b),(b,a),(a,b),(b,c)
+      (2L, "b a"),
+      (3L, "x"),           // no pairs
+      (4L, "a b")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.bigramConditional(docs, "text", minCount = 1)
+      .as[(String, String, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // prefix a: (a,b) x3 -> n_prefix 3; prefix b: (b,a) x2, (b,c) x1
+    assert(got === Seq(
+      ("a", "b", 3L, 3L, 1.0),
+      ("b", "a", 2L, 3L, 2.0 / 3.0),
+      ("b", "c", 1L, 3L, 1.0 / 3.0)))
+    // minCount prunes prefixes below the threshold
+    assert(graft.operators.Corpus.bigramConditional(docs, "text", minCount = 4)
+      .count() === 0L)
+  }
+
+  test("tokenizerFertility: per-language ratios match hand counts") {
+    val docs = Seq(
+      (1L, "ab cd", "en"),   // 2 words, 2 subtokens, 5 chars
+      (2L, "a1b c", "en"),   // 2 words, 4 subtokens (a,1,b,c), 5 chars
+      (3L, "x y z", "de")    // 3 words, 3 subtokens, 5 chars
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.operators.Corpus.tokenizerFertility(docs, "text", "lang")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("de", 1L, 3L, 3L, 5L, 1.0, 5.0 / 3.0),
+      ("en", 2L, 4L, 6L, 10L, 1.5, 2.5)))
+  }
+
   test("coverageCurve matches the naive frequency-ranked mass, k beyond " +
       "the vocabulary reports full coverage") {
     val rnd = new scala.util.Random(31)

@@ -440,6 +440,73 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(all === plain)
   }
 
+  test("winsorizedMeanBy matches the naive clamp computation, any " +
+      "partitioning; alpha = 0 reduces to the mean") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 1000).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(15).toLong))
+    val alpha = 0.12
+    val naive = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      val t = math.floor(alpha * n).toInt
+      val clamped = sorted.zipWithIndex.map { case (v, i) =>
+        if (i < t) sorted(t) else if (i >= n - t) sorted(n - t - 1) else v
+      }
+      (g, n.toLong, clamped.sum.toDouble / n)
+    }.toSeq.sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val got = graft.operators.Normalize
+        .winsorizedMeanBy(rows.toDF("g", "v").repartition(parts), "g", "v",
+          alpha)
+        .as[(String, Long, Double)].collect().sorted.toSeq
+      assert(got === naive, s"parts=$parts")
+    }
+    val plain = rows.groupBy(_._1).map { case (g, vs) =>
+      (g, vs.length.toLong, vs.map(_._2).sum.toDouble / vs.length)
+    }.toSeq.sorted
+    assert(graft.operators.Normalize
+      .winsorizedMeanBy(rows.toDF("g", "v"), "g", "v", 0.0)
+      .as[(String, Long, Double)].collect().sorted.toSeq === plain)
+  }
+
+  test("positionCtrWilson: matches the closed form, bounds bracket the " +
+      "rate, degenerate all-click/no-click positions stay in [0, 1]") {
+    val rows = Seq.tabulate(400) { i =>
+      val pos = i % 4 + 1
+      // pos 1: ~half click; pos 2: none; pos 3: all; pos 4: sparse
+      val click = pos match {
+        case 1 => i % 2
+        case 2 => 0
+        case 3 => 1
+        case _ => if (i % 10 == 0) 1 else 0
+      }
+      (pos, click.toLong)
+    }
+    val got = graft.operators.Evaluation
+      .positionCtrWilson(rows.toDF("position", "click"), "position", "click")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    val z = 1.96
+    val zz = z * z
+    for ((pos, n, clicks, ctr, lo, hi) <- got) {
+      val nn = n.toDouble
+      val p = clicks.toDouble / nn
+      assert(ctr === p, s"pos $pos")
+      val a = p + zz / (2.0 * nn)
+      val rad = p * (1.0 - p) / nn + zz / (4.0 * nn * nn)
+      val den = 1.0 + zz / nn
+      assert(lo === (a - z * math.sqrt(rad)) / den, s"pos $pos lo")
+      assert(hi === (a + z * math.sqrt(rad)) / den, s"pos $pos hi")
+      // FP-tolerant ordering: at p = 1.0 the hi bound rounds to
+      // 1 − 1 ulp (sqrt(z²) ≠ z exactly), so bracket within 1e-12
+      val eps = 1e-12
+      assert(lo >= -eps && lo <= p + eps && p <= hi + eps && hi <= 1.0 + eps,
+        s"pos $pos order")
+    }
+    assert(got.length === 4)
+  }
+
   test("robustStatsBy: high-cardinality groupCol shuffle-joins — no forced " +
       "broadcast of the per-group tables") {
     // With broadcast thresholds disabled, any BroadcastExchange left in
