@@ -57,9 +57,15 @@ object Bench {
     // (baseline (re)generation); SPARK_GRAFT_WRITE_BASELINE=path dumps
     // the observed shuffle counts there.
     val auditAll = sys.env.get("SPARK_GRAFT_AUDIT_ALL").contains("1")
-    val audited = results.toSeq
-      .filter { case (_, t) => auditAll || t > 0.5 }.sortBy(-_._2).map {
-      case (name, _) =>
+    // >0.5 s floor PLUS always the top-3: a suite whose every query is
+    // fast (small sf, or a perf win) must still keep the minimal
+    // always-on coverage the floor alone would lose.
+    val byCost = results.toSeq.sortBy(-_._2)
+    val top3 = byCost.take(3).map(_._1).toSet
+    val toAudit = byCost.filter { case (n, t) =>
+      auditAll || t > 0.5 || top3(n) }
+    var shapes = Map.empty[String, PlanAudit.Shape]
+    val audited = toAudit.map { case (name, _) =>
         val verdict =
           try {
             val df = SparkEntry.queries(name)(spark, sfDir)
@@ -69,6 +75,7 @@ object Bench {
             // static plan), defeating the audit's purpose
             df.queryExecution.toRdd.count()
             val shape = PlanAudit.audit(df.queryExecution.executedPlan)
+            shapes += name -> shape
             // a `<name>!bnlj` baseline entry is a REVIEWED allowance
             // for unprovably-bounded nested-loop joins (brute-force
             // ANN baselines etc. — see PlanAudit scaladoc); anything
@@ -86,22 +93,25 @@ object Bench {
           } catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
         name -> verdict
     }
+    // Baseline writer works from the OBSERVED shapes, not the verdict
+    // strings: flagged queries still get their counts recorded
+    // (bootstrap from an empty file works), a query's reviewed !bnlj
+    // allowance survives an exchanges-mismatch run (observed bnlj is
+    // re-emitted), and entries for queries NOT audited this run
+    // (BENCH_ONLY, sub-floor) are carried over from the existing file
+    // instead of silently truncated.
     sys.env.get("SPARK_GRAFT_WRITE_BASELINE").foreach { path =>
-      val entries = audited.flatMap { case (n, v) =>
-        "no-baseline:(\\d+),bnlj:(\\d+)|exchanges:(\\d+)!=".r.findFirstMatchIn(v)
-          .map { m =>
-            val sh = Option(m.group(1)).getOrElse(m.group(3))
-            val bn = Option(m.group(2)).map(_.toInt).getOrElse(0)
-            Seq(n -> sh) ++
-              (if (bn > 0) Seq(s"$n!bnlj" -> bn.toString) else Nil)
-          }
-          .orElse(Some(baseline.filter { case (k, _) =>
-            k == n || k == s"$n!bnlj" }.toSeq.map { case (k, c) =>
-            k -> c.toString }))
-          .getOrElse(Nil)
-      }.sortBy(_._1)
+      val fresh = shapes.toSeq.flatMap { case (n, s) =>
+        Seq(n -> s.shuffles) ++
+          (if (s.unboundedBnlj > 0) Seq(s"$n!bnlj" -> s.unboundedBnlj) else Nil)
+      }.toMap
+      val carried = baseline.filter { case (k, _) =>
+        val base = k.stripSuffix("!bnlj")
+        !shapes.contains(base)
+      }
+      val merged = (carried ++ fresh).toSeq.sortBy(_._1)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-        entries.map { case (n, c) => s"""  "$n": $c""" }
+        merged.map { case (n, c) => s"""  "$n": $c""" }
           .mkString("{\n", ",\n", "\n}\n"))
     }
     val audit = audited.map { case (n, v) => s"\"" + n + "\":\"" + v + "\"" }

@@ -96,12 +96,15 @@ object PlanAudit {
   }
 
   private def groupsPinned(a: BaseAggregateExec): Boolean = {
-    val keys = a.groupingExpressions.map {
-      case ar: AttributeReference => Some(ar.exprId.id)
-      case ne => ne.collectFirst { case ar: AttributeReference => ar.exprId.id }
+    val pinned = pinnedBelow(a.child)
+    // EVERY attribute a grouping expression reads must be pinned: a
+    // composite key like concat(a, b) with only `a = 'x'` below still
+    // has one row per distinct b. Attribute-free grouping exprs
+    // (literals) are constants — vacuously pinned.
+    a.groupingExpressions.nonEmpty && a.groupingExpressions.forall { ne =>
+      ne.collect { case ar: AttributeReference => ar.exprId.id }
+        .forall(pinned.contains)
     }
-    keys.nonEmpty && keys.forall(_.isDefined) &&
-      keys.flatten.toSet.subsetOf(pinnedBelow(a.child))
   }
 
   /** True if `p` provably produces O(1) rows at ANY data size. */

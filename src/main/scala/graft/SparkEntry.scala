@@ -1636,10 +1636,12 @@ object SparkEntry {
       graft.operators.Recsys.associationRules(Tables.events(s, dir),
         recentPerUser = 30, minUsers = 2)),
 
-    // ---- OPQ with the LEARNED PCA rotation, end to end (no SQL
-    // oracle can eigendecompose — deliberately registered without an
-    // oracleSql entry so the driver records the weaker rows-only
-    // check; exact semantics are spec-gated in OpqSpec) ----
+    // ---- OPQ with the LEARNED PCA rotation, end to end. Oracled
+    // since round 7: no SQL engine eigendecomposes, but the fit is
+    // deterministic, so the rotation is materialized as literals
+    // (Q139Rotation) and the oracle applies it as an unrolled mat-vec
+    // — see the oracleSql entry; exact semantics also spec-gated in
+    // OpqSpec ----
     "q139_ann_opq_rotated" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val rot = graft.operators.PcaRotate.fit(e, "embedding")
@@ -4947,8 +4949,8 @@ object SparkEntry {
          |         CAST(e.embedding AS DOUBLE[]) AS emb
          |       FROM slate s JOIN embeddings e USING (vec_id)),
          |p AS (SELECT a.query_id,
-         |    CAST(floor((1e0 - ${sqlCosOf("a.emb", "b.emb")}) * 1e6) AS BIGINT)
-         |      AS d
+         |    greatest(CAST(floor((1e0 - ${sqlCosOf("a.emb", "b.emb")}) * 1e6)
+         |      AS BIGINT), 0) AS d
          |  FROM se a JOIN se b
          |    ON a.query_id = b.query_id AND a.vec_id < b.vec_id)
          |SELECT query_id, COUNT(*) AS n_pairs,

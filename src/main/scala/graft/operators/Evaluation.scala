@@ -419,9 +419,13 @@ object Evaluation {
     a.join(b, Seq(queryCol))
       .filter(col("__ia") < col("__ib"))
       .select(col(queryCol),
-        floor((lit(1.0) -
+        // clamp at 0: FP cosine of near-identical vectors can exceed
+        // 1.0 by an ulp (sqrt(x)² ≠ x), and floor would turn that
+        // into a −1 micro-distance — nonsense for a metric callers
+        // treat as ≥ 0. The SQL oracle clamps identically.
+        greatest(floor((lit(1.0) -
           graft.functions.Similarity.cosine(col("__ea"), col("__eb"))) * 1e6)
-          .cast("long").as("__d"))
+          .cast("long"), lit(0L)).as("__d"))
       .groupBy(col(queryCol))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("__d")).as("ild_sum_micro"))

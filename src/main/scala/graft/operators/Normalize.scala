@@ -278,7 +278,21 @@ object Normalize {
     *
     * Output: `(groupCol, n, median)`. Exact integer arithmetic
     * end-to-end — the same value on any engine and partitioning. */
-  def medianBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  /** Shared staging for the rank-arithmetic family ([[medianBy]] /
+    * [[trimmedMeanBy]] / [[winsorizedMeanBy]]): distinct-value counts
+    * (one shuffle, map-side combine), global inclusive prefix sum in
+    * `(group, value)` order, and each group's rank offset + total.
+    * Returns one row per (group, distinct value) with columns
+    * `(groupCol, __v, __cnt, __cum, __off, n)`; a value's within-group
+    * inclusive rank interval is `(__cum−__off−__cnt, __cum−__off]`.
+    *
+    * No broadcast hint on the per-group join: |groups| is
+    * caller-controlled (a user_id groupCol at 100 TB has billions of
+    * groups) — a forced broadcast would OOM the driver where a shuffle
+    * join is fine. AQE converts to broadcast whenever the group table
+    * is actually small (the percentRank convention above). */
+  private def rankStagedBy(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val counts = df
       .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
       .agg(count(lit(1)).as("__cnt"))
@@ -287,12 +301,26 @@ object Normalize {
     val groups = cum.groupBy(col(groupCol))
       .agg(min(col("__cum") - col("__cnt")).as("__off"),
         sum(col("__cnt")).as("n"))
-    // no broadcast hint: |groups| is caller-controlled (a user_id
-    // groupCol at 100 TB has billions of groups) — a forced broadcast
-    // would OOM the driver where a shuffle join is fine. AQE converts
-    // to broadcast whenever the group table is actually small (the
-    // percentRank convention above).
     cum.join(groups, Seq(groupCol))
+  }
+
+  /** [[rankStagedBy]] plus the α-trim bookkeeping shared by
+    * [[trimmedMeanBy]] and [[winsorizedMeanBy]]: `__t` = floor(α·n),
+    * the value's rank interval (`__lo`, `__hi`], and `__kept` = how
+    * many of its copies fall inside the kept middle `(t, n−t]`. */
+  private def trimStagedBy(df: DataFrame, groupCol: String,
+      valueCol: String, alpha: Double): DataFrame =
+    rankStagedBy(df, groupCol, valueCol)
+      .withColumn("__t", floor(lit(alpha) * col("n")).cast("long"))
+      .withColumn("__lo", col("__cum") - col("__off") - col("__cnt"))
+      .withColumn("__hi", col("__cum") - col("__off"))
+      .withColumn("__kept",
+        greatest(lit(0L),
+          least(col("__hi"), col("n") - col("__t")) -
+            greatest(col("__lo"), col("__t"))))
+
+  def medianBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    rankStagedBy(df, groupCol, valueCol)
       .withColumn("__k", expr("(n + 1) div 2"))
       .filter(col("__cum") - col("__off") - col("__cnt") < col("__k") &&
         col("__k") <= col("__cum") - col("__off"))
@@ -319,25 +347,7 @@ object Normalize {
       valueCol: String,
       alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha < 0.5, s"alpha must be in [0, 0.5), got $alpha")
-    val counts = df
-      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__cnt"))
-    val cum = PrefixSum.inclusiveBy(counts,
-      Seq(col(groupCol).asc, col("__v").asc), "__cnt", "__cum")
-    val groups = cum.groupBy(col(groupCol))
-      .agg(min(col("__cum") - col("__cnt")).as("__off"),
-        sum(col("__cnt")).as("n"))
-    // kept rank interval (floor(α·n), n − floor(α·n)]; each distinct
-    // value covers within-group ranks (cum−off−cnt, cum−off] and
-    // contributes the size of the interval intersection
-    cum.join(groups, Seq(groupCol))
-      .withColumn("__t", floor(lit(alpha) * col("n")).cast("long"))
-      .withColumn("__lo", col("__cum") - col("__off") - col("__cnt"))
-      .withColumn("__hi", col("__cum") - col("__off"))
-      .withColumn("__kept",
-        greatest(lit(0L),
-          least(col("__hi"), col("n") - col("__t")) -
-            greatest(col("__lo"), col("__t"))))
+    trimStagedBy(df, groupCol, valueCol, alpha)
       .filter(col("__kept") > 0)
       .groupBy(col(groupCol), col("n"))
       .agg(sum(col("__kept")).as("n_kept"),
@@ -361,22 +371,7 @@ object Normalize {
       valueCol: String,
       alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha < 0.5, s"alpha must be in [0, 0.5), got $alpha")
-    val counts = df
-      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__cnt"))
-    val cum = PrefixSum.inclusiveBy(counts,
-      Seq(col(groupCol).asc, col("__v").asc), "__cnt", "__cum")
-    val groups = cum.groupBy(col(groupCol))
-      .agg(min(col("__cum") - col("__cnt")).as("__off"),
-        sum(col("__cnt")).as("n"))
-    cum.join(groups, Seq(groupCol))
-      .withColumn("__t", floor(lit(alpha) * col("n")).cast("long"))
-      .withColumn("__lo", col("__cum") - col("__off") - col("__cnt"))
-      .withColumn("__hi", col("__cum") - col("__off"))
-      .withColumn("__kept",
-        greatest(lit(0L),
-          least(col("__hi"), col("n") - col("__t")) -
-            greatest(col("__lo"), col("__t"))))
+    trimStagedBy(df, groupCol, valueCol, alpha)
       .groupBy(col(groupCol), col("n"), col("__t"))
       .agg(sum(col("__kept") * col("__v")).as("__mid"),
         // the boundary order statistics: the value whose within-group

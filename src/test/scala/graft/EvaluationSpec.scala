@@ -398,7 +398,7 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
     def d(a: Seq[Double], b: Seq[Double]): Long =
-      math.floor((1.0 - cos(a, b)) * 1e6).toLong
+      math.max(math.floor((1.0 - cos(a, b)) * 1e6).toLong, 0L)
     val e = Map(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
       3L -> Seq(1.0, 1.0), 4L -> Seq(1.0, 0.0))
     // q10: pairs (1,2), (1,3), (2,3); q20: pair (1,4) identical → 0
