@@ -2116,6 +2116,18 @@ object SparkEntry {
         .filter(col("position") <= 20)
         .withColumn("click", (col("event_type") === "click").cast("long"))
       graft.operators.Evaluation.positionCtrWilson(imp, "position", "click")
+    }),
+
+    // ---- PSI feature-drift gate: reference = view events, current =
+    // click events; equal-frequency bins on the reference (q12's
+    // exact-percentile convention), per-bin (p−q)·ln(p/q) rounded
+    // (q83's ln convention) ----
+    "q176_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Normalize.psiBins(
+        ev.filter(col("event_type") === "view").select(col("value")),
+        ev.filter(col("event_type") === "click").select(col("value")),
+        "value", nBins = 10)
     })
   )
 
@@ -5107,7 +5119,39 @@ object SparkEntry {
         |        + 3.8415999999999997E0
         |          / (4E0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
         |  / (1E0 + 3.8415999999999997E0 / CAST(n AS DOUBLE)) AS wilson_hi
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // q12's quantile_cont edges on the reference side; strict-> bin
+    // assignment; q83's round(ln, 6) convention for the terms
+    "q176_psi_drift" -> {
+      val edges = (1 until 10).map(i =>
+        s"CAST(quantile_cont(value, ${i.toDouble / 10}) AS DOUBLE) AS e${i - 1}")
+        .mkString(", ")
+      val binExpr = (0 until 9).map(i =>
+        s"CAST(value > e.e$i AS INTEGER)").mkString(" + ")
+      s"""WITH refv AS (SELECT value FROM events WHERE event_type = 'view'),
+         |curv AS (SELECT value FROM events WHERE event_type = 'click'),
+         |e AS (SELECT $edges FROM refv),
+         |rb AS (SELECT $binExpr AS bin, COUNT(*) AS ref_n
+         |       FROM refv, e GROUP BY 1),
+         |cb AS (SELECT $binExpr AS bin, COUNT(*) AS cur_n
+         |       FROM curv, e GROUP BY 1),
+         |spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS bin),
+         |j AS (SELECT s.bin,
+         |    CAST(COALESCE(rb.ref_n, 0) AS BIGINT) AS ref_n,
+         |    CAST(COALESCE(cb.cur_n, 0) AS BIGINT) AS cur_n
+         |  FROM spine s LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+         |t AS (SELECT bin, ref_n, cur_n,
+         |    CAST(SUM(ref_n) OVER () AS DOUBLE) AS rt,
+         |    CAST(SUM(cur_n) OVER () AS DOUBLE) AS ct FROM j)
+         |SELECT bin, ref_n, cur_n,
+         |  CASE WHEN ref_n > 0 AND cur_n > 0 THEN
+         |    round((CAST(ref_n AS DOUBLE) / rt - CAST(cur_n AS DOUBLE) / ct)
+         |      * ln((CAST(ref_n AS DOUBLE) / rt)
+         |          / (CAST(cur_n AS DOUBLE) / ct)), 6)
+         |  END AS psi_term
+         |FROM t""".stripMargin
+    }
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -415,4 +415,60 @@ object Normalize {
       .select(col(groupCol), col("n"), col("median_micro"),
         col("mad_micro"), col("n_outliers"))
   }
+
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * distribution of a numeric column — the standard feature-drift
+    * gate between a training snapshot and serving traffic (PSI < 0.1
+    * stable, > 0.25 retrain). Bins are equal-frequency on the
+    * reference (exact percentile edges, the q12 convention); each
+    * dataset assigns bins row-locally against the broadcast edge row;
+    * per-bin terms are `(p−q)·ln(p/q)` rounded to `scale` dp (ln
+    * differs in the last ulps across libm implementations — the
+    * [[Corpus.cooccurrencePmi]] convention), null when either side's
+    * bin is empty (callers sum non-null terms). Output: one row per
+    * bin, `(bin, ref_n, cur_n, psi_term)`.
+    *
+    * == Scale ==
+    * One percentile aggregate over the reference (broadcast back as a
+    * single row), one scan + groupBy per side over nBins keys, and a
+    * literal nBins-row spine for empty bins — no joins wider than the
+    * bin table, works unchanged on a 100 TB reference. */
+  def psiBins(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      scale: Int = 6): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val edgeCols = (1 until nBins).map { i =>
+      expr(s"percentile($valueCol, ${i.toDouble / nBins})").as(s"__e${i - 1}")
+    }
+    val edges = ref.agg(edgeCols.head, edgeCols.tail: _*)
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.crossJoin(broadcast(edges))
+        .select((0 until nBins - 1)
+          .map(i => (col(valueCol) > col(s"__e$i")).cast("int"))
+          .reduce(_ + _).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val spine = (0 until nBins).toDF("bin")
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    spine
+      .join(binned(ref, "ref_n"), Seq("bin"), "left")
+      .join(binned(cur, "cur_n"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .withColumn("__rt", sum(col("ref_n")).over(allW))
+      .withColumn("__ct", sum(col("cur_n")).over(allW))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        when(col("ref_n") > 0 && col("cur_n") > 0,
+          round((col("ref_n").cast("double") / col("__rt").cast("double") -
+            col("cur_n").cast("double") / col("__ct").cast("double")) *
+            log((col("ref_n").cast("double") / col("__rt").cast("double")) /
+              (col("cur_n").cast("double") / col("__ct").cast("double"))),
+            scale)).as("psi_term"))
+  }
 }

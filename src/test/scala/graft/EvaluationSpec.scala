@@ -507,6 +507,35 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(got.length === 4)
   }
 
+  test("psiBins: identical distributions score 0, shifted ones don't; " +
+      "equal-frequency bins on the reference; partitioning-invariant") {
+    val rnd = new scala.util.Random(71)
+    val ref = (1 to 2000).map(_ => rnd.nextDouble() * 100).toDF("value")
+    // identical current → every non-empty bin term is exactly 0
+    val same = graft.operators.Normalize.psiBins(ref, ref, "value", 10)
+      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(same.length === 10)
+    assert(same.map(_._2).sum === 2000L)
+    // equal-frequency: every reference bin holds ~n/nBins rows
+    assert(same.forall(r => r._2 >= 190 && r._2 <= 210),
+      same.map(_._2).mkString(","))
+    assert(same.forall(_._4.contains(0.0)))
+    // a location-shifted current distribution shows real drift
+    val cur = (1 to 2000).map(_ => rnd.nextDouble() * 100 + 30).toDF("value")
+    val drift = graft.operators.Normalize.psiBins(ref, cur, "value", 10)
+      .as[(Int, Long, Long, Option[Double])].collect()
+    val psi = drift.flatMap(_._4).sum
+    assert(psi > 0.25, s"expected strong drift, psi=$psi")
+    // invariance under input repartitioning
+    val a = graft.operators.Normalize
+      .psiBins(ref.repartition(1), cur.repartition(1), "value", 10)
+      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val b = graft.operators.Normalize
+      .psiBins(ref.repartition(32), cur.repartition(7), "value", 10)
+      .as[(Int, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("robustStatsBy: high-cardinality groupCol shuffle-joins — no forced " +
       "broadcast of the per-group tables") {
     // With broadcast thresholds disabled, any BroadcastExchange left in

@@ -10,16 +10,32 @@ import org.scalatest.funsuite.AnyFunSuite
   * BroadcastNestedLoopJoin instead). */
 class PlanLintSpec extends AnyFunSuite with SparkSuite {
 
-  test("all queries run at sf0.001 and avoid CartesianProduct plans") {
+  test("all queries execute at sf0.001 with no cartesian product and " +
+      "no unreviewed unbounded nested-loop join in the FINAL plan") {
     val dir = "/root/testdata/sf0.001"
+    // same reviewed `!bnlj` allowances the bench audit uses (the 11
+    // by-design brute-force / centroid-probe shapes)
+    val allow: Map[String, Int] = {
+      val p = java.nio.file.Paths.get("bench_exchange_baseline.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        "\"([^\"]+)!bnlj\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+      } else Map.empty
+    }
     val failures = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, dir)
-        val plan = df.queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct"))
+        // execute through THIS QueryExecution so the audited adaptive
+        // plan is the finalized one (the Bench convention)
+        df.queryExecution.toRdd.count()
+        val shape = PlanAudit.audit(df.queryExecution.executedPlan)
+        if (shape.cartesian > 0)
           failures += s"$name: CartesianProduct in plan"
-        df.count() // must execute
+        if (shape.unboundedBnlj > allow.getOrElse(name, 0))
+          failures += s"$name: ${shape.unboundedBnlj} unbounded " +
+            s"BroadcastNestedLoopJoin (allowance ${allow.getOrElse(name, 0)})"
       } catch {
         case e: Throwable => failures += s"$name: ${e.getMessage}"
       }
