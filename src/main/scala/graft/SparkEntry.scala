@@ -2128,7 +2128,17 @@ object SparkEntry {
         ev.filter(col("event_type") === "view").select(col("value")),
         ev.filter(col("event_type") === "click").select(col("value")),
         "value", nBins = 10)
-    })
+    }),
+
+    // ---- operating-point selection: precision/recall at each score
+    // threshold in ONE conditional-aggregation scan (value as the
+    // score, click as the label) ----
+    "q177_pr_curve" -> ((s, dir) =>
+      graft.operators.Evaluation.prCurve(
+        Tables.events(s, dir)
+          .select(col("value").as("score"),
+            (col("event_type") === "click").cast("long").as("y")),
+        "score", "y", thresholds = Seq(10.0, 50.0, 100.0, 250.0, 500.0)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5151,7 +5161,29 @@ object SparkEntry {
          |          / (CAST(cur_n AS DOUBLE) / ct)), 6)
          |  END AS psi_term
          |FROM t""".stripMargin
-    }
+    },
+
+    // one grouped pass per threshold via the thresholds spine; exact
+    // counts, guarded divisions
+    "q177_pr_curve" ->
+      """WITH s AS (SELECT value AS score,
+        |    CAST(event_type = 'click' AS BIGINT) AS y FROM events),
+        |t AS (SELECT unnest([10.0E0, 50.0E0, 100.0E0, 250.0E0, 500.0E0])
+        |        AS threshold),
+        |c AS (SELECT t.threshold,
+        |    CAST(SUM(CASE WHEN s.score >= t.threshold THEN s.y
+        |             ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN s.score >= t.threshold THEN 1 - s.y
+        |             ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN s.score < t.threshold THEN s.y
+        |             ELSE 0 END) AS BIGINT) AS fn
+        |  FROM t, s GROUP BY 1)
+        |SELECT threshold, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+        |FROM c""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -355,6 +355,44 @@ object Evaluation {
           .as("precision"))
   }
 
+  /** Precision/recall sweep over score thresholds — the
+    * operating-point table a deployment threshold is chosen from
+    * (AUC summarizes the ranking; shipping needs ONE cutoff and its
+    * tradeoff). Counts are exact longs; precision/recall are one
+    * division each, null when undefined (no predicted / no actual
+    * positives at that threshold).
+    *
+    * == Scale ==
+    * ONE scan: per-threshold tp/fp/fn ride a single conditional
+    * aggregation (3·|thresholds| partial counters, map-side
+    * combined), then the one-row result unpivots row-locally to one
+    * row per threshold. Never a thresholds × data fan-out. Output:
+    * `(threshold, tp, fp, fn, precision, recall)`. */
+  def prCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val y = col(labelCol).cast("long")
+    val aggCols = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col(scoreCol) >= t, y).otherwise(0L)).as(s"__tp$i"),
+      sum(when(col(scoreCol) >= t, lit(1L) - y).otherwise(0L)).as(s"__fp$i"),
+      sum(when(col(scoreCol) < t, y).otherwise(0L)).as(s"__fn$i")) }
+    df.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"), col(s"__tp$i").as("tp"),
+          col(s"__fp$i").as("fp"), col(s"__fn$i").as("fn")) }: _*)).as("__r"))
+      .select(col("__r.threshold"), col("__r.tp"), col("__r.fp"),
+        col("__r.fn"),
+        when(col("__r.tp") + col("__r.fp") > 0,
+          col("__r.tp").cast("double") /
+            (col("__r.tp") + col("__r.fp")).cast("double")).as("precision"),
+        when(col("__r.tp") + col("__r.fn") > 0,
+          col("__r.tp").cast("double") /
+            (col("__r.tp") + col("__r.fn")).cast("double")).as("recall"))
+  }
+
   /** Position-CTR curve with Wilson score intervals: per position,
     * impressions, clicks, the raw rate, and the 95% Wilson bounds —
     * the position-bias curve (q145/IPS's input) with the uncertainty

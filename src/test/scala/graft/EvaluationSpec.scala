@@ -507,6 +507,35 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(got.length === 4)
   }
 
+  test("prCurve matches naive threshold counts; degenerate thresholds " +
+      "yield null precision/recall rather than 0/0") {
+    val rnd = new scala.util.Random(73)
+    val rows = (1 to 800).map { _ =>
+      val s = rnd.nextDouble() * 100
+      (s, if (s + rnd.nextGaussian() * 30 > 60) 1L else 0L)
+    }
+    val thresholds = Seq(0.0, 25.0, 50.0, 75.0, 100.0, 200.0)
+    val naive = thresholds.map { t =>
+      val tp = rows.count { case (s, y) => s >= t && y == 1L }.toLong
+      val fp = rows.count { case (s, y) => s >= t && y == 0L }.toLong
+      val fn = rows.count { case (s, y) => s < t && y == 1L }.toLong
+      (t, tp, fp, fn,
+        if (tp + fp > 0) Some(tp.toDouble / (tp + fp)) else None,
+        if (tp + fn > 0) Some(tp.toDouble / (tp + fn)) else None)
+    }
+    for (parts <- Seq(1, 16)) {
+      val got = graft.operators.Evaluation
+        .prCurve(rows.toDF("score", "y").repartition(parts), "score", "y",
+          thresholds)
+        .as[(Double, Long, Long, Long, Option[Double], Option[Double])]
+        .collect().sortBy(_._1).toSeq
+      assert(got === naive, s"parts=$parts")
+    }
+    // t=200 predicts nothing → precision null; recall 0 (tp=0, fn>0)
+    val top = naive.last
+    assert(top._5.isEmpty && top._6.contains(0.0))
+  }
+
   test("psiBins: identical distributions score 0, shifted ones don't; " +
       "equal-frequency bins on the reference; partitioning-invariant") {
     val rnd = new scala.util.Random(71)
