@@ -29,12 +29,19 @@ object TextFunctions {
   def subTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles: `"a b c d"` → `["a b c", "b c d"]` (n=3). */
+  /** Word n-gram shingles: `"a b c d"` → `["a b c", "b c d"]` (n=3).
+    * CONVENIENCE ONLY — the shingle lambda references `ws` per
+    * element, so the inlined regex split re-runs once per shingle per
+    * row (measured 10× wall on a real corpus). In any per-row hot
+    * path, stage `words(text).as("__w")` in a projection and call
+    * [[shinglesFromWords]] on the attribute instead. */
   def shingles(text: Column, n: Int): Column =
     shinglesFromWords(words(text), n)
 
   /** Shingles from an already-materialized word array — use this with a
-    * staged projection so the regex word split runs once per row. */
+    * staged projection so the regex word split runs once per row
+    * (passing a non-attribute expression re-evaluates it per shingle:
+    * the lambda body references `ws` for every sequence element). */
   def shinglesFromWords(ws: Column, n: Int): Column =
     transform(sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(ws, i, lit(n))))
