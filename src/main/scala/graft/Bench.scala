@@ -102,8 +102,17 @@ object Bench {
     // instead of silently truncated.
     sys.env.get("SPARK_GRAFT_WRITE_BASELINE").foreach { path =>
       val fresh = shapes.toSeq.flatMap { case (n, s) =>
-        Seq(n -> s.shuffles) ++
-          (if (s.unboundedBnlj > 0) Seq(s"$n!bnlj" -> s.unboundedBnlj) else Nil)
+        // NEVER auto-mint a `!bnlj` allowance: allowances are
+        // hand-reviewed (SKILL.md), so a query that regressed into an
+        // unbounded BNLJ must stay flagged rather than self-approve on
+        // the next baseline refresh. An EXISTING allowance ratchets
+        // down to the observed count (never up) and disappears when
+        // the shape is gone.
+        Seq(n -> s.shuffles) ++ (baseline.get(s"$n!bnlj") match {
+          case Some(prior) if s.unboundedBnlj > 0 =>
+            Seq(s"$n!bnlj" -> math.min(s.unboundedBnlj, prior))
+          case _ => Nil
+        })
       }.toMap
       val carried = baseline.filter { case (k, _) =>
         val base = k.stripSuffix("!bnlj")

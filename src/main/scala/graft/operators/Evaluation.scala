@@ -375,10 +375,16 @@ object Evaluation {
       thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
     val y = col(labelCol).cast("long")
+    // coalesce: a global sum over an EMPTY input is null, and the
+    // counts contract is exact longs (0, not null, when nothing
+    // matches)
     val aggCols = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
-      sum(when(col(scoreCol) >= t, y).otherwise(0L)).as(s"__tp$i"),
-      sum(when(col(scoreCol) >= t, lit(1L) - y).otherwise(0L)).as(s"__fp$i"),
-      sum(when(col(scoreCol) < t, y).otherwise(0L)).as(s"__fn$i")) }
+      coalesce(sum(when(col(scoreCol) >= t, y).otherwise(0L)), lit(0L))
+        .as(s"__tp$i"),
+      coalesce(sum(when(col(scoreCol) >= t, lit(1L) - y).otherwise(0L)),
+        lit(0L)).as(s"__fp$i"),
+      coalesce(sum(when(col(scoreCol) < t, y).otherwise(0L)), lit(0L))
+        .as(s"__fn$i")) }
     df.agg(aggCols.head, aggCols.tail: _*)
       .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
         struct(lit(t).as("threshold"), col(s"__tp$i").as("tp"),

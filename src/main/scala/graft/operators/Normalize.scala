@@ -259,25 +259,6 @@ object Normalize {
           .as("pos_rate"))
   }
 
-  /** EXACT per-group lower median of a long column, with no
-    * single-partition window: the group's (n+1)/2-th order statistic
-    * located by rank arithmetic on the distinct-value count table.
-    *
-    *   1. `(group, value)` counts — one shuffle, map-side combine;
-    *   2. global inclusive prefix sum over the total order
-    *      `(group asc, value asc)` ([[PrefixSum.inclusiveBy]] — range
-    *      partitioned, partition-parallel);
-    *   3. each group's rank offset = `min(cum − cnt)` within the
-    *      group, and its total — one aggregation over the distinct
-    *      table;
-    *   4. the median row is the one whose within-group inclusive rank
-    *      interval `(cum−off−cnt, cum−off]` covers `(n+1) div 2` —
-    *      an unhinted equi-join against the one-row-per-group table
-    *      (AQE broadcasts it when small; high-cardinality group
-    *      columns shuffle-join instead of OOMing the driver).
-    *
-    * Output: `(groupCol, n, median)`. Exact integer arithmetic
-    * end-to-end — the same value on any engine and partitioning. */
   /** Shared staging for the rank-arithmetic family ([[medianBy]] /
     * [[trimmedMeanBy]] / [[winsorizedMeanBy]]): distinct-value counts
     * (one shuffle, map-side combine), global inclusive prefix sum in
@@ -319,6 +300,12 @@ object Normalize {
           least(col("__hi"), col("n") - col("__t")) -
             greatest(col("__lo"), col("__t"))))
 
+  /** EXACT per-group lower median of a long column, with no
+    * single-partition window: the group's `(n+1) div 2`-th order
+    * statistic located on [[rankStagedBy]]'s table — the median row is
+    * the one whose within-group rank interval covers that rank.
+    * Output: `(groupCol, n, median)`. Exact integer arithmetic
+    * end-to-end — the same value on any engine and partitioning. */
   def medianBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     rankStagedBy(df, groupCol, valueCol)
       .withColumn("__k", expr("(n + 1) div 2"))
