@@ -21,13 +21,24 @@ object Bench {
     // interpreted-expression and codegen paths and fault in the
     // parquet footers/pages, so the timed pass measures query
     // execution rather than JVM cold start.
-    queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // Per-query failures are RECORDED, never swallowed: a broken query
+    // gets an "error:<class>" entry in the output JSON and flips the
+    // exit code, so an environment shift (e.g. a testdata schema change)
+    // can never again produce a green BENCH over broken queries.
+    var errors = Map.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          errors += name -> e.getClass.getSimpleName
+      }
     }
     val results = queries.map { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors += name -> e.getClass.getSimpleName
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(times.length / 2)
@@ -85,8 +96,13 @@ object Bench {
             else if (shape.unboundedBnlj > okBnlj)
               s"BroadcastNestedLoopJoin:${shape.unboundedBnlj}>$okBnlj"
             else baseline.get(name) match {
-              case Some(exp) if exp != shape.shuffles =>
+              // MORE shuffles than recorded = regression; FEWER is an
+              // improvement (AQE variance or a real win), noted but not
+              // flagged so audit flags stay a monotone signal.
+              case Some(exp) if shape.shuffles > exp =>
                 s"exchanges:${shape.shuffles}!=$exp"
+              case Some(exp) if shape.shuffles < exp =>
+                s"ok(improved:${shape.shuffles}<$exp)"
               case Some(_) => "ok"
               case None => s"ok(no-baseline:${shape.shuffles},bnlj:${shape.unboundedBnlj})"
             }
@@ -125,7 +141,17 @@ object Bench {
     }
     val audit = audited.map { case (n, v) => s"\"" + n + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan_audit":$audit,"sf":"$sfDir"}""")
+    val auditFlags = audited.collect {
+      case (n, v) if !v.startsWith("ok") && !v.startsWith("error") => n
+    }
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (n, c) => s"\"" + n + "\":\"error:" + c + "\"" }
+      .mkString("{", ",", "}")
+    // Summary keys lead the JSON object (and the line) so a truncated
+    // capture still shows error/audit-flag counts before the long
+    // per-query maps.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

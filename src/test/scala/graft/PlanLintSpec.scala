@@ -40,7 +40,11 @@ class PlanLintSpec extends AnyFunSuite with SparkSuite {
         case e: Throwable => failures += s"$name: ${e.getMessage}"
       }
     }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    // lead with the count: when testdata drift breaks a batch of
+    // queries at once, the headline number is the signal
+    assert(failures.isEmpty,
+      s"${failures.size}/${SparkEntry.queries.size} queries failed lint:\n" +
+        failures.mkString("\n"))
   }
 
   test("every oracle key names a query; every query has an oracle") {
