@@ -26,7 +26,7 @@ object SparkEntry {
   /** Stage the events table into a fresh temp dir and open it as a
     * file stream (the Kafka-topic stand-in, `streaming/Ingest.scala`
     * header note) so streaming operators run driver-oracled end to
-    * end. `ts` gets the same nanos→micros normalization as
+    * end. `ts` gets the same encoding normalization as
     * [[Tables.events]]. Returns (stream, tempBase). */
   private def streamedEvents(s: SparkSession, dir: String, tag: String)
       : (DataFrame, String) = {
@@ -38,11 +38,7 @@ object SparkEntry {
       java.nio.file.Paths.get(s"$in/events.parquet"))
     val schema = Tables.load(s, dir, "events").schema
     val raw = graft.streaming.Ingest.fileSource(streamSession(s), in, schema)
-    val ev =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    (ev, base)
+    (Tables.normalizeEventTs(raw), base)
   }
 
   /** Session clone for stream fixtures. Stateful streaming parallelism
@@ -2138,7 +2134,25 @@ object SparkEntry {
         Tables.events(s, dir)
           .select(col("value").as("score"),
             (col("event_type") === "click").cast("long").as("y")),
-        "score", "y", thresholds = Seq(10.0, 50.0, 100.0, 250.0, 500.0)))
+        "score", "y", thresholds = Seq(10.0, 50.0, 100.0, 250.0, 500.0))),
+
+    // ---- MMR diversified top-K: greedy slate selection over the
+    // top-20 cosine pool, re-scoring each slot by
+    // score·(1 − λ·max_sim_to_selected) — the reference's
+    // episodic-memory retriever selection ----
+    "q178_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val pool = SimilaritySearch.topK(emb, queries, k = 20,
+        metric = SimilaritySearch.Cosine, excludeSelf = true)
+        .select(col("query_id"), col("vec_id"), col("score"))
+      val cand = pool.join(
+        emb.select(col("vec_id"), col("embedding")), "vec_id")
+      Pipeline.mmrRerank(cand, Seq("query_id"), "vec_id", "score",
+        "embedding", k = 5, penalty = 0.5)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5183,7 +5197,53 @@ object SparkEntry {
         |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
         |  CASE WHEN tp + fn > 0 THEN
         |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // greedy MMR unrolled for k=5: s1 = raw argmax; each later slot is
+    // a per-query argmax of score*(1E0 - 0.5E0*greatest(0, cos to each
+    // selected)) over the pool minus the selected set. Tie order (mmr
+    // DESC, score DESC, vec_id DESC) matches the kernel's
+    // first-in-(score,item)-descending-order rule; cosines are the
+    // same staged dot/(na*nb) fold, so the argmax compares identical
+    // doubles. All literals carry exponents (DuckDB DECIMAL gotcha).
+    "q178_mmr_rerank" -> {
+      val steps = (2 to 5).map { n =>
+        val prev = (1 until n)
+        val sims = prev.map(j => sqlCosOf("p.emb", s"s$j.emb")).mkString(", ")
+        val joins = prev.map(j =>
+          s"JOIN s$j ON p.query_id = s$j.query_id").mkString(" ")
+        val excl = prev.map(j => s"p.vec_id <> s$j.vec_id").mkString(" AND ")
+        s"""c$n AS (SELECT p.query_id, p.vec_id, p.score, p.emb,
+           |    p.score * (1E0 - 0.5E0 * greatest(0E0, $sims)) AS mmr
+           |  FROM pool p $joins WHERE $excl),
+           |s$n AS (SELECT query_id, vec_id, score, emb FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY mmr DESC, score DESC, vec_id DESC) AS rn
+           |    FROM c$n) WHERE rn = 1),""".stripMargin
+      }.mkString("\n")
+      val union = (1 to 5).map(n =>
+        s"SELECT query_id, $n AS rank, vec_id, score FROM s$n")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |            CAST(embedding AS DOUBLE[]) AS qe
+         |          FROM embeddings WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    ${sqlCosOf("CAST(e.embedding AS DOUBLE[])", "q.qe")} AS score,
+         |    CAST(e.embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |pool AS (SELECT query_id, vec_id, score, emb FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rn
+         |    FROM scored) WHERE rn <= 20),
+         |s1 AS (SELECT query_id, vec_id, score, emb FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id DESC) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |$steps
+         |sel AS ($union)
+         |SELECT query_id, rank, vec_id, score FROM sel""".stripMargin
+    }
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -90,6 +90,118 @@ object Pipeline {
       .filter(col("rank") <= k)
       .drop("__cr")
   }
+
+  /** MMR (maximal-marginal-relevance) diversified top-K per group —
+    * the greedy slate selector
+    * (`experiments/episodic-memory-prototype/memory/retriever.py:131-177`
+    * `_select_with_mmr`): slot 1 takes the best raw score; each later
+    * slot re-scores every remaining candidate as
+    * `score · (1 − penalty · max(0, max_cos_sim_to_selected))` and
+    * takes the argmax. Selected rows keep their ORIGINAL score (the
+    * reference appends `(score, ep)`, not the penalized value).
+    *
+    * == Determinism ==
+    * Candidates are gathered with `sort_array(..., asc=false)` over
+    * `(score, item, emb)` structs — descending (score, item) order —
+    * and argmax ties resolve to the first candidate in that order, so
+    * the selection is a pure function of the input set: SQL-equivalent
+    * to `ROW_NUMBER() OVER (ORDER BY mmr DESC, score DESC, item DESC)`
+    * per slot. Cosines are the same ascending-index double fold as
+    * [[graft.expr.DotProduct]], so a SQL oracle replays bit-identical.
+    *
+    * == Scale ==
+    * One shuffle gathers each group's candidates (caller bounds the
+    * pool: `poolSize` keeps the per-group state ≤ poolSize·dim
+    * doubles); the O(k·pool·k·dim) greedy kernel runs executor-side
+    * per group — nothing driver-side scales with |groups|, the
+    * [[graft.operators.Normalize.pavCalibrateCountsBy]] invariant.
+    *
+    * Embeddings must be non-null (build the pool with an inner join
+    * against the embedding table). Output:
+    * `(groupCols…, rank, itemCol, scoreCol)`, rank 1-based.
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      groupCols: Seq[String],
+      itemCol: String,
+      scoreCol: String,
+      embCol: String,
+      k: Int,
+      penalty: Double = 0.5,
+      poolSize: Int = 500): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(penalty >= 0.0 && penalty <= 1.0,
+      s"penalty must be in [0,1], got $penalty")
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val g = groupCols.map(col)
+    val byGroup = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(itemCol).asc)
+    val pooled = candidates
+      .withColumn("__pr", row_number().over(byGroup))
+      .filter(col("__pr") <= poolSize)
+    val gathered = pooled
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(
+        col(scoreCol).cast("double").as("s"),
+        col(itemCol).as("i"),
+        col(embCol).cast("array<double>").as("e"))), asc = false).as("__cs"))
+    val inSchema = gathered.schema
+    val itemField = inSchema("__cs").dataType
+      .asInstanceOf[ArrayType].elementType
+      .asInstanceOf[StructType]("i")
+    val outSchema = StructType(
+      groupCols.map(c => inSchema(c)) ++ Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField(itemCol, itemField.dataType, itemField.nullable),
+        StructField(scoreCol, DoubleType, nullable = true)))
+    val nGroup = groupCols.length
+    gathered.flatMap { row =>
+      val cands = row.getSeq[Row](nGroup)
+      // same ascending-index left fold as graft.expr.DotProduct
+      def dot(a: Seq[Double], b: Seq[Double]): Double = {
+        var acc = 0.0; var j = 0
+        while (j < a.length) { acc += a(j) * b(j); j += 1 }
+        acc
+      }
+      def cos(a: Seq[Double], b: Seq[Double]): Double =
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var rank = 1
+      while (rank <= k && remaining.nonEmpty) {
+        val bestIdx =
+          if (selected.isEmpty) 0 // head of (score desc, item desc) order
+          else {
+            var bi = 0
+            var bm = Double.NegativeInfinity
+            var idx = 0
+            while (idx < remaining.length) {
+              val c = remaining(idx)
+              val e = c.getSeq[Double](2)
+              var ms = 0.0
+              selected.foreach { se => val sim = cos(e, se); if (sim > ms) ms = sim }
+              val mmr = c.getDouble(0) * (1 - penalty * ms)
+              // strict >: ties keep the earliest candidate in
+              // (score desc, item desc) order
+              if (mmr > bm) { bm = mmr; bi = idx }
+              idx += 1
+            }
+            bi
+          }
+        val chosen = remaining.remove(bestIdx)
+        selected += chosen.getSeq[Double](2)
+        out += Row.fromSeq(
+          (0 until nGroup).map(row.get) ++
+            Seq(rank, chosen.get(1), chosen.getDouble(0)))
+        rank += 1
+      }
+      out
+    }(Encoders.row(outSchema))
+  }
 }
 
 /** Changed-row detection (SURVEY A7) — the skye Scylla aggregator's

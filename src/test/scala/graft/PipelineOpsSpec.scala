@@ -384,4 +384,72 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       alpha = 0.5, totalTokens = 10000000L)
     assert(all.count() === 300)
   }
+
+  test("mmrRerank matches an independent naive greedy MMR and is " +
+      "partition-invariant") {
+    import graft.operators.Pipeline
+    val rnd = new scala.util.Random(7)
+    val dim = 6
+    val rows = for (g <- 1 to 5; i <- 1 to 30) yield
+      (g.toLong, (g * 100 + i).toLong, rnd.nextDouble(),
+        Array.fill(dim)(rnd.nextGaussian()))
+    val df = rows.toDF("grp", "item", "score", "emb")
+
+    // independent driver-side reimplementation, straight from the
+    // reference pseudocode (sorted pool, strict-> argmax, max_sim >= 0)
+    def naive(cands: Seq[(Long, Double, Array[Double])], k: Int,
+        p: Double): Seq[(Int, Long, Double)] = {
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      // (score desc, item desc) pool order, the operator's tie rule
+      var rem = cands.sortBy { case (i, s, _) => (-s, -i) }.toVector
+      var sel = Vector.empty[(Long, Double, Array[Double])]
+      var out = Vector.empty[(Int, Long, Double)]
+      for (r <- 1 to k if rem.nonEmpty) {
+        val scoredRem = rem.map { c =>
+          val ms = if (sel.isEmpty) 0.0
+            else math.max(0.0, sel.map(s => cos(c._3, s._3)).max)
+          (c, c._2 * (1 - p * ms))
+        }
+        val bestMmr = scoredRem.map(_._2).max
+        val chosen = scoredRem.find(_._2 == bestMmr).get._1
+        rem = rem.filterNot(_._1 == chosen._1)
+        sel :+= chosen
+        out :+= ((r, chosen._1, chosen._2))
+      }
+      out
+    }
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      naive(rs.map(r => (r._2, r._3, r._4)), k = 4, p = 0.3)
+        .map { case (r, i, s) => (g, r, i, s) }
+    }.sortBy(t => (t._1, t._2))
+
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Pipeline.mmrRerank(d, Seq("grp"), "item", "score", "emb",
+          k = 4, penalty = 0.3)
+        .select("grp", "rank", "item", "score")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+        .sortBy(t => (t._1, t._2))
+
+    val got = run(df)
+    assert(got === expect)
+    assert(run(df.repartition(1)) === expect)
+    assert(run(df.repartition(17, $"item")) === expect)
+    // poolSize pre-trim: selecting from the top-4 pool with k=4 is the
+    // plain score order (every slot's pool is fully selected)
+    val trimmed = Pipeline.mmrRerank(df, Seq("grp"), "item", "score",
+        "emb", k = 4, penalty = 0.3, poolSize = 4)
+      .select("grp", "rank", "item").as[(Long, Int, Long)].collect().toSeq
+      .sortBy(t => (t._1, t._2))
+    val topByScore = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(4).zipWithIndex
+        .map { case (r, i) => (g, i + 1, r._2) }
+    }.sortBy(t => (t._1, t._2))
+    // same MEMBERSHIP as the score-order top-4 (MMR may reorder slots
+    // 2..4 within the pool)
+    assert(trimmed.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap ===
+      topByScore.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap)
+  }
 }
