@@ -2152,7 +2152,41 @@ object SparkEntry {
         emb.select(col("vec_id"), col("embedding")), "vec_id")
       Pipeline.mmrRerank(cand, Seq("query_id"), "vec_id", "score",
         "embedding", k = 5, penalty = 0.5)
-    })
+    }),
+
+    // ---- per-document NLL under the q173 bigram LM: corpus-fit
+    // quality score (high NLL = out-of-domain/noisy text); per-term
+    // micro-nat rounding keeps the sums integer order-free ----
+    "q179_bigram_nll" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lm = graft.operators.Corpus.bigramConditional(
+        docs, "text", minCount = 5)
+      graft.operators.Corpus.bigramNll(docs, lm, "doc_id", "text")
+    }),
+
+    // ---- ANN recall audit: q38's IVF probe result vs the exact
+    // brute-force top-10, per-query overlap — the number probe depth
+    // and cell count are tuned against ----
+    "q180_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val approx = graft.operators.IvfIndex.build(emb, cells = 8)
+        .search(queries, k = 10, nProbe = 2)
+        .select(col("query_id"), col("vec_id"))
+      val exact = SimilaritySearch.topK(emb, queries, k = 10,
+        metric = SimilaritySearch.Cosine)
+        .select(col("query_id"), col("vec_id"))
+      graft.operators.Evaluation.retrievalOverlap(approx, exact)
+    }),
+
+    // ---- ingestion audit: every column's null/cardinality/range
+    // stats in ONE scan (exact counts — engine-reproducible) ----
+    "q181_column_profile" -> ((s, dir) =>
+      graft.operators.Profile.numericProfile(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5243,6 +5277,97 @@ object SparkEntry {
          |$steps
          |sel AS ($union)
          |SELECT query_id, rank, vec_id, score FROM sel""".stripMargin
+    },
+
+    // q173's LM CTEs + per-doc pairs LEFT JOIN the LM; each scored
+    // term rounds ln(p) to micro-nats BEFORE the sum (the PSI
+    // rounded-ln convention) so per-doc totals are order-free
+    "q179_bigram_nll" ->
+      s"""WITH w AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |pr0 AS (SELECT doc_id, list_transform(
+         |    generate_series(1, greatest(len(w) - 1, 0)),
+         |    i -> [w[i], w[i+1]]) AS ps FROM w),
+         |pr AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+         |       FROM (SELECT doc_id, unnest(ps) AS p FROM pr0)
+         |       WHERE p[1] <> '' AND p[2] <> ''),
+         |pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pr GROUP BY 1, 2),
+         |pf AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_prefix
+         |       FROM pc GROUP BY 1),
+         |lm AS (SELECT pc.w1, pc.w2,
+         |         CAST(pc.n_pair AS DOUBLE) / CAST(pf.n_prefix AS DOUBLE) AS p
+         |       FROM pc JOIN pf USING (w1) WHERE pf.n_prefix >= 5),
+         |t AS (SELECT pr.doc_id, lm.p FROM pr
+         |      LEFT JOIN lm ON pr.w1 = lm.w1 AND pr.w2 = lm.w2)
+         |SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(p) AS n_scored,
+         |  -CAST(SUM(CAST(round(ln(p) * 1.0E6) AS BIGINT)) AS BIGINT)
+         |    AS nll_micro,
+         |  CASE WHEN COUNT(p) > 0 THEN
+         |    CAST(-SUM(CAST(round(ln(p) * 1.0E6) AS BIGINT)) AS DOUBLE)
+         |      / 1.0E6 / CAST(COUNT(p) AS DOUBLE) END AS avg_nll
+         |FROM t GROUP BY 1""".stripMargin,
+
+    // q38's IVF CTE chain (appx) vs the brute top-10 (brute); per-query
+    // full-outer overlap counts, recall = n_common / n_exact exact
+    "q180_ann_recall" ->
+      s"""WITH p AS (SELECT greatest(count(*) // 8, 1) AS stride FROM embeddings),
+         |cent AS (SELECT e.vec_id // p.stride AS cell_id,
+         |                CAST(e.embedding AS DOUBLE[]) AS centroid
+         |         FROM embeddings e, p
+         |         WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 8),
+         |asg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlEuclidOf("CAST(e.embedding AS DOUBLE[])", "c.centroid")} ASC,
+         |               c.cell_id ASC) AS rn
+         |  FROM embeddings e, cent c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 5),
+         |qc AS (SELECT query_id, cell_id FROM (
+         |  SELECT q.query_id, c.cell_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlEuclidOf("q.qe", "c.centroid")} ASC, c.cell_id ASC) AS rn
+         |  FROM q, cent c) WHERE rn <= 2),
+         |appx AS (SELECT query_id, vec_id FROM (
+         |  SELECT s.query_id, s.vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY s.query_id ORDER BY s.score DESC, s.vec_id ASC) AS rank
+         |  FROM (SELECT qc.query_id, a.vec_id,
+         |      ${sqlCosOf("CAST(e.embedding AS DOUBLE[])", "q2.qe")} AS score
+         |    FROM asg a JOIN qc ON a.cell_id = qc.cell_id
+         |    JOIN embeddings e ON a.vec_id = e.vec_id
+         |    JOIN q q2 ON qc.query_id = q2.query_id) s) WHERE rank <= 10),
+         |brute AS (SELECT query_id, vec_id FROM (
+         |  SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY q.query_id ORDER BY
+         |      ${sqlCosOf("CAST(e.embedding AS DOUBLE[])", "q.qe")} DESC,
+         |      e.vec_id ASC) AS rank
+         |  FROM embeddings e, q) WHERE rank <= 10),
+         |j AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         |        a.vec_id AS av, b.vec_id AS bv
+         |      FROM appx a FULL JOIN brute b
+         |        ON a.query_id = b.query_id AND a.vec_id = b.vec_id)
+         |SELECT query_id,
+         |  CAST(COUNT(av) AS BIGINT) AS n_approx,
+         |  CAST(COUNT(bv) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN av IS NOT NULL AND bv IS NOT NULL
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  CASE WHEN COUNT(bv) > 0 THEN
+         |    CAST(SUM(CASE WHEN av IS NOT NULL AND bv IS NOT NULL
+         |         THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(bv) AS DOUBLE)
+         |  END AS recall
+         |FROM j GROUP BY 1""".stripMargin,
+
+    // one aggregate pass per column, unioned — exact counts and
+    // double min/max, no approximation
+    "q181_column_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v,
+           |  CAST(MAX($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
     }
   )
 

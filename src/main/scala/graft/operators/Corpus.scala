@@ -406,4 +406,46 @@ object Corpus {
         (col("covered").cast("double") / col("__total").cast("double"))
           .as("coverage"))
   }
+
+  /** Per-document negative log-likelihood under a bigram LM table
+    * ([[bigramConditional]]'s `(w1, w2, p)` output, or any table with
+    * those columns) — the corpus-fit quality score a data pipeline
+    * ranks documents by before mixing (high NLL ≈ out-of-domain or
+    * noisy text).
+    *
+    * Each in-document adjacent pair joins the LM on `(w1, w2)` (plain
+    * equi-join; the LM can be billions of rows — no broadcast hint,
+    * AQE decides) and contributes `round(ln(p)·1e6)` micro-nats.
+    * Per-term rounding BEFORE the sum keeps the total an
+    * order-free integer (the PSI rounded-ln convention,
+    * [[graft.operators.Normalize.psiBins]]); pairs the LM filtered out
+    * (below its min-count) are counted but not scored. Output:
+    * `(idCol, n_bigrams, n_scored, nll_micro, avg_nll)` — `avg_nll`
+    * in nats over scored pairs, null when nothing scored.
+    */
+  def bigramNll(
+      docs: DataFrame,
+      lm: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+        slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0)))))
+        .as("__p"))
+      .select(col(idCol), col("__p.0").as("w1"), col("__p.1").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    pairs
+      .join(lm.select(col("w1"), col("w2"), col("p")), Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("p")).as("n_scored"),
+        (-sum(round(log(col("p")) * 1e6).cast("long"))).as("nll_micro"))
+      .withColumn("avg_nll",
+        when(col("n_scored") > 0,
+          col("nll_micro").cast("double") / 1e6 /
+            col("n_scored").cast("double")))
+  }
 }

@@ -219,4 +219,63 @@ class CorpusPackingSpec extends AnyFunSuite with SparkSuite {
       assert(got === naive, s"parts=$parts")
     }
   }
+
+  test("bigramNll matches the naive per-doc sum of rounded ln(p) " +
+      "micro-nats; unseen pairs counted but unscored") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "the dog sat on the cat"),
+      (4L, "zz qq")).toDF("doc_id", "text")
+    // LM WITHOUT min-count so every pair of docs 1-3 is scored; doc 4's
+    // pair (zz,qq) is in the LM too (minCount=1)
+    val lm = Corpus.bigramConditional(docs, "text", minCount = 1)
+    val lmMap = lm.select("w1", "w2", "p").as[(String, String, Double)]
+      .collect().map { case (a, b, p) => (a, b) -> p }.toMap
+    def naiveDoc(text: String): (Long, Long, Long) = {
+      val ws = text.split(" ").toSeq
+      val prs = ws.zip(ws.tail)
+      val scored = prs.flatMap(lmMap.get)
+      val nll = -scored.map(p => math.round(math.log(p) * 1e6)).sum
+      (prs.size.toLong, scored.size.toLong, nll)
+    }
+    val expect = Seq(1L, 2L, 3L, 4L).map { id =>
+      val t = Seq("the cat sat on the mat", "the cat ran",
+        "the dog sat on the cat", "zz qq")(id.toInt - 1)
+      val (nb, ns, nll) = naiveDoc(t)
+      (id, nb, ns, nll)
+    }
+    for (parts <- Seq(1, 5)) {
+      val got = Corpus.bigramNll(docs.repartition(parts), lm, "doc_id", "text")
+        .select("doc_id", "n_bigrams", "n_scored", "nll_micro")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === expect, s"parts=$parts")
+    }
+    // a filtered LM leaves rare pairs unscored but still counted
+    val lm5 = Corpus.bigramConditional(docs, "text", minCount = 3)
+    val sparse = Corpus.bigramNll(docs, lm5, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "n_scored")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(sparse.forall { case (_, nb, ns) => ns <= nb })
+    assert(sparse.exists { case (_, nb, ns) => ns < nb })
+  }
+
+  test("numericProfile matches direct per-column aggregates in one pass") {
+    val df = Seq[(java.lang.Long, java.lang.Double, java.lang.Double)](
+      (1L, 2.5, null), (2L, 2.5, 7.0), (3L, -1.0, 7.0),
+      (4L, null, 7.0), (5L, 4.0, null))
+      .toDF("id", "a", "b")
+    val got = graft.operators.Profile.numericProfile(df, Seq("a", "b"))
+      .select("col_name", "n", "n_null", "n_distinct", "min_v", "max_v")
+      .as[(String, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("a", 5L, 1L, 3L, -1.0, 4.0),
+      ("b", 5L, 2L, 1L, 7.0, 7.0)))
+    // one scan: the plan reads the source exactly once (the Expand for
+    // the distinct aggregates multiplies rows, not scans)
+    val plan = graft.operators.Profile.numericProfile(df, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"profile plan re-scans per column:\n$plan")
+  }
 }

@@ -604,4 +604,47 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  test("retrievalOverlap counts set intersections exactly") {
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),          // 2 of 3 right
+      (2L, 20L), (2L, 21L),                     // disjoint from exact
+      (4L, 40L))                                // query absent in exact
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 13L),
+      (2L, 25L), (2L, 26L),
+      (3L, 30L))                                // query absent in approx
+    val got = Evaluation.retrievalOverlap(
+        approx.toDF("query_id", "vec_id"), exact.toDF("query_id", "vec_id"))
+      .select("query_id", "n_approx", "n_exact", "n_common", "recall")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, 2L, Some(2.0 / 3.0)),
+      (2L, 2L, 2L, 0L, Some(0.0)),
+      (3L, 0L, 1L, 0L, Some(0.0)),
+      (4L, 1L, 0L, 0L, None)))
+    // partition invariance
+    val again = Evaluation.retrievalOverlap(
+        approx.toDF("query_id", "vec_id").repartition(7),
+        exact.toDF("query_id", "vec_id").repartition(3))
+      .select("query_id", "n_approx", "n_exact", "n_common", "recall")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .sortBy(_._1).toSeq
+    assert(again === got)
+  }
+
+  test("retrievalOverlap: probe-all IVF achieves recall 1 vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val brute = graft.operators.SimilaritySearch.topK(emb, queries, k = 5)
+      .select("query_id", "vec_id")
+    val ivfAll = graft.operators.IvfIndex.build(emb, cells = 4)
+      .search(queries, k = 5, nProbe = 4)
+      .select("query_id", "vec_id")
+    val rec = Evaluation.retrievalOverlap(ivfAll, brute)
+      .select("recall").as[Double].collect()
+    assert(rec.length === 3 && rec.forall(_ === 1.0))
+  }
 }
