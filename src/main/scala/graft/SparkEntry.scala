@@ -2186,7 +2186,31 @@ object SparkEntry {
     "q181_column_profile" -> ((s, dir) =>
       graft.operators.Profile.numericProfile(
         Tables.lineitem(s, dir),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // ---- Lloyd's k-means refinement of the IVF seed, two exact
+    // rounds: fixed-point centroid means are partition-invariant, so
+    // the LEARNED centroids themselves reproduce in SQL ----
+    "q182_kmeans_refine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.IvfIndex.buildKMeans(emb, cells = 8, iters = 2)
+        .centroids
+        .select(col("cell_id"),
+          posexplode(col("centroid")).as(Seq("idx", "c_val")))
+    }),
+
+    // ---- DSIR-style importance log-ratio: bigram LM of the 'en'
+    // slice (target) vs the full corpus (source); per-doc micro-nat
+    // log ratio ranks documents by target-domain fit ----
+    "q183_importance_ratio" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = graft.operators.Corpus.bigramConditional(
+        docs.filter(col("lang") === "en"), "text", minCount = 5)
+      val source = graft.operators.Corpus.bigramConditional(
+        docs, "text", minCount = 5)
+      graft.operators.Corpus.importanceLogRatio(
+        docs, target, source, "doc_id", "text")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5368,6 +5392,93 @@ object SparkEntry {
            |  CAST(MAX($c) AS DOUBLE) AS max_v
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n")
+    },
+
+    // two unrolled Lloyd rounds on the q38 seed: per-round argmin
+    // assignment (same euclid fold) then q98's fixed-point mean per
+    // (cell, dim); empty cells carry the previous centroid forward
+    "q182_kmeans_refine" -> {
+      def round(i: Int, prev: String) =
+        s"""a$i AS (SELECT vec_id, cell_id FROM (
+           |  SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY ${sqlEuclidOf("e.emb", "c.centroid")} ASC,
+           |             c.cell_id ASC) AS rn
+           |  FROM e, $prev c) WHERE rn = 1),
+           |m$i AS (SELECT cell_id, list(mv ORDER BY pp) AS centroid FROM (
+           |    SELECT a.cell_id, u.pp,
+           |      CAST(SUM(u.x) AS DOUBLE)
+           |        / (CAST(COUNT(u.x) AS DOUBLE) * 1000000.0E0) AS mv
+           |    FROM a$i a JOIN u USING (vec_id) GROUP BY 1, 2)
+           |  GROUP BY cell_id),
+           |c$i AS (SELECT p.cell_id, coalesce(m$i.centroid, p.centroid)
+           |          AS centroid
+           |        FROM $prev p LEFT JOIN m$i USING (cell_id)),""".stripMargin
+      s"""WITH p AS (SELECT greatest(count(*) // 8, 1) AS stride FROM embeddings),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings),
+         |c0 AS (SELECT e.vec_id // p.stride AS cell_id, e.emb AS centroid
+         |       FROM e, p
+         |       WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 8),
+         |mi AS (SELECT vec_id, list_transform(emb,
+         |         x -> CAST(floor(x * 1000000) AS BIGINT)) AS v FROM e),
+         |u AS (SELECT vec_id, generate_subscripts(v, 1) AS pp, unnest(v) AS x
+         |      FROM mi),
+         |${round(1, "c0")}
+         |${round(2, "c1")}
+         |fin AS (SELECT cell_id, generate_subscripts(centroid, 1) AS pp,
+         |          unnest(centroid) AS c_val FROM c2)
+         |SELECT cell_id, CAST(pp - 1 AS INT) AS idx, c_val FROM fin""".stripMargin
+    },
+
+    // q179's LM CTE chain instantiated twice (target = lang-filtered
+    // docs, source = all docs); per-term micro-nat difference summed
+    // only where BOTH LMs score the pair
+    "q183_importance_ratio" -> {
+      def lmCtes(tag: String, where: String) =
+        s"""${tag}pc AS (SELECT w1, w2, COUNT(*) AS n_pair
+           |  FROM (SELECT p[1] AS w1, p[2] AS w2
+           |        FROM (SELECT unnest(ps) AS p
+           |              FROM (SELECT list_transform(
+           |                  generate_series(1, greatest(len(w) - 1, 0)),
+           |                  i -> [w[i], w[i+1]]) AS ps
+           |                FROM (SELECT $sqlWords AS w FROM documents$where)))
+           |        WHERE p[1] <> '' AND p[2] <> '') GROUP BY 1, 2),
+           |${tag}pf AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_prefix
+           |       FROM ${tag}pc GROUP BY 1),
+           |${tag}lm AS (SELECT pc.w1, pc.w2,
+           |         CAST(pc.n_pair AS DOUBLE) / CAST(pf.n_prefix AS DOUBLE) AS p
+           |       FROM ${tag}pc pc JOIN ${tag}pf pf USING (w1)
+           |       WHERE pf.n_prefix >= 5),""".stripMargin
+      s"""WITH w AS (SELECT doc_id, $sqlWords AS w FROM documents),
+         |pr0 AS (SELECT doc_id, list_transform(
+         |    generate_series(1, greatest(len(w) - 1, 0)),
+         |    i -> [w[i], w[i+1]]) AS ps FROM w),
+         |pr AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+         |       FROM (SELECT doc_id, unnest(ps) AS p FROM pr0)
+         |       WHERE p[1] <> '' AND p[2] <> ''),
+         |${lmCtes("t", " WHERE lang = 'en'")}
+         |${lmCtes("s", "")}
+         |j AS (SELECT pr.doc_id, tlm.p AS pt, slm.p AS ps FROM pr
+         |      LEFT JOIN tlm ON pr.w1 = tlm.w1 AND pr.w2 = tlm.w2
+         |      LEFT JOIN slm ON pr.w1 = slm.w1 AND pr.w2 = slm.w2)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  COUNT(CASE WHEN pt IS NOT NULL AND ps IS NOT NULL THEN 1 END)
+         |    AS n_scored,
+         |  CAST(SUM(CASE WHEN pt IS NOT NULL AND ps IS NOT NULL THEN
+         |    CAST(round(ln(pt) * 1.0E6) AS BIGINT)
+         |      - CAST(round(ln(ps) * 1.0E6) AS BIGINT) END) AS BIGINT)
+         |    AS log_ratio_micro,
+         |  CASE WHEN COUNT(CASE WHEN pt IS NOT NULL AND ps IS NOT NULL
+         |      THEN 1 END) > 0 THEN
+         |    CAST(SUM(CASE WHEN pt IS NOT NULL AND ps IS NOT NULL THEN
+         |      CAST(round(ln(pt) * 1.0E6) AS BIGINT)
+         |        - CAST(round(ln(ps) * 1.0E6) AS BIGINT) END) AS DOUBLE)
+         |      / 1.0E6
+         |      / CAST(COUNT(CASE WHEN pt IS NOT NULL AND ps IS NOT NULL
+         |          THEN 1 END) AS DOUBLE)
+         |  END AS avg_log_ratio
+         |FROM j GROUP BY 1""".stripMargin
     }
   )
 

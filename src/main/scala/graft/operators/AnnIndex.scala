@@ -354,12 +354,15 @@ object IvfIndex {
   }
 
   /** Lloyd's k-means refinement of the id-sampled seed. Per iteration:
-    * one broadcast-join assignment over the corpus, then cell means via
-    * a shuffle keyed (cell_id, dim-pos) — the distributed k-means shape
-    * (no per-row collect, centroid table stays tiny and broadcastable).
-    * Cells that lose all members keep their previous centroid so the
-    * index always has `cells` probe targets. Centroids are
-    * `localCheckpoint`ed per round: the plan stays O(1) in `iters`.
+    * one broadcast-join assignment over the corpus, then EXACT cell
+    * means via [[LinAlg.meanPool]]'s fixed-point aggregate (2·d longs
+    * per cell across one shuffle — no per-row collect, no dim-pos row
+    * inflation, and no float-sum order dependence, so the learned
+    * centroids are identical on any partitioning and reproduce in SQL;
+    * q182 oracles two full rounds). Cells that lose all members keep
+    * their previous centroid so the index always has `cells` probe
+    * targets. Centroids are `localCheckpoint`ed per round: the plan
+    * stays O(1) in `iters`.
     */
   def buildKMeans(
       corpus: DataFrame,
@@ -371,14 +374,10 @@ object IvfIndex {
       .localCheckpoint()
     var i = 0
     while (i < iters) {
-      val means = assign(corpus, centroids, idCol, embCol)
-        .select(col("cell_id"),
-          posexplode(col(embCol).cast("array<double>")).as(Seq("__p", "__v")))
-        .groupBy(col("cell_id"), col("__p"))
-        .agg(avg(col("__v")).as("__m"))
-        .groupBy(col("cell_id"))
-        .agg(transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
-          s => s.getField("__m")).as("centroid"))
+      val means = LinAlg.meanPool(
+        assign(corpus, centroids, idCol, embCol)
+          .select(col("cell_id"), col(embCol)),
+        Seq("cell_id"), embCol, outCol = "centroid")
       centroids = centroids.select(col("cell_id"), col("centroid").as("__prev"))
         .join(means, Seq("cell_id"), "left")
         .select(col("cell_id"),

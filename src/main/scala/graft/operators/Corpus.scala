@@ -427,16 +427,8 @@ object Corpus {
       docs: DataFrame,
       lm: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
-    val pairs = docs
-      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
-      .select(col(idCol), explode(arrays_zip(
-        slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
-        slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0)))))
-        .as("__p"))
-      .select(col(idCol), col("__p.0").as("w1"), col("__p.1").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
-    pairs
+      textCol: String): DataFrame =
+    adjacentPairs(docs, idCol, textCol)
       .join(lm.select(col("w1"), col("w2"), col("p")), Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -447,5 +439,58 @@ object Corpus {
         when(col("n_scored") > 0,
           col("nll_micro").cast("double") / 1e6 /
             col("n_scored").cast("double")))
+
+  /** DSIR-style importance log-ratio (Xie et al., NeurIPS'23 —
+    * data selection by importance resampling, on bigram features):
+    * per document, `Σ ln p_target(w2|w1) − ln p_source(w2|w1)` over
+    * pairs BOTH LMs score — positive means the document looks more
+    * like the target distribution than the source, and resampling
+    * ∝ exp(ratio) tilts a raw crawl toward the target domain. Terms
+    * round to micro-nats before the sum ([[bigramNll]]'s order-free
+    * integer convention). Output: `(idCol, n_bigrams, n_scored,
+    * log_ratio_micro, avg_log_ratio)`.
+    *
+    * == Scale ==
+    * Two equi-joins on (w1, w2) — LM tables can be arbitrarily large
+    * (no broadcast hint, AQE decides) — then one per-doc reduce. */
+  def importanceLogRatio(
+      docs: DataFrame,
+      targetLm: DataFrame,
+      sourceLm: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val both = col("__pt").isNotNull && col("__ps").isNotNull
+    adjacentPairs(docs, idCol, textCol)
+      .join(targetLm.select(col("w1"), col("w2"), col("p").as("__pt")),
+        Seq("w1", "w2"), "left")
+      .join(sourceLm.select(col("w1"), col("w2"), col("p").as("__ps")),
+        Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(both, lit(1))).as("n_scored"),
+        sum(when(both,
+          round(log(col("__pt")) * 1e6).cast("long") -
+            round(log(col("__ps")) * 1e6).cast("long")))
+          .as("log_ratio_micro"))
+      .withColumn("avg_log_ratio",
+        when(col("n_scored") > 0,
+          col("log_ratio_micro").cast("double") / 1e6 /
+            col("n_scored").cast("double")))
   }
+
+  /** In-document adjacent word pairs with the doc key carried:
+    * `(idCol, w1, w2)`, one row per occurrence — the staging shared by
+    * [[bigramNll]] and [[importanceLogRatio]] (array 1-shift zip, no
+    * window, no shuffle). */
+  private def adjacentPairs(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("__w"))
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+        slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0)))))
+        .as("__p"))
+      .select(col(idCol), col("__p.0").as("w1"), col("__p.1").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
 }

@@ -232,8 +232,10 @@ object PqIndex {
     transform(lit(perm.map(_ + 1).toArray), i => element_at(emb, i))
 
   /** Lloyd's refinement of every subspace codebook in one joint loop:
-    * assignment is a broadcast join, means shuffle on (j, cid,
-    * dim-pos). Empty codewords keep their previous centroid. */
+    * assignment is a broadcast join, means via [[LinAlg.meanPool]]'s
+    * exact fixed-point aggregate keyed (j, cid) — partition-invariant
+    * codebooks, 2·subDim longs per codeword across the shuffle. Empty
+    * codewords keep their previous centroid. */
   def buildKMeans(
       corpus: DataFrame,
       m: Int,
@@ -246,15 +248,11 @@ object PqIndex {
     var codebook = seed.localCheckpoint()
     var i = 0
     while (i < iters) {
-      val means = assign(sv, codebook, idCol)
-        .join(sv, Seq(idCol, "j"))
-        .select(col("j"), col("code").as("cid"),
-          posexplode(col("__sub")).as(Seq("__p", "__v")))
-        .groupBy(col("j"), col("cid"), col("__p"))
-        .agg(avg(col("__v")).as("__mv"))
-        .groupBy(col("j"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("__p"), col("__mv")))),
-          s => s.getField("__mv")).as("centroid"))
+      val means = LinAlg.meanPool(
+        assign(sv, codebook, idCol)
+          .join(sv, Seq(idCol, "j"))
+          .select(col("j"), col("code").as("cid"), col("__sub")),
+        Seq("j", "cid"), "__sub", outCol = "centroid")
       codebook = codebook.select(col("j"), col("cid"), col("centroid").as("__prev"))
         .join(means, Seq("j", "cid"), "left")
         .select(col("j"), col("cid"),

@@ -260,6 +260,47 @@ class CorpusPackingSpec extends AnyFunSuite with SparkSuite {
     assert(sparse.exists { case (_, nb, ns) => ns < nb })
   }
 
+  test("importanceLogRatio = targetNll-sourceNll difference where both " +
+      "score, and target-domain docs rank above off-domain ones") {
+    val target = Seq(
+      (1L, "good clean prose flows well"),
+      (2L, "clean prose flows very well"),
+      (3L, "good clean prose reads well"))
+    // shares the prefix word 'prose' with the target (so source-LM
+    // conditionals for prose-* dilute and the ratio goes positive)
+    // but no complete bigram
+    val offDomain = Seq(
+      (4L, "prose spam prose click"),
+      (5L, "click prose spam click here"))
+    val docs = (target ++ offDomain).toDF("doc_id", "text")
+    val tLm = Corpus.bigramConditional(
+      docs.filter($"doc_id" <= 3L), "text", minCount = 1)
+    val sLm = Corpus.bigramConditional(docs, "text", minCount = 1)
+    val got = Corpus.importanceLogRatio(docs, tLm, sLm, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "n_scored", "log_ratio_micro")
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // cross-check against the two NLL runs restricted to pairs both
+    // LMs score: with minCount=1 every target-doc pair is in both LMs,
+    // so for docs 1-3 ratio == sourceNll - targetNll
+    val tN = Corpus.bigramNll(docs.filter($"doc_id" <= 3L), tLm, "doc_id", "text")
+      .select("doc_id", "nll_micro").as[(Long, Long)].collect().toMap
+    val sN = Corpus.bigramNll(docs.filter($"doc_id" <= 3L), sLm, "doc_id", "text")
+      .select("doc_id", "nll_micro").as[(Long, Long)].collect().toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(got(id.toInt - 1)._4 === Some(sN(id) - tN(id)),
+        s"doc $id ratio != sourceNll - targetNll")
+    // off-domain docs share no bigram with the target LM: unscored
+    assert(got.filter(_._1 >= 4L).forall(_._3 == 0L))
+    // every scored target doc ranks strictly positive (more target-like)
+    assert(got.filter(_._1 <= 3L).forall(_._4.exists(_ > 0L)))
+    // partition invariance
+    val again = Corpus.importanceLogRatio(
+        docs.repartition(7), tLm, sLm, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "n_scored", "log_ratio_micro")
+      .as[(Long, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(again === got)
+  }
+
   test("numericProfile matches direct per-column aggregates in one pass") {
     val df = Seq[(java.lang.Long, java.lang.Double, java.lang.Double)](
       (1L, 2.5, null), (2L, 2.5, 7.0), (3L, -1.0, 7.0),

@@ -98,6 +98,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(all === exact)
   }
 
+  test("k-means centroids are bit-identical across input partitioning " +
+      "(fixed-point means)") {
+    val emb = Tables.embeddings(spark, sf)
+    def centroidsOf(parts: Int): Seq[(Long, Seq[Double])] =
+      IvfIndex.buildKMeans(emb.repartition(parts), cells = 4, iters = 2)
+        .centroids.select($"cell_id".cast("long"), $"centroid")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(centroidsOf(1) === centroidsOf(13))
+  }
+
   test("int8 quantization: bounded error, high top-K agreement with fp32") {
     val emb = Tables.embeddings(spark, sf)
     val staged = emb
