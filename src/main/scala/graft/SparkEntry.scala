@@ -2210,6 +2210,27 @@ object SparkEntry {
         docs, "text", minCount = 5)
       graft.operators.Corpus.importanceLogRatio(
         docs, target, source, "doc_id", "text")
+    }),
+
+    // ---- SemDeDup: pairs compared only within learned k-means cells
+    // (corpus² -> sum of cell²); exact centroids make the blocking
+    // itself SQL-reproducible ----
+    "q184_semantic_neardup" -> ((s, dir) =>
+      SimilaritySearch.semanticNearDupPairs(
+        Tables.embeddings(s, dir), cells = 8, iters = 2, threshold = 0.3)),
+
+    // ---- reciprocal-rank fusion of the cosine and dot retrievers:
+    // score-free merge of incomparable scales, fused top-10 ----
+    "q185_rrf_fusion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val cos = SimilaritySearch.topK(emb, queries, k = 10,
+        metric = SimilaritySearch.Cosine, excludeSelf = true)
+      val dot = SimilaritySearch.topK(emb, queries, k = 10,
+        metric = SimilaritySearch.Dot, excludeSelf = true)
+      graft.operators.Evaluation.reciprocalRankFusion(Seq(cos, dot))
     })
   )
 
@@ -5397,39 +5418,11 @@ object SparkEntry {
     // two unrolled Lloyd rounds on the q38 seed: per-round argmin
     // assignment (same euclid fold) then q98's fixed-point mean per
     // (cell, dim); empty cells carry the previous centroid forward
-    "q182_kmeans_refine" -> {
-      def round(i: Int, prev: String) =
-        s"""a$i AS (SELECT vec_id, cell_id FROM (
-           |  SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER (
-           |    PARTITION BY e.vec_id
-           |    ORDER BY ${sqlEuclidOf("e.emb", "c.centroid")} ASC,
-           |             c.cell_id ASC) AS rn
-           |  FROM e, $prev c) WHERE rn = 1),
-           |m$i AS (SELECT cell_id, list(mv ORDER BY pp) AS centroid FROM (
-           |    SELECT a.cell_id, u.pp,
-           |      CAST(SUM(u.x) AS DOUBLE)
-           |        / (CAST(COUNT(u.x) AS DOUBLE) * 1000000.0E0) AS mv
-           |    FROM a$i a JOIN u USING (vec_id) GROUP BY 1, 2)
-           |  GROUP BY cell_id),
-           |c$i AS (SELECT p.cell_id, coalesce(m$i.centroid, p.centroid)
-           |          AS centroid
-           |        FROM $prev p LEFT JOIN m$i USING (cell_id)),""".stripMargin
-      s"""WITH p AS (SELECT greatest(count(*) // 8, 1) AS stride FROM embeddings),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |      FROM embeddings),
-         |c0 AS (SELECT e.vec_id // p.stride AS cell_id, e.emb AS centroid
-         |       FROM e, p
-         |       WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 8),
-         |mi AS (SELECT vec_id, list_transform(emb,
-         |         x -> CAST(floor(x * 1000000) AS BIGINT)) AS v FROM e),
-         |u AS (SELECT vec_id, generate_subscripts(v, 1) AS pp, unnest(v) AS x
-         |      FROM mi),
-         |${round(1, "c0")}
-         |${round(2, "c1")}
+    "q182_kmeans_refine" ->
+      s"""WITH $sqlKmeansC2Ctes
          |fin AS (SELECT cell_id, generate_subscripts(centroid, 1) AS pp,
          |          unnest(centroid) AS c_val FROM c2)
-         |SELECT cell_id, CAST(pp - 1 AS INT) AS idx, c_val FROM fin""".stripMargin
-    },
+         |SELECT cell_id, CAST(pp - 1 AS INT) AS idx, c_val FROM fin""".stripMargin,
 
     // q179's LM CTE chain instantiated twice (target = lang-filtered
     // docs, source = all docs); per-term micro-nat difference summed
@@ -5479,7 +5472,59 @@ object SparkEntry {
          |          THEN 1 END) AS DOUBLE)
          |  END AS avg_log_ratio
          |FROM j GROUP BY 1""".stripMargin
-    }
+    },
+
+    // q182's learned cells (a3 = final assignment on c2), then q18's
+    // within-block staged-cosine pair scan blocked by cell
+    "q184_semantic_neardup" ->
+      s"""WITH $sqlKmeansC2Ctes
+         |a3 AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlEuclidOf("e.emb", "c.centroid")} ASC,
+         |             c.cell_id ASC) AS rn
+         |  FROM e, c2 c) WHERE rn = 1),
+         |s AS (SELECT a3.cell_id, e.vec_id, e.emb FROM a3
+         |      JOIN e ON a3.vec_id = e.vec_id)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${sqlDotOf("a.emb", "b.emb")}
+         |      / (${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")}) AS cosine
+         |  FROM s a JOIN s b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+         |WHERE cosine > 0.3E0""".stripMargin,
+
+    // both retriever rank lists in SQL (same tie orders as topK), FULL
+    // JOIN on (query, item), rrf summed left-to-right with absent
+    // entries as 0 — identical IEEE order to reciprocalRankFusion
+    "q185_rrf_fusion" ->
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |            CAST(embedding AS DOUBLE[]) AS qe
+         |          FROM embeddings WHERE vec_id < 8),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings),
+         |cosr AS (SELECT query_id, vec_id, rank FROM (
+         |  SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY q.query_id ORDER BY
+         |      ${sqlCosOf("e.emb", "q.qe")} DESC, e.vec_id ASC) AS rank
+         |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rank <= 10),
+         |dotr AS (SELECT query_id, vec_id, rank FROM (
+         |  SELECT q.query_id, e.vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY q.query_id ORDER BY
+         |      ${sqlDotOf("e.emb", "q.qe")} DESC, e.vec_id ASC) AS rank
+         |  FROM e, q WHERE e.vec_id <> q.query_id) WHERE rank <= 10),
+         |f AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         |        coalesce(a.vec_id, b.vec_id) AS vec_id,
+         |        coalesce(1.0E0 / (60.0E0 + CAST(a.rank AS DOUBLE)), 0.0E0)
+         |          + coalesce(1.0E0 / (60.0E0 + CAST(b.rank AS DOUBLE)), 0.0E0)
+         |          AS rrf_score
+         |      FROM cosr a FULL JOIN dotr b
+         |        ON a.query_id = b.query_id AND a.vec_id = b.vec_id)
+         |SELECT query_id, vec_id, rrf_score,
+         |  CAST(fused_rank AS INT) AS fused_rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, vec_id ASC) AS fused_rank FROM f)
+         |WHERE fused_rank <= 10""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and
@@ -5518,6 +5563,42 @@ object SparkEntry {
        |          list_distinct(shb)))) AS DOUBLE) AS jaccard
        |    FROM cand)
        |  WHERE jaccard >= 0.2)""".stripMargin
+
+  /** Two exact Lloyd rounds on the q38 stride seed (cells = 8): CTEs
+    * `e` (double embeddings), `c0` (seed), per-round `a{i}` (argmin
+    * assignment), `m{i}` (q98 fixed-point mean per cell,dim), `c{i}`
+    * (coalesce empty cells) — ends after `c2 AS (...),`. Shared by the
+    * q182 centroid oracle and the q184 SemDeDup blocking oracle. */
+  private def sqlKmeansC2Ctes: String = {
+    def round(i: Int, prev: String) =
+      s"""a$i AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlEuclidOf("e.emb", "c.centroid")} ASC,
+         |             c.cell_id ASC) AS rn
+         |  FROM e, $prev c) WHERE rn = 1),
+         |m$i AS (SELECT cell_id, list(mv ORDER BY pp) AS centroid FROM (
+         |    SELECT a.cell_id, u.pp,
+         |      CAST(SUM(u.x) AS DOUBLE)
+         |        / (CAST(COUNT(u.x) AS DOUBLE) * 1000000.0E0) AS mv
+         |    FROM a$i a JOIN u USING (vec_id) GROUP BY 1, 2)
+         |  GROUP BY cell_id),
+         |c$i AS (SELECT p.cell_id, coalesce(m$i.centroid, p.centroid)
+         |          AS centroid
+         |        FROM $prev p LEFT JOIN m$i USING (cell_id)),""".stripMargin
+    s"""p AS (SELECT greatest(count(*) // 8, 1) AS stride FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |      FROM embeddings),
+       |c0 AS (SELECT e.vec_id // p.stride AS cell_id, e.emb AS centroid
+       |       FROM e, p
+       |       WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 8),
+       |mi AS (SELECT vec_id, list_transform(emb,
+       |         x -> CAST(floor(x * 1000000) AS BIGINT)) AS v FROM e),
+       |u AS (SELECT vec_id, generate_subscripts(v, 1) AS pp, unnest(v) AS x
+       |      FROM mi),
+       |${round(1, "c0")}
+       |${round(2, "c1")}""".stripMargin
+  }
 
   // --- shared DuckDB SQL fragments for the vector oracles ---
   // Same ascending-index left fold as graft.expr.{DotProduct,

@@ -508,4 +508,43 @@ object Evaluation {
         when(col("n_exact") > 0,
           col("n_common").cast("double") / col("n_exact").cast("double")))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    * retrieval lists: `rrf = Σᵢ 1/(k0 + rankᵢ)`, summed in list order
+    * with absent entries contributing 0 — the standard score-free way
+    * to merge retrievers with incomparable score scales (dense +
+    * sparse, cosine + dot). Output: the fused top-`k` per query,
+    * `(queryCol, itemCol, rrf_score, fused_rank)`, ties broken by
+    * item ascending.
+    *
+    * == Scale ==
+    * N−1 equi-joins on (query, item) over k-row-per-query lists —
+    * bounded by k·|queries|, never corpus-sized; one window per query
+    * for the fused rank. The left-to-right add order is fixed, so the
+    * double scores replay identically in SQL. */
+  def reciprocalRankFusion(
+      rankings: Seq[DataFrame],
+      queryCol: String = "query_id",
+      itemCol: String = "vec_id",
+      rankCol: String = "rank",
+      k0: Int = 60,
+      k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k0 >= 1 && k >= 1, s"k0 and k must be >= 1, got $k0, $k")
+    val legs = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(queryCol), col(itemCol),
+        col(rankCol).cast("long").as(s"__r$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, Seq(queryCol, itemCol), "full"))
+    val score = legs.indices.map { i =>
+      coalesce(lit(1.0) /
+        (lit(k0).cast("double") + col(s"__r$i").cast("double")), lit(0.0))
+    }.reduce(_ + _)
+    joined.withColumn("rrf_score", score)
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf_score").desc, col(itemCol).asc)))
+      .filter(col("fused_rank") <= k)
+      .select(col(queryCol), col(itemCol), col("rrf_score"), col("fused_rank"))
+  }
 }

@@ -105,6 +105,28 @@ object SimilaritySearch {
     * (embedding-cosine near-dup for training-data pipelines). The block
     * column bounds the pair explosion; at scale use [[AnnIndex]] LSH
     * buckets as blocks instead of a payload attribute. */
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with exact-fixed-point
+    * k-means ([[IvfIndex.buildKMeans]]), then compare pairs only
+    * WITHIN a cell — the all-pairs product shrinks from corpus² to
+    * Σ cellᵢ², and cell size is governed by `cells` (SemDeDup's k),
+    * which a 100 TB deployment raises until the per-cell quadratic
+    * fits. The learned blocking is deterministic (partition-invariant
+    * centroids), so the whole composition carries a SQL oracle (q184).
+    * Same output contract as [[nearDupPairs]]. */
+  def semanticNearDupPairs(
+      corpus: DataFrame,
+      cells: Int,
+      iters: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val idx = IvfIndex.buildKMeans(corpus, cells, iters, idCol, embCol)
+    nearDupPairs(
+      idx.assigned.select(col("cell_id"), col(idCol), col(embCol)),
+      "cell_id", threshold, idCol, embCol)
+  }
+
   def nearDupPairs(
       corpus: DataFrame,
       blockCol: String,

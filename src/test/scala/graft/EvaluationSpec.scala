@@ -634,6 +634,26 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(again === got)
   }
 
+  test("reciprocalRankFusion matches the naive per-item 1/(k0+rank) sum " +
+      "with absent entries as zero") {
+    val r1 = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("query_id", "vec_id", "rank")
+    val r2 = Seq((1L, 11L, 1), (1L, 13L, 2),
+      (2L, 21L, 1), (2L, 22L, 2)).toDF("query_id", "vec_id", "rank")
+    val got = Evaluation.reciprocalRankFusion(Seq(r1, r2), k = 3)
+      .select("query_id", "vec_id", "rrf_score", "fused_rank")
+      .as[(Long, Long, Double, Int)].collect()
+      .sortBy(t => (t._1, t._4)).toSeq
+    def s(ranks: Int*) = ranks.map(r => 1.0 / (60.0 + r)).sum
+    // q1: 11 (rank 2 in r1, rank 1 in r2) wins; 10 (rank 1 in r1)
+    // beats 13 (rank 2 in r2) beats 12 — ties impossible here
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3)) === Seq(
+      (11L, s(2) + s(1)), (10L, s(1)), (13L, s(2))))
+    assert(got.filter(_._1 == 2L).map(_._2) === Seq(21L, 20L, 22L))
+    // fused_rank is dense 1..k per query
+    assert(got.filter(_._1 == 1L).map(_._4) === Seq(1, 2, 3))
+  }
+
   test("retrievalOverlap: probe-all IVF achieves recall 1 vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 3)

@@ -98,6 +98,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(all === exact)
   }
 
+  test("semanticNearDupPairs: every pair is above threshold, within one " +
+      "learned cell, and a subset of the brute-force pair set") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = SimilaritySearch.semanticNearDupPairs(
+        emb, cells = 4, iters = 2, threshold = 0.3)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, c) => a < b && c > 0.3 })
+    // subset of the unblocked all-pairs result (SemDeDup trades the
+    // cross-cell pairs for the corpus²→Σcell² cost drop)
+    val brute = SimilaritySearch.nearDupPairs(
+        emb.withColumn("__one", lit(1)), "__one", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)).toSet.subsetOf(brute))
+    // deterministic: same pairs from a different input partitioning
+    val again = SimilaritySearch.semanticNearDupPairs(
+        emb.repartition(13), cells = 4, iters = 2, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again === got.map(p => (p._1, p._2)).toSet)
+  }
+
   test("k-means centroids are bit-identical across input partitioning " +
       "(fixed-point means)") {
     val emb = Tables.embeddings(spark, sf)
