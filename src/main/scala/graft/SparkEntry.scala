@@ -2231,7 +2231,20 @@ object SparkEntry {
       val dot = SimilaritySearch.topK(emb, queries, k = 10,
         metric = SimilaritySearch.Dot, excludeSelf = true)
       graft.operators.Evaluation.reciprocalRankFusion(Seq(cos, dot))
-    })
+    }),
+
+    // ---- content-defined chunking (LBFS/FastCDC rule): cut where the
+    // trailing 16-char window hash ≡ 0 mod 64 — boundaries move with
+    // content; one row-local pass, no sequential state ----
+    "q186_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))),
+
+    // ---- CDC storage accounting: distinct/total chunk chars — the
+    // blob-store savings from content-addressed chunks ----
+    "q187_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDedupStats(Dedup.cdcChunks(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5524,7 +5537,33 @@ object SparkEntry {
          |  CAST(fused_rank AS INT) AS fused_rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY rrf_score DESC, vec_id ASC) AS fused_rank FROM f)
-         |WHERE fused_rank <= 10""".stripMargin
+         |WHERE fused_rank <= 10""".stripMargin,
+
+    // every position's trailing-window hash tested independently (the
+    // same md5-arithmetic as Spark), cut list folded into aligned
+    // (start, end) slices per doc
+    "q186_cdc_chunks" -> (sqlCdcChunkCtes +
+      """
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(st AS BIGINT) AS start, CAST(en - st AS BIGINT) AS len,
+        |  CAST(('0x'||substr(md5(substr(text, CAST(st + 1 AS INT),
+        |    CAST(en - st AS INT))), 1, 15)) AS BIGINT) AS chunk_h
+        |FROM z""".stripMargin),
+
+    // q186's chunk table grouped by content hash; exact char accounting
+    "q187_cdc_dedup" -> (sqlCdcChunkCtes + "," +
+      """
+        |ch2 AS (SELECT CAST(('0x'||substr(md5(substr(text,
+        |    CAST(st + 1 AS INT), CAST(en - st AS INT))), 1, 15)) AS BIGINT)
+        |    AS chunk_h, en - st AS len FROM z),
+        |g AS (SELECT chunk_h, COUNT(*) AS n, MAX(len) AS l
+        |      FROM ch2 GROUP BY 1)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(n * l) AS BIGINT) AS total_chars,
+        |  CAST(SUM(l) AS BIGINT) AS distinct_chars,
+        |  CAST(SUM(l) AS DOUBLE) / CAST(SUM(n * l) AS DOUBLE) AS dedup_ratio
+        |FROM g""".stripMargin)
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and
@@ -5638,6 +5677,31 @@ object SparkEntry {
        |    ELSE (CASE WHEN xv < 0 THEN -1.0 ELSE 1.0 END) * ($r)
        |  END AS FLOAT)""".stripMargin
   }
+
+  /** CDC chunk CTE chain for q186/q187 (w=16, divisor=64, seed=7,
+    * doc_id % 10 slice — [[graft.operators.Dedup.cdcChunks]]'s
+    * defaults): ends with `z` = one row per chunk carrying
+    * `(doc_id, text, chunk_idx 0-based, st, en)`. No trailing comma. */
+  private def sqlCdcChunkCtes: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |pos AS (SELECT doc_id, text,
+      |          unnest(generate_series(16, length(text))) AS i
+      |        FROM d WHERE length(text) >= 16),
+      |cuts AS (SELECT doc_id, i FROM pos
+      |  WHERE CAST(('0x'||substr(md5('7:'||substr(text,
+      |      CAST(i - 15 AS INT), 16)), 1, 8)) AS BIGINT) % 64 = 0),
+      |cs AS (SELECT doc_id, list(i ORDER BY i) AS cs FROM cuts GROUP BY 1),
+      |cl AS (SELECT d.doc_id, d.text, length(d.text) AS n,
+      |         coalesce(cs.cs, []) AS cs
+      |       FROM d LEFT JOIN cs USING (doc_id)),
+      |bs AS (SELECT doc_id, text,
+      |         list_sort(list_distinct(list_concat(list_concat([0], cs), [n]))) AS bs
+      |       FROM cl),
+      |ch AS (SELECT doc_id, text,
+      |         list_slice(bs, 1, len(bs) - 1) AS ss,
+      |         list_slice(bs, 2, len(bs)) AS es FROM bs),
+      |z AS (SELECT doc_id, text, generate_subscripts(ss, 1) - 1 AS chunk_idx,
+      |        unnest(ss) AS st, unnest(es) AS en FROM ch)""".stripMargin
 
   // --- shared DuckDB SQL fragments for the text oracles ---
   private val sqlWords =

@@ -364,4 +364,77 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
       assert(got === naive, s"parts=$parts")
     }
   }
+
+  test("cdcChunks tiles each document exactly and boundaries survive a " +
+      "prefix edit (content-defined, not offset-defined)") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefgh "
+    def randText(n: Int) =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val base = (1L to 20L).map(i => (i, randText(300 + rnd.nextInt(400))))
+    val docs = base.toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, w = 8, divisor = 32)
+      .select("doc_id", "chunk_idx", "start", "len", "chunk_h")
+      .as[(Long, Int, Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    val texts = base.toMap
+    for ((id, cs) <- chunks) {
+      // chunks tile [0, n): starts chain, lens sum to n, idx dense
+      assert(cs.head._3 === 0)
+      assert(cs.map(_._2) === cs.indices.map(identity))
+      cs.sliding(2).foreach {
+        case Seq((_, _, s1, l1, _), (_, _, s2, _, _)) => assert(s1 + l1 === s2)
+        case _ =>
+      }
+      assert(cs.map(_._4).sum === texts(id).length)
+      // hashes are content hashes of the slices
+      for ((_, _, s, l, h) <- cs.take(3)) {
+        val slice = texts(id).substring(s, s + l)
+        val viaDf = Seq(slice).toDF("t")
+          .select(md5Hash60($"t")).as[Long].head()
+        assert(h === viaDf)
+      }
+    }
+    // locality: prepend 40 chars to one doc; chunk hashes from the
+    // first post-edit boundary onward are IDENTICAL (fixed-size
+    // blocking would shift every block)
+    val victim = texts(5L)
+    val edited = (Seq((5L, randText(40) + victim)) ++
+      base.filter(_._1 != 5L)).toDF("doc_id", "text")
+    val after = Dedup.cdcChunks(edited, w = 8, divisor = 32)
+      .filter($"doc_id" === 5L)
+      .select("chunk_h").as[Long].collect().toSet
+    val before = chunks(5L).map(_._5).toSet
+    val common = before & after
+    // everything beyond the edit neighborhood re-appears: at least all
+    // but the first two original chunks survive by content
+    assert(common.size >= before.size - 2,
+      s"CDC locality broken: only ${common.size}/${before.size} chunk " +
+        "hashes survived a prefix edit")
+  }
+
+  test("cdcDedupStats: exact accounting on a corpus with a repeated " +
+      "document") {
+    val rnd = new scala.util.Random(19)
+    val alpha = "abcdefgh "
+    def randText(n: Int) =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val shared = randText(500)
+    val docs = Seq((1L, shared), (2L, shared), (3L, randText(500)))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, w = 8, divisor = 32)
+    val stats = Dedup.cdcDedupStats(chunks)
+      .select("n_chunks", "n_distinct", "total_chars", "distinct_chars",
+        "dedup_ratio")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val rows = chunks.select("len", "chunk_h").as[(Int, Long)].collect()
+    val naiveDistinct = rows.groupBy(_._2).map(_._2.head._1.toLong).sum
+    assert(stats._1 === rows.length.toLong)
+    assert(stats._2 === rows.map(_._2).distinct.length.toLong)
+    assert(stats._3 === rows.map(_._1.toLong).sum)
+    assert(stats._4 === naiveDistinct)
+    // the duplicated doc's chars dedupe away: ratio well under 1
+    assert(stats._5 < 0.75)
+    assert(stats._5 === stats._4.toDouble / stats._3.toDouble)
+  }
 }
