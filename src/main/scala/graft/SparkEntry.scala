@@ -2244,7 +2244,21 @@ object SparkEntry {
     // blob-store savings from content-addressed chunks ----
     "q187_cdc_dedup" -> ((s, dir) =>
       Dedup.cdcDedupStats(Dedup.cdcChunks(
-        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))))
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)))),
+
+    // ---- distinct-audience overlap per segment pair: KMV theta-
+    // intersection read off the q72 sketches alone, next to the exact
+    // figure ----
+    "q188_audience_overlap" -> ((s, dir) =>
+      Sketches.audienceOverlap(Tables.events(s, dir),
+        "event_type", "user_id", k = 64)),
+
+    // ---- categorical entropy audit: cardinality-collapse alarm per
+    // column, micro-nat integer terms (one scan + one shuffle) ----
+    "q189_categorical_entropy" -> ((s, dir) =>
+      graft.operators.Profile.categoricalEntropy(
+        Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5563,7 +5577,71 @@ object SparkEntry {
         |  CAST(SUM(n * l) AS BIGINT) AS total_chars,
         |  CAST(SUM(l) AS BIGINT) AS distinct_chars,
         |  CAST(SUM(l) AS DOUBLE) / CAST(SUM(n * l) AS DOUBLE) AS dedup_ratio
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+
+    // q72's sketch CTEs paired; theta-intersection arithmetic matches
+    // kmvIntersectEstimate term for term; exact leg from the distinct
+    // (segment, user) self-join
+    "q188_audience_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${sqlHash32(7, "CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |mins AS (
+         |  SELECT event_type, list(h ORDER BY h) AS mins,
+         |    CASE WHEN COUNT(*) < 64 THEN 4294967296.0E0
+         |         ELSE CAST(MAX(h) AS DOUBLE) END AS theta
+         |  FROM r WHERE rn <= 64 GROUP BY event_type),
+         |p AS (
+         |  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+         |    a.mins AS ma, b.mins AS mb,
+         |    least(a.theta, b.theta) AS t
+         |  FROM mins a JOIN mins b ON a.event_type < b.event_type),
+         |est AS (
+         |  SELECT seg_a, seg_b,
+         |    CAST(len(list_filter(list_intersect(ma, mb),
+         |      v -> CAST(v AS DOUBLE) < t)) AS DOUBLE) * 4294967296.0E0 / t
+         |      AS kmv_overlap
+         |  FROM p),
+         |du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |ex AS (
+         |  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+         |    COUNT(*) AS exact_overlap
+         |  FROM du a JOIN du b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT est.seg_a, est.seg_b,
+         |  CAST(coalesce(ex.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+         |  est.kmv_overlap
+         |FROM est LEFT JOIN ex USING (seg_a, seg_b)""".stripMargin,
+
+    // per-column value histogram -> per-value micro-nat -p*ln(p) terms
+    // (rounded before the sum, order-free), unioned column stack
+    "q189_categorical_entropy" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+      val stack = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem")
+        .mkString("\n  UNION ALL ")
+      s"""WITH p AS (
+         |  $stack),
+         |c AS (SELECT col_name, v, COUNT(*) AS c FROM p
+         |      WHERE v IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS t
+         |      FROM c GROUP BY 1),
+         |m AS (SELECT c.col_name, t.t,
+         |    CAST(round((CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+         |      * -ln(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+         |      * 1.0E6) AS BIGINT) AS term
+         |  FROM c JOIN t USING (col_name))
+         |SELECT col_name, MAX(t) AS n, COUNT(*) AS n_distinct,
+         |  CAST(SUM(term) AS BIGINT) AS entropy_micro,
+         |  CAST(SUM(term) AS DOUBLE) / 1.0E6 AS entropy
+         |FROM m GROUP BY 1""".stripMargin
+    }
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

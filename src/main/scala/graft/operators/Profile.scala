@@ -47,4 +47,42 @@ object Profile {
     }: _*)
     one.select(explode(rows).as("__r")).select(col("__r.*"))
   }
+
+  /** Shannon entropy (nats) of each categorical column's value
+    * distribution — the cardinality-collapse / constant-column alarm a
+    * profiling pass raises (entropy ≈ 0 = the column stopped carrying
+    * information; a sudden drop = an upstream join started fanning one
+    * value out). Nulls are excluded (they're [[numericProfile]]'s
+    * `n_null` signal).
+    *
+    * One scan explodes each row into |cols| `(col, value)` pairs and
+    * one shuffle counts them; per-VALUE terms `−p·ln(p)` round to
+    * micro-nats BEFORE the per-column sum (the
+    * [[graft.operators.Normalize.psiBins]] rounded-ln convention), so
+    * `entropy_micro` is an order-free integer and engine-exact.
+    * Output: `(col_name, n, n_distinct, entropy_micro, entropy)`. */
+  def categoricalEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val pairs = df
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("__v"))
+      }: _*)).as("__e"))
+      .select(col("__e.col_name").as("col_name"), col("__e.__v").as("__v"))
+      .filter(col("__v").isNotNull)
+    val counts = pairs.groupBy(col("col_name"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(col("col_name"))
+      .agg(sum(col("__c")).as("__t"))
+    counts.join(totals, "col_name")
+      .select(col("col_name"), col("__c"), col("__t"),
+        round((col("__c").cast("double") / col("__t").cast("double")) *
+          -log(col("__c").cast("double") / col("__t").cast("double")) * 1e6)
+          .cast("long").as("__term"))
+      .groupBy(col("col_name"))
+      .agg(
+        max(col("__t")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__term")).as("entropy_micro"))
+      .withColumn("entropy", col("entropy_micro").cast("double") / 1e6)
+  }
 }

@@ -36,6 +36,61 @@ object Sketches {
   def kmvUnion(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
+  /** Set-INTERSECTION cardinality estimate from two KMV minima arrays
+    * (the theta-sketch intersection rule, Beyer et al. SIGMOD'07):
+    * below θ = min of the two sketches' thresholds, BOTH sketches
+    * retain every distinct hash they saw, so
+    * `|{v ∈ A∩B : v < θ}| · 2^bits / θ` is the same density estimator
+    * [[kmvEstimate]] uses. A not-full sketch's θ is 2^bits (it kept
+    * everything), so two not-full sketches give the exact
+    * intersection size. */
+  def kmvIntersectEstimate(
+      a: Column, b: Column, k: Int, hashBits: Int = 32): Column = {
+    val full = math.pow(2.0, hashBits)
+    def theta(x: Column) =
+      when(size(x) < k, lit(full)).otherwise(element_at(x, k).cast("double"))
+    val t = least(theta(a), theta(b))
+    val common = filter(array_intersect(a, b), v => v.cast("double") < t)
+    size(common).cast("double") * lit(full) / t
+  }
+
+  /** Distinct-audience overlap between every pair of segments: the
+    * per-segment KMV sketches pair up (tiny table, broadcast
+    * self-join) and [[kmvIntersectEstimate]] reads the shared-user
+    * estimate off the sketches alone, next to the exact overlap for
+    * the audit. At 100 TB the exact leg is the expensive one (distinct
+    * (segment,user) self-join); production keeps only the sketch leg —
+    * O(k) longs per segment — and rollups reuse the same sketches via
+    * [[kmvUnion]]. Output: `(seg_a, seg_b, exact_overlap,
+    * kmv_overlap)`. */
+  def audienceOverlap(
+      df: DataFrame,
+      segmentCol: String,
+      userCol: String,
+      k: Int,
+      seed: Int = 7): DataFrame = {
+    val sk = df
+      .select(col(segmentCol),
+        TextFunctions.md5Hash32(col(userCol).cast("string"), seed).as("__h"))
+      .groupBy(col(segmentCol))
+      .agg(kmvMinima(col("__h"), k).as("__mins"))
+    val pairs = sk.select(col(segmentCol).as("seg_a"), col("__mins").as("__ma"))
+      .join(broadcast(
+        sk.select(col(segmentCol).as("seg_b"), col("__mins").as("__mb"))),
+        col("seg_a") < col("seg_b"))
+    val du = df.select(col(segmentCol), col(userCol)).distinct()
+    val exact = du.select(col(segmentCol).as("seg_a"), col(userCol))
+      .join(du.select(col(segmentCol).as("seg_b"), col(userCol)), Seq(userCol))
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    pairs
+      .join(exact, Seq("seg_a", "seg_b"), "left")
+      .select(col("seg_a"), col("seg_b"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
+        kmvIntersectEstimate(col("__ma"), col("__mb"), k).as("kmv_overlap"))
+  }
+
   /** Per-group approximate distinct count of `valueCol` next to the
     * exact count: one aggregation pass, the engine-portable md5 hash
     * (swap for `fastHash64` + hashBits=64 in production). */

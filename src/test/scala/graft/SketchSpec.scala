@@ -176,4 +176,59 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
       Sketches.heavyHitters(df, "v", sketchSize = 9, minShare = 0.05)
     }
   }
+
+  test("audienceOverlap: under-capacity sketches give the EXACT overlap; " +
+      "full sketches estimate within the KMV error band") {
+    import spark.implicits._
+    // segments A/B share users 1..50; A also has 51..120, B 121..200
+    val rows = (1 to 120).map(u => ("A", u.toLong)) ++
+      (1 to 50).map(u => ("B", u.toLong)) ++
+      (121 to 200).map(u => ("B", u.toLong)) ++
+      (1 to 10).map(u => ("A", u.toLong)) // dupes must not matter
+    val df = rows.toDF("seg", "user")
+    // k=512 > both audiences: theta = 2^32 on both sides, exact path
+    val exactish = Sketches.audienceOverlap(df, "seg", "user", k = 512)
+      .select("seg_a", "seg_b", "exact_overlap", "kmv_overlap")
+      .as[(String, String, Long, Double)].head()
+    assert(exactish === (("A", "B", 50L, 50.0)))
+    // k=32 << audiences: a real estimate; KMV relative error ~1/sqrt(k)
+    // (seeded hash => deterministic, this is a fixed value not a flake)
+    val est = Sketches.audienceOverlap(df, "seg", "user", k = 32)
+      .select("exact_overlap", "kmv_overlap")
+      .as[(Long, Double)].head()
+    assert(est._1 === 50L)
+    assert(est._2 > 10.0 && est._2 < 150.0,
+      s"KMV overlap estimate wildly off: ${est._2}")
+    // partition invariance
+    val again = Sketches.audienceOverlap(df.repartition(9), "seg", "user",
+        k = 32).select("kmv_overlap").as[Double].head()
+    assert(again === est._2)
+  }
+
+  test("categoricalEntropy: uniform = ln(k), constant = 0, matches the " +
+      "naive histogram entropy") {
+    import spark.implicits._
+    val df = (0 until 240).map { i =>
+      (s"v${i % 4}", "const", if (i < 200) "heavy" else s"tail$i")
+    }.toDF("uniform4", "konst", "skewed")
+    val got = graft.operators.Profile.categoricalEntropy(
+        df, Seq("uniform4", "konst", "skewed"))
+      .select("col_name", "n", "n_distinct", "entropy_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got("uniform4")._3 === 4L)
+    // 4 * round((1/4)*ln(4)*1e6)
+    assert(got("uniform4")._4 ===
+      4L * math.round(0.25 * math.log(4.0) * 1e6))
+    assert(got("konst") === (("konst", 240L, 1L, 0L)))
+    val naive = {
+      val vals = (0 until 240).map(i => if (i < 200) "heavy" else s"tail$i")
+      vals.groupBy(identity).values.map { g =>
+        val p = g.size.toDouble / 240.0
+        math.round(p * -math.log(p) * 1e6)
+      }.sum
+    }
+    assert(got("skewed")._4 === naive)
+    assert(got("skewed")._2 === 240L && got("skewed")._3 === 41L)
+  }
 }
