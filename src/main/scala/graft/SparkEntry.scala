@@ -2258,7 +2258,13 @@ object SparkEntry {
     "q189_categorical_entropy" -> ((s, dir) =>
       graft.operators.Profile.categoricalEntropy(
         Tables.lineitem(s, dir),
-        Seq("l_returnflag", "l_linestatus", "l_linenumber")))
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"))),
+
+    // ---- lang x source independence audit: mutual information in
+    // micro-nats — the mixing-balance check before weighting sources ----
+    "q190_mutual_info" -> ((s, dir) =>
+      graft.operators.Profile.mutualInformation(
+        Tables.documents(s, dir), "lang", "source"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5641,7 +5647,30 @@ object SparkEntry {
          |  CAST(SUM(term) AS BIGINT) AS entropy_micro,
          |  CAST(SUM(term) AS DOUBLE) / 1.0E6 AS entropy
          |FROM m GROUP BY 1""".stripMargin
-    }
+    },
+
+    // cell counts once; marginals from the cell table; per-cell
+    // micro-nat p*ln(p/(pa*pb)) terms rounded before the sum
+    "q190_mutual_info" ->
+      """WITH c AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b, COUNT(*) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM c GROUP BY 1),
+        |mb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c),
+        |m AS (SELECT c.a, c.b, t.t,
+        |    CAST(round((CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+        |      * ln((CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+        |        / ((CAST(ma.ca AS DOUBLE) / CAST(t.t AS DOUBLE))
+        |          * (CAST(mb.cb AS DOUBLE) / CAST(t.t AS DOUBLE))))
+        |      * 1.0E6) AS BIGINT) AS term
+        |  FROM c JOIN ma USING (a) JOIN mb USING (b), t)
+        |SELECT MAX(t) AS n, COUNT(*) AS n_cells,
+        |  COUNT(DISTINCT a) AS card_a, COUNT(DISTINCT b) AS card_b,
+        |  CAST(SUM(term) AS BIGINT) AS mi_micro,
+        |  CAST(SUM(term) AS DOUBLE) / 1.0E6 AS mi
+        |FROM m""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the per-column statistics pass a pipeline runs
@@ -84,5 +84,43 @@ object Profile {
         count(lit(1)).as("n_distinct"),
         sum(col("__term")).as("entropy_micro"))
       .withColumn("entropy", col("entropy_micro").cast("double") / 1e6)
+  }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * independence audit for a mixing decision (is language balance
+    * uniform across sources? does a label leak through a metadata
+    * field?). `MI = Σ_cells p(a,b)·ln(p(a,b)/(p(a)·p(b)))`, per-cell
+    * terms rounded to micro-nats before the sum ([[categoricalEntropy]]'s
+    * order-free integer convention). Null rows in either column are
+    * excluded.
+    *
+    * == Scale ==
+    * One (a,b) count shuffle; marginals derive from the CELL table
+    * (|A|·|B| rows, never the data again), and the total joins back as
+    * a broadcast one-row aggregate. Output (one row):
+    * `(n, n_cells, card_a, card_b, mi_micro, mi)`. */
+  def mutualInformation(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("__a"),
+        col(colB).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__ca"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val tot = cells.agg(sum(col("__c")).as("__t"))
+    def p(c: Column) = c.cast("double") / col("__t").cast("double")
+    cells.join(ma, "__a").join(mb, "__b").crossJoin(broadcast(tot))
+      .select(col("__a"), col("__b"), col("__t"),
+        round(p(col("__c")) *
+          log(p(col("__c")) / (p(col("__ca")) * p(col("__cb")))) * 1e6)
+          .cast("long").as("__term"))
+      .agg(
+        max(col("__t")).as("n"),
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("__a")).as("card_a"),
+        countDistinct(col("__b")).as("card_b"),
+        sum(col("__term")).as("mi_micro"))
+      .withColumn("mi", col("mi_micro").cast("double") / 1e6)
   }
 }

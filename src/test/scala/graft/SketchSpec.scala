@@ -231,4 +231,22 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     assert(got("skewed")._4 === naive)
     assert(got("skewed")._2 === 240L && got("skewed")._3 === 41L)
   }
+
+  test("mutualInformation: identical columns = column entropy; exactly " +
+      "balanced independent columns = 0") {
+    import spark.implicits._
+    val df = (0 until 400)
+      .map(i => (s"v${i % 4}", s"v${i % 4}", s"w${(i / 4) % 5}"))
+      .toDF("a", "a2", "b")
+    val same = graft.operators.Profile.mutualInformation(df, "a", "a2")
+      .select("n", "n_cells", "card_a", "card_b", "mi_micro")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // diagonal cells only: MI == H(uniform-4) under the same rounding
+    assert(same === ((400L, 4L, 4L, 4L,
+      4L * math.round(0.25 * math.log(4.0) * 1e6))))
+    // every (a,b) cell holds exactly 400/20 rows -> ln(1) terms, MI = 0
+    val indep = graft.operators.Profile.mutualInformation(df, "a", "b")
+      .select("n_cells", "mi_micro").as[(Long, Long)].head()
+    assert(indep === ((20L, 0L)))
+  }
 }
