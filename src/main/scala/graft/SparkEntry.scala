@@ -2265,6 +2265,13 @@ object SparkEntry {
     "q190_mutual_info" -> ((s, dir) =>
       graft.operators.Profile.mutualInformation(
         Tables.documents(s, dir), "lang", "source"))
+    ,
+
+    // ---- the REMOVAL half of q99: excise every corpus-duplicated
+    // span and rejoin the survivors (Lee et al. 2022 delete the
+    // repeat, not the document) ----
+    "q191_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), l = 5))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3699,24 +3706,7 @@ object SparkEntry {
     // token windows hashed exactly as the Spark side (15-hex-char md5
     // prefix = 60-bit), duplicates corpus-wide, gaps-and-islands merge
     "q99_duplicate_spans" ->
-      s"""WITH t AS (SELECT doc_id, $sqlWords AS tk FROM documents),
-         |w0 AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 4),
-         |         i -> CAST(('0x'||substr(md5(
-         |           array_to_string(list_slice(tk, i, i + 4), ' ')), 1, 15))
-         |           AS BIGINT)) AS hs
-         |       FROM t WHERE len(tk) >= 5),
-         |w AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos,
-         |        unnest(hs) AS h FROM w0),
-         |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
-         |m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (h)),
-         |x AS (SELECT doc_id, pos,
-         |        max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |      FROM m),
-         |y AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
-         |        OR pos > prev_end + 1 THEN 1 ELSE 0 END AS f FROM x),
-         |z AS (SELECT doc_id, pos,
-         |        SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM y)
+      s"""WITH $sqlDupSpanZCtes
          |SELECT doc_id, CAST(MIN(pos) AS INT) AS span_start,
          |  CAST(MAX(pos) + 4 AS INT) AS span_end, COUNT(*) AS n_windows
          |FROM z GROUP BY doc_id, isl""".stripMargin,
@@ -5670,7 +5660,27 @@ object SparkEntry {
         |  COUNT(DISTINCT a) AS card_a, COUNT(DISTINCT b) AS card_b,
         |  CAST(SUM(term) AS BIGINT) AS mi_micro,
         |  CAST(SUM(term) AS DOUBLE) / 1.0E6 AS mi
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q99's span CTEs -> per-doc span list -> row-local index filter
+    // (nested-lambda capture) -> rejoin survivors
+    "q191_span_removal" ->
+      s"""WITH $sqlDupSpanZCtes,
+         |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+         |          FROM z GROUP BY doc_id, isl),
+         |sp AS (SELECT doc_id, list([s, e]) AS sps FROM spans GROUP BY 1),
+         |c AS (SELECT t.doc_id, t.tk, coalesce(sp.sps, []) AS sps
+         |      FROM t LEFT JOIN sp USING (doc_id)),
+         |k AS (SELECT doc_id, tk,
+         |        list_filter(generate_series(1, len(tk)),
+         |          i -> len(list_filter(sps,
+         |            s -> i - 1 >= s[1] AND i - 1 <= s[2])) = 0) AS kept
+         |      FROM c)
+         |SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(len(tk) - len(kept) AS INT) AS n_removed,
+         |  coalesce(array_to_string(list_transform(kept, i -> tk[i]), ' '),
+         |    '') AS cleaned_text
+         |FROM k""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and
@@ -5784,6 +5794,31 @@ object SparkEntry {
        |    ELSE (CASE WHEN xv < 0 THEN -1.0 ELSE 1.0 END) * ($r)
        |  END AS FLOAT)""".stripMargin
   }
+
+  /** Duplicate-span detection CTE chain (l=5 token windows duplicated
+    * corpus-wide, merged into per-doc islands) shared by the q99 span
+    * report and the q191 span-removal oracle. Ends with
+    * `z (doc_id, pos, isl)` plus `t (doc_id, tk)`; no trailing
+    * comma. */
+  private def sqlDupSpanZCtes: String =
+    s"""t AS (SELECT doc_id, $sqlWords AS tk FROM documents),
+       |w0 AS (SELECT doc_id, list_transform(generate_series(1, len(tk) - 4),
+       |         i -> CAST(('0x'||substr(md5(
+       |           array_to_string(list_slice(tk, i, i + 4), ' ')), 1, 15))
+       |           AS BIGINT)) AS hs
+       |       FROM t WHERE len(tk) >= 5),
+       |w AS (SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos,
+       |        unnest(hs) AS h FROM w0),
+       |d AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+       |m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (h)),
+       |x AS (SELECT doc_id, pos,
+       |        max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM m),
+       |y AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL
+       |        OR pos > prev_end + 1 THEN 1 ELSE 0 END AS f FROM x),
+       |z AS (SELECT doc_id, pos,
+       |        SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM y)""".stripMargin
 
   /** CDC chunk CTE chain for q186/q187 (w=16, divisor=64, seed=7,
     * doc_id % 10 slice — [[graft.operators.Dedup.cdcChunks]]'s

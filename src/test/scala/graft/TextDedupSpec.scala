@@ -413,6 +413,40 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
         "hashes survived a prefix edit")
   }
 
+  test("removeDuplicateSpans excises exactly the reported spans and " +
+      "leaves span-free docs byte-identical (normalized space)") {
+    val repeat = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"unique one two three $repeat tail words here"),
+      (2L, s"$repeat other completely different closing stretch"),
+      (3L, "totally fresh content nothing shared at all whatsoever"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, l = 5)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val got = Dedup.removeDuplicateSpans(docs, l = 5)
+      .select("doc_id", "n_tokens", "n_removed", "cleaned_text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    // doc 3 shares nothing: untouched, cleaned == normalized original
+    val norm3 = "totally fresh content nothing shared at all whatsoever"
+    assert(got(2) === ((3L, 8, 0, norm3)))
+    // docs 1,2 lose exactly their reported span widths
+    for ((id, n) <- Seq(1L -> 0, 2L -> 1)) {
+      val width = spans(id).map { case (s, e) => e - s + 1 }.sum
+      val (_, nt, nr, cleaned) = got(n)
+      assert(nr === width, s"doc $id removed $nr != span width $width")
+      assert(cleaned.split(" ").count(_.nonEmpty) === nt - nr)
+      // no token of the repeated run survives
+      assert(!cleaned.contains("gamma"))
+    }
+    // deterministic across partitioning
+    val again = Dedup.removeDuplicateSpans(docs.repartition(5), l = 5)
+      .select("doc_id", "cleaned_text").as[(Long, String)]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    assert(again === got.map(_._4).toSeq)
+  }
+
   test("cdcDedupStats: exact accounting on a corpus with a repeated " +
       "document") {
     val rnd = new scala.util.Random(19)
