@@ -2271,7 +2271,27 @@ object SparkEntry {
     // span and rejoin the survivors (Lee et al. 2022 delete the
     // repeat, not the document) ----
     "q191_span_removal" -> ((s, dir) =>
-      Dedup.removeDuplicateSpans(Tables.documents(s, dir), l = 5))
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), l = 5)),
+
+    // ---- leakage-safe target encoding: each event's user-level click
+    // mean excludes its own label; smoothed variant shrinks rare users
+    // toward the global rate ----
+    "q192_target_encode" -> ((s, dir) =>
+      graft.operators.Encode.targetEncodeLoo(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            (col("event_type") === "click").cast("long").as("y")),
+        "user_id", "y")),
+
+    // ---- frequency encoding with rare-category collapse: sources
+    // under 25 docs fold into one bucket — the cardinality-control
+    // step before one-hot/embedding ----
+    "q193_frequency_encode" -> ((s, dir) =>
+      graft.operators.Encode.frequencyEncode(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "source", minCount = 25L)
+        .select(col("doc_id"), col("source"), col("encoded_cat"),
+          col("cat_count"), col("cat_freq")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5680,7 +5700,43 @@ object SparkEntry {
          |  CAST(len(tk) - len(kept) AS INT) AS n_removed,
          |  coalesce(array_to_string(list_transform(kept, i -> tk[i]), ' '),
          |    '') AS cleaned_text
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+
+    // per-user window sums; LOO = (sum - own)/(n-1); smoothing prior
+    // = alpha * exact global mean, identical IEEE order
+    "q192_target_encode" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(event_type = 'click' AS BIGINT) AS y FROM events),
+        |g AS (SELECT CAST(SUM(y) AS BIGINT) AS gsum, COUNT(*) AS gn FROM e),
+        |w AS (SELECT event_id, user_id, y,
+        |    CAST(SUM(y) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+        |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS c
+        |  FROM e)
+        |SELECT event_id, user_id, y,
+        |  CASE WHEN c > 1 THEN
+        |    CAST(s - y AS DOUBLE) / CAST(c - 1 AS DOUBLE) END AS loo_mean,
+        |  (CAST(s - y AS DOUBLE)
+        |      + 20.0E0 * (CAST(gsum AS DOUBLE) / CAST(gn AS DOUBLE)))
+        |    / (CAST(c - 1 AS DOUBLE) + 20.0E0) AS smoothed_mean
+        |FROM w, g""".stripMargin,
+
+    // category counts once; rare pool + corpus total as a one-row
+    // aggregate; mapping joined back per row
+    "q193_frequency_encode" ->
+      """WITH c AS (SELECT CAST(source AS VARCHAR) AS k, COUNT(*) AS c0
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS t,
+        |        CAST(coalesce(SUM(CASE WHEN c0 < 25 THEN c0 END), 0)
+        |          AS BIGINT) AS rare
+        |      FROM c),
+        |m AS (SELECT k,
+        |        CASE WHEN c0 >= 25 THEN k ELSE '__rare__' END AS encoded_cat,
+        |        CASE WHEN c0 >= 25 THEN c0 ELSE t.rare END AS cat_count,
+        |        t.t FROM c, t)
+        |SELECT d.doc_id, d.source, m.encoded_cat,
+        |  CAST(m.cat_count AS BIGINT) AS cat_count,
+        |  CAST(m.cat_count AS DOUBLE) / CAST(m.t AS DOUBLE) AS cat_freq
+        |FROM documents d JOIN m ON CAST(d.source AS VARCHAR) = m.k""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -385,6 +385,55 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(all.count() === 300)
   }
 
+  test("targetEncodeLoo: own label never leaks, singletons get the " +
+      "pure prior, matches the naive per-key computation") {
+    import graft.operators.Encode
+    val rows = Seq(
+      (1L, "a", 1L), (2L, "a", 0L), (3L, "a", 1L),
+      (4L, "b", 1L), (5L, "b", 1L),
+      (6L, "c", 0L)) // singleton
+    val df = rows.toDF("id", "k", "y")
+    val gm = 4.0 / 6.0
+    val got = Encode.targetEncodeLoo(df, "k", "y", alpha = 2.0)
+      .select("id", "loo_mean", "smoothed_mean")
+      .as[(Long, Option[Double], Double)].collect().sortBy(_._1).toSeq
+    def loo(sum: Long, y: Long, n: Long) =
+      (sum - y).toDouble / (n - 1).toDouble
+    def smooth(sum: Long, y: Long, n: Long) =
+      ((sum - y).toDouble + 2.0 * gm) / ((n - 1).toDouble + 2.0)
+    val expect = rows.map { case (id, k, y) =>
+      val grp = rows.filter(_._2 == k)
+      val (s, n) = (grp.map(_._3).sum, grp.size.toLong)
+      (id, if (n > 1) Some(loo(s, y, n)) else None, smooth(s, y, n))
+    }
+    assert(got === expect)
+    // leakage check: row 1 (y=1) and row 2 (y=0) in the same key get
+    // DIFFERENT loo means — the own label is excluded
+    assert(got(0)._2 !== got(1)._2)
+    val again = Encode.targetEncodeLoo(df.repartition(5), "k", "y",
+        alpha = 2.0)
+      .select("id", "loo_mean", "smoothed_mean")
+      .as[(Long, Option[Double], Double)].collect().sortBy(_._1).toSeq
+    assert(again === expect)
+  }
+
+  test("frequencyEncode collapses the rare tail into one pooled bucket") {
+    import graft.operators.Encode
+    val df = (Seq.fill(30)("big") ++ Seq.fill(10)("mid") ++
+      Seq("r1", "r1", "r2")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = Encode.frequencyEncode(df, "k", minCount = 10)
+      .select("k", "encoded_cat", "cat_count", "cat_freq")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("big", "big", 30L, 30.0 / 43.0),
+      ("mid", "mid", 10L, 10.0 / 43.0),
+      ("r1", "__rare__", 3L, 3.0 / 43.0),
+      ("r2", "__rare__", 3L, 3.0 / 43.0)))
+    // row count preserved (encoding never drops or duplicates rows)
+    assert(Encode.frequencyEncode(df.repartition(7), "k", 10).count() === 43L)
+  }
+
   test("mmrRerank matches an independent naive greedy MMR and is " +
       "partition-invariant") {
     import graft.operators.Pipeline
