@@ -2291,7 +2291,38 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"), col("source")),
           "source", minCount = 25L)
         .select(col("doc_id"), col("source"), col("encoded_cat"),
-          col("cat_count"), col("cat_freq")))
+          col("cat_count"), col("cat_freq"))),
+
+    // ---- MAP@20: the order-sensitive companion to q116 — rewards
+    // putting the hits early, not just inside the window ----
+    "q194_map_at_k" -> ((s, dir) => {
+      val scored = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), col("value"),
+        (col("user_id") % 5 === 0).cast("long").as("label"))
+      graft.operators.Evaluation.meanAveragePrecisionAtK(scored,
+        Seq("event_type"), "value", "label", "event_id", k = 20)
+    }),
+
+    // ---- feature-pair redundancy/leakage audit: Pearson r for all 6
+    // pairs of 4 lineitem measures in ONE scan ----
+    "q195_corr_matrix" -> ((s, dir) =>
+      graft.operators.Profile.correlationMatrix(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // ---- bin-free numeric drift: exact two-sample KS between click
+    // and view payload-value distributions ----
+    "q196_ks_drift" -> ((s, dir) =>
+      graft.operators.Profile.ksStatistic(
+        Tables.events(s, dir), "value", "event_type", "click", "view")),
+
+    // ---- symmetric categorical shift: JS divergence of the
+    // event-type mix between even and odd user cohorts ----
+    "q197_js_divergence" -> ((s, dir) =>
+      graft.operators.Profile.jsDivergence(
+        Tables.events(s, dir).withColumn("__parity",
+          when(col("user_id") % 2 === 0, "a").otherwise("b")),
+        "event_type", "__parity", "a", "b"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5736,7 +5767,107 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, m.encoded_cat,
         |  CAST(m.cat_count AS BIGINT) AS cat_count,
         |  CAST(m.cat_count AS DOUBLE) / CAST(m.t AS DOUBLE) AS cat_freq
-        |FROM documents d JOIN m ON CAST(d.source AS VARCHAR) = m.k""".stripMargin
+        |FROM documents d JOIN m ON CAST(d.source AS VARCHAR) = m.k""".stripMargin,
+
+    // per-rank precision terms micro-rounded before the group sum;
+    // AP = micro-sum / 1e6 / min(R, k) — identical IEEE order
+    "q194_map_at_k" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(user_id % 5 = 0 AS BIGINT) AS y,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC) AS r,
+        |    SUM(CAST(user_id % 5 = 0 AS BIGINT)) OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY value DESC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN r <= 20 THEN y ELSE 0 END) AS BIGINT)
+        |    AS n_pos_at_k,
+        |  CASE WHEN LEAST(SUM(y), 20) > 0 THEN
+        |    CAST(SUM(CASE WHEN r <= 20 AND y = 1 THEN
+        |      CAST(ROUND(CAST(cum AS DOUBLE) / CAST(r AS DOUBLE) * 1e6)
+        |        AS BIGINT) ELSE 0 END) AS DOUBLE) / 1e6
+        |      / CAST(LEAST(SUM(y), 20) AS DOUBLE)
+        |  END AS ap
+        |FROM s GROUP BY event_type""".stripMargin,
+
+    // one moment scan (xsum staging), pairs unpivot from the one-row
+    // aggregate; r recomputed with the identical IEEE expression tree
+    "q195_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val ps = for { i <- cs.indices; j <- (i + 1) until cs.size }
+        yield (cs(i), cs(j))
+      val moments = Seq("CAST(COUNT(*) AS BIGINT) AS n") ++
+        cs.flatMap { c => Seq(
+          s"${sqlSum(s"__$c")} AS s_$c",
+          s"${sqlSum(s"__$c * __$c")} AS ss_$c") } ++
+        ps.map { case (a, b) => s"${sqlSum(s"__$a * __$b")} AS sp_${a}__$b" }
+      val selects = ps.map { case (a, b) =>
+        val (va, vb) = (s"(CAST(n AS DOUBLE) * ss_$a - s_$a * s_$a)",
+          s"(CAST(n AS DOUBLE) * ss_$b - s_$b * s_$b)")
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           |  CASE WHEN $va > 0 AND $vb > 0 THEN
+           |    (CAST(n AS DOUBLE) * sp_${a}__$b - s_$a * s_$b)
+           |      / SQRT($va * $vb)
+           |  END AS corr FROM m""".stripMargin }
+      s"""WITH c AS (SELECT
+         |    ${cs.map(c => s"CAST($c AS DOUBLE) AS __$c").mkString(", ")}
+         |  FROM lineitem
+         |  WHERE ${cs.map(c => s"$c IS NOT NULL").mkString(" AND ")}),
+         |m AS (SELECT ${moments.mkString(", ")} FROM c)
+         |${selects.mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
+    },
+
+    // exact integer CDF gap: max |Ca(v)*nb - Cb(v)*na|, one division
+    "q196_ks_drift" ->
+      """WITH p AS (SELECT value AS v,
+        |    CAST(event_type = 'click' AS BIGINT) AS ia
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |    AND value IS NOT NULL),
+        |c AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS cb FROM p GROUP BY v),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT t.na, t.nb,
+        |    SUM(ca * t.nb - cb * t.na) OVER (
+        |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS cd
+        |  FROM c, t)
+        |SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(MAX(ABS(cd)) AS BIGINT) AS ks_num,
+        |  CAST(MAX(ABS(cd)) AS DOUBLE)
+        |    / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS ks
+        |FROM cum""".stripMargin,
+
+    // per-category micro-nat terms, order-free integer sum
+    "q197_js_divergence" ->
+      """WITH p AS (SELECT event_type AS cat,
+        |    CAST(user_id % 2 = 0 AS BIGINT) AS ia
+        |  FROM events WHERE event_type IS NOT NULL),
+        |c AS (SELECT cat, CAST(SUM(ia) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS cb FROM p GROUP BY cat),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |x AS (SELECT t.na, t.nb,
+        |    CAST(ROUND((CASE WHEN ca > 0 THEN
+        |        0.5 * (CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+        |        * LN((CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE))
+        |          / ((CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+        |            + CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE)) / 2.0))
+        |      ELSE 0.0 END
+        |      + CASE WHEN cb > 0 THEN
+        |        0.5 * (CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+        |        * LN((CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE))
+        |          / ((CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+        |            + CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE)) / 2.0))
+        |      ELSE 0.0 END) * 1e6) AS BIGINT) AS term
+        |  FROM c, t)
+        |SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cats,
+        |  CAST(SUM(term) AS BIGINT) AS jsd_micro,
+        |  CAST(SUM(term) AS DOUBLE) / 1e6 AS jsd
+        |FROM x""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -547,4 +547,53 @@ object Evaluation {
       .filter(col("fused_rank") <= k)
       .select(col(queryCol), col(itemCol), col("rrf_score"), col("fused_rank"))
   }
+
+  /** Mean average precision at k, per group: `AP@k = Σ_{i≤k, rel_i}
+    * P@i / min(R, k)` with `R` = the group's total relevant count —
+    * the order-sensitive companion to [[precisionAtK]] (P@k says how
+    * many hits landed in the window; AP@k also rewards putting them
+    * early). Groups with no relevant items yield null.
+    *
+    * Per-rank precision terms `cumPos/i` round to micro-units before
+    * the per-group sum (the [[graft.operators.Profile.categoricalEntropy]]
+    * order-free integer convention), so the sum is exact and the final
+    * two divisions replay identically in any engine.
+    *
+    * == Scale ==
+    * One shuffle on the group key; rank and cumulative-positive ride
+    * the same window partitioning, and the metric reduces per group —
+    * no cross-group state. Output:
+    * `(groupCols*, n_pos, n_pos_at_k, ap)`. */
+  def meanAveragePrecisionAtK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      labelCol: String,
+      tieCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df
+      .select(g :+ col(scoreCol) :+ col(tieCol) :+
+        col(labelCol).cast("long").as("__y"): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cum", sum(col("__y")).over(wCum))
+    val kL = lit(k.toLong)
+    ranked.groupBy(g: _*)
+      .agg(
+        sum(col("__y")).as("n_pos"),
+        sum(when(col("__rn") <= k, col("__y")).otherwise(0L))
+          .as("n_pos_at_k"),
+        sum(when(col("__rn") <= k && col("__y") === 1L,
+          round(col("__cum").cast("double") / col("__rn").cast("double")
+            * 1e6).cast("long")).otherwise(0L)).as("__ap_micro"))
+      .withColumn("ap",
+        when(least(col("n_pos"), kL) > 0L,
+          col("__ap_micro").cast("double") / 1e6 /
+            least(col("n_pos"), kL).cast("double")))
+      .drop("__ap_micro")
+  }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.OracleMath.xsum
+
 /** Dataset profiling — the per-column statistics pass a pipeline runs
   * on every new data drop before trusting it (null spikes, cardinality
   * collapse, and range drift are the three classic ingestion bugs;
@@ -122,5 +124,124 @@ object Profile {
         countDistinct(col("__b")).as("card_b"),
         sum(col("__term")).as("mi_micro"))
       .withColumn("mi", col("mi_micro").cast("double") / 1e6)
+  }
+
+  /** Pearson correlation for every pair of `cols` — the redundancy /
+    * leakage audit run before feature selection (|r| ≈ 1 between a
+    * feature and the label = leak; between two features = drop one).
+    * Rows with a null in ANY profiled column are excluded (listwise,
+    * so every pair sees the same n and the matrix is consistent).
+    *
+    * Determinism: the five moment sums (Σx, Σx², Σxy per pair) ride
+    * [[graft.OracleMath.xsum]]'s rounded-decimal staging (exact,
+    * order-free), and `r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))`
+    * is one fixed shape of IEEE ops over those exact figures. Null
+    * when either variance is 0.
+    *
+    * == Scale ==
+    * ONE scan: all `2·|cols| + C(|cols|,2) + 1` moment aggregates ride
+    * a single `agg(...)` (partial-aggregated map-side), and the
+    * one-row result unpivots row-locally into one row per pair —
+    * never a per-pair pass over the data. Output:
+    * `(col_a, col_b, n, corr)`. */
+  def correlationMatrix(
+      df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val clean = df
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .na.drop("any", cols)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.flatMap { c => Seq(
+        xsum(col(c), scale).as(s"__s_$c"),
+        xsum(col(c) * col(c), scale).as(s"__ss_$c")) } ++
+      pairs.map { case (a, b) =>
+        xsum(col(a) * col(b), scale).as(s"__sp_${a}__$b") }
+    val oneRow = clean.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    val rows = array(pairs.map { case (a, b) =>
+      val cov = n * col(s"__sp_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+      val va = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val vb = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        when(va > 0.0 && vb > 0.0, cov / sqrt(va * vb)).as("corr"))
+    }: _*)
+    oneRow.select(explode(rows).as("__r")).select(col("__r.*"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between `valueCol`'s
+    * distributions in groups `a` and `b` of `groupCol` — the numeric
+    * drift test (PSI needs binning; KS is bin-free and exact). The
+    * statistic is the max CDF gap; it is computed as the exact
+    * integer `max |C_a(v)·n_b − C_b(v)·n_a|` over observed values,
+    * divided once at the end — no floating-point CDFs, so the result
+    * is engine-exact.
+    *
+    * == Scale ==
+    * One count shuffle on the (bounded-cardinality) value domain,
+    * then the cumulative gap rides [[PrefixSum.inclusive]]'s
+    * range-partitioned scan — never a single-partition window over
+    * the value domain. Output (one row):
+    * `(n_a, n_b, ks_num, ks)` with `ks = ks_num/(n_a·n_b)`. */
+  def ksStatistic(
+      df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val pts = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("__ia"))
+    val counts = pts.groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__ca"),
+        sum(lit(1L) - col("__ia")).as("__cb"))
+    val tot = counts.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val d = counts.crossJoin(broadcast(tot))
+      .withColumn("__d",
+        col("__ca") * col("__nb") - col("__cb") * col("__na"))
+    PrefixSum.inclusive(d, "__v", "__d", "__cd")
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cd"))).as("ks_num"))
+      .withColumn("ks", col("ks_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+  }
+
+  /** Jensen–Shannon divergence (nats) between `catCol`'s distributions
+    * in groups `a` and `b` — the symmetric, bounded (≤ ln 2)
+    * distribution-shift measure for categorical columns (KL blows up
+    * on a category one side lacks; JS never does). Per-category terms
+    * `½p·ln(p/m) + ½q·ln(q/m)` (m = (p+q)/2, 0·ln0 = 0) round to
+    * micro-nats before the sum, so `jsd_micro` is an order-free
+    * integer and the figure engine-exact.
+    *
+    * == Scale ==
+    * One count shuffle on the category domain; totals join back as a
+    * broadcast one-row aggregate. Output (one row):
+    * `(n_a, n_b, n_cats, jsd_micro, jsd)`. */
+  def jsDivergence(
+      df: DataFrame, catCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val pts = df
+      .filter(col(groupCol).isin(a, b) && col(catCol).isNotNull)
+      .select(col(catCol).cast("string").as("__cat"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("__ia"))
+    val counts = pts.groupBy(col("__cat"))
+      .agg(sum(col("__ia")).as("__ca"),
+        sum(lit(1L) - col("__ia")).as("__cb"))
+    val tot = counts.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val p = col("__ca").cast("double") / col("__na").cast("double")
+    val q = col("__cb").cast("double") / col("__nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    counts.crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"),
+        round((when(col("__ca") > 0L, lit(0.5) * p * log(p / m))
+          .otherwise(lit(0.0)) +
+          when(col("__cb") > 0L, lit(0.5) * q * log(q / m))
+            .otherwise(lit(0.0))) * 1e6).cast("long").as("__term"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_cats"), sum(col("__term")).as("jsd_micro"))
+      .withColumn("jsd", col("jsd_micro").cast("double") / 1e6)
   }
 }

@@ -667,4 +667,42 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
       .select("recall").as[Double].collect()
     assert(rec.length === 3 && rec.forall(_ === 1.0))
   }
+
+  test("meanAveragePrecisionAtK matches a naive reimplementation; " +
+      "no-positive groups yield null; partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3).flatMap { g =>
+      (0 until 40).map { i =>
+        (s"g$g", i.toLong, rnd.nextDouble(),
+          if (g == 2) 0L else if (rnd.nextInt(4) == 0) 1L else 0L)
+      }
+    }
+    val df = rows.toDF("grp", "id", "score", "y")
+    val k = 10
+    def naive(g: String): Option[Double] = {
+      val ranked = rows.filter(_._1 == g)
+        .sortBy(r => (-r._3, r._2)).map(_._4)
+      val nPos = ranked.count(_ == 1L).min(k)
+      if (nPos == 0) None
+      else {
+        var cum = 0L
+        var s = 0L
+        ranked.take(k).zipWithIndex.foreach { case (y, i) =>
+          cum += y
+          if (y == 1L) s += math.round(cum.toDouble / (i + 1) * 1e6)
+        }
+        Some(s.toDouble / 1e6 / nPos)
+      }
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Evaluation.meanAveragePrecisionAtK(
+          df.repartition(parts), Seq("grp"), "score", "y", "id", k)
+        .select("grp", "ap").collect()
+        .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+        .toMap
+      assert(got("g2") === None)
+      assert(got("g0") === naive("g0"))
+      assert(got("g1") === naive("g1"))
+    }
+  }
 }

@@ -249,4 +249,104 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
       .select("n_cells", "mi_micro").as[(Long, Long)].head()
     assert(indep === ((20L, 0L)))
   }
+
+  test("correlationMatrix: exact ±1 on linear columns, 0 on balanced " +
+      "orthogonal ones, null on constants; matches naive Pearson") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 300).map(_ => rnd.nextInt(1000).toDouble)
+    val noise = (0 until 300).map(_ => rnd.nextInt(1000).toDouble)
+    val df = base.zip(noise).map { case (x, e) =>
+      (x, 3.0 * x + 7.0, -2.0 * x, 5.0, e)
+    }.toDF("x", "lin_up", "lin_dn", "konst", "e")
+    val got = graft.operators.Profile.correlationMatrix(
+        df, Seq("x", "lin_up", "lin_dn", "konst", "e"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(math.abs(got(("x", "lin_up")).get - 1.0) < 1e-9)
+    assert(math.abs(got(("x", "lin_dn")).get + 1.0) < 1e-9)
+    assert(got(("x", "konst")) === None) // zero variance -> null
+    // naive two-pass Pearson on the raw doubles
+    val naive = {
+      val n = base.size.toDouble
+      val (mx, me) = (base.sum / n, noise.sum / n)
+      val cov = base.zip(noise).map { case (x, e) => (x - mx) * (e - me) }.sum
+      val vx = base.map(x => (x - mx) * (x - mx)).sum
+      val ve = noise.map(e => (e - me) * (e - me)).sum
+      cov / math.sqrt(vx * ve)
+    }
+    assert(math.abs(got(("x", "e")).get - naive) < 1e-6)
+  }
+
+  test("ksStatistic: identical samples -> 0, disjoint ranges -> 1, " +
+      "shifted uniform matches the naive CDF-gap computation") {
+    import spark.implicits._
+    def ks(rows: Seq[(Double, String)]): (Long, Long, Long, Double) =
+      graft.operators.Profile.ksStatistic(
+          rows.toDF("v", "g"), "v", "g", "a", "b")
+        .as[(Long, Long, Long, Double)].head()
+    val same = (0 until 100).flatMap(i =>
+      Seq((i.toDouble, "a"), (i.toDouble, "b")))
+    assert(ks(same) === ((100L, 100L, 0L, 0.0)))
+    val disjoint = (0 until 50).map(i => (i.toDouble, "a")) ++
+      (0 until 80).map(i => (100.0 + i, "b"))
+    assert(ks(disjoint) === ((50L, 80L, 50L * 80L, 1.0)))
+    val rnd = new scala.util.Random(3)
+    val aa = (0 until 200).map(_ => rnd.nextDouble())
+    val bb = (0 until 150).map(_ => rnd.nextDouble() + 0.25)
+    val got = ks(aa.map((_, "a")) ++ bb.map((_, "b")))
+    val naive = {
+      val vals = (aa ++ bb).distinct.sorted
+      vals.map { v =>
+        math.abs(aa.count(_ <= v).toLong * bb.size -
+          bb.count(_ <= v).toLong * aa.size)
+      }.max
+    }
+    assert(got._3 === naive)
+    assert(got._4 === naive.toDouble / (200.0 * 150.0))
+  }
+
+  test("jsDivergence: identical mixes -> 0, disjoint categories -> " +
+      "ln 2, asymmetric shift matches the naive term sum") {
+    import spark.implicits._
+    def jsd(rows: Seq[(String, String)]): (Long, Long, Long, Long) =
+      graft.operators.Profile.jsDivergence(
+          rows.toDF("cat", "g"), "cat", "g", "a", "b")
+        .select("n_a", "n_b", "n_cats", "jsd_micro")
+        .as[(Long, Long, Long, Long)].head()
+    val same = (0 until 120).flatMap(i =>
+      Seq((s"c${i % 4}", "a"), (s"c${i % 4}", "b")))
+    assert(jsd(same) === ((120L, 120L, 4L, 0L)))
+    // disjoint supports: every term is (1/2)p·ln2 or (1/2)q·ln2
+    val disjoint = (0 until 60).map(i => (s"x${i % 3}", "a")) ++
+      (0 until 90).map(i => (s"y${i % 2}", "b"))
+    val (_, _, nc, micro) = jsd(disjoint)
+    assert(nc === 5L)
+    val ln2 = math.log(2.0)
+    val expect =
+      3L * math.round(0.5 * (1.0 / 3.0) * ln2 * 1e6) +
+      2L * math.round(0.5 * (1.0 / 2.0) * ln2 * 1e6)
+    assert(micro === expect)
+    // naive per-category recomputation on a skewed mix
+    val mixed = (0 until 100).map(i => (s"m${i % 5}", "a")) ++
+      (0 until 100).map(i => (s"m${(i % 10) / 2}", "b"))
+    val (na, nb, _, got) = jsd(mixed)
+    val naive = {
+      val ca = (0 until 100).map(i => s"m${i % 5}").groupBy(identity)
+        .map { case (k, v) => k -> v.size }
+      val cb = (0 until 100).map(i => s"m${(i % 10) / 2}").groupBy(identity)
+        .map { case (k, v) => k -> v.size }
+      (ca.keySet ++ cb.keySet).toSeq.map { k =>
+        val p = ca.getOrElse(k, 0).toDouble / na
+        val q = cb.getOrElse(k, 0).toDouble / nb
+        val m = (p + q) / 2.0
+        val ta = if (p > 0) 0.5 * p * math.log(p / m) else 0.0
+        val tb = if (q > 0) 0.5 * q * math.log(q / m) else 0.0
+        math.round((ta + tb) * 1e6)
+      }.sum
+    }
+    assert(got === naive)
+  }
 }
