@@ -2322,7 +2322,27 @@ object SparkEntry {
       graft.operators.Profile.jsDivergence(
         Tables.events(s, dir).withColumn("__parity",
           when(col("user_id") % 2 === 0, "a").otherwise("b")),
-        "event_type", "__parity", "a", "b"))
+        "event_type", "__parity", "a", "b")),
+
+    // ---- GBDT-style split-finding summary: 16 equal-width bins of
+    // the payload value with purchase-rate per bin ----
+    "q198_feature_histogram" -> ((s, dir) =>
+      graft.operators.Training.featureHistogram(
+        Tables.events(s, dir).select(col("value"),
+          (col("event_type") === "purchase").cast("long").as("label")),
+        "value", "label", nBins = 16)),
+
+    // ---- Zipf rank-frequency fit over the top-100 vocabulary:
+    // boilerplate-flood / dedup-damage alarm on the corpus shape ----
+    "q199_zipf_slope" -> ((s, dir) =>
+      graft.operators.Corpus.zipfSlope(
+        Tables.documents(s, dir), "text", topN = 100)),
+
+    // ---- count-min collision audit: 16x4 sketch estimates vs exact
+    // brand counts (25 keys > 16 counters forces collisions) ----
+    "q200_count_min" -> ((s, dir) =>
+      Sketches.countMinEstimates(
+        Tables.part(s, dir), "p_brand", width = 16, depth = 4))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5867,7 +5887,80 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_cats,
         |  CAST(SUM(term) AS BIGINT) AS jsd_micro,
         |  CAST(SUM(term) AS DOUBLE) / 1e6 AS jsd
-        |FROM x""".stripMargin
+        |FROM x""".stripMargin,
+
+    // two-pass equal-width histogram: one-row range, bin arithmetic
+    // as the identical IEEE expression tree
+    "q198_feature_histogram" ->
+      """WITH p AS (SELECT CAST(value AS DOUBLE) AS x,
+        |    CAST(event_type = 'purchase' AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM p),
+        |b AS (SELECT CAST(CASE WHEN r.mx = r.mn THEN 0
+        |      ELSE LEAST(FLOOR((x - r.mn) / ((r.mx - r.mn) / 16.0)), 15)
+        |    END AS BIGINT) AS bin, y, r.mn, r.mx FROM p, r),
+        |g AS (SELECT bin, MAX(mn) AS mn, MAX(mx) AS mx, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos FROM b GROUP BY bin)
+        |SELECT bin,
+        |  mn + CAST(bin AS DOUBLE) * ((mx - mn) / 16.0) AS lo,
+        |  mn + CAST(bin + 1 AS DOUBLE) * ((mx - mn) / 16.0) AS hi,
+        |  n, n_pos,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+        |FROM g""".stripMargin,
+
+    // q65's ranked vocabulary -> micro-rounded OLS moments -> the
+    // identical slope/intercept chain
+    "q199_zipf_slope" ->
+      s"""WITH tok AS (SELECT unnest($sqlWords) AS token FROM documents),
+         |cnts AS (SELECT token, COUNT(*) AS cnt FROM tok
+         |         WHERE token <> '' GROUP BY token),
+         |v AS (SELECT cnt,
+         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+         |  FROM cnts ORDER BY cnt DESC, token ASC LIMIT 100),
+         |t AS (SELECT
+         |    CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS xm,
+         |    CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS ym,
+         |    CAST(ROUND(LN(CAST(rank AS DOUBLE)) * LN(CAST(rank AS DOUBLE))
+         |      * 1e6) AS BIGINT) AS xxm,
+         |    CAST(ROUND(LN(CAST(rank AS DOUBLE)) * LN(CAST(cnt AS DOUBLE))
+         |      * 1e6) AS BIGINT) AS xym
+         |  FROM v),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+         |    CAST(SUM(xxm) AS BIGINT) AS sxx,
+         |    CAST(SUM(xym) AS BIGINT) AS sxy FROM t),
+         |s AS (SELECT n_terms, sx, sy,
+         |    (CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e6)
+         |      - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+         |    / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e6)
+         |      - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6))
+         |      AS slope
+         |  FROM m)
+         |SELECT n_terms, slope,
+         |  ((CAST(sy AS DOUBLE) / 1e6) - slope * (CAST(sx AS DOUBLE) / 1e6))
+         |    / CAST(n_terms AS DOUBLE) AS intercept
+         |FROM s""".stripMargin,
+
+    // sketch rebuilt in SQL: same "0:d:item" md5 bucket per depth row,
+    // estimate = MIN over the 4 probed counters
+    "q200_count_min" ->
+      """WITH v AS (SELECT CAST(p_brand AS VARCHAR) AS item FROM part
+        |           WHERE p_brand IS NOT NULL),
+        |e AS (SELECT item, COUNT(*) AS exact FROM v GROUP BY item),
+        |dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |tab AS (SELECT d,
+        |    CAST(('0x'||substr(md5('0:'||CAST(d AS VARCHAR)||':'||item),
+        |      1, 8)) AS BIGINT) % 16 AS bucket, COUNT(*) AS c
+        |  FROM v, dd GROUP BY 1, 2),
+        |probes AS (SELECT e.item, e.exact, dd.d,
+        |    CAST(('0x'||substr(md5('0:'||CAST(dd.d AS VARCHAR)||':'
+        |      ||e.item), 1, 8)) AS BIGINT) % 16 AS bucket
+        |  FROM e, dd)
+        |SELECT p.item, CAST(p.exact AS BIGINT) AS exact,
+        |  CAST(MIN(t.c) AS BIGINT) AS est,
+        |  CAST(MIN(t.c) - p.exact AS BIGINT) AS overcount
+        |FROM probes p JOIN tab t ON p.d = t.d AND p.bucket = t.bucket
+        |GROUP BY p.item, p.exact""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -493,4 +493,42 @@ object Corpus {
         .as("__p"))
       .select(col(idCol), col("__p.0").as("w1"), col("__p.1").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
+
+  /** Zipf rank-frequency fit over the top-`topN` vocabulary: OLS of
+    * `ln cnt` on `ln rank` — natural text sits near slope −1 (Zipf's
+    * law), so a corpus whose slope drifts far from it is a red flag
+    * for boilerplate floods (flat head, slope → 0) or dedup damage.
+    * The regression's four moment sums ride micro-rounded integer
+    * terms ([[graft.operators.Profile.categoricalEntropy]]'s
+    * order-free convention); slope and intercept are then a fixed
+    * chain of IEEE ops over those exact figures.
+    *
+    * == Scale ==
+    * [[vocab]]'s count shuffle + TakeOrdered head — the full
+    * vocabulary is never globally sorted; the regression itself runs
+    * over `topN` rows. Output (one row):
+    * `(n_terms, slope, intercept)`. */
+  def zipfSlope(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 2, s"need at least 2 ranks to fit, got $topN")
+    val x = log(col("rank").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    val terms = vocab(docs, textCol, topN).select(
+      round(x * 1e6).cast("long").as("__x"),
+      round(y * 1e6).cast("long").as("__y"),
+      round(x * x * 1e6).cast("long").as("__xx"),
+      round(x * y * 1e6).cast("long").as("__xy"))
+    val n = col("n_terms").cast("double")
+    val sx = col("__sx").cast("double") / 1e6
+    val sy = col("__sy").cast("double") / 1e6
+    val sxx = col("__sxx").cast("double") / 1e6
+    val sxy = col("__sxy").cast("double") / 1e6
+    terms
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__xx")).as("__sxx"), sum(col("__xy")).as("__sxy"))
+      .withColumn("slope",
+        (n * sxy - sx * sy) / (n * sxx - sx * sx))
+      .withColumn("intercept", (sy - col("slope") * sx) / n)
+      .select(col("n_terms"), col("slope"), col("intercept"))
+  }
 }

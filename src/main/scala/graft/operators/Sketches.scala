@@ -206,4 +206,61 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"), first(col("total")).as("total"))
       .filter(col("cnt") > lit(minShare) * col("total"))
   }
+
+  /** Count-min bucket for `v` (a string column) in row `d` of the
+    * sketch: the engine-portable md5 hash of `"d:v"` mod `width` —
+    * each depth row is an independent hash function. */
+  private def cmBucket(d: Column, v: Column, width: Int): Column =
+    TextFunctions.md5Hash32(concat_ws(":", d, v), 0) % width
+
+  /** Count-min sketch table (Cormode & Muthukrishnan, J. Algorithms
+    * 2005): `depth` independent hash rows of `width` counters; each
+    * value increments one counter per row; a point estimate is the MIN
+    * over its `depth` counters — always an overcount, never under.
+    *
+    * == Scale ==
+    * ONE scan: the depth-way fan-out is a row-local explode of a
+    * `depth`-element literal array (no self-union, no rescan), and the
+    * only shuffle carries the `depth·width`-row counter table — the
+    * sketch is a fixed-size aggregate of an unbounded stream, which is
+    * the point. Output: `(d, bucket, c)`. */
+  def countMinTable(
+      df: DataFrame, valueCol: String, width: Int, depth: Int): DataFrame = {
+    require(width >= 2 && depth >= 1,
+      s"need width >= 2 and depth >= 1, got $width x $depth")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("__v"))
+      .select(col("__v"),
+        explode(array((0 until depth).map(i => lit(i)): _*)).as("d"))
+      .withColumn("bucket", cmBucket(col("d"), col("__v"), width))
+      .groupBy(col("d"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Count-min point estimates for every distinct value of `valueCol`,
+    * next to the exact count — the collision-overcount audit run
+    * before trusting a sketch configuration (`est − exact` is the
+    * collision mass at this width/depth; the CM guarantee bounds it by
+    * `e·n/width` with probability `1 − e^−depth`).
+    *
+    * == Scale ==
+    * The counter table (`depth·width` rows) broadcasts to the probe
+    * join — the per-item lookup never shuffles the sketch. Exact
+    * counts ride the same single scan shape as the table build.
+    * Output: `(item, exact, est, overcount)`. */
+  def countMinEstimates(
+      df: DataFrame, valueCol: String, width: Int, depth: Int): DataFrame = {
+    val table = countMinTable(df, valueCol, width, depth)
+    val exact = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("string").as("item"))
+      .agg(count(lit(1)).as("exact"))
+    exact
+      .select(col("item"), col("exact"),
+        explode(array((0 until depth).map(i => lit(i)): _*)).as("d"))
+      .withColumn("bucket", cmBucket(col("d"), col("item"), width))
+      .join(broadcast(table), Seq("d", "bucket"))
+      .groupBy(col("item"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+  }
 }

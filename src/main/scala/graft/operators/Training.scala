@@ -249,4 +249,51 @@ object Training {
         col("__p.input_id").as("input_id"),
         col("__p.label_id").as("label_id"))
   }
+
+  /** Equal-width feature histogram with per-bin label statistics — the
+    * split-finding summary a gradient-boosting trainer consumes
+    * (LightGBM's histogram algorithm, Ke et al. NeurIPS'17): bin
+    * counts + label sums are sufficient statistics for every candidate
+    * split of the feature. Also the monotonicity / signal-shape audit
+    * for a feature before training. Nulls are excluded; the top bin is
+    * closed (`x = max` lands in bin `nBins−1`); a constant feature
+    * collapses to bin 0.
+    *
+    * Determinism: the bin index is one fixed IEEE expression
+    * (`min(⌊(x−min)/w⌋, nBins−1)`) over exact min/max; counts and 0/1
+    * label sums are exact longs; `pos_rate` is one division.
+    *
+    * == Scale ==
+    * Two scans (min/max, then binning — the classic two-pass
+    * histogram); the one-row range broadcasts, and the only shuffle
+    * carries ≤nBins rows. Output:
+    * `(bin, lo, hi, n, n_pos, pos_rate)`. */
+  def featureHistogram(
+      df: DataFrame,
+      featureCol: String,
+      labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val pts = df.filter(col(featureCol).isNotNull)
+      .select(col(featureCol).cast("double").as("__x"),
+        col(labelCol).cast("long").as("__y"))
+    val range = pts.agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+    val w = (col("__mx") - col("__mn")) / lit(nBins.toDouble)
+    pts.crossJoin(broadcast(range))
+      .withColumn("bin",
+        when(col("__mx") === col("__mn"), 0L)
+          .otherwise(least(floor((col("__x") - col("__mn")) / w),
+            lit((nBins - 1).toLong))))
+      .groupBy(col("bin"))
+      .agg(max(col("__mn")).as("__mn"), max(col("__mx")).as("__mx"),
+        count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .select(col("bin"),
+        (col("__mn") + col("bin").cast("double") *
+          ((col("__mx") - col("__mn")) / lit(nBins.toDouble))).as("lo"),
+        (col("__mn") + (col("bin") + lit(1L)).cast("double") *
+          ((col("__mx") - col("__mn")) / lit(nBins.toDouble))).as("hi"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"))
+  }
 }

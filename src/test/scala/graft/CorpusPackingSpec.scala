@@ -319,4 +319,40 @@ class CorpusPackingSpec extends AnyFunSuite with SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), s"profile plan re-scans per column:\n$plan")
   }
+
+  test("zipfSlope: an exact power-law corpus fits slope -s; matches the " +
+      "naive OLS on the ranked counts; partition-invariant") {
+    import spark.implicits._
+    // freq(rank) = 2^(20-rank): ln f = 20·ln2 − rank·ln2 — but the fit
+    // is on ln rank, so use f(r) = K/r (true Zipf, slope exactly −1):
+    // token "tNNN" repeated 840/r times for r = 1..8 (840 = lcm-ish,
+    // every division exact)
+    val words = (1 to 8).flatMap(r => Seq.fill(840 / r)(f"t$r%03d"))
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    for (parts <- Seq(1, 4)) {
+      val row = Corpus.zipfSlope(docs.repartition(parts), "text", topN = 8)
+        .as[(Long, Double, Double)].head()
+      assert(row._1 === 8L)
+      // micro-rounded OLS on exact counts: recompute naively
+      val naive = {
+        val cnts = (1 to 8).map(r => 840L / r).sorted.reverse
+        val pts = cnts.zipWithIndex.map { case (c, i) =>
+          (math.round(math.log((i + 1).toDouble) * 1e6),
+            math.round(math.log(c.toDouble) * 1e6),
+            math.round(math.log((i + 1).toDouble) *
+              math.log((i + 1).toDouble) * 1e6),
+            math.round(math.log((i + 1).toDouble) *
+              math.log(c.toDouble) * 1e6))
+        }
+        val n = pts.size.toDouble
+        val (sx, sy, sxx, sxy) = (pts.map(_._1).sum / 1e6,
+          pts.map(_._2).sum / 1e6, pts.map(_._3).sum / 1e6,
+          pts.map(_._4).sum / 1e6)
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      }
+      assert(row._2 === naive, s"parts=$parts")
+      // a true 1/r law fits slope ≈ −1 (micro-rounding noise only)
+      assert(math.abs(row._2 + 1.0) < 0.01, s"slope ${row._2}")
+    }
+  }
 }

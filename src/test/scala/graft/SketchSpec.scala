@@ -349,4 +349,43 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     }
     assert(got === naive)
   }
+
+  test("countMin: never undercounts, table mass is conserved per depth " +
+      "row, estimates match a naive sketch replay, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vals = (0 until 1000).map(_ => s"k${rnd.nextInt(40)}")
+    val (width, depth) = (16, 4)
+    val df = vals.toDF("v")
+    val table = Sketches.countMinTable(df, "v", width, depth)
+      .as[(Int, Long, Long)].collect()
+    // every depth row holds the full stream mass
+    table.groupBy(_._1).foreach { case (d, rows) =>
+      assert(rows.map(_._3).sum === 1000L, s"depth $d mass") }
+    // naive replay with the same portable hash
+    def bucket(d: Int, v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"0:$d:$v".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(b => f"$b%02x").mkString, 16) % width
+    }
+    val naiveTable = (for { v <- vals; d <- 0 until depth }
+      yield (d, bucket(d, v))).groupBy(identity)
+      .map { case (k, g) => k -> g.size.toLong }
+    assert(table.map(t => (t._1, t._2) -> t._3).toMap === naiveTable)
+    for (parts <- Seq(1, 7)) {
+      val est = Sketches.countMinEstimates(
+          df.repartition(parts), "v", width, depth)
+        .as[(String, Long, Long, Long)].collect()
+      assert(est.length === vals.distinct.size)
+      est.foreach { case (item, exact, e, over) =>
+        assert(exact === vals.count(_ == item).toLong)
+        assert(e >= exact, s"$item undercounted") // the CM guarantee
+        assert(over === e - exact)
+        val naiveEst = (0 until depth)
+          .map(d => naiveTable((d, bucket(d, item)))).min
+        assert(e === naiveEst, s"$item estimate")
+      }
+    }
+  }
 }

@@ -172,4 +172,42 @@ class TrainingSpec extends AnyFunSuite with SparkSuite {
       assert(got === expected, s"parts=$parts")
     }
   }
+
+  test("featureHistogram: bins tile the range, max closes into the top " +
+      "bin, constant features collapse to bin 0, stats match naive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 500).map(_ =>
+      (rnd.nextDouble() * 40.0 - 10.0, rnd.nextInt(2).toLong))
+    val nBins = 8
+    val got = Training.featureHistogram(
+        rows.toDF("x", "y").repartition(7), "x", "y", nBins)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val (mn, mx) = (rows.map(_._1).min, rows.map(_._1).max)
+    val w = (mx - mn) / nBins
+    val naive = rows
+      .groupBy { case (x, _) =>
+        math.min(math.floor((x - mn) / w).toLong, (nBins - 1).toLong) }
+      .map { case (b, g) => b -> ((g.size.toLong, g.map(_._2).sum)) }
+    assert(got.keySet === naive.keySet)
+    naive.foreach { case (b, (n, pos)) =>
+      assert(got(b)._3 === n, s"bin $b count")
+      assert(got(b)._4 === pos, s"bin $b label sum")
+    }
+    // the max value must land in the top bin (closed upper edge)
+    assert(got.keySet.max === (nBins - 1).toLong ||
+      !naive.contains((nBins - 1).toLong))
+    assert(got.values.map(_._3).sum === 500L) // bins partition the data
+    // adjacent bins tile: hi(b) == lo(b+1) exactly
+    got.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) if b == a + 1 => assert(got(a)._2 === got(b)._1)
+      case _ => ()
+    }
+    val konst = Training.featureHistogram(
+      rows.map { case (_, y) => (3.25, y) }.toDF("x", "y"), "x", "y", nBins)
+      .collect()
+    assert(konst.length === 1 && konst.head.getLong(0) === 0L)
+  }
 }
