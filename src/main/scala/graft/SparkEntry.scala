@@ -2342,7 +2342,43 @@ object SparkEntry {
     // brand counts (25 keys > 16 counters forces collisions) ----
     "q200_count_min" -> ((s, dir) =>
       Sketches.countMinEstimates(
-        Tables.part(s, dir), "p_brand", width = 16, depth = 4))
+        Tables.part(s, dir), "p_brand", width = 16, depth = 4)),
+
+    // ---- the at-scale bootstrap: 32 Poisson(1)-weighted replicate
+    // means of the payload value in ONE scan ----
+    "q201_poisson_bootstrap" -> ((s, dir) =>
+      graft.operators.Evaluation.poissonBootstrapMeans(
+        Tables.events(s, dir), "value", "event_id", reps = 32)),
+
+    // ---- per-user trailing-8 rolling z-score: the metric-series
+    // anomaly detector (cold-start rows abstain) ----
+    "q202_rolling_zscore" -> ((s, dir) =>
+      Normalize.rollingZscore(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_id"), col("ts"),
+              col("value")),
+          "user_id", "ts", "event_id", "value", window = 8)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("roll_mean"), col("z"), col("is_anomaly"))),
+
+    // ---- Benford first-digit audit of extended price: the
+    // fabricated-data / unit-mixup alarm ----
+    "q203_benford" -> ((s, dir) =>
+      graft.operators.Validate.benfordDigits(
+        Tables.lineitem(s, dir), "l_extendedprice")),
+
+    // ---- beyond-accuracy recsys metrics: catalog coverage + novelty
+    // of the most-popular-complement baseline ----
+    "q204_coverage_novelty" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val inter = ev.select(col("user_id"),
+          graft.operators.Recsys.itemOf(col("props")).as("item_id"))
+        .filter(col("item_id").isNotNull)
+      val recs = graft.operators.Recsys.popularityComplementRecs(
+        ev, topM = 20, perUser = 3)
+      graft.operators.Evaluation.coverageNovelty(
+        recs, inter, "item_id", "user_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5960,7 +5996,113 @@ object SparkEntry {
         |  CAST(MIN(t.c) AS BIGINT) AS est,
         |  CAST(MIN(t.c) - p.exact AS BIGINT) AS overcount
         |FROM probes p JOIN tab t ON p.d = t.d AND p.bucket = t.bucket
-        |GROUP BY p.item, p.exact""".stripMargin
+        |GROUP BY p.item, p.exact""".stripMargin,
+
+    // per-(replicate, row) Poisson weight from the same "b:id" md5;
+    // identical CDF threshold literals on both sides
+    "q201_poisson_bootstrap" -> {
+      // E0 suffix: parse as DOUBLE, not DECIMAL (decimal->double
+      // conversion can land 1 ulp off the text->double parse)
+      val wExpr = graft.operators.Evaluation.PoissonCdf
+        .map(c => s"(CASE WHEN u >= ${c}E0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH bs AS (SELECT unnest(generate_series(0, 31)) AS b),
+         |p AS (SELECT CAST(event_id AS VARCHAR) AS id,
+         |    CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS xm
+         |  FROM events WHERE value IS NOT NULL),
+         |u AS (SELECT b, xm,
+         |    CAST(('0x'||substr(md5(CAST(b AS VARCHAR)||':'||id), 1, 8))
+         |      AS BIGINT) / 4294967296.0 AS u FROM p, bs),
+         |w AS (SELECT b, xm, ($wExpr) AS w FROM u)
+         |SELECT CAST(b AS INT) AS rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+         |  CASE WHEN SUM(w) > 0 THEN
+         |    CAST(SUM(w * xm) AS DOUBLE) / 1e6 / CAST(SUM(w) AS DOUBLE)
+         |  END AS mean_boot
+         |FROM w GROUP BY b""".stripMargin
+    },
+
+    // decimal-staged window sums; z recomputed with the identical
+    // IEEE chain; is_anomaly from the z CTE column
+    "q202_rolling_zscore" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(value AS DOUBLE) AS v FROM events),
+        |w AS (SELECT user_id, event_id, v,
+        |    COUNT(*) OVER win AS cnt,
+        |    CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6))) OVER win
+        |      AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(ROUND(v * v, 6) AS DECIMAL(38,6))) OVER win
+        |      AS DOUBLE) AS ss
+        |  FROM e WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT user_id, event_id, v,
+        |    CASE WHEN cnt = 8 THEN s / 8.0 END AS roll_mean,
+        |    CASE WHEN cnt = 8 AND (8.0 * ss - s * s) / (8.0 * 8.0) > 0
+        |      THEN (v - s / 8.0)
+        |        / SQRT((8.0 * ss - s * s) / (8.0 * 8.0)) END AS z
+        |  FROM w)
+        |SELECT user_id, event_id, v AS value, roll_mean, z,
+        |  CASE WHEN z IS NOT NULL THEN CAST(ABS(z) > 3.0 AS INT) END
+        |    AS is_anomaly
+        |FROM z""".stripMargin,
+
+    // micro-unit integer staging makes the first significant digit a
+    // string head — no log10 boundary hazards
+    "q203_benford" -> {
+      // E0 suffix: DOUBLE literals, not DECIMAL (see q201 note)
+      val pList = graft.operators.Validate.BenfordP
+        .map(p => s"${p}E0").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT CAST(ABS(ROUND(CAST(l_extendedprice AS DOUBLE)
+         |      * 1e6)) AS BIGINT) AS m
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |c AS (SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT)
+         |      AS digit, COUNT(*) AS n
+         |  FROM m WHERE m > 0 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c),
+         |x AS (SELECT digit, n, ($pList)[digit] AS expected_p,
+         |    CAST(t.tt AS DOUBLE) AS td FROM c, t)
+         |SELECT digit, n, expected_p,
+         |  CAST(n AS DOUBLE) / td AS observed_p,
+         |  (CAST(n AS DOUBLE) - expected_p * td)
+         |    * (CAST(n AS DOUBLE) - expected_p * td)
+         |    / (expected_p * td) AS chi2_term
+         |FROM x""".stripMargin
+    },
+
+    // most-popular-complement recs -> self-information novelty terms
+    // in micro-bits; coverage over the interaction catalog
+    "q204_coverage_novelty" ->
+      """WITH inter AS (SELECT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+        |  FROM events
+        |  WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+        |pop AS (SELECT item_id, COUNT(*) AS pop FROM inter GROUP BY 1),
+        |topm AS (SELECT item_id, pop FROM pop
+        |         ORDER BY pop DESC, item_id ASC LIMIT 20),
+        |users AS (SELECT DISTINCT user_id FROM inter),
+        |hist AS (SELECT DISTINCT user_id, item_id FROM inter),
+        |recs AS (SELECT user_id, item_id FROM (
+        |    SELECT u.user_id, t.item_id,
+        |      ROW_NUMBER() OVER (PARTITION BY u.user_id
+        |        ORDER BY t.pop DESC, t.item_id ASC) AS rnk
+        |    FROM users u CROSS JOIN topm t
+        |    WHERE NOT EXISTS (SELECT 1 FROM hist h
+        |      WHERE h.user_id = u.user_id AND h.item_id = t.item_id))
+        |  WHERE rnk <= 3),
+        |tot AS (SELECT CAST(SUM(pop) AS BIGINT) AS t,
+        |    COUNT(*) AS catalog FROM pop),
+        |terms AS (SELECT r.item_id,
+        |    CAST(ROUND(-LOG2(CAST(p.pop AS DOUBLE) / CAST(tt.t AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS term, tt.catalog
+        |  FROM recs r JOIN pop p USING (item_id), tot tt)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_recs,
+        |  CAST(COUNT(DISTINCT item_id) AS BIGINT) AS n_rec_items,
+        |  CAST(MAX(catalog) AS BIGINT) AS n_catalog,
+        |  CAST(COUNT(DISTINCT item_id) AS DOUBLE)
+        |    / CAST(MAX(catalog) AS DOUBLE) AS coverage,
+        |  CAST(SUM(term) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+        |    AS novelty
+        |FROM terms""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -596,4 +596,100 @@ object Evaluation {
             least(col("n_pos"), kL).cast("double")))
       .drop("__ap_micro")
   }
+
+  /** Poisson(1) CDF values C_0..C_12 as doubles — the resampling
+    * thresholds shared by the Spark and oracle sides of
+    * [[poissonBootstrapMeans]] (a weight is `#{k : u ≥ C_k}`, so
+    * P(w = k) = C_k − C_{k−1}; C_12 ≈ 1 − 1e-13 covers any 32-bit u). */
+  val PoissonCdf: Seq[Double] = {
+    var p = math.exp(-1.0); var c = 0.0
+    (0 to 12).map { k => c += p; p = p / (k + 1); c }
+  }
+
+  /** Poisson-bootstrap replicate means of `valueCol` — the
+    * at-scale bootstrap (Chamandy et al., Google tech report 2012;
+    * Kleiner et al.'s BLB is the refinement): instead of resampling
+    * n rows B times, each row gets an independent Poisson(1) weight
+    * per replicate, so ONE scan yields all B replicate means whose
+    * spread is the sampling distribution of the mean. Weights derive
+    * from the engine-portable md5 of `(replicate, id)` — fully
+    * deterministic, partition-independent.
+    *
+    * == Scale ==
+    * ONE scan, 2·B counter aggregates (map-side combined), B-row
+    * result unpivoted row-locally ([[prCurve]]'s convention) — never
+    * a B× data fan-out. Value terms ride micro-unit longs, so each
+    * replicate mean is exact before its one division. Output:
+    * `(rep, n_eff, mean_boot)`. */
+  def poissonBootstrapMeans(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      reps: Int,
+      seedBase: Int = 0): DataFrame = {
+    require(reps >= 1 && reps <= 64, s"reps must be in [1,64], got $reps")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        round(col(valueCol).cast("double") * 1e6).cast("long").as("__xm"))
+    val aggs = (0 until reps).flatMap { b =>
+      val u = graft.functions.TextFunctions
+        .md5Hash32(col("__id"), seedBase + b)
+        .cast("double") / lit(4294967296.0)
+      val w = PoissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L))
+        .reduce(_ + _)
+      Seq(coalesce(sum(w * col("__xm")), lit(0L)).as(s"__sw$b"),
+        coalesce(sum(w), lit(0L)).as(s"__w$b"))
+    }
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array((0 until reps).map { b =>
+        struct(lit(b).as("rep"), col(s"__w$b").as("n_eff"),
+          when(col(s"__w$b") > 0L,
+            col(s"__sw$b").cast("double") / 1e6 /
+              col(s"__w$b").cast("double")).as("mean_boot"))
+      }: _*)).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** Catalog coverage and novelty of a recommendation list (Castells
+    * & Vargas's beyond-accuracy metrics): coverage = share of the
+    * interaction catalog the recommender ever surfaces (a
+    * popularity-only policy scores ~k/|catalog|); novelty = mean
+    * self-information `−log₂ p(item)` under the interaction
+    * popularity distribution (recommending only head items scores
+    * low). Per-rec novelty terms round to micro-bits before the sum
+    * (order-free integer convention).
+    *
+    * `recs`: `(userCol, itemCol)` rows; `interactions`: one row per
+    * logged interaction with `itemCol`. Output (one row):
+    * `(n_recs, n_rec_items, n_catalog, coverage, novelty)`.
+    *
+    * == Scale ==
+    * One count shuffle over the item domain; the popularity table
+    * joins the recs on item (shuffle or broadcast as AQE decides) and
+    * the one-row totals broadcast. */
+  def coverageNovelty(
+      recs: DataFrame,
+      interactions: DataFrame,
+      itemCol: String,
+      userCol: String): DataFrame = {
+    val pop = interactions.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("__pop"))
+    val tot = pop.agg(sum(col("__pop")).as("__t"),
+      count(lit(1)).as("__catalog"))
+    recs.select(col(userCol), col(itemCol))
+      .join(pop, Seq(itemCol), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__term",
+        round(-log2(col("__pop").cast("double") / col("__t").cast("double"))
+          * 1e6).cast("long"))
+      .agg(count(lit(1)).as("n_recs"),
+        countDistinct(col(itemCol)).as("n_rec_items"),
+        max(col("__catalog")).as("n_catalog"),
+        sum(col("__term")).as("__nov"))
+      .withColumn("coverage",
+        col("n_rec_items").cast("double") / col("n_catalog").cast("double"))
+      .withColumn("novelty",
+        col("__nov").cast("double") / 1e6 / col("n_recs").cast("double"))
+      .drop("__nov")
+  }
 }

@@ -458,4 +458,56 @@ object Normalize {
               (col("cur_n").cast("double") / col("__ct").cast("double"))),
             scale)).as("psi_term"))
   }
+
+  /** Per-key rolling z-score over a trailing count window — the
+    * streaming-friendly anomaly detector for metric series (a point
+    * is judged against ITS OWN key's recent history, so a spiky user
+    * doesn't poison a quiet one). Rows whose window isn't yet full
+    * get null (no verdict on a cold start); `is_anomaly` is
+    * `|z| > threshold` as 0/1, null alongside z.
+    *
+    * Determinism: window sums ride [[graft.OracleMath]]'s
+    * rounded-decimal staging (exact, order-free), and
+    * `z = (x − s/n)/√((n·ss − s²)/n²)` is one fixed IEEE chain over
+    * those exact figures (population variance; null when 0).
+    *
+    * == Scale ==
+    * One shuffle on the key; both window sums and the count share a
+    * single window spec (one sort per partition, no self-join
+    * per-window recompute). Output: input columns +
+    * `(roll_mean, z, is_anomaly)`. */
+  def rollingZscore(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      window: Int,
+      threshold: Double = 3.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val v = col(valueCol).cast("double")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(window - 1), 0)
+    val dec = round(v, 6).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val dec2 = round(v * v, 6)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    val n = lit(window.toDouble)
+    val s = col("__s")
+    val ss = col("__ss")
+    val variance = (n * ss - s * s) / (n * n)
+    df
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__s", sum(dec).over(w).cast("double"))
+      .withColumn("__ss", sum(dec2).over(w).cast("double"))
+      .withColumn("roll_mean",
+        when(col("__cnt") === window.toLong, s / n))
+      .withColumn("z",
+        when(col("__cnt") === window.toLong && variance > 0.0,
+          (v - s / n) / sqrt(variance)))
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull,
+          (abs(col("z")) > lit(threshold)).cast("int")))
+      .drop("__cnt", "__s", "__ss")
+  }
 }

@@ -468,4 +468,37 @@ object Recsys {
       .agg((sum(col("__cm")).cast("double") / lit(1e6)).as("decayed"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Popularity-complement baseline recommender: each user gets the
+    * `perUser` most popular items (by interaction count, item-id
+    * tiebreak) they have NOT interacted with — the classic
+    * most-popular baseline every beyond-accuracy metric
+    * ([[Evaluation.coverageNovelty]]) is calibrated against.
+    *
+    * == Scale ==
+    * The candidate pool is the global top-`topM` (TakeOrdered — the
+    * full item domain is never sorted), broadcast into a users ×
+    * topM fan-out (constant per user); the only data-sized shuffle is
+    * the history anti-join on (user, item). Output:
+    * `(user_id, item_id, rank)`. */
+  def popularityComplementRecs(
+      events: DataFrame, topM: Int, perUser: Int): DataFrame = {
+    require(topM >= perUser && perUser >= 1,
+      s"need topM >= perUser >= 1, got $topM, $perUser")
+    val inter = events
+      .select(col("user_id"), itemOf(col("props")).as("item_id"))
+      .filter(col("item_id").isNotNull)
+    val top = inter.groupBy(col("item_id"))
+      .agg(count(lit(1)).as("__pop"))
+      .orderBy(col("__pop").desc, col("item_id").asc)
+      .limit(topM)
+    val users = inter.select(col("user_id")).distinct()
+    users.crossJoin(broadcast(top))
+      .join(inter.distinct(), Seq("user_id", "item_id"), "left_anti")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("__pop").desc, col("item_id").asc)))
+      .filter(col("rank") <= perUser)
+      .select(col("user_id"), col("item_id"), col("rank"))
+  }
 }

@@ -99,4 +99,45 @@ object Validate {
         (col("__r.violations").cast("double") / col("__n").cast("double"))
           .as("rate"))
   }
+
+  /** Benford first-digit probabilities P(d) = log₁₀(1 + 1/d),
+    * d = 1..9 — shared literals between the Spark and oracle sides
+    * of [[benfordDigits]]. */
+  val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law first-digit audit of a positive numeric column —
+    * the fabricated-data / unit-mixup alarm for financial-style
+    * measures (organic multi-magnitude data follows
+    * P(d) = log₁₀(1+1/d); uniform or hand-entered data doesn't).
+    * Values stage to micro-unit integers and the first significant
+    * digit is the first character of the integer's decimal string —
+    * exact and engine-portable, with none of `log10`'s
+    * boundary-ulp hazards. Zeros and nulls are excluded.
+    *
+    * == Scale ==
+    * One scan + one ≤9-row shuffle; the one-row total broadcasts.
+    * Output: `(digit, n, expected_p, observed_p, chi2_term)` — Σ of
+    * `chi2_term` against χ²(8) is the test. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val m = abs(round(col(valueCol).cast("double") * 1e6)).cast("long")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .select(m.as("__m")).filter(col("__m") > 0L)
+      .select(substring(col("__m").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    val pArr = array(BenfordP.map(lit): _*)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("expected_p", element_at(pArr, col("digit")))
+      .withColumn("observed_p",
+        col("n").cast("double") / col("__t").cast("double"))
+      .withColumn("chi2_term",
+        (col("n").cast("double") -
+          col("expected_p") * col("__t").cast("double")) *
+        (col("n").cast("double") -
+          col("expected_p") * col("__t").cast("double")) /
+        (col("expected_p") * col("__t").cast("double")))
+      .drop("__t")
+  }
 }

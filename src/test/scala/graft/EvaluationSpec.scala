@@ -705,4 +705,129 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
       assert(got("g1") === naive("g1"))
     }
   }
+
+  test("poissonBootstrapMeans: matches a naive hash replay, replicate " +
+      "means bracket the truth, partition-invariant") {
+    import spark.implicits._
+    val rows = (0 until 400).map(i => (i.toLong, 10.0 + (i % 7).toDouble))
+    val df = rows.toDF("id", "v")
+    val reps = 8
+    def weight(b: Int, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$id".getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(
+        md.take(4).map(x => f"$x%02x").mkString, 16) / 4294967296.0
+      Evaluation.PoissonCdf.count(c => u >= c).toLong
+    }
+    val naive = (0 until reps).map { b =>
+      val ws = rows.map { case (id, v) =>
+        (weight(b, id), math.round(v * 1e6)) }
+      val (sw, w) = (ws.map(t => t._1 * t._2).sum, ws.map(_._1).sum)
+      (b, w, sw.toDouble / 1e6 / w)
+    }
+    for (parts <- Seq(1, 5)) {
+      val got = Evaluation.poissonBootstrapMeans(
+          df.repartition(parts), "v", "id", reps)
+        .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got === naive, s"parts=$parts")
+    }
+    // replicate means scatter around the truth (weights average 1)
+    val truth = rows.map(_._2).sum / rows.size
+    val means = naive.map(_._3)
+    assert(means.min < truth && truth < means.max)
+    assert(means.forall(m => math.abs(m - truth) < 1.0))
+  }
+
+  test("rollingZscore: matches a naive sliding-window replay; " +
+      "cold-start rows abstain; constant windows give null z") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 3).flatMap { u =>
+      (0 until 30).map { i =>
+        (u.toLong, i.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+          if (u == 2) 5.0 else rnd.nextDouble() * 10) }
+    }
+    val df = rows.toDF("user_id", "event_id", "ts", "v")
+    val win = 6
+    val got = graft.operators.Normalize.rollingZscore(
+        df.repartition(5), "user_id", "ts", "event_id", "v", win)
+      .select("user_id", "event_id", "z")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    rows.groupBy(_._1).foreach { case (u, g) =>
+      val sorted = g.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, id, _, v), i) =>
+        val expect: Option[Double] = if (i < win - 1) None else {
+          val w = sorted.slice(i - win + 1, i + 1).map(_._4)
+          val s = w.map(x => BigDecimal(x).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          val ss = w.map(x => BigDecimal(x * x).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          val n = win.toDouble
+          val variance = (n * ss - s * s) / (n * n)
+          if (variance > 0) Some((v - s / n) / math.sqrt(variance)) else None
+        }
+        assert(got((u, id)) === expect, s"user $u row $id")
+      }
+    }
+    // user 2 is constant: every full window has zero variance -> null
+    assert((win - 1 until 30).forall(i => got((2L, i.toLong))  === None))
+  }
+
+  test("benfordDigits: digits extracted exactly, probabilities sum to " +
+      "1, a Benford-distributed sample scores a small chi2") {
+    import spark.implicits._
+    assert(math.abs(graft.operators.Validate.BenfordP.sum - 1.0) < 1e-12)
+    // exact digit extraction incl. sub-1 values (micro staging)
+    val df = Seq(123.45, 0.0071, 9000.0, 0.0, 2.5, -310.0).toDF("v")
+    val got = graft.operators.Validate.benfordDigits(df, "v")
+      .select("digit", "n").as[(Int, Long)].collect().toMap
+    assert(got === Map(1 -> 1L, 7 -> 1L, 9 -> 1L, 2 -> 1L, 3 -> 1L))
+    // a geometric ramp follows Benford closely -> chi2 far below the
+    // 5% critical value for 8 dof (15.5)
+    val ramp = (0 until 2000).map(i => math.pow(10.0, i * 7.0 / 2000.0))
+    val chi2 = graft.operators.Validate.benfordDigits(
+        ramp.toDF("v"), "v")
+      .agg(sum(col("chi2_term"))).as[Double].head()
+    assert(chi2 < 15.5, s"chi2 $chi2")
+  }
+
+  test("coverageNovelty + popularityComplementRecs: recs exclude " +
+      "history, metrics match the naive computation") {
+    import spark.implicits._
+    // users 0..5 have seen items u and u+1; a heavy user 99 supplies
+    // a popularity ramp over items 1..9
+    val inter = ((0 until 6).flatMap { u =>
+      Seq((u.toLong, u.toLong), (u.toLong, (u + 1).toLong))
+    } ++ (0 until 10).flatMap(i =>
+      Seq.fill(i)((99L, i.toLong)))).toDF("user_id", "item_id")
+    val ev = inter.select(col("user_id"),
+      concat(lit("{\"k\":"), col("item_id"), lit("}")).as("props"))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val recs = graft.operators.Recsys.popularityComplementRecs(
+      ev, topM = 10, perUser = 3)
+    val gotRecs = recs.as[(Long, Long, Int)].collect()
+    val hist = inter.as[(Long, Long)].collect().toSet
+    gotRecs.foreach { case (u, i, _) =>
+      assert(!hist.contains((u, i)), s"recommended seen item $i to $u") }
+    val perUser = gotRecs.groupBy(_._1)
+    (0 until 6).foreach(u => assert(perUser(u.toLong).length === 3))
+    assert(perUser(99L).length === 1) // only item 0 is unseen for 99
+    val metrics = Evaluation.coverageNovelty(
+        recs, inter, "item_id", "user_id")
+      .as[(Long, Long, Long, Double, Double)].head()
+    val pop = inter.as[(Long, Long)].collect().groupBy(_._2)
+      .map { case (i, g) => i -> g.size.toLong }
+    val t = pop.values.sum.toDouble
+    val naiveNov = gotRecs.map { case (_, i, _) =>
+      math.round(-(math.log(pop(i) / t) / math.log(2.0)) * 1e6) }.sum
+    assert(metrics._1 === gotRecs.length.toLong)
+    assert(metrics._2 === gotRecs.map(_._2).distinct.length.toLong)
+    assert(metrics._3 === pop.size.toLong)
+    assert(metrics._4 === metrics._2.toDouble / metrics._3.toDouble)
+    assert(math.abs(metrics._5 - naiveNov.toDouble / 1e6 / metrics._1) <
+      1e-9)
+  }
 }
