@@ -2378,7 +2378,35 @@ object SparkEntry {
         ev, topM = 20, perUser = 3)
       graft.operators.Evaluation.coverageNovelty(
         recs, inter, "item_id", "user_id")
-    })
+    }),
+
+    // ---- exact p50/p95/p99 per segment via rank arithmetic — the
+    // SLA table, no single-partition window, no approx ----
+    "q205_group_quantiles" -> ((s, dir) =>
+      Normalize.quantilesBy(Tables.events(s, dir), "event_type", "value",
+        Seq(0.5, 0.95, 0.99))),
+
+    // ---- equi-depth histogram: 16 equal-count value buckets with
+    // purchase rate — the skew-proof companion to q198 ----
+    "q206_equidepth_histogram" -> ((s, dir) =>
+      graft.operators.Training.equiDepthHistogram(
+        Tables.events(s, dir).select(col("value"), col("event_id"),
+          (col("event_type") === "purchase").cast("long").as("label")),
+        "value", "label", "event_id", nBins = 16)),
+
+    // ---- temperature-scaled pretraining mix: source weights
+    // proportional to tokens^0.5 ----
+    "q207_source_mixing" -> ((s, dir) =>
+      graft.operators.Sampling.sourceMixingWeights(
+        Tables.documents(s, dir), "source", "text", alpha = 0.5)),
+
+    // ---- user-grouped 5-fold AUC: the variance behind q115's
+    // headline number, leakage-safe fold assignment ----
+    "q208_kfold_auc" -> ((s, dir) =>
+      graft.operators.Evaluation.kFoldAuc(
+        Tables.events(s, dir).select(col("user_id"), col("value"),
+          (col("user_id") % 5 === 0).cast("long").as("label")),
+        "user_id", "value", "label", k = 5))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6102,7 +6130,86 @@ object SparkEntry {
         |    / CAST(MAX(catalog) AS DOUBLE) AS coverage,
         |  CAST(SUM(term) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
         |    AS novelty
-        |FROM terms""".stripMargin
+        |FROM terms""".stripMargin,
+
+    // distinct-value cumulative counts; the target rank in pure
+    // integer arithmetic ((pm*n + 999999) // 1e6)
+    "q205_group_quantiles" -> {
+      val probs = Seq(0.5, 0.95, 0.99)
+      val pL = probs.map(p => s"${p}E0").mkString("[", ", ", "]")
+      val pmL = probs.map(p => math.round(p * 1e6)).mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT event_type,
+         |    CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vm
+         |  FROM events WHERE value IS NOT NULL),
+         |c AS (SELECT event_type, vm, COUNT(*) AS cnt
+         |      FROM s GROUP BY 1, 2),
+         |w AS (SELECT event_type, vm, cnt,
+         |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY vm
+         |      ROWS UNBOUNDED PRECEDING) AS hi FROM c),
+         |n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+         |      FROM c GROUP BY 1),
+         |p AS (SELECT unnest($pL) AS prob, unnest($pmL) AS pm),
+         |k AS (SELECT n.event_type, n.n, p.prob,
+         |    GREATEST(1, (p.pm * n.n + 999999) // 1000000) AS kk
+         |  FROM n, p)
+         |SELECT k.event_type, k.prob, k.n,
+         |  CAST(w.vm AS DOUBLE) / 1e6 AS quantile
+         |FROM k JOIN w ON w.event_type = k.event_type
+         |  AND w.hi - w.cnt < k.kk AND k.kk <= w.hi""".stripMargin
+    },
+
+    // global rank -> integer bucket ((rn-1)*16 // n): equal-count bins
+    "q206_equidepth_histogram" ->
+      """WITH s AS (SELECT
+        |    CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS xm,
+        |    event_id AS id,
+        |    CAST(event_type = 'purchase' AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT xm, y,
+        |    ROW_NUMBER() OVER (ORDER BY xm ASC, id ASC) AS rn FROM s),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s)
+        |SELECT ((rn - 1) * 16) // t.nn AS bin, COUNT(*) AS n,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  CAST(MIN(xm) AS DOUBLE) / 1e6 AS lo,
+        |  CAST(MAX(xm) AS DOUBLE) / 1e6 AS hi,
+        |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+        |FROM r, t GROUP BY 1""".stripMargin,
+
+    // per-source token mass -> micro-rounded tokens^alpha -> exact
+    // normalization
+    "q207_source_mixing" ->
+      s"""WITH d AS (SELECT source, len($sqlWords) AS tk FROM documents),
+         |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(tk) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+         |w AS (SELECT source, n_docs, n_tokens,
+         |    CAST(ROUND(POWER(CAST(n_tokens AS DOUBLE), 0.5E0) * 1e6)
+         |      AS BIGINT) AS wm FROM g),
+         |t AS (SELECT CAST(SUM(wm) AS BIGINT) AS wt,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS tt FROM w)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(wm AS DOUBLE) / CAST(t.wt AS DOUBLE) AS weight,
+         |  CAST(wm AS DOUBLE) / CAST(t.wt AS DOUBLE)
+         |    * CAST(t.tt AS DOUBLE) AS expected_tokens
+         |FROM w, t""".stripMargin,
+
+    // q115's tie-aware rank AUC per md5-assigned user fold
+    "q208_kfold_auc" ->
+      """WITH s AS (SELECT
+        |    CAST(('0x'||substr(md5('21:'||CAST(user_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 5 AS fold, value,
+        |    CAST(user_id % 5 = 0 AS BIGINT) AS y FROM events),
+        |r AS (SELECT fold, y,
+        |    RANK() OVER (PARTITION BY fold ORDER BY value ASC) AS r,
+        |    COUNT(*) OVER (PARTITION BY fold, value) AS eq FROM s),
+        |a AS (SELECT fold, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+        |    CAST(SUM(y * (2 * (r - 1) + eq + 1)) AS BIGINT) AS s2
+        |  FROM r GROUP BY fold)
+        |SELECT fold, n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) END AS auc
+        |FROM a""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

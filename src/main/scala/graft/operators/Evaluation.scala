@@ -692,4 +692,29 @@ object Evaluation {
         col("__nov").cast("double") / 1e6 / col("n_recs").cast("double"))
       .drop("__nov")
   }
+
+  /** Entity-grouped k-fold AUC — the metric-variance audit behind a
+    * single headline AUC (one number hides whether the model is 0.75
+    * everywhere or 0.9/0.6 across folds). Folds assign by the
+    * engine-portable md5 of the ENTITY id, so all of an entity's rows
+    * land in one fold — the grouped-CV rule that keeps per-entity
+    * leakage out of the variance estimate. Rides [[groupAuc]]'s exact
+    * tie-aware rank arithmetic per fold.
+    *
+    * == Scale ==
+    * One hash projection + [[groupAuc]]'s single fold-keyed shuffle.
+    * Output: `(fold, n_pos, n_neg, auc)` — k rows. */
+  def kFoldAuc(
+      df: DataFrame,
+      entityCol: String,
+      scoreCol: String,
+      labelCol: String,
+      k: Int,
+      seed: Int = 21): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val folded = df.withColumn("fold",
+      graft.functions.TextFunctions
+        .md5Hash32(col(entityCol).cast("string"), seed) % k)
+    groupAuc(folded, Seq("fold"), scoreCol, labelCol)
+  }
 }

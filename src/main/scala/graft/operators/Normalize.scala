@@ -510,4 +510,50 @@ object Normalize {
           (abs(col("z")) > lit(threshold)).cast("int")))
       .drop("__cnt", "__s", "__ss")
   }
+
+  /** EXACT per-group type-1 quantiles (the SLA report: p50/p95/p99 of
+    * a latency-like measure per segment) — [[medianBy]]'s
+    * rank-arithmetic generalized to an arbitrary probability list.
+    * Values stage to micro-unit longs; the target rank is
+    * `⌈p·n⌉` computed IN INTEGERS (`(pm·n + 999999) div 1e6` with
+    * `pm = round(p·1e6)`), so bucket edges never depend on a
+    * float-ceil boundary. Each prob fans out row-locally over the
+    * distinct-value rank table — never over the data.
+    *
+    * == Scale ==
+    * One distinct-value count shuffle + one range-partitioned prefix
+    * sum ([[PrefixSum.inclusiveBy]]); no single-partition window.
+    * Output: `(groupCol, prob, n, quantile)`. */
+  def quantilesBy(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be in (0, 1], got $probs")
+    val staged = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        round(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+    val counts = staged
+      .groupBy(col(groupCol), col("__vm"))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = PrefixSum.inclusiveBy(counts,
+      Seq(col(groupCol).asc, col("__vm").asc), "__cnt", "__cum")
+    val groups = cum.groupBy(col(groupCol))
+      .agg(min(col("__cum") - col("__cnt")).as("__off"),
+        sum(col("__cnt")).as("n"))
+    cum.join(groups, Seq(groupCol))
+      .select(col(groupCol), col("__vm"), col("n"),
+        (col("__cum") - col("__off") - col("__cnt")).as("__lo"),
+        (col("__cum") - col("__off")).as("__hi"),
+        explode(array(probs.map { p =>
+          struct(lit(p).as("prob"),
+            lit(math.round(p * 1e6)).as("__pm"))
+        }: _*)).as("__p"))
+      .withColumn("__k",
+        greatest(lit(1L), expr("(__p.__pm * n + 999999) div 1000000")))
+      .filter(col("__lo") < col("__k") && col("__k") <= col("__hi"))
+      .select(col(groupCol), col("__p.prob").as("prob"), col("n"),
+        (col("__vm").cast("double") / 1e6).as("quantile"))
+  }
 }

@@ -309,4 +309,42 @@ object Sampling {
       .filter(col("sample_rank") <= k)
       .drop("__h")
   }
+
+  /** Temperature-scaled source mixing weights — the pretraining-mix
+    * policy (sampling source s with probability ∝ tokens(s)^α,
+    * 0 < α < 1 upweights small high-quality sources; α = 1 is raw
+    * proportion; the T5/XLM-R multilingual-mixing rule). Token counts
+    * are exact longs; each source's `tokens^α` rounds to micro-units
+    * BEFORE the normalizing sum, so weights are order-free and
+    * engine-exact; `expected_tokens` = weight · total corpus tokens.
+    *
+    * == Scale ==
+    * ONE scan (per-doc token count is row-local) + one shuffle on the
+    * source domain; the one-row total broadcasts back over the
+    * |sources|-row table. Output:
+    * `(srcCol, n_docs, n_tokens, weight, expected_tokens)`. */
+  def sourceMixingWeights(
+      docs: DataFrame,
+      srcCol: String,
+      textCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val perSrc = docs
+      .select(col(srcCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__tk"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"))
+      .withColumn("__wm",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)) * 1e6)
+          .cast("long"))
+    val tot = perSrc.agg(sum(col("__wm")).as("__wt"),
+      sum(col("n_tokens")).as("__tt"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        col("__wm").cast("double") / col("__wt").cast("double"))
+      .withColumn("expected_tokens",
+        col("weight") * col("__tt").cast("double"))
+      .drop("__wm", "__wt", "__tt")
+  }
 }

@@ -296,4 +296,45 @@ object Training {
         (col("n_pos").cast("double") / col("n").cast("double"))
           .as("pos_rate"))
   }
+
+  /** Equal-COUNT (equi-depth) feature histogram — [[featureHistogram]]'s
+    * companion for skewed features, where equal-width bins dump
+    * everything into one bucket: bin `b` holds rows whose global rank
+    * `r` (by value, id tiebreak) satisfies `(r−1)·nBins div n = b`, so
+    * bins differ in population by at most one row. All bucketing is
+    * exact integer arithmetic on micro-staged values — no float
+    * boundary, engine- and partition-independent.
+    *
+    * == Scale ==
+    * The global rank rides [[PrefixSum.inclusiveBy]]'s
+    * range-partitioned scan (never a single-partition ROW_NUMBER);
+    * one ≤nBins-row shuffle aggregates the stats. Output:
+    * `(bin, n, n_pos, lo, hi, pos_rate)` with lo/hi the bin's actual
+    * value range. */
+  def equiDepthHistogram(
+      df: DataFrame,
+      featureCol: String,
+      labelCol: String,
+      idCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val staged = df.filter(col(featureCol).isNotNull)
+      .select(
+        round(col(featureCol).cast("double") * 1e6).cast("long").as("__xm"),
+        col(idCol).as("__id"), col(labelCol).cast("long").as("__y"))
+      .withColumn("__one", lit(1L))
+    val ranked = PrefixSum.inclusiveBy(staged,
+      Seq(col("__xm").asc, col("__id").asc), "__one", "__r")
+    val tot = ranked.agg(max(col("__r")).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bin", expr(s"((__r - 1) * $nBins) div __n"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        min(col("__xm")).as("__lo"), max(col("__xm")).as("__hi"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("__lo").cast("double") / 1e6).as("lo"),
+        (col("__hi").cast("double") / 1e6).as("hi"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"))
+  }
 }

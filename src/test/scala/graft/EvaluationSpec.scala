@@ -830,4 +830,63 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(metrics._5 - naiveNov.toDouble / 1e6 / metrics._1) <
       1e-9)
   }
+
+  test("quantilesBy: exact type-1 quantiles per group vs a naive sorted " +
+      "lookup, any partitioning; p=1 is the max") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 2).flatMap { g =>
+      (0 until 157).map(_ => (s"g$g", rnd.nextInt(100) / 7.0)) }
+    val probs = Seq(0.25, 0.5, 0.9, 1.0)
+    for (parts <- Seq(1, 9)) {
+      val got = graft.operators.Normalize.quantilesBy(
+          rows.toDF("g", "v").repartition(parts), "g", "v", probs)
+        .select("g", "prob", "quantile")
+        .as[(String, Double, Double)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(got.size === 8, s"parts=$parts")
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val sorted = rs.map(r => math.round(r._2 * 1e6)).sorted
+        probs.foreach { p =>
+          val k = math.max(1L,
+            (math.round(p * 1e6) * sorted.size + 999999L) / 1000000L)
+          assert(got((g, p)) === sorted(k.toInt - 1).toDouble / 1e6,
+            s"$g p=$p parts=$parts")
+        }
+      }
+    }
+  }
+
+  test("kFoldAuc: folds group by entity (no entity straddles folds), " +
+      "per-fold AUC equals groupAuc on the same assignment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 80).flatMap { e =>
+      (0 until 5).map(_ => (e.toLong, rnd.nextDouble(),
+        if (rnd.nextInt(3) == 0) 1L else 0L)) }
+    val df = rows.toDF("ent", "score", "y")
+    val k = 4
+    val got = Evaluation.kFoldAuc(df, "ent", "score", "y", k)
+      .select("fold").as[Long].collect()
+    assert(got.toSet.subsetOf((0L until k.toLong).toSet))
+    // reproduce the assignment and check entity-atomicity
+    def fold(e: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"21:$e".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(x => f"$x%02x").mkString, 16) % k
+    }
+    val withFold = df.withColumn("fold",
+      graft.functions.TextFunctions.md5Hash32(col("ent").cast("string"), 21)
+        % k)
+    val pairs = withFold.select("ent", "fold").distinct()
+      .as[(Long, Long)].collect()
+    assert(pairs.groupBy(_._1).values.forall(_.length === 1))
+    pairs.foreach { case (e, f) => assert(f === fold(e)) }
+    val viaGroup = Evaluation.groupAuc(withFold, Seq("fold"), "score", "y")
+      .select("fold", "auc").as[(Long, Option[Double])].collect().toMap
+    val direct = Evaluation.kFoldAuc(df, "ent", "score", "y", k)
+      .select("fold", "auc").as[(Long, Option[Double])].collect().toMap
+    assert(direct === viaGroup)
+  }
 }

@@ -501,4 +501,32 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(trimmed.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap ===
       topByScore.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap)
   }
+
+  test("sourceMixingWeights: weights normalize to 1, alpha=1 recovers " +
+      "raw token proportions, alpha<1 upweights small sources") {
+    import spark.implicits._
+    // source A: 10 docs x 8 tokens; source B: 2 docs x 4 tokens
+    val docs = ((0 until 10).map(i => ("A", "w " * 7 + "w")) ++
+      (0 until 2).map(i => ("B", "w w w w"))).toDF("source", "text")
+    def run(alpha: Double): Map[String, (Long, Long, Double, Double)] =
+      graft.operators.Sampling.sourceMixingWeights(
+          docs, "source", "text", alpha)
+        .as[(String, Long, Long, Double, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    val raw = run(1.0)
+    assert(raw("A")._1 === 10L && raw("A")._2 === 80L)
+    assert(raw("B")._1 === 2L && raw("B")._2 === 8L)
+    assert(math.abs(raw("A")._3 - 80.0 / 88.0) < 1e-6)
+    assert(math.abs(raw("A")._3 + raw("B")._3 - 1.0) < 1e-9)
+    // expected_tokens redistributes the 88-token budget by weight
+    assert(math.abs(raw("A")._4 + raw("B")._4 - 88.0) < 1e-6)
+    val cooled = run(0.5)
+    assert(cooled("B")._3 > raw("B")._3) // small source upweighted
+    assert(math.abs(cooled("A")._3 + cooled("B")._3 - 1.0) < 1e-9)
+    // naive: micro-rounded pow(x, 0.5) weights (pow, not sqrt — the
+    // operator uses pow and the two can differ in the last ulp)
+    val wa = math.round(math.pow(80.0, 0.5) * 1e6)
+    val wb = math.round(math.pow(8.0, 0.5) * 1e6)
+    assert(cooled("A")._3 === wa.toDouble / (wa + wb))
+  }
 }

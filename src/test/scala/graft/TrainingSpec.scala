@@ -210,4 +210,38 @@ class TrainingSpec extends AnyFunSuite with SparkSuite {
       .collect()
     assert(konst.length === 1 && konst.head.getLong(0) === 0L)
   }
+
+  test("equiDepthHistogram: bins differ by at most one row, tile the " +
+      "rank axis in order, stats match naive; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // heavy skew: equal-width would collapse; equi-depth must not
+    val rows = (0 until 501).map(i =>
+      (i.toLong, math.pow(10.0, rnd.nextDouble() * 4), rnd.nextInt(2).toLong))
+    val nBins = 8
+    for (parts <- Seq(1, 7)) {
+      val got = Training.equiDepthHistogram(
+          rows.toDF("id", "x", "y").repartition(parts),
+          "x", "y", "id", nBins)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))).toMap
+      assert(got.keySet === (0 until nBins).map(_.toLong).toSet)
+      val sizes = got.values.map(_._1)
+      assert(sizes.max - sizes.min <= 1L, s"parts=$parts sizes $sizes")
+      assert(sizes.sum === 501L)
+      // naive: sort by (micro value, id), walk the same integer buckets
+      val sorted = rows.map { case (id, x, y) =>
+        (math.round(x * 1e6), id, y) }.sorted
+      val naive = sorted.zipWithIndex
+        .groupBy { case (_, i) => i.toLong * nBins / sorted.size }
+        .map { case (b, g) => b -> ((g.size.toLong, g.map(_._1._3).sum,
+          g.map(_._1._1).min.toDouble / 1e6,
+          g.map(_._1._1).max.toDouble / 1e6)) }
+      assert(got === naive, s"parts=$parts")
+      // bins are ordered on the value axis: hi(b) <= lo(b+1) up to ties
+      (0 until nBins - 1).foreach(b =>
+        assert(got(b.toLong)._4 <= got((b + 1).toLong)._3 + 1e-12))
+    }
+  }
 }
