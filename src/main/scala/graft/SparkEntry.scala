@@ -2406,7 +2406,29 @@ object SparkEntry {
       graft.operators.Evaluation.kFoldAuc(
         Tables.events(s, dir).select(col("user_id"), col("value"),
           (col("user_id") % 5 === 0).cast("long").as("label")),
-        "user_id", "value", "label", k = 5))
+        "user_id", "value", "label", k = 5)),
+
+    // ---- linear multi-touch attribution: each purchase splits one
+    // credit unit equally over the clicks/views since the previous
+    // purchase ----
+    "q209_linear_attribution" -> ((s, dir) =>
+      graft.operators.Funnel.linearAttribution(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        convType = "purchase", touchTypes = Seq("click", "view"))),
+
+    // ---- session engagement summary: bounce rate, depth, duration
+    // over 1-hour-gap sessions ----
+    "q210_session_stats" -> ((s, dir) =>
+      InteractionStore.sessionStats(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("ts")),
+        gap = "1 hour")),
+
+    // ---- class-separability audit: pairwise cosine between exact
+    // label centroids in the embedding space ----
+    "q211_centroid_similarity" -> ((s, dir) =>
+      graft.operators.LinAlg.centroidSimilarity(
+        Tables.embeddings(s, dir), "label", "embedding"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6209,7 +6231,88 @@ object SparkEntry {
         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
         |    ELSE CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
         |      / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) END AS auc
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // epoch = #prior conversions (window cumsum); per-epoch per-type
+    // credit micro-rounded before the cross-epoch integer sum
+    "q209_linear_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(event_type = 'purchase' AS BIGINT) AS conv
+        |  FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+        |e AS (SELECT *, COALESCE(SUM(conv) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS epoch FROM t),
+        |g AS (SELECT user_id, epoch, event_type AS touch_type,
+        |    COUNT(*) AS c, CAST(MAX(conv) AS BIGINT) AS anyconv
+        |  FROM e GROUP BY 1, 2, 3),
+        |et AS (SELECT user_id, epoch,
+        |    CAST(SUM(CASE WHEN touch_type <> 'purchase' THEN c
+        |      ELSE 0 END) AS BIGINT) AS nt,
+        |    MAX(anyconv) AS closed FROM g GROUP BY 1, 2)
+        |SELECT g.touch_type, CAST(SUM(g.c) AS BIGINT) AS n_touches,
+        |  COUNT(*) AS n_epochs,
+        |  CAST(SUM(CAST(ROUND(CAST(g.c AS DOUBLE) / CAST(et.nt AS DOUBLE)
+        |    * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS credit
+        |FROM g JOIN et USING (user_id, epoch)
+        |WHERE g.touch_type <> 'purchase' AND et.closed = 1 AND et.nt > 0
+        |GROUP BY g.touch_type""".stripMargin,
+
+    // q51's lag-gap sessions -> per-session depth/duration -> one
+    // exact summary row
+    "q210_session_stats" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM events),
+        |s AS (SELECT user_id, ts,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1 HOUR
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM x),
+        |p AS (SELECT user_id, session_idx, COUNT(*) AS n,
+        |    CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT)
+        |      AS dur_ms
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+        |  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_depth,
+        |  CAST(SUM(dur_ms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000.0
+        |    AS mean_duration_sec
+        |FROM p""".stripMargin,
+
+    // q98's fixed-point centroids -> q15's left-fold cosine on the
+    // |labels|-row table
+    "q211_centroid_similarity" ->
+      """WITH e AS (SELECT label, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |u AS (SELECT label, generate_subscripts(v, 1) AS p, unnest(v) AS x
+        |      FROM e),
+        |a AS (SELECT label, p, CAST(SUM(x) AS BIGINT) AS s,
+        |             CAST(COUNT(x) AS BIGINT) AS c
+        |      FROM u GROUP BY label, p),
+        |cent AS (SELECT label,
+        |    list(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * 1000000.0)
+        |      ORDER BY p) AS m
+        |  FROM a GROUP BY label),
+        |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM embeddings GROUP BY label)
+        |SELECT ca.label AS label_a, cb.label AS label_b,
+        |  na.n AS n_a, nb.n AS n_b,
+        |  list_reduce(list_transform(list_zip(ca.m, cb.m),
+        |    x -> x[1] * x[2]), (a, b) -> a + b)
+        |  / (sqrt(list_reduce(list_transform(ca.m, x -> x * x),
+        |       (a, b) -> a + b))
+        |   * sqrt(list_reduce(list_transform(cb.m, x -> x * x),
+        |       (a, b) -> a + b))) AS cosine
+        |FROM cent ca JOIN cent cb ON ca.label < cb.label
+        |JOIN n na ON na.label = ca.label
+        |JOIN n nb ON nb.label = cb.label""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

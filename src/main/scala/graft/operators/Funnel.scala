@@ -86,4 +86,61 @@ object Funnel {
     val aggs = stages.map(s => count(col(s"ts_$s")).as(s"n_$s"))
     r.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Linear multi-touch attribution: every conversion splits one unit
+    * of credit EQUALLY over the user's touch events since their
+    * previous conversion (the epoch) — the standard correction to
+    * last-touch's "the final click did everything" bias. Conversions
+    * with no preceding touch stay unattributed (reported separately).
+    *
+    * Mechanics: each event's epoch index = how many of the user's
+    * conversions came strictly before it (a window cumsum), so a
+    * conversion and the touches it credits share an epoch. Per-epoch
+    * per-type credit `cnt_type/n_touches` rounds to micro-units
+    * before the cross-epoch sum — order-free integers, engine-exact.
+    *
+    * == Scale ==
+    * One shuffle on the user key (the epoch window), one on (user,
+    * epoch, type) for the counts — no conversion × touch pair
+    * fan-out. Output: one row per touch type
+    * `(touch_type, n_touches, n_epochs, credit)` — Σ credit over
+    * types = attributed conversions. */
+  def linearAttribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      convType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touchTypes must be non-empty and exclude '$convType'")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isConv = (col(typeCol) === convType).cast("long")
+    val typed = events
+      .filter(col(typeCol) === convType || col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol), col(tieCol),
+        col(typeCol).as("touch_type"), isConv.as("__conv"))
+      .withColumn("__epoch", coalesce(sum(col("__conv")).over(w), lit(0L)))
+    val epochs = typed
+      .groupBy(col(userCol), col("__epoch"), col("touch_type"))
+      .agg(count(lit(1)).as("__c"), max(col("__conv")).as("__anyconv"))
+    val epochTotals = epochs
+      .groupBy(col(userCol), col("__epoch"))
+      .agg(sum(when(col("touch_type") =!= convType, col("__c"))
+          .otherwise(0L)).as("__nt"),
+        max(col("__anyconv")).as("__closed"))
+    epochs.filter(col("touch_type") =!= convType)
+      .join(epochTotals, Seq(userCol, "__epoch"))
+      .filter(col("__closed") === 1L && col("__nt") > 0L)
+      .withColumn("__credit_micro",
+        round(col("__c").cast("double") / col("__nt").cast("double") * 1e6)
+          .cast("long"))
+      .groupBy(col("touch_type"))
+      .agg(sum(col("__c")).as("n_touches"),
+        count(lit(1)).as("n_epochs"),
+        (sum(col("__credit_micro")).cast("double") / 1e6).as("credit"))
+  }
 }

@@ -251,4 +251,44 @@ object InteractionStore {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("__vm"), ignoreNulls = true).over(w).as("value_micro_filled"))
   }
+
+  /** Engagement summary over [[sessionize]]'s sessions: bounce rate
+    * (1-event sessions), mean session depth, and mean duration — the
+    * product-health numbers a session table exists to answer.
+    * Durations are exact epoch-milli differences; the three means are
+    * one division each over exact longs, so the single summary row is
+    * engine- and partition-exact.
+    *
+    * == Scale ==
+    * [[sessionize]]'s one user-key window shuffle, then a (user,
+    * session) aggregate on the SAME key prefix (no second exchange
+    * lineage), then a one-row global reduce. Output:
+    * `(n_sessions, n_events, n_bounce, bounce_rate, mean_depth,
+    * mean_duration_sec)`. */
+  def sessionStats(
+      events: DataFrame,
+      gap: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      orderTiebreak: String = "event_id"): DataFrame = {
+    val sess = sessionize(events, gap, userCol, tsCol, orderTiebreak)
+    val perSession = sess
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("__n"),
+        (unix_millis(max(col(tsCol))) - unix_millis(min(col(tsCol))))
+          .as("__dur_ms"))
+    perSession.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("__n")).as("n_events"),
+        sum((col("__n") === 1L).cast("long")).as("n_bounce"),
+        sum(col("__dur_ms")).as("__dur_total"))
+      .select(col("n_sessions"), col("n_events"), col("n_bounce"),
+        (col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+          .as("bounce_rate"),
+        (col("n_events").cast("double") / col("n_sessions").cast("double"))
+          .as("mean_depth"),
+        (col("__dur_total").cast("double") /
+          col("n_sessions").cast("double") / 1000.0)
+          .as("mean_duration_sec"))
+  }
 }

@@ -114,4 +114,34 @@ object LinAlg {
       .select((idCol +: groupCols).map(col) :+
         col("cos_centroid") :+ col("rank"): _*)
   }
+
+  /** Pairwise cosine between class centroids — the class-separability
+    * audit run before training a classifier on an embedding space
+    * (two labels whose centroids sit at cosine ≈ 1 are
+    * indistinguishable to a linear probe; a confusable-pair list IS
+    * this table sorted descending). Centroids are [[meanPool]]'s
+    * exact fixed-point means, so the cosine of two centroids is one
+    * fixed IEEE chain over engine-exact inputs.
+    *
+    * == Scale ==
+    * One fixed-point centroid aggregate over the data; the pair join
+    * runs on the |labels|-row centroid table only (broadcast self-join
+    * a < b) — never a data-sized pair fan-out. Output:
+    * `(label_a, label_b, n_a, n_b, cosine)`. */
+  def centroidSimilarity(
+      df: DataFrame,
+      labelCol: String,
+      embCol: String): DataFrame = {
+    import graft.functions.Similarity
+    val cent = meanPool(df, Seq(labelCol), embCol)
+      .join(df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n")),
+        Seq(labelCol))
+    cent.as("a").join(broadcast(cent.as("b")),
+        col(s"a.$labelCol") < col(s"b.$labelCol"))
+      .select(col(s"a.$labelCol").as("label_a"),
+        col(s"b.$labelCol").as("label_b"),
+        col("a.__n").as("n_a"), col("b.__n").as("n_b"),
+        Similarity.cosine(col("a.mean_embedding"),
+          col("b.mean_embedding")).as("cosine"))
+  }
 }

@@ -83,4 +83,63 @@ class InteractionStoreSpec extends AnyFunSuite with SparkSuite {
     // horizon 2 keeps both weeks; user 2 unaffected by user 1's clock
     assert(InteractionStore.retention(ev, horizonWeeks = 2).count() === 6L)
   }
+
+  test("linearAttribution: credit splits equally per epoch, resets at " +
+      "each conversion, orphan conversions stay unattributed") {
+    import spark.implicits._
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // user 1: click,view -> PURCHASE (each 1/2); view -> PURCHASE (1);
+    //         trailing click (no credit)
+    // user 2: PURCHASE with no touches (unattributed)
+    // user 3: click,click,view -> PURCHASE (2/3 click, 1/3 view)
+    val rows = Seq(
+      (1L, 1L, t(1), "click"), (1L, 2L, t(2), "view"),
+      (1L, 3L, t(3), "purchase"), (1L, 4L, t(4), "view"),
+      (1L, 5L, t(5), "purchase"), (1L, 6L, t(6), "click"),
+      (2L, 7L, t(1), "purchase"),
+      (3L, 8L, t(1), "click"), (3L, 9L, t(2), "click"),
+      (3L, 10L, t(3), "view"), (3L, 11L, t(4), "purchase"),
+      (3L, 12L, t(5), "error")) // non-touch type is ignored entirely
+    val df = rows.toDF("user_id", "event_id", "ts", "event_type")
+    for (parts <- Seq(1, 4)) {
+      val got = graft.operators.Funnel.linearAttribution(
+          df.repartition(parts), "user_id", "ts", "event_id", "event_type",
+          "purchase", Seq("click", "view"))
+        .as[(String, Long, Long, Double)].collect()
+        .map(t0 => t0._1 -> t0).toMap
+      // click: 1/2 (u1 e0) + 2/3 (u3) ; view: 1/2 + 1 + 1/3
+      val clickCredit = (math.round(0.5 * 1e6) +
+        math.round(2.0 / 3.0 * 1e6)).toDouble / 1e6
+      val viewCredit = (math.round(0.5 * 1e6) + math.round(1.0 * 1e6) +
+        math.round(1.0 / 3.0 * 1e6)).toDouble / 1e6
+      assert(got("click") === (("click", 3L, 2L, clickCredit)),
+        s"parts=$parts")
+      assert(got("view") === (("view", 3L, 3L, viewCredit)),
+        s"parts=$parts")
+      // attributed conversions = 3 of 4 (u2's orphan excluded)
+      assert(math.abs(got("click")._4 + got("view")._4 - 3.0) < 1e-5)
+    }
+  }
+
+  test("sessionStats: bounce/depth/duration from hand-built sessions") {
+    import spark.implicits._
+    def t(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+    // user 1: events at 0:00, 0:10, 0:20 (one session, 20 min... gap
+    // 15 min: 0:00,0:10 in s1; 0:20 still within 15m of 0:10 -> s1)
+    // then 50:00 -> new session (bounce)
+    // user 2: single event (bounce)
+    val rows = Seq(
+      (1L, 1L, t(0, 0)), (1L, 2L, t(10, 0)), (1L, 3L, t(20, 0)),
+      (1L, 4L, t(50, 0)),
+      (2L, 5L, t(5, 0)))
+    val got = InteractionStore.sessionStats(
+        rows.toDF("user_id", "event_id", "ts"), gap = "15 minutes")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    // sessions: u1 {0,10,20}, u1 {50}, u2 {5} -> 3 sessions, 2 bounces
+    assert(got._1 === 3L && got._2 === 5L && got._3 === 2L)
+    assert(got._4 === 2.0 / 3.0)
+    assert(got._5 === 5.0 / 3.0)
+    // durations: 1200s + 0 + 0 over 3 sessions = 400s
+    assert(got._6 === 400.0)
+  }
 }

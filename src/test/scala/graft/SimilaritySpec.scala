@@ -210,4 +210,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(df.filter(Filters.btw($"v", 5.0, 25.0)).count() === 1)
     assert(df.filter(Filters.btwe($"v", 5.0, 25.0)).count() === 3)
   }
+
+  test("centroidSimilarity: aligned classes at cosine 1, orthogonal " +
+      "at 0, opposed at -1; centroids partition-invariant") {
+    import spark.implicits._
+    // label 0 along +x (two points averaging to (2,0)), label 1 along
+    // +x too, label 2 along +y, label 3 along -x
+    val rows = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(3.0f, 0.0f)),
+      (1, Array(5.0f, 0.0f)),
+      (2, Array(0.0f, 2.0f)),
+      (3, Array(-4.0f, 0.0f)))
+    for (parts <- Seq(1, 3)) {
+      val got = graft.operators.LinAlg.centroidSimilarity(
+          rows.toDF("label", "embedding").repartition(parts),
+          "label", "embedding")
+        .select("label_a", "label_b", "n_a", "n_b", "cosine")
+        .as[(Int, Int, Long, Long, Double)].collect()
+        .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+      assert(got.size === 6, s"parts=$parts")
+      assert(got((0, 1)) === ((2L, 1L, 1.0)))
+      assert(got((0, 2))._3 === 0.0)
+      assert(got((0, 3))._3 === -1.0)
+      assert(got((2, 3))._3 === 0.0)
+    }
+  }
 }
