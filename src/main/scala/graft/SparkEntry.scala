@@ -2428,7 +2428,35 @@ object SparkEntry {
     // label centroids in the embedding space ----
     "q211_centroid_similarity" -> ((s, dir) =>
       graft.operators.LinAlg.centroidSimilarity(
-        Tables.embeddings(s, dir), "label", "embedding"))
+        Tables.embeddings(s, dir), "label", "embedding")),
+
+    // ---- embedding-quality probe: do 5 cell-blocked cosine
+    // neighbors vote each vector's own label? ----
+    "q212_knn_consistency" -> ((s, dir) =>
+      SimilaritySearch.knnLabelConsistency(
+        Tables.embeddings(s, dir), cells = 8, iters = 2, k = 5)),
+
+    // ---- per-source lexical diversity: TTR + hapax share, the
+    // template/boilerplate detector ----
+    "q213_lexical_diversity" -> ((s, dir) =>
+      graft.operators.Corpus.lexicalDiversity(
+        Tables.documents(s, dir), "source", "text")),
+
+    // ---- curation yield report: per-rule standalone and cumulative
+    // survivors in one scan ----
+    "q214_filter_waterfall" -> ((s, dir) =>
+      graft.operators.Validate.filterWaterfall(
+        Tables.documents(s, dir), Seq(
+          "min_length" -> (col("n_chars") >= 200L),
+          "known_lang" -> col("lang").isin("en", "zh", "es"),
+          "min_tokens" ->
+            (size(graft.functions.TextFunctions.words(col("text"))) >= 30)))),
+
+    // ---- tokenizer training stats: top in-token character pairs
+    // (the BPE first-merge table) ----
+    "q215_bpe_pairs" -> ((s, dir) =>
+      graft.operators.Corpus.bpePairStats(
+        Tables.documents(s, dir), "text", topN = 50))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6312,7 +6340,90 @@ object SparkEntry {
         |       (a, b) -> a + b))) AS cosine
         |FROM cent ca JOIN cent cb ON ca.label < cb.label
         |JOIN n na ON na.label = ca.label
-        |JOIN n nb ON nb.label = cb.label""".stripMargin
+        |JOIN n nb ON nb.label = cb.label""".stripMargin,
+
+    // q184's learned cells -> per-vector top-5 cosine neighbors ->
+    // majority vote vs own label
+    "q212_knn_consistency" ->
+      s"""WITH $sqlKmeansC2Ctes
+         |a3 AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlEuclidOf("e.emb", "c.centroid")} ASC,
+         |             c.cell_id ASC) AS rn
+         |  FROM e, c2 c) WHERE rn = 1),
+         |s AS (SELECT a3.cell_id, e.vec_id, e.emb, l.label
+         |      FROM a3 JOIN e ON a3.vec_id = e.vec_id
+         |      JOIN embeddings l ON l.vec_id = e.vec_id),
+         |nb AS (SELECT a.vec_id, a.label AS own, b.label AS nbl,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${sqlCosOf("a.emb", "b.emb")} DESC,
+         |               b.vec_id ASC) AS rn
+         |  FROM s a JOIN s b
+         |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+         |vt AS (SELECT vec_id, own, nbl, COUNT(*) AS c FROM nb
+         |      WHERE rn <= 5 GROUP BY 1, 2, 3),
+         |pred AS (SELECT own, nbl FROM (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY c DESC, nbl ASC) AS r FROM vt)
+         |  WHERE r = 1)
+         |SELECT own AS label, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN nbl = own THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(SUM(CASE WHEN nbl = own THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+         |FROM pred GROUP BY own""".stripMargin,
+
+    // one (source, token) count table carries all five figures
+    "q213_lexical_diversity" ->
+      s"""WITH tok AS (SELECT source, unnest($sqlWords) AS token
+         |             FROM documents),
+         |c AS (SELECT source, token, COUNT(*) AS c FROM tok
+         |      WHERE token <> '' GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_types,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hapax,
+         |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+         |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+         |FROM c GROUP BY source""".stripMargin,
+
+    // standalone + cumulative pass counters in one aggregate
+    "q214_filter_waterfall" -> {
+      val r0 = "n_chars >= 200"
+      val r1 = "lang IN ('en', 'zh', 'es')"
+      val r2 = s"len($sqlWords) >= 30"
+      def cnt(c: String) =
+        s"CAST(SUM(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT)"
+      s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${cnt(r0)} AS a0, ${cnt(r1)} AS a1, ${cnt(r2)} AS a2,
+         |    ${cnt(r0)} AS c0, ${cnt(s"$r0 AND $r1")} AS c1,
+         |    ${cnt(s"$r0 AND $r1 AND $r2")} AS c2
+         |  FROM documents)
+         |SELECT 1 AS step, 'min_length' AS rule, a0 AS n_pass_alone,
+         |  c0 AS n_pass_cumulative,
+         |  CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE) AS cumulative_yield
+         |FROM a
+         |UNION ALL
+         |SELECT 2, 'known_lang', a1, c1,
+         |  CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+         |UNION ALL
+         |SELECT 3, 'min_tokens', a2, c2,
+         |  CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE) FROM a""".stripMargin
+    },
+
+    // in-token adjacent char pairs, the BPE merge-candidate table
+    "q215_bpe_pairs" ->
+      s"""WITH tok AS (SELECT unnest($sqlWords) AS token FROM documents),
+         |pr AS (SELECT substr(token, i, 2) AS pair FROM (
+         |    SELECT token,
+         |      unnest(generate_series(1, len(token) - 1)) AS i
+         |    FROM tok WHERE len(token) >= 2)),
+         |c AS (SELECT pair, COUNT(*) AS cnt FROM pr GROUP BY pair)
+         |SELECT pair, cnt,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS INT)
+         |    AS rank
+         |FROM c ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

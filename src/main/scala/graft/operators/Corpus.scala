@@ -508,6 +508,56 @@ object Corpus {
     * vocabulary is never globally sorted; the regression itself runs
     * over `topN` rows. Output (one row):
     * `(n_terms, slope, intercept)`. */
+  /** Per-source lexical diversity: token mass, distinct types, hapax
+    * legomena (frequency-1 types), type-token ratio, and hapax share —
+    * the template-detection triple (a boilerplate-flooded source shows
+    * collapsing TTR; a scrape full of serial numbers shows hapax ≈ 1).
+    * All counts exact; the two ratios are one division each.
+    *
+    * == Scale ==
+    * ONE scan explodes tokens; one (source, token) count shuffle, then
+    * a per-source reduce over the type table — never a second corpus
+    * pass. Output:
+    * `(srcCol, n_tokens, n_types, n_hapax, ttr, hapax_ratio)`. */
+  def lexicalDiversity(
+      docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(srcCol),
+        explode(TextFunctions.words(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(srcCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(srcCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("__c") === 1L).cast("long")).as("n_hapax"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("hapax_ratio",
+        col("n_hapax").cast("double") / col("n_types").cast("double"))
+  }
+
+  /** Adjacent character-pair frequencies inside tokens — the statistic
+    * a BPE tokenizer trainer greedily merges on (Sennrich et al.,
+    * ACL'16: the highest-count pair becomes the first merge rule).
+    * One corpus scan; the pair fan-out is row-local
+    * (`explode(sequence)` over each token's positions); top-`topN` by
+    * (count desc, pair asc) via TakeOrdered — the full pair domain is
+    * never globally sorted. Output: `(pair, cnt, rank)`. */
+  def bpePairStats(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val pairs = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) >= 2)
+      .select(col("__tok"),
+        explode(sequence(lit(1), length(col("__tok")) - 1)).as("__i"))
+      .select(expr("substring(__tok, __i, 2)").as("pair"))
+    val counts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("pair").asc).limit(topN)
+      .withColumn("rank", row_number().over( // topN rows only
+        Window.orderBy(col("cnt").desc, col("pair").asc)))
+  }
+
   def zipfSlope(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
     require(topN >= 2, s"need at least 2 ranks to fit, got $topN")
     val x = log(col("rank").cast("double"))

@@ -147,6 +147,62 @@ object SimilaritySearch {
           (col("a.__n") * col("b.__n"))).as("cosine"))
       .filter(col("cosine") > threshold)
   }
+
+  /** kNN label-consistency probe: for each vector, do its k nearest
+    * same-cell neighbors (cosine) vote its own label? — the standard
+    * embedding-quality audit before training a classifier on the
+    * space (low consistency = the space doesn't separate the labels;
+    * per-label rows expose WHICH classes bleed). Neighbors come from
+    * [[semanticNearDupPairs]]'s learned k-means cells, so the
+    * candidate set is Σ|cell|² not |corpus|²; vectors alone in their
+    * cell abstain (no neighbors, excluded from the denominator).
+    * Votes tie-break by (count desc, label asc); neighbor ranks by
+    * (cosine desc, id asc) — fully deterministic.
+    *
+    * == Scale ==
+    * One k-means build (bounded iterations over fixed-point
+    * aggregates), one cell-blocked self-join, two per-vector-keyed
+    * windows over ≤|cell| rows each. Output:
+    * `(label, n, n_correct, accuracy)`. */
+  def knnLabelConsistency(
+      corpus: DataFrame,
+      cells: Int,
+      iters: Int,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idx = IvfIndex.buildKMeans(corpus, cells, iters, idCol, embCol)
+    val side = idx.assigned.select(col("cell_id"), col(idCol),
+      col(labelCol),
+      col(embCol).cast("array<double>").as(embCol),
+      Similarity.l2(col(embCol)).as("__n"))
+    val nb = side.as("a").join(side.as("b"),
+        col("a.cell_id") === col("b.cell_id") &&
+        col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("__vid"),
+        col(s"a.$labelCol").as("__own"),
+        col(s"b.$idCol").as("__nid"), col(s"b.$labelCol").as("__nbl"),
+        (Similarity.dot(col(s"a.$embCol"), col(s"b.$embCol")) /
+          (col("a.__n") * col("b.__n"))).as("__cos"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__vid"))
+          .orderBy(col("__cos").desc, col("__nid").asc)))
+      .filter(col("__rn") <= k)
+    val pred = nb
+      .groupBy(col("__vid"), col("__own"), col("__nbl"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__vid"))
+          .orderBy(col("__c").desc, col("__nbl").asc)))
+      .filter(col("__r") === 1)
+    pred.groupBy(col("__own").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__nbl") === col("__own")).cast("long")).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n").cast("double"))
+  }
 }
 
 /** Skye payload filter operators (SURVEY P7) — the reference's filter

@@ -100,6 +100,34 @@ object Validate {
           .as("rate"))
   }
 
+  /** Ordered filter waterfall: for each curation rule, how many rows
+    * pass it ALONE and how many survive the cumulative AND of every
+    * rule so far — the yield report a filtering pipeline publishes
+    * with each data release (the cumulative column is the actual
+    * pipeline; the standalone column shows which rule does the
+    * killing). ONE scan: 2·|rules| conditional counters ride a single
+    * aggregate ([[report]]'s shape), unpivoted row-locally.
+    * Output, one row per rule in order:
+    * `(step, rule, n_pass_alone, n_pass_cumulative, cumulative_yield)`. */
+  def filterWaterfall(
+      df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val cums = rules.scanLeft(lit(true))(_ && _._2).tail
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      rules.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+        coalesce(sum(c.cast("long")), lit(0L)).as(s"__a$i"),
+        coalesce(sum(cums(i).cast("long")), lit(0L)).as(s"__c$i")) }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(i + 1).as("step"), lit(name).as("rule"),
+          col(s"__a$i").as("n_pass_alone"),
+          col(s"__c$i").as("n_pass_cumulative"),
+          (col(s"__c$i").cast("double") / col("__n").cast("double"))
+            .as("cumulative_yield"))
+      }: _*)).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** Benford first-digit probabilities P(d) = log₁₀(1 + 1/d),
     * d = 1..9 — shared literals between the Spark and oracle sides
     * of [[benfordDigits]]. */

@@ -355,4 +355,28 @@ class CorpusPackingSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(row._2 + 1.0) < 0.01, s"slope ${row._2}")
     }
   }
+
+  test("lexicalDiversity: exact type/hapax accounting per source") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x x x y z"),        // tokens 5, types 3, hapax y z -> 2
+      ("a", "x q"),              // q joins: a has 7 tokens, 4 types
+      ("b", "u u u u")           // 4 tokens, 1 type, 0 hapax
+    ).toDF("source", "text")
+    val got = Corpus.lexicalDiversity(docs, "source", "text")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got("a") === (("a", 7L, 4L, 3L, 4.0 / 7.0, 3.0 / 4.0)))
+    assert(got("b") === (("b", 4L, 1L, 0L, 0.25, 0.0)))
+  }
+
+  test("bpePairStats: pair counts match hand enumeration, overlapping " +
+      "pairs inside a token all count") {
+    import spark.implicits._
+    val docs = Seq("aaab ab", "ab cd").toDF("text")
+    // aaab -> aa, aa, ab ; ab -> ab ; ab -> ab ; cd -> cd
+    val got = Corpus.bpePairStats(docs, "text", topN = 10)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(got === Seq(("ab", 3L, 1), ("aa", 2L, 2), ("cd", 1L, 3)))
+  }
 }

@@ -889,4 +889,21 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
       .select("fold", "auc").as[(Long, Option[Double])].collect().toMap
     assert(direct === viaGroup)
   }
+
+  test("filterWaterfall: cumulative is monotone non-increasing and " +
+      "ANDs rules in order; null predicates count as fail") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, Some("en")), (300L, Some("en")), (250L, None),
+      (500L, Some("zh")), (220L, Some("en"))
+    ).toDF("len", "lang")
+    val out = graft.operators.Validate.filterWaterfall(df, Seq(
+        "long" -> (col("len") >= 200L),
+        "en" -> (col("lang") === "en")))
+      .as[(Int, String, Long, Long, Double)].collect().sortBy(_._1)
+    // long: 4 alone; en: 3 alone; cumulative: 4 then (long AND en) = 2
+    assert(out(0) === ((1, "long", 4L, 4L, 0.8)))
+    assert(out(1) === ((2, "en", 3L, 2L, 0.4)))
+    assert(out(0)._4 >= out(1)._4) // waterfall only narrows
+  }
 }

@@ -235,4 +235,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       assert(got((2, 3))._3 === 0.0)
     }
   }
+
+  test("knnLabelConsistency: matches a brute-force kNN vote when " +
+      "blocking is trivial (cells=1); clean clusters score 1.0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // two tight clusters + a handful of strays with the wrong label
+    val rows = (0 until 30).map { i =>
+      val lbl = i % 2
+      val base = if (lbl == 0) Array(10.0f, 0.0f) else Array(0.0f, 10.0f)
+      (i.toLong, lbl,
+        Array(base(0) + rnd.nextFloat() * 0.1f,
+          base(1) + rnd.nextFloat() * 0.1f))
+    } ++ Seq((100L, 0, Array(0.0f, 9.0f)), (101L, 1, Array(9.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val k = 5
+    val got = SimilaritySearch.knnLabelConsistency(
+        df, cells = 1, iters = 1, k = k)
+      .as[(Int, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // naive brute force over all pairs
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (x, y) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(v => v * v).sum) *
+        math.sqrt(y.map(v => v * v).sum))
+    }
+    val naive = rows.map { case (id, own, emb) =>
+      val nbs = rows.filter(_._1 != id)
+        .map { case (nid, nl, ne) => (cos(emb, ne), nid, nl) }
+        .sortBy(t => (-t._1, t._2)).take(k)
+      val votes = nbs.groupBy(_._3).map { case (l, g) => (l, g.size) }
+      val pred = votes.toSeq.sortBy(t => (-t._2, t._1)).head._1
+      (own, pred)
+    }
+    val expect = naive.groupBy(_._1).map { case (l, g) =>
+      l -> ((l, g.size.toLong, g.count(t => t._2 == t._1).toLong,
+        g.count(t => t._2 == t._1).toDouble / g.size)) }
+    assert(got === expect)
+    // the strays sit inside the other cluster -> both labels < 1.0
+    assert(got(0)._4 < 1.0 && got(1)._4 < 1.0)
+    // and the clean majority still dominates
+    assert(got(0)._4 > 0.8 && got(1)._4 > 0.8)
+  }
 }
