@@ -2456,7 +2456,33 @@ object SparkEntry {
     // (the BPE first-merge table) ----
     "q215_bpe_pairs" -> ((s, dir) =>
       graft.operators.Corpus.bpePairStats(
-        Tables.documents(s, dir), "text", topN = 50))
+        Tables.documents(s, dir), "text", topN = 50)),
+
+    // ---- imputation fill-value table: mean/median/mode per measure
+    // in one unpivot pass ----
+    "q216_imputation_stats" -> ((s, dir) =>
+      graft.operators.Profile.imputationStats(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_discount", "l_tax"))),
+
+    // ---- templated-intro detector: docs sharing their first 8
+    // tokens exactly ----
+    "q217_prefix_duplicates" -> ((s, dir) =>
+      Dedup.prefixDuplicates(Tables.documents(s, dir), nTokens = 8)),
+
+    // ---- right-censoring-aware retention: Kaplan-Meier survival of
+    // user lifetimes (active-at-close users censored) ----
+    "q218_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val u = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("__f"),
+          max(to_date(col("ts"))).as("__l"))
+      val anchor = ev.agg(max(to_date(col("ts"))).as("__mx"))
+      val subj = u.crossJoin(broadcast(anchor))
+        .select(datediff(col("__l"), col("__f")).as("duration"),
+          (col("__l") < date_sub(col("__mx"), 7)).cast("long").as("event"))
+      graft.operators.Evaluation.kaplanMeier(subj, "duration", "event")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6423,7 +6449,77 @@ object SparkEntry {
          |SELECT pair, cnt,
          |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS INT)
          |    AS rank
-         |FROM c ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin
+         |FROM c ORDER BY cnt DESC, pair ASC LIMIT 50""".stripMargin,
+
+    // one unpivoted (column, micro-value) count table carries mean
+    // (exact sum), mode (count-desc/value-asc argmax), lower median
+    "q216_imputation_stats" -> {
+      val legs = Seq("l_quantity", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(ROUND(CAST($c AS DOUBLE) * 1e6) AS BIGINT) AS vm
+           |FROM lineitem WHERE $c IS NOT NULL""".stripMargin }
+      s"""WITH p AS (${legs.mkString("\n", "\nUNION ALL\n", "")}),
+         |c AS (SELECT col_name, vm, COUNT(*) AS c FROM p GROUP BY 1, 2),
+         |m AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS n,
+         |      CAST(SUM(vm * c) AS BIGINT) AS s FROM c GROUP BY 1),
+         |mo AS (SELECT col_name, vm AS mode_vm FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY col_name
+         |      ORDER BY c DESC, vm ASC) AS rn FROM c) WHERE rn = 1),
+         |w AS (SELECT col_name, vm, c,
+         |    CAST(SUM(c) OVER (PARTITION BY col_name ORDER BY vm
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+         |md AS (SELECT w.col_name, w.vm AS med_vm
+         |  FROM w JOIN m USING (col_name)
+         |  WHERE w.cum - w.c < (m.n + 1) // 2
+         |    AND (m.n + 1) // 2 <= w.cum)
+         |SELECT m.col_name, m.n,
+         |  CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) / 1e6 AS mean,
+         |  CAST(md.med_vm AS DOUBLE) / 1e6 AS median,
+         |  CAST(mo.mode_vm AS DOUBLE) / 1e6 AS mode
+         |FROM m JOIN mo USING (col_name) JOIN md USING (col_name)"""
+        .stripMargin
+    },
+
+    // 60-bit portable hash of the 8-token head; clusters only
+    "q217_prefix_duplicates" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    CAST(('0x'||substr(md5(array_to_string(
+         |      list_slice($sqlWords, 1, 8), ' ')), 1, 15)) AS BIGINT)
+         |      AS prefix_hash
+         |  FROM documents)
+         |SELECT prefix_hash, COUNT(*) AS n_docs,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+         |FROM h GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin,
+
+    // at-risk from one prefix sum; micro-nat log factors cumsum; a
+    // full-death time pins survival to 0 from there on
+    "q218_kaplan_meier" ->
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS f,
+        |    MAX(CAST(ts AS DATE)) AS l FROM events GROUP BY 1),
+        |a AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+        |s AS (SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+        |    CAST(l < mx - INTERVAL 7 DAY AS BIGINT) AS ev FROM u, a),
+        |c AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS cns FROM s GROUP BY t),
+        |tot AS (SELECT CAST(SUM(d + cns) AS BIGINT) AS n FROM c),
+        |w AS (SELECT *, CAST(SUM(d + cns) OVER (ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+        |r AS (SELECT t, d, cns, tot.n - cum + d + cns AS nr
+        |      FROM w, tot),
+        |lt AS (SELECT *, CASE WHEN d > 0 AND d < nr THEN
+        |      CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / CAST(nr AS DOUBLE))
+        |        * 1e6) AS BIGINT) ELSE 0 END AS term,
+        |    CASE WHEN d = nr THEN 1 ELSE 0 END AS dead FROM r),
+        |z AS (SELECT t, nr, d, cns,
+        |    CAST(SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS ct,
+        |    CAST(SUM(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS dc FROM lt)
+        |SELECT t AS duration, nr AS n_risk, d AS d_events,
+        |  cns AS n_censored,
+        |  CASE WHEN dc > 0 THEN 0.0
+        |    ELSE ROUND(EXP(CAST(ct AS DOUBLE) / 1e6), 6) END AS survival
+        |FROM z""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

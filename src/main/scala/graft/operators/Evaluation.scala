@@ -717,4 +717,57 @@ object Evaluation {
         .md5Hash32(col(entityCol).cast("string"), seed) % k)
     groupAuc(folded, Seq("fold"), scoreCol, labelCol)
   }
+
+  /** Kaplan–Meier survival curve over right-censored durations — THE
+    * retention/churn curve when observation windows truncate some
+    * subjects (a user still active at data close is censored, not
+    * churned; dropping them biases retention down). `S(t) =
+    * Π_{u≤t} (1 − d_u/n_u)` with `d_u` events and `n_u` at-risk at
+    * duration `u`.
+    *
+    * Determinism: at-risk counts derive from one exact prefix sum;
+    * each factor's `ln(1 − d/n)` rounds to micro-nats before the
+    * cumulative sum (order-free integers), and the final
+    * `round(exp(·), 6)` is the only libm step. A duration where the
+    * whole risk set dies (`d = n`) pins survival to exactly 0 from
+    * there on (no −∞ in the log domain).
+    *
+    * == Scale ==
+    * One (duration) count shuffle, then everything rides
+    * [[PrefixSum.inclusive]]'s range-partitioned scans over the
+    * DISTINCT duration axis — no single-partition window. Output:
+    * `(duration, n_risk, d_events, n_censored, survival)`. */
+  def kaplanMeier(
+      subjects: DataFrame,
+      durationCol: String,
+      eventCol: String): DataFrame = {
+    val counts = subjects
+      .filter(col(durationCol).isNotNull)
+      .select(col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__e"))
+      .groupBy(col("__t"))
+      .agg(sum(col("__e")).as("__d"),
+        sum(lit(1L) - col("__e")).as("__cns"))
+    val tot = counts.agg(sum(col("__d") + col("__cns")).as("__n"))
+    val cum = PrefixSum.inclusive(
+      counts.withColumn("__all", col("__d") + col("__cns")),
+      "__t", "__all", "__cum")
+    val risked = cum.crossJoin(broadcast(tot))
+      .withColumn("__nr", col("__n") - col("__cum") + col("__all"))
+      .withColumn("__term",
+        when(col("__d") > 0L && col("__d") < col("__nr"),
+          round(log(lit(1.0) -
+            col("__d").cast("double") / col("__nr").cast("double")) * 1e6)
+            .cast("long")).otherwise(0L))
+      .withColumn("__dead",
+        (col("__d") === col("__nr")).cast("long"))
+    val folded = PrefixSum.inclusive(risked, "__t", "__term", "__cterm")
+    val deadCum = PrefixSum.inclusive(
+      folded.withColumnRenamed("__cterm", "__ct"), "__t", "__dead", "__dc")
+    deadCum.select(col("__t").as("duration"), col("__nr").as("n_risk"),
+      col("__d").as("d_events"), col("__cns").as("n_censored"),
+      when(col("__dc") > 0L, lit(0.0))
+        .otherwise(round(exp(col("__ct").cast("double") / 1e6), 6))
+        .as("survival"))
+  }
 }

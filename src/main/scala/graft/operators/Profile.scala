@@ -171,6 +171,47 @@ object Profile {
     oneRow.select(explode(rows).as("__r")).select(col("__r.*"))
   }
 
+  /** Imputation fill-value table: mean, (lower) median, and mode per
+    * numeric column — the three standard fill policies, computed once
+    * so the imputing job is a broadcast-map, not three passes.
+    * Values stage to micro-unit longs; mean is an exact integer sum
+    * with one final division, median rides [[Normalize.medianBy]]'s
+    * rank arithmetic (no single-partition window), and mode
+    * tie-breaks by smallest value. Nulls are excluded per column
+    * (they're what the table will fill).
+    *
+    * == Scale ==
+    * ONE unpivot scan feeds a (column, value) count table; everything
+    * downstream — mean sums, mode ranking, the median prefix sum —
+    * works on that table, never the data again. Output:
+    * `(col_name, n, mean, median, mode)`. */
+  def imputationStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val pts = df
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"),
+          round(col(c).cast("double") * 1e6).cast("long").as("__vm"))
+      }: _*)).as("__e"))
+      .select(col("__e.col_name").as("col_name"), col("__e.__vm").as("__vm"))
+      .filter(col("__vm").isNotNull)
+    val counts = pts.groupBy(col("col_name"), col("__vm"))
+      .agg(count(lit(1)).as("__c"))
+    // mode = argmax (count, then SMALLEST value) as ONE max aggregate
+    // over (count, -value) pairs — no per-column sort at any size
+    val means = counts.groupBy(col("col_name"))
+      .agg(sum(col("__c")).as("n"),
+        sum(col("__vm") * col("__c")).as("__s"),
+        max(struct(col("__c"), (-col("__vm")).as("__nv"))).as("__mx"))
+    val med = Normalize.medianBy(pts, "col_name", "__vm")
+      .select(col("col_name"), col("median").as("__med"))
+    means.join(med, Seq("col_name"))
+      .select(col("col_name"), col("n"),
+        (col("__s").cast("double") / col("n").cast("double") / 1e6)
+          .as("mean"),
+        (col("__med").cast("double") / 1e6).as("median"),
+        ((-col("__mx.__nv")).cast("double") / 1e6).as("mode"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between `valueCol`'s
     * distributions in groups `a` and `b` of `groupCol` — the numeric
     * drift test (PSI needs binning; KS is bin-free and exact). The

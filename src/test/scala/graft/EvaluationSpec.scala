@@ -906,4 +906,36 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(out(1) === ((2, "en", 3L, 2L, 0.4)))
     assert(out(0)._4 >= out(1)._4) // waterfall only narrows
   }
+
+  test("kaplanMeier matches the textbook product-limit computation; " +
+      "censored subjects leave the risk set without an event; " +
+      "a full-death time pins survival to zero") {
+    import spark.implicits._
+    // durations: events at 1 (2 of 5), censored at 2 (1), event at 3
+    // (1), censored at 4 (1):
+    //   S(1) = 1 - 2/5 = 0.6 ; S(3) = 0.6 * (1 - 1/2) = 0.3
+    val subj = Seq((1L, 1L), (1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L))
+    for (parts <- Seq(1, 3)) {
+      val got = Evaluation.kaplanMeier(
+          subj.toDF("dur", "ev").repartition(parts), "dur", "ev")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .sortBy(_._1).toSeq
+      def s(terms: Seq[(Long, Long)]): Double = BigDecimal(math.exp(
+        terms.map { case (d, n) =>
+          math.round(math.log(1.0 - d.toDouble / n) * 1e6) }.sum / 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got === Seq(
+        (1L, 5L, 2L, 0L, s(Seq((2L, 5L)))),
+        (2L, 3L, 0L, 1L, s(Seq((2L, 5L)))),
+        (3L, 2L, 1L, 0L, s(Seq((2L, 5L), (1L, 2L)))),
+        (4L, 1L, 0L, 1L, s(Seq((2L, 5L), (1L, 2L))))), s"parts=$parts")
+      assert(math.abs(got.head._5 - 0.6) < 1e-5)
+      assert(math.abs(got(2)._5 - 0.3) < 1e-5)
+    }
+    // everyone dies at t=2 -> survival exactly 0 from there on
+    val wipe = Seq((1L, 1L), (2L, 1L), (2L, 1L))
+    val got2 = Evaluation.kaplanMeier(wipe.toDF("dur", "ev"), "dur", "ev")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got2(1)._5 === 0.0)
+  }
 }

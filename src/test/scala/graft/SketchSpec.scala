@@ -250,6 +250,24 @@ class SketchSpec extends AnyFunSuite with SparkSuite {
     assert(indep === ((20L, 0L)))
   }
 
+  test("imputationStats: mean/median/mode per column from one pass; " +
+      "mode ties break to the smallest value; nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some(10.0)), (Some(2.0), Some(20.0)),
+      (Some(2.0), Some(20.0)), (Some(9.0), Some(10.0)),
+      (None, Some(30.0))
+    ).toDF("a", "b")
+    val got = graft.operators.Profile.imputationStats(df, Seq("a", "b"))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // a: n=4, mean 3.5, sorted [1,2,2,9] lower median 2, mode 2
+    assert(got("a") === (("a", 4L, 3.5, 2.0, 2.0)))
+    // b: n=5, mean 18, sorted [10,10,20,20,30] median 20; mode tie
+    // between 10(x2) and 20(x2) -> smallest = 10
+    assert(got("b") === (("b", 5L, 18.0, 20.0, 10.0)))
+  }
+
   test("correlationMatrix: exact ±1 on linear columns, 0 on balanced " +
       "orthogonal ones, null on constants; matches naive Pearson") {
     import spark.implicits._

@@ -471,4 +471,26 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
     assert(stats._5 < 0.75)
     assert(stats._5 === stats._4.toDouble / stats._3.toDouble)
   }
+
+  test("prefixDuplicates clusters docs by their first-n-token head; " +
+      "tails do not matter, short docs key on their whole text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "terms of service apply to all users of this site today"),
+      (2L, "terms of service apply to all users of another thing here"),
+      (3L, "terms of service apply to all users of yet more words"),
+      (4L, "completely different document body with no shared head"),
+      (5L, "short doc"), (6L, "short doc"), // whole-text key, cluster
+      (7L, "short doc but longer than the other two short ones")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.prefixDuplicates(docs, nTokens = 8)
+      .select("n_docs", "min_doc_id")
+      .as[(Long, Long)].collect().sortBy(_._2).toSeq
+    // cluster 1: docs 1-3 share the 8-token head; cluster 2: docs 5,6
+    assert(got === Seq((3L, 1L), (2L, 5L)))
+    // with a longer prefix the 1-3 cluster splits (9th token differs)
+    val strict = graft.operators.Dedup.prefixDuplicates(docs, nTokens = 9)
+      .select("min_doc_id").as[Long].collect().toSeq
+    assert(strict === Seq(5L))
+  }
 }
