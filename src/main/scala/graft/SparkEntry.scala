@@ -2482,7 +2482,33 @@ object SparkEntry {
         .select(datediff(col("__l"), col("__f")).as("duration"),
           (col("__l") < date_sub(col("__mx"), 7)).cast("long").as("event"))
       graft.operators.Evaluation.kaplanMeier(subj, "duration", "event")
-    })
+    }),
+
+    // ---- covariate-shift repair: map view payload values onto the
+    // click distribution by exact ECDF matching ----
+    "q219_quantile_match" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Normalize.quantileMatch(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "view").select(col("value")),
+        "value")
+    }),
+
+    // ---- temporal-split cold-start audit: unseen user/item share in
+    // the last week of traffic ----
+    "q220_cold_start" -> ((s, dir) =>
+      graft.operators.Validate.coldStartReport(
+        Tables.events(s, dir).withColumn("item_id",
+          graft.operators.Recsys.itemOf(col("props"))),
+        cutoff = "2024-01-24 00:00:00")),
+
+    // ---- learning curve: AUC at nested 10/25/50/100% hash subsets
+    // in one scan ----
+    "q221_learning_curve" -> ((s, dir) =>
+      graft.operators.Evaluation.learningCurveAuc(
+        Tables.events(s, dir).select(col("event_id"), col("value"),
+          (col("user_id") % 5 === 0).cast("long").as("label")),
+        "event_id", "value", "label", Seq(0.1, 0.25, 0.5, 1.0)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6519,7 +6545,87 @@ object SparkEntry {
         |  cns AS n_censored,
         |  CASE WHEN dc > 0 THEN 0.0
         |    ELSE ROUND(EXP(CAST(ct AS DOUBLE) / 1e6), 6) END AS survival
-        |FROM z""".stripMargin
+        |FROM z""".stripMargin,
+
+    // both ECDFs as distinct-value rank tables; probe rank k =
+    // ceil(cum_src * n_ref / n_src) in integers; interval lookup
+    "q219_quantile_match" ->
+      """WITH r AS (SELECT CAST(ROUND(CAST(value AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS vm FROM events
+        |    WHERE event_type = 'click' AND value IS NOT NULL),
+        |s AS (SELECT CAST(ROUND(CAST(value AS DOUBLE) * 1e6)
+        |      AS BIGINT) AS vm FROM events
+        |    WHERE event_type = 'view' AND value IS NOT NULL),
+        |rc AS (SELECT vm, COUNT(*) AS c FROM r GROUP BY vm),
+        |rw AS (SELECT vm, c, CAST(SUM(c) OVER (ORDER BY vm
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM rc),
+        |rt AS (SELECT CAST(SUM(c) AS BIGINT) AS nr FROM rc),
+        |sc AS (SELECT vm, COUNT(*) AS c FROM s GROUP BY vm),
+        |sw AS (SELECT vm, c, CAST(SUM(c) OVER (ORDER BY vm
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM sc),
+        |st AS (SELECT CAST(SUM(c) AS BIGINT) AS ns FROM sc),
+        |pk AS (SELECT sw.vm, sw.c, sw.cum, st.ns,
+        |    (sw.cum * rt.nr + st.ns - 1) // st.ns AS k
+        |  FROM sw, rt, st)
+        |SELECT CAST(pk.vm AS DOUBLE) / 1e6 AS value, pk.c AS n_src,
+        |  CAST(pk.cum AS DOUBLE) / CAST(pk.ns AS DOUBLE) AS ecdf_src,
+        |  CAST(rw.vm AS DOUBLE) / 1e6 AS mapped_value
+        |FROM pk JOIN rw ON rw.hi - rw.c < pk.k AND pk.k <= rw.hi"""
+      .stripMargin,
+
+    // distinct-entity anti-joins across the temporal split
+    "q220_cold_start" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id, ts
+        |  FROM events),
+        |tr AS (SELECT * FROM e
+        |       WHERE ts < TIMESTAMP '2024-01-24 00:00:00'),
+        |te AS (SELECT * FROM e
+        |       WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'),
+        |uu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nuu FROM (
+        |    SELECT DISTINCT user_id FROM te WHERE user_id IS NOT NULL) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM (
+        |    SELECT DISTINCT user_id FROM tr WHERE user_id IS NOT NULL) x
+        |    WHERE x.user_id = t.user_id)),
+        |ui AS (SELECT CAST(COUNT(*) AS BIGINT) AS nui FROM (
+        |    SELECT DISTINCT item_id FROM te WHERE item_id IS NOT NULL) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM (
+        |    SELECT DISTINCT item_id FROM tr WHERE item_id IS NOT NULL) x
+        |    WHERE x.item_id = t.item_id)),
+        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS nte,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ntu,
+        |    CAST(COUNT(DISTINCT item_id) AS BIGINT) AS nti FROM te)
+        |SELECT b.nte AS n_test_events, b.ntu AS n_test_users,
+        |  uu.nuu AS n_unseen_users,
+        |  CAST(uu.nuu AS DOUBLE) / CAST(b.ntu AS DOUBLE)
+        |    AS user_cold_rate,
+        |  b.nti AS n_test_items, ui.nui AS n_unseen_items,
+        |  CAST(ui.nui AS DOUBLE) / CAST(b.nti AS DOUBLE)
+        |    AS item_cold_rate
+        |FROM b, uu, ui""".stripMargin,
+
+    // nested hash subsets (u < fraction) -> q115's rank AUC per cut
+    "q221_learning_curve" ->
+      """WITH f AS (SELECT unnest([0.1E0, 0.25E0, 0.5E0, 1.0E0])
+        |           AS fraction),
+        |s AS (SELECT f.fraction, e.value,
+        |    CAST(e.user_id % 5 = 0 AS BIGINT) AS y
+        |  FROM events e, f
+        |  WHERE CAST(('0x'||substr(md5('33:'||CAST(e.event_id
+        |      AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+        |    < f.fraction),
+        |r AS (SELECT fraction, y,
+        |    RANK() OVER (PARTITION BY fraction ORDER BY value ASC) AS r,
+        |    COUNT(*) OVER (PARTITION BY fraction, value) AS eq FROM s),
+        |a AS (SELECT fraction, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+        |    CAST(SUM(y * (2 * (r - 1) + eq + 1)) AS BIGINT) AS s2
+        |  FROM r GROUP BY fraction)
+        |SELECT fraction, n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) END AS auc
+        |FROM a""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -718,6 +718,40 @@ object Evaluation {
     groupAuc(folded, Seq("fold"), scoreCol, labelCol)
   }
 
+  /** Learning-curve AUC: the metric at nested deterministic data
+    * fractions (10% ⊂ 25% ⊂ 50% ⊂ 100% by hash bucket) — the "is more
+    * data still buying accuracy?" diagnostic. Subsets NEST (a row in
+    * the 10% cut is in every larger cut) because membership is
+    * `hash(id)/2³² < fraction`, so the curve is monotone in data, not
+    * in sampling noise.
+    *
+    * == Scale ==
+    * ONE scan: each row explodes only into the fractions that contain
+    * it (≤|fractions| row-local fan-out), then [[groupAuc]] ranks per
+    * fraction — no per-fraction pass over the data. Output:
+    * `(fraction, n_pos, n_neg, auc)`. */
+  def learningCurveAuc(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String,
+      fractions: Seq[Double],
+      seed: Int = 33): DataFrame = {
+    require(fractions.nonEmpty &&
+      fractions.forall(f => f > 0.0 && f <= 1.0),
+      s"fractions must be in (0, 1], got $fractions")
+    val u = graft.functions.TextFunctions
+      .md5Hash32(col(idCol).cast("string"), seed)
+      .cast("double") / lit(4294967296.0)
+    val fanned = df
+      .withColumn("__u", u)
+      .select(col(scoreCol), col(labelCol),
+        explode(array(fractions.map(lit): _*)).as("fraction"),
+        col("__u"))
+      .filter(col("__u") < col("fraction"))
+    groupAuc(fanned, Seq("fraction"), scoreCol, labelCol)
+  }
+
   /** Kaplan–Meier survival curve over right-censored durations — THE
     * retention/churn curve when observation windows truncate some
     * subjects (a user still active at data close is censored, not

@@ -556,4 +556,75 @@ object Normalize {
       .select(col(groupCol), col("__p.prob").as("prob"), col("n"),
         (col("__vm").cast("double") / 1e6).as("quantile"))
   }
+
+  /** ECDF quantile matching: map each distinct value of `src` onto the
+    * value at the SAME quantile of `ref` — the distribution-alignment
+    * transform (batch-effect correction, covariate-shift repair,
+    * "make segment B's feature comparable to segment A's"). For a src
+    * value with ECDF rank `c/n_src`, the mapped value is ref's type-1
+    * quantile at `k = ⌈c·n_ref/n_src⌉` — all integer arithmetic.
+    *
+    * == Scale ==
+    * NO single-partition window and NO interval join: both sides
+    * stage distinct-value rank tables via [[PrefixSum]]; the probe
+    * "find ref's interval covering rank k" resolves by counting ref
+    * boundaries below k with ONE more prefix sum over the tagged
+    * union of boundaries and probes, then an equi-join on the ref
+    * row index. Output:
+    * `(value, n_src, ecdf_src, mapped_value)`. */
+  def quantileMatch(
+      ref: DataFrame,
+      src: DataFrame,
+      valueCol: String,
+      rangePartitions: Int = 32): DataFrame = {
+    def staged(df: DataFrame): DataFrame = {
+      val counts = df.filter(col(valueCol).isNotNull)
+        .select(round(col(valueCol).cast("double") * 1e6).cast("long")
+          .as("__vm"))
+        .groupBy(col("__vm")).agg(count(lit(1)).as("__c"))
+      PrefixSum.inclusive(counts, "__vm", "__c", "__cum", rangePartitions)
+        .localCheckpoint() // consumed by 2-3 downstream legs
+    }
+    val refStaged = staged(ref)
+    val srcStaged = staged(src)
+    // ref side: value rank intervals plus a dense row index 1..|ref|
+    val refRanked = PrefixSum.inclusive(
+      refStaged.withColumn("__one", lit(1L)),
+      "__vm", "__one", "__idx", rangePartitions)
+      .select(col("__vm").as("__rv"), col("__idx"))
+    val refTot = refStaged.agg(max(col("__cum")).as("__nr"))
+    val srcTot = srcStaged.agg(max(col("__cum")).as("__ns"))
+    // probe rank in ref: k = ceil(cum_src * n_ref / n_src), exact
+    val probes = srcStaged
+      .crossJoin(broadcast(refTot)).crossJoin(broadcast(srcTot))
+      .withColumn("__k",
+        expr("(__cum * __nr + __ns - 1) div __ns"))
+    // merge axis: ref boundaries at (hi, tag 1), probes at (k, tag 0)
+    // — at equal rank the probe sorts first, so its prefix count is
+    // exactly |ref boundaries with hi < k|, and idx = that + 1
+    val refAxis = refStaged
+      .select(col("__cum").as("__rank"), lit(1L).as("__tag"),
+        lit(1L).as("__isref"), col("__vm").as("__rv"),
+        lit(null).cast("long").as("__sv"), lit(null).cast("long").as("__sc"),
+        lit(null).cast("long").as("__scum"))
+    val probeAxis = probes
+      .select(col("__k").as("__rank"), lit(0L).as("__tag"),
+        lit(0L).as("__isref"), lit(null).cast("long").as("__rv"),
+        col("__vm").as("__sv"), col("__c").as("__sc"),
+        col("__cum").as("__scum"))
+    val merged = PrefixSum.inclusiveBy(
+      refAxis.unionByName(probeAxis),
+      Seq(col("__rank").asc, col("__tag").asc), "__isref", "__below",
+      rangePartitions)
+    val resolved = merged.filter(col("__tag") === 0L)
+      .withColumn("__refidx", col("__below") + lit(1L))
+      .join(refRanked.select(col("__idx").as("__refidx"),
+        col("__rv").as("__mapped")), Seq("__refidx"))
+    resolved.crossJoin(broadcast(srcTot))
+      .select((col("__sv").cast("double") / 1e6).as("value"),
+        col("__sc").as("n_src"),
+        (col("__scum").cast("double") / col("__ns").cast("double"))
+          .as("ecdf_src"),
+        (col("__mapped").cast("double") / 1e6).as("mapped_value"))
+  }
 }

@@ -100,6 +100,45 @@ object Validate {
           .as("rate"))
   }
 
+  /** Cold-start audit of a temporal train/test split: how much of the
+    * test period's traffic involves users/items the training period
+    * never saw — the number that decides whether an ID-embedding
+    * model can ship or needs a content-feature fallback. The split is
+    * `ts < cutoff` (train) vs `ts >= cutoff` (test).
+    *
+    * == Scale ==
+    * Distinct-entity sets reduce per side; the unseen counts are two
+    * left-anti joins on the entity keys — no row-level pairing.
+    * Output (one row): `(n_test_events, n_test_users, n_unseen_users,
+    * user_cold_rate, n_test_items, n_unseen_items, item_cold_rate)`. */
+  def coldStartReport(
+      events: DataFrame,
+      cutoff: String,
+      userCol: String = "user_id",
+      itemCol: String = "item_id",
+      tsCol: String = "ts"): DataFrame = {
+    val train = events.filter(col(tsCol) < lit(cutoff).cast("timestamp"))
+    val test = events.filter(col(tsCol) >= lit(cutoff).cast("timestamp"))
+    def unseen(c: String) = test.select(col(c)).filter(col(c).isNotNull)
+      .distinct()
+      .join(train.select(col(c)).filter(col(c).isNotNull).distinct(),
+        Seq(c), "left_anti")
+      .agg(count(lit(1)).as(s"n_unseen_$c"))
+    val base = test.agg(count(lit(1)).as("n_test_events"),
+      countDistinct(col(userCol)).as("n_test_users"),
+      countDistinct(col(itemCol)).as("n_test_items"))
+    base.crossJoin(broadcast(unseen(userCol)))
+      .crossJoin(broadcast(unseen(itemCol)))
+      .select(col("n_test_events"), col("n_test_users"),
+        col(s"n_unseen_$userCol").as("n_unseen_users"),
+        (col(s"n_unseen_$userCol").cast("double") /
+          col("n_test_users").cast("double")).as("user_cold_rate"),
+        col("n_test_items"),
+        col(s"n_unseen_$itemCol").as("n_unseen_items"),
+        (col(s"n_unseen_$itemCol").cast("double") /
+          col("n_test_items").cast("double")).as("item_cold_rate"))
+  }
+
   /** Ordered filter waterfall: for each curation rule, how many rows
     * pass it ALONE and how many survive the cumulative AND of every
     * rule so far — the yield report a filtering pipeline publishes

@@ -938,4 +938,80 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
     assert(got2(1)._5 === 0.0)
   }
+
+  test("quantileMatch: a location-shifted copy maps back onto the " +
+      "reference exactly; identical inputs map to identity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val refVals = (0 until 500).map(_ => rnd.nextInt(200).toDouble / 4)
+    val srcVals = refVals.map(_ + 10.0) // same shape, +10 shift
+    for (parts <- Seq(1, 6)) {
+      val got = graft.operators.Normalize.quantileMatch(
+          refVals.toDF("value").repartition(parts),
+          srcVals.toDF("value").repartition(parts), "value")
+        .as[(Double, Long, Double, Double)].collect()
+      // same counts at every rank -> each shifted value maps to its
+      // pre-shift self
+      got.foreach { case (v, _, _, m) =>
+        assert(math.abs((v - 10.0) - m) < 1e-9, s"$v -> $m parts=$parts") }
+      val idty = graft.operators.Normalize.quantileMatch(
+          refVals.toDF("value"), refVals.toDF("value"), "value")
+        .as[(Double, Long, Double, Double)].collect()
+      idty.foreach { case (v, _, _, m) => assert(v === m) }
+      // ECDF column is the exact rational cum/n
+      val n = srcVals.size.toDouble
+      got.foreach { case (v, _, e, _) =>
+        assert(e === srcVals.count(_ <= v + 1e-12) / n, s"ecdf($v)") }
+    }
+  }
+
+  test("coldStartReport: unseen users/items counted against the " +
+      "temporal split exactly") {
+    import spark.implicits._
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val ev = Seq(
+      (1L, 100L, t(1)), (2L, 101L, t(2)), (1L, 102L, t(3)), // train
+      (1L, 100L, t(10)),  // seen user, seen item
+      (3L, 101L, t(11)),  // NEW user, seen item
+      (4L, 999L, t(12)),  // NEW user, NEW item
+      (2L, 998L, t(13))   // seen user, NEW item
+    ).toDF("user_id", "item_id", "ts")
+    val got = graft.operators.Validate.coldStartReport(
+        ev, cutoff = "2024-01-05 00:00:00")
+      .as[(Long, Long, Long, Double, Long, Long, Double)].head()
+    assert(got === ((4L, 4L, 2L, 0.5, 4L, 2L, 0.5)))
+  }
+
+  test("learningCurveAuc: subsets nest (counts monotone), the full " +
+      "fraction equals plain AUC, per-cut values match direct filters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, rnd.nextDouble(), (rnd.nextInt(3) == 0).compareTo(false).toLong))
+    val df = rows.toDF("id", "score", "y")
+    val fr = Seq(0.25, 0.5, 1.0)
+    val got = Evaluation.learningCurveAuc(df, "id", "score", "y", fr)
+      .select("fraction", "n_pos", "n_neg", "auc")
+      .as[(Double, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    val sizes = fr.map(f => got(f)._2 + got(f)._3)
+    assert(sizes === sizes.sorted) // nesting -> monotone counts
+    assert(sizes.last === 400L)    // fraction 1.0 = everything
+    // each cut equals groupAuc on the directly filtered subset
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"33:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map(x => f"$x%02x").mkString, 16) / 4294967296.0
+    }
+    fr.foreach { f =>
+      val sub = rows.filter(r => u(r._1) < f)
+      val direct = Evaluation.groupAuc(
+          sub.toDF("id", "score", "y").withColumn("g", lit(1)),
+          Seq("g"), "score", "y")
+        .select("n_pos", "n_neg", "auc")
+        .as[(Long, Long, Option[Double])].head()
+      assert((got(f)._2, got(f)._3, got(f)._4) === direct, s"f=$f")
+    }
+  }
 }
