@@ -2508,7 +2508,37 @@ object SparkEntry {
       graft.operators.Evaluation.learningCurveAuc(
         Tables.events(s, dir).select(col("event_id"), col("value"),
           (col("user_id") % 5 === 0).cast("long").as("label")),
-        "event_id", "value", "label", Seq(0.1, 0.25, 0.5, 1.0)))
+        "event_id", "value", "label", Seq(0.1, 0.25, 0.5, 1.0))),
+
+    // ---- sketch calibration: minhash Jaccard estimate vs exact,
+    // per LSH candidate pair ----
+    "q222_minhash_audit" -> ((s, dir) =>
+      Dedup.minhashEstimateAudit(Tables.documents(s, dir))),
+
+    // ---- memorization risk: per-test-doc share of 3-gram shingles
+    // never seen in the train split ----
+    "q223_novelty_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Decontaminate.noveltyScore(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
+    // ---- experiment health: sample-ratio-mismatch chi2 over an
+    // 8-way user hash bucketing ----
+    "q224_srm_check" -> ((s, dir) =>
+      graft.operators.Evaluation.sampleRatioMismatch(
+        Tables.events(s, dir).select(col("user_id")).distinct(),
+        "user_id", buckets = 8)),
+
+    // ---- feature predictiveness: WOE / IV over 10 equal-count
+    // value bins vs the purchase label ----
+    "q225_weight_of_evidence" -> ((s, dir) =>
+      graft.operators.Training.weightOfEvidence(
+        Tables.events(s, dir).select(col("value"), col("event_id"),
+          (col("event_type") === "purchase").cast("long").as("label")),
+        "value", "label", "event_id", nBins = 10))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6625,7 +6655,91 @@ object SparkEntry {
         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
         |    ELSE CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
         |      / (2.0 * CAST(n_pos * n_neg AS DOUBLE)) END AS auc
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // q23's band CTEs; estimate = matching signature components / k
+    "q222_minhash_audit" -> {
+      val est = "CAST(len(list_filter(list_zip(sa, sb), " +
+        "p -> p[1] = p[2])) AS DOUBLE) / 8.0E0"
+      val exact = "CAST(len(list_intersect(sha, shb)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(sha, shb))) AS DOUBLE)"
+      s"""WITH $sqlMinhashBandCtes,
+         |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |  FROM banded l JOIN banded r ON l.band_idx = r.band_idx
+         |    AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |x AS (SELECT c.id_a, c.id_b, a.sig AS sa, b.sig AS sb,
+         |    list_distinct(a.sh) AS sha, list_distinct(b.sh) AS shb
+         |  FROM cand c JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, $est AS est_jaccard, $exact AS jaccard,
+         |  ABS($est - ($exact)) AS abs_err
+         |FROM x""".stripMargin
+    },
+
+    // distinct train grams once; per-test-doc distinct-gram join
+    "q223_novelty_score" ->
+      s"""WITH tr AS (SELECT $sqlWords AS w FROM documents
+         |            WHERE doc_id % 10 <> 0),
+         |te AS (SELECT doc_id, $sqlWords AS w FROM documents
+         |       WHERE doc_id % 10 = 0),
+         |tg AS (SELECT DISTINCT unnest($sqlShingles) AS gram FROM tr),
+         |tgf AS (SELECT gram FROM tg WHERE gram <> ''),
+         |teg AS (SELECT doc_id, unnest(list_distinct($sqlShingles))
+         |          AS gram FROM te),
+         |j AS (SELECT t.doc_id,
+         |    CASE WHEN g.gram IS NOT NULL THEN 1 ELSE 0 END AS seen
+         |  FROM (SELECT doc_id, gram FROM teg WHERE gram <> '') t
+         |  LEFT JOIN tgf g ON g.gram = t.gram)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(seen) AS BIGINT) AS n_seen,
+         |  1.0E0 - CAST(SUM(seen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS novelty
+         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // uniform expectation over the distinct-user md5 bucketing
+    "q224_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT CAST(('0x'||substr(md5('51:'||CAST(user_id
+        |      AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket,
+        |    COUNT(*) AS n_obs FROM u GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM c)
+        |SELECT bucket, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(t.t AS DOUBLE) / 8.0E0 AS n_expected,
+        |  (CAST(n_obs AS DOUBLE) - CAST(t.t AS DOUBLE) / 8.0E0)
+        |    * (CAST(n_obs AS DOUBLE) - CAST(t.t AS DOUBLE) / 8.0E0)
+        |    / (CAST(t.t AS DOUBLE) / 8.0E0) AS chi2_term
+        |FROM c, t""".stripMargin,
+
+    // q206's equal-count bins at 10 -> WOE (micro-nat) and IV terms
+    "q225_weight_of_evidence" ->
+      """WITH s AS (SELECT
+        |    CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS xm,
+        |    event_id AS id,
+        |    CAST(event_type = 'purchase' AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT xm, y,
+        |    ROW_NUMBER() OVER (ORDER BY xm ASC, id ASC) AS rn FROM s),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s),
+        |g AS (SELECT ((rn - 1) * 10) // t.nn AS bin, COUNT(*) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(MIN(xm) AS DOUBLE) / 1e6 AS lo,
+        |    CAST(MAX(xm) AS DOUBLE) / 1e6 AS hi
+        |  FROM r, t GROUP BY 1),
+        |gg AS (SELECT bin, n, n_pos,
+        |    CAST(n - n_pos AS BIGINT) AS n_neg, lo, hi FROM g),
+        |tt AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+        |    CAST(SUM(n_neg) AS BIGINT) AS tn FROM gg)
+        |SELECT bin, n, n_pos, n_neg, lo, hi,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(CAST(ROUND(LN((CAST(n_pos AS DOUBLE)
+        |        / CAST(tt.tp AS DOUBLE))
+        |      / (CAST(n_neg AS DOUBLE) / CAST(tt.tn AS DOUBLE))) * 1e6)
+        |      AS BIGINT) AS DOUBLE) / 1e6
+        |  END AS woe,
+        |  ((CAST(n_pos AS DOUBLE) / CAST(tt.tp AS DOUBLE))
+        |    - (CAST(n_neg AS DOUBLE) / CAST(tt.tn AS DOUBLE))) * woe
+        |    AS iv_term
+        |FROM gg, tt""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -66,4 +66,42 @@ object Decontaminate {
       .select(col(idCol))
     docs.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
+
+  /** Per-document n-gram novelty against a reference corpus: what
+    * share of a test document's distinct n-grams NEVER appear in
+    * training data — the memorization-risk score (novelty ≈ 0 means
+    * the eval document is effectively training data; [[clean]] drops
+    * hard overlaps, this grades the gray zone). Same shingling as the
+    * contamination path.
+    *
+    * == Scale ==
+    * The training side reduces to its DISTINCT gram set once; the
+    * per-doc gram fan-out joins it on the gram key (shuffle or
+    * broadcast as AQE sizes it) and reduces straight back to one row
+    * per document. Output: `(idCol, n_grams, n_seen, novelty)`. */
+  def noveltyScore(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    import graft.functions.TextFunctions.{shinglesFromWords, words}
+    val trainGrams = train
+      .select(explode(shinglesFromWords(words(col(textCol)), n))
+        .as("__gram"))
+      .filter(col("__gram") =!= "").distinct()
+      .withColumn("__seen", lit(1L))
+    val testGrams = test
+      .select(col(idCol),
+        explode(array_distinct(
+          shinglesFromWords(words(col(textCol)), n))).as("__gram"))
+      .filter(col("__gram") =!= "")
+    testGrams.join(trainGrams, Seq("__gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__seen")), lit(0L)).as("n_seen"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_seen").cast("double") /
+          col("n_grams").cast("double"))
+  }
 }

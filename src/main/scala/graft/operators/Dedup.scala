@@ -75,6 +75,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Signature-vs-truth audit for the MinHash pipeline: for every LSH
+    * candidate pair, the sketch's Jaccard estimate (matching
+    * signature components / k) next to the EXACT shingle Jaccard —
+    * the calibration table that justifies a chosen (k, bands)
+    * configuration before trusting it on a corpus (E[est] = J, and
+    * this table shows the realized spread). Same shingling,
+    * signatures, and banding as [[minhashLshPairs]].
+    *
+    * == Scale ==
+    * The banded self-join bounds candidates exactly as the dedup path
+    * does; the audit adds only the k-component match count per
+    * candidate (row-local zip). Output:
+    * `(id_a, id_b, est_jaccard, jaccard, abs_err)`. */
+  def minhashEstimateAudit(
+      docs: DataFrame,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = docs
+      .select(col(idCol), words(col(textCol)).as("__w"))
+      .select(col(idCol), shinglesFromWords(col("__w"), n).as("__sg"))
+      .select(col(idCol), col("__sg"),
+        minhashOfShingles(col("__sg"), k).as("__sig"))
+    val banded = base
+      .select(col(idCol), explode(bandKeys(col("__sig"), k, bands)).as("__band"))
+      .select(col(idCol), col("__band.band_idx").as("band_idx"),
+        col("__band.bucket").as("bucket"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.bucket") === col("r.bucket") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+    val side = base.select(col(idCol),
+      array_distinct(col("__sg")).as("__shd"), col("__sig"))
+    cand
+      .join(side.select(col(idCol).as("id_a"), col("__shd").as("__sha"),
+        col("__sig").as("__siga")), "id_a")
+      .join(side.select(col(idCol).as("id_b"), col("__shd").as("__shb"),
+        col("__sig").as("__sigb")), "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("__siga"), col("__sigb"),
+          (a, b) => a === b), x => x)).cast("double") / lit(k.toDouble))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))).cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        col("jaccard"), col("abs_err"))
+  }
+
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ maxDist.
     * Candidates generated by splitting the `bits`-bit hash into
     * `blocks` equal bit-blocks — any pair within hamming ≤ blocks-1

@@ -718,6 +718,41 @@ object Evaluation {
     groupAuc(folded, Seq("fold"), scoreCol, labelCol)
   }
 
+  /** Sample-ratio-mismatch (SRM) check for an experiment bucketing:
+    * per-bucket observed counts vs the uniform expectation, with the
+    * χ² contribution — THE health check run before reading any A/B
+    * metric (a biased splitter invalidates everything downstream;
+    * χ²(buckets−1) exceeding its critical value = investigate the
+    * assignment, not the metric). Buckets assign by the
+    * engine-portable md5 of the unit id — deterministic, and itself
+    * a correct uniform splitter.
+    *
+    * == Scale ==
+    * One hash projection + one ≤buckets-row count shuffle; the
+    * one-row total broadcasts. Output:
+    * `(bucket, n_obs, n_expected, chi2_term)`. */
+  def sampleRatioMismatch(
+      df: DataFrame,
+      idCol: String,
+      buckets: Int,
+      seed: Int = 51): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val counts = df
+      .select((graft.functions.TextFunctions
+        .md5Hash32(col(idCol).cast("string"), seed) % buckets)
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("n_expected",
+        col("__t").cast("double") / lit(buckets.toDouble))
+      .withColumn("chi2_term",
+        (col("n_obs").cast("double") - col("n_expected")) *
+        (col("n_obs").cast("double") - col("n_expected")) /
+        col("n_expected"))
+      .drop("__t")
+  }
+
   /** Learning-curve AUC: the metric at nested deterministic data
     * fractions (10% ⊂ 25% ⊂ 50% ⊂ 100% by hash bucket) — the "is more
     * data still buying accuracy?" diagnostic. Subsets NEST (a row in

@@ -337,4 +337,37 @@ object Training {
         (col("n_pos").cast("double") / col("n").cast("double"))
           .as("pos_rate"))
   }
+
+  /** Weight-of-evidence / information-value table over
+    * [[equiDepthHistogram]]'s equal-count bins — the credit-scoring
+    * predictiveness audit (Siddiqi's rule of thumb: total IV < 0.02
+    * useless, > 0.5 suspicious/leaky). `WOE = ln((pos_b/T⁺)/(neg_b/
+    * T⁻))` per bin, micro-nat rounded; `iv_term = (pos_b/T⁺ −
+    * neg_b/T⁻)·WOE`, so Σ iv_term = IV. Bins with a zero side get
+    * null WOE (no smoothing hidden in the numbers).
+    *
+    * == Scale ==
+    * [[equiDepthHistogram]]'s prefix-sum build + a one-row total
+    * broadcast over the ≤nBins rows. Output:
+    * `(bin, n, n_pos, n_neg, lo, hi, woe, iv_term)`. */
+  def weightOfEvidence(
+      df: DataFrame,
+      featureCol: String,
+      labelCol: String,
+      idCol: String,
+      nBins: Int): DataFrame = {
+    val bins = equiDepthHistogram(df, featureCol, labelCol, idCol, nBins)
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = bins.agg(sum(col("n_pos")).as("__tp"),
+      sum(col("n_neg")).as("__tn"))
+    val dp = col("n_pos").cast("double") / col("__tp").cast("double")
+    val dn = col("n_neg").cast("double") / col("__tn").cast("double")
+    bins.crossJoin(broadcast(tot))
+      .withColumn("woe",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(log(dp / dn) * 1e6).cast("long").cast("double") / 1e6))
+      .withColumn("iv_term", (dp - dn) * col("woe"))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        col("lo"), col("hi"), col("woe"), col("iv_term"))
+  }
 }

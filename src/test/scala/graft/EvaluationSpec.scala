@@ -1014,4 +1014,58 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
       assert((got(f)._2, got(f)._3, got(f)._4) === direct, s"f=$f")
     }
   }
+
+  test("sampleRatioMismatch: buckets partition the units, expectation " +
+      "is uniform, chi2 terms match the formula; a forced skew shows") {
+    import spark.implicits._
+    val units = (0 until 800).map(i => Tuple1(i.toLong)).toDF("id")
+    val got = Evaluation.sampleRatioMismatch(units, "id", buckets = 4)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length === 4)
+    assert(got.map(_._2).sum === 800L)
+    got.foreach { case (_, n, e, chi) =>
+      assert(e === 200.0)
+      assert(math.abs(chi - (n - e) * (n - e) / e) < 1e-12)
+    }
+    // hash bucketing of sequential ids should be roughly uniform
+    assert(got.map(_._4).sum < 20.0)
+    // pile 400 duplicate rows onto ONE unit: they all land in that
+    // unit's bucket -> unmistakable ratio mismatch
+    val skewed = units.union(
+      (0 until 400).map(_ => Tuple1(0L)).toDF("id"))
+    val chi2 = Evaluation.sampleRatioMismatch(skewed, "id", buckets = 4)
+      .agg(sum(col("chi2_term"))).as[Double].head()
+    assert(chi2 > 100.0, s"chi2 $chi2")
+  }
+
+  test("weightOfEvidence: WOE/IV from hand-counted equal-depth bins; " +
+      "single-class bins yield null WOE") {
+    import spark.implicits._
+    // 100 rows, 4 bins of 25; label rate rises with the feature
+    val rows = (0 until 100).map { i =>
+      (i.toLong, i.toDouble, if (i < 25) 0L else if (i < 75) (i % 2)
+        else 1L)
+    }
+    val got = graft.operators.Training.weightOfEvidence(
+        rows.toDF("id", "x", "y"), "x", "y", "id", nBins = 4)
+      .select("bin", "n", "n_pos", "n_neg", "woe", "iv_term")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got.values.forall(_._2 === 25L))
+    // bin 0 has zero positives -> null WOE and null IV
+    assert(got(0L)._3 === 0L && got(0L)._5 === None && got(0L)._6 === None)
+    // bin 3 (75..99) is all-positive -> null as well
+    assert(got(3L)._3 === 25L && got(3L)._5 === None)
+    // middle bins: recompute WOE from exact counts
+    val (tp, tn) = (got.values.map(_._3).sum, got.values.map(_._4).sum)
+    Seq(1L, 2L).foreach { b =>
+      val (p, ng) = (got(b)._3, got(b)._4)
+      val woe = math.round(math.log((p.toDouble / tp) /
+        (ng.toDouble / tn)) * 1e6).toDouble / 1e6
+      assert(got(b)._5 === Some(woe), s"bin $b")
+      assert(math.abs(got(b)._6.get -
+        ((p.toDouble / tp) - (ng.toDouble / tn)) * woe) < 1e-12)
+    }
+  }
 }

@@ -493,4 +493,45 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
       .select("min_doc_id").as[Long].collect().toSeq
     assert(strict === Seq(5L))
   }
+
+  test("minhashEstimateAudit: identical docs audit at est=jaccard=1; " +
+      "estimates live on the k-grid and err is their gap") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again " +
+      "and then runs far away home tonight"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // identical pair
+      (3L, base + " with a different tail entirely"),
+      (4L, "completely unrelated text about databases and queries")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.minhashEstimateAudit(docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(got.contains((1L, 2L)))
+    assert(got((1L, 2L)) === ((1.0, 1.0, 0.0)))
+    got.values.foreach { case (est, jac, err) =>
+      assert(est >= 0.0 && est <= 1.0 && (est * 8).isWhole)
+      assert(jac >= 0.0 && jac <= 1.0)
+      assert(math.abs(err - math.abs(est - jac)) < 1e-15)
+    }
+  }
+
+  test("noveltyScore: fully-seen docs score 0, fully-novel score 1, " +
+      "mixed docs count exact distinct-gram overlap") {
+    import spark.implicits._
+    val train = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "alpha beta gamma delta"),     // all 2 grams seen
+      (2L, "one two three four five"),    // all novel
+      (3L, "alpha beta gamma nine ten eleven")) // 1 seen of 4
+      .toDF("doc_id", "text")
+    val got = graft.operators.Decontaminate.noveltyScore(
+        train, test, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) === ((1L, 2L, 2L, 0.0)))
+    assert(got(2L) === ((2L, 3L, 0L, 1.0)))
+    assert(got(3L) === ((3L, 4L, 1L, 1.0 - 1.0 / 4.0)))
+  }
 }
