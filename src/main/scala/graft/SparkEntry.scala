@@ -2538,7 +2538,32 @@ object SparkEntry {
       graft.operators.Training.weightOfEvidence(
         Tables.events(s, dir).select(col("value"), col("event_id"),
           (col("event_type") === "purchase").cast("long").as("label")),
-        "value", "label", "event_id", nBins = 10))
+        "value", "label", "event_id", nBins = 10)),
+
+    // ---- graph cohesion: degree-oriented triangle count + global
+    // clustering over the co-visitation graph ----
+    "q226_triangle_stats" -> ((s, dir) =>
+      graft.operators.Recsys.triangleStats(
+        graft.operators.Recsys.covisitation(Tables.events(s, dir),
+            recentPerUser = 30, minUsers = 2)
+          .select(col("item_a").as("src"), col("item_b").as("dst")))),
+
+    // ---- candlestick compaction: hourly OHLC of the payload value
+    // per user ----
+    "q227_ohlc_resample" -> ((s, dir) =>
+      InteractionStore.ohlcResample(Tables.events(s, dir))),
+
+    // ---- funnel latency: view -> purchase conversion-time p50/p90 ----
+    "q228_time_to_convert" -> ((s, dir) =>
+      graft.operators.Funnel.timeToConvert(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        fromStage = "view", toStage = "purchase", probs = Seq(0.5, 0.9))),
+
+    // ---- lookalike audiences: user-user Jaccard through shared
+    // items, super-node items cut at 50 users ----
+    "q229_user_overlap" -> ((s, dir) =>
+      graft.operators.Recsys.userOverlapJaccard(
+        Tables.events(s, dir), maxItemPop = 80, minCommon = 2L))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6739,7 +6764,122 @@ object SparkEntry {
         |  ((CAST(n_pos AS DOUBLE) / CAST(tt.tp AS DOUBLE))
         |    - (CAST(n_neg AS DOUBLE) / CAST(tt.tn AS DOUBLE))) * woe
         |    AS iv_term
-        |FROM gg, tt""".stripMargin
+        |FROM gg, tt""".stripMargin,
+
+    // q104's covisit edges -> degree orientation -> closed wedges
+    "q226_triangle_stats" ->
+      """WITH ui AS (SELECT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id,
+        |    MAX(ts) AS last_ts FROM events
+        |  WHERE json_extract(props, '$.k') IS NOT NULL GROUP BY 1, 2),
+        |capped AS (SELECT user_id, item_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+        |  WHERE rn <= 30),
+        |cov AS (SELECT a.item_id AS src, b.item_id AS dst
+        |  FROM capped a JOIN capped b ON a.user_id = b.user_id
+        |    AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+        |    GREATEST(src, dst) AS b FROM cov
+        |  WHERE src <> dst AND src IS NOT NULL AND dst IS NOT NULL),
+        |deg AS (SELECT v, COUNT(*) AS d FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY v),
+        |ori AS (SELECT CASE WHEN da.d < db.d
+        |      OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
+        |    CASE WHEN da.d < db.d
+        |      OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS w
+        |  FROM und u JOIN deg da ON da.v = u.a
+        |  JOIN deg db ON db.v = u.b),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT e1.w AS x, e2.w AS y FROM ori e1 JOIN ori e2
+        |      ON e1.u = e2.u AND e1.w < e2.w) p
+        |  JOIN (SELECT LEAST(u, w) AS x, GREATEST(u, w) AS y FROM ori) o
+        |    ON o.x = p.x AND o.y = p.y),
+        |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+        |    CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg)
+        |SELECT base.n_nodes, base.n_edges, base.n_wedges,
+        |  tri.n_triangles,
+        |  CASE WHEN base.n_wedges > 0 THEN
+        |    3.0E0 * CAST(tri.n_triangles AS DOUBLE)
+        |      / CAST(base.n_wedges AS DOUBLE) END AS clustering_coeff
+        |FROM base, tri""".stripMargin,
+
+    // first/last by (ts, event_id) replicated with two row_numbers
+    "q227_ohlc_resample" ->
+      """WITH s AS (SELECT user_id,
+        |    epoch_ms(ts) // 3600000 AS hour_epoch,
+        |    epoch_ms(ts) AS tsm, event_id,
+        |    CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, hour_epoch
+        |      ORDER BY tsm ASC, event_id ASC) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, hour_epoch
+        |      ORDER BY tsm DESC, event_id DESC) AS rd FROM s)
+        |SELECT user_id, hour_epoch, COUNT(*) AS n,
+        |  CAST(MIN(CASE WHEN ra = 1 THEN vm END) AS DOUBLE) / 1e6
+        |    AS open,
+        |  CAST(MAX(vm) AS DOUBLE) / 1e6 AS high,
+        |  CAST(MIN(vm) AS DOUBLE) / 1e6 AS low,
+        |  CAST(MIN(CASE WHEN rd = 1 THEN vm END) AS DOUBLE) / 1e6
+        |    AS close
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // anchor timestamps per user, then q205's rank-quantile machinery
+    // over the conversion-lag seconds
+    "q228_time_to_convert" ->
+      """WITH w AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS tf
+        |  FROM events GROUP BY 1),
+        |t2 AS (SELECT e.user_id, w.tf,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= w.tf
+        |      THEN e.ts END) AS tt
+        |  FROM events e JOIN w ON w.user_id = e.user_id GROUP BY 1, 2),
+        |u AS (SELECT * FROM t2 WHERE tf IS NOT NULL),
+        |d AS (SELECT (epoch_ms(tt) - epoch_ms(tf)) // 1000 AS dur
+        |      FROM u WHERE tt IS NOT NULL),
+        |c AS (SELECT CAST(dur * 1000000 AS BIGINT) AS vm,
+        |    COUNT(*) AS cnt FROM d GROUP BY 1),
+        |wq AS (SELECT vm, cnt, CAST(SUM(cnt) OVER (ORDER BY vm
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM c),
+        |nq AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+        |p AS (SELECT unnest([0.5E0, 0.9E0]) AS prob,
+        |      unnest([500000, 900000]) AS pm),
+        |k AS (SELECT nq.n, p.prob,
+        |    GREATEST(1, (p.pm * nq.n + 999999) // 1000000) AS kk
+        |  FROM nq, p),
+        |smry AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_started,
+        |    CAST(COUNT(tt) AS BIGINT) AS n_converted FROM u)
+        |SELECT k.prob, smry.n_started, smry.n_converted,
+        |  CAST(wq.vm AS DOUBLE) / 1e6 AS quantile_sec
+        |FROM k JOIN wq ON wq.hi - wq.cnt < k.kk AND k.kk <= wq.hi,
+        |  smry""".stripMargin,
+
+    // shared-item pair generation with the super-node cut; Jaccard
+    // from full degrees
+    "q229_user_overlap" ->
+      """WITH ui AS (SELECT DISTINCT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id
+        |  FROM events
+        |  WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL),
+        |deg AS (SELECT user_id, COUNT(*) AS d FROM ui GROUP BY 1),
+        |pop AS (SELECT item_id, COUNT(*) AS p FROM ui GROUP BY 1),
+        |bl AS (SELECT ui.user_id, ui.item_id FROM ui
+        |  JOIN pop ON pop.item_id = ui.item_id AND pop.p <= 80),
+        |pr AS (SELECT x.user_id AS user_a, y.user_id AS user_b,
+        |    COUNT(*) AS n_common
+        |  FROM bl x JOIN bl y ON x.item_id = y.item_id
+        |    AND x.user_id < y.user_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pr.user_a, pr.user_b, pr.n_common,
+        |  CAST(pr.n_common AS DOUBLE)
+        |    / CAST(da.d + db.d - pr.n_common AS DOUBLE) AS jaccard
+        |FROM pr JOIN deg da ON da.user_id = pr.user_a
+        |JOIN deg db ON db.user_id = pr.user_b""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -87,6 +87,47 @@ object Funnel {
     r.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Time-to-convert distribution: exact duration quantiles from each
+    * user's FIRST `fromStage` event to their first `toStage` event at
+    * or after it — the latency view of a funnel ([[summary]] says how
+    * many convert; this says how long they take, as percentiles
+    * because conversion lag is heavy-tailed and a mean would lie).
+    *
+    * == Scale ==
+    * One user-keyed window pass finds both anchor timestamps;
+    * durations then ride [[Normalize.quantilesBy]]'s rank arithmetic
+    * (no single-partition window). Output, one row per prob:
+    * `(prob, n_started, n_converted, quantile_sec)`. */
+  def timeToConvert(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      fromStage: String,
+      toStage: String,
+      probs: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    val staged = events
+      .withColumn("__tf",
+        min(when(col(typeCol) === fromStage, col(tsCol))).over(w))
+      .withColumn("__tt",
+        min(when(col(typeCol) === toStage && col(tsCol) >= col("__tf"),
+          col(tsCol))).over(w))
+    val users = staged.groupBy(col(userCol))
+      .agg(first(col("__tf")).as("__tf"), first(col("__tt")).as("__tt"))
+      .filter(col("__tf").isNotNull)
+    val durations = users.filter(col("__tt").isNotNull)
+      .select(expr("(unix_millis(__tt) - unix_millis(__tf)) div 1000")
+        .as("__dur_sec"))
+      .withColumn("__g", lit("all"))
+    val summary = users.agg(count(lit(1)).as("n_started"),
+      count(col("__tt")).as("n_converted"))
+    Normalize.quantilesBy(durations, "__g", "__dur_sec", probs)
+      .crossJoin(broadcast(summary))
+      .select(col("prob"), col("n_started"), col("n_converted"),
+        col("quantile").as("quantile_sec"))
+  }
+
   /** Linear multi-touch attribution: every conversion splits one unit
     * of credit EQUALLY over the user's touch events since their
     * previous conversion (the epoch) — the standard correction to

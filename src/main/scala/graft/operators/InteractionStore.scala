@@ -291,4 +291,41 @@ object InteractionStore {
           col("n_sessions").cast("double") / 1000.0)
           .as("mean_duration_sec"))
   }
+
+  /** Hourly OHLC resample of a per-key value stream: open/high/low/
+    * close + count per (key, hour) — the candlestick compaction that
+    * turns a raggedly-sampled metric stream into a fixed-rate series
+    * a monitor or forecaster can consume, losing extremes to no
+    * bucket. Open/close pick by (event-time, tiebreak) — exact
+    * argmin/argmax via ONE min/max over (ts, tie, value) structs, no
+    * per-bucket sort.
+    *
+    * == Scale ==
+    * One shuffle on (key, hour); every statistic is a partial-merge
+    * aggregate (map-side combined). Values stage as micro-unit longs.
+    * Output: `(userCol, hour_epoch, n, open, high, low, close)`. */
+  def ohlcResample(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val vm = round(col(valueCol).cast("double") * 1e6).cast("long")
+    val tsm = unix_millis(col(tsCol))
+    val staged = events.filter(col(valueCol).isNotNull)
+      .select(col(userCol),
+        expr(s"unix_millis($tsCol) div 3600000").as("hour_epoch"),
+        struct(tsm.as("t"), col(tieCol).cast("long").as("k"),
+          vm.as("v")).as("__s"),
+        vm.as("__vm"))
+    staged.groupBy(col(userCol), col("hour_epoch"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__s")).as("__first"), max(col("__s")).as("__last"),
+        max(col("__vm")).as("__hi"), min(col("__vm")).as("__lo"))
+      .select(col(userCol), col("hour_epoch"), col("n"),
+        (col("__first.v").cast("double") / 1e6).as("open"),
+        (col("__hi").cast("double") / 1e6).as("high"),
+        (col("__lo").cast("double") / 1e6).as("low"),
+        (col("__last.v").cast("double") / 1e6).as("close"))
+  }
 }

@@ -469,6 +469,109 @@ object Recsys {
         count(lit(1)).as("n_events"))
   }
 
+  /** Triangle count + global clustering coefficient of an undirected
+    * graph — the cohesion audit for an interaction graph (a
+    * co-visitation graph whose clustering collapses after a catalog
+    * change lost its neighborhood structure). Uses the
+    * degree-orientation algorithm (Schank & Wagner, WEA'05): orient
+    * every edge from its (degree, id)-smaller endpoint to the larger,
+    * then close wedges — each triangle is found exactly once and the
+    * wedge fan-out is bounded by arboricity, not by max degree (the
+    * celebrity-node blowup the naive wedge join hits).
+    *
+    * == Scale ==
+    * One degree aggregate, two equi-joins on oriented edges, one
+    * global reduce. `edges`: rows `(src, dst)`, duplicates and
+    * self-loops tolerated. Output (one row):
+    * `(n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff)`
+    * with `clustering = 3·triangles / wedges` (null when no wedge). */
+  def triangleStats(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val undirected = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b") &&
+        col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = undirected.select(col("a").as("v"))
+      .union(undirected.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient: keep (u -> w) when (deg, id) of u < of w
+    val oriented = undirected
+      .join(deg.select(col("v").as("a"), col("d").as("__da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("__db")), "b")
+      .select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w")))
+          .as("__e"))
+      .select(col("__e.u").as("u"), col("__e.w").as("w"))
+    // wedges at u: (u->w1, u->w2), close with oriented edge w1->w2
+    val tri = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.w").as("u"), col("e2.w").as("w"))
+      .join(oriented
+        .select(least(col("u"), col("w")).as("u"),
+          greatest(col("u"), col("w")).as("w")), Seq("u", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d) div 2").as("n_edges"),
+      expr("sum((d * (d - 1)) div 2)").as("n_wedges"))
+    base.crossJoin(broadcast(tri))
+      .withColumn("clustering_coeff",
+        when(col("n_wedges") > 0L,
+          lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double")))
+  }
+
+  /** User–user overlap (common-neighbor Jaccard on the bipartite
+    * interaction graph): the audience-similarity signal behind
+    * user-based CF and lookalike targeting. Pairs generate ONLY
+    * through shared items, and items above `maxItemPop` distinct
+    * users are dropped from pair generation (the standard
+    * super-node cut: a viral item connects everyone and says
+    * nothing) — without it the fan-out is Σ pop², with it ≤
+    * maxItemPop · |interactions|. Jaccard still uses FULL user
+    * degrees (the cut only limits candidate generation).
+    *
+    * == Scale ==
+    * One distinct (user, item) shuffle, one item-blocked self-join
+    * with the popularity cut, one pair-count aggregate joined to
+    * broadcast degree tables. Output:
+    * `(user_a, user_b, n_common, jaccard)` for pairs with
+    * `n_common ≥ minCommon`. */
+  def userOverlapJaccard(
+      events: DataFrame,
+      maxItemPop: Int,
+      minCommon: Long = 2L): DataFrame = {
+    val ui = events
+      .select(col("user_id"), itemOf(col("props")).as("item_id"))
+      .filter(col("item_id").isNotNull).distinct()
+    val degrees = ui.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__deg"))
+    val pop = ui.groupBy(col("item_id")).agg(count(lit(1)).as("__pop"))
+    val blocked = ui.join(pop.filter(col("__pop") <= maxItemPop), "item_id")
+    val pairs = blocked.as("x").join(blocked.as("y"),
+        col("x.item_id") === col("y.item_id") &&
+        col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("user_a"),
+        col("y.user_id").as("user_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    pairs
+      .join(degrees.select(col("user_id").as("user_a"),
+        col("__deg").as("__dega")), "user_a")
+      .join(degrees.select(col("user_id").as("user_b"),
+        col("__deg").as("__degb")), "user_b")
+      .select(col("user_a"), col("user_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("__dega") + col("__degb") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Popularity-complement baseline recommender: each user gets the
     * `perUser` most popular items (by interaction count, item-id
     * tiebreak) they have NOT interacted with — the classic

@@ -142,4 +142,50 @@ class InteractionStoreSpec extends AnyFunSuite with SparkSuite {
     // durations: 1200s + 0 + 0 over 3 sessions = 400s
     assert(got._6 === 400.0)
   }
+
+  test("ohlcResample: open/close pick by (ts, id) order, high/low are " +
+      "bucket extremes, hour buckets partition the stream") {
+    import spark.implicits._
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      // user 1, hour 0: values in arrival order 5.0, 1.5, 9.0, 3.25
+      (1L, 1L, t(0, 1), 5.0), (1L, 2L, t(0, 10), 1.5),
+      (1L, 3L, t(0, 20), 9.0), (1L, 4L, t(0, 50), 3.25),
+      // user 1, hour 1: single point
+      (1L, 5L, t(1, 5), 7.0),
+      // user 2, hour 0: ts tie broken by event_id (6 before 7)
+      (2L, 6L, t(0, 30), 2.0), (2L, 7L, t(0, 30), 8.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    for (parts <- Seq(1, 4)) {
+      val got = InteractionStore.ohlcResample(rows.repartition(parts))
+        .as[(Long, Long, Long, Double, Double, Double, Double)]
+        .collect().map(r => (r._1, r._2) -> r).toMap
+      val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+        .getTime / 3600000
+      assert(got((1L, h0)) === ((1L, h0, 4L, 5.0, 9.0, 1.5, 3.25)))
+      assert(got((1L, h0 + 1)) === ((1L, h0 + 1, 1L, 7.0, 7.0, 7.0, 7.0)))
+      assert(got((2L, h0)) === ((2L, h0, 2L, 2.0, 8.0, 2.0, 8.0)))
+    }
+  }
+
+  test("timeToConvert: durations from first 'from' to first 'to' at " +
+      "or after it; never-converted users count as started only") {
+    import spark.implicits._
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      (1L, 1L, t(0), "view"), (1L, 2L, t(10), "buy"),   // 10 s
+      (2L, 3L, t(5), "buy"),  // buy BEFORE any view: not a conversion
+      (2L, 4L, t(6), "view"), (2L, 5L, t(36), "buy"),   // 30 s
+      (3L, 6L, t(0), "view"),                           // never buys
+      (4L, 7L, t(2), "buy"))  // never views: not started
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.operators.Funnel.timeToConvert(
+        ev, "user_id", "ts", "event_type", "view", "buy",
+        probs = Seq(0.5, 1.0))
+      .as[(Double, Long, Long, Double)].collect()
+      .map(t0 => t0._1 -> t0).toMap
+    // started: users 1,2,3; converted: 1 (10s), 2 (30s)
+    assert(got(0.5) === ((0.5, 3L, 2L, 10.0)))
+    assert(got(1.0) === ((1.0, 3L, 2L, 30.0)))
+  }
 }

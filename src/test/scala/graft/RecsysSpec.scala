@@ -372,4 +372,54 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
       assert(got === naive, s"parts=$parts")
     }
   }
+
+  test("triangleStats: K4 has 4 triangles and clustering 1; a path " +
+      "has none; duplicates, reversals, and self-loops are tolerated") {
+    import spark.implicits._
+    // K4 on nodes 1..4, with noise: duplicate edge, reversed edge,
+    // self-loop
+    val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 }
+      yield (a.toLong, b.toLong)) ++
+      Seq((2L, 1L), (1L, 2L), (3L, 3L))
+    val got = Recsys.triangleStats(k4.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    // K4: 4 nodes, 6 edges, every node degree 3 -> 4 * C(3,2) = 12
+    // wedges, 4 triangles, clustering = 3*4/12 = 1
+    assert(got === ((4L, 6L, 12L, 4L, 1.0)))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val none = Recsys.triangleStats(path)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(none._4 === 0L && none._3 === 2L && none._5 === 0.0)
+    // one triangle hanging off a tail: 3*1/5 wedges
+    val tail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val t = Recsys.triangleStats(tail)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(t._4 === 1L)
+    assert(t._5 === 3.0 * 1.0 / t._3)
+  }
+
+  test("userOverlapJaccard: exact overlap through shared items, " +
+      "super-popular items excluded from pair generation") {
+    import spark.implicits._
+    // items: 10 shared by users 1,2,3; 11 by 1,2; 12 by 2,3;
+    // 99 shared by EVERYONE (the super-node, pop 5 > cut 4)
+    val rows = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),
+      (1L, 11L), (2L, 11L),
+      (2L, 12L), (3L, 12L),
+      (1L, 99L), (2L, 99L), (3L, 99L), (4L, 99L), (5L, 99L))
+    val ev = rows.map { case (u, i) =>
+      (u, s"""{"k":$i}""") }.toDF("user_id", "props")
+    val got = Recsys.userOverlapJaccard(ev, maxItemPop = 4, minCommon = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    // pairs through non-super items with >= 2 common:
+    // (1,2): items 10,11 -> common 2; degrees 3(+99)=3? user1 has
+    // {10,11,99} deg 3; user2 {10,11,12,99} deg 4 -> union 3+4-2=5
+    assert(got.keySet === Set((1L, 2L), (2L, 3L)))
+    assert(got((1L, 2L)) === ((2L, 2.0 / 5.0)))
+    // (2,3): common {10,12}=2, degrees 4 and 3 -> 2/(4+3-2)=0.4
+    assert(got((2L, 3L)) === ((2L, 2.0 / 5.0)))
+  }
 }
