@@ -2563,7 +2563,40 @@ object SparkEntry {
     // items, super-node items cut at 50 users ----
     "q229_user_overlap" -> ((s, dir) =>
       graft.operators.Recsys.userOverlapJaccard(
-        Tables.events(s, dir), maxItemPop = 80, minCommon = 2L))
+        Tables.events(s, dir), maxItemPop = 80, minCommon = 2L)),
+
+    // ---- engagement headline: DAU / trailing-7-day WAU with
+    // stickiness, exact distinct fan-out ----
+    "q230_active_users" -> ((s, dir) =>
+      InteractionStore.activeUserCurve(Tables.events(s, dir),
+        windowDays = 7)),
+
+    // ---- revenue view of retention: cumulative per-user value by
+    // signup cohort week ----
+    "q231_cohort_ltv" -> ((s, dir) =>
+      graft.operators.Evaluation.cohortLtv(Tables.events(s, dir))),
+
+    // ---- daily SLA bands: p50/p95 of the payload value per day via
+    // the rank-arithmetic quantiles ----
+    "q232_daily_quantiles" -> ((s, dir) =>
+      Normalize.quantilesBy(
+        Tables.events(s, dir).withColumn("day_epoch",
+          expr("unix_millis(ts) div 86400000")),
+        "day_epoch", "value", Seq(0.5, 0.95))),
+
+    // ---- daily-crawl dedup: new docs against the accumulated
+    // fingerprint index, batch-internal first-wins ----
+    "q233_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = docs.filter(col("doc_id") < 100)
+        .select(graft.functions.TextFunctions.fingerprint(col("text"))
+          .as("fingerprint"))
+      Dedup.dedupAgainstIndex(
+        docs.filter(col("doc_id") >= 100)
+          .select(col("doc_id"), col("n_chars"), col("text")),
+        index)
+        .select(col("fingerprint"), col("doc_id"), col("n_chars"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6879,7 +6912,88 @@ object SparkEntry {
         |  CAST(pr.n_common AS DOUBLE)
         |    / CAST(da.d + db.d - pr.n_common AS DOUBLE) AS jaccard
         |FROM pr JOIN deg da ON da.user_id = pr.user_a
-        |JOIN deg db ON db.user_id = pr.user_b""".stripMargin
+        |JOIN deg db ON db.user_id = pr.user_b""".stripMargin,
+
+    // presence fan-out over the trailing window -> one distinct count
+    // per day
+    "q230_active_users" ->
+      """WITH pres AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM pres GROUP BY day),
+        |wau AS (SELECT d, COUNT(*) AS wau FROM (
+        |    SELECT DISTINCT user_id,
+        |      unnest(generate_series(day, day + 6)) AS d FROM pres)
+        |  GROUP BY d)
+        |SELECT dau.day AS day_epoch, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(wau.wau AS BIGINT) AS wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+        |    AS stickiness
+        |FROM dau JOIN wau ON wau.d = dau.day""".stripMargin,
+
+    // per-user cohort anchor; micro-unit weekly sums; per-cohort
+    // cumulative prefix
+    "q231_cohort_ltv" ->
+      """WITH s AS (SELECT user_id,
+        |    epoch_ms(ts) // 604800000 AS wk,
+        |    CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vm
+        |  FROM events),
+        |c AS (SELECT user_id,
+        |    MIN(wk) OVER (PARTITION BY user_id) AS cohort, wk, vm
+        |  FROM s),
+        |sizes AS (SELECT cohort, COUNT(*) AS nu FROM (
+        |    SELECT DISTINCT user_id, cohort FROM c) GROUP BY cohort),
+        |weekly AS (SELECT cohort, wk - cohort AS off,
+        |    CAST(SUM(vm) AS BIGINT) AS wv FROM c GROUP BY 1, 2),
+        |cum AS (SELECT cohort, off, wv,
+        |    CAST(SUM(wv) OVER (PARTITION BY cohort ORDER BY off
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cv FROM weekly)
+        |SELECT cohort AS cohort_week, off AS offset_weeks,
+        |  CAST(sizes.nu AS BIGINT) AS n_cohort_users,
+        |  CAST(wv AS DOUBLE) / 1e6 AS week_value,
+        |  CAST(cv AS DOUBLE) / 1e6 / CAST(sizes.nu AS DOUBLE)
+        |    AS cum_value_per_user
+        |FROM cum JOIN sizes USING (cohort)""".stripMargin,
+
+    // q205's rank-quantile machinery grouped by calendar day
+    "q232_daily_quantiles" -> {
+      val probs = Seq(0.5, 0.95)
+      val pL = probs.map(p => s"${p}E0").mkString("[", ", ", "]")
+      val pmL = probs.map(p => math.round(p * 1e6)).mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT epoch_ms(ts) // 86400000 AS day_epoch,
+         |    CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vm
+         |  FROM events WHERE value IS NOT NULL),
+         |c AS (SELECT day_epoch, vm, COUNT(*) AS cnt
+         |      FROM s GROUP BY 1, 2),
+         |w AS (SELECT day_epoch, vm, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY day_epoch ORDER BY vm
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM c),
+         |n AS (SELECT day_epoch, CAST(SUM(cnt) AS BIGINT) AS n
+         |      FROM c GROUP BY 1),
+         |p AS (SELECT unnest($pL) AS prob, unnest($pmL) AS pm),
+         |k AS (SELECT n.day_epoch, n.n, p.prob,
+         |    GREATEST(1, (p.pm * n.n + 999999) // 1000000) AS kk
+         |  FROM n, p)
+         |SELECT k.day_epoch, k.prob, k.n,
+         |  CAST(w.vm AS DOUBLE) / 1e6 AS quantile
+         |FROM k JOIN w ON w.day_epoch = k.day_epoch
+         |  AND w.hi - w.cnt < k.kk AND k.kk <= w.hi""".stripMargin
+    },
+
+    // index anti-join + batch-internal first-wins
+    "q233_incremental_dedup" ->
+      s"""WITH idx AS (SELECT DISTINCT
+         |    md5(array_to_string($sqlWords, ' ')) AS fp
+         |  FROM documents WHERE doc_id < 100),
+         |b AS (SELECT doc_id, n_chars,
+         |    md5(array_to_string($sqlWords, ' ')) AS fingerprint
+         |  FROM documents WHERE doc_id >= 100),
+         |fresh AS (SELECT * FROM b WHERE NOT EXISTS (
+         |    SELECT 1 FROM idx WHERE idx.fp = b.fingerprint)),
+         |w AS (SELECT fingerprint, MIN(doc_id) AS doc_id
+         |      FROM fresh GROUP BY 1)
+         |SELECT f.fingerprint, f.doc_id, f.n_chars FROM fresh f
+         |JOIN w ON w.fingerprint = f.fingerprint
+         |  AND w.doc_id = f.doc_id""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -75,6 +75,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental exact dedup: drop arriving documents whose content
+    * fingerprint already exists in the accumulated index, dedupe the
+    * batch internally (first doc id wins), and emit the index rows
+    * the survivors add — the daily-crawl shape, where re-hashing the
+    * whole historical corpus per batch is the scaling anti-pattern
+    * this operator exists to avoid. Fingerprints are [[exact]]'s
+    * md5 of the whitespace-normalized text, so an index accumulated
+    * by either operator interoperates with the other.
+    *
+    * == Scale ==
+    * The batch hashes row-locally; ONE anti-join against the index
+    * (batch-sized build side broadcast or shuffled as AQE sizes it)
+    * plus one in-batch first-wins aggregate. The historical corpus is
+    * touched only through its fingerprint column. Output: surviving
+    * batch rows + their `fingerprint` (the index delta is
+    * `.select(idCol, "fingerprint")`). */
+  def dedupAgainstIndex(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpCol: String = "fingerprint"): DataFrame = {
+    val hashed = batch.withColumn("fingerprint",
+      fingerprint(col(textCol)))
+    val fresh = hashed.join(
+      index.select(col(fpCol).as("fingerprint")).distinct(),
+      Seq("fingerprint"), "left_anti")
+    val winners = fresh.groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+    fresh.join(winners, Seq("fingerprint", idCol))
+  }
+
   /** Signature-vs-truth audit for the MinHash pipeline: for every LSH
     * candidate pair, the sketch's Jaccard estimate (matching
     * signature components / k) next to the EXACT shingle Jaccard —

@@ -718,6 +718,50 @@ object Evaluation {
     groupAuc(folded, Seq("fold"), scoreCol, labelCol)
   }
 
+  /** Cohort LTV curve: cumulative per-user value by signup cohort and
+    * weeks-since-signup — the revenue view of [[cohortRetention]]
+    * (retention says who came back; LTV says what they were worth by
+    * week k, the payback-period number an acquisition budget hangs
+    * on). Values stage as micro-unit longs; the cumulative axis is an
+    * exact integer prefix sum per cohort.
+    *
+    * == Scale ==
+    * One user-keyed window for the signup anchor, one (cohort,
+    * offset) aggregate; the cumulative sum runs per cohort over
+    * ≤horizon offsets (bounded window). Output:
+    * `(cohort_week, offset_weeks, n_cohort_users, week_value,
+    * cum_value_per_user)`. */
+  def cohortLtv(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    val staged = events
+      .withColumn("__week", expr(s"unix_millis($tsCol) div 604800000"))
+      .withColumn("__cohort", min(col("__week")).over(w))
+      .withColumn("__vm",
+        round(col(valueCol).cast("double") * 1e6).cast("long"))
+    val cohortSizes = staged
+      .select(col(userCol), col("__cohort")).distinct()
+      .groupBy(col("__cohort")).agg(count(lit(1)).as("n_cohort_users"))
+    val weekly = staged
+      .groupBy(col("__cohort"), (col("__week") - col("__cohort"))
+        .as("offset_weeks"))
+      .agg(coalesce(sum(col("__vm")), lit(0L)).as("__wv"))
+    val cum = Window.partitionBy(col("__cohort"))
+      .orderBy(col("offset_weeks").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("__cv", sum(col("__wv")).over(cum))
+      .join(cohortSizes, Seq("__cohort"))
+      .select(col("__cohort").as("cohort_week"), col("offset_weeks"),
+        col("n_cohort_users"),
+        (col("__wv").cast("double") / 1e6).as("week_value"),
+        (col("__cv").cast("double") / 1e6 /
+          col("n_cohort_users").cast("double")).as("cum_value_per_user"))
+  }
+
   /** Sample-ratio-mismatch (SRM) check for an experiment bucketing:
     * per-bucket observed counts vs the uniform expectation, with the
     * χ² contribution — THE health check run before reading any A/B

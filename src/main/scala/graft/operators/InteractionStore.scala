@@ -328,4 +328,44 @@ object InteractionStore {
         (col("__lo").cast("double") / 1e6).as("low"),
         (col("__last.v").cast("double") / 1e6).as("close"))
   }
+
+  /** DAU / trailing-WAU curve with the stickiness ratio — the
+    * product-engagement headline (DAU/WAU ≈ how many of the week's
+    * users show up on a given day). Rolling DISTINCT counts don't
+    * window-sum (the same user on two days is one weekly active), so
+    * each (user, active-day) presence fans out row-locally to the
+    * `windowDays` calendar days it keeps the user active for, and one
+    * distinct count per day does the rest — exact, no sketch, and the
+    * fan-out is a constant factor, never a cross-day shuffle chain.
+    * Days before the data's first full window are reported as-is
+    * (their WAU window is truncated by data start, as in any real
+    * dashboard).
+    *
+    * == Scale ==
+    * One (user, day) distinct shuffle, a ×windowDays row-local
+    * explode, one per-day distinct aggregate. Output:
+    * `(day_epoch, dau, wau, stickiness)` for days with DAU > 0. */
+  def activeUserCurve(
+      events: DataFrame,
+      windowDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val presence = events
+      .select(col(userCol),
+        expr(s"unix_millis($tsCol) div 86400000").as("__day"))
+      .distinct()
+    val dau = presence.groupBy(col("__day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = presence
+      .select(col(userCol),
+        explode(sequence(col("__day"),
+          col("__day") + lit((windowDays - 1).toLong))).as("__day"))
+      .distinct()
+      .groupBy(col("__day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("__day"))
+      .select(col("__day").as("day_epoch"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
 }

@@ -1038,6 +1038,24 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(chi2 > 100.0, s"chi2 $chi2")
   }
 
+  test("cohortLtv: cumulative per-user value by cohort and offset " +
+      "matches hand accounting") {
+    import spark.implicits._
+    val wk = 604800000L
+    def t(w: Int) = new java.sql.Timestamp(w * wk + 1000L)
+    // cohort 0: users 1,2 — week 0 spends 10+20, week 1 user 1 spends 6
+    // cohort 1: user 3 — week 1 spends 8
+    val ev = Seq(
+      (1L, t(0), 10.0), (2L, t(0), 20.0), (1L, t(1), 6.0),
+      (3L, t(1), 8.0)).toDF("user_id", "ts", "value")
+    val got = Evaluation.cohortLtv(ev)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got((0L, 0L)) === ((0L, 0L, 2L, 30.0, 15.0)))
+    assert(got((0L, 1L)) === ((0L, 1L, 2L, 6.0, 18.0)))
+    assert(got((1L, 0L)) === ((1L, 0L, 1L, 8.0, 8.0)))
+  }
+
   test("weightOfEvidence: WOE/IV from hand-counted equal-depth bins; " +
       "single-class bins yield null WOE") {
     import spark.implicits._

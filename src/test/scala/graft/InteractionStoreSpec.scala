@@ -188,4 +188,23 @@ class InteractionStoreSpec extends AnyFunSuite with SparkSuite {
     assert(got(0.5) === ((0.5, 3L, 2L, 10.0)))
     assert(got(1.0) === ((1.0, 3L, 2L, 30.0)))
   }
+
+  test("activeUserCurve: WAU is the exact trailing distinct union, " +
+      "stickiness = dau/wau, repeat visits within a day collapse") {
+    import spark.implicits._
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val d0 = t(1).getTime / 86400000 // epoch day of Jan 1
+    // user 1 active days 1 and 3 (twice on day 1); user 2 day 1 only
+    val ev = Seq((1L, t(1)), (1L, t(1)), (1L, t(3)), (2L, t(1)))
+      .toDF("user_id", "ts")
+    val got = InteractionStore.activeUserCurve(ev, windowDays = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // day 1: dau 2 (u1,u2), wau 2
+    assert(got(d0) === ((d0, 2L, 2L, 1.0)))
+    // day 3: dau 1 (u1); wau window covers days 1..3 -> {u1,u2} = 2
+    assert(got(d0 + 2) === ((d0 + 2, 1L, 2L, 0.5)))
+    // day 2 has no DAU -> absent (inner join on dau days)
+    assert(!got.contains(d0 + 1))
+  }
 }

@@ -534,4 +534,21 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
     assert(got(2L) === ((2L, 3L, 0L, 1.0)))
     assert(got(3L) === ((3L, 4L, 1L, 1.0 - 1.0 / 4.0)))
   }
+
+  test("dedupAgainstIndex: index hits drop, in-batch dupes keep the " +
+      "smallest id, normalization matches the exact-dedup fingerprint") {
+    import spark.implicits._
+    val index = Seq("known document text").toDF("t")
+      .select(graft.functions.TextFunctions.fingerprint(col("t"))
+        .as("fingerprint"))
+    val batch = Seq(
+      (10L, "KNOWN   document TEXT"),  // normalizes to the index hit
+      (11L, "fresh content one"),
+      (12L, "fresh content one"),      // in-batch dupe of 11
+      (13L, "fresh content two")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dedupAgainstIndex(batch, index)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(11L, 13L))
+  }
 }
