@@ -2584,6 +2584,29 @@ object SparkEntry {
           expr("unix_millis(ts) div 86400000")),
         "day_epoch", "value", Seq(0.5, 0.95))),
 
+    // ---- sketch-in-stream: count-min counters accumulated through
+    // the restart-safe incremental-agg state, equal to the batch
+    // sketch ----
+    "q234_stream_count_min" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val base = java.nio.file.Files.createTempDirectory("graft-q234")
+        .toString
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$in/events.parquet"))
+      val schema = Tables.load(s, dir, "events").schema
+      val rows = Sketches.countMinRows(
+        Ingest.fileSource(s, in, schema), "event_type",
+        width = 16, depth = 4)
+      Ingest.incrementalAggSink(rows, s"$base/state",
+          Seq("d", "bucket"), "one", s"$base/ckpt")
+        .start().awaitTermination()
+      graft.operators.Incremental.finish(
+        s.read.parquet(s"$base/state"), Seq("d", "bucket"))
+    }),
+
     // ---- daily-crawl dedup: new docs against the accumulated
     // fingerprint index, batch-internal first-wins ----
     "q233_incremental_dedup" -> ((s, dir) => {
@@ -6993,7 +7016,22 @@ object SparkEntry {
          |      FROM fresh GROUP BY 1)
          |SELECT f.fingerprint, f.doc_id, f.n_chars FROM fresh f
          |JOIN w ON w.fingerprint = f.fingerprint
-         |  AND w.doc_id = f.doc_id""".stripMargin
+         |  AND w.doc_id = f.doc_id""".stripMargin,
+
+    // the streamed state must equal the batch sketch: q200's counter
+    // table with the incremental-agg finish columns (unit weights ->
+    // val_sum = cnt, val_avg = 1)
+    "q234_stream_count_min" ->
+      """WITH v AS (SELECT CAST(event_type AS VARCHAR) AS item
+        |           FROM events WHERE event_type IS NOT NULL),
+        |dd AS (SELECT unnest([0, 1, 2, 3]) AS d)
+        |SELECT d,
+        |  CAST(('0x'||substr(md5('0:'||CAST(d AS VARCHAR)||':'||item),
+        |    1, 8)) AS BIGINT) % 16 AS bucket,
+        |  COUNT(*) AS cnt,
+        |  CAST(COUNT(*) AS DOUBLE) AS val_sum,
+        |  CAST(COUNT(*) AS DOUBLE) / COUNT(*) AS val_avg
+        |FROM v, dd GROUP BY 1, 2""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

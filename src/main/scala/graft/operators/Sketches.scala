@@ -237,6 +237,25 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Row-local staging for a STREAMING count-min build: each value
+    * becomes its `depth` (row, bucket) increments with a unit weight,
+    * ready for [[graft.streaming.Ingest.incrementalAggSink]] keyed on
+    * (d, bucket) — the sketch merges across micro-batches by plain
+    * addition, which is exactly what the incremental-agg state does.
+    * Works unchanged on a streaming DataFrame (no aggregation here).
+    * Output: `(d, bucket, one)`. */
+  def countMinRows(
+      df: DataFrame, valueCol: String, width: Int, depth: Int): DataFrame = {
+    require(width >= 2 && depth >= 1,
+      s"need width >= 2 and depth >= 1, got $width x $depth")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("__v"))
+      .select(col("__v"),
+        explode(array((0 until depth).map(i => lit(i)): _*)).as("d"))
+      .withColumn("bucket", cmBucket(col("d"), col("__v"), width))
+      .select(col("d"), col("bucket"), lit(1.0).as("one"))
+  }
+
   /** Count-min point estimates for every distinct value of `valueCol`,
     * next to the exact count — the collision-overcount audit run
     * before trusting a sketch configuration (`est − exact` is the

@@ -298,4 +298,33 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
       .as[Long].collect().sorted
     assert(out === Array(10L, 11L)) // each key exactly once
   }
+
+  test("streaming count-min state equals the batch sketch and " +
+      "survives a no-new-data restart unchanged") {
+    import graft.operators.{Incremental, Sketches}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cms-stream").toString
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val data = (0 until 300).map(i => Tuple1(s"k${i % 23}")).toDF("v")
+    data.coalesce(1).write.parquet(s"$in/batch1")
+    val schema = data.schema
+    def runOnce(): Unit =
+      Ingest.incrementalAggSink(
+          Sketches.countMinRows(
+            Ingest.fileSource(spark, s"$in/batch1", schema),
+            "v", width = 8, depth = 3),
+          s"$base/state", Seq("d", "bucket"), "one", s"$base/ckpt")
+        .start().awaitTermination()
+    runOnce()
+    runOnce() // restart on the same checkpoint: state must not change
+    val streamed = Incremental.finish(
+        spark.read.parquet(s"$base/state"), Seq("d", "bucket"))
+      .select($"d", $"bucket", $"cnt")
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val batch = Sketches.countMinTable(data, "v", width = 8, depth = 3)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._3).sum === 900L) // 300 values x 3 rows
+  }
 }
