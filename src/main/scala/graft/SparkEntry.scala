@@ -2607,6 +2607,41 @@ object SparkEntry {
         s.read.parquet(s"$base/state"), Seq("d", "bucket"))
     }),
 
+    // ---- dedup keeps the BEST copy: near-dup clusters resolved by
+    // quality (longest doc), not smallest id ----
+    "q235_prune_by_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, n = 3, k = 8, bands = 4,
+          threshold = 0.2))
+      Dedup.pruneByQuality(docs.select(col("doc_id"), col("n_chars")),
+        comps, "n_chars")
+    }),
+
+    // ---- bot/human separator: inter-arrival burstiness per user
+    // (Goh-Barabasi coefficient) ----
+    "q236_burstiness" -> ((s, dir) =>
+      InteractionStore.interArrivalStats(Tables.events(s, dir))),
+
+    // ---- readability / run-on audit: per-doc sentence count and
+    // word-length stats, fully row-local ----
+    "q237_sentence_stats" -> ((s, dir) =>
+      graft.operators.Corpus.sentenceStats(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- trending detection: each event type's daily volume scored
+    // against ITS OWN trailing week (q202's kernel over q-aggregates) ----
+    "q238_trending_zscore" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("day_epoch"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      Normalize.rollingZscore(daily, "event_type", "day_epoch",
+          "day_epoch", "cnt", window = 7)
+        .select(col("event_type"), col("day_epoch"), col("cnt"),
+          col("roll_mean"), col("z"), col("is_anomaly"))
+    }),
+
     // ---- daily-crawl dedup: new docs against the accumulated
     // fingerprint index, batch-internal first-wins ----
     "q233_incremental_dedup" -> ((s, dir) => {
@@ -7031,7 +7066,102 @@ object SparkEntry {
         |  COUNT(*) AS cnt,
         |  CAST(COUNT(*) AS DOUBLE) AS val_sum,
         |  CAST(COUNT(*) AS DOUBLE) / COUNT(*) AS val_avg
-        |FROM v, dd GROUP BY 1, 2""".stripMargin
+        |FROM v, dd GROUP BY 1, 2""".stripMargin,
+
+    // q42's recursive components; per-cluster winner by (n_chars
+    // desc, id asc); unclustered docs pass through
+    "q235_prune_by_quality" ->
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |  UNION SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS component
+         |         FROM reach GROUP BY id),
+         |wins AS (SELECT doc_id FROM (
+         |    SELECT c.component, c.doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+         |    FROM comp c JOIN documents d USING (doc_id)) WHERE rn = 1)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.doc_id = d.doc_id)
+         |UNION ALL
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |JOIN wins ON wins.doc_id = d.doc_id""".stripMargin,
+
+    // integer-second gaps; decimal-staged squares; one IEEE chain
+    "q236_burstiness" -> {
+      val mean = "CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)"
+      val vr = "(CAST(n_gaps AS DOUBLE) * ss " +
+        "- CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) " +
+        "/ (CAST(n_gaps AS DOUBLE) * CAST(n_gaps AS DOUBLE))"
+      s"""WITH g AS (SELECT user_id,
+         |    (epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id))) // 1000 AS gap FROM events),
+         |f AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+         |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         |    CAST(SUM(gap) AS BIGINT) AS s,
+         |    CAST(SUM(CAST(gap AS DECIMAL(38,0))
+         |      * CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS ss
+         |  FROM f GROUP BY 1)
+         |SELECT user_id, n_gaps,
+         |  CASE WHEN n_gaps >= 2 THEN $mean END AS mean_gap_sec,
+         |  CASE WHEN n_gaps >= 2 AND $vr > 0 THEN SQRT($vr) END
+         |    AS std_gap_sec,
+         |  CASE WHEN (n_gaps >= 2 AND $vr > 0) AND $mean > 0 THEN
+         |    (SQRT($vr) - $mean) / (SQRT($vr) + $mean) END AS burstiness
+         |FROM a""".stripMargin
+    },
+
+    // row-local [.!?]+ segmentation; same words() formula per segment
+    "q237_sentence_stats" ->
+      """WITH segs AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '[.!?]+')) AS seg
+        |  FROM documents),
+        |sl AS (SELECT doc_id,
+        |    len(string_split(trim(regexp_replace(lower(seg), '\s+', ' ',
+        |      'g')), ' '))
+        |      - CASE WHEN trim(seg) = '' THEN 1 ELSE 0 END AS n
+        |  FROM segs),
+        |f AS (SELECT doc_id, n FROM sl WHERE n > 0),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+        |    CAST(SUM(n) AS BIGINT) AS s, CAST(MAX(n) AS BIGINT) AS mx
+        |  FROM f GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_sentences, 0) AS n_sentences,
+        |  CASE WHEN a.n_sentences > 0 THEN
+        |    ROUND(CAST(a.s AS DOUBLE) / CAST(a.n_sentences AS DOUBLE)
+        |      * 1e6) / 1e6 END AS mean_sentence_words,
+        |  a.mx AS max_sentence_words
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // daily volumes -> q202's decimal-staged rolling z per type
+    "q238_trending_zscore" ->
+      """WITH dly AS (SELECT event_type,
+        |    epoch_ms(ts) // 86400000 AS day_epoch,
+        |    CAST(COUNT(*) AS DOUBLE) AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day_epoch, cnt,
+        |    COUNT(*) OVER win AS c2,
+        |    CAST(SUM(CAST(ROUND(cnt, 6) AS DECIMAL(38,6))) OVER win
+        |      AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(ROUND(cnt * cnt, 6) AS DECIMAL(38,6))) OVER win
+        |      AS DOUBLE) AS ss
+        |  FROM dly WINDOW win AS (PARTITION BY event_type
+        |    ORDER BY day_epoch ASC, day_epoch ASC
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT event_type, day_epoch, cnt,
+        |    CASE WHEN c2 = 7 THEN s / 7.0 END AS roll_mean,
+        |    CASE WHEN c2 = 7 AND (7.0 * ss - s * s) / (7.0 * 7.0) > 0
+        |      THEN (cnt - s / 7.0)
+        |        / SQRT((7.0 * ss - s * s) / (7.0 * 7.0)) END AS z
+        |  FROM w)
+        |SELECT event_type, day_epoch, cnt, roll_mean, z,
+        |  CASE WHEN z IS NOT NULL THEN CAST(ABS(z) > 3.0 AS INT) END
+        |    AS is_anomaly
+        |FROM z""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -494,6 +494,37 @@ object Corpus {
       .select(col(idCol), col("__p.0").as("w1"), col("__p.1").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
 
+  /** Per-document sentence statistics: sentence count, mean and max
+    * sentence length in words — the readability / run-on detector (a
+    * doc whose "sentences" average 200 words is a table dump or
+    * boilerplate, not prose; one with 3-word sentences is a listicle
+    * or OCR shrapnel). Sentences split on `[.!?]+` runs (the
+    * Java-regex ∩ RE2 subset, so the oracle applies it verbatim);
+    * empty segments (e.g. trailing punctuation) drop. Entirely
+    * row-local — no shuffle at any size. Mean lengths round to
+    * micro-words for engine-exact figures.
+    * Output: `(idCol, n_sentences, mean_sentence_words,
+    * max_sentence_words)`; docs with no sentence yield zero/null. */
+  def sentenceStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sentences = filter(
+      transform(split(col(textCol), "[.!?]+"),
+        s => size(TextFunctions.words(s)) -
+          when(trim(s) === "", 1).otherwise(0)),
+      n => n > 0)
+    docs
+      .select(col(idCol), sentences.as("__sl"))
+      .select(col(idCol),
+        size(col("__sl")).cast("long").as("n_sentences"),
+        when(size(col("__sl")) > 0,
+          round(aggregate(col("__sl"), lit(0L), (acc, x) =>
+            acc + x.cast("long")).cast("double") /
+            size(col("__sl")).cast("double") * 1e6) / 1e6)
+          .as("mean_sentence_words"),
+        when(size(col("__sl")) > 0,
+          array_max(col("__sl")).cast("long")).as("max_sentence_words"))
+  }
+
   /** Zipf rank-frequency fit over the top-`topN` vocabulary: OLS of
     * `ln cnt` on `ln rank` — natural text sits near slope −1 (Zipf's
     * law), so a corpus whose slope drifts far from it is a red flag

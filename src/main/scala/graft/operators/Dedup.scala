@@ -260,6 +260,33 @@ object Dedup {
     * representative ([[connectedComponents]] output). Rows never seen
     * in any pair are untouched — the final "deduped corpus" step of
     * pairs → components → prune. */
+  /** Quality-aware canonical selection over near-dup components: keep
+    * each cluster's HIGHEST-quality member (score desc, id-asc
+    * tiebreak), not its smallest id — the difference between "dedup
+    * keeps a random copy" and "dedup keeps the clean copy" when
+    * near-dups differ in OCR noise, truncation, or boilerplate.
+    * Documents in no component survive untouched.
+    *
+    * == Scale ==
+    * One join of the component table to scores, one per-component
+    * max-struct aggregate (no window sort), one semi-join back.
+    * Output: the surviving `docs` rows. */
+  def pruneByQuality(
+      docs: DataFrame,
+      components: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val winners = components
+      .join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy(col("component"))
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).as("negid"))).as("__mx"))
+      .select((-col("__mx.negid")).as(idCol))
+    val clustered = components.select(col(idCol))
+    docs.join(clustered, Seq(idCol), "left_anti")
+      .unionByName(docs.join(winners, Seq(idCol), "left_semi"))
+  }
+
   def pruneByComponents(
       docs: DataFrame,
       components: DataFrame,

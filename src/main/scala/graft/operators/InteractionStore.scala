@@ -329,6 +329,54 @@ object InteractionStore {
         (col("__last.v").cast("double") / 1e6).as("close"))
   }
 
+  /** Per-user inter-arrival statistics with the burstiness
+    * coefficient `B = (cv − 1)/(cv + 1)` (Goh & Barabási, EPL 2008):
+    * B → −1 periodic, 0 Poisson, → +1 bursty — the bot/human
+    * behavioral separator (humans are bursty; schedulers are
+    * periodic; simple bots are Poisson-ish). Gaps are exact epoch-ms
+    * integers; mean/std come from integer sums with one fixed IEEE
+    * chain (population std), null when fewer than 2 gaps or zero
+    * variance denominator.
+    *
+    * == Scale ==
+    * One user-keyed window (the lag), one per-user aggregate — the
+    * [[sessionize]] shuffle lineage. Output:
+    * `(userCol, n_gaps, mean_gap_sec, std_gap_sec, burstiness)`. */
+  def interArrivalStats(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      orderTiebreak: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(orderTiebreak).asc)
+    // gaps in whole seconds; squares ride decimals (a month-long gap
+    // squared in ms would sit at the long-overflow edge)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gaps = events
+      .withColumn("__gapms",
+        unix_millis(col(tsCol)) -
+          unix_millis(lag(col(tsCol), 1).over(w)))
+      .withColumn("__gap", expr("__gapms div 1000"))
+      .filter(col("__gap").isNotNull)
+    val n = col("n_gaps").cast("double")
+    val s1 = col("__s").cast("double")
+    val s2 = col("__ss")
+    val mean = s1 / n
+    val variance = (n * s2 - s1 * s1) / (n * n)
+    gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("__s"),
+        sum(col("__gap").cast(dec) * col("__gap").cast(dec))
+          .cast("double").as("__ss"))
+      .withColumn("mean_gap_sec", when(col("n_gaps") >= 2L, mean))
+      .withColumn("std_gap_sec",
+        when(col("n_gaps") >= 2L && variance > 0.0, sqrt(variance)))
+      .withColumn("burstiness",
+        when(col("std_gap_sec").isNotNull && col("mean_gap_sec") > 0.0,
+          (sqrt(variance) - mean) / (sqrt(variance) + mean)))
+      .drop("__s", "__ss")
+  }
+
   /** DAU / trailing-WAU curve with the stickiness ratio — the
     * product-engagement headline (DAU/WAU ≈ how many of the week's
     * users show up on a given day). Rolling DISTINCT counts don't

@@ -379,4 +379,22 @@ class CorpusPackingSpec extends AnyFunSuite with SparkSuite {
       .as[(String, Long, Int)].collect().toSeq
     assert(got === Seq(("ab", 3L, 1), ("aa", 2L, 2), ("cd", 1L, 3)))
   }
+
+  test("sentenceStats: segments on punctuation runs, drops empties, " +
+      "counts words per sentence exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three. four five! six?"),
+      (2L, "no terminal punctuation here"),
+      (3L, "!!!"),           // punctuation only -> zero sentences
+      (4L, "a b c d... e f")) // ellipsis = one split point
+      .toDF("doc_id", "text")
+    val got = Corpus.sentenceStats(docs, "doc_id", "text")
+      .as[(Long, Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, Some(2.0), Some(3L))))
+    assert(got(2L) === ((2L, 1L, Some(4.0), Some(4L))))
+    assert(got(3L) === ((3L, 0L, None, None)))
+    assert(got(4L) === ((4L, 2L, Some(3.0), Some(4L))))
+  }
 }

@@ -207,4 +207,27 @@ class InteractionStoreSpec extends AnyFunSuite with SparkSuite {
     // day 2 has no DAU -> absent (inner join on dau days)
     assert(!got.contains(d0 + 1))
   }
+
+  test("interArrivalStats: periodic users score burstiness -1-ish " +
+      "(zero variance -> null), known gaps match the closed form") {
+    import spark.implicits._
+    def t(s: Int) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: gaps 10, 10, 10 -> zero variance -> null std/burst
+      (1L, 1L, t(0)), (1L, 2L, t(10)), (1L, 3L, t(20)), (1L, 4L, t(30)),
+      // user 2: gaps 1 and 9 -> mean 5, var ((2*82)-100)/4 = 16, std 4
+      (2L, 5L, t(0)), (2L, 6L, t(1)), (2L, 7L, t(10)),
+      // user 3: single event -> no gaps -> absent
+      (3L, 8L, t(5))).toDF("user_id", "event_id", "ts")
+    val got = InteractionStore.interArrivalStats(ev)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(3L))
+    assert(got(1L)._2 === 3L)
+    assert(got(1L)._3 === Some(10.0))
+    assert(got(1L)._4 === None && got(1L)._5 === None)
+    assert(got(2L)._3 === Some(5.0))
+    assert(got(2L)._4 === Some(4.0))
+    assert(got(2L)._5 === Some((4.0 - 5.0) / (4.0 + 5.0)))
+  }
 }

@@ -551,4 +551,21 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(got === Seq(11L, 13L))
   }
+
+  test("pruneByQuality keeps each cluster's highest-score member " +
+      "(id tiebreak), passes unclustered docs through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // cluster A: 2 and 3 tie -> 2
+      (4L, 99L),                        // cluster B alone with 5
+      (5L, 7L),
+      (9L, 1L)                          // unclustered
+    ).toDF("doc_id", "score")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "component")
+    val got = graft.operators.Dedup.pruneByQuality(
+        docs, comps, "score")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(2L, 4L, 9L))
+  }
 }
