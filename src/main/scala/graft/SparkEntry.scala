@@ -2654,7 +2654,35 @@ object SparkEntry {
           .select(col("doc_id"), col("n_chars"), col("text")),
         index)
         .select(col("fingerprint"), col("doc_id"), col("n_chars"))
-    })
+    }),
+
+    // ---- shuffle-free fact pruning: bloom filter over the predicate
+    // keys embedded as a plan literal; FP rate measured, FN proven
+    // zero ----
+    "q239_bloom_prune" -> ((s, dir) =>
+      graft.operators.BloomPrune.semiJoinAudit(
+        Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey", mBits = 4096, k = 3)),
+
+    // ---- multi-dimensional layout: per-bucket min/max footprint of a
+    // Z-ordered clustering, with prunability flags for a band
+    // predicate on EACH dimension ----
+    "q240_zorder_pruning" -> ((s, dir) =>
+      graft.sources.Layout.zorderPruningAudit(
+        Tables.events(s, dir).select(col("user_id"),
+          expr("CAST(round(value * 1000000.0) AS BIGINT)")
+            .as("value_micro")),
+        "user_id", "value_micro", bits = 8, buckets = 64)),
+
+    // ---- interval-overlap join via time-bin equi-join (no nested
+    // loop): cross-user session concurrency histogram ----
+    "q241_session_concurrency" -> ((s, dir) =>
+      graft.operators.RangeJoin.sessionConcurrency(
+        graft.operators.RangeJoin.sessionSpans(
+          Tables.events(s, dir), gap = "6 hours"),
+        binMs = 3600000L))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7161,7 +7189,88 @@ object SparkEntry {
         |SELECT event_type, day_epoch, cnt, roll_mean, z,
         |  CASE WHEN z IS NOT NULL THEN CAST(ABS(z) > 3.0 AS INT) END
         |    AS is_anomaly
-        |FROM z""".stripMargin
+        |FROM z""".stripMargin,
+
+    "q239_bloom_prune" -> {
+      def pos(i: Int, key: String) =
+        s"${sqlHash32(i, s"CAST($key AS VARCHAR)")} % 4096"
+      s"""WITH bk AS (SELECT DISTINCT c_custkey AS key FROM customer
+         |            WHERE c_mktsegment = 'BUILDING'),
+         |bp AS (SELECT key, unnest([${(0 until 3).map(pos(_, "key"))
+        .mkString(", ")}]) AS pos FROM bk),
+         |words AS (SELECT pos // 32 AS w,
+         |            bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+         |          FROM bp GROUP BY 1),
+         |pp AS (SELECT o_orderkey, o_custkey, unnest([${(0 until 3)
+        .map(pos(_, "o_custkey")).mkString(", ")}]) AS pos FROM orders),
+         |ht AS (SELECT o_orderkey, o_custkey,
+         |         (COALESCE(wd.word, 0) &
+         |           (1::BIGINT << CAST(pos % 32 AS INT))) <> 0 AS h
+         |       FROM pp LEFT JOIN words wd ON wd.w = pos // 32),
+         |mem AS (SELECT o_orderkey, any_value(o_custkey) AS ck,
+         |          bool_and(h) AS bloom FROM ht GROUP BY 1),
+         |j AS (SELECT m.bloom, (b.key IS NOT NULL) AS t
+         |      FROM mem m LEFT JOIN bk b ON b.key = m.ck)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+         |  CAST(SUM(CASE WHEN bloom THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_candidates,
+         |  CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN bloom AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_pos,
+         |  CAST(SUM(CASE WHEN NOT bloom AND t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_neg,
+         |  CAST(SUM(CASE WHEN bloom AND NOT t THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / (COUNT(*) - SUM(CASE WHEN t THEN 1 ELSE 0 END)) AS fp_rate
+         |FROM j""".stripMargin
+    },
+
+    "q240_zorder_pruning" -> {
+      val morton = (0 until 8).map(b =>
+        s"(((bx >> $b) & 1) << ${2 * b}) + (((by >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH src AS (SELECT user_id AS x,
+         |    CAST(round(value * 1000000.0) AS BIGINT) AS y FROM events),
+         |mm AS (SELECT min(x) AS minx, max(x) AS maxx,
+         |         min(y) AS miny, max(y) AS maxy FROM src),
+         |bb AS (SELECT (x - minx) * 256 // (maxx - minx + 1) AS bx,
+         |         (y - miny) * 256 // (maxy - miny + 1) AS by, x, y
+         |       FROM src, mm),
+         |zz AS (SELECT x, y, ($morton) AS z FROM bb),
+         |bk AS (SELECT z * 64 // 65536 AS bucket, x, y FROM zz),
+         |pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |         min(x) AS min_x, max(x) AS max_x,
+         |         min(y) AS min_y, max(y) AS max_y FROM bk GROUP BY 1)
+         |SELECT bucket, cnt, min_x, max_x, min_y, max_y,
+         |  (max_x < minx + (maxx - minx + 1) * 40 // 100
+         |    OR min_x > minx + (maxx - minx + 1) * 60 // 100) AS skip_x,
+         |  (max_y < miny + (maxy - miny + 1) * 40 // 100
+         |    OR min_y > miny + (maxy - miny + 1) * 60 // 100) AS skip_y
+         |FROM pb, mm""".stripMargin
+    },
+
+    "q241_session_concurrency" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM events),
+        |s AS (SELECT user_id, ts,
+        |    SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 6 HOUR
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM x),
+        |sp AS (SELECT user_id, session_idx,
+        |         min(epoch_ms(ts)) AS st, max(epoch_ms(ts)) AS en
+        |       FROM s GROUP BY 1, 2),
+        |ov AS (SELECT a.user_id, a.session_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM sp a JOIN sp b
+        |         ON a.user_id <> b.user_id
+        |           AND a.st <= b.en AND b.st <= a.en
+        |       GROUP BY 1, 2),
+        |pc AS (SELECT COALESCE(o.n, 0) AS n_concurrent
+        |       FROM sp LEFT JOIN ov o USING (user_id, session_idx))
+        |SELECT n_concurrent, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM pc GROUP BY 1""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

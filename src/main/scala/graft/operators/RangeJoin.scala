@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap joins without a nested-loop plan.
+  *
+  * A time-overlap join (`a.start <= b.end AND b.start <= a.end`) has no
+  * equi-key, so a naive formulation plans a BroadcastNestedLoopJoin /
+  * cartesian — the classic 100 TB scale-killer. The standard fix, used
+  * here: EXPLODE each interval into the fixed-width time bins it
+  * covers, equi-join on the bin, post-filter the exact overlap
+  * predicate, and count each pair exactly once by attributing it to
+  * the bin containing the later of the two starts (both sides agree on
+  * that bin, and it is one of the bins both cover — no distinct
+  * needed). Shuffle key = time bin: the plan is a plain shuffled hash
+  * join whose parallelism follows the timeline, and the explode
+  * fan-out is bounded by interval_length/bin_width.
+  *
+  * Skew note for the 100 TB case: a globally hot hour concentrates its
+  * pairs in one partition; the mitigation is the same salting kernel
+  * as [[Skew]] applied to the bin key, orthogonal to the binning
+  * itself. Reference counterpart: the interaction store's
+  * time-range-scan semantics (SURVEY S8) generalized to two interval
+  * sets.
+  */
+object RangeJoin {
+
+  /** Per-session [start,end] millisecond spans from raw events, via
+    * [[InteractionStore.sessionize]] (one user-keyed window lineage,
+    * then a user-keyed aggregate — a single shuffle). */
+  def sessionSpans(events: DataFrame, gap: String): DataFrame =
+    InteractionStore.sessionize(
+        events.select(col("user_id"), col("event_id"), col("ts")), gap)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"))
+
+  /** Cross-user session concurrency: for every session, how many
+    * sessions of OTHER users overlap it in time; returned as the
+    * concurrency histogram `(n_concurrent, n_sessions)` including the
+    * zero-overlap bucket. `binMs` is the equi-join bin width — size it
+    * near the typical interval length so the fan-out stays a small
+    * constant. */
+  def sessionConcurrency(spans: DataFrame, binMs: Long): DataFrame = {
+    val binned = spans.withColumn("bin",
+      explode(expr(s"sequence(start_ms div ${binMs}L, end_ms div ${binMs}L)")))
+    val a = binned.select(col("user_id").as("ua"),
+      col("session_idx").as("sa"), col("start_ms").as("sta"),
+      col("end_ms").as("ena"), col("bin"))
+    val b = binned.select(col("user_id").as("ub"),
+      col("session_idx").as("sb"), col("start_ms").as("stb"),
+      col("end_ms").as("enb"), col("bin"))
+    val pairs = a.join(b, Seq("bin"))
+      .filter(col("ua") =!= col("ub"))
+      .filter(col("sta") <= col("enb") && col("stb") <= col("ena"))
+      // attribute the (ordered) pair to the bin of the later start so
+      // multi-bin overlaps count once
+      .filter(col("bin") === expr(s"greatest(sta, stb) div ${binMs}L"))
+    val perSession = pairs.groupBy(col("ua").as("user_id"),
+        col("sa").as("session_idx"))
+      .agg(count(lit(1)).as("n_concurrent"))
+    spans.join(perSession, Seq("user_id", "session_idx"), "left")
+      .select(coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      .groupBy("n_concurrent").agg(count(lit(1)).as("n_sessions"))
+  }
+}

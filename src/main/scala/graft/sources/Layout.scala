@@ -190,4 +190,56 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Measure what Z-ordering buys: bucket `df` by the Morton code of
+    * two integer dimensions (each first equi-width-binned to 2^bits
+    * cells over its observed min..max) and report, per bucket, the
+    * row count and BOTH dimensions' min/max — the file-footer stats a
+    * parquet reader consults — plus whether the bucket is prunable for
+    * a fixed mid-range band predicate on each dimension alone.
+    *
+    * At 100 TB each "bucket" is a file (or row group): narrow per-file
+    * ranges on *either* column mean a selective predicate on either
+    * one skips most files before a byte is read. A single-column sort
+    * gives that pruning on one dimension only; the interleaved code
+    * trades a little of it on each axis for coverage of both — this
+    * audit makes the trade measurable (count the `skip_x`/`skip_y`
+    * buckets). All arithmetic is integer (binning via `div`, the
+    * predicate bounds as integer percentiles of the value range), so
+    * the audit is engine-exact.
+    *
+    * Plan shape: one aggregate for the global min/max (broadcast
+    * one-row table), one shuffle for the per-bucket aggregate. The
+    * groupBy key space is 4^bits but only `buckets` coarse buckets
+    * materialize. */
+  def zorderPruningAudit(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 8, buckets: Int = 64): DataFrame = {
+    val side = 1 << bits                // cells per dimension
+    val zSpace = 1L << (2 * bits)       // morton code space
+    val mm = df.agg(
+      min(col(xCol)).as("minx"), max(col(xCol)).as("maxx"),
+      min(col(yCol)).as("miny"), max(col(yCol)).as("maxy"))
+    val binned = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .crossJoin(broadcast(mm))
+      .withColumn("bx", expr(s"(x - minx) * $side div (maxx - minx + 1)"))
+      .withColumn("by", expr(s"(y - miny) * $side div (maxy - miny + 1)"))
+      .withColumn("z", mortonCode(col("bx"), col("by"), bits))
+      .withColumn("bucket", expr(s"z * $buckets div ${zSpace}L"))
+    val perBucket = binned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+    // fixed band predicates: the middle [40%, 60%] of each dimension's
+    // range, bounds derived with the same integer arithmetic on both
+    // engines
+    perBucket.crossJoin(broadcast(mm))
+      .withColumn("skip_x", expr(
+        "max_x < minx + (maxx - minx + 1) * 40 div 100 OR " +
+          "min_x > minx + (maxx - minx + 1) * 60 div 100"))
+      .withColumn("skip_y", expr(
+        "max_y < miny + (maxy - miny + 1) * 40 div 100 OR " +
+          "min_y > miny + (maxy - miny + 1) * 60 div 100"))
+      .select("bucket", "cnt", "min_x", "max_x", "min_y", "max_y",
+        "skip_x", "skip_y")
+  }
 }
