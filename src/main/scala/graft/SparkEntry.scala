@@ -2682,7 +2682,46 @@ object SparkEntry {
       graft.operators.RangeJoin.sessionConcurrency(
         graft.operators.RangeJoin.sessionSpans(
           Tables.events(s, dir), gap = "6 hours"),
-        binMs = 3600000L))
+        binMs = 3600000L)),
+
+    // ---- seasonality fingerprint: lag-1..7 autocorrelation of each
+    // event type's daily volume, integer-exact ratio ----
+    "q242_acf_daily" -> ((s, dir) =>
+      Normalize.acfByKey(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day_epoch"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "day_epoch", "cnt", maxLag = 7)),
+
+    // ---- CTR shrinkage: beta-binomial empirical-Bayes posterior
+    // mean per user (method-of-moments prior over raw rates) ----
+    "q243_smoothed_ctr" -> ((s, dir) =>
+      Normalize.empiricalBayesRate(
+        Tables.events(s, dir).groupBy(col("user_id"))
+          .agg(sum((col("event_type") === "purchase").cast("long"))
+            .as("n_succ"),
+            sum((col("event_type") === "view").cast("long"))
+              .as("n_fail")),
+        "user_id", "n_succ", "n_fail")),
+
+    // ---- off-policy eval, variance-reduced: self-normalized IPS
+    // per-item CTR under the q164 position-examination model ----
+    "q244_snips_item_ctr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sess = Window.partitionBy(col("user_id"), col("__day"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val imp = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          to_date(col("ts")).as("__day"),
+          graft.operators.Recsys.itemOf(col("props")).as("item_id"),
+          (col("event_type") === "click").cast("long").as("__click"))
+        .filter(col("item_id").isNotNull)
+        .withColumn("position", row_number().over(sess))
+        .filter(col("position") <= 20)
+      graft.operators.Evaluation.snipsItemCtr(imp,
+        "item_id", "position", "__click")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7270,7 +7309,93 @@ object SparkEntry {
         |pc AS (SELECT COALESCE(o.n, 0) AS n_concurrent
         |       FROM sp LEFT JOIN ov o USING (user_id, session_idx))
         |SELECT n_concurrent, CAST(COUNT(*) AS BIGINT) AS n_sessions
-        |FROM pc GROUP BY 1""".stripMargin
+        |FROM pc GROUP BY 1""".stripMargin,
+
+    "q242_acf_daily" ->
+      """WITH dly AS (SELECT event_type, epoch_ms(ts) // 86400000 AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s FROM dly GROUP BY 1),
+        |den AS (SELECT d.event_type,
+        |    CAST(SUM((n * x - s) * (n * x - s)) AS BIGINT) AS den
+        |  FROM dly d JOIN st USING (event_type) GROUP BY 1),
+        |pr AS (SELECT a.event_type, lg.lag,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM((n * a.x - s) * (n * b.x - s)) AS BIGINT) AS num
+        |  FROM dly a
+        |  CROSS JOIN generate_series(1, 7) AS lg(lag)
+        |  JOIN dly b ON b.event_type = a.event_type AND b.t = a.t + lg.lag
+        |  JOIN st ON st.event_type = a.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.event_type, CAST(p.lag AS INT) AS lag, n_pairs,
+        |  CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |  END AS acf
+        |FROM pr p JOIN den ON den.event_type = p.event_type""".stripMargin,
+
+    "q243_smoothed_ctr" ->
+      """WITH c AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT user_id, c, f,
+        |    CAST(floor(CAST(c AS DOUBLE) / CAST(c + f AS DOUBLE) * 1.0E6)
+        |      AS BIGINT) AS pm
+        |  FROM c WHERE c + f > 0),
+        |pop AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(pm) AS BIGINT) AS sp,
+        |    CAST(SUM(pm * pm) AS BIGINT) AS sp2 FROM s),
+        |m AS (SELECT s.*,
+        |    CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0E6) AS mm,
+        |    CAST(sp2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0E12)
+        |      - (CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0E6))
+        |        * (CAST(sp AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0E6)) AS vv
+        |  FROM s, pop),
+        |ab AS (SELECT *, CASE WHEN vv > 0.0E0
+        |    THEN mm * (1.0E0 - mm) / vv - 1.0E0 END AS com FROM m),
+        |fin AS (SELECT user_id, c, f, pm,
+        |    CASE WHEN com > 0.0E0 THEN mm * com ELSE 1.0E0 END AS alpha,
+        |    CASE WHEN com > 0.0E0 THEN (1.0E0 - mm) * com
+        |         ELSE 1.0E0 END AS beta
+        |  FROM ab)
+        |SELECT user_id, c AS n_succ, f AS n_fail, pm AS raw_rate_micro,
+        |  ROUND(alpha, 6) AS prior_alpha, ROUND(beta, 6) AS prior_beta,
+        |  ROUND((CAST(c AS DOUBLE) + alpha)
+        |    / (CAST(c AS DOUBLE) + CAST(f AS DOUBLE) + alpha + beta), 6)
+        |    AS smoothed_rate
+        |FROM fin""".stripMargin,
+
+    "q244_snips_item_ctr" ->
+      """WITH imp AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id,
+        |    CAST(event_type = 'click' AS BIGINT) AS click,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS position
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |i2 AS (SELECT * FROM imp WHERE position <= 20),
+        |pa AS (SELECT position, CAST(COUNT(*) AS BIGINT) AS imps,
+        |    CAST(SUM(click) AS BIGINT) AS clicks FROM i2 GROUP BY 1),
+        |base AS (SELECT imps AS imps1, clicks AS clicks1 FROM pa
+        |         WHERE position = 1),
+        |ip AS (SELECT item_id, position, CAST(COUNT(*) AS BIGINT) AS iip,
+        |    CAST(SUM(click) AS BIGINT) AS cip FROM i2 GROUP BY 1, 2),
+        |t AS (SELECT item_id, iip, cip,
+        |    (CAST(clicks1 AS DOUBLE) * CAST(imps AS DOUBLE))
+        |      / (CAST(imps1 AS DOUBLE) * CAST(clicks AS DOUBLE)) AS w
+        |  FROM ip JOIN pa USING (position), base
+        |  WHERE clicks > 0 AND clicks1 > 0),
+        |agg AS (SELECT item_id, CAST(SUM(cip) AS BIGINT) AS n_clicks,
+        |    CAST(SUM(iip) AS BIGINT) AS n_imps,
+        |    CAST(SUM(CAST(floor(CAST(cip AS DOUBLE) * w * 1.0E6) AS BIGINT))
+        |      AS BIGINT) AS num_micro,
+        |    CAST(SUM(CAST(floor(CAST(iip AS DOUBLE) * w * 1.0E6) AS BIGINT))
+        |      AS BIGINT) AS den_micro
+        |  FROM t GROUP BY 1)
+        |SELECT item_id, n_clicks, n_imps, num_micro, den_micro,
+        |  ROUND(CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE), 6)
+        |    AS snips_ctr
+        |FROM agg WHERE den_micro > 0""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -883,4 +883,53 @@ object Evaluation {
         .otherwise(round(exp(col("__ct").cast("double") / 1e6), 6))
         .as("survival"))
   }
+
+  /** Self-normalized inverse-propensity (SNIPS) per-item CTR: the
+    * [[ipsItemClicks]] estimator's ratio form
+    * `Σ_p w_p·clicks_ip / Σ_p w_p·imps_ip`, with the same
+    * position-examination weights `w_p = (clicks_1·imps_p) /
+    * (imps_1·clicks_p)`. Normalizing by the weighted impression mass
+    * cancels the propensity model's global miscalibration — the
+    * variance-reduced estimator an off-policy evaluation actually
+    * reports (at the cost of a small bias). Each weighted term is
+    * floor-staged to micro-units, so numerator and denominator are
+    * exact integer sums; the ratio is one double division.
+    *
+    * Plan: identical shape to IPS — per-position aggregate (broadcast;
+    * positions are a bounded set), per-(item, position) aggregate, one
+    * final per-item aggregate. Everything shuffles on the item key. */
+  def snipsItemCtr(
+      impressions: DataFrame,
+      itemCol: String,
+      posCol: String,
+      clickCol: String): DataFrame = {
+    val posAgg = impressions.groupBy(col(posCol))
+      .agg(count(lit(1)).as("__imps"),
+        sum(col(clickCol).cast("long")).as("__clicks"))
+    val base = posAgg.filter(col(posCol) === 1)
+      .select(col("__imps").as("__imps1"), col("__clicks").as("__clicks1"))
+    val itemPos = impressions
+      .groupBy(col(itemCol), col(posCol))
+      .agg(count(lit(1)).as("__iip"),
+        sum(col(clickCol).cast("long")).as("__cip"))
+    val w = (col("__clicks1").cast("double") * col("__imps").cast("double")) /
+      (col("__imps1").cast("double") * col("__clicks").cast("double"))
+    itemPos
+      .join(broadcast(posAgg), posCol)
+      .crossJoin(broadcast(base))
+      .filter(col("__clicks") > 0 && col("__clicks1") > 0)
+      .withColumn("__num_micro",
+        floor(col("__cip").cast("double") * w * 1e6).cast("long"))
+      .withColumn("__den_micro",
+        floor(col("__iip").cast("double") * w * 1e6).cast("long"))
+      .groupBy(col(itemCol))
+      .agg(sum(col("__cip")).as("n_clicks"),
+        sum(col("__iip")).as("n_imps"),
+        sum(col("__num_micro")).as("num_micro"),
+        sum(col("__den_micro")).as("den_micro"))
+      .filter(col("den_micro") > 0L)
+      .withColumn("snips_ctr",
+        round(col("num_micro").cast("double") /
+          col("den_micro").cast("double"), 6))
+  }
 }

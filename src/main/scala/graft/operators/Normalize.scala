@@ -627,4 +627,98 @@ object Normalize {
           .as("ecdf_src"),
         (col("__mapped").cast("double") / 1e6).as("mapped_value"))
   }
+
+  /** Per-series lag-k autocorrelation (ACF), lags 1..`maxLag`, for an
+    * integer-valued series indexed by an integer time axis (daily
+    * counts, hourly volumes). The seasonality/burstiness primitive a
+    * monitoring pipeline runs over every metric series.
+    *
+    * Exactness: with μ = S/n, both the lag covariance and the variance
+    * are scaled by n² so every accumulated term is the INTEGER
+    * `(n·x_t − S)(n·x_{t+k} − S)` — the single double division happens
+    * last, so any engine reproduces the ratio bit-for-bit.
+    *
+    * Plan: one aggregate for (n, S) per series, one equi-join of the
+    * series against itself on `(key, t+k)` after a bounded
+    * `explode(1..maxLag)` fan-out, one aggregate per (key, lag). All
+    * shuffles key on the series id — at 100 TB the work distributes by
+    * series and no global window appears. */
+  def acfByKey(df: DataFrame, keyCol: String, timeCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+      col(timeCol).cast("long").as("__t"),
+      col(valCol).cast("long").as("__x"))
+    val stats = base.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    // denominator: n²·Σ(x−μ)² = Σ(n·x − S)²
+    val den = base.join(stats, Seq("__k"))
+      .groupBy(col("__k"))
+      .agg(sum((col("__n") * col("__x") - col("__s")) *
+        (col("__n") * col("__x") - col("__s"))).as("__den"))
+    val lagged = base
+      .withColumn("__lag", explode(expr(s"sequence(1, $maxLag)")))
+      .withColumn("__t2", col("__t") + col("__lag"))
+    val pairs = lagged.as("a")
+      .join(base.select(col("__k"), col("__t").as("__t2"),
+        col("__x").as("__x2")), Seq("__k", "__t2"))
+      .join(stats, Seq("__k"))
+      .groupBy(col("__k"), col("__lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("__n") * col("__x") - col("__s")) *
+          (col("__n") * col("__x2") - col("__s"))).as("__num"))
+    pairs.join(den, Seq("__k"))
+      .select(col("__k").as(keyCol), col("__lag").cast("int").as("lag"),
+        col("n_pairs"),
+        when(col("__den") > 0L,
+          col("__num").cast("double") / col("__den").cast("double"))
+          .as("acf"))
+  }
+
+  /** Empirical-Bayes rate shrinkage (beta-binomial, method of
+    * moments): fit a Beta(α, β) prior to the population of per-key
+    * raw rates, then report each key's posterior-mean rate
+    * `(succ + α) / (succ + fail + α + β)`. Small-sample keys shrink
+    * toward the population mean; high-volume keys keep their observed
+    * rate — the standard CTR/conversion smoothing for ranking
+    * features.
+    *
+    * Raw rates are staged to micro-units before the population
+    * moments (the repo's exact-sum convention), so the fitted prior is
+    * deterministic on any engine; the remaining math is elementwise.
+    * Plan: one per-key aggregate, one 1-row population aggregate
+    * (broadcast), one elementwise projection — two shuffles total,
+    * nothing global. */
+  def empiricalBayesRate(counts: DataFrame, keyCol: String,
+      succCol: String, failCol: String): DataFrame = {
+    val staged = counts.select(col(keyCol),
+      col(succCol).cast("long").as("__c"),
+      col(failCol).cast("long").as("__f"))
+      .filter(col("__c") + col("__f") > 0L)
+      .withColumn("__pm", floor(col("__c").cast("double") /
+        (col("__c") + col("__f")).cast("double") * 1e6).cast("long"))
+    val pop = staged.agg(count(lit(1)).as("__n"),
+      sum(col("__pm")).as("__sp"),
+      sum(col("__pm") * col("__pm")).as("__sp2"))
+    staged.crossJoin(broadcast(pop))
+      .withColumn("__m", col("__sp").cast("double") /
+        (col("__n").cast("double") * 1e6))
+      .withColumn("__v", col("__sp2").cast("double") /
+        (col("__n").cast("double") * 1e12) - col("__m") * col("__m"))
+      .withColumn("__common",
+        when(col("__v") > 0.0,
+          col("__m") * (lit(1.0) - col("__m")) / col("__v") - 1.0))
+      .withColumn("__alpha",
+        when(col("__common") > 0.0, col("__m") * col("__common"))
+          .otherwise(1.0))
+      .withColumn("__beta",
+        when(col("__common") > 0.0,
+          (lit(1.0) - col("__m")) * col("__common")).otherwise(1.0))
+      .select(col(keyCol), col("__c").as("n_succ"),
+        col("__f").as("n_fail"), col("__pm").as("raw_rate_micro"),
+        round(col("__alpha"), 6).as("prior_alpha"),
+        round(col("__beta"), 6).as("prior_beta"),
+        round((col("__c").cast("double") + col("__alpha")) /
+          (col("__c").cast("double") + col("__f").cast("double") +
+            col("__alpha") + col("__beta")), 6).as("smoothed_rate"))
+  }
 }
