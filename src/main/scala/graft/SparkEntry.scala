@@ -2721,6 +2721,31 @@ object SparkEntry {
         .filter(col("position") <= 20)
       graft.operators.Evaluation.snipsItemCtr(imp,
         "item_id", "position", "__click")
+    }),
+
+    // ---- cohesive catalog core: 3 peeling rounds of the 35-core
+    // over the strongly-co-visited item graph ----
+    "q245_kcore" -> ((s, dir) =>
+      graft.operators.Recsys.kCore(
+        graft.operators.Recsys.covisitation(Tables.events(s, dir),
+          recentPerUser = 30, minUsers = 14),
+        k = 35L, rounds = 3)),
+
+    // ---- traffic funnels vs sinks: 2-round integer HITS over the
+    // observed next-item transition graph ----
+    "q246_hits" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          graft.operators.Recsys.itemOf(col("props")).as("item"))
+        .filter(col("item").isNotNull)
+        .withColumn("next", lead(col("item"), 1).over(ord))
+        .filter(col("next").isNotNull && col("next") =!= col("item"))
+        .select(col("item").as("src"), col("next").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.Recsys.hits(trans, rounds = 2)
     })
   )
 
@@ -7395,7 +7420,66 @@ object SparkEntry {
         |SELECT item_id, n_clicks, n_imps, num_micro, den_micro,
         |  ROUND(CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE), 6)
         |    AS snips_ctr
-        |FROM agg WHERE den_micro > 0""".stripMargin
+        |FROM agg WHERE den_micro > 0""".stripMargin,
+
+    "q245_kcore" -> {
+      // unrolled peeling rounds: deg_r over e_r, keep_r, e_{r+1}
+      val rounds = (1 to 3).map { r =>
+        val semi = if (r < 3)
+          s""",
+             |e${r + 1} AS (SELECT ia, ib FROM e$r
+             |  WHERE ia IN (SELECT n FROM k$r)
+             |    AND ib IN (SELECT n FROM k$r))""".stripMargin
+        else ""
+        s"""d$r AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
+           |    (SELECT ia AS n FROM e$r UNION ALL SELECT ib FROM e$r) t
+           |  GROUP BY 1),
+           |k$r AS (SELECT n FROM d$r WHERE deg >= 35)$semi""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ui AS (
+         |  SELECT user_id, CAST(json_extract(props, '$$.k') AS BIGINT)
+         |      AS item_id,
+         |    MAX(ts) AS last_ts
+         |  FROM events
+         |  WHERE json_extract(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |capped AS (SELECT user_id, item_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+         |  WHERE rn <= 30),
+         |e1 AS (SELECT a.item_id AS ia, b.item_id AS ib
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 14),
+         |$rounds
+         |SELECT n AS node, deg AS degree FROM d3 WHERE deg >= 35""".stripMargin
+    },
+
+    "q246_hits" ->
+      """WITH it AS (SELECT user_id, ts, event_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |nx AS (SELECT item, lead(item) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS nxt FROM it),
+        |e AS (SELECT item AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |      FROM nx WHERE nxt IS NOT NULL AND nxt <> item GROUP BY 1, 2),
+        |a1 AS (SELECT dst, CAST(SUM(w) AS BIGINT) AS a FROM e GROUP BY 1),
+        |h1 AS (SELECT src, CAST(SUM(e.w * a1.a) AS BIGINT) AS h
+        |       FROM e JOIN a1 USING (dst) GROUP BY 1),
+        |a2 AS (SELECT dst, CAST(SUM(e.w * h1.h) AS BIGINT) AS a
+        |       FROM e JOIN h1 USING (src) GROUP BY 1),
+        |h2 AS (SELECT src, CAST(SUM(e.w * a2.a) AS BIGINT) AS h
+        |       FROM e JOIN a2 USING (dst) GROUP BY 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sc AS (SELECT node, COALESCE(h2.h, 0) AS hub,
+        |         COALESCE(a2.a, 0) AS auth
+        |       FROM n LEFT JOIN h2 ON h2.src = n.node
+        |            LEFT JOIN a2 ON a2.dst = n.node),
+        |mx AS (SELECT max(hub) AS mh, max(auth) AS ma FROM sc)
+        |SELECT node, hub, auth,
+        |  ROUND(CAST(hub AS DOUBLE) / CAST(mh AS DOUBLE), 6) AS hub_norm,
+        |  ROUND(CAST(auth AS DOUBLE) / CAST(ma AS DOUBLE), 6) AS auth_norm
+        |FROM sc, mx""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -604,4 +604,80 @@ object Recsys {
       .filter(col("rank") <= perUser)
       .select(col("user_id"), col("item_id"), col("rank"))
   }
+
+  /** Bounded k-core peeling: `rounds` iterations of "drop every node
+    * whose degree in the surviving subgraph is < k", over an
+    * undirected edge list (`item_a < item_b` convention, e.g.
+    * [[covisitation]] output). The cohesive-subgraph extractor a
+    * recommender uses to find the stable catalog core (vs long-tail
+    * items attached by a few co-views).
+    *
+    * A fixed round count makes the operator deterministic and
+    * oracle-expressible; peeling converges geometrically in practice,
+    * and the full k-core is the fixpoint (run more rounds, or iterate
+    * until the survivor count stops changing — same kernel). Each
+    * round is one degree aggregate + two semi-joins, all keyed on the
+    * node id — one shuffle lineage per round, no global structure.
+    * Output: surviving `(node, degree)` in the final subgraph. */
+  def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col("item_a").as("a"), col("item_b").as("b"))
+    var deg: DataFrame = null
+    for (r <- 1 to rounds) {
+      val sym = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      deg = sym.groupBy(col("n")).agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).select(col("n"))
+      if (r < rounds) {
+        e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        if (r % 4 == 0) e = e.localCheckpoint()
+      }
+    }
+    deg.filter(col("degree") >= k)
+      .select(col("n").as("node"), col("degree"))
+  }
+
+  /** HITS hubs/authorities, `rounds` synchronous iterations over a
+    * weighted directed edge list `(src, dst, w)` — here typically the
+    * observed next-item transition graph (which items funnel traffic
+    * vs which items receive it).
+    *
+    * Exactness trick: scores stay UNNORMALIZED integers (h₀ = 1;
+    * aᵣ(j) = Σ_in w·hᵣ₋₁, hᵣ(i) = Σ_out w·aᵣ) — normalization is
+    * scale-only, so ranking is unchanged and every engine reproduces
+    * the integer scores bit-for-bit; the single closing division
+    * (score / max-score) re-expresses them in [0,1]. Keep `rounds`
+    * small (2–3): magnitudes grow by ~(total weight)² per round and
+    * the ranking stabilizes almost immediately on power-law graphs.
+    * One aggregate + one equi-join per half-step, all keyed on node
+    * ids. */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+    // round 1 folds h0 = 1 into a plain weighted in-degree
+    var auth = e.groupBy(col("dst")).agg(sum(col("w")).as("a"))
+    var hub = e.join(auth, Seq("dst"))
+      .groupBy(col("src")).agg(sum(col("w") * col("a")).as("h"))
+    for (_ <- 2 to rounds) {
+      auth = e.join(hub, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("a"))
+      hub = e.join(auth, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("w") * col("a")).as("h"))
+    }
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct()
+    val scored = nodes
+      .join(hub.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(auth.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
+    val mx = scored.agg(max(col("hub")).as("__mh"),
+      max(col("auth")).as("__ma"))
+    scored.crossJoin(broadcast(mx))
+      .select(col("node"), col("hub"), col("auth"),
+        round(col("hub").cast("double") / col("__mh").cast("double"), 6)
+          .as("hub_norm"),
+        round(col("auth").cast("double") / col("__ma").cast("double"), 6)
+          .as("auth_norm"))
+  }
 }

@@ -422,4 +422,59 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
     // (2,3): common {10,12}=2, degrees 4 and 3 -> 2/(4+3-2)=0.4
     assert(got((2L, 3L)) === ((2L, 2.0 / 5.0)))
   }
+
+  test("kCore peels to the known core of a clique plus pendant chain") {
+    // 5-clique (every node degree 4) with a pendant path 5-6-7: one
+    // round of k=3 peeling removes 6,7 then 5 keeps degree 4 within
+    // the clique... pendant nodes never survive, clique always does
+    val clique = for {
+      a <- 0L to 4L; b <- 0L to 4L if a < b
+    } yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L), (6L, 7L)))
+      .toDF("item_a", "item_b")
+    val core = Recsys.kCore(edges, k = 3L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(core(0L) === 4L)
+    // node 4 had the pendant edge stripped: degree settles to 4
+    assert(core(4L) === 4L)
+    // a higher k empties the graph
+    assert(Recsys.kCore(edges, k = 5L, rounds = 2).count() === 0L)
+  }
+
+  test("kCore fixed rounds match iterate-to-fixpoint on real data") {
+    val g = Recsys.covisitation(Tables.events(spark, sf),
+      recentPerUser = 30, minUsers = 3)
+    def run(r: Int) = Recsys.kCore(g, k = 4L, rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // converged: one extra round changes nothing
+    val r4 = run(4)
+    assert(r4 === run(5))
+  }
+
+  test("hits matches a naive driver-side power iteration") {
+    val rnd = new scala.util.Random(21)
+    val edges = (0 until 60).map(_ => (rnd.nextInt(8).toLong,
+      rnd.nextInt(8).toLong, 1L + rnd.nextInt(4)))
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map { case ((s, d), xs) =>
+        (s, d, xs.map(_._3).sum) }.toSeq
+    val df = edges.toDF("src", "dst", "w")
+    val got = Recsys.hits(df, rounds = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // naive: h0=1, a_r = sum_in w*h, h_r = sum_out w*a
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var h = nodes.map(_ -> 1L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      a = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => e._3 * h.getOrElse(e._1, 1L)).sum }
+      h = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => e._3 * a.getOrElse(e._2, 0L)).sum }
+    }
+    nodes.foreach { n =>
+      assert(got(n) === ((h.getOrElse(n, 0L), a.getOrElse(n, 0L))),
+        s"node $n")
+    }
+  }
 }
