@@ -2746,6 +2746,52 @@ object SparkEntry {
         .select(col("item").as("src"), col("next").as("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       graft.operators.Recsys.hits(trans, rounds = 2)
+    }),
+
+    // ---- entity resolution: dirty records (one digit deleted from
+    // the name) resolved to the canonical table by blocked edit
+    // distance; correctness measurable because truth is known ----
+    "q247_fuzzy_linkage" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val clean = cust.select(col("c_custkey").as("ckey"),
+        col("c_name").as("cname"), col("c_nationkey").as("block"))
+      // the daily dirty increment (1/10th of keys) against the FULL
+      // canonical table — the production linkage shape
+      val dirty = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("dkey"),
+        expr("concat(substr(c_name, 1, cast(9 + c_custkey % 9 as int))," +
+          " substr(c_name, cast(11 + c_custkey % 9 as int), 100))")
+          .as("dname"),
+        col("c_nationkey").as("block"))
+      graft.operators.EntityResolution.blockedBestMatch(clean, dirty,
+        maxDist = 2)
+    }),
+
+    // ---- corpus triage: Flesch reading-ease / grade-level proxies,
+    // pure projection ----
+    "q248_readability" -> ((s, dir) =>
+      graft.operators.Corpus.readability(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // ---- profile freshness columns from the stream: first/last
+    // touch + count per user through the restart-safe min/max
+    // incremental state ----
+    "q249_stream_first_touch" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val base = java.nio.file.Files.createTempDirectory("graft-q249")
+        .toString
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$in/events.parquet"))
+      val schema = Tables.load(s, dir, "events").schema
+      val src = Tables.normalizeEventTs(Ingest.fileSource(s, in, schema))
+      Ingest.incrementalTouchSink(src, s"$base/state", Seq("user_id"),
+          "ts", s"$base/ckpt")
+        .start().awaitTermination()
+      graft.operators.Incremental.finishTouch(
+        s.read.parquet(s"$base/state"), Seq("user_id"))
     })
   )
 
@@ -7479,7 +7525,57 @@ object SparkEntry {
         |SELECT node, hub, auth,
         |  ROUND(CAST(hub AS DOUBLE) / CAST(mh AS DOUBLE), 6) AS hub_norm,
         |  ROUND(CAST(auth AS DOUBLE) / CAST(ma AS DOUBLE), 6) AS auth_norm
-        |FROM sc, mx""".stripMargin
+        |FROM sc, mx""".stripMargin,
+
+    "q247_fuzzy_linkage" ->
+      """WITH cl AS (SELECT c_custkey AS ckey, c_name AS cname,
+        |    c_nationkey AS blk FROM customer),
+        |dt AS (SELECT c_custkey AS dkey,
+        |    -- daily dirty increment
+        |    concat(substr(c_name, 1, CAST(9 + c_custkey % 9 AS INT)),
+        |      substr(c_name, CAST(11 + c_custkey % 9 AS INT), 100))
+        |      AS dname,
+        |    c_nationkey AS blk FROM customer WHERE c_custkey % 10 = 0),
+        |cand AS (SELECT dkey, ckey,
+        |    CAST(levenshtein(dname, cname) AS INT) AS dist
+        |  FROM dt JOIN cl USING (blk)
+        |  WHERE levenshtein(dname, cname) <= 2),
+        |rk AS (SELECT dkey, ckey, dist,
+        |    ROW_NUMBER() OVER (PARTITION BY dkey ORDER BY dist, ckey)
+        |      AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY dkey) AS BIGINT) AS cand_cnt
+        |  FROM cand)
+        |SELECT dkey, ckey AS matched_key, dist, cand_cnt,
+        |  (dkey = ckey) AS is_correct
+        |FROM rk WHERE rn = 1""".stripMargin,
+
+    "q248_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+        |      AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835E0
+        |    - 1.015E0 * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |    - 84.6E0 * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)), 6) AS flesch_ease,
+        |  ROUND(0.39E0 * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |    + 11.8E0 * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)) - 15.59E0, 6) AS grade_level
+        |FROM c WHERE n_words > 0""".stripMargin,
+
+    "q249_stream_first_touch" ->
+      """SELECT user_id, min(epoch_ms(ts)) AS first_ms,
+        |  max(epoch_ms(ts)) AS last_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  max(epoch_ms(ts)) - min(epoch_ms(ts)) AS span_ms
+        |FROM events GROUP BY 1""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -612,4 +612,36 @@ object Corpus {
       .withColumn("intercept", (sy - col("slope") * sx) / n)
       .select(col("n_terms"), col("slope"), col("intercept"))
   }
+
+  /** Flesch-style readability scores, fully row-local: words = letter
+    * runs, sentences = `[.!?]` runs (floored at 1 so punctuation-free
+    * corpora degrade to one-sentence docs instead of dividing by
+    * zero), syllables ≈ vowel-group runs — the standard cheap proxy; a
+    * real hyphenator is a per-language dictionary lookup, overkill for
+    * corpus triage. Reading-ease and grade-level are elementwise
+    * double arithmetic over those integers, so any engine reproduces
+    * them exactly. No shuffle at all — this is a projection a 100 TB
+    * scan absorbs for free. */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .cast("long").as("n_words"),
+      greatest(
+        size(expr(s"regexp_extract_all($textCol, '[.!?]+', 0)")), lit(1))
+        .cast("long").as("n_sentences"),
+      size(expr(s"regexp_extract_all(lower($textCol), '[aeiouy]+', 0)"))
+        .cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0L)
+      .withColumn("flesch_ease", round(
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 6))
+      .withColumn("grade_level", round(
+        lit(0.39) * (col("n_words").cast("double") /
+          col("n_sentences").cast("double")) +
+          lit(11.8) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")) - lit(15.59), 6))
 }

@@ -48,4 +48,30 @@ object Incremental {
     state.select(keys.map(col) ++ Seq(col("cnt"),
       col("sum_dec").cast("double").as("val_sum"),
       (col("sum_dec").cast("double") / col("cnt")).as("val_avg")): _*)
+
+  /** First/last-touch state of one batch: per-key earliest and latest
+    * event-time (epoch millis) plus the touch count. Min/max/count are
+    * all commutative monoids, so the state merges exactly under ANY
+    * batching — the incremental carrier for a user-profile store's
+    * "first seen / last active" columns (reference: the feature
+    * store's per-entity metadata refresh, SURVEY ST3/A2). */
+  def touchState(df: DataFrame, keys: Seq[String], tsCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(unix_millis(col(tsCol))).as("first_ms"),
+        max(unix_millis(col(tsCol))).as("last_ms"),
+        count(lit(1)).as("cnt"))
+
+  /** Merge touch states: min of firsts, max of lasts, sum of counts —
+    * absent keys are identities, exactly like [[mergeStates]]. */
+  def mergeTouchStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("first_ms")).as("first_ms"),
+        max(col("last_ms")).as("last_ms"),
+        sum(col("cnt")).cast("long").as("cnt"))
+
+  /** Read-time finish: first/last touch plus the derived active span. */
+  def finishTouch(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(col("first_ms"), col("last_ms"),
+      col("cnt"), (col("last_ms") - col("first_ms")).as("span_ms")): _*)
 }

@@ -263,8 +263,22 @@ object Ingest {
       valueCol: String, batchId: Long = Long.MinValue,
       scopeId: String = ""): Unit = {
     import graft.operators.Incremental
-    val spark = batch.sparkSession
     val delta = Incremental.aggState(batch, keys, valueCol)
+    incrementalStateBatch(delta, path,
+      prior => Incremental.mergeStates(Seq(prior, delta), keys),
+      batchId, scopeId)
+  }
+
+  /** The [[incrementalAggBatch]] kernel with a pluggable merge: any
+    * per-key state whose columns form commutative monoids (sums,
+    * min/max, counts) maintains itself through the same
+    * staging-swap-marker machinery. `delta` is the batch already
+    * reduced to state rows; `merge(prior, delta)` folds it into the
+    * persisted table. */
+  private def incrementalStateBatch(delta: DataFrame, path: String,
+      merge: DataFrame => DataFrame, batchId: Long,
+      scopeId: String): Unit = {
+    val spark = delta.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(fs, target)
@@ -274,8 +288,7 @@ object Ingest {
         existing.exists { case (id, sc) => sc == scopeId && batchId <= id })
       return
     val merged =
-      if (fs.exists(target))
-        Incremental.mergeStates(Seq(spark.read.parquet(path), delta), keys)
+      if (fs.exists(target)) merge(spark.read.parquet(path))
       else delta
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     merged.write.mode("overwrite").parquet(staging.toString)
@@ -287,6 +300,38 @@ object Ingest {
     }
     swapInto(fs, staging, target)
   }
+
+  /** First/last-touch state maintenance for one micro-batch —
+    * [[graft.operators.Incremental.touchState]] through the same
+    * idempotent staging/swap/marker kernel as the count/sum state. */
+  def incrementalTouchBatch(batch: DataFrame, path: String,
+      keys: Seq[String], tsCol: String, batchId: Long = Long.MinValue,
+      scopeId: String = ""): Unit = {
+    import graft.operators.Incremental
+    val delta = Incremental.touchState(batch, keys, tsCol)
+    incrementalStateBatch(delta, path,
+      prior => Incremental.mergeTouchStates(Seq(prior, delta), keys),
+      batchId, scopeId)
+  }
+
+  /** Streaming first/last-touch maintenance: the user-profile columns
+    * ("first seen", "last active", touch count) kept fresh from the
+    * event stream without ever rescanning history. Min/max/count merge
+    * exactly under any batching; replays are skipped via the same
+    * scoped batch marker as [[incrementalAggSink]]. */
+  def incrementalTouchSink(
+      stream: DataFrame,
+      path: String,
+      keys: Seq[String],
+      tsCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalTouchBatch(batch, path, keys, tsCol, batchId,
+          scopeId = checkpoint)
+      }
 
   /** ST7 as a TYPED stateful operator: the reference's per-(user, week)
     * read-modify-write (`persistToBucket`, click.go:61-91 — read stored

@@ -327,4 +327,57 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(streamed === batch)
     assert(streamed.map(_._3).sum === 900L) // 300 values x 3 rows
   }
+
+  test("touch state: sharded batches merge to the full-history answer") {
+    val store = Files.createTempDirectory("touch-state").toString + "/st"
+    val rows = (1 to 300).map(i =>
+      (i % 7L, new Timestamp(1700000000000L + i * 60000L)))
+    val df = rows.toDF("k", "ts")
+    // apply in three arbitrary shards
+    Ingest.incrementalTouchBatch(df.filter(col("k") <= 2), store,
+      Seq("k"), "ts", batchId = 0, scopeId = "s")
+    Ingest.incrementalTouchBatch(df.filter(col("k") > 2), store,
+      Seq("k"), "ts", batchId = 1, scopeId = "s")
+    // a REPLAY of batch 1 must be skipped, not double-counted
+    Ingest.incrementalTouchBatch(df.filter(col("k") > 2), store,
+      Seq("k"), "ts", batchId = 1, scopeId = "s")
+    val got = graft.operators.Incremental.finishTouch(
+        spark.read.parquet(store), Seq("k"))
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val expect = rows.groupBy(_._1).map { case (k, xs) =>
+      val ms = xs.map(_._2.getTime)
+      (k, ms.min, ms.max, xs.size.toLong, ms.max - ms.min)
+    }.toSeq.sorted
+    assert(got === expect)
+  }
+
+  test("blockedBestMatch links within blocks only, naive-checked") {
+    import graft.operators.EntityResolution
+    val clean = Seq((1L, "alpha", 0L), (2L, "alphq", 0L),
+      (3L, "alpha", 1L), (4L, "beta", 0L)).toDF("ckey", "cname", "block")
+    val dirty = Seq((10L, "alpha", 0L), (11L, "betta", 0L),
+      (12L, "alpha", 2L)).toDF("dkey", "dname", "block")
+    val got = EntityResolution.blockedBestMatch(clean, dirty, maxDist = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    // 10: block 0 candidates alpha(d0), alphq(d1), beta(d>2 excluded)
+    assert(got(10L) === ((1L, 0, 2L)))
+    // 11: betta->beta d1; alpha/alphq d>=4 out
+    assert(got(11L) === ((4L, 1, 1L)))
+    // 12: block 2 has no clean rows -> unmatched, absent
+    assert(!got.contains(12L))
+  }
+
+  test("readability scores a hand-computed fixture") {
+    val docs = Seq((1L, "The cat sat. It ran!"),
+      (2L, "no punctuation here")).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: words [the,cat,sat,it,ran]=5, sentences [., !]=2,
+    // vowel groups: e,a,a,i,a = 5
+    assert(got(1L) === ((5L, 2L, 5L)))
+    // doc 2: 3 words, floor 1 sentence, o,u,ua,io,e,e = 6 groups
+    assert(got(2L) === ((3L, 1L, 6L)))
+  }
 }
