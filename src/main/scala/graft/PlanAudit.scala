@@ -123,6 +123,12 @@ object PlanAudit {
     case l: LocalLimitExec => l.limit <= 1 || atMostOneRow(l.child)
     case g: GlobalLimitExec => g.limit <= 1 || atMostOneRow(g.child)
     case fl: FilterExec => pinnedGroupFilter(fl) || atMostOneRow(fl.child)
+    // a join of two provably-one-row sides yields at most one row
+    // (inner/cross: 1x1; outer variants cannot exceed the 1x1 product
+    // plus the preserved single row) — the stacked
+    // crossJoin(broadcast(one-row-agg)) shape builds exactly this
+    case j: BroadcastNestedLoopJoinExec =>
+      atMostOneRow(j.left) && atMostOneRow(j.right)
     case _ => false
   }
 

@@ -2792,7 +2792,27 @@ object SparkEntry {
         .start().awaitTermination()
       graft.operators.Incremental.finishTouch(
         s.read.parquet(s"$base/state"), Seq("user_id"))
-    })
+    }),
+
+    // ---- leakage-free trailing features: views count/value-sum in
+    // the 24 h before each purchase, one range window ----
+    "q250_event_window_features" -> ((s, dir) =>
+      InteractionStore.eventWindowFeatures(Tables.events(s, dir),
+        "user_id", "ts", targetType = "purchase", featureType = "view",
+        windowMs = 86400000L)),
+
+    // ---- MRL-style truncation audit: prefix-energy ladder over the
+    // embedding corpus ----
+    "q251_matryoshka_audit" -> ((s, dir) =>
+      graft.operators.LinAlg.matryoshkaAudit(Tables.embeddings(s, dir),
+        "embedding", Seq(4, 8, 16, 32, 64))),
+
+    // ---- optimizer-statistics audit: Selinger vs MCV-refined join
+    // cardinality estimates against the exact count ----
+    "q252_join_cardinality" -> ((s, dir) =>
+      graft.operators.Profile.joinCardinalityEstimate(
+        Tables.events(s, dir), "user_id",
+        Tables.orders(s, dir), "o_custkey", mcv = 20))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7575,7 +7595,74 @@ object SparkEntry {
         |  max(epoch_ms(ts)) AS last_ms,
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  max(epoch_ms(ts)) - min(epoch_ms(ts)) AS span_ms
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q250_event_window_features" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    event_type, CAST(floor(value * 1.0E6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |w AS (SELECT user_id, event_id, ms, event_type,
+        |    COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER win, 0) AS fc,
+        |    COALESCE(SUM(CASE WHEN event_type = 'view' THEN vm ELSE 0 END)
+        |      OVER win, 0) AS fvm
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ms
+        |    RANGE BETWEEN 86400000 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, ms AS ts_ms,
+        |  CAST(fc AS BIGINT) AS feat_cnt,
+        |  CAST(fvm AS DOUBLE) / 1.0E6 AS feat_val_sum
+        |FROM w WHERE event_type = 'purchase'""".stripMargin,
+
+    "q251_matryoshka_audit" -> {
+      val pref = sqlDotOf("list_slice(v, 1, kk.k)", "list_slice(v, 1, kk.k)")
+      val tot = sqlDotOf("v", "v")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |kk AS (SELECT unnest([4, 8, 16, 32, 64]) AS k),
+         |f AS (SELECT vec_id, kk.k,
+         |    CAST(floor($pref / $tot * 1.0E6) AS BIGINT) AS fm
+         |  FROM e, kk)
+         |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  ROUND(CAST(SUM(fm) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1.0E6), 6) AS avg_energy_frac,
+         |  CAST(MIN(fm) AS DOUBLE) / 1.0E6 AS min_energy_frac
+         |FROM f GROUP BY 1""".stripMargin
+    },
+
+    "q252_join_cardinality" ->
+      """WITH ca AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM events GROUP BY 1),
+        |cb AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM orders GROUP BY 1),
+        |ma AS (SELECT k, ca FROM ca ORDER BY ca DESC, k ASC LIMIT 20),
+        |mb AS (SELECT k, cb FROM cb ORDER BY cb DESC, k ASC LIMIT 20),
+        |sa AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(COUNT(*) AS BIGINT) AS da FROM ca),
+        |sam AS (SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS na_mcv,
+        |    CAST(COUNT(*) AS BIGINT) AS da_mcv FROM ma),
+        |sb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(COUNT(*) AS BIGINT) AS db FROM cb),
+        |sbm AS (SELECT CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS nb_mcv,
+        |    CAST(COUNT(*) AS BIGINT) AS db_mcv FROM mb),
+        |act AS (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS actual
+        |  FROM ca JOIN cb USING (k)),
+        |mm AS (SELECT CAST(COALESCE(SUM(ma.ca * mb.cb), 0) AS BIGINT)
+        |    AS mcv_match FROM ma JOIN mb USING (k)),
+        |x AS (SELECT actual, mcv_match,
+        |    ROUND(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |      / CAST(greatest(da, db) AS DOUBLE), 6) AS selinger_est,
+        |    ROUND(CAST(mcv_match AS DOUBLE)
+        |      + CAST(na - na_mcv AS DOUBLE) * CAST(nb - nb_mcv AS DOUBLE)
+        |        / CAST(greatest(da - da_mcv, db - db_mcv, 1) AS DOUBLE), 6)
+        |      AS mcv_est
+        |  FROM act, mm, sa, sam, sb, sbm)
+        |SELECT actual, mcv_match, selinger_est, mcv_est,
+        |  ROUND(abs(selinger_est - CAST(actual AS DOUBLE))
+        |    / CAST(actual AS DOUBLE), 6) AS selinger_rel_err,
+        |  ROUND(abs(mcv_est - CAST(actual AS DOUBLE))
+        |    / CAST(actual AS DOUBLE), 6) AS mcv_rel_err
+        |FROM x""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

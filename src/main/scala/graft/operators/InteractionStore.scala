@@ -416,4 +416,42 @@ object InteractionStore {
         (col("dau").cast("double") / col("wau").cast("double"))
           .as("stickiness"))
   }
+
+  /** Point-in-time sliding-window features at event granularity: for
+    * every `targetType` event, the count and (micro-exact) value sum
+    * of the entity's `featureType` events in the trailing `windowMs`
+    * window, current instant excluded — "views in the last 24 h as of
+    * each purchase", the leakage-free trailing aggregate a training
+    * pipeline attaches to labels.
+    *
+    * ONE event-time range window over the per-entity union of targets
+    * and features does all of it: a single shuffle on the entity key,
+    * no interval join, no per-target re-scan. The RANGE frame is
+    * anchored on integer epoch-millis, so frame membership is exact
+    * tie-inclusive arithmetic in any engine. Window length bounds
+    * per-row state, not partition size — skew-safe as long as one
+    * entity's history fits a partition (same bound every per-user
+    * window op in this store carries). */
+  def eventWindowFeatures(events: DataFrame, entityCol: String,
+      tsCol: String, targetType: String, featureType: String,
+      windowMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("__ms").asc)
+      .rangeBetween(-windowMs, -1)
+    events
+      .filter(col("event_type").isin(targetType, featureType))
+      .select(col(entityCol), col("event_id"),
+        unix_millis(col(tsCol)).as("__ms"), col("event_type"),
+        floor(col("value") * 1e6).cast("long").as("__vm"))
+      .withColumn("feat_cnt", coalesce(sum(
+        when(col("event_type") === featureType, 1L).otherwise(0L)).over(w),
+        lit(0L)))
+      .withColumn("__feat_vm", coalesce(sum(
+        when(col("event_type") === featureType, col("__vm"))
+          .otherwise(0L)).over(w), lit(0L)))
+      .filter(col("event_type") === targetType)
+      .select(col(entityCol), col("event_id"), col("__ms").as("ts_ms"),
+        col("feat_cnt"),
+        (col("__feat_vm").cast("double") / 1e6).as("feat_val_sum"))
+  }
 }

@@ -144,4 +144,37 @@ object LinAlg {
         Similarity.cosine(col("a.mean_embedding"),
           col("b.mean_embedding")).as("cosine"))
   }
+
+  /** Matryoshka-truncation audit: how much of each vector's squared
+    * norm the first k dimensions capture, averaged (and worst-cased)
+    * over the corpus, for a ladder of prefix lengths. The
+    * go/no-go measurement before serving truncated (MRL-style)
+    * embeddings: a prefix that holds ~99% of the energy keeps cosine
+    * rankings nearly intact at a fraction of the ANN index cost.
+    *
+    * Per-vector fractions floor to micro-units (exact integer
+    * averaging, any engine); energies use the shared ascending-index
+    * dot fold. Plan: `prefixes.length` cheap projections over one
+    * scan (explode of a tiny literal ladder), one aggregate — no
+    * d²-anything, no shuffle beyond the final k-row aggregate. */
+  def matryoshkaAudit(embeddings: DataFrame, vecCol: String,
+      prefixes: Seq[Int]): DataFrame = {
+    import graft.functions.Similarity
+    val v = col(vecCol).cast("array<double>")
+    val total = Similarity.dot(v, v)
+    val perK = explode(array(prefixes.map(lit): _*)).as("k")
+    embeddings
+      .select(col("*"), perK)
+      .withColumn("__pref",
+        Similarity.dot(slice(v, lit(1), col("k")),
+          slice(v, lit(1), col("k"))))
+      .withColumn("__frac_micro",
+        floor(col("__pref") / total * 1e6).cast("long"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("__frac_micro")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("avg_energy_frac"),
+        (min(col("__frac_micro")).cast("double") / 1e6)
+          .as("min_energy_frac"))
+  }
 }
