@@ -2812,7 +2812,26 @@ object SparkEntry {
     "q252_join_cardinality" -> ((s, dir) =>
       graft.operators.Profile.joinCardinalityEstimate(
         Tables.events(s, dir), "user_id",
-        Tables.orders(s, dir), "o_custkey", mcv = 20))
+        Tables.orders(s, dir), "o_custkey", mcv = 20)),
+
+    // ---- keyword extraction: PageRank over the word-adjacency
+    // graph (TextRank), integer fixed-point iterations ----
+    "q253_textrank" -> ((s, dir) =>
+      graft.operators.Corpus.textrankKeywords(
+        Tables.documents(s, dir), "text", minCount = 5, iterations = 3)),
+
+    // ---- distribution-free uncertainty: split-conformal [p05, p95]
+    // bands per event type, held-out coverage audited ----
+    "q254_conformal_coverage" -> ((s, dir) =>
+      graft.operators.Evaluation.conformalCoverage(
+        Tables.events(s, dir), "event_type", "value", "event_id")),
+
+    // ---- consistent-hash routing: 16 -> 17 shard resize moves
+    // ~1/17th of keys (measured), ring as plan-literal metadata ----
+    "q255_shard_rebalance" -> ((s, dir) =>
+      graft.sources.ShardRing.rebalanceAudit(
+        Tables.events(s, dir), "user_id",
+        fromShards = 16, toShards = 17, vnodes = 50))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7662,7 +7681,129 @@ object SparkEntry {
         |    / CAST(actual AS DOUBLE), 6) AS selinger_rel_err,
         |  ROUND(abs(mcv_est - CAST(actual AS DOUBLE))
         |    / CAST(actual AS DOUBLE), 6) AS mcv_rel_err
-        |FROM x""".stripMargin
+        |FROM x""".stripMargin,
+
+    "q253_textrank" ->
+      s"""WITH t AS (SELECT $sqlWords AS w FROM documents),
+         |pr0 AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> [w[i], w[i + 1]])) AS pp FROM t WHERE len(w) >= 2),
+         |cov AS (SELECT least(pp[1], pp[2]) AS item_a,
+         |    greatest(pp[1], pp[2]) AS item_b
+         |  FROM pr0 WHERE pp[1] <> pp[2]
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |adj AS (SELECT item_a AS node, item_b AS nbr FROM cov
+         |        UNION SELECT item_b, item_a FROM cov),
+         |deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS nn FROM deg),
+         |r0 AS (SELECT deg.node, deg.d, 1000000000000 // n.nn AS r
+         |       FROM deg CROSS JOIN n),
+         |c1 AS (SELECT adj.nbr AS node,
+         |    CAST(SUM((r0.r * 85) // (100 * r0.d)) AS BIGINT) AS infl
+         |  FROM r0 JOIN adj ON r0.node = adj.node GROUP BY 1),
+         |r1 AS (SELECT deg.node, deg.d,
+         |    ((1000000000000 * 15) // (100 * n.nn))
+         |      + COALESCE(c1.infl, 0) AS r
+         |  FROM deg CROSS JOIN n LEFT JOIN c1 ON deg.node = c1.node),
+         |c2 AS (SELECT adj.nbr AS node,
+         |    CAST(SUM((r1.r * 85) // (100 * r1.d)) AS BIGINT) AS infl
+         |  FROM r1 JOIN adj ON r1.node = adj.node GROUP BY 1),
+         |r2 AS (SELECT deg.node, deg.d,
+         |    ((1000000000000 * 15) // (100 * n.nn))
+         |      + COALESCE(c2.infl, 0) AS r
+         |  FROM deg CROSS JOIN n LEFT JOIN c2 ON deg.node = c2.node),
+         |c3 AS (SELECT adj.nbr AS node,
+         |    CAST(SUM((r2.r * 85) // (100 * r2.d)) AS BIGINT) AS infl
+         |  FROM r2 JOIN adj ON r2.node = adj.node GROUP BY 1),
+         |r3 AS (SELECT deg.node, deg.d,
+         |    ((1000000000000 * 15) // (100 * n.nn))
+         |      + COALESCE(c3.infl, 0) AS r
+         |  FROM deg CROSS JOIN n LEFT JOIN c3 ON deg.node = c3.node)
+         |SELECT node, r AS rank_micro,
+         |  CAST(r AS DOUBLE) / 1000000000000.0 AS pagerank
+         |FROM r3""".stripMargin,
+
+    "q254_conformal_coverage" -> {
+      val probs = Seq(0.05, 0.95)
+      val pL = probs.map(p => s"${p}E0").mkString("[", ", ", "]")
+      val pmL = probs.map(p => math.round(p * 1e6)).mkString("[", ", ", "]")
+      s"""WITH st AS (SELECT event_type, value,
+         |    ${sqlHash32(13, "CAST(event_id AS VARCHAR)")} % 100 AS h
+         |  FROM events),
+         |s AS (SELECT event_type,
+         |    CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vm
+         |  FROM st WHERE h < 80 AND value IS NOT NULL),
+         |c AS (SELECT event_type, vm, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+         |w AS (SELECT event_type, vm, cnt,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY vm
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM c),
+         |n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+         |      FROM c GROUP BY 1),
+         |p AS (SELECT unnest($pL) AS prob, unnest($pmL) AS pm),
+         |k AS (SELECT n.event_type, n.n, p.prob,
+         |    GREATEST(1, (p.pm * n.n + 999999) // 1000000) AS kk
+         |  FROM n, p),
+         |q AS (SELECT k.event_type, k.prob, k.n,
+         |    CAST(w.vm AS DOUBLE) / 1e6 AS quantile
+         |  FROM k JOIN w ON w.event_type = k.event_type
+         |    AND w.hi - w.cnt < k.kk AND k.kk <= w.hi),
+         |b AS (SELECT event_type,
+         |    MAX(CASE WHEN prob = 0.05E0 THEN quantile END) AS lo,
+         |    MAX(CASE WHEN prob = 0.95E0 THEN quantile END) AS hi,
+         |    CAST(MAX(n) AS BIGINT) AS n_train FROM q GROUP BY 1),
+         |te AS (SELECT event_type,
+         |    CAST(ROUND(CAST(value AS DOUBLE) * 1e6) AS BIGINT) AS vm
+         |  FROM st WHERE h >= 80),
+         |j AS (SELECT te.event_type, n_train, lo, hi,
+         |    CASE WHEN vm >= CAST(ROUND(lo * 1.0E6) AS BIGINT)
+         |         AND vm <= CAST(ROUND(hi * 1.0E6) AS BIGINT)
+         |      THEN 1 ELSE 0 END AS cov
+         |  FROM te JOIN b USING (event_type))
+         |SELECT event_type, MAX(n_train) AS n_train, MAX(lo) AS lo,
+         |  MAX(hi) AS hi, CAST(COUNT(*) AS BIGINT) AS n_test,
+         |  CAST(SUM(cov) AS BIGINT) AS n_covered,
+         |  ROUND(CAST(SUM(cov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |    AS coverage
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
+    "q255_shard_rebalance" ->
+      """WITH ring17 AS (SELECT
+        |    CAST(('0x'||substr(md5('ring:'||CAST(t1.s AS VARCHAR)||':'
+        |      ||CAST(t2.v AS VARCHAR)), 1, 8)) AS BIGINT) AS pt, t1.s
+        |  FROM generate_series(0, 16) AS t1(s),
+        |       generate_series(0, 49) AS t2(v)),
+        |ring16 AS (SELECT pt, s FROM ring17 WHERE s < 16),
+        |keys AS (SELECT DISTINCT user_id AS k FROM events),
+        |kh AS (SELECT k, CAST(('0x'||substr(md5('key:'
+        |    ||CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM keys),
+        |s16 AS (SELECT kh.k, min(r.pt) AS spt FROM kh
+        |        JOIN ring16 r ON r.pt >= kh.h GROUP BY 1),
+        |w16 AS (SELECT min(pt) AS wpt FROM ring16),
+        |o16 AS (SELECT kh.k, COALESCE(s16.spt, w16.wpt) AS opt
+        |        FROM kh LEFT JOIN s16 ON s16.k = kh.k, w16),
+        |own16 AS (SELECT o16.k, CAST(min(r.s) AS BIGINT) AS shard_from
+        |          FROM o16 JOIN ring16 r ON r.pt = o16.opt GROUP BY 1),
+        |s17 AS (SELECT kh.k, min(r.pt) AS spt FROM kh
+        |        JOIN ring17 r ON r.pt >= kh.h GROUP BY 1),
+        |w17 AS (SELECT min(pt) AS wpt FROM ring17),
+        |o17 AS (SELECT kh.k, COALESCE(s17.spt, w17.wpt) AS opt
+        |        FROM kh LEFT JOIN s17 ON s17.k = kh.k, w17),
+        |own17 AS (SELECT o17.k, CAST(min(r.s) AS BIGINT) AS shard_to
+        |          FROM o17 JOIN ring17 r ON r.pt = o17.opt GROUP BY 1),
+        |r AS (SELECT own16.k, shard_from, shard_to
+        |      FROM own16 JOIN own17 ON own16.k = own17.k),
+        |ld AS (SELECT CAST(min(c) AS BIGINT) AS min_load,
+        |    CAST(max(c) AS BIGINT) AS max_load FROM
+        |    (SELECT shard_to, COUNT(*) AS c FROM r GROUP BY 1) t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN shard_from <> shard_to THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved,
+        |  ROUND(CAST(SUM(CASE WHEN shard_from <> shard_to THEN 1 ELSE 0
+        |    END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS moved_frac,
+        |  ROUND(1.0E0 / 17, 6) AS ideal_frac,
+        |  (SELECT min_load FROM ld) AS min_load,
+        |  (SELECT max_load FROM ld) AS max_load
+        |FROM r""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

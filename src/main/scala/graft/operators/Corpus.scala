@@ -622,6 +622,33 @@ object Corpus {
     * double arithmetic over those integers, so any engine reproduces
     * them exactly. No shuffle at all — this is a projection a 100 TB
     * scan absorbs for free. */
+  /** TextRank keyword extraction: PageRank over the word-adjacency
+    * graph (undirected edges between neighboring tokens, kept when
+    * they co-occur ≥ `minCount` times corpus-wide). The graph build is
+    * a row-local adjacent-pair explode + one count shuffle; ranking
+    * reuses [[Recsys.pageRank]]'s integer fixed-point iterations, so
+    * the whole extraction is engine-exact. Rank-frequency differs from
+    * raw frequency exactly where TextRank earns its keep: a word
+    * bridging many distinct contexts outranks one repeated inside a
+    * single phrase. */
+  def textrankKeywords(docs: DataFrame, textCol: String,
+      minCount: Long = 5, iterations: Int = 3): DataFrame = {
+    val pairs = docs
+      .select(graft.functions.TextFunctions.words(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__w) - 1), i -> " +
+          "named_struct('a', element_at(__w, i), " +
+          "'b', element_at(__w, i + 1)))")).as("__p"))
+      .select(least(col("__p.a"), col("__p.b")).as("item_a"),
+        greatest(col("__p.a"), col("__p.b")).as("item_b"))
+      .filter(col("item_a") =!= col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select("item_a", "item_b")
+    Recsys.pageRank(pairs, iterations)
+  }
+
   def readability(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol),

@@ -932,4 +932,49 @@ object Evaluation {
         round(col("num_micro").cast("double") /
           col("den_micro").cast("double"), 6))
   }
+
+  /** Split-conformal interval audit: per-segment [lo, hi] prediction
+    * bands from exact train-split quantiles, coverage measured on the
+    * held-out split. The distribution-free uncertainty wrapper a
+    * scoring pipeline ships with its point predictions — if the
+    * realized coverage drifts from the nominal `hiProb − loProb`, the
+    * intervals (or the segmentation) are stale.
+    *
+    * Deterministic end to end: the split is the md5-hash membership
+    * convention (stable under re-execution and repartitioning),
+    * bounds come from [[Normalize.quantilesBy]]'s integer rank
+    * arithmetic, and membership tests compare micro-unit longs.
+    * Plan: one scan staged into the two splits, the per-segment
+    * quantile lineage (prefix-sum, no global window), one
+    * segment-keyed join of the test split against the tiny bounds
+    * table — AQE broadcasts it on its own. */
+  def conformalCoverage(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, seed: Int = 13, trainPct: Int = 80,
+      loProb: Double = 0.05, hiProb: Double = 0.95): DataFrame = {
+    import graft.functions.TextFunctions
+    val staged = df.select(col(keyCol), col(valueCol),
+      (TextFunctions.md5Hash32(col(idCol).cast("string"), seed) % 100)
+        .as("__h"))
+    val bounds = Normalize.quantilesBy(
+        staged.filter(col("__h") < trainPct), keyCol, valueCol,
+        Seq(loProb, hiProb))
+      .groupBy(col(keyCol))
+      .agg(max(when(col("prob") === loProb, col("quantile"))).as("lo"),
+        max(when(col("prob") === hiProb, col("quantile"))).as("hi"),
+        max(col("n")).as("n_train"))
+    staged.filter(col("__h") >= trainPct)
+      .select(col(keyCol),
+        round(col(valueCol).cast("double") * 1e6).cast("long").as("__vm"))
+      .join(bounds, Seq(keyCol))
+      .withColumn("__cov",
+        (col("__vm") >= round(col("lo") * 1e6).cast("long") &&
+          col("__vm") <= round(col("hi") * 1e6).cast("long")).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n_train")).as("n_train"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"), count(lit(1)).as("n_test"),
+        sum(col("__cov")).as("n_covered"))
+      .withColumn("coverage",
+        round(col("n_covered").cast("double") /
+          col("n_test").cast("double"), 6))
+  }
 }
