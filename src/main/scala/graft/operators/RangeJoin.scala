@@ -43,7 +43,12 @@ object RangeJoin {
     * near the typical interval length so the fan-out stays a small
     * constant. */
   def sessionConcurrency(spans: DataFrame, binMs: Long): DataFrame = {
-    val binned = spans.withColumn("bin",
+    // the span table feeds BOTH self-join sides plus the zero-fill
+    // left join; materialize it once (it is session-sized, orders of
+    // magnitude smaller than the events it came from) so the upstream
+    // sessionize window lineage doesn't execute three times
+    val sp = spans.localCheckpoint()
+    val binned = sp.withColumn("bin",
       explode(expr(s"sequence(start_ms div ${binMs}L, end_ms div ${binMs}L)")))
     val a = binned.select(col("user_id").as("ua"),
       col("session_idx").as("sa"), col("start_ms").as("sta"),
@@ -60,7 +65,7 @@ object RangeJoin {
     val perSession = pairs.groupBy(col("ua").as("user_id"),
         col("sa").as("session_idx"))
       .agg(count(lit(1)).as("n_concurrent"))
-    spans.join(perSession, Seq("user_id", "session_idx"), "left")
+    sp.join(perSession, Seq("user_id", "session_idx"), "left")
       .select(coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
       .groupBy("n_concurrent").agg(count(lit(1)).as("n_sessions"))
   }
