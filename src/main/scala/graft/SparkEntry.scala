@@ -2831,7 +2831,50 @@ object SparkEntry {
     "q255_shard_rebalance" -> ((s, dir) =>
       graft.sources.ShardRing.rebalanceAudit(
         Tables.events(s, dir), "user_id",
-        fromShards = 16, toShards = 17, vnodes = 50))
+        fromShards = 16, toShards = 17, vnodes = 50)),
+
+    // ---- nonparametric trend gate: Mann-Kendall z + Theil-Sen
+    // slope per event type's daily volume ----
+    "q256_trend_test" -> ((s, dir) =>
+      graft.operators.Trend.mannKendall(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day_epoch"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "day_epoch", "cnt")),
+
+    // ---- sequence mining lite: top-20 adjacent event-type trigram
+    // paths across user timelines ----
+    "q257_path_trigrams" -> ((s, dir) =>
+      graft.operators.Funnel.pathTrigrams(Tables.events(s, dir), k = 20)),
+
+    // ---- where did the level shift happen: integer CUSUM peak per
+    // event type's daily series ----
+    "q258_cusum_changepoint" -> ((s, dir) =>
+      graft.operators.Trend.cusumChangepoint(
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day_epoch"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "day_epoch", "cnt")),
+
+    // ---- sort-free table equality: commutative multiset fingerprint,
+    // invariance demonstrated against a reshuffled re-read ----
+    "q259_table_fingerprint" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val fp1 = graft.operators.Validate.tableFingerprint(
+        Tables.orders(s, dir), cols)
+      val fp2 = graft.operators.Validate.tableFingerprint(
+          Tables.orders(s, dir).repartition(13)
+            .sortWithinPartitions(col("o_orderkey").desc), cols)
+        .select(col("n_rows").as("n2"), col("sum_hash").as("s2"),
+          col("xor_hash").as("x2"))
+      fp1.crossJoin(broadcast(fp2))
+        .select(col("n_rows"), col("sum_hash"), col("xor_hash"),
+          (col("n_rows") === col("n2") && col("sum_hash") === col("s2") &&
+            col("xor_hash") === col("x2")).as("reorder_match"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7803,7 +7846,89 @@ object SparkEntry {
         |  ROUND(1.0E0 / 17, 6) AS ideal_frac,
         |  (SELECT min_load FROM ld) AS min_load,
         |  (SELECT max_load FROM ld) AS max_load
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    "q256_trend_test" ->
+      """WITH dly AS (SELECT event_type AS k, epoch_ms(ts) // 86400000
+        |    AS t, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.k, a.x AS x1, b.x AS x2, b.t - a.t AS dt
+        |  FROM dly a JOIN dly b ON b.k = a.k AND b.t > a.t),
+        |sa AS (SELECT k, CAST(SUM(CASE WHEN x2 > x1 THEN 1
+        |    WHEN x2 < x1 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM pairs GROUP BY 1),
+        |np AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points
+        |  FROM dly GROUP BY 1),
+        |tg AS (SELECT k, x, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM dly GROUP BY 1, 2),
+        |tc AS (SELECT k, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+        |    AS tiec FROM tg GROUP BY 1),
+        |sl AS (SELECT k, CAST(floor(CAST(x2 - x1 AS DOUBLE) * 1.0E6
+        |    / CAST(dt AS DOUBLE)) AS BIGINT) AS vm FROM pairs),
+        |c AS (SELECT k, vm, COUNT(*) AS cnt FROM sl GROUP BY 1, 2),
+        |w AS (SELECT k, vm, cnt, CAST(SUM(cnt) OVER (PARTITION BY k
+        |    ORDER BY vm ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+        |  FROM c),
+        |nn AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |kk AS (SELECT k, n, GREATEST(1, (500000 * n + 999999) // 1000000)
+        |    AS kv FROM nn),
+        |q AS (SELECT kk.k, CAST(w.vm AS DOUBLE) / 1e6 AS theil_sen
+        |  FROM kk JOIN w ON w.k = kk.k
+        |    AND w.hi - w.cnt < kk.kv AND kk.kv <= w.hi),
+        |fin AS (SELECT sa.k, n_points, s_stat, theil_sen,
+        |    n_points * (n_points - 1) * (2 * n_points + 5) - tiec AS v18
+        |  FROM sa JOIN np ON np.k = sa.k JOIN tc ON tc.k = sa.k
+        |    JOIN q ON q.k = sa.k),
+        |z AS (SELECT *, CASE WHEN v18 <= 0 THEN 0.0E0 ELSE
+        |    (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |          WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |          ELSE 0.0E0 END)
+        |      / sqrt(CAST(v18 AS DOUBLE) / 18.0E0) END AS zr FROM fin)
+        |SELECT k AS event_type, n_points, s_stat, ROUND(zr, 6) AS z,
+        |  CASE WHEN zr > 1.96E0 THEN 'up' WHEN zr < -1.96E0 THEN 'down'
+        |       ELSE 'none' END AS trend,
+        |  theil_sen
+        |FROM z""".stripMargin,
+
+    "q257_path_trigrams" ->
+      """WITH w AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER win AS t2,
+        |    lead(event_type, 2) OVER win AS t3
+        |  FROM events WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ts, event_id)),
+        |p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM p ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
+
+    "q258_cusum_changepoint" ->
+      """WITH dly AS (SELECT event_type AS k, epoch_ms(ts) // 86400000
+        |    AS t, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS s FROM dly GROUP BY 1),
+        |cs AS (SELECT d.k, d.t, st.n,
+        |    CAST(SUM(st.n * d.x - st.s) OVER (PARTITION BY d.k
+        |      ORDER BY d.t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM dly d JOIN st ON st.k = d.k),
+        |rk AS (SELECT k, n, t, abs(c) AS ac,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY abs(c) DESC, t ASC)
+        |      AS rn FROM cs)
+        |SELECT k AS event_type, n AS n_points, t AS cp_time,
+        |  ac AS max_abs_cusum,
+        |  ROUND(CAST(ac AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)),
+        |    6) AS cusum_scaled
+        |FROM rk WHERE rn = 1""".stripMargin,
+
+    "q259_table_fingerprint" ->
+      """WITH h AS (SELECT CAST(('0x'||substr(md5(
+        |    CAST(o_orderkey AS VARCHAR)||'|'||CAST(o_custkey AS VARCHAR)
+        |    ||'|'||o_orderstatus||'|'||o_orderpriority), 1, 15))
+        |    AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(h) % 1152921504606846976 AS BIGINT) AS sum_hash,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+        |  true AS reorder_match
+        |FROM h""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -184,4 +184,26 @@ object Funnel {
         count(lit(1)).as("n_epochs"),
         (sum(col("__credit_micro")).cast("double") / 1e6).as("credit"))
   }
+
+  /** Top-k most common 3-step behavior paths: adjacent event-type
+    * trigrams per user timeline (ts, event_id order), counted
+    * corpus-wide. The sequence-mining primitive behind "what do users
+    * do right before churning/purchasing" — two `lead`s in ONE
+    * user-keyed window (single shuffle), a count, and a
+    * TakeOrdered-style top-k (count desc, path asc — deterministic). */
+  def pathTrigrams(events: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("__t1"))
+      .withColumn("__t2", lead(col("__t1"), 1).over(w))
+      .withColumn("__t3", lead(col("__t1"), 2).over(w))
+      .filter(col("__t2").isNotNull && col("__t3").isNotNull)
+      .select(concat_ws(">", col("__t1"), col("__t2"), col("__t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
 }

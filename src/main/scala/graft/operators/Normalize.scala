@@ -550,9 +550,13 @@ object Normalize {
           struct(lit(p).as("prob"),
             lit(math.round(p * 1e6)).as("__pm"))
         }: _*)).as("__p"))
-      .withColumn("__k",
+      // internal rank alias deliberately obscure: a caller whose
+      // group column is literally "__k" must not capture it (bug
+      // class: mannKendall's "__k" group col resolved to this rank)
+      .withColumn("__q_target_rank",
         greatest(lit(1L), expr("(__p.__pm * n + 999999) div 1000000")))
-      .filter(col("__lo") < col("__k") && col("__k") <= col("__hi"))
+      .filter(col("__lo") < col("__q_target_rank") &&
+        col("__q_target_rank") <= col("__hi"))
       .select(col(groupCol), col("__p.prob").as("prob"), col("n"),
         (col("__vm").cast("double") / 1e6).as("quantile"))
   }

@@ -207,4 +207,30 @@ object Validate {
         (col("expected_p") * col("__t").cast("double")))
       .drop("__t")
   }
+
+  /** Order-invariant table fingerprint: equality-check two relations
+    * (a migrated pipeline vs its predecessor, a backfill vs the
+    * original) WITHOUT sorting either — at 100 TB a sort-and-diff is
+    * a full global shuffle; this is one scan and a 1-row aggregate.
+    *
+    * Each row hashes to a 60-bit md5 value over its canonical
+    * rendering (`|`-joined string casts, nulls as ` `); the
+    * table digest combines row hashes with commutative reducers
+    * (count + sum + xor), so ANY row order and ANY partitioning
+    * produce the identical fingerprint, and any single-row difference
+    * changes it (up to the usual 2^-60-per-pair hash risk; xor+sum
+    * together also survive the classic duplicate-pair xor blindness).
+    * The multiset is what's fingerprinted — duplicates count. */
+  def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val rendered = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+    df.select(graft.functions.TextFunctions.md5Hash60(rendered).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        // decimal carrier: a plain long sum of 60-bit values overflows
+        // after a handful of rows; the exact decimal sum reduced mod
+        // 2^60 keeps the digest a long without ever overflowing
+        expr("cast(sum(cast(__h as decimal(38,0))) % " +
+          "1152921504606846976L as bigint)").as("sum_hash"),
+        expr("bit_xor(__h)").as("xor_hash"))
+  }
 }
