@@ -2874,6 +2874,33 @@ object SparkEntry {
         .select(col("n_rows"), col("sum_hash"), col("xor_hash"),
           (col("n_rows") === col("n2") && col("sum_hash") === col("s2") &&
             col("xor_hash") === col("x2")).as("reorder_match"))
+    }),
+
+    // ---- programmatic labeling: three noisy rules -> majority ->
+    // log-odds-weighted re-vote (one-step label model) ----
+    "q260_weak_labels" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("r_long", (col("n_chars") > 150).cast("long"))
+        .withColumn("r_tokens",
+          (graft.functions.TextFunctions.tokenCount(col("text")) > 25)
+            .cast("long"))
+        .withColumn("r_lang", (col("lang") === "en").cast("long"))
+      graft.operators.Labeling.weakLabelModel(docs, "doc_id",
+        Seq("r_long", "r_tokens", "r_lang"))
+    }),
+
+    // ---- version-to-version CDC: keyed added/removed/changed/
+    // unchanged census between two snapshots ----
+    "q261_snapshot_diff" -> ((s, dir) => {
+      val v1 = Tables.orders(s, dir)
+      val v2 = v1.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(v1.filter(col("o_orderkey") % 503 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      graft.operators.Validate.snapshotDiff(v1, v2, Seq("o_orderkey"),
+        Seq("o_custkey", "o_totalprice", "o_orderstatus"))
     })
   )
 
@@ -7928,7 +7955,61 @@ object SparkEntry {
         |  CAST(SUM(h) % 1152921504606846976 AS BIGINT) AS sum_hash,
         |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
         |  true AS reorder_match
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "q260_weak_labels" -> {
+      def wOf(a: String) =
+        s"""CAST(round(ln(
+           |    greatest(least(CAST($a AS DOUBLE) / CAST(n AS DOUBLE),
+           |      0.99E0), 0.01E0)
+           |    / (1.0E0 - greatest(least(CAST($a AS DOUBLE)
+           |        / CAST(n AS DOUBLE), 0.99E0), 0.01E0))) * 1.0E6)
+           |  AS BIGINT)""".stripMargin
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN n_chars > 150 THEN 1 ELSE 0 END AS r_long,
+         |    CASE WHEN len($sqlWords) > 25 THEN 1 ELSE 0 END AS r_tokens,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r_lang
+         |  FROM documents),
+         |v AS (SELECT *, CASE WHEN (r_long + r_tokens + r_lang) * 2 > 3
+         |    THEN 1 ELSE 0 END AS majority FROM d),
+         |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN r_long = majority THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a1,
+         |    CAST(SUM(CASE WHEN r_tokens = majority THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a2,
+         |    CAST(SUM(CASE WHEN r_lang = majority THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a3
+         |  FROM v),
+         |w AS (SELECT ${wOf("a1")} AS w1, ${wOf("a2")} AS w2,
+         |    ${wOf("a3")} AS w3 FROM ag)
+         |SELECT doc_id, majority, r_long, r_tokens, r_lang,
+         |  w1 * (r_long * 2 - 1) + w2 * (r_tokens * 2 - 1)
+         |    + w3 * (r_lang * 2 - 1) AS score_micro,
+         |  CASE WHEN w1 * (r_long * 2 - 1) + w2 * (r_tokens * 2 - 1)
+         |    + w3 * (r_lang * 2 - 1) > 0 THEN 1 ELSE 0 END AS weak_label
+         |FROM v, w""".stripMargin
+    },
+
+    "q261_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    o_orderstatus FROM orders),
+        |v2 AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus FROM orders WHERE o_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+        |    o_orderstatus FROM orders WHERE o_orderkey % 503 = 0),
+        |j AS (SELECT
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN a.o_custkey <> b.o_custkey
+        |           OR a.o_totalprice <> b.o_totalprice
+        |           OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT change, CAST(COUNT(*) AS BIGINT) AS n_keys
+        |FROM j GROUP BY 1""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

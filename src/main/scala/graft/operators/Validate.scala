@@ -221,6 +221,32 @@ object Validate {
     * changes it (up to the usual 2^-60-per-pair hash risk; xor+sum
     * together also survive the classic duplicate-pair xor blindness).
     * The multiset is what's fingerprinted — duplicates count. */
+  /** Keyed snapshot diff: classify every key across two table
+    * versions as added / removed / changed / unchanged — the
+    * version-to-version CDC a backfill review or an incremental-sync
+    * validator runs. Content equality compares a 60-bit md5 over the
+    * canonical value rendering (so wide rows diff on one hash, not
+    * column-by-column); the join is a plain keyed full-outer —
+    * one shuffle each side, no sort.
+    *
+    * Output: one row per class with its key count (classes with zero
+    * keys are absent — the caller unions a zero frame if it needs a
+    * fixed shape). */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, tag: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        graft.functions.TextFunctions.md5Hash60(concat_ws("|",
+          valueCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
+          .as(s"__h$tag"): _*)
+    hashed(v1, "1").join(hashed(v2, "2"), keyCols, "full_outer")
+      .withColumn("change", when(col("__h1").isNull, "added")
+        .when(col("__h2").isNull, "removed")
+        .when(col("__h1") =!= col("__h2"), "changed")
+        .otherwise("unchanged"))
+      .groupBy(col("change")).agg(count(lit(1)).as("n_keys"))
+  }
+
   def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     val rendered = concat_ws("|",
       cols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Labeling, Validate}
+
+/** Weak-supervision label model and snapshot diff. */
+class LabelingSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("label model matches a naive driver-side reimplementation") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 1000).map { i =>
+      val y = rnd.nextInt(2).toLong
+      def noisy(acc: Int) = if (rnd.nextInt(100) < acc) y else 1 - y
+      // two strong correlated rules + one mostly-inverted one: the
+      // inverted rule's majority-agreement lands below 1/2 (even with
+      // self-inclusion), so its weight must come out negative
+      (i.toLong, noisy(95), noisy(90), noisy(30))
+    }
+    val out = Labeling.weakLabelModel(
+      rows.toDF("id", "r1", "r2", "r3"), "id", Seq("r1", "r2", "r3"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("majority"), r.getAs[Long]("score_micro"),
+          r.getAs[Long]("weak_label")))).toMap
+    // naive: same algorithm, plain scala
+    val maj = rows.map(r =>
+      r._1 -> (if (r._2 + r._3 + r._4 >= 2) 1L else 0L)).toMap
+    val n = rows.size.toDouble
+    val agrees = Seq(
+      rows.count(r => r._2 == maj(r._1)), rows.count(r => r._3 == maj(r._1)),
+      rows.count(r => r._4 == maj(r._1)))
+    val ws = agrees.map { a =>
+      val p = math.max(math.min(a / n, 0.99), 0.01)
+      math.rint(math.log(p / (1 - p)) * 1e6).toLong
+    }
+    rows.foreach { case (id, r1, r2, r3) =>
+      val score = ws(0) * (r1 * 2 - 1) + ws(1) * (r2 * 2 - 1) +
+        ws(2) * (r3 * 2 - 1)
+      val (gmaj, gscore, glabel) = out(id)
+      assert(gmaj === maj(id))
+      assert(gscore === score, s"id $id")
+      assert(glabel === (if (score > 0) 1L else 0L))
+    }
+    // the 30%-accuracy rule is anti-correlated with the majority ->
+    // negative weight (its vote flips)
+    assert(ws(2) < 0L)
+  }
+
+  test("label model is deterministic under repartitioning") {
+    val rows = (1 to 200).map(i =>
+      (i.toLong, (i % 2).toLong, if (i % 3 == 0) 1L else 0L,
+        if (i % 5 == 0) 1L else 0L))
+    val df = rows.toDF("id", "r1", "r2", "r3")
+    val a = Labeling.weakLabelModel(df, "id", Seq("r1", "r2", "r3"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_micro"))
+      .sortBy(_._1)
+    val b = Labeling.weakLabelModel(df.repartition(11), "id",
+        Seq("r1", "r2", "r3"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_micro"))
+      .sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("snapshot diff classifies adds, removes, changes, unchanged") {
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "s", "x")
+    val v2 = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "D", 40.0),
+      (5L, "e", 50.0)).toDF("k", "s", "x")
+    val got = Validate.snapshotDiff(v1, v2, Seq("k"), Seq("s", "x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 2L, "added" -> 1L))
+  }
+}
