@@ -2901,7 +2901,22 @@ object SparkEntry {
           .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
       graft.operators.Validate.snapshotDiff(v1, v2, Seq("o_orderkey"),
         Seq("o_custkey", "o_totalprice", "o_orderstatus"))
-    })
+    }),
+
+    // ---- re-identification risk census: rows in quasi-identifier
+    // classes smaller than k, for k in {2, 5, 10} ----
+    "q262_k_anonymity" -> ((s, dir) =>
+      graft.operators.Validate.kAnonymityAudit(
+        Tables.customer(s, dir).withColumn("acct_band",
+          expr("cast(floor(c_acctbal / 1000.0) as bigint) * 1000")),
+        Seq("c_nationkey", "c_mktsegment", "acct_band"),
+        ks = Seq(2, 5, 10))),
+
+    // ---- data valuation: each source's leave-one-out effect on the
+    // corpus mean length, algebraic (one aggregate pass) ----
+    "q263_source_loo" -> ((s, dir) =>
+      graft.operators.Profile.leaveOneOutImpact(
+        Tables.documents(s, dir), "source", "n_chars"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8009,7 +8024,38 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
         |SELECT change, CAST(COUNT(*) AS BIGINT) AS n_keys
-        |FROM j GROUP BY 1""".stripMargin
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q262_k_anonymity" ->
+      """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000 AS acct_band,
+        |    CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM customer GROUP BY 1, 2, 3),
+        |x AS (SELECT sz, unnest([2, 5, 10]) AS k FROM cls)
+        |SELECT k, CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_at_risk,
+        |  CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_classes,
+        |  ROUND(CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(sz) AS DOUBLE), 6) AS risk_frac
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "q263_source_loo" ->
+      """WITH g AS (SELECT source, CAST(COUNT(n_chars) AS BIGINT) AS n_g,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s_g
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS s FROM g)
+        |SELECT source, n_g,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_global,
+        |  ROUND(CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE), 6)
+        |    AS mean_loo,
+        |  ROUND(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    - ROUND(CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE), 6),
+        |    6) AS delta
+        |FROM g, t""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -304,6 +304,30 @@ object Profile {
     * `actual` is the exact `Σ_k cA(k)·cB(k)` over the per-key count
     * join — distinct-key-sized work, cheap at any scale. Everything is
     * integer until the closing divisions. */
+  /** Leave-one-group-out impact: each group's effect on the global
+    * mean of `valueCol`, computed ALGEBRAICALLY from one aggregate
+    * pass (`mean_loo = (S − S_g) / (n − n_g)`) — never by re-scanning
+    * the data once per group. The data-valuation primitive for "which
+    * source is dragging corpus quality down": a negative `delta`
+    * (global − LOO) means removing the group would RAISE the mean.
+    * Integer sums carry the exactness; the closing divisions are the
+    * only float ops. */
+  def leaveOneOutImpact(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("n_g"),
+        sum(col(valueCol).cast("long")).as("__s_g"))
+    val total = perGroup.agg(sum(col("n_g")).as("__n"),
+      sum(col("__s_g")).as("__s"))
+    perGroup.crossJoin(broadcast(total))
+      .select(col(groupCol), col("n_g"),
+        round(col("__s").cast("double") / col("__n").cast("double"), 6)
+          .as("mean_global"),
+        round((col("__s") - col("__s_g")).cast("double") /
+          (col("__n") - col("n_g")).cast("double"), 6).as("mean_loo"))
+      .withColumn("delta", round(col("mean_global") - col("mean_loo"), 6))
+  }
+
   def joinCardinalityEstimate(a: DataFrame, keyA: String,
       b: DataFrame, keyB: String, mcv: Int): DataFrame = {
     def counts(df: DataFrame, key: String, tag: String): DataFrame =

@@ -208,6 +208,34 @@ object Validate {
       .drop("__t")
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple: how many rows
+    * sit in an equivalence class smaller than k, for a ladder of k
+    * thresholds — the re-identification risk census a training-data
+    * pipeline runs before shipping user-derived rows. One groupBy on
+    * the quasi-identifier (the only shuffle; class counts are
+    * group-sized), then a tiny per-k conditional aggregate over the
+    * class-size table. Suppressing the flagged classes (or coarsening
+    * a quasi column and re-auditing) is the remediation loop this
+    * feeds. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      ks: Seq[Int]): DataFrame = {
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"))
+    classes
+      .select(col("__sz"),
+        explode(array(ks.map(k => lit(k)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("__sz")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("__sz") < col("k"), col("__sz")).otherwise(0L))
+          .as("n_at_risk"),
+        sum(when(col("__sz") < col("k"), 1L).otherwise(0L))
+          .as("n_small_classes"))
+      .withColumn("risk_frac",
+        round(col("n_at_risk").cast("double") /
+          col("n_rows").cast("double"), 6))
+  }
+
   /** Order-invariant table fingerprint: equality-check two relations
     * (a migrated pipeline vs its predecessor, a backfill vs the
     * original) WITHOUT sorting either — at 100 TB a sort-and-diff is

@@ -62,6 +62,44 @@ class LabelingSpec extends AnyFunSuite with SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("k-anonymity: hand-built classes, ladder thresholds") {
+    // class sizes: 1, 1, 3, 5
+    val df = (Seq(("a", 1)) ++ Seq(("b", 2)) ++
+      Seq.fill(3)(("c", 3)) ++ Seq.fill(5)(("d", 4)))
+      .toDF("q1", "q2")
+    val got = Validate.kAnonymityAudit(df, Seq("q1", "q2"), Seq(2, 4, 10))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("risk_frac")))).toMap
+    assert(got(2) === ((10L, 4L, 2L, 2L, 0.2)))   // two singletons
+    assert(got(4) === ((10L, 4L, 5L, 3L, 0.5)))   // +the 3-class
+    assert(got(10) === ((10L, 4L, 10L, 4L, 1.0))) // everything
+  }
+
+  test("leave-one-out impact matches per-group recomputation") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 300).map(i =>
+      ("g" + (i % 4), rnd.nextInt(100).toLong))
+    val got = graft.operators.Profile.leaveOneOutImpact(
+      rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("mean_loo"), r.getAs[Double]("delta")))).toMap
+    rows.map(_._1).distinct.foreach { g =>
+      val others = rows.filter(_._1 != g).map(_._2)
+      val loo = BigDecimal(others.sum.toDouble / others.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(g)._1 - loo) < 1e-9, s"group $g")
+    }
+    // deltas reference one shared global mean
+    val all = rows.map(_._2)
+    val global = BigDecimal(all.sum.toDouble / all.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.values.foreach { case (loo, delta) =>
+      assert(math.abs(delta - BigDecimal(global - loo).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("snapshot diff classifies adds, removes, changes, unchanged") {
     val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
       (4L, "d", 40.0)).toDF("k", "s", "x")
