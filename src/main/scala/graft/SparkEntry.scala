@@ -2917,6 +2917,61 @@ object SparkEntry {
     "q263_source_loo" -> ((s, dir) =>
       graft.operators.Profile.leaveOneOutImpact(
         Tables.documents(s, dir), "source", "n_chars"))
+
+    ,
+
+    // ---- A/B variance reduction: CUPED-adjusted means from exact
+    // integer moments (pre-period = thru Jan 15, post after; variant
+    // = user parity) ----
+    "q264_cuped" -> ((s, dir) => {
+      val units = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("__d"),
+          col("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          (sum(when(col("__d") < 19738,
+            floor(col("value") * 1e6).cast("long")).otherwise(0L))
+            .cast("double") / 1e6).as("pre"),
+          (sum(when(col("__d") >= 19738,
+            floor(col("value") * 1e6).cast("long")).otherwise(0L))
+            .cast("double") / 1e6).as("post"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      graft.operators.Evaluation.cupedAdjustedMeans(units,
+        "variant", "pre", "post")
+    }),
+
+    // ---- lifecycle segmentation: R/F/M quintiles from exact global
+    // boundaries (no ntile window), segment census ----
+    "q265_rfm_segments" -> ((s, dir) =>
+      graft.operators.Recsys.rfmSegments(Tables.events(s, dir))),
+
+    // ---- continuous reconciliation: the sharded incremental touch
+    // state fingerprints equal to a from-scratch batch recompute ----
+    "q266_state_reconciliation" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val base = java.nio.file.Files.createTempDirectory("graft-q266")
+        .toString
+      val ev = Tables.events(s, dir)
+      Ingest.incrementalTouchBatch(ev.filter(col("user_id") % 2 === 0),
+        s"$base/st", Seq("user_id"), "ts", batchId = 0, scopeId = "recon")
+      Ingest.incrementalTouchBatch(ev.filter(col("user_id") % 2 =!= 0),
+        s"$base/st", Seq("user_id"), "ts", batchId = 1, scopeId = "recon")
+      val cols = Seq("user_id", "first_ms", "last_ms", "cnt", "span_ms")
+      val f1 = graft.operators.Validate.tableFingerprint(
+        graft.operators.Incremental.finishTouch(
+          s.read.parquet(s"$base/st"), Seq("user_id")), cols)
+      val f2 = graft.operators.Validate.tableFingerprint(
+          graft.operators.Incremental.finishTouch(
+            graft.operators.Incremental.touchState(ev, Seq("user_id"),
+              "ts"), Seq("user_id")), cols)
+        .select(col("n_rows").as("n2"), col("sum_hash").as("s2"),
+          col("xor_hash").as("x2"))
+      f1.crossJoin(broadcast(f2))
+        .select(col("n_rows"), col("sum_hash"), col("xor_hash"),
+          (col("n_rows") === col("n2") && col("sum_hash") === col("s2") &&
+            col("xor_hash") === col("x2")).as("state_matches"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8055,7 +8110,114 @@ object SparkEntry {
         |  ROUND(ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
         |    - ROUND(CAST(s - s_g AS DOUBLE) / CAST(n - n_g AS DOUBLE), 6),
         |    6) AS delta
-        |FROM g, t""".stripMargin
+        |FROM g, t""".stripMargin,
+
+    "q264_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN epoch_ms(ts) // 86400000 < 19738
+        |      THEN CAST(floor(value * 1.0E6) AS BIGINT) ELSE 0 END)
+        |      AS DOUBLE) / 1.0E6 AS pre,
+        |    CAST(SUM(CASE WHEN epoch_ms(ts) // 86400000 >= 19738
+        |      THEN CAST(floor(value * 1.0E6) AS BIGINT) ELSE 0 END)
+        |      AS DOUBLE) / 1.0E6 AS post,
+        |    CAST(user_id % 2 AS INT) AS variant
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT variant, CAST(floor(pre * 1.0E6) AS BIGINT) AS x,
+        |    CAST(floor(post * 1.0E6) AS BIGINT) AS y FROM u),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy FROM st),
+        |pv AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    SUM(CAST(x AS HUGEINT)) AS vx, SUM(CAST(y AS HUGEINT)) AS vy
+        |  FROM st GROUP BY 1),
+        |c AS (SELECT pv.variant, pv.n_units, pv.vx, pv.vy, mom.n, mom.sx,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+        |  FROM pv, mom),
+        |t AS (SELECT *,
+        |    CASE WHEN varxn > 0.0E0 THEN covn / varxn
+        |         ELSE 0.0E0 END AS theta,
+        |    CASE WHEN varxn > 0.0E0 AND varyn > 0.0E0
+        |         THEN covn * covn / (varxn * varyn)
+        |         ELSE 0.0E0 END AS rho2 FROM c)
+        |SELECT variant, n_units,
+        |  ROUND(CAST(vy AS DOUBLE) / (CAST(n_units AS DOUBLE) * 1.0E6), 6)
+        |    AS mean_post,
+        |  ROUND((CAST(vy AS DOUBLE) / (CAST(n_units AS DOUBLE) * 1.0E6))
+        |    - theta * ((CAST(vx AS DOUBLE)
+        |        / (CAST(n_units AS DOUBLE) * 1.0E6))
+        |      - (CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0E6))), 6)
+        |    AS mean_adjusted,
+        |  ROUND(theta, 6) AS theta, ROUND(rho2, 6) AS var_reduction
+        |FROM t""".stripMargin,
+
+    "q265_rfm_segments" -> {
+      val pp = "pp AS (SELECT unnest([0.2E0, 0.4E0, 0.6E0, 0.8E0])" +
+        " AS prob, unnest([200000, 400000, 600000, 800000]) AS pm)"
+      def chain(x: String) =
+        s"""${x}c AS (SELECT CAST(ROUND(CAST($x AS DOUBLE) * 1e6)
+           |    AS BIGINT) AS vm FROM rfm),
+           |${x}g AS (SELECT vm, COUNT(*) AS cnt FROM ${x}c GROUP BY 1),
+           |${x}w AS (SELECT vm, cnt, CAST(SUM(cnt) OVER (ORDER BY vm
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM ${x}g),
+           |${x}n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM ${x}g),
+           |${x}k AS (SELECT prob,
+           |    GREATEST(1, (pm * n + 999999) // 1000000) AS kk
+           |  FROM ${x}n, pp),
+           |${x}q AS (SELECT prob, CAST(vm AS DOUBLE) / 1e6 AS qv
+           |  FROM ${x}k JOIN ${x}w
+           |    ON ${x}w.hi - ${x}w.cnt < ${x}k.kk AND ${x}k.kk <= ${x}w.hi),
+           |${x}b AS (SELECT
+           |    MAX(CASE WHEN prob = 0.2E0 THEN qv END) AS ${x}0,
+           |    MAX(CASE WHEN prob = 0.4E0 THEN qv END) AS ${x}1,
+           |    MAX(CASE WHEN prob = 0.6E0 THEN qv END) AS ${x}2,
+           |    MAX(CASE WHEN prob = 0.8E0 THEN qv END) AS ${x}3
+           |  FROM ${x}q)""".stripMargin
+      def bucket(x: String) = (0 to 3).map(i =>
+        s"(CASE WHEN CAST($x AS DOUBLE) > $x$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH per AS (SELECT user_id,
+         |    max(epoch_ms(ts) // 86400000) AS last_day,
+         |    CAST(COUNT(*) AS BIGINT) AS f,
+         |    CAST(SUM(CAST(floor(value * 1.0E6) AS BIGINT)) AS BIGINT)
+         |      AS m
+         |  FROM events GROUP BY 1),
+         |gm AS (SELECT max(last_day) AS gmax FROM per),
+         |rfm AS (SELECT user_id, gmax - last_day AS r, f, m FROM per, gm),
+         |$pp,
+         |${chain("r")},
+         |${chain("f")},
+         |${chain("m")},
+         |asg AS (SELECT user_id, m,
+         |    ${bucket("r")} AS r_bucket,
+         |    ${bucket("f")} AS f_bucket,
+         |    ${bucket("m")} AS m_bucket
+         |  FROM rfm, rb, fb, mb)
+         |SELECT r_bucket, f_bucket, m_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  ROUND(CAST(SUM(m) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * 1.0E6), 6) AS avg_monetary
+         |FROM asg GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "q266_state_reconciliation" ->
+      """WITH b AS (SELECT user_id, min(epoch_ms(ts)) AS first_ms,
+        |    max(epoch_ms(ts)) AS last_ms, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    max(epoch_ms(ts)) - min(epoch_ms(ts)) AS span_ms
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT CAST(('0x'||substr(md5(
+        |    CAST(user_id AS VARCHAR)||'|'||CAST(first_ms AS VARCHAR)
+        |    ||'|'||CAST(last_ms AS VARCHAR)||'|'||CAST(cnt AS VARCHAR)
+        |    ||'|'||CAST(span_ms AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM b)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(h) % 1152921504606846976 AS BIGINT) AS sum_hash,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+        |  true AS state_matches
+        |FROM h""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -933,6 +933,64 @@ object Evaluation {
           col("den_micro").cast("double"), 6))
   }
 
+  /** CUPED variance reduction for A/B readouts: adjust the
+    * post-period metric by the pre-period covariate
+    * (`adj = y − θ(x − μx)`, θ the pooled OLS slope) and report the
+    * per-variant adjusted means plus the variance-reduction factor
+    * ρ² (the identity `Var(adj) = Var(y)(1−ρ²)` holds at the optimal
+    * θ, so no second pass is needed).
+    *
+    * Everything derives ALGEBRAICALLY from exact integer moments:
+    * per-unit pre/post values stage to micro longs, products ride
+    * decimal(38) (a long×long product of micro sums overflows), and
+    * the adjusted mean per variant is `μy_v − θ(μx_v − μx)` — pure
+    * arithmetic on the sums, no per-row adjusted column, no second
+    * scan. Two aggregates + a 2-row variant table; the divisions are
+    * the only float ops, in one fixed order. */
+  def cupedAdjustedMeans(units: DataFrame, variantCol: String,
+      preCol: String, postCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val staged = units.select(col(variantCol).as("__v"),
+      floor(col(preCol) * 1e6).cast("long").as("__x"),
+      floor(col(postCol) * 1e6).cast("long").as("__y"))
+    val mom = staged.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast(dec)).as("__sx"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum((col("__x").cast(dec) * col("__x").cast(dec))).as("__sxx"),
+      sum((col("__x").cast(dec) * col("__y").cast(dec))).as("__sxy"),
+      sum((col("__y").cast(dec) * col("__y").cast(dec))).as("__syy"))
+    val perVariant = staged.groupBy(col("__v"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("__x").cast(dec)).as("__vx"),
+        sum(col("__y").cast(dec)).as("__vy"))
+    perVariant.crossJoin(broadcast(mom))
+      .withColumn("__covn", (col("__n") * col("__sxy") -
+        col("__sx") * col("__sy")).cast("double"))
+      .withColumn("__varxn", (col("__n") * col("__sxx") -
+        col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__varyn", (col("__n") * col("__syy") -
+        col("__sy") * col("__sy")).cast("double"))
+      .withColumn("theta",
+        when(col("__varxn") > 0.0, col("__covn") / col("__varxn"))
+          .otherwise(0.0))
+      .withColumn("rho2",
+        when(col("__varxn") > 0.0 && col("__varyn") > 0.0,
+          col("__covn") * col("__covn") /
+            (col("__varxn") * col("__varyn"))).otherwise(0.0))
+      .select(col("__v").as(variantCol), col("n_units"),
+        round(col("__vy").cast("double") /
+          (col("n_units").cast("double") * 1e6), 6).as("mean_post"),
+        round((col("__vy").cast("double") /
+          (col("n_units").cast("double") * 1e6)) -
+          col("theta") * ((col("__vx").cast("double") /
+            (col("n_units").cast("double") * 1e6)) -
+            (col("__sx").cast("double") /
+              (col("__n").cast("double") * 1e6))), 6)
+          .as("mean_adjusted"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2"), 6).as("var_reduction"))
+  }
+
   /** Split-conformal interval audit: per-segment [lo, hi] prediction
     * bands from exact train-split quantiles, coverage measured on the
     * held-out split. The distribution-free uncertainty wrapper a

@@ -605,6 +605,60 @@ object Recsys {
       .select(col("user_id"), col("item_id"), col("rank"))
   }
 
+  /** RFM segmentation: quintile-bucket every user on Recency (days
+    * since last event), Frequency (event count) and Monetary (exact
+    * micro-unit value sum), and report the segment census. Buckets
+    * come from exact global quantile BOUNDARIES
+    * ([[Normalize.quantilesBy]] over a constant group) broadcast back
+    * as a 1-row table — assignment is `Σ [v > b_i]`, a row-local
+    * comparison ladder, so no global rank window ever materializes
+    * (the classic ntile formulation is a single-partition sort at
+    * scale; boundary comparison is the 100 TB shape, at the cost of
+    * tie rows sharing a bucket — the defensible semantics anyway). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(expr("unix_millis(ts) div 86400000")).as("__last_day"),
+        count(lit(1)).as("__f"),
+        sum(floor(col("value") * 1e6).cast("long")).as("__m"))
+    val maxDay = perUser.agg(max(col("__last_day")).as("__gmax"))
+    val rfm = perUser.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        (col("__gmax") - col("__last_day")).as("__r"),
+        col("__f"), col("__m"))
+      .localCheckpoint() // feeds three quantile lineages + assignment
+    val probs = Seq(0.2, 0.4, 0.6, 0.8)
+    // ONE quantile lineage for all three metrics: unpivot to
+    // (metric, value) and group the exact-rank machinery by metric,
+    // then pivot the 12 boundaries into a single global-aggregate row
+    // (empty grouping — provably one row, one broadcast)
+    val unpivoted = rfm.select(explode(array(
+        struct(lit("r").as("metric"), col("__r").cast("double").as("v")),
+        struct(lit("f").as("metric"), col("__f").cast("double").as("v")),
+        struct(lit("m").as("metric"), col("__m").cast("double").as("v"))))
+        .as("u"))
+      .select(col("u.metric").as("__metric"), col("u.v").as("__value"))
+    val quants = Normalize.quantilesBy(unpivoted, "__metric", "__value",
+      probs)
+    val pivots = for {
+      m <- Seq("r", "f", "m"); (p, i) <- probs.zipWithIndex
+    } yield max(when(col("__metric") === m && col("prob") === p,
+      col("quantile"))).as(s"${m}_b$i")
+    val bounds = quants.groupBy().agg(pivots.head, pivots.tail: _*)
+    def bucket(metric: String): org.apache.spark.sql.Column =
+      probs.indices.map(i =>
+        (col(metric).cast("double") >
+          col(s"${metric.stripPrefix("__")}_b$i")).cast("int"))
+        .reduce(_ + _)
+    val assigned = rfm.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("__m"),
+        bucket("__r").as("r_bucket"), bucket("__f").as("f_bucket"),
+        bucket("__m").as("m_bucket"))
+    assigned.groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("__m")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("avg_monetary"))
+  }
+
   /** Bounded k-core peeling: `rounds` iterations of "drop every node
     * whose degree in the surviving subgraph is < k", over an
     * undirected edge list (`item_a < item_b` convention, e.g.

@@ -110,6 +110,61 @@ class ShrinkageSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(soloOut - 0.5) < 1e-6)
   }
 
+  test("cuped: correlated covariate yields high rho2 and tighter means") {
+    val rnd = new scala.util.Random(61)
+    // post = pre + small noise; variant 1 got unlucky heavy users in
+    // the PRE period — CUPED should strip that imbalance
+    val units = (1 to 2000).map { i =>
+      val pre = 50.0 + rnd.nextGaussian() * 20.0 + (if (i % 2 == 1) 5.0 else 0.0)
+      val post = pre + rnd.nextGaussian() * 2.0
+      (i.toLong % 2, pre, post)
+    }
+    val out = Evaluation.cupedAdjustedMeans(
+      units.toDF("variant", "pre", "post"), "variant", "pre", "post")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("mean_post"), r.getAs[Double]("mean_adjusted"),
+          r.getAs[Double]("var_reduction"), r.getAs[Double]("theta")))).toMap
+    val rho2 = out(0L)._3
+    assert(rho2 > 0.95, s"rho2 $rho2 should be near 1 for post≈pre")
+    assert(math.abs(out(0L)._4 - 1.0) < 0.1, "theta should be near 1")
+    val rawGap = math.abs(out(1L)._1 - out(0L)._1)
+    val adjGap = math.abs(out(1L)._2 - out(0L)._2)
+    assert(adjGap < rawGap / 2,
+      s"adjusted gap $adjGap should collapse vs raw $rawGap")
+  }
+
+  test("cuped: zero-variance covariate degrades to raw means") {
+    val units = (1 to 100).map(i => (i.toLong % 2, 1.0, i.toDouble))
+    val out = Evaluation.cupedAdjustedMeans(
+      units.toDF("variant", "pre", "post"), "variant", "pre", "post")
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("theta") === 0.0)
+      assert(r.getAs[Double]("mean_adjusted") ===
+        r.getAs[Double]("mean_post"))
+    }
+  }
+
+  test("rfm segments: census covers all users, buckets in range") {
+    val ev = Tables.events(spark, sf)
+    val out = graft.operators.Recsys.rfmSegments(ev).collect()
+    val users = ev.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum === users)
+    out.foreach { r =>
+      Seq("r_bucket", "f_bucket", "m_bucket").foreach { b =>
+        val v = r.getAs[Int](b)
+        assert(v >= 0 && v <= 4, s"$b=$v")
+      }
+    }
+    // monetary buckets are ordered: higher m_bucket, higher avg value
+    val byM = out.groupBy(_.getAs[Int]("m_bucket")).map { case (b, rs) =>
+      b -> rs.map(r => r.getAs[Double]("avg_monetary") *
+        r.getAs[Long]("n_users")).sum / rs.map(_.getAs[Long]("n_users")).sum
+    }.toSeq.sortBy(_._1)
+    assert(byM.sliding(2).forall(w =>
+      w.length < 2 || w(0)._2 <= w(1)._2), s"m ordering: $byM")
+  }
+
   test("snips is partition-invariant") {
     val ev = Tables.events(spark, sf)
     import org.apache.spark.sql.expressions.Window
