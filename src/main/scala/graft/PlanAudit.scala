@@ -90,6 +90,14 @@ object PlanAudit {
           case EqualTo(a: AttributeReference, _: Literal) => a.exprId.id
           case EqualTo(_: Literal, a: AttributeReference) => a.exprId.id
         }
+      // a Project alias bound to a literal (`withColumn("g", lit(1))`)
+      // pins its attribute just as hard as an equality filter — the
+      // constant-group-aggregate shape
+      case pr: ProjectExec =>
+        pinned ++= pr.projectList.collect {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias
+              if al.child.isInstanceOf[Literal] => al.exprId.id
+        }
       case _ => ()
     }
     pinned
