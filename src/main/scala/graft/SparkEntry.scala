@@ -2971,6 +2971,67 @@ object SparkEntry {
         .select(col("n_rows"), col("sum_hash"), col("xor_hash"),
           (col("n_rows") === col("n2") && col("sum_hash") === col("s2") &&
             col("xor_hash") === col("x2")).as("state_matches"))
+    }),
+
+    // ---- anomaly baseline from incremental moments: today's batch
+    // mean vs the delta-maintained per-key mean/variance state ----
+    "q267_incremental_anomaly" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val base = java.nio.file.Files.createTempDirectory("graft-q267")
+        .toString
+      val ev = Tables.events(s, dir)
+        .withColumn("__d", expr("unix_millis(ts) div 86400000"))
+      Ingest.incrementalMomentsBatch(ev.filter(col("__d") < 19738),
+        s"$base/st", Seq("event_type"), "value", batchId = 0,
+        scopeId = "anom")
+      Ingest.incrementalMomentsBatch(
+        ev.filter(col("__d") >= 19738 && col("__d") < 19748),
+        s"$base/st", Seq("event_type"), "value", batchId = 1,
+        scopeId = "anom")
+      val state = graft.operators.Incremental.finishMoments(
+        s.read.parquet(s"$base/st"), Seq("event_type"))
+      val batch = ev.filter(col("__d") >= 19748)
+        .groupBy(col("event_type"))
+        .agg(count(col("value")).as("n_batch"),
+          graft.OracleMath.xavg(col("value")).as("__bm"))
+      state.join(batch, Seq("event_type"))
+        .withColumn("__z", when(col("variance") > 0.0,
+          (col("__bm") - col("mean")) /
+            sqrt(col("variance") / col("n_batch").cast("double"))))
+        .select(col("event_type"), col("cnt").as("n_hist"),
+          round(col("mean"), 6).as("state_mean"),
+          round(col("variance"), 6).as("state_var"),
+          col("n_batch"), round(col("__bm"), 6).as("batch_mean"),
+          round(col("__z"), 6).as("z"),
+          when(col("__z").isNotNull, (abs(col("__z")) > 3.0).cast("int"))
+            .as("is_anomaly"))
+    }),
+
+    // ---- self-tuning dedup: score (bands, rows) splits of a 16-hash
+    // minhash signature against the sampled similarity histogram ----
+    "q268_lsh_plan" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0).withColumn("__one", lit(1))
+      val pairs = Dedup.ngramJaccardPairs(sample, "__one", n = 3,
+        threshold = 0.0)
+      Dedup.lshParameterPlan(pairs, simThreshold = 0.5,
+        grid = Seq((2, 8), (4, 4), (8, 2), (16, 1)))
+    }),
+
+    // ---- offline policy check without a new experiment: replay
+    // matches of the frequency-argmax recommender ----
+    "q269_replay_eval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("__d", expr("unix_millis(ts) div 86400000"))
+        .withColumn("item_id",
+          graft.operators.Recsys.itemOf(col("props")))
+        .filter(col("item_id").isNotNull)
+      val train = ev.filter(col("__d") < 19738)
+        .select(col("user_id"), col("item_id"))
+      val replay = ev.filter(col("__d") >= 19738)
+        .select(col("user_id"), col("item_id"),
+          (col("event_type") === "click").cast("long").as("click"))
+      graft.operators.Evaluation.replayPolicyEval(train, replay)
     })
   )
 
@@ -8217,7 +8278,102 @@ object SparkEntry {
         |  CAST(SUM(h) % 1152921504606846976 AS BIGINT) AS sum_hash,
         |  CAST(bit_xor(h) AS BIGINT) AS xor_hash,
         |  true AS state_matches
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    "q267_incremental_anomaly" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(COUNT(value) AS BIGINT) AS n_hist,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS s,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))
+        |      * CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ss
+        |  FROM events WHERE epoch_ms(ts) // 86400000 < 19748
+        |  GROUP BY 1),
+        |m AS (SELECT event_type, n_hist,
+        |    s / CAST(n_hist AS DOUBLE) AS mean_raw,
+        |    ss / CAST(n_hist AS DOUBLE)
+        |      - (s / CAST(n_hist AS DOUBLE)) * (s / CAST(n_hist AS DOUBLE))
+        |      AS var_raw
+        |  FROM st),
+        |b AS (SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n_batch,
+        |    CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(value) AS bm
+        |  FROM events WHERE epoch_ms(ts) // 86400000 >= 19748
+        |  GROUP BY 1),
+        |z AS (SELECT m.event_type, n_hist, mean_raw, var_raw, n_batch, bm,
+        |    CASE WHEN var_raw > 0.0E0 THEN (bm - mean_raw)
+        |      / sqrt(var_raw / CAST(n_batch AS DOUBLE)) END AS zr
+        |  FROM m JOIN b ON b.event_type = m.event_type)
+        |SELECT event_type, n_hist, ROUND(mean_raw, 6) AS state_mean,
+        |  ROUND(var_raw, 6) AS state_var, n_batch,
+        |  ROUND(bm, 6) AS batch_mean, ROUND(zr, 6) AS z,
+        |  CASE WHEN zr IS NOT NULL
+        |       THEN CAST(ABS(zr) > 3.0E0 AS INT) END AS is_anomaly
+        |FROM z""".stripMargin,
+
+    "q268_lsh_plan" -> {
+      def chain(x: String, e: Int) = Seq.fill(e)(x).mkString("(", " * ", ")")
+      val grid = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+      val arms = grid.map { case (b, r) =>
+        val p = s"1.0E0 - ${chain(s"(1.0E0 - ${chain("mid", r)})", b)}"
+        s"""  SELECT $b AS bands, $r AS rows_per_band, cnt, mid,
+           |    ($p) AS pv FROM hm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sh AS (SELECT doc_id, list_distinct($sqlShingles) AS sh
+         |    FROM (SELECT doc_id, $sqlWords AS w FROM documents
+         |          WHERE doc_id % 10 = 0)),
+         |p AS (SELECT CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(l.sh, r.sh)))
+         |          AS DOUBLE) AS j
+         |  FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+         |  WHERE len(list_intersect(l.sh, r.sh)) > 0),
+         |h AS (SELECT LEAST(CAST(floor(j * 20) AS INT), 19) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+         |hm AS (SELECT bin, cnt,
+         |    (CAST(bin AS DOUBLE) + 0.5E0) / 20 AS mid FROM h),
+         |u AS (
+         |$arms),
+         |g AS (SELECT bands, rows_per_band, cnt, mid,
+         |    CAST(round(pv * 1.0E6) AS BIGINT) AS pm FROM u),
+         |t AS (SELECT bands, rows_per_band,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN mid < 0.5E0 THEN cnt * pm ELSE 0 END)
+         |      AS BIGINT) AS fp_micro,
+         |    CAST(SUM(CASE WHEN mid >= 0.5E0 THEN cnt * (1000000 - pm)
+         |      ELSE 0 END) AS BIGINT) AS fn_micro
+         |  FROM g GROUP BY 1, 2),
+         |tc AS (SELECT *, fp_micro + fn_micro AS cost_micro FROM t),
+         |mn AS (SELECT min(cost_micro) AS best FROM tc)
+         |SELECT bands, rows_per_band, n_pairs, fp_micro, fn_micro,
+         |  cost_micro, (cost_micro = best) AS is_best
+         |FROM tc, mn""".stripMargin
+    },
+
+    "q269_replay_eval" ->
+      """WITH it AS (SELECT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item_id,
+        |    event_type, epoch_ms(ts) // 86400000 AS d
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |tr AS (SELECT user_id, item_id, COUNT(*) AS c FROM it
+        |       WHERE d < 19738 GROUP BY 1, 2),
+        |pol AS (SELECT user_id, item_id AS rec FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY c DESC, item_id ASC) AS rn FROM tr) WHERE rn = 1),
+        |rp AS (SELECT i.user_id, i.item_id,
+        |    CAST(i.event_type = 'click' AS BIGINT) AS click, p.rec
+        |  FROM it i LEFT JOIN pol p ON p.user_id = i.user_id
+        |  WHERE i.d >= 19738)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+        |  CAST(SUM(CASE WHEN item_id = rec THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_matched,
+        |  ROUND(CAST(SUM(CASE WHEN item_id = rec THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS match_rate,
+        |  ROUND(CAST(SUM(CASE WHEN item_id = rec THEN click ELSE 0 END)
+        |    AS DOUBLE) / CAST(SUM(CASE WHEN item_id = rec THEN 1 ELSE 0
+        |    END) AS DOUBLE), 6) AS replay_ctr,
+        |  ROUND(CAST(SUM(click) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS logged_ctr
+        |FROM rp""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

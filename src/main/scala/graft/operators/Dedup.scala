@@ -460,6 +460,50 @@ object Dedup {
       .withColumn("n_dropped", col("n_paras") - col("n_kept"))
   }
 
+  /** LSH parameter planner: given the observed pairwise-similarity
+    * histogram of a corpus SAMPLE, score each (bands, rows) split of
+    * the minhash signature by its expected false-positive +
+    * false-negative candidate mass at a target threshold, using the
+    * banding S-curve `P(candidate | s) = 1 − (1 − s^r)^b`. This turns
+    * "pick b and r" from folklore into a measured decision BEFORE
+    * running dedup on 100 TB — the sample histogram is tiny and the
+    * curve math is closed-form.
+    *
+    * Exactness: powers expand to literal multiplication chains (r and
+    * b are grid constants), NOT `pow()` — libm power implementations
+    * differ in the last ulp across engines, multiplication chains
+    * don't. Per-bin probabilities round to micro before weighting.
+    * Pairs with zero overlap never become candidates (P(0) = 0), so a
+    * shared-shingle inverted-index pair list ([[ngramJaccardPairs]]
+    * at threshold 0) is exactly the right input. */
+  def lshParameterPlan(pairs: DataFrame, simThreshold: Double,
+      grid: Seq[(Int, Int)], bins: Int = 20): DataFrame = {
+    def chainPow(base: Column, e: Int): Column =
+      Seq.fill(e)(base).reduce(_ * _)
+    val hist = pairs
+      .select(floor(col("jaccard") * bins).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val scored = grid.map { case (b, r) =>
+      val sMid = (col("bin").cast("double") + 0.5) / bins
+      val p = lit(1.0) - chainPow(lit(1.0) - chainPow(sMid, r), b)
+      val pm = round(p * 1e6).cast("long")
+      hist.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        col("cnt"),
+        when(sMid < simThreshold, col("cnt") * pm).otherwise(0L)
+          .as("__fp"),
+        when(sMid >= simThreshold, col("cnt") * (lit(1000000L) - pm))
+          .otherwise(0L).as("__fn"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(sum(col("cnt")).as("n_pairs"), sum(col("__fp")).as("fp_micro"),
+        sum(col("__fn")).as("fn_micro"))
+      .withColumn("cost_micro", col("fp_micro") + col("fn_micro"))
+    val best = scored.agg(min(col("cost_micro")).as("__best"))
+    scored.crossJoin(broadcast(best))
+      .withColumn("is_best", col("cost_micro") === col("__best"))
+      .drop("__best")
+  }
+
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,

@@ -933,6 +933,40 @@ object Evaluation {
           col("den_micro").cast("double"), 6))
   }
 
+  /** Replay-based offline policy evaluation (the Li et al. unbiased
+    * replay method for a DETERMINISTIC policy): take the policy's
+    * per-user recommendation, keep only logged impressions where the
+    * logged item equals the recommended one, and read the CTR off
+    * those matches — no model of the logging policy needed when the
+    * logging distribution is (approximately) uniform over candidates.
+    * Here the policy is frequency-argmax from a training window
+    * (tiebreak: smaller item id). One per-user aggregate + window
+    * argmax for the policy, one broadcast-sized join against the
+    * replay log, one global aggregate. */
+  def replayPolicyEval(train: DataFrame, replay: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCount = Window.partitionBy(col("user_id"))
+      .orderBy(col("__cnt").desc, col("item_id").asc)
+    val policy = train.groupBy(col("user_id"), col("item_id"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(byCount))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("item_id").as("__rec"))
+    replay.join(policy, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_logged"),
+        sum((col("item_id") === col("__rec")).cast("long")).as("n_matched"),
+        sum(col("click")).as("n_clicks"),
+        sum(when(col("item_id") === col("__rec"), col("click"))
+          .otherwise(0L)).as("n_matched_clicks"))
+      .select(col("n_logged"), col("n_matched"),
+        round(col("n_matched").cast("double") /
+          col("n_logged").cast("double"), 6).as("match_rate"),
+        round(col("n_matched_clicks").cast("double") /
+          col("n_matched").cast("double"), 6).as("replay_ctr"),
+        round(col("n_clicks").cast("double") /
+          col("n_logged").cast("double"), 6).as("logged_ctr"))
+  }
+
   /** CUPED variance reduction for A/B readouts: adjust the
     * post-period metric by the pre-period covariate
     * (`adj = y − θ(x − μx)`, θ the pooled OLS slope) and report the

@@ -74,4 +74,38 @@ object Incremental {
   def finishTouch(state: DataFrame, keys: Seq[String]): DataFrame =
     state.select(keys.map(col) ++ Seq(col("first_ms"), col("last_ms"),
       col("cnt"), (col("last_ms") - col("first_ms")).as("span_ms")): _*)
+
+  /** Second-moment state: per-key (count, exact decimal sum, exact
+    * decimal sum of squares) — mean AND variance maintainable from
+    * deltas, the carrier for incremental per-key anomaly baselines.
+    * Squares multiply as decimals (a rounded value squared is exact in
+    * decimal, order-independent in the sum). */
+  def momentState(df: DataFrame, keys: Seq[String], valueCol: String,
+      scale: Int = 6): DataFrame = {
+    val vr = round(col(valueCol), scale).cast(dec(scale))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(col(valueCol)).as("cnt"),
+        sum(vr).as("sum_dec"),
+        sum(vr * vr).as("sumsq_dec"))
+  }
+
+  /** Merge moment states: all three components are sums. */
+  def mergeMomentStates(states: Seq[DataFrame],
+      keys: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).cast("long").as("cnt"),
+        sum(col("sum_dec")).as("sum_dec"),
+        sum(col("sumsq_dec")).as("sumsq_dec"))
+
+  /** Read-time finish: mean and population variance in double (the
+    * two closing divisions are the only float ops). */
+  def finishMoments(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(col("cnt"),
+      (col("sum_dec").cast("double") / col("cnt").cast("double"))
+        .as("mean"),
+      (col("sumsq_dec").cast("double") / col("cnt").cast("double") -
+        (col("sum_dec").cast("double") / col("cnt").cast("double")) *
+          (col("sum_dec").cast("double") / col("cnt").cast("double")))
+        .as("variance")): _*)
 }

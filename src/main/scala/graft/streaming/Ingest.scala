@@ -314,6 +314,20 @@ object Ingest {
       batchId, scopeId)
   }
 
+  /** Second-moment state maintenance for one micro-batch — per-key
+    * count/sum/sum-of-squares through the idempotent kernel, so an
+    * anomaly baseline (mean ± k·σ per key) refreshes from deltas
+    * without rescanning history. */
+  def incrementalMomentsBatch(batch: DataFrame, path: String,
+      keys: Seq[String], valueCol: String, batchId: Long = Long.MinValue,
+      scopeId: String = ""): Unit = {
+    import graft.operators.Incremental
+    val delta = Incremental.momentState(batch, keys, valueCol)
+    incrementalStateBatch(delta, path,
+      prior => Incremental.mergeMomentStates(Seq(prior, delta), keys),
+      batchId, scopeId)
+  }
+
   /** Streaming first/last-touch maintenance: the user-profile columns
     * ("first seen", "last active", touch count) kept fresh from the
     * event stream without ever rescanning history. Min/max/count merge

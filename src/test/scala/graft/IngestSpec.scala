@@ -351,6 +351,78 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(got === expect)
   }
 
+  test("moment state: sharded merge equals whole-history mean/variance") {
+    val store = Files.createTempDirectory("mom-state").toString + "/st"
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 400).map(i => (i % 5L, rnd.nextInt(1000) / 10.0))
+    val df = rows.toDF("k", "v")
+    Ingest.incrementalMomentsBatch(df.filter(col("k") < 2), store,
+      Seq("k"), "v", batchId = 0, scopeId = "m")
+    Ingest.incrementalMomentsBatch(df.filter(col("k") >= 2), store,
+      Seq("k"), "v", batchId = 1, scopeId = "m")
+    // replay skipped
+    Ingest.incrementalMomentsBatch(df.filter(col("k") >= 2), store,
+      Seq("k"), "v", batchId = 1, scopeId = "m")
+    val got = graft.operators.Incremental.finishMoments(
+        spark.read.parquet(store), Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (k, xs) =>
+      val vs = xs.map(_._2)
+      val mean = vs.sum / vs.size
+      val varr = vs.map(v => v * v).sum / vs.size - mean * mean
+      val (n, m, s2) = got(k)
+      assert(n === vs.size.toLong)
+      assert(math.abs(m - mean) < 1e-9)
+      assert(math.abs(s2 - varr) < 1e-6, s"k=$k $s2 vs $varr")
+    }
+  }
+
+  test("lsh planner: closed-form costs on a two-spike histogram") {
+    import graft.operators.Dedup
+    // 100 pairs at jaccard ~0.125 (bin 2, mid 0.125), 10 at ~0.925
+    // (bin 18, mid 0.925); threshold 0.5
+    val pairs = (Seq.fill(100)(0.125) ++ Seq.fill(10)(0.925))
+      .toDF("jaccard")
+    val got = Dedup.lshParameterPlan(pairs, 0.5,
+      Seq((4, 4), (16, 1))).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(6)))).toMap
+    def p(s: Double, r: Int, b: Int) =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def micro(x: Double) = math.rint(x * 1e6).toLong
+    val fp44 = 100L * micro(p(0.125, 4, 4))
+    val fn44 = 10L * (1000000L - micro(p(0.925, 4, 4)))
+    assert(got((4, 4)) === ((fp44, fn44, got((4, 4))._3)))
+    val fp161 = 100L * micro(p(0.125, 1, 16))
+    val fn161 = 10L * (1000000L - micro(p(0.925, 1, 16)))
+    assert(got((16, 1)) === ((fp161, fn161, got((16, 1))._3)))
+    // b=16,r=1 is the high-recall/low-precision arm: more FP, less FN
+    assert(fp161 > fp44)
+    assert(fn161 < fn44)
+    // exactly one best
+    assert(got.values.count(_._3) === 1)
+  }
+
+  test("replay eval matches a naive fixture") {
+    import graft.operators.Evaluation
+    val train = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 20L))
+      .toDF("user_id", "item_id")
+    // user 1 policy -> 10, user 2 -> 20
+    val replay = Seq(
+      (1L, 10L, 1L), (1L, 10L, 0L), (1L, 11L, 1L),
+      (2L, 20L, 0L), (2L, 21L, 1L), (3L, 30L, 1L))
+      .toDF("user_id", "item_id", "click")
+    val r = Evaluation.replayPolicyEval(train, replay).collect().head
+    assert(r.getAs[Long]("n_logged") === 6L)
+    assert(r.getAs[Long]("n_matched") === 3L) // (1,10)x2, (2,20)
+    assert(r.getAs[Double]("match_rate") === 0.5)
+    assert(r.getAs[Double]("replay_ctr") === BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("logged_ctr") === BigDecimal(4.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("blockedBestMatch links within blocks only, naive-checked") {
     import graft.operators.EntityResolution
     val clean = Seq((1L, "alpha", 0L), (2L, "alphq", 0L),
