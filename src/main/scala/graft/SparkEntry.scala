@@ -3032,6 +3032,42 @@ object SparkEntry {
         .select(col("user_id"), col("item_id"),
           (col("event_type") === "click").cast("long").as("click"))
       graft.operators.Evaluation.replayPolicyEval(train, replay)
+    }),
+
+    // ---- right-to-be-forgotten cascade: sweep a deletion key-set
+    // through raw + derived datasets, residual proven zero ----
+    "q270_deletion_sweep" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val deletes = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 7 === 0)
+      val profile = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_millis(col("ts"))).as("last_ms"))
+      val daily = ev.groupBy(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("d"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Validate.deletionSweep(Seq(
+        ("events", ev.select(col("user_id"), col("event_id")), "user_id"),
+        ("user_profile", profile, "user_id"),
+        ("daily_activity", daily, "user_id")), deletes, "user_id")
+    }),
+
+    // ---- update-cost of a layout: copy-on-write file touch counts
+    // under user-clustered vs time-clustered files ----
+    "q271_cow_amplification" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+          (col("user_id") % 11 === 0).cast("int").as("is_upd"))
+      val mm = base.agg(max(col("user_id")).as("mxu"),
+        min(col("ms")).as("mnm"), max(col("ms")).as("mxm"))
+      val tagged = base.crossJoin(broadcast(mm))
+      val byUser = tagged.select(lit("by_user").as("layout"),
+        expr("user_id * 32 div (mxu + 1)").as("file_id"), col("is_upd"))
+      val byTime = tagged.select(lit("by_time").as("layout"),
+        expr("(ms - mnm) * 32 div (mxm - mnm + 1)").as("file_id"),
+        col("is_upd"))
+      graft.sources.Layout.cowAmplification(
+        byUser.unionByName(byTime), "layout", "file_id", "is_upd")
     })
   )
 
@@ -8373,7 +8409,50 @@ object SparkEntry {
         |    END) AS DOUBLE), 6) AS replay_ctr,
         |  ROUND(CAST(SUM(click) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
         |    AS logged_ctr
-        |FROM rp""".stripMargin
+        |FROM rp""".stripMargin,
+
+    "q270_deletion_sweep" ->
+      """WITH e AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d FROM events),
+        |pu AS (SELECT user_id FROM events GROUP BY user_id),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d FROM pu),
+        |du AS (SELECT user_id, epoch_ms(ts) // 86400000 AS dd
+        |       FROM events GROUP BY 1, 2),
+        |dl AS (SELECT CAST(COUNT(*) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d FROM du)
+        |SELECT 'events' AS dataset, b AS rows_before, b - d AS rows_after,
+        |  d AS rows_deleted, 0 AS residual FROM e
+        |UNION ALL
+        |SELECT 'user_profile', b, b - d, d, 0 FROM p
+        |UNION ALL
+        |SELECT 'daily_activity', b, b - d, d, 0 FROM dl""".stripMargin,
+
+    "q271_cow_amplification" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN user_id % 11 = 0 THEN 1 ELSE 0 END AS u
+        |  FROM events),
+        |mm AS (SELECT max(user_id) AS mxu, min(ms) AS mnm,
+        |    max(ms) AS mxm FROM e),
+        |t AS (SELECT 'by_user' AS layout, user_id * 32 // (mxu + 1) AS f,
+        |    u FROM e, mm
+        |  UNION ALL
+        |  SELECT 'by_time', (ms - mnm) * 32 // (mxm - mnm + 1), u
+        |  FROM e, mm),
+        |pf AS (SELECT layout, f, CAST(COUNT(*) AS BIGINT) AS rows_,
+        |    CAST(SUM(u) AS BIGINT) AS upd FROM t GROUP BY 1, 2)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN upd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS files_touched,
+        |  CAST(SUM(upd) AS BIGINT) AS n_updated_rows,
+        |  CAST(SUM(CASE WHEN upd > 0 THEN rows_ ELSE 0 END) AS BIGINT)
+        |    AS rows_rewritten,
+        |  ROUND(CAST(SUM(CASE WHEN upd > 0 THEN rows_ ELSE 0 END)
+        |    AS DOUBLE) / CAST(SUM(upd) AS DOUBLE), 6) AS write_amp
+        |FROM pf GROUP BY 1""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -208,6 +208,40 @@ object Validate {
       .drop("__t")
   }
 
+  /** Right-to-be-forgotten sweep audit: apply a deletion key-set to
+    * every derived dataset (raw + downstream aggregates) and prove
+    * the cascade: per dataset, rows before/after, rows deleted, and
+    * the RESIDUAL — rows still carrying a deleted key after the
+    * sweep, which must be zero. The sweep is a broadcast anti-join
+    * per dataset (the delete list is always tiny relative to the
+    * data); the audit recounts with the same key-set so a missed
+    * propagation path shows up as a non-zero residual, not a silent
+    * compliance gap. */
+  def deletionSweep(datasets: Seq[(String, DataFrame, String)],
+      deleteKeys: DataFrame, deleteKeyCol: String): DataFrame = {
+    val del = broadcast(deleteKeys.select(col(deleteKeyCol)).distinct())
+    datasets.map { case (name, df, keyCol) =>
+      val flagged = df.join(
+        del.withColumnRenamed(deleteKeyCol, keyCol)
+          .withColumn("__del", lit(true)),
+        Seq(keyCol), "left")
+      val swept = flagged.filter(col("__del").isNull)
+      val sweptFlag = swept.join(
+        del.withColumnRenamed(deleteKeyCol, keyCol)
+          .withColumn("__res", lit(true)),
+        Seq(keyCol), "left")
+      sweptFlag.agg(lit(name).as("dataset"),
+        count(lit(1)).as("rows_after"),
+        sum(col("__res").isNotNull.cast("long")).as("residual"))
+        .crossJoin(broadcast(flagged.agg(
+          count(lit(1)).as("rows_before"),
+          sum(col("__del").isNotNull.cast("long")).as("rows_deleted"))))
+        .select(col("dataset"), col("rows_before"), col("rows_after"),
+          col("rows_deleted"), coalesce(col("residual"), lit(0L))
+            .as("residual"))
+    }.reduce(_ unionByName _)
+  }
+
   /** k-anonymity audit over a quasi-identifier tuple: how many rows
     * sit in an equivalence class smaller than k, for a ladder of k
     * thresholds — the re-identification risk census a training-data

@@ -212,6 +212,31 @@ object Layout {
     * one-row table), one shuffle for the per-bucket aggregate. The
     * groupBy key space is 4^bits but only `buckets` coarse buckets
     * materialize. */
+  /** Copy-on-write amplification by layout: given rows tagged with
+    * their (layout, file) assignment and an update flag, report how
+    * many files an update batch touches and how many rows a
+    * copy-on-write rewrite would carry, per layout. The write-side
+    * twin of [[zorderPruningAudit]]: clustering by the UPDATE key
+    * confines each update batch to few files (amplification →
+    * rows-per-file), while an orthogonal clustering forces a rewrite
+    * of nearly every file. Two aggregates: per (layout, file), then
+    * per layout. */
+  def cowAmplification(df: DataFrame, layoutCol: String, fileCol: String,
+      updateCol: String): DataFrame = {
+    val perFile = df.groupBy(col(layoutCol), col(fileCol))
+      .agg(count(lit(1)).as("__rows"),
+        sum(col(updateCol).cast("long")).as("__upd"))
+    perFile.groupBy(col(layoutCol))
+      .agg(count(lit(1)).as("n_files"),
+        sum((col("__upd") > 0L).cast("long")).as("files_touched"),
+        sum(col("__upd")).as("n_updated_rows"),
+        sum(when(col("__upd") > 0L, col("__rows")).otherwise(0L))
+          .as("rows_rewritten"))
+      .withColumn("write_amp",
+        round(col("rows_rewritten").cast("double") /
+          col("n_updated_rows").cast("double"), 6))
+  }
+
   def zorderPruningAudit(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 8, buckets: Int = 64): DataFrame = {
     val side = 1 << bits                // cells per dimension

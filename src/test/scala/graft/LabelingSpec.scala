@@ -100,6 +100,35 @@ class LabelingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("deletion sweep: cascade counts and zero residual") {
+    val raw = Seq((1L, "a"), (2L, "b"), (7L, "c"), (14L, "d"), (3L, "e"))
+      .toDF("user_id", "x")
+    val agg = raw.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val deletes = Seq(7L, 14L).toDF("user_id")
+    val got = Validate.deletionSweep(
+      Seq(("raw", raw, "user_id"), ("agg", agg, "user_id")),
+      deletes, "user_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("raw") === ((5L, 3L, 2L, 0L)))
+    assert(got("agg") === ((5L, 3L, 2L, 0L)))
+  }
+
+  test("cow amplification: clustered updates touch fewer files") {
+    // file 0 holds all updates in layout A; spread across both in B
+    val rows = Seq(
+      ("A", 0L, 1), ("A", 0L, 1), ("A", 0L, 0), ("A", 1L, 0), ("A", 1L, 0),
+      ("B", 0L, 1), ("B", 0L, 0), ("B", 1L, 1), ("B", 1L, 0), ("B", 1L, 0))
+      .toDF("layout", "file_id", "is_upd")
+    val got = graft.sources.Layout.cowAmplification(
+        rows, "layout", "file_id", "is_upd")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("write_amp")))).toMap
+    assert(got("A") === ((2L, 1L, 2L, 3L, 1.5)))
+    assert(got("B") === ((2L, 2L, 2L, 5L, 2.5)))
+  }
+
   test("snapshot diff classifies adds, removes, changes, unchanged") {
     val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
       (4L, "d", 40.0)).toDF("k", "s", "x")
