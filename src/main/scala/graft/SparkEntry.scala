@@ -3068,7 +3068,18 @@ object SparkEntry {
         col("is_upd"))
       graft.sources.Layout.cowAmplification(
         byUser.unionByName(byTime), "layout", "file_id", "is_upd")
-    })
+    }),
+
+    // ---- which cut ships: F1 and cost-weighted operating points over
+    // the one-scan PR sweep ----
+    "q272_operating_point" -> ((s, dir) =>
+      graft.operators.Evaluation.operatingPoint(
+        Tables.events(s, dir)
+          .select(col("value").as("score"),
+            (col("event_type") === "click").cast("long").as("y")),
+        "score", "y",
+        thresholds = Seq(10.0, 50.0, 100.0, 250.0, 500.0),
+        fpCost = 1L, fnCost = 5L))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8452,7 +8463,39 @@ object SparkEntry {
         |    AS rows_rewritten,
         |  ROUND(CAST(SUM(CASE WHEN upd > 0 THEN rows_ ELSE 0 END)
         |    AS DOUBLE) / CAST(SUM(upd) AS DOUBLE), 6) AS write_amp
-        |FROM pf GROUP BY 1""".stripMargin
+        |FROM pf GROUP BY 1""".stripMargin,
+
+    "q272_operating_point" ->
+      """WITH s AS (SELECT value AS score,
+        |    CAST(event_type = 'click' AS BIGINT) AS y FROM events),
+        |t AS (SELECT unnest([10.0E0, 50.0E0, 100.0E0, 250.0E0, 500.0E0])
+        |        AS threshold),
+        |c AS (SELECT t.threshold,
+        |    CAST(SUM(CASE WHEN s.score >= t.threshold THEN s.y
+        |             ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN s.score >= t.threshold THEN 1 - s.y
+        |             ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN s.score < t.threshold THEN s.y
+        |             ELSE 0 END) AS BIGINT) AS fn
+        |  FROM t, s GROUP BY 1),
+        |f AS (SELECT *,
+        |    CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |      2 * CAST(tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |      ELSE 0.0E0 END AS f1r,
+        |    fp * 1 + fn * 5 AS cost FROM c),
+        |bf AS (SELECT min(threshold) AS bft FROM f
+        |       WHERE f1r = (SELECT max(f1r) FROM f)),
+        |mc AS (SELECT min(threshold) AS mct FROM f
+        |       WHERE cost = (SELECT min(cost) FROM f))
+        |SELECT threshold, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+        |  ROUND(f1r, 6) AS f1, CAST(cost AS BIGINT) AS cost,
+        |  (threshold = bft) AS is_best_f1,
+        |  (threshold = mct) AS is_min_cost
+        |FROM f, bf, mc""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

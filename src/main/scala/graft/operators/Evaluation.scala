@@ -933,6 +933,38 @@ object Evaluation {
           col("den_micro").cast("double"), 6))
   }
 
+  /** Operating-point selection on top of [[prCurve]]: per threshold,
+    * F1 and the expected misclassification cost
+    * `fp·fpCost + fn·fnCost` (integer costs → integer totals), with
+    * deterministic best-F1 / min-cost flags (ties break toward the
+    * smaller threshold). The "which cut do we ship" table an alerting
+    * or moderation pipeline derives from its score distribution —
+    * still ONE conditional-aggregate scan of the data; the selection
+    * layer only touches the |thresholds|-row curve. */
+  def operatingPoint(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double], fpCost: Long, fnCost: Long): DataFrame = {
+    val curve = prCurve(df, scoreCol, labelCol, thresholds)
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        lit(2L) * col("tp").cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+        .otherwise(0.0))
+      .withColumn("cost", col("fp") * fpCost + col("fn") * fnCost)
+    val bestF1 = curve.agg(max(col("f1")).as("__mf"))
+    val bestF1T = curve.crossJoin(broadcast(bestF1))
+      .filter(col("f1") === col("__mf"))
+      .agg(min(col("threshold")).as("__bft"))
+    val minCost = curve.agg(min(col("cost")).as("__mc"))
+    val minCostT = curve.crossJoin(broadcast(minCost))
+      .filter(col("cost") === col("__mc"))
+      .agg(min(col("threshold")).as("__mct"))
+    curve.crossJoin(broadcast(bestF1T)).crossJoin(broadcast(minCostT))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        col("precision"), col("recall"), round(col("f1"), 6).as("f1"),
+        col("cost"),
+        (col("threshold") === col("__bft")).as("is_best_f1"),
+        (col("threshold") === col("__mct")).as("is_min_cost"))
+  }
+
   /** Replay-based offline policy evaluation (the Li et al. unbiased
     * replay method for a DETERMINISTIC policy): take the policy's
     * per-user recommendation, keep only logged impressions where the

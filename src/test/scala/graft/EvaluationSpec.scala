@@ -1086,4 +1086,24 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
         ((p.toDouble / tp) - (ng.toDouble / tn)) * woe) < 1e-12)
     }
   }
+
+  test("operating point: F1 argmax and cost argmin on a known curve") {
+    // scores 1..10, positives are 6..10
+    val rows = (1 to 10).map(i => (i.toDouble, if (i > 5) 1L else 0L))
+    val out = Evaluation.operatingPoint(
+      rows.toDF("score", "y"), "score", "y",
+      thresholds = Seq(3.0, 6.0, 9.0), fpCost = 1L, fnCost = 1L)
+      .collect().map(r => r.getAs[Double]("threshold") -> r).toMap
+    // t=6: tp=5 fp=0 fn=0 -> perfect
+    assert(out(6.0).getAs[Double]("f1") === 1.0)
+    assert(out(6.0).getAs[Long]("cost") === 0L)
+    assert(out(6.0).getAs[Boolean]("is_best_f1"))
+    assert(out(6.0).getAs[Boolean]("is_min_cost"))
+    // t=3: tp=5 fp=3 fn=0; t=9: tp=2 fp=0 fn=3
+    assert(!out(3.0).getAs[Boolean]("is_best_f1"))
+    assert(out(3.0).getAs[Long]("cost") === 3L)
+    assert(out(9.0).getAs[Long]("cost") === 3L)
+    assert(out.values.count(_.getAs[Boolean]("is_best_f1")) === 1)
+    assert(out.values.count(_.getAs[Boolean]("is_min_cost")) === 1)
+  }
 }
