@@ -3079,7 +3079,22 @@ object SparkEntry {
             (col("event_type") === "click").cast("long").as("y")),
         "score", "y",
         thresholds = Seq(10.0, 50.0, 100.0, 250.0, 500.0),
-        fpCost = 1L, fnCost = 5L))
+        fpCost = 1L, fnCost = 5L)),
+
+    // ---- graph topology health: do popular items link popular items
+    // (degree assortativity over the thresholded co-visit graph) ----
+    "q273_assortativity" -> ((s, dir) =>
+      graft.operators.Recsys.degreeAssortativity(
+        graft.operators.Recsys.covisitation(Tables.events(s, dir),
+          recentPerUser = 30, minUsers = 14))),
+
+    // ---- rich-club curve: density among nodes above each degree
+    // rung ----
+    "q274_rich_club" -> ((s, dir) =>
+      graft.operators.Recsys.richClub(
+        graft.operators.Recsys.covisitation(Tables.events(s, dir),
+          recentPerUser = 30, minUsers = 12),
+        ks = Seq(20L, 40L, 60L, 80L)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8495,7 +8510,77 @@ object SparkEntry {
         |  ROUND(f1r, 6) AS f1, CAST(cost AS BIGINT) AS cost,
         |  (threshold = bft) AS is_best_f1,
         |  (threshold = mct) AS is_min_cost
-        |FROM f, bf, mc""".stripMargin
+        |FROM f, bf, mc""".stripMargin,
+
+    "q273_assortativity" ->
+      """WITH ui AS (
+        |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT)
+        |      AS item_id,
+        |    MAX(ts) AS last_ts
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |capped AS (SELECT user_id, item_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+        |  WHERE rn <= 30),
+        |cov AS (SELECT a.item_id AS ia, b.item_id AS ib
+        |  FROM capped a JOIN capped b
+        |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 14),
+        |sym AS (SELECT ia AS s2, ib AS d2 FROM cov
+        |        UNION ALL SELECT ib, ia FROM cov),
+        |deg AS (SELECT s2 AS n, CAST(COUNT(*) AS BIGINT) AS dg
+        |        FROM sym GROUP BY 1),
+        |pr AS (SELECT dx.dg AS x, dy.dg AS y FROM sym
+        |       JOIN deg dx ON dx.n = sym.s2
+        |       JOIN deg dy ON dy.n = sym.d2),
+        |mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy FROM pr)
+        |SELECT ne AS n_ends,
+        |  ROUND(CASE WHEN CAST(ne * sxx - sx * sx AS DOUBLE) > 0.0E0
+        |          AND CAST(ne * syy - sy * sy AS DOUBLE) > 0.0E0
+        |    THEN CAST(ne * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(ne * sxx - sx * sx AS DOUBLE)
+        |          * CAST(ne * syy - sy * sy AS DOUBLE)) END, 6)
+        |    AS assortativity
+        |FROM mom""".stripMargin,
+
+    "q274_rich_club" ->
+      """WITH ui AS (
+        |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT)
+        |      AS item_id,
+        |    MAX(ts) AS last_ts
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |capped AS (SELECT user_id, item_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY last_ts DESC, item_id ASC) AS rn FROM ui)
+        |  WHERE rn <= 30),
+        |cov AS (SELECT a.item_id AS ia, b.item_id AS ib
+        |  FROM capped a JOIN capped b
+        |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 12),
+        |sym AS (SELECT ia AS s2, ib AS d2 FROM cov
+        |        UNION ALL SELECT ib, ia FROM cov),
+        |deg AS (SELECT s2 AS n, CAST(COUNT(*) AS BIGINT) AS dg
+        |        FROM sym GROUP BY 1),
+        |kk AS (SELECT unnest([20, 40, 60, 80]) AS k),
+        |nc AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_club
+        |       FROM deg, kk WHERE dg > k GROUP BY 1),
+        |ec AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS e_club
+        |       FROM cov e JOIN deg da ON da.n = e.ia
+        |            JOIN deg db ON db.n = e.ib, kk
+        |       WHERE da.dg > k AND db.dg > k GROUP BY 1)
+        |SELECT CAST(nc.k AS BIGINT) AS k, n_club,
+        |  COALESCE(e_club, 0) AS e_club,
+        |  n_club * (n_club - 1) // 2 AS possible,
+        |  ROUND(CAST(COALESCE(e_club, 0) AS DOUBLE)
+        |    / CAST(n_club * (n_club - 1) // 2 AS DOUBLE), 6) AS phi
+        |FROM nc LEFT JOIN ec ON ec.k = nc.k
+        |WHERE n_club > 1""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -675,7 +675,12 @@ object Recsys {
     * Output: surviving `(node, degree)` in the final subgraph. */
   def kCore(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // materialize the edge list once: every round reads it twice
+    // (degree aggregate + semi-join filters) and later rounds stack on
+    // top, so an expensive upstream build (covisitation's pair
+    // explode) would otherwise re-execute once per consumer
     var e = edges.select(col("item_a").as("a"), col("item_b").as("b"))
+      .localCheckpoint()
     var deg: DataFrame = null
     for (r <- 1 to rounds) {
       val sym = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
@@ -689,6 +694,81 @@ object Recsys {
     }
     deg.filter(col("degree") >= k)
       .select(col("n").as("node"), col("degree"))
+  }
+
+  /** Degree assortativity of an undirected edge list (`item_a <
+    * item_b`): the Pearson correlation between the degrees at the two
+    * ends of every edge, over both orientations. Positive = hubs link
+    * hubs (resilient core), negative = hub-and-spoke (celebrity
+    * items) — which of the two a co-visitation graph is decides how
+    * hard degree-based cuts (super-node removal) bite.
+    *
+    * Integer-exact: degrees are counts; the correlation assembles
+    * from five integer moment sums scaled by n (products ride
+    * decimal(38) against overflow); one closing sqrt+division. One
+    * degree aggregate, one edge-degree join per endpoint, one global
+    * moment aggregate. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sym = edges.select(col("item_a").as("s"), col("item_b").as("d"))
+      .unionAll(edges.select(col("item_b").as("s"), col("item_a").as("d")))
+    val deg = sym.groupBy(col("s").as("n")).agg(count(lit(1)).as("dg"))
+    val pairs = sym
+      .join(deg.select(col("n").as("s"), col("dg").as("x")), Seq("s"))
+      .join(deg.select(col("n").as("d"), col("dg").as("y")), Seq("d"))
+    pairs.agg(count(lit(1)).as("n_ends"),
+        sum(col("x").cast(dec)).as("__sx"),
+        sum(col("y").cast(dec)).as("__sy"),
+        sum((col("x").cast(dec) * col("x").cast(dec))).as("__sxx"),
+        sum((col("x").cast(dec) * col("y").cast(dec))).as("__sxy"),
+        sum((col("y").cast(dec) * col("y").cast(dec))).as("__syy"))
+      .select(col("n_ends"),
+        round(when(
+          (col("n_ends") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double") > 0.0 &&
+          (col("n_ends") * col("__syy") - col("__sy") * col("__sy"))
+            .cast("double") > 0.0,
+          (col("n_ends") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+            sqrt((col("n_ends") * col("__sxx") -
+              col("__sx") * col("__sx")).cast("double") *
+              (col("n_ends") * col("__syy") -
+                col("__sy") * col("__sy")).cast("double"))), 6)
+          .as("assortativity"))
+  }
+
+  /** Rich-club curve: among nodes with degree > k, the realized
+    * fraction of the possible edges, for a ladder of k values — do
+    * the best-connected items form their own dense club? φ(k) near 1
+    * at high k is the signature of a collusive head; a flat curve
+    * means popularity does not imply interconnection. Integer counts
+    * per rung (nodes, actual club edges, possible pairs); one double
+    * division each. */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("item_a").as("a"), col("item_b").as("b"))
+      .localCheckpoint()
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val kdf = ks.toDF("k")
+    val clubNodes = deg.crossJoin(broadcast(kdf))
+      .filter(col("dg") > col("k"))
+    val nodesPerK = clubNodes.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_club"))
+    val clubEdges = e.crossJoin(broadcast(kdf))
+      .join(deg.select(col("n").as("a"), col("dg").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("__db")), Seq("b"))
+      .filter(col("__da") > col("k") && col("__db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_club"))
+    nodesPerK.join(clubEdges, Seq("k"), "left")
+      .select(col("k"), col("n_club"),
+        coalesce(col("e_club"), lit(0L)).as("e_club"),
+        expr("n_club * (n_club - 1) div 2").as("possible"),
+        round(coalesce(col("e_club"), lit(0L)).cast("double") /
+          expr("n_club * (n_club - 1) div 2").cast("double"), 6)
+          .as("phi"))
+      .filter(col("n_club") > 1)
   }
 
   /** HITS hubs/authorities, `rounds` synchronous iterations over a

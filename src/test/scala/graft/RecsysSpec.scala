@@ -452,6 +452,56 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
     assert(r4 === run(5))
   }
 
+  test("assortativity: star graph is maximally disassortative-ish, " +
+    "clique pairs are neutral") {
+    // star: center degree 5, leaves degree 1 -> strong negative r
+    val star = (1L to 5L).map(l => (0L, l)).toDF("item_a", "item_b")
+    val rStar = Recsys.degreeAssortativity(star).collect().head
+    assert(rStar.getAs[Long]("n_ends") === 10L)
+    assert(rStar.getAs[Double]("assortativity") < -0.9)
+    // regular graph (6-cycle): all degrees equal -> zero variance ->
+    // null by the guarded formula
+    val cycle = (0L to 5L).map(i => (i, (i + 1) % 6))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("item_a", "item_b")
+    assert(Recsys.degreeAssortativity(cycle).collect().head.isNullAt(1))
+  }
+
+  test("assortativity matches a naive pearson over edge-end degrees") {
+    val rnd = new scala.util.Random(71)
+    val edges = (0 until 60).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 < e._2).distinct
+    val got = Recsys.degreeAssortativity(edges.toDF("item_a", "item_b"))
+      .collect().head.getAs[Double]("assortativity")
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size }
+    val xs = sym.map(e => deg(e._1).toDouble)
+    val ys = sym.map(e => deg(e._2).toDouble)
+    val n = xs.size
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val syy = ys.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val naive = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(got - naive) < 1e-5, s"$got vs $naive")
+  }
+
+  test("rich club: clique core plus pendants") {
+    // 4-clique (degrees 3+) with a pendant on node 0
+    val clique = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val edges = (clique :+ (0L, 9L)).toDF("item_a", "item_b")
+    val got = Recsys.richClub(edges, Seq(1L, 3L)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("phi")))).toMap
+    // k=1: club = degree>1 = the 4 clique nodes; all 6 edges inside
+    assert(got(1L) === ((4L, 6L, 6L, 1.0)))
+    // k=3: only node 0 has degree 4 -> club size 1 -> filtered out
+    assert(!got.contains(3L))
+  }
+
   test("hits matches a naive driver-side power iteration") {
     val rnd = new scala.util.Random(21)
     val edges = (0 until 60).map(_ => (rnd.nextInt(8).toLong,
