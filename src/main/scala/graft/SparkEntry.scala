@@ -3094,7 +3094,22 @@ object SparkEntry {
       graft.operators.Recsys.richClub(
         graft.operators.Recsys.covisitation(Tables.events(s, dir),
           recentPerUser = 30, minUsers = 12),
-        ks = Seq(20L, 40L, 60L, 80L)))
+        ks = Seq(20L, 40L, 60L, 80L))),
+
+    // ---- is the score miscalibrated or undiscriminating: Murphy
+    // decomposition of the Brier score over rank bins ----
+    "q275_brier_decomposition" -> ((s, dir) =>
+      graft.operators.Evaluation.brierDecomposition(
+        Tables.events(s, dir)
+          .select((col("value") / lit(500.0)).as("score"),
+            (col("user_id") % 5 === 0).cast("long").as("label")),
+        "score", "label", nBins = 10)),
+
+    // ---- what length-bucketing buys: padded-token waste of arrival
+    // vs length-sorted batching ----
+    "q276_padding_waste" -> ((s, dir) =>
+      graft.operators.Training.paddingWasteAudit(
+        Tables.documents(s, dir), "doc_id", "text", batchSize = 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8580,7 +8595,69 @@ object SparkEntry {
         |  ROUND(CAST(COALESCE(e_club, 0) AS DOUBLE)
         |    / CAST(n_club * (n_club - 1) // 2 AS DOUBLE), 6) AS phi
         |FROM nc LEFT JOIN ec ON ec.k = nc.k
-        |WHERE n_club > 1""".stripMargin
+        |WHERE n_club > 1""".stripMargin,
+
+    "q275_brier_decomposition" ->
+      """WITH s0 AS (SELECT value / 500.0 AS score,
+        |    CAST(user_id % 5 = 0 AS BIGINT) AS y FROM events),
+        |s AS (SELECT CAST(floor(score * 1000000) AS BIGINT) AS fm, y,
+        |    PERCENT_RANK() OVER (ORDER BY score) AS pr FROM s0),
+        |b AS (SELECT fm, y,
+        |    CAST(least(floor(pr * 10), 9) AS INT) AS bin FROM s),
+        |pb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(fm) AS BIGINT) AS sf, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST((fm - y * 1000000) * (fm - y * 1000000) AS HUGEINT))
+        |      AS sq
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT CAST(SUM(nb) AS BIGINT) AS n,
+        |    CAST(SUM(sy) AS BIGINT) AS gy, SUM(sq) AS gsq FROM pb),
+        |t AS (SELECT nb,
+        |    CAST(sf AS DOUBLE) / (CAST(nb AS DOUBLE) * 1.0E6) AS fb,
+        |    CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE) AS ob,
+        |    CAST(gy AS DOUBLE) / CAST(n AS DOUBLE) AS obar,
+        |    n, gy, gsq FROM pb, g),
+        |m AS (SELECT n, gy, gsq,
+        |    CAST(SUM(CAST(round(CAST(nb AS DOUBLE) * (fb - ob) * (fb - ob)
+        |      * 1.0E6) AS BIGINT)) AS BIGINT) AS relm,
+        |    CAST(SUM(CAST(round(CAST(nb AS DOUBLE) * (ob - obar)
+        |      * (ob - obar) * 1.0E6) AS BIGINT)) AS BIGINT) AS resm
+        |  FROM t GROUP BY 1, 2, 3),
+        |r AS (SELECT n,
+        |    ROUND(CAST(gsq AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0E12), 6)
+        |      AS brier,
+        |    ROUND(CAST(relm AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0E6), 6)
+        |      AS reliability,
+        |    ROUND(CAST(resm AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0E6), 6)
+        |      AS resolution,
+        |    ROUND((CAST(gy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0E0 - CAST(gy AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |      AS uncertainty
+        |  FROM m)
+        |SELECT n, brier, reliability, resolution, uncertainty,
+        |  ROUND(brier - (reliability - resolution + uncertainty), 6)
+        |    AS decomp_gap
+        |FROM r""".stripMargin,
+
+    "q276_padding_waste" -> {
+      def arm(name: String, order: String) =
+        s"""(SELECT '$name' AS strategy,
+           |    CAST(COUNT(*) AS BIGINT) AS n_batches,
+           |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           |    CAST(SUM(nb * mx) AS BIGINT) AS padded_tokens
+           |  FROM (SELECT b, COUNT(*) AS nb, max(ln) AS mx,
+           |      SUM(ln) AS tok
+           |    FROM (SELECT ln, (ROW_NUMBER() OVER (ORDER BY $order) - 1)
+           |        // 8 AS b FROM l) t
+           |    GROUP BY 1) bb)""".stripMargin
+      s"""WITH l AS (SELECT doc_id, CAST(len($sqlWords) AS BIGINT) AS ln
+         |  FROM documents)
+         |SELECT strategy, n_batches, total_tokens, padded_tokens,
+         |  padded_tokens - total_tokens AS waste_tokens,
+         |  ROUND(CAST(padded_tokens - total_tokens AS DOUBLE)
+         |    / CAST(padded_tokens AS DOUBLE), 6) AS waste_frac
+         |FROM (${arm("arrival", "doc_id")}
+         |      UNION ALL ${arm("length_sorted", "ln, doc_id")}) u""".stripMargin
+    }
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

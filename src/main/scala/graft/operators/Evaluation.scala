@@ -281,6 +281,66 @@ object Evaluation {
       .withColumn("gap", abs(col("pos_rate") - col("conf")))
   }
 
+  /** Murphy decomposition of the Brier score over equal-count score
+    * bins: reliability (calibration error mass), resolution (how much
+    * the bins separate outcomes), uncertainty (outcome variance), and
+    * the exact Brier for reference plus the decomposition gap (the
+    * within-bin forecast-variance term the binned identity absorbs).
+    * The one-table answer to "is my score bad because it's
+    * miscalibrated or because it can't discriminate".
+    *
+    * Exactness: Brier's Σ(f−y)² accumulates as integer micro-squares
+    * through a decimal sum; the per-bin reliability/resolution terms
+    * micro-round before the (≤nBins-element) sum — the PSI
+    * convention. Binning is the same percent-rank lineage as
+    * [[reliabilityBins]] (range-partitioned, no global window). */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int): DataFrame = {
+    val binned = Normalize.percentRank(
+        df.select(col(scoreCol),
+          floor(col(scoreCol).cast("double") * 1e6).cast("long").as("__fm"),
+          col(labelCol).cast("long").as("__y")),
+        scoreCol, "__pr")
+      .withColumn("__bin",
+        least(floor(col("__pr") * nBins), lit(nBins - 1)).cast("int"))
+    val perBin = binned.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__fm")).as("__sf"),
+        sum(col("__y")).as("__sy"),
+        sum(((col("__fm") - col("__y") * 1000000L) *
+          (col("__fm") - col("__y") * 1000000L)).cast("decimal(38,0)"))
+          .as("__sq"))
+    val global = perBin.agg(sum(col("__nb")).as("__n"),
+      sum(col("__sy")).as("__gy"), sum(col("__sq")).as("__gsq"))
+    val terms = perBin.crossJoin(broadcast(global))
+      .withColumn("__fb", col("__sf").cast("double") /
+        (col("__nb").cast("double") * 1e6))
+      .withColumn("__ob",
+        col("__sy").cast("double") / col("__nb").cast("double"))
+      .withColumn("__obar",
+        col("__gy").cast("double") / col("__n").cast("double"))
+      .withColumn("__rel_micro", round(col("__nb").cast("double") *
+        (col("__fb") - col("__ob")) * (col("__fb") - col("__ob")) * 1e6)
+        .cast("long"))
+      .withColumn("__res_micro", round(col("__nb").cast("double") *
+        (col("__ob") - col("__obar")) * (col("__ob") - col("__obar")) * 1e6)
+        .cast("long"))
+    terms.groupBy(col("__n"), col("__gy"), col("__gsq"))
+      .agg(sum(col("__rel_micro")).as("__relm"),
+        sum(col("__res_micro")).as("__resm"))
+      .select(col("__n").as("n"),
+        round(col("__gsq").cast("double") /
+          (col("__n").cast("double") * 1e12), 6).as("brier"),
+        round(col("__relm").cast("double") /
+          (col("__n").cast("double") * 1e6), 6).as("reliability"),
+        round(col("__resm").cast("double") /
+          (col("__n").cast("double") * 1e6), 6).as("resolution"),
+        round((col("__gy").cast("double") / col("__n").cast("double")) *
+          (lit(1.0) - col("__gy").cast("double") /
+            col("__n").cast("double")), 6).as("uncertainty"))
+      .withColumn("decomp_gap", round(col("brier") -
+        (col("reliability") - col("resolution") + col("uncertainty")), 6))
+  }
+
   /** Two-proportion z-test per group (experiment readout): variant 0
     * vs variant 1 conversion rates, pooled-variance z-score. Counts
     * are exact longs; the z expression uses only division and `sqrt`

@@ -370,4 +370,42 @@ object Training {
       .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
         col("lo"), col("hi"), col("woe"), col("iv_term"))
   }
+
+  /** Padding-waste audit for fixed-size training batches: compare
+    * arrival-order batching against length-sorted batching on the
+    * SAME documents — per strategy, total real tokens vs padded
+    * tokens (`batch_size · batch_max`, ragged tail at actual count)
+    * and the waste fraction. The measured version of "length
+    * bucketing buys you X% step throughput".
+    *
+    * Ranks come from [[PrefixSum.inclusiveBy]] over ones (the
+    * range-partitioned global rank — no single-partition window), so
+    * batch assignment `rank div batchSize` scales; everything after
+    * is a per-batch aggregate. */
+  def paddingWasteAudit(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int): DataFrame = {
+    import graft.functions.TextFunctions
+    val lens = docs.select(col(idCol).as("__id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("__len"))
+      .withColumn("__one", lit(1L))
+      .localCheckpoint() // feeds both strategy lineages
+    def strategy(name: String, order: Seq[org.apache.spark.sql.Column])
+        : DataFrame =
+      PrefixSum.inclusiveBy(lens, order, "__one", "__rank")
+        .withColumn("__batch", expr(s"(__rank - 1) div $batchSize"))
+        .groupBy(col("__batch"))
+        .agg(count(lit(1)).as("__nb"), max(col("__len")).as("__mx"),
+          sum(col("__len")).as("__tok"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__tok")).as("total_tokens"),
+          sum(col("__nb") * col("__mx")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          (col("padded_tokens") - col("total_tokens")).as("waste_tokens"),
+          round((col("padded_tokens") - col("total_tokens")).cast("double")
+            / col("padded_tokens").cast("double"), 6).as("waste_frac"))
+    strategy("arrival", Seq(col("__id").asc))
+      .unionByName(strategy("length_sorted",
+        Seq(col("__len").asc, col("__id").asc)))
+  }
 }

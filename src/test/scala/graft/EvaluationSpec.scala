@@ -1087,6 +1087,30 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("brier decomposition: perfect and constant forecasters") {
+    // perfect: score == label -> brier 0, reliability ~0, resolution
+    // ~uncertainty
+    val perfect = (1 to 200).map(i =>
+      (if (i % 4 == 0) 1.0 else 0.0, if (i % 4 == 0) 1L else 0L))
+    val p = Evaluation.brierDecomposition(
+      perfect.toDF("score", "y"), "score", "y", nBins = 4)
+      .collect().head
+    assert(p.getAs[Double]("brier") === 0.0)
+    assert(p.getAs[Double]("reliability") < 1e-5)
+    assert(math.abs(p.getAs[Double]("resolution") -
+      p.getAs[Double]("uncertainty")) < 1e-3)
+    // constant base-rate forecaster: brier == uncertainty, zero
+    // reliability and resolution
+    val const = (1 to 200).map(i => (0.25, if (i % 4 == 0) 1L else 0L))
+    val c = Evaluation.brierDecomposition(
+      const.toDF("score", "y"), "score", "y", nBins = 4)
+      .collect().head
+    assert(math.abs(c.getAs[Double]("brier") -
+      c.getAs[Double]("uncertainty")) < 1e-5)
+    assert(c.getAs[Double]("reliability") < 1e-5)
+    assert(c.getAs[Double]("resolution") < 1e-5)
+  }
+
   test("operating point: F1 argmax and cost argmin on a known curve") {
     // scores 1..10, positives are 6..10
     val rows = (1 to 10).map(i => (i.toDouble, if (i > 5) 1L else 0L))
