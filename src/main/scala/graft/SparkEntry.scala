@@ -3109,7 +3109,30 @@ object SparkEntry {
     // vs length-sorted batching ----
     "q276_padding_waste" -> ((s, dir) =>
       graft.operators.Training.paddingWasteAudit(
-        Tables.documents(s, dir), "doc_id", "text", batchSize = 8))
+        Tables.documents(s, dir), "doc_id", "text", batchSize = 8)),
+
+    // ---- per-key mean/variance straight off the STREAM: moments
+    // state through the restart-safe sink, finished to baselines ----
+    "q277_stream_moments" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val base = java.nio.file.Files.createTempDirectory("graft-q277")
+        .toString
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$in/events.parquet"))
+      val schema = Tables.load(s, dir, "events").schema
+      val src = Ingest.fileSource(s, in, schema)
+      Ingest.incrementalMomentsSink(src, s"$base/state",
+          Seq("event_type"), "value", s"$base/ckpt")
+        .start().awaitTermination()
+      graft.operators.Incremental.finishMoments(
+          s.read.parquet(s"$base/state"), Seq("event_type"))
+        .select(col("event_type"), col("cnt"),
+          round(col("mean"), 6).as("mean"),
+          round(col("variance"), 6).as("variance"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8657,7 +8680,21 @@ object SparkEntry {
          |    / CAST(padded_tokens AS DOUBLE), 6) AS waste_frac
          |FROM (${arm("arrival", "doc_id")}
          |      UNION ALL ${arm("length_sorted", "ln, doc_id")}) u""".stripMargin
-    }
+    },
+
+    "q277_stream_moments" ->
+      """SELECT event_type, CAST(COUNT(value) AS BIGINT) AS cnt,
+        |  ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+        |      AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6) AS mean,
+        |  ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))
+        |        * CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(COUNT(value) AS DOUBLE)
+        |    - (CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+        |        AS DOUBLE) / CAST(COUNT(value) AS DOUBLE))
+        |      * (CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+        |        AS DOUBLE) / CAST(COUNT(value) AS DOUBLE)), 6)
+        |    AS variance
+        |FROM events GROUP BY 1""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -328,6 +328,24 @@ object Ingest {
       batchId, scopeId)
   }
 
+  /** Streaming second-moment maintenance: per-key mean/variance
+    * baselines kept fresh from the stream through the same
+    * replay-protected kernel — the third member of the mergeable
+    * state family (count/sum, first/last touch, moments). */
+  def incrementalMomentsSink(
+      stream: DataFrame,
+      path: String,
+      keys: Seq[String],
+      valueCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalMomentsBatch(batch, path, keys, valueCol, batchId,
+          scopeId = checkpoint)
+      }
+
   /** Streaming first/last-touch maintenance: the user-profile columns
     * ("first seen", "last active", touch count) kept fresh from the
     * event stream without ever rescanning history. Min/max/count merge
