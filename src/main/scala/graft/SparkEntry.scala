@@ -3132,7 +3132,21 @@ object SparkEntry {
         .select(col("event_type"), col("cnt"),
           round(col("mean"), 6).as("mean"),
           round(col("variance"), 6).as("variance"))
-    })
+    }),
+
+    // ---- does popularity track revenue: Kendall tau-b between
+    // per-item view counts and value sums ----
+    "q278_rank_agreement" -> ((s, dir) =>
+      graft.operators.Evaluation.kendallTauB(
+        Tables.events(s, dir)
+          .withColumn("item_id",
+            graft.operators.Recsys.itemOf(col("props")))
+          .filter(col("item_id").isNotNull)
+          .groupBy(col("item_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 1e6).cast("long"))
+              .as("value_micro")),
+        "item_id", "n_events", "value_micro"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8694,7 +8708,35 @@ object SparkEntry {
         |      * (CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
         |        AS DOUBLE) / CAST(COUNT(value) AS DOUBLE)), 6)
         |    AS variance
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q278_rank_agreement" ->
+      """WITH it AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT)
+        |      AS item_id,
+        |    CAST(floor(value * 1.0E6) AS BIGINT) AS vm
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |g AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(vm) AS BIGINT) AS y FROM it GROUP BY 1),
+        |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        |  FROM g a JOIN g b ON a.item_id < b.item_id),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN (xa < xb AND ya < yb)
+        |      OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(SUM(CASE WHEN (xa < xb AND ya > yb)
+        |      OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_x,
+        |    CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_y
+        |  FROM p)
+        |SELECT n0, concordant, discordant, ties_x, ties_y,
+        |  ROUND(CASE WHEN (n0 - ties_x) > 0 AND (n0 - ties_y) > 0
+        |    THEN CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(CAST(n0 - ties_x AS DOUBLE)
+        |          * CAST(n0 - ties_y AS DOUBLE)) END, 6) AS tau_b
+        |FROM c""".stripMargin
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

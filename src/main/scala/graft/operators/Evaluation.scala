@@ -281,6 +281,39 @@ object Evaluation {
       .withColumn("gap", abs(col("pos_rate") - col("conf")))
   }
 
+  /** Kendall τ-b rank agreement between two numeric columns over the
+    * same entities — "do views track revenue", "did the model refresh
+    * reorder the catalog". Concordant/discordant/tied pair counts are
+    * exact integers from one self-join; τ-b's tie-corrected
+    * denominator takes the only sqrt. The pair count is quadratic in
+    * the entity set — run it on a bounded set (top-N entities, a
+    * segment, the thresholded-graph nodes), which is how rank-
+    * agreement is consumed anyway. */
+  def kendallTauB(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val pairs = base.as("a")
+      .join(base.select(col("__id").as("__id2"), col("__x").as("__x2"),
+        col("__y").as("__y2")), col("__id") < col("__id2"))
+    pairs.agg(count(lit(1)).as("n0"),
+        sum(when((col("__x") < col("__x2") && col("__y") < col("__y2")) ||
+          (col("__x") > col("__x2") && col("__y") > col("__y2")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("__x") < col("__x2") && col("__y") > col("__y2")) ||
+          (col("__x") > col("__x2") && col("__y") < col("__y2")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("__x") === col("__x2"), 1L).otherwise(0L))
+          .as("ties_x"),
+        sum(when(col("__y") === col("__y2"), 1L).otherwise(0L))
+          .as("ties_y"))
+      .withColumn("tau_b", round(when(
+        (col("n0") - col("ties_x")) > 0L && (col("n0") - col("ties_y")) > 0L,
+        (col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n0") - col("ties_x")).cast("double") *
+            (col("n0") - col("ties_y")).cast("double"))), 6))
+  }
+
   /** Murphy decomposition of the Brier score over equal-count score
     * bins: reliability (calibration error mass), resolution (how much
     * the bins separate outcomes), uncertainty (outcome variance), and

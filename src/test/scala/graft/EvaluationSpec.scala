@@ -1087,6 +1087,37 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("kendall tau-b: perfect, inverted, and tie-corrected cases") {
+    val agree = (1L to 10L).map(i => (i, i, i * 3)).toDF("id", "x", "y")
+    val a = Evaluation.kendallTauB(agree, "id", "x", "y").collect().head
+    assert(a.getAs[Long]("n0") === 45L)
+    assert(a.getAs[Double]("tau_b") === 1.0)
+    val invert = (1L to 10L).map(i => (i, i, 100 - i)).toDF("id", "x", "y")
+    assert(Evaluation.kendallTauB(invert, "id", "x", "y")
+      .collect().head.getAs[Double]("tau_b") === -1.0)
+    // ties: x constant -> denominator zero -> null
+    val flat = (1L to 5L).map(i => (i, 7L, i)).toDF("id", "x", "y")
+    assert(Evaluation.kendallTauB(flat, "id", "x", "y")
+      .collect().head.isNullAt(5))
+    // naive check with ties on random data
+    val rnd = new scala.util.Random(79)
+    val rows = (1L to 40L).map(i =>
+      (i, rnd.nextInt(6).toLong, rnd.nextInt(6).toLong))
+    val got = Evaluation.kendallTauB(rows.toDF("id", "x", "y"),
+      "id", "x", "y").collect().head.getAs[Double]("tau_b")
+    var (c, d, tx, ty, n0) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      n0 += 1
+      val (dx, dy) = (rows(i)._2 - rows(j)._2, rows(i)._3 - rows(j)._3)
+      if (dx == 0) tx += 1
+      if (dy == 0) ty += 1
+      if (dx * dy > 0) c += 1 else if (dx * dy < 0) d += 1
+    }
+    val naive = (c - d).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(math.abs(got - naive) < 1e-5)
+  }
+
   test("brier decomposition: perfect and constant forecasters") {
     // perfect: score == label -> brier 0, reliability ~0, resolution
     // ~uncertainty
