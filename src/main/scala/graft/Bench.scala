@@ -147,10 +147,12 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (n, c) => s"\"" + n + "\":\"error:" + c + "\"" }
       .mkString("{", ",", "}")
-    // Summary keys lead the JSON object (and the line) so a truncated
-    // capture still shows error/audit-flag counts before the long
-    // per-query maps.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir"}""")
+    // Summary keys lead the JSON object (truncated-from-the-right
+    // capture) AND repeat as the LAST key (`summary_tail`) — the
+    // driver keeps the final 2000 chars of the line, so a line longer
+    // than that would otherwise show neither count.
+    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"total_sec":$total,"n_queries":${results.size}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir","summary_tail":$tail}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffl
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 
 /** Final-plan shape audit backing [[Bench]]'s per-query verdicts.
   *
@@ -131,12 +132,45 @@ object PlanAudit {
     case l: LocalLimitExec => l.limit <= 1 || atMostOneRow(l.child)
     case g: GlobalLimitExec => g.limit <= 1 || atMostOneRow(g.child)
     case fl: FilterExec => pinnedGroupFilter(fl) || atMostOneRow(fl.child)
-    // a join of two provably-one-row sides yields at most one row
-    // (inner/cross: 1x1; outer variants cannot exceed the 1x1 product
-    // plus the preserved single row) — the stacked
-    // crossJoin(broadcast(one-row-agg)) shape builds exactly this
+    // an inner/cross join of two provably-one-row sides yields at most
+    // one row (1x1) — the stacked crossJoin(broadcast(one-row-agg))
+    // shape builds exactly this. Outer variants are EXCLUDED: a full
+    // outer 1x1 whose condition does not match preserves one row from
+    // EACH side (2 rows), so the one-row claim would be unsound there.
     case j: BroadcastNestedLoopJoinExec =>
-      atMostOneRow(j.left) && atMostOneRow(j.right)
+      (j.joinType match {
+        case Inner | Cross => true
+        case _ => false
+      }) && atMostOneRow(j.left) && atMostOneRow(j.right)
+    case _ => false
+  }
+
+  /** Max explicit top-N accepted as a provably-bounded BNLJ build side:
+    * an `.orderBy(...).limit(n)` (TakeOrdered) with n ≤ this cap
+    * carries exactly n rows at ANY corpus size — the pre-trim
+    * convention bounded pairwise operators use (q252's estimator top-m,
+    * q278's rank-agreement top-N). Kept small: a bounded build side
+    * must stay broadcast-sized even when every row is wide. */
+  private val BoundedBuildRows = 1024
+
+  /** True if `p` carries an explicit data-independent row bound — a
+    * global limit / top-N of ≤ [[BoundedBuildRows]] rows somewhere on
+    * its spine. Unlike [[atMostOneRow]] this follows only
+    * shape-preserving wrappers; a LocalLimit alone does NOT qualify
+    * (it bounds per partition, not globally). */
+  private def explicitlyBounded(p: SparkPlan): Boolean = p match {
+    case t: TakeOrderedAndProjectExec => t.limit <= BoundedBuildRows
+    case g: GlobalLimitExec =>
+      g.limit <= BoundedBuildRows || explicitlyBounded(g.child)
+    case q: QueryStageExec => explicitlyBounded(q.plan)
+    case r: ReusedExchangeExec => explicitlyBounded(r.child)
+    case w: WholeStageCodegenExec => explicitlyBounded(w.child)
+    case i: InputAdapter => explicitlyBounded(i.child)
+    case c: AQEShuffleReadExec => explicitlyBounded(c.child)
+    case e: Exchange => explicitlyBounded(e.child)
+    case pr: ProjectExec => explicitlyBounded(pr.child)
+    case s: SortExec => explicitlyBounded(s.child)
+    case fl: FilterExec => explicitlyBounded(fl.child)
     case _ => false
   }
 
@@ -150,7 +184,7 @@ object PlanAudit {
           case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
           case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
         }
-        if (!atMostOneRow(build)) bnlj += 1
+        if (!atMostOneRow(build) && !explicitlyBounded(build)) bnlj += 1
       case _ => ()
     }
     Shape(shuffles, cartesian, bnlj)

@@ -3135,7 +3135,9 @@ object SparkEntry {
     }),
 
     // ---- does popularity track revenue: Kendall tau-b between
-    // per-item view counts and value sums ----
+    // per-item view counts and value sums, over the top-50 items by
+    // event count (explicit TakeOrdered bound BEFORE the pairwise
+    // join — at a million-item catalog this stays 50·49/2 pairs) ----
     "q278_rank_agreement" -> ((s, dir) =>
       graft.operators.Evaluation.kendallTauB(
         Tables.events(s, dir)
@@ -3146,7 +3148,8 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_events"),
             sum(floor(col("value") * 1e6).cast("long"))
               .as("value_micro")),
-        "item_id", "n_events", "value_micro"))
+        "item_id", "n_events", "value_micro",
+        topN = 50, rankBy = "n_events"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8715,8 +8718,9 @@ object SparkEntry {
         |      AS item_id,
         |    CAST(floor(value * 1.0E6) AS BIGINT) AS vm
         |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
-        |g AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS x,
+        |g0 AS (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS x,
         |    CAST(SUM(vm) AS BIGINT) AS y FROM it GROUP BY 1),
+        |g AS (SELECT * FROM g0 ORDER BY x DESC, item_id ASC LIMIT 50),
         |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
         |  FROM g a JOIN g b ON a.item_id < b.item_id),
         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,

@@ -37,14 +37,15 @@ object BloomPrune {
   private def hashPos(key: Column, i: Int, mBits: Int): Column =
     TextFunctions.md5Hash32(key.cast("string"), i) % mBits
 
-  /** Build the filter: `mBits/64` bit-packed longs over the DISTINCT
-    * build keys. The aggregate output is bounded metadata (≤ mBits/64
+  /** Build the filter: `mBits/32` bit-packed words (each stored in a
+    * long, low 32 bits used — see [[WordBits]]) over the DISTINCT
+    * build keys. The aggregate output is bounded metadata (≤ mBits/32
     * rows) — collecting it to the driver is the same bounded-collect
     * class as the PAV bin tables, and is exactly how Spark plants its
     * own runtime bloom filters into plans (as literals). */
   def buildWords(build: DataFrame, keyCol: String,
       mBits: Int, k: Int): Array[Long] = {
-    require(mBits % WordBits == 0, "mBits must pack whole 64-bit words")
+    require(mBits % WordBits == 0, "mBits must pack whole 32-bit words")
     val keys = build.select(col(keyCol)).distinct()
     val positions = keys.select(
       explode(array((0 until k).map(i =>

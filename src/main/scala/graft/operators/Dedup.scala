@@ -480,8 +480,12 @@ object Dedup {
       grid: Seq[(Int, Int)], bins: Int = 20): DataFrame = {
     def chainPow(base: Column, e: Int): Column =
       Seq.fill(e)(base).reduce(_ * _)
+    // Clamp exact-duplicate pairs (jaccard == 1.0) into the top bin:
+    // floor(1.0 * bins) would land in bin == bins, whose midpoint
+    // (bins + 0.5)/bins > 1 drives (1 - s^r) negative in the S-curve.
     val hist = pairs
-      .select(floor(col("jaccard") * bins).cast("int").as("bin"))
+      .select(least(floor(col("jaccard") * bins), lit(bins - 1))
+        .cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
     val scored = grid.map { case (b, r) =>
       val sMid = (col("bin").cast("double") + 0.5) / bins

@@ -285,14 +285,37 @@ object Evaluation {
     * same entities — "do views track revenue", "did the model refresh
     * reorder the catalog". Concordant/discordant/tied pair counts are
     * exact integers from one self-join; τ-b's tie-corrected
-    * denominator takes the only sqrt. The pair count is quadratic in
-    * the entity set — run it on a bounded set (top-N entities, a
-    * segment, the thresholded-graph nodes), which is how rank-
-    * agreement is consumed anyway. */
+    * denominator takes the only sqrt.
+    *
+    * The pair count is quadratic in the entity set, so the bound is
+    * ENFORCED, not assumed: `topN > 0` trims to the top-N entities by
+    * `rankBy` (default `xCol`; ties broken by `idCol`) through a
+    * TakeOrdered before the pairwise join — the q252 pre-trim
+    * convention. `topN = 0` skips the trim for callers that already
+    * pass a bounded set (a segment, thresholded-graph nodes).
+    *
+    * Value staging is type-aware: integral columns compare as-is;
+    * fractional columns stage to micro-longs (`floor(v·1e6)`, the repo
+    * convention) so doubles keep 6dp of rank resolution instead of
+    * being silently truncated to whole numbers (which would
+    * manufacture spurious ties). Both stagings are strictly monotone,
+    * so τ-b is unchanged where the old long cast was exact. */
   def kendallTauB(df: DataFrame, idCol: String, xCol: String,
-      yCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("__id"),
-      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      yCol: String, topN: Int = 0, rankBy: String = ""): DataFrame = {
+    def stage(c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => col(c).cast("long")
+      case _ => floor(col(c).cast("double") * 1e6).cast("long")
+    }
+    val bounded =
+      if (topN > 0) {
+        val oc = if (rankBy.nonEmpty) rankBy else xCol
+        df.orderBy(col(oc).desc, col(idCol).asc).limit(topN)
+      } else df
+    val base = bounded.select(col(idCol).as("__id"),
+      stage(xCol).as("__x"), stage(yCol).as("__y"))
     val pairs = base.as("a")
       .join(base.select(col("__id").as("__id2"), col("__x").as("__x2"),
         col("__y").as("__y2")), col("__id") < col("__id2"))

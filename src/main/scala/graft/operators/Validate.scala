@@ -276,7 +276,7 @@ object Validate {
     * a full global shuffle; this is one scan and a 1-row aggregate.
     *
     * Each row hashes to a 60-bit md5 value over its canonical
-    * rendering (`|`-joined string casts, nulls as ` `); the
+    * rendering (`|`-joined string casts, nulls as NUL (U+0000)); the
     * table digest combines row hashes with commutative reducers
     * (count + sum + xor), so ANY row order and ANY partitioning
     * produce the identical fingerprint, and any single-row difference
@@ -311,7 +311,7 @@ object Validate {
 
   def tableFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
     val rendered = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     df.select(graft.functions.TextFunctions.md5Hash60(rendered).as("__h"))
       .agg(count(lit(1)).as("n_rows"),
         // decimal carrier: a plain long sum of 60-bit values overflows

@@ -1118,6 +1118,36 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(got - naive) < 1e-5)
   }
 
+  test("kendall tau-b: topN trims the pairwise input; doubles keep 6dp") {
+    // 30 entities; topN=10 by x must bound the pair count to 10*9/2,
+    // regardless of the input size — the enforced pre-trim, not an
+    // assumed one.
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 30L).map(i =>
+      (i, 1000L - i * 7, rnd.nextInt(1000).toLong))
+    val trimmed = Evaluation.kendallTauB(rows.toDF("id", "x", "y"),
+      "id", "x", "y", topN = 10).collect().head
+    assert(trimmed.getAs[Long]("n0") === 45L)
+    // equals tau over the hand-selected top-10-by-x subset
+    val top = rows.sortBy(r => (-r._2, r._1)).take(10)
+    var (c, d, tx, ty) = (0L, 0L, 0L, 0L)
+    for (i <- top.indices; j <- top.indices if i < j) {
+      val (dx, dy) = (top(i)._2 - top(j)._2, top(i)._3 - top(j)._3)
+      if (dx == 0) tx += 1
+      if (dy == 0) ty += 1
+      if (dx * dy > 0) c += 1 else if (dx * dy < 0) d += 1
+    }
+    val naive = (c - d).toDouble /
+      math.sqrt((45L - tx).toDouble * (45L - ty).toDouble)
+    assert(math.abs(trimmed.getAs[Double]("tau_b") - naive) < 1e-5)
+    // fractional columns stage to micro-longs: a long cast would
+    // flatten these to all-ties (null tau); 6dp staging ranks them
+    val frac = (1L to 8L).map(i => (i, 0.1 + i * 0.001, i.toDouble))
+      .toDF("id", "x", "y")
+    assert(Evaluation.kendallTauB(frac, "id", "x", "y")
+      .collect().head.getAs[Double]("tau_b") === 1.0)
+  }
+
   test("brier decomposition: perfect and constant forecasters") {
     // perfect: score == label -> brier 0, reliability ~0, resolution
     // ~uncertainty

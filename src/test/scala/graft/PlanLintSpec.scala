@@ -47,6 +47,40 @@ class PlanLintSpec extends AnyFunSuite with SparkSuite {
         failures.mkString("\n"))
   }
 
+  test("audit: full-outer 1x1 BNLJ is NOT bounded; explicit top-N is") {
+    import spark.implicits._
+    val n = (1L to 100L).toDF("v")
+    def shapeOf(df: org.apache.spark.sql.DataFrame): PlanAudit.Shape = {
+      df.queryExecution.toRdd.count()
+      PlanAudit.audit(df.queryExecution.executedPlan)
+    }
+    // inner 1x1 (the stacked global-stat shape): bounded, as before
+    val a = n.agg(sum($"v").as("s"))
+    val innerShape = shapeOf(a.crossJoin(
+      broadcast(n.agg(count(lit(1)).as("c")))))
+    assert(innerShape.unboundedBnlj === 0)
+    // FULL OUTER 1x1 with a non-matching condition emits TWO rows, so
+    // the one-row proof must refuse it when that result is used as a
+    // build side further up (ADVICE r8 soundness fix). The outer join
+    // itself still audits ok — its own build side IS one row.
+    val fo = a.join(broadcast(n.agg(max($"v").as("m"))),
+      $"s" < $"m", "full_outer")
+    assert(fo.count() === 2L) // proof the 2-row case is real
+    val foAsBuild = n.crossJoin(broadcast(
+      a.join(broadcast(n.agg(max($"v").as("m"))), $"s" < $"m",
+        "full_outer")))
+    // previously atMostOneRow claimed the outer 1x1 build side was one
+    // row; now only inner/cross qualify, so this counts as unbounded
+    assert(shapeOf(foAsBuild).unboundedBnlj >= 1)
+    // an orderBy().limit(N) build side is explicitly bounded: the
+    // pairwise-join-over-TakeOrdered convention needs no allowance
+    val top = n.orderBy($"v".desc).limit(10)
+    val pairs = top.as("a").join(
+      top.select($"v".as("v2")).as("b"), $"v" < $"v2")
+    assert(shapeOf(pairs).unboundedBnlj === 0)
+    assert(pairs.count() === 45L)
+  }
+
   test("every oracle key names a query; every query has an oracle") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
