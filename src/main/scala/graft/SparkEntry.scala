@@ -2763,8 +2763,11 @@ object SparkEntry {
           " substr(c_name, cast(11 + c_custkey % 9 as int), 100))")
           .as("dname"),
         col("c_nationkey").as("block"))
+      // maxBlock = 32 sub-splits every nation block (~60 clean rows
+      // at sf0.01) so the hot-block path runs in the gate itself —
+      // output is row-identical to uncapped, so the oracle is shared
       graft.operators.EntityResolution.blockedBestMatch(clean, dirty,
-        maxDist = 2)
+        maxDist = 2, maxBlock = 32)
     }),
 
     // ---- corpus triage: Flesch reading-ease / grade-level proxies,

@@ -458,6 +458,38 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(!got.contains(12L))
   }
 
+  test("blockedBestMatch maxBlock sub-split is identical on a " +
+      "degenerate block") {
+    import graft.operators.EntityResolution
+    // one hot block: 120 of 140 clean rows share block 7 (the
+    // half-the-table-one-key hazard); 20 cold rows spread over 20
+    // blocks. Dirty rows are 2-edit corruptions of a sample of clean.
+    val rnd = new scala.util.Random(53)
+    def name(i: Long) = s"record-${i}-${"abcdefgh".drop((i % 7).toInt)}"
+    val clean = ((1L to 120L).map(i => (i, name(i), 7L)) ++
+      (121L to 140L).map(i => (i, name(i), i % 20 + 100L)))
+      .toDF("ckey", "cname", "block")
+    val dirty = (1L to 140L by 3).map { i =>
+      val base = name(i)
+      val cut = 1 + rnd.nextInt(base.length - 2)
+      (i + 1000L, base.take(cut - 1) + base.drop(cut),
+        if (i <= 120) 7L else i % 20 + 100L)
+    }.toDF("dkey", "dname", "block")
+    val plain = EntityResolution
+      .blockedBestMatch(clean, dirty, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(plain.nonEmpty)
+    // maxBlock 16 forces ceil(120/16) = 8 sub-blocks on the hot block
+    // and leaves cold blocks un-replicated; output must be
+    // row-identical (same matches, same candidate counts)
+    val capped = EntityResolution
+      .blockedBestMatch(clean, dirty, maxDist = 2, maxBlock = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(capped === plain)
+  }
+
   test("readability scores a hand-computed fixture") {
     val docs = Seq((1L, "The cat sat. It ran!"),
       (2L, "no punctuation here")).toDF("doc_id", "text")
