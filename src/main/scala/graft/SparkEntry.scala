@@ -3152,7 +3152,67 @@ object SparkEntry {
             sum(floor(col("value") * 1e6).cast("long"))
               .as("value_micro")),
         "item_id", "n_events", "value_micro",
-        topN = 50, rankBy = "n_events"))
+        topN = 50, rankBy = "n_events")),
+
+    // ---- episodic-memory retrieval: 1-hop graph expansion of the
+    // candidate pool through temporal-adjacency links before rerank;
+    // newcomers score at 0.8 x their own query cosine ----
+    "q279_graph_expand" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // .limit(8) is a no-op on the 8-row filter but plants an
+      // explicit bound the plan audit can PROVE on the broadcast leg
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+        .orderBy(col("query_id")).limit(8)
+      val pool = SimilaritySearch.topK(emb, queries, k = 10,
+        metric = SimilaritySearch.Cosine, excludeSelf = true)
+        .select(col("query_id"), col("vec_id"), col("score"))
+      // next-episode links (i -> i+1), kept only where both ends exist
+      val edges = emb.select(col("vec_id").as("src"),
+          (col("vec_id") + 1).as("dst"))
+        .join(emb.select(col("vec_id").as("dst")), Seq("dst"))
+      Pipeline.expandViaGraph(pool, edges, queries, emb,
+        Seq("query_id"), "vec_id", "score", "src", "dst",
+        "query_embedding", "embedding", seedK = 3, dampen = 0.8)
+    }),
+
+    // ---- episodic-memory retrieval: slate counter-example guarantee
+    // (>=1 'success' row per slate whenever the pool has one) ----
+    "q280_counter_example" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+        .orderBy(col("query_id")).limit(8) // audit-provable bound on the broadcast leg
+      val pool = SimilaritySearch.topK(emb, queries, k = 20,
+          metric = SimilaritySearch.Cosine, excludeSelf = true)
+        .select(col("query_id"), col("vec_id"), col("score"))
+        .join(emb.select(col("vec_id"),
+          when(col("label") % 7 === 0, "success").otherwise("failure")
+            .as("outcome")), "vec_id")
+      val byGroup = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val slate = pool.withColumn("rank", row_number().over(byGroup))
+        .filter(col("rank") <= 5)
+      Pipeline.ensureCounterExample(slate, pool, Seq("query_id"),
+        "vec_id", "score", "rank", "outcome", "success")
+    }),
+
+    // ---- episodic-memory feedback: reinforcement/recency-decayed
+    // outcome scores replayed over the event log in one scan ----
+    "q281_reinforce_decay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("item_id",
+          graft.operators.Recsys.itemOf(col("props")))
+        .filter(col("item_id").isNotNull)
+        .withColumn("slate_rank", (col("event_id") % 5 + 1).cast("int"))
+        .withColumn("v", when(col("event_type") === "purchase", 1)
+          .when(col("event_type") === "error", -1).otherwise(0))
+      Pipeline.reinforcementScores(ev, "item_id", "ts", "event_id",
+        "slate_rank", "v")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8743,7 +8803,103 @@ object SparkEntry {
         |    THEN CAST(concordant - discordant AS DOUBLE)
         |      / sqrt(CAST(n0 - ties_x AS DOUBLE)
         |          * CAST(n0 - ties_y AS DOUBLE)) END, 6) AS tau_b
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "q279_graph_expand" ->
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT q.query_id, e.vec_id,
+         |    ${sqlCosOf("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS score
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |pool AS (SELECT query_id, vec_id, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rnk FROM sc)
+         |  WHERE rnk <= 10),
+         |seeds AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rnk FROM pool)
+         |  WHERE rnk <= 3),
+         |ed AS (SELECT a.vec_id AS src, a.vec_id + 1 AS dst
+         |  FROM embeddings a
+         |  JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+         |nbr AS (SELECT DISTINCT s.query_id, e2.dst AS vec_id
+         |  FROM seeds s JOIN ed e2 ON s.vec_id = e2.src),
+         |fresh AS (SELECT n.query_id, n.vec_id FROM nbr n
+         |  LEFT JOIN pool p
+         |    ON p.query_id = n.query_id AND p.vec_id = n.vec_id
+         |  WHERE p.vec_id IS NULL),
+         |nw AS (SELECT f.query_id, f.vec_id,
+         |    0.8E0 * (${sqlCosOf("q.qe", "CAST(e.embedding AS DOUBLE[])")})
+         |      AS score,
+         |    TRUE AS expanded
+         |  FROM fresh f JOIN q ON q.query_id = f.query_id
+         |  JOIN embeddings e ON e.vec_id = f.vec_id)
+         |SELECT query_id, vec_id, score, FALSE AS expanded FROM pool
+         |UNION ALL
+         |SELECT query_id, vec_id, score, expanded FROM nw""".stripMargin,
+
+    "q280_counter_example" ->
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT q.query_id, e.vec_id,
+         |    ${sqlCosOf("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS score,
+         |    CASE WHEN e.label % 7 = 0 THEN 'success' ELSE 'failure' END
+         |      AS outcome
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |pool AS (SELECT query_id, vec_id, score, outcome FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rnk FROM sc)
+         |  WHERE rnk <= 20),
+         |slate AS (SELECT query_id, vec_id, score, outcome,
+         |    CAST(rnk AS INT) AS rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rnk FROM pool)
+         |  WHERE rnk <= 5),
+         |census AS (SELECT query_id,
+         |    MAX(CASE WHEN outcome = 'success' THEN 1 ELSE 0 END) AS has,
+         |    MAX(rank) AS mr
+         |  FROM slate GROUP BY 1),
+         |appended AS (SELECT p.query_id, p.vec_id, p.score, p.outcome,
+         |    CAST(c.mr + 1 AS INT) AS rank FROM (
+         |    SELECT pl.query_id, pl.vec_id, pl.score, pl.outcome,
+         |      ROW_NUMBER() OVER (PARTITION BY pl.query_id
+         |        ORDER BY pl.score DESC, pl.vec_id ASC) AS brn
+         |    FROM pool pl LEFT JOIN slate sl
+         |      ON sl.query_id = pl.query_id AND sl.vec_id = pl.vec_id
+         |    WHERE pl.outcome = 'success' AND sl.vec_id IS NULL) p
+         |  JOIN census c ON c.query_id = p.query_id
+         |  WHERE p.brn = 1 AND c.has = 0)
+         |SELECT query_id, vec_id, score, outcome, rank FROM slate
+         |UNION ALL
+         |SELECT query_id, vec_id, score, outcome, rank FROM appended"""
+        .stripMargin,
+
+    "q281_reinforce_decay" -> {
+      val wtab = Pipeline
+        .weightTableMicro(0.3, 0.7, 0.9, 16, 32).mkString("[", ", ", "]")
+      s"""WITH ev AS (SELECT
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item_id,
+         |    ts, event_id,
+         |    CAST(event_id % 5 + 1 AS INT) AS r,
+         |    CASE WHEN event_type = 'purchase' THEN 1
+         |      WHEN event_type = 'error' THEN -1 ELSE 0 END AS v
+         |  FROM events WHERE json_extract(props, '$$.k') IS NOT NULL),
+         |o AS (SELECT item_id, v, r,
+         |    ROW_NUMBER() OVER (PARTITION BY item_id
+         |      ORDER BY ts DESC, event_id DESC) - 1 AS later
+         |  FROM ev),
+         |w AS (SELECT item_id, v,
+         |    list_extract($wtab,
+         |      CAST(later * 32 + LEAST(r - 1, 31) + 1 AS INT)) AS wm
+         |  FROM o WHERE later < 16)
+         |SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_events_used,
+         |  CAST(CAST(SUM(v * wm) AS BIGINT) AS DOUBLE) / 1.0E6
+         |    AS outcome_score
+         |FROM w GROUP BY 1""".stripMargin
+    }
   )
 
   /** MinHash+LSH candidate-pair CTE chain shared by q23 (pairs) and

@@ -202,6 +202,178 @@ object Pipeline {
       out
     }(Encoders.row(outSchema))
   }
+
+  /** Graph-expanded candidate retrieval
+    * (`experiments/episodic-memory-prototype/memory/retriever.py:105-130`
+    * `_expand_via_graph`): before reranking, pull the 1-hop graph
+    * neighbors of each group's top-`seedK` candidates into the pool.
+    * Neighbors not already present score at
+    * `dampen · cos(query_embedding, neighbor_embedding)` (the
+    * reference's 0.8 damping of the neighbor's own query similarity);
+    * existing pool rows pass through unchanged with `expanded=false`.
+    *
+    * == Scale ==
+    * Every step is an equi-join: seeds are a window top-`seedK` per
+    * group (bounded), the neighbor pull joins on the edge source key,
+    * membership is a left-anti join on (group, item), and scoring
+    * joins the bounded newcomer set against the embedding table. The
+    * per-group fan-out is seedK · out-degree — the caller's edge
+    * table bounds it; no pairwise shapes anywhere. Cosine is the
+    * ascending-index fold ([[graft.expr.DotProduct]]), SQL-replayable.
+    */
+  def expandViaGraph(
+      candidates: DataFrame,
+      edges: DataFrame,
+      queries: DataFrame,
+      embeddings: DataFrame,
+      groupCols: Seq[String],
+      itemCol: String,
+      scoreCol: String,
+      srcCol: String,
+      dstCol: String,
+      queryEmbCol: String,
+      embCol: String,
+      seedK: Int,
+      dampen: Double = 0.8): DataFrame = {
+    require(seedK >= 1, s"seedK must be >= 1, got $seedK")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val byGroup = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(itemCol).asc)
+    val seeds = candidates
+      .withColumn("__sr", row_number().over(byGroup))
+      .filter(col("__sr") <= seedK)
+      .select(g :+ col(itemCol): _*)
+    val neighbors = seeds
+      .join(edges.select(col(srcCol), col(dstCol)),
+        col(itemCol) === col(srcCol))
+      .select(g :+ col(dstCol).as("__n"): _*)
+      .distinct()
+    val fresh = neighbors.join(
+      candidates.select(g :+ col(itemCol).as("__n"): _*),
+      groupCols :+ "__n", "left_anti")
+    val scoredNew = fresh
+      .join(queries.select(g :+ col(queryEmbCol): _*), groupCols)
+      .join(embeddings.select(col(itemCol).as("__n"),
+        col(embCol).as("__ne")), Seq("__n"))
+      .select((g :+ col("__n").as(itemCol) :+
+        (lit(dampen) * graft.functions.Similarity.cosine(
+          col(queryEmbCol), col("__ne"))).as(scoreCol) :+
+        lit(true).as("expanded")): _*)
+    candidates.select(g :+ col(itemCol) :+ col(scoreCol): _*)
+      .withColumn("expanded", lit(false))
+      .unionByName(scoredNew)
+  }
+
+  /** Counter-example guarantee
+    * (`experiments/episodic-memory-prototype/memory/retriever.py:179-213`
+    * `_ensure_counter_example`): a retrieval slate biased toward one
+    * outcome class (the reference boosts failures ×1.25) must still
+    * show at least one `counterOutcome` row when the pool has any.
+    * Per group: if no selected row carries the counter outcome,
+    * append the best-scored unselected pool row that does, at rank
+    * `max(rank)+1` (the reference appends after the MMR picks, keeping
+    * the original score). Slates that already have one — or whose
+    * pool has none — pass through unchanged.
+    *
+    * One aggregate over the slates (census), one anti-join for
+    * membership, one window top-1 over the counter-outcome slice of
+    * the pool — all keyed on the group; nothing pairwise. */
+  def ensureCounterExample(
+      selected: DataFrame,
+      pool: DataFrame,
+      groupCols: Seq[String],
+      itemCol: String,
+      scoreCol: String,
+      rankCol: String,
+      outcomeCol: String,
+      counterOutcome: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val census = selected.groupBy(g: _*).agg(
+      max(when(col(outcomeCol) === counterOutcome, 1).otherwise(0))
+        .as("__has"),
+      max(col(rankCol)).as("__mr"))
+    val byBest = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(itemCol).asc)
+    val appended = pool
+      .filter(col(outcomeCol) === counterOutcome)
+      .join(selected.select(g :+ col(itemCol): _*),
+        groupCols :+ itemCol, "left_anti")
+      .withColumn("__rn", row_number().over(byBest))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(census.filter(col("__has") === 0), groupCols)
+      .withColumn(rankCol, (col("__mr") + 1).cast("int"))
+      .drop("__has", "__mr")
+    selected.unionByName(
+      appended.select(selected.columns.map(col): _*))
+  }
+
+  /** Reinforcement-decayed episode scoring
+    * (`experiments/episodic-memory-prototype/memory/reinforcer.py`
+    * `_update_episode_scores` over `retriever.py:91-104` outcomes):
+    * each retrieval event feeds back
+    * `blend · outcome · rankDecay^(rank−1)` into the episode's score,
+    * and the running score decays by `carry` per subsequent event —
+    * the recurrence `s ← s·carry + blend·v·rankDecay^(rank−1)`
+    * (reference constants 0.7 / 0.3 / 0.9). Unrolled, the final score
+    * is `Σ_t blend·v_t·rankDecay^(r_t−1)·carry^(later_t)`, which this
+    * computes in ONE scan: no sequential state, no per-episode loop.
+    *
+    * `horizon` truncates to each episode's most recent `horizon`
+    * events (`carry^16 ≈ 0.003` — older contributions are below
+    * reporting resolution), which also bounds the weight table.
+    *
+    * == Exactness ==
+    * Every (later, rank) weight is PRECOMPUTED in Scala as a rounded
+    * micro-unit long and planted as a literal lookup table on both
+    * the Spark and oracle sides, so the engines never evaluate a
+    * data-dependent `pow()` (libm last-ulp hazard); the row term is an
+    * integer product `v · w_micro` and the episode score an order-free
+    * long sum. Event order is (orderCol, tieCol) descending — pass a
+    * unique tiebreak (an event id) for a total order. */
+  def reinforcementScores(
+      log: DataFrame,
+      episodeCol: String,
+      orderCol: String,
+      tieCol: String,
+      rankCol: String,
+      outcomeValCol: String,
+      blend: Double = 0.3,
+      carry: Double = 0.7,
+      rankDecay: Double = 0.9,
+      horizon: Int = 16,
+      maxRank: Int = 32): DataFrame = {
+    require(horizon >= 1 && maxRank >= 1, "horizon and maxRank must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val weights = weightTableMicro(blend, carry, rankDecay, horizon, maxRank)
+    val byRecency = Window.partitionBy(col(episodeCol))
+      .orderBy(col(orderCol).desc, col(tieCol).desc)
+    log
+      .withColumn("__later", row_number().over(byRecency) - 1)
+      .filter(col("__later") < horizon)
+      .withColumn("__ri",
+        least(col(rankCol).cast("int") - 1, lit(maxRank - 1)))
+      .withColumn("__wm", element_at(typedlit(weights),
+        (col("__later") * maxRank + col("__ri") + 1).cast("int")))
+      .groupBy(col(episodeCol))
+      .agg(count(lit(1)).as("n_events_used"),
+        (sum(col(outcomeValCol).cast("long") * col("__wm"))
+          .cast("double") / lit(1e6)).as("outcome_score"))
+  }
+
+  /** The flat `horizon × maxRank` micro-weight table
+    * `round(blend · rankDecay^r · carry^l · 1e6)` indexed
+    * `l·maxRank + r` — shared with oracle-SQL generation so both
+    * engines read the identical literal longs. */
+  def weightTableMicro(blend: Double, carry: Double, rankDecay: Double,
+      horizon: Int, maxRank: Int): Seq[Long] = {
+    val carryPows = Iterator.iterate(1.0)(_ * carry).take(horizon).toArray
+    val rankPows = Iterator.iterate(1.0)(_ * rankDecay).take(maxRank).toArray
+    for (l <- 0 until horizon; r <- 0 until maxRank)
+      yield Math.round(blend * rankPows(r) * carryPows(l) * 1e6)
+  }
 }
 
 /** Changed-row detection (SURVEY A7) — the skye Scylla aggregator's

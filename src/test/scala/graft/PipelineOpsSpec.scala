@@ -529,4 +529,117 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     val wb = math.round(math.pow(8.0, 0.5) * 1e6)
     assert(cooled("A")._3 === wa.toDouble / (wa + wb))
   }
+
+  test("expandViaGraph: neighbors of top-seedK join the pool damped, " +
+      "members excluded, partition-invariant") {
+    import graft.operators.Pipeline
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val embs = (1L to 12L).map(i =>
+      (i, Seq(math.sin(i.toDouble), math.cos(i.toDouble), 0.5)))
+    val emb = embs.toDF("item", "e")
+    val queries = Seq(
+      (100L, Seq(1.0, 0.0, 0.0)), (200L, Seq(0.0, 1.0, 0.5)))
+      .toDF("qid", "qe")
+    // pool: per query, items 1..4 with fixed scores (3 seeds = 4,3,2)
+    val cand = Seq(
+      (100L, 1L, 0.9), (100L, 2L, 0.8), (100L, 3L, 0.7), (100L, 4L, 0.1),
+      (200L, 5L, 0.9), (200L, 6L, 0.8), (200L, 7L, 0.7), (200L, 8L, 0.1))
+      .toDF("qid", "item", "score")
+    // edges: 1->2 (member: excluded), 2->9, 3->10, 4->11 (seed rank 4:
+    // not a seed), 5->9, 7->12
+    val edges = Seq((1L, 2L), (2L, 9L), (3L, 10L), (4L, 11L),
+      (5L, 9L), (7L, 12L)).toDF("src", "dst")
+    def run(parts: Int) = Pipeline.expandViaGraph(
+        cand.repartition(parts), edges.repartition(parts), queries,
+        emb, Seq("qid"), "item", "score", "src", "dst", "qe", "e",
+        seedK = 3, dampen = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val got = run(1)
+    assert(got === run(7)) // partition invariance
+    // originals pass through unchanged
+    assert(got((100L, 1L)) === ((0.9, false)))
+    assert(got((200L, 8L)) === ((0.1, false)))
+    // q100 seeds {1,2,3}: 1->2 already pooled; 2->9, 3->10 join damped
+    val e9 = embs.toMap.apply(9L)
+    assert(got((100L, 9L)) === ((0.8 * cos(Seq(1.0, 0.0, 0.0), e9), true)))
+    assert(got.contains((100L, 10L)) && !got.contains((100L, 11L)))
+    // q200 seeds {5,6,7}: 5->9, 7->12 join; 9 scored vs q200's OWN query
+    val got2009 = got((200L, 9L))
+    assert(got2009 === ((0.8 * cos(Seq(0.0, 1.0, 0.5), e9), true)))
+    assert(got.contains((200L, 12L)))
+    assert(got.size === 8 + 2 + 2)
+  }
+
+  test("ensureCounterExample: appends best unselected counter row only " +
+      "where the slate lacks one and the pool has one") {
+    import graft.operators.Pipeline
+    val pool = Seq(
+      // group A: slate all-failure, pool has successes 20 (0.5) / 21 (0.6)
+      ("A", 10L, 0.9, "failure"), ("A", 11L, 0.8, "failure"),
+      ("A", 21L, 0.6, "success"), ("A", 20L, 0.5, "success"),
+      // group B: slate already has a success
+      ("B", 12L, 0.9, "success"), ("B", 13L, 0.8, "failure"),
+      // group C: no success anywhere
+      ("C", 14L, 0.9, "failure"), ("C", 15L, 0.2, "failure"))
+      .toDF("g", "item", "score", "outcome")
+    val byG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("item").asc)
+    val slate = pool.withColumn("rank", row_number().over(byG))
+      .filter(col("rank") <= 2)
+    val got = Pipeline.ensureCounterExample(slate, pool, Seq("g"),
+      "item", "score", "rank", "outcome", "success")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getString(3), r.getInt(4)))).toMap
+    // A: slate {10, 11} + appended 21 (best success, 0.6 > 0.5) rank 3
+    assert(got(("A", 21L)) === ((0.6, "success", 3)))
+    assert(!got.contains(("A", 20L)))
+    // B unchanged (2 rows), C unchanged (2 rows)
+    assert(got.size === 2 + 1 + 2 + 2)
+    assert(got(("B", 12L))._3 === 1 && got(("C", 15L))._3 === 2)
+  }
+
+  test("reinforcementScores equals the sequential reference recurrence " +
+      "and truncates at the horizon") {
+    import graft.operators.Pipeline
+    val rnd = new scala.util.Random(97)
+    // 3 episodes x 25 events (> horizon 16), unique event ids
+    val rows = for (ep <- 1L to 3L; t <- 1L to 25L) yield
+      (ep, t, ep * 100 + t, rnd.nextInt(5) + 1,
+        rnd.nextInt(3) - 1) // v in {-1,0,1}
+    val df = rows.toDF("ep", "t", "eid", "rank", "v").repartition(5)
+    val got = Pipeline.reinforcementScores(df, "ep", "t", "eid",
+        "rank", "v", horizon = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // independent naive replay of reinforcer.py's recurrence:
+    // s <- s*0.7 + 0.3 * v * 0.9^(rank-1), events in time order
+    rows.groupBy(_._1).foreach { case (ep, evs) =>
+      var s = 0.0
+      evs.sortBy(_._2).foreach { e =>
+        s = s * 0.7 + 0.3 * e._5 * math.pow(0.9, e._4 - 1)
+      }
+      val (n, score) = got(ep)
+      assert(n === 16L) // horizon-truncated
+      // micro-rounded weights + dropped tail (carry^16 ~ 0.003):
+      // agree within the documented resolution
+      assert(math.abs(score - s) < 5e-3, s"ep=$ep $score vs $s")
+    }
+    // exact check against the unrolled micro-weight sum (the op's
+    // stated semantics)
+    val wt = Pipeline.weightTableMicro(0.3, 0.7, 0.9, 16, 32)
+    rows.groupBy(_._1).foreach { case (ep, evs) =>
+      val recent = evs.sortBy(e => (-e._2, -e._3)).take(16)
+      val micro = recent.zipWithIndex.map { case (e, later) =>
+        e._5 * wt(later * 32 + math.min(e._4 - 1, 31))
+      }.sum
+      assert(got(ep)._2 === micro.toDouble / 1e6, s"ep=$ep")
+    }
+  }
 }
