@@ -147,12 +147,78 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (n, c) => s"\"" + n + "\":\"error:" + c + "\"" }
       .mkString("{", ",", "}")
+    // ---- multi-sf scaling sweep: MEASURED time-vs-rows exponents for
+    // the expensive tail, not just statically-proven plan shapes.
+    // Every table in the synthetic schema grows 10x per decade between
+    // the sweep dirs, so the per-decade exponent is
+    // log10(t_next/t_prev); `exponent` is the top decade (small-sf
+    // times sit on the ~0.1 s job-scheduling floor, which deflates the
+    // first decade), `exponent_fit` the least-squares slope over all
+    // decades. A query flags when its top-decade exponent exceeds 1.2
+    // AND its top-sf time is above 1 s (floor guard) — superlinear
+    // growth that would compound at 100 TB. sf1 is builder-generated
+    // (graft.tools.GenSf — /root/testdata is read-only); runs only on
+    // full-suite benches so BENCH_ONLY iteration stays fast.
+    val sweepDirs: Seq[String] = sys.env.get("SPARK_GRAFT_SF_SWEEP")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse {
+        if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_SWEEP") &&
+            java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get("benchdata/sf1")))
+          Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
+            "benchdata/sf1")
+        else Nil
+      }
+    val sweepQueries = sys.env.get("SPARK_GRAFT_SWEEP_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq(
+        "q20_dedup_exact", "q23_minhash_pairs", "q42_dedup_components",
+        "q114_text_to_tensors", "q143_skipgram_pairs",
+        "q162_robust_stats", "q165_candidate_recall",
+        "q184_semantic_neardup", "q226_triangle_stats",
+        "q229_user_overlap", "q241_session_concurrency", "q245_kcore",
+        "q247_fuzzy_linkage", "q265_rfm_segments",
+        "q278_rank_agreement"))
+      .filter(SparkEntry.queries.contains)
+    // one timed pass per (query, dir): per-decade ratios are 10x, far
+    // above single-pass noise, and q241 alone costs ~50 s at sf1 — a
+    // median-of-3 sweep would triple a cost the exponents don't need
+    val sweepPasses =
+      sys.env.getOrElse("SPARK_GRAFT_SWEEP_PASSES", "1").toInt
+    var sweepFlags = 0
+    val sweepJson = if (sweepDirs.size < 2) "" else {
+      val rows = sweepQueries.map { name =>
+        val fn = SparkEntry.queries(name)
+        val times = sweepDirs.map { d =>
+          try {
+            val ts = (1 to sweepPasses).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, d).queryExecution.toRdd.count()
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            ts(ts.length / 2)
+          } catch { case _: Throwable => -1.0 }
+        }
+        if (times.exists(_ <= 0.0))
+          name -> s"""{"times":[${times.mkString(",")}],"error":true}"""
+        else {
+          def e(a: Double, b: Double) = math.log10(b / a)
+          val eLast = e(times(times.size - 2), times.last)
+          val eFit = e(times.head, times.last) / (times.size - 1)
+          val flag = eLast > 1.2 && times.last > 1.0
+          if (flag) sweepFlags += 1
+          name -> (s"""{"times":[${times.map(t => f"$t%.3f").mkString(",")}],""" +
+            f""""exponent":$eLast%.2f,"exponent_fit":$eFit%.2f,"flag":$flag}""")
+        }
+      }
+      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],"flags":$sweepFlags,"queries":{${rows.map { case (n, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
+    }
     // Summary keys lead the JSON object (truncated-from-the-right
     // capture) AND repeat as the LAST key (`summary_tail`) — the
     // driver keeps the final 2000 chars of the line, so a line longer
     // than that would otherwise show neither count.
-    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"total_sec":$total,"n_queries":${results.size}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir","summary_tail":$tail}""")
+    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_flags":$sweepFlags,"total_sec":$total,"n_queries":${results.size}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir",$sweepJson"summary_tail":$tail}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
