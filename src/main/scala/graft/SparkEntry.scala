@@ -219,6 +219,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val query = emb.filter(col("vec_id") === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+        .orderBy(col("query_id")).limit(1) // audit-provable bound
       emb.crossJoin(broadcast(query))
         .select(col("vec_id"), Similarity.dot(col("embedding"), col("query_embedding")).as("score"))
     }),
@@ -576,6 +577,7 @@ object SparkEntry {
       val queries = staged.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("scale").as("qscale"),
           col("codes").as("qcodes"))
+        .orderBy(col("query_id")).limit(5) // audit-provable bound
       val scored = staged.crossJoin(broadcast(queries))
         .select(col("query_id"), col("vec_id"),
           Similarity.dotInt8Scored(col("codes"), col("scale"),
@@ -1585,8 +1587,9 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 5).select(
-        col("vec_id").as("query_id"), col("label").as("query_label"),
-        col("embedding").cast("array<double>").as("qe"))
+          col("vec_id").as("query_id"), col("label").as("query_label"),
+          col("embedding").cast("array<double>").as("qe"))
+        .orderBy(col("query_id")).limit(5) // audit-provable bound
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id").asc)
       e.select(col("vec_id"), col("label"),

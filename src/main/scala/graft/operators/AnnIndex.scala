@@ -183,7 +183,7 @@ final case class IvfIndex(
       .select(col(queryIdCol),
         col(queryEmbCol).cast("array<double>").as(queryEmbCol),
         Similarity.l2(col(queryEmbCol)).as("__qn"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(IvfIndex.boundedCentroids(centroids)))
       .withColumn("__d", Similarity.euclidean(col(queryEmbCol), col("centroid")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc, col("cell_id").asc)))
@@ -277,7 +277,7 @@ final case class IvfIndex(
         Similarity.int8Scale(col(queryEmbCol)).as("__qs"))
       .select(col(queryIdCol), col(queryEmbCol), col("__qs"),
         Similarity.int8Codes(col(queryEmbCol), col("__qs")).as("__qc"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(IvfIndex.boundedCentroids(centroids)))
       .withColumn("__d", Similarity.euclidean(col(queryEmbCol), col("centroid")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc, col("cell_id").asc)))
@@ -313,6 +313,22 @@ object IvfIndex {
   val Int8CodeCol  = "int8_code"
   val Int8ScaleCol = "int8_scale"
 
+  /** Hard cap on centroid-table rows (a broadcast-sized probe table is
+    * the IVF contract; beyond this, shard the index). Matches the plan
+    * audit's explicit-bound threshold, so every centroid cross-join
+    * carries a PROVABLE O(1) build side instead of a hand-reviewed
+    * allowance. */
+  val MaxCells = 1024
+
+  /** The centroid table with its row bound made explicit on the plan
+    * spine (`orderBy(cell_id).limit(MaxCells)` — a no-op for any legal
+    * index, visible to [[graft.PlanAudit]]). Applied at every use
+    * rather than construction because `localCheckpoint` (the k-means
+    * loop) erases upstream plan nodes, and loaded indexes come off a
+    * bare parquet scan. */
+  private[operators] def boundedCentroids(centroids: DataFrame): DataFrame =
+    centroids.orderBy(col("cell_id")).limit(MaxCells)
+
   /** Nearest-centroid assignment: corpus × broadcast(centroids), keep
     * the closest cell per vector (ties → lowest cell_id). One broadcast
     * join, no corpus shuffle — the only full-corpus pass per build
@@ -322,7 +338,7 @@ object IvfIndex {
       centroids: DataFrame,
       idCol: String,
       embCol: String): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
+    corpus.crossJoin(broadcast(boundedCentroids(centroids)))
       .withColumn("__d", Similarity.euclidean(col(embCol), col("centroid")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col("cell_id").asc)))
@@ -349,6 +365,7 @@ object IvfIndex {
       cells: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): IvfIndex = {
+    require(cells <= MaxCells, s"cells ($cells) exceeds MaxCells ($MaxCells)")
     val centroids = seedCentroids(corpus, cells, idCol, embCol)
     IvfIndex(assign(corpus, centroids, idCol, embCol), centroids)
   }
@@ -370,6 +387,7 @@ object IvfIndex {
       iters: Int = 5,
       idCol: String = "vec_id",
       embCol: String = "embedding"): IvfIndex = {
+    require(cells <= MaxCells, s"cells ($cells) exceeds MaxCells ($MaxCells)")
     var centroids = seedCentroids(corpus, cells, idCol, embCol)
       .localCheckpoint()
     var i = 0

@@ -131,11 +131,16 @@ object LinAlg {
   def centroidSimilarity(
       df: DataFrame,
       labelCol: String,
-      embCol: String): DataFrame = {
+      embCol: String,
+      maxLabels: Int = 1024): DataFrame = {
     import graft.functions.Similarity
+    // the pairwise product is quadratic in the LABEL set — enforce the
+    // bound on the plan spine (orderBy+limit, provable to PlanAudit)
+    // rather than assuming class counts stay small
     val cent = meanPool(df, Seq(labelCol), embCol)
       .join(df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n")),
         Seq(labelCol))
+      .orderBy(col(labelCol)).limit(maxLabels)
     cent.as("a").join(broadcast(cent.as("b")),
         col(s"a.$labelCol") < col(s"b.$labelCol"))
       .select(col(s"a.$labelCol").as("label_a"),

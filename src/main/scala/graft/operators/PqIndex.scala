@@ -45,7 +45,7 @@ final case class PqIndex(
     val qCells = queries
       .select(col(queryIdCol),
         col(queryEmbCol).cast("array<double>").as(queryEmbCol))
-      .crossJoin(broadcast(ivf.centroids))
+      .crossJoin(broadcast(IvfIndex.boundedCentroids(ivf.centroids)))
       .withColumn("__d", Similarity.euclidean(col(queryEmbCol), col("centroid")))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc, col("cell_id").asc)))

@@ -53,7 +53,14 @@ object SimilaritySearch {
     *
     * @param corpus   candidate table: `idCol`, `embCol`, payload columns
     * @param queries  query table: `queryIdCol`, `queryEmbCol` — small,
-    *                 broadcast
+    *                 broadcast. The "small" is ENFORCED: the query leg
+    *                 is trimmed to `maxQueries` rows (lowest
+    *                 `queryIdCol` first, deterministic) on the plan
+    *                 spine, so the corpus×queries product carries a
+    *                 bound the plan audit can prove instead of a
+    *                 reviewed allowance. Batches beyond the cap should
+    *                 chunk — the brute-force product is per-batch work
+    *                 by design.
     * @param filters  payload predicate (SURVEY P7), applied before
     *                 scoring so it pushes into the corpus scan
     */
@@ -67,7 +74,8 @@ object SimilaritySearch {
       embCol: String = "embedding",
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_embedding",
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      maxQueries: Int = 1024): DataFrame = {
     // Stage the double-cast (and for cosine the L2 norm) per VECTOR
     // before the pair join — O(corpus + queries) array work instead of
     // O(corpus × queries); the staged score is the same expression
@@ -79,6 +87,7 @@ object SimilaritySearch {
     val q = queries.select(
       Seq(col(queryIdCol), col(queryEmbCol).cast("array<double>").as(queryEmbCol)) ++
         norms(queryEmbCol): _*)
+      .orderBy(col(queryIdCol).asc).limit(maxQueries)
     val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
       .select(col(queryIdCol), col(idCol),

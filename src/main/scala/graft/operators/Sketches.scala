@@ -68,12 +68,17 @@ object Sketches {
       segmentCol: String,
       userCol: String,
       k: Int,
-      seed: Int = 7): DataFrame = {
+      seed: Int = 7,
+      maxSegments: Int = 1024): DataFrame = {
+    // segment-pair sketch compare is quadratic in the segment set —
+    // the bound is enforced (orderBy+limit on the one-row-per-segment
+    // sketch table, provable to PlanAudit), not assumed
     val sk = df
       .select(col(segmentCol),
         TextFunctions.md5Hash32(col(userCol).cast("string"), seed).as("__h"))
       .groupBy(col(segmentCol))
       .agg(kmvMinima(col("__h"), k).as("__mins"))
+      .orderBy(col(segmentCol)).limit(maxSegments)
     val pairs = sk.select(col(segmentCol).as("seg_a"), col("__mins").as("__ma"))
       .join(broadcast(
         sk.select(col(segmentCol).as("seg_b"), col("__mins").as("__mb"))),
