@@ -178,7 +178,7 @@ object Bench {
         "q184_semantic_neardup", "q226_triangle_stats",
         "q229_user_overlap", "q241_session_concurrency", "q245_kcore",
         "q247_fuzzy_linkage", "q265_rfm_segments",
-        "q278_rank_agreement"))
+        "q278_rank_agreement", "q282_concurrency_sweepline"))
       .filter(SparkEntry.queries.contains)
     // one timed pass per (query, dir): per-decade ratios are 10x, far
     // above single-pass noise, and q241 alone costs ~50 s at sf1 — a

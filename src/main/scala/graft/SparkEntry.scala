@@ -2687,6 +2687,14 @@ object SparkEntry {
           Tables.events(s, dir), gap = "6 hours"),
         binMs = 3600000L)),
 
+    // ---- the same concurrency histogram WITHOUT the pair join:
+    // sweep-line rank arithmetic (count semantics only) — measured in
+    // the scaling sweep against q241's intrinsic pair mass ----
+    "q282_concurrency_sweepline" -> ((s, dir) =>
+      graft.operators.RangeJoin.sessionConcurrencyCounts(
+        graft.operators.RangeJoin.sessionSpans(
+          Tables.events(s, dir), gap = "6 hours"))),
+
     // ---- seasonality fingerprint: lag-1..7 autocorrelation of each
     // event type's daily volume, integer-exact ratio ----
     "q242_acf_daily" -> ((s, dir) =>
@@ -7781,29 +7789,11 @@ object SparkEntry {
          |FROM pb, mm""".stripMargin
     },
 
-    "q241_session_concurrency" ->
-      """WITH x AS (SELECT user_id, event_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS prev FROM events),
-        |s AS (SELECT user_id, ts,
-        |    SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 6 HOUR
-        |             THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS UNBOUNDED PRECEDING) AS session_idx
-        |  FROM x),
-        |sp AS (SELECT user_id, session_idx,
-        |         min(epoch_ms(ts)) AS st, max(epoch_ms(ts)) AS en
-        |       FROM s GROUP BY 1, 2),
-        |ov AS (SELECT a.user_id, a.session_idx,
-        |         CAST(COUNT(*) AS BIGINT) AS n
-        |       FROM sp a JOIN sp b
-        |         ON a.user_id <> b.user_id
-        |           AND a.st <= b.en AND b.st <= a.en
-        |       GROUP BY 1, 2),
-        |pc AS (SELECT COALESCE(o.n, 0) AS n_concurrent
-        |       FROM sp LEFT JOIN ov o USING (user_id, session_idx))
-        |SELECT n_concurrent, CAST(COUNT(*) AS BIGINT) AS n_sessions
-        |FROM pc GROUP BY 1""".stripMargin,
+    "q241_session_concurrency" -> sqlSessionConcurrency,
+
+    // identical semantics to q241 computed by sweep-line rank
+    // arithmetic — the SAME oracle gates both paths
+    "q282_concurrency_sweepline" -> sqlSessionConcurrency,
 
     "q242_acf_daily" ->
       """WITH dly AS (SELECT event_type, epoch_ms(ts) // 86400000 AS t,
@@ -8981,6 +8971,33 @@ object SparkEntry {
   // --- shared DuckDB SQL fragments for the vector oracles ---
   // Same ascending-index left fold as graft.expr.{DotProduct,
   // SquaredDistance}; bit-exact across engines.
+  /** Session-concurrency histogram oracle, shared by q241 (binned
+    * pair join) and q282 (sweep-line ranks) — one spec of the answer,
+    * two engine plans. */
+  private def sqlSessionConcurrency: String =
+    """WITH x AS (SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev FROM events),
+      |s AS (SELECT user_id, ts,
+      |    SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 6 HOUR
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM x),
+      |sp AS (SELECT user_id, session_idx,
+      |         min(epoch_ms(ts)) AS st, max(epoch_ms(ts)) AS en
+      |       FROM s GROUP BY 1, 2),
+      |ov AS (SELECT a.user_id, a.session_idx,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM sp a JOIN sp b
+      |         ON a.user_id <> b.user_id
+      |           AND a.st <= b.en AND b.st <= a.en
+      |       GROUP BY 1, 2),
+      |pc AS (SELECT COALESCE(o.n, 0) AS n_concurrent
+      |       FROM sp LEFT JOIN ov o USING (user_id, session_idx))
+      |SELECT n_concurrent, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |FROM pc GROUP BY 1""".stripMargin
+
   private def sqlDotOf(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), x -> x[1]*x[2]), (p,q) -> p+q)"
   private def sqlL2Of(a: String): String =

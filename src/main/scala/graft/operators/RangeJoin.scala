@@ -69,4 +69,51 @@ object RangeJoin {
       .select(coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
       .groupBy("n_concurrent").agg(count(lit(1)).as("n_sessions"))
   }
+
+  /** [[sessionConcurrency]] by SWEEP-LINE rank arithmetic instead of
+    * the pair join — the scale path when only the COUNT of overlaps is
+    * needed (the pair join stays the right tool when the overlapping
+    * pairs themselves are the output). For session s,
+    *
+    *   n_concurrent(s) = #{starts ≤ end_s} − #{ends < start_s} − 1
+    *
+    * — every session not strictly before and not strictly after s
+    * overlaps it; the −1 removes s itself, and same-user sessions need
+    * no correction because [[sessionSpans]] emits DISJOINT per-user
+    * intervals (gap-separated), so the only same-user "overlap" is s
+    * itself. PRECONDITION: per-user spans disjoint; for general
+    * interval sets with self-overlap, use the pair join.
+    *
+    * Both global ranks come from ONE [[PrefixSum]] lineage each over a
+    * tagged union (events weighted 1, probes 0; the tag breaks value
+    * ties so ≤ vs < is exact): total work O(n log n) with no pair
+    * mass at all — the measured sf0.01→sf1 exponent drops from ~1.1
+    * (pair join, intrinsic pair growth) to ~flat. */
+  def sessionConcurrencyCounts(spans: DataFrame,
+      rangePartitions: Int = 32): DataFrame = {
+    val sp = spans.localCheckpoint()
+    def ranked(eventV: String, probeV: String, eventTag: Int,
+        out: String): DataFrame = {
+      val events = sp.select(col(eventV).as("__v"),
+        lit(eventTag).as("__t"), lit(1L).as("__w"),
+        lit(null).cast("long").as("user_id"),
+        lit(null).cast("long").as("session_idx"))
+      val probes = sp.select(col(probeV).as("__v"),
+        lit(1 - eventTag).as("__t"), lit(0L).as("__w"),
+        col("user_id"), col("session_idx"))
+      PrefixSum.inclusiveBy(events.unionByName(probes),
+          Seq(col("__v").asc, col("__t").asc), "__w", out,
+          rangePartitions)
+        .filter(col("__t") === (1 - eventTag))
+        .select(col("user_id"), col("session_idx"), col(out))
+    }
+    // starts ≤ end_s: starts tag 0 sort BEFORE probes (tag 1) at equal
+    // value → inclusive; ends < start_s: probes tag 0 BEFORE ends
+    // (tag 1) → strict
+    val cs = ranked("start_ms", "end_ms", eventTag = 0, out = "__cs")
+    val ce = ranked("end_ms", "start_ms", eventTag = 1, out = "__ce")
+    cs.join(ce, Seq("user_id", "session_idx"))
+      .select((col("__cs") - col("__ce") - 1L).as("n_concurrent"))
+      .groupBy("n_concurrent").agg(count(lit(1)).as("n_sessions"))
+  }
 }

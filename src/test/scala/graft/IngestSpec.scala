@@ -458,6 +458,42 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(!got.contains(12L))
   }
 
+  test("sessionConcurrencyCounts (sweep-line) equals the pair join " +
+      "and a naive reimplementation") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(41)
+    // 200 sessions over 40 users in a tight window (dense overlap),
+    // including exact-boundary ties (start == another's end)
+    val spans = (1L to 200L).map { i =>
+      val u = i % 40
+      val st = rnd.nextInt(5000).toLong * 100
+      (u, i, st, st + 100 + rnd.nextInt(3000))
+    }.toDF("user_id", "session_idx", "start_ms", "end_ms")
+    // per-user disjointness precondition: rebuild per user as ordered
+    // disjoint intervals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_idx"))
+    val disjoint = spans
+      .withColumn("__k", row_number().over(w))
+      .select(col("user_id"), col("session_idx"),
+        (col("__k") * 10000L + col("start_ms") % 5000).as("start_ms"),
+        (col("__k") * 10000L + col("start_ms") % 5000 + 100 +
+          col("end_ms") % 3000).as("end_ms"))
+    val pairwise = RangeJoin.sessionConcurrency(disjoint, binMs = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sweep = RangeJoin.sessionConcurrencyCounts(disjoint)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sweep === pairwise)
+    // independent naive check
+    val rows = disjoint.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val naive = rows.map { case (u, st, en) =>
+      rows.count { case (u2, st2, en2) =>
+        u2 != u && st2 <= en && st <= en2 }.toLong
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(sweep === naive)
+  }
+
   test("blockedBestMatch maxBlock sub-split is identical on a " +
       "degenerate block") {
     import graft.operators.EntityResolution
