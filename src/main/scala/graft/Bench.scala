@@ -186,6 +186,12 @@ object Bench {
     val sweepPasses =
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_PASSES", "1").toInt
     var sweepFlags = 0
+    var sweepErrors = 0
+    // locale-independent decimal formatting: the f interpolator uses
+    // the JVM default locale (comma decimals on e.g. de_DE would
+    // corrupt the JSON line)
+    def jnum(x: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
     val sweepJson = if (sweepDirs.size < 2) "" else {
       val rows = sweepQueries.map { name =>
         val fn = SparkEntry.queries(name)
@@ -199,25 +205,37 @@ object Bench {
             ts(ts.length / 2)
           } catch { case _: Throwable => -1.0 }
         }
-        if (times.exists(_ <= 0.0))
-          name -> s"""{"times":[${times.mkString(",")}],"error":true}"""
-        else {
-          def e(a: Double, b: Double) = math.log10(b / a)
-          val eLast = e(times(times.size - 2), times.last)
-          val eFit = e(times.head, times.last) / (times.size - 1)
+        if (times.exists(_ <= 0.0)) {
+          // a crash at a LARGER sf is exactly the scale regression the
+          // sweep hunts — count it into both visible counters so a
+          // truncated capture can never read green over a broken sweep
+          sweepErrors += 1
+          sweepFlags += 1
+          name -> s"""{"times":[${times.map(jnum(_, 3)).mkString(",")}],"error":true}"""
+        } else {
+          def lg(x: Double) = math.log10(x)
+          val eLast = lg(times.last) - lg(times(times.size - 2))
+          // true least-squares slope of log10(t) on the decade index
+          // (equals the endpoint slope only for <= 3 points)
+          val n = times.size
+          val xb = (n - 1) / 2.0
+          val yb = times.map(lg).sum / n
+          val eFit = times.zipWithIndex
+            .map { case (t, i) => (i - xb) * (lg(t) - yb) }.sum /
+            times.indices.map(i => (i - xb) * (i - xb)).sum
           val flag = eLast > 1.2 && times.last > 1.0
           if (flag) sweepFlags += 1
-          name -> (s"""{"times":[${times.map(t => f"$t%.3f").mkString(",")}],""" +
-            f""""exponent":$eLast%.2f,"exponent_fit":$eFit%.2f,"flag":$flag}""")
+          name -> (s"""{"times":[${times.map(jnum(_, 3)).mkString(",")}],""" +
+            s""""exponent":${jnum(eLast, 2)},"exponent_fit":${jnum(eFit, 2)},"flag":$flag}""")
         }
       }
-      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],"flags":$sweepFlags,"queries":{${rows.map { case (n, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
+      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],"flags":$sweepFlags,"errors":$sweepErrors,"queries":{${rows.map { case (n, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
     }
     // Summary keys lead the JSON object (truncated-from-the-right
     // capture) AND repeat as the LAST key (`summary_tail`) — the
     // driver keeps the final 2000 chars of the line, so a line longer
     // than that would otherwise show neither count.
-    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_flags":$sweepFlags,"total_sec":$total,"n_queries":${results.size}}"""
+    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_flags":$sweepFlags,"sweep_errors":$sweepErrors,"total_sec":$total,"n_queries":${results.size}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir",$sweepJson"summary_tail":$tail}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

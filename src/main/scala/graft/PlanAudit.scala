@@ -129,7 +129,9 @@ object PlanAudit {
     case e: Exchange => atMostOneRow(e.child)
     case pr: ProjectExec => atMostOneRow(pr.child)
     case s: SortExec => atMostOneRow(s.child)
-    case l: LocalLimitExec => l.limit <= 1 || atMostOneRow(l.child)
+    // a LocalLimit bounds rows PER PARTITION, not globally — only its
+    // child's proof counts (same principle as explicitlyBounded below)
+    case l: LocalLimitExec => atMostOneRow(l.child)
     case g: GlobalLimitExec => g.limit <= 1 || atMostOneRow(g.child)
     case fl: FilterExec => pinnedGroupFilter(fl) || atMostOneRow(fl.child)
     // an inner/cross join of two provably-one-row sides yields at most
@@ -150,8 +152,12 @@ object PlanAudit {
     * carries exactly n rows at ANY corpus size — the pre-trim
     * convention bounded pairwise operators use (q252's estimator top-m,
     * q278's rank-agreement top-N). Kept small: a bounded build side
-    * must stay broadcast-sized even when every row is wide. */
-  private val BoundedBuildRows = 1024
+    * must stay broadcast-sized even when every row is wide. PUBLIC
+    * because the operators that plant such bounds (IvfIndex.MaxCells,
+    * topK.maxQueries, centroidSimilarity.maxLabels, audienceOverlap
+    * maxSegments) reference it as their default cap — one constant,
+    * no drift between what operators plant and what the audit proves. */
+  val BoundedBuildRows = 1024
 
   /** True if `p` carries an explicit data-independent row bound — a
     * global limit / top-N of ≤ [[BoundedBuildRows]] rows somewhere on

@@ -314,11 +314,10 @@ object IvfIndex {
   val Int8ScaleCol = "int8_scale"
 
   /** Hard cap on centroid-table rows (a broadcast-sized probe table is
-    * the IVF contract; beyond this, shard the index). Matches the plan
-    * audit's explicit-bound threshold, so every centroid cross-join
-    * carries a PROVABLE O(1) build side instead of a hand-reviewed
-    * allowance. */
-  val MaxCells = 1024
+    * the IVF contract; beyond this, shard the index). THE plan-audit
+    * explicit-bound threshold, so every centroid cross-join carries a
+    * PROVABLE O(1) build side instead of a hand-reviewed allowance. */
+  val MaxCells: Int = graft.PlanAudit.BoundedBuildRows
 
   /** The centroid table with its row bound made explicit on the plan
     * spine (`orderBy(cell_id).limit(MaxCells)` — a no-op for any legal

@@ -132,15 +132,19 @@ object LinAlg {
       df: DataFrame,
       labelCol: String,
       embCol: String,
-      maxLabels: Int = 1024): DataFrame = {
+      maxLabels: Int = graft.PlanAudit.BoundedBuildRows): DataFrame = {
     import graft.functions.Similarity
     // the pairwise product is quadratic in the LABEL set — enforce the
     // bound on the plan spine (orderBy+limit, provable to PlanAudit)
-    // rather than assuming class counts stay small
-    val cent = meanPool(df, Seq(labelCol), embCol)
+    // rather than assuming class counts stay small. TRUNCATION: label
+    // sets beyond the cap lose their highest labels — maxLabels = 0
+    // disables the trim (audit then needs a reviewed allowance)
+    val cent0 = meanPool(df, Seq(labelCol), embCol)
       .join(df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n")),
         Seq(labelCol))
-      .orderBy(col(labelCol)).limit(maxLabels)
+    val cent =
+      if (maxLabels > 0) cent0.orderBy(col(labelCol)).limit(maxLabels)
+      else cent0
     cent.as("a").join(broadcast(cent.as("b")),
         col(s"a.$labelCol") < col(s"b.$labelCol"))
       .select(col(s"a.$labelCol").as("label_a"),

@@ -238,9 +238,14 @@ object Pipeline {
     require(seedK >= 1, s"seedK must be >= 1, got $seedK")
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
+    // the candidate pool feeds three consumers (seed top-K, the
+    // membership anti-join, the final union); materialize the bounded
+    // pool once so an expensive upstream scoring lineage doesn't
+    // execute three times (the RangeJoin.sessionConcurrency convention)
+    val cand = candidates.localCheckpoint()
     val byGroup = Window.partitionBy(g: _*)
       .orderBy(col(scoreCol).desc, col(itemCol).asc)
-    val seeds = candidates
+    val seeds = cand
       .withColumn("__sr", row_number().over(byGroup))
       .filter(col("__sr") <= seedK)
       .select(g :+ col(itemCol): _*)
@@ -250,7 +255,7 @@ object Pipeline {
       .select(g :+ col(dstCol).as("__n"): _*)
       .distinct()
     val fresh = neighbors.join(
-      candidates.select(g :+ col(itemCol).as("__n"): _*),
+      cand.select(g :+ col(itemCol).as("__n"): _*),
       groupCols :+ "__n", "left_anti")
     val scoredNew = fresh
       .join(queries.select(g :+ col(queryEmbCol): _*), groupCols)
@@ -260,7 +265,7 @@ object Pipeline {
         (lit(dampen) * graft.functions.Similarity.cosine(
           col(queryEmbCol), col("__ne"))).as(scoreCol) :+
         lit(true).as("expanded")): _*)
-    candidates.select(g :+ col(itemCol) :+ col(scoreCol): _*)
+    cand.select(g :+ col(itemCol) :+ col(scoreCol): _*)
       .withColumn("expanded", lit(false))
       .unionByName(scoredNew)
   }
@@ -290,7 +295,10 @@ object Pipeline {
       counterOutcome: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val census = selected.groupBy(g: _*).agg(
+    // the slate feeds three consumers (census, membership anti-join,
+    // final union) — materialize the bounded slate table once
+    val sel = selected.localCheckpoint()
+    val census = sel.groupBy(g: _*).agg(
       max(when(col(outcomeCol) === counterOutcome, 1).otherwise(0))
         .as("__has"),
       max(col(rankCol)).as("__mr"))
@@ -298,7 +306,7 @@ object Pipeline {
       .orderBy(col(scoreCol).desc, col(itemCol).asc)
     val appended = pool
       .filter(col(outcomeCol) === counterOutcome)
-      .join(selected.select(g :+ col(itemCol): _*),
+      .join(sel.select(g :+ col(itemCol): _*),
         groupCols :+ itemCol, "left_anti")
       .withColumn("__rn", row_number().over(byBest))
       .filter(col("__rn") === 1)
@@ -306,8 +314,7 @@ object Pipeline {
       .join(census.filter(col("__has") === 0), groupCols)
       .withColumn(rankCol, (col("__mr") + 1).cast("int"))
       .drop("__has", "__mr")
-    selected.unionByName(
-      appended.select(selected.columns.map(col): _*))
+    sel.unionByName(appended.select(sel.columns.map(col): _*))
   }
 
   /** Reinforcement-decayed episode scoring
@@ -353,8 +360,11 @@ object Pipeline {
     log
       .withColumn("__later", row_number().over(byRecency) - 1)
       .filter(col("__later") < horizon)
-      .withColumn("__ri",
-        least(col(rankCol).cast("int") - 1, lit(maxRank - 1)))
+      // clamp from BOTH sides: ranks are 1-based by contract, but a
+      // 0-based caller must not reach element_at index 0 (error) or a
+      // negative index (silently reads from the array's end)
+      .withColumn("__ri", greatest(
+        least(col(rankCol).cast("int") - 1, lit(maxRank - 1)), lit(0)))
       .withColumn("__wm", element_at(typedlit(weights),
         (col("__later") * maxRank + col("__ri") + 1).cast("int")))
       .groupBy(col(episodeCol))

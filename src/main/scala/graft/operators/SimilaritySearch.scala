@@ -58,9 +58,11 @@ object SimilaritySearch {
     *                 `queryIdCol` first, deterministic) on the plan
     *                 spine, so the corpus×queries product carries a
     *                 bound the plan audit can prove instead of a
-    *                 reviewed allowance. Batches beyond the cap should
-    *                 chunk — the brute-force product is per-batch work
-    *                 by design.
+    *                 reviewed allowance. NOTE the trim is a TRUNCATION:
+    *                 a batch beyond the cap loses its highest query ids
+    *                 — chunk large batches, or pass `maxQueries = 0` to
+    *                 disable the trim (the audit then needs a reviewed
+    *                 allowance for the unproven broadcast leg).
     * @param filters  payload predicate (SURVEY P7), applied before
     *                 scoring so it pushes into the corpus scan
     */
@@ -75,7 +77,7 @@ object SimilaritySearch {
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_embedding",
       excludeSelf: Boolean = false,
-      maxQueries: Int = 1024): DataFrame = {
+      maxQueries: Int = graft.PlanAudit.BoundedBuildRows): DataFrame = {
     // Stage the double-cast (and for cosine the L2 norm) per VECTOR
     // before the pair join — O(corpus + queries) array work instead of
     // O(corpus × queries); the staged score is the same expression
@@ -84,10 +86,12 @@ object SimilaritySearch {
       if (metric.needsNorm) Seq(Similarity.l2(col(emb)).as(s"__n_$emb")) else Nil
     val c = corpus.filter(filters).select(
       Seq(col(idCol), col(embCol).cast("array<double>").as(embCol)) ++ norms(embCol): _*)
-    val q = queries.select(
+    val q0 = queries.select(
       Seq(col(queryIdCol), col(queryEmbCol).cast("array<double>").as(queryEmbCol)) ++
         norms(queryEmbCol): _*)
-      .orderBy(col(queryIdCol).asc).limit(maxQueries)
+    val q =
+      if (maxQueries > 0) q0.orderBy(col(queryIdCol).asc).limit(maxQueries)
+      else q0
     val scored = c.crossJoin(broadcast(q))
       .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
       .select(col(queryIdCol), col(idCol),

@@ -69,16 +69,20 @@ object Sketches {
       userCol: String,
       k: Int,
       seed: Int = 7,
-      maxSegments: Int = 1024): DataFrame = {
+      maxSegments: Int = graft.PlanAudit.BoundedBuildRows): DataFrame = {
     // segment-pair sketch compare is quadratic in the segment set —
     // the bound is enforced (orderBy+limit on the one-row-per-segment
-    // sketch table, provable to PlanAudit), not assumed
-    val sk = df
+    // sketch table, provable to PlanAudit), not assumed. TRUNCATION:
+    // segment sets beyond the cap lose their highest segments —
+    // maxSegments = 0 disables (audit then needs a reviewed allowance)
+    val sk0 = df
       .select(col(segmentCol),
         TextFunctions.md5Hash32(col(userCol).cast("string"), seed).as("__h"))
       .groupBy(col(segmentCol))
       .agg(kmvMinima(col("__h"), k).as("__mins"))
-      .orderBy(col(segmentCol)).limit(maxSegments)
+    val sk =
+      if (maxSegments > 0) sk0.orderBy(col(segmentCol)).limit(maxSegments)
+      else sk0
     val pairs = sk.select(col(segmentCol).as("seg_a"), col("__mins").as("__ma"))
       .join(broadcast(
         sk.select(col(segmentCol).as("seg_b"), col("__mins").as("__mb"))),

@@ -103,10 +103,21 @@ object Layout {
     idx.centroids.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  def loadIvf(spark: SparkSession, path: String): graft.operators.IvfIndex =
+  def loadIvf(spark: SparkSession, path: String): graft.operators.IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    // fail LOUDLY on an oversized centroid table: the search paths
+    // bound every centroid cross-join at IvfIndex.MaxCells, so a
+    // larger persisted table (external tooling, pre-cap build) would
+    // otherwise be silently truncated into wrong assignments. The
+    // count is one job over a cells-sized parquet — negligible.
+    val n = centroids.count()
+    require(n <= graft.operators.IvfIndex.MaxCells,
+      s"persisted centroid table at $path has $n rows > " +
+        s"IvfIndex.MaxCells (${graft.operators.IvfIndex.MaxCells}); " +
+        "shard the index instead")
     graft.operators.IvfIndex(
-      spark.read.parquet(s"$path/assigned"),
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/assigned"), centroids)
+  }
 
   /** Append an ingest batch into a PERSISTED IVF layout without a
     * rebuild: assign against the stored centroids, code the new rows if
