@@ -162,12 +162,21 @@ object Bench {
     val sweepDirs: Seq[String] = sys.env.get("SPARK_GRAFT_SF_SWEEP")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse {
-        if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_SWEEP") &&
-            java.nio.file.Files.isDirectory(
-              java.nio.file.Paths.get("benchdata/sf1")))
-          Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
-            "benchdata/sf1")
-        else Nil
+        if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_SWEEP")) {
+          // sf1 is builder-generated (gitignored); regenerate it when
+          // missing (~40 s, deterministic — graft.tools.GenSf) so a
+          // fresh checkout still measures the scaling curve
+          if (!java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get("benchdata/sf1/lineitem.parquet")))
+            try graft.tools.GenSf.generate(spark, "benchdata/sf1", 1.0)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 generation failed: $e") }
+          if (java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get("benchdata/sf1/lineitem.parquet")))
+            Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
+              "benchdata/sf1")
+          else Nil
+        } else Nil
       }
     val sweepQueries = sys.env.get("SPARK_GRAFT_SWEEP_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
