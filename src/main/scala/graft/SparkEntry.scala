@@ -3211,6 +3211,46 @@ object SparkEntry {
         "vec_id", "score", "rank", "outcome", "success")
     }),
 
+    // ---- streaming session windows: flatMapGroupsWithState with
+    // EventTimeTimeout, O(1) state per user; a single far-future
+    // sentinel event per user (shared global timestamp, 3x the gap
+    // past the corpus max) closes every real session on the data path
+    // so the one-shot run emits the complete batch-equal session set;
+    // the sentinels' own sessions stay in state (their timeout is
+    // beyond the final watermark) and are never emitted ----
+    "q283_stream_sessionize" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q283").toString
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$in/events.parquet"))
+      val raw = Tables.load(s, dir, "events")
+      val sentinels = raw.select(col("user_id")).distinct()
+        .crossJoin(broadcast(raw.agg(max(col("ts")).as("__gmax"))))
+        .select(lit(-1L).as("event_id"),
+          (col("__gmax") + expr("INTERVAL 18 HOURS")).as("ts"),
+          col("user_id"), lit("sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val tmp = s"$base/senttmp"
+      sentinels.coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(s"$in/zz_sentinel.parquet"))
+      val ev = Tables.normalizeEventTs(
+          Ingest.fileSource(streamSession(s), in, raw.schema))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts"))
+      // micros + a micros gap: the batch twin's exact µs gap rule
+      runStreamTo(
+        Ingest.streamingSessionize(ev, gapMs = 21600000000L).toDF(),
+        base)
+    }),
+
     // ---- episodic-memory feedback: reinforcement/recency-decayed
     // outcome scores replayed over the event log in one scan ----
     "q281_reinforce_decay" -> ((s, dir) => {
@@ -7794,6 +7834,23 @@ object SparkEntry {
     // identical semantics to q241 computed by sweep-line rank
     // arithmetic — the SAME oracle gates both paths
     "q282_concurrency_sweepline" -> sqlSessionConcurrency,
+
+    // streaming sessionize must equal the BATCH gap rule exactly
+    // (micros precision), so the oracle is the plain batch sessionize
+    "q283_stream_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev FROM events),
+        |s AS (SELECT user_id, ts,
+        |    SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 6 HOUR
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM x)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(epoch_us(ts)) AS start_ts, max(epoch_us(ts)) AS end_ts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q242_acf_daily" ->
       """WITH dly AS (SELECT event_type, epoch_ms(ts) // 86400000 AS t,

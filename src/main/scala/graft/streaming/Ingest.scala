@@ -18,6 +18,26 @@ final case class WeekBucketState(events: Array[StreamEvent], rev: Long)
 final case class MergedEvent(
     user_id: Long, event_id: Long, ts: Long, week_idx: Long, rev: Long)
 
+/** One CLOSED session emitted by [[Ingest.streamingSessionize]] —
+  * shape matches the batch twin
+  * ([[graft.operators.InteractionStore.sessionize]] + span aggregate)
+  * so the two results compare directly. `start_ts`/`end_ts` are in
+  * the caller's `ts` unit (millis or micros). */
+final case class SessionRow(user_id: Long, session_idx: Long,
+    start_ts: Long, end_ts: Long, n_events: Long)
+
+/** Per-user open-session state for [[Ingest.streamingSessionize]]:
+  * O(1) per key — span bounds, event count, and the 1-based session
+  * index carried across batches. */
+final case class OpenSession(startMs: Long, lastMs: Long, n: Long,
+    idx: Long)
+
+/** [[StreamEvent]] plus the derived watermark column — the event-time
+  * attribute must SURVIVE into the grouped dataset or Spark rejects
+  * the event-time timeout ("watermark must be specified"). */
+final case class TimedEvent(user_id: Long, event_id: Long, ts: Long,
+    event_time: java.sql.Timestamp)
+
 /** Streaming ingestion with upsert semantics (SURVEY §2.9, §3.2).
   *
   * The reference consumes Kafka in polled batches with manual commits
@@ -398,6 +418,88 @@ object Ingest {
           state.update(WeekBucketState(merged, rev))
           merged.iterator.map(e =>
             MergedEvent(e.user_id, e.event_id, e.ts, key._2, rev))
+      }
+  }
+
+  /** Streaming session windows with TYPED state (the
+    * flatMapGroupsWithState counterpart of [[sessionWindows]], as
+    * [[statefulMergeCap]] is to [[upsertSink]]): unlike the native
+    * `session_window` aggregation this carries the batch twin's
+    * 1-BASED SESSION INDEX across batches and applies the gap rule as
+    * integer arithmetic on the raw `ts` longs, so the emitted rows are
+    * bit-equal to [[graft.operators.InteractionStore.sessionize]] +
+    * span aggregate (q283 proves it against the batch DuckDB oracle).
+    * A user's session CLOSES when the next event arrives more than
+    * `gapMs` after the last one (data path), or when the event-time
+    * watermark passes `last + gapMs` with no successor
+    * (EventTimeTimeout path); late data is bounded by the watermark
+    * like every other stateful streaming op here.
+    *
+    * State per user is O(1) (an [[OpenSession]]: span bounds, count,
+    * 1-based index) — unbounded key cardinality costs 4 longs each,
+    * the hard-bounded-state property ST7 demands. Per trigger the
+    * handler sorts the user's batch slice by (ts, event_id) before
+    * folding, so intra-batch arrival order never matters; emitted
+    * rows are append-only closed sessions (one per session, exactly
+    * once under checkpointed replay).
+    *
+    * `events` columns: `user_id`, `event_id`, `ts` — an event-time
+    * epoch LONG in any unit (millis or micros), with `gapMs` in the
+    * SAME unit; gap comparisons are integer arithmetic on that unit,
+    * so a micros caller gets the batch twin's exact µs gap rule. The
+    * internal watermark column scales the unit as millis (only
+    * relative order and the delay window matter to the timeout
+    * machinery, not wall-clock meaning — note `watermarkDelay`
+    * therefore reads in the SCALED unit for a micros caller). */
+  def streamingSessionize(
+      events: DataFrame,
+      gapMs: Long,
+      watermarkDelay: String = "1 minute"): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("ts").cast("long").as("ts"))
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[TimedEvent],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no successor: close
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionRow(user, s.idx, s.startMs, s.lastMs, s.n))
+          } else {
+            val sorted = rows.toArray.sortBy(e => (e.ts, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts > s.lastMs + gapMs =>
+                  out += SessionRow(user, s.idx, s.startMs, s.lastMs, s.n)
+                  open = Some(OpenSession(e.ts, e.ts, 1L, s.idx + 1))
+                case Some(s) =>
+                  open = Some(s.copy(
+                    lastMs = math.max(s.lastMs, e.ts), n = s.n + 1))
+                case None =>
+                  open = Some(OpenSession(e.ts, e.ts, 1L, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // a timeout in the past would throw — late data can put
+              // last + gap behind the watermark; fire next watermark
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
       }
   }
 

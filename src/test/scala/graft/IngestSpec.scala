@@ -276,6 +276,69 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(rows(2L) === Seq(1L))
   }
 
+  test("streamingSessionize: cross-batch continuation, data-path and " +
+      "timeout closes, batch-equal indexes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)] // (user, event_id, ts ms)
+    def ms(s: String): Long = ts(s).getTime
+    val sessions = Ingest.streamingSessionize(
+      mem.toDF.toDF("user_id", "event_id", "ts"),
+      gapMs = 600000L, watermarkDelay = "1 minute")
+    val q = sessions.toDF.writeStream.format("memory")
+      .queryName("tsessions").outputMode("append").start()
+    // batch 1: user 1 has an open session; user 2 too
+    mem.addData(
+      (1L, 1L, ms("2024-01-01 10:00:00")),
+      (1L, 2L, ms("2024-01-01 10:05:00")),
+      (2L, 3L, ms("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // batch 2: user 1's session CONTINUES across the batch boundary
+    // (10:08 within gap of 10:05), then a far event closes it on the
+    // data path; user 2 gets nothing — their session must close via
+    // EventTimeTimeout once the watermark passes 10:01 + gap
+    mem.addData(
+      (1L, 4L, ms("2024-01-01 10:08:00")),
+      (1L, 5L, ms("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    // batch 3: advance the watermark far past everything so user 2's
+    // timeout fires and user 1's second session also times out
+    mem.addData((9L, 99L, ms("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tsessions")
+      .select($"user_id", $"session_idx", $"start_ts", $"end_ts",
+        $"n_events")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // user 1 session 1: 10:00–10:08 (3 events, continued across
+    // batches), session 2: the 11:00 single (closed by timeout);
+    // user 2 session 1: the 10:01 single (closed by timeout)
+    assert(got.contains((1L, 1L, ms("2024-01-01 10:00:00"),
+      ms("2024-01-01 10:08:00"), 3L)))
+    assert(got.contains((1L, 2L, ms("2024-01-01 11:00:00"),
+      ms("2024-01-01 11:00:00"), 1L)))
+    assert(got.contains((2L, 1L, ms("2024-01-01 10:01:00"),
+      ms("2024-01-01 10:01:00"), 1L)))
+    // user 9's probe session stays open (nothing past its ts) — and
+    // nothing else leaked
+    assert(got.map(_._1) === Set(1L, 2L))
+    // matches the batch twin on the closed set
+    val batch = graft.operators.InteractionStore.sessionize(
+        Seq((1L, 1L, ms("2024-01-01 10:00:00")),
+          (1L, 2L, ms("2024-01-01 10:05:00")),
+          (2L, 3L, ms("2024-01-01 10:01:00")),
+          (1L, 4L, ms("2024-01-01 10:08:00")),
+          (1L, 5L, ms("2024-01-01 11:00:00")))
+          .toDF("user_id", "event_id", "__ms")
+          .withColumn("ts", timestamp_millis(col("__ms"))),
+        gap = "10 minutes")
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"__ms").as("s"), max($"__ms").as("e"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === batch)
+  }
+
   test("streamDedup drops redelivered keys within the watermark (ST8 replays)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
