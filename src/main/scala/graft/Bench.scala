@@ -165,14 +165,18 @@ object Bench {
         if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_SWEEP")) {
           // sf1 is builder-generated (gitignored); regenerate it when
           // missing (~40 s, deterministic — graft.tools.GenSf) so a
-          // fresh checkout still measures the scaling curve
-          if (!java.nio.file.Files.isDirectory(
-              java.nio.file.Paths.get("benchdata/sf1/lineitem.parquet")))
+          // fresh checkout still measures the scaling curve. Probe the
+          // LAST-written table, not the first: an interrupted
+          // generation must look absent, not half-present, or the
+          // sweep runs against a partial dataset forever.
+          def complete = java.nio.file.Files.exists(
+            java.nio.file.Paths.get(
+              "benchdata/sf1/embeddings.parquet/_SUCCESS"))
+          if (!complete)
             try graft.tools.GenSf.generate(spark, "benchdata/sf1", 1.0)
             catch { case e: Throwable =>
               System.err.println(s"[bench] sf1 generation failed: $e") }
-          if (java.nio.file.Files.isDirectory(
-              java.nio.file.Paths.get("benchdata/sf1/lineitem.parquet")))
+          if (complete)
             Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
               "benchdata/sf1")
           else Nil
@@ -244,7 +248,11 @@ object Bench {
     // capture) AND repeat as the LAST key (`summary_tail`) — the
     // driver keeps the final 2000 chars of the line, so a line longer
     // than that would otherwise show neither count.
-    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_flags":$sweepFlags,"sweep_errors":$sweepErrors,"total_sec":$total,"n_queries":${results.size}}"""
+    // sweep_ran distinguishes "clean sweep" from "sweep never ran"
+    // (generation failure, BENCH_ONLY, NO_SWEEP) — zeros alone would
+    // read green over a silently-skipped sweep
+    val sweepRan = sweepDirs.size >= 2
+    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRan,"sweep_flags":$sweepFlags,"sweep_errors":$sweepErrors,"total_sec":$total,"n_queries":${results.size}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir",$sweepJson"summary_tail":$tail}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -3220,31 +3220,35 @@ object SparkEntry {
     // beyond the final watermark) and are never emitted ----
     "q283_stream_sessionize" -> ((s, dir) => {
       import graft.streaming.Ingest
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-q283").toString
-      val in = s"$base/in"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        java.nio.file.Paths.get(s"$in/events.parquet"))
+      // streamedEvents stages $base/in lazily (the file listing
+      // happens at stream start), so the sentinel file can be added
+      // to the same dir before runStreamTo
+      val (ev0, base) = streamedEvents(s, dir, "q283")
       val raw = Tables.load(s, dir, "events")
+      // sentinel ts delta in the RAW encoding (nanos-long legacy vs
+      // timestamp), so the staged file always matches the raw schema
+      val gmaxPlus = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("__gmax") + lit(18L * 3600L * 1000000000L)
+        case _ => col("__gmax") + expr("INTERVAL 18 HOURS")
+      }
       val sentinels = raw.select(col("user_id")).distinct()
         .crossJoin(broadcast(raw.agg(max(col("ts")).as("__gmax"))))
-        .select(lit(-1L).as("event_id"),
-          (col("__gmax") + expr("INTERVAL 18 HOURS")).as("ts"),
+        .select(lit(-1L).as("event_id"), gmaxPlus.as("ts"),
           col("user_id"), lit("sentinel").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props"))
       val tmp = s"$base/senttmp"
       sentinels.coalesce(1).write.parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet"))
-        .findFirst().get()
-      java.nio.file.Files.copy(part,
-        java.nio.file.Paths.get(s"$in/zz_sentinel.parquet"))
-      val ev = Tables.normalizeEventTs(
-          Ingest.fileSource(streamSession(s), in, raw.schema))
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts"))
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      try {
+        val part = listing
+          .filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$base/in/zz_sentinel.parquet"))
+      } finally listing.close()
+      val ev = ev0.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts"))
       // micros + a micros gap: the batch twin's exact µs gap rule
       runStreamTo(
         Ingest.streamingSessionize(ev, gapMs = 21600000000L).toDF(),

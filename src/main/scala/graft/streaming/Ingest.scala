@@ -435,6 +435,18 @@ object Ingest {
     * (EventTimeTimeout path); late data is bounded by the watermark
     * like every other stateful streaming op here.
     *
+    * == Equality contract (precise) ==
+    * Bit-equal to the batch twin when events arrive in event-time
+    * order ACROSS batches (intra-batch disorder is absorbed by a
+    * per-slice sort). A watermark-compliant out-of-order event widens
+    * the OPEN session (both ends) but can never reopen an
+    * already-emitted one — closed sessions are final, so under such
+    * disorder the split points may differ from a batch re-run, as
+    * with any incremental sessionizer. After a timeout-close the
+    * user's index survives as an n=0 marker for `64·gap` of event
+    * time (then the numbering restarts), so indexes stay batch-equal
+    * across any quiet period shorter than that retention.
+    *
     * State per user is O(1) (an [[OpenSession]]: span bounds, count,
     * 1-based index) — unbounded key cardinality costs 4 longs each,
     * the hard-bounded-state property ST7 demands. Per trigger the
@@ -470,22 +482,41 @@ object Ingest {
         (user: Long, rows: Iterator[TimedEvent],
          state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            // watermark passed last + gap with no successor: close
             val s = state.get
-            state.remove()
-            Iterator.single(
-              SessionRow(user, s.idx, s.startMs, s.lastMs, s.n))
+            if (s.n > 0L) {
+              // watermark passed last + gap with no successor: close,
+              // but KEEP the index as an n=0 marker — a user returning
+              // after a timeout-close must continue at idx+1 (the
+              // batch numbering), not restart at 1. The marker's own
+              // timeout (idxRetention gaps later) bounds its lifetime.
+              state.update(OpenSession(s.lastMs, s.lastMs, 0L, s.idx))
+              state.setTimeoutTimestamp(math.max(
+                s.lastMs + gapMs * IdxRetentionGaps,
+                state.getCurrentWatermarkMs() + 1L))
+              Iterator.single(
+                SessionRow(user, s.idx, s.startMs, s.lastMs, s.n))
+            } else {
+              // the index marker itself expired: forget the user
+              state.remove()
+              Iterator.empty
+            }
           } else {
             val sorted = rows.toArray.sortBy(e => (e.ts, e.event_id))
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
             var open = state.getOption
             sorted.foreach { e =>
               open match {
+                case Some(s) if s.n == 0L =>
+                  // index marker (no open session): start the NEXT one
+                  open = Some(OpenSession(e.ts, e.ts, 1L, s.idx + 1))
                 case Some(s) if e.ts > s.lastMs + gapMs =>
                   out += SessionRow(user, s.idx, s.startMs, s.lastMs, s.n)
                   open = Some(OpenSession(e.ts, e.ts, 1L, s.idx + 1))
                 case Some(s) =>
+                  // an out-of-order (but watermark-compliant) event can
+                  // precede the open session's start — widen BOTH ends
                   open = Some(s.copy(
+                    startMs = math.min(s.startMs, e.ts),
                     lastMs = math.max(s.lastMs, e.ts), n = s.n + 1))
                 case None =>
                   open = Some(OpenSession(e.ts, e.ts, 1L, 1L))
@@ -502,6 +533,13 @@ object Ingest {
           }
       }
   }
+
+  /** How many gap-widths an idle user's session INDEX survives after a
+    * timeout-close before the n=0 marker itself expires and the
+    * numbering restarts at 1 — bounds marker-state lifetime while
+    * keeping indexes batch-equal across any quiet period shorter than
+    * `IdxRetentionGaps · gap`. */
+  private val IdxRetentionGaps = 64L
 
   /** Stream-stream attribution join: left events matched to same-key
     * right events within `[leftTs, leftTs + horizon]`, both sides

@@ -301,9 +301,18 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
       (1L, 4L, ms("2024-01-01 10:08:00")),
       (1L, 5L, ms("2024-01-01 11:00:00")))
     q.processAllAvailable()
-    // batch 3: advance the watermark far past everything so user 2's
-    // timeout fires and user 1's second session also times out
-    mem.addData((9L, 99L, ms("2024-01-02 00:00:00")))
+    // batch 3: a probe advances the watermark to ~12:29 so user 2's
+    // session times out (and user 1's second, via the no-data batch);
+    // kept within the 64-gap index retention and below user 2's
+    // return time so the return is neither late nor forgotten
+    mem.addData((9L, 99L, ms("2024-01-01 12:30:00")))
+    q.processAllAvailable()
+    // batch 4: user 2 RETURNS after their timeout-close — the index
+    // marker must continue the numbering at 2, not restart at 1
+    mem.addData((2L, 6L, ms("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // batch 5: close user 2's second session via the data path
+    mem.addData((2L, 7L, ms("2024-01-01 15:00:00")))
     q.processAllAvailable()
     q.stop()
     val got = spark.table("tsessions")
@@ -312,23 +321,34 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     // user 1 session 1: 10:00–10:08 (3 events, continued across
     // batches), session 2: the 11:00 single (closed by timeout);
-    // user 2 session 1: the 10:01 single (closed by timeout)
+    // user 2 session 1: the 10:01 single (closed by timeout), then
+    // session 2 (post-timeout return — index continued) closed by the
+    // 12:00 data-path event
     assert(got.contains((1L, 1L, ms("2024-01-01 10:00:00"),
       ms("2024-01-01 10:08:00"), 3L)))
     assert(got.contains((1L, 2L, ms("2024-01-01 11:00:00"),
       ms("2024-01-01 11:00:00"), 1L)))
     assert(got.contains((2L, 1L, ms("2024-01-01 10:01:00"),
       ms("2024-01-01 10:01:00"), 1L)))
-    // user 9's probe session stays open (nothing past its ts) — and
-    // nothing else leaked
-    assert(got.map(_._1) === Set(1L, 2L))
-    // matches the batch twin on the closed set
+    assert(got.contains((2L, 2L, ms("2024-01-01 13:00:00"),
+      ms("2024-01-01 13:00:00"), 1L)))
+    // the probe user's session also times out once batch 4/5 advance
+    // the watermark past 12:40; only user 2's trailing 15:00 session
+    // stays open — nothing else leaked
+    assert(got.contains((9L, 1L, ms("2024-01-01 12:30:00"),
+      ms("2024-01-01 12:30:00"), 1L)))
+    assert(got.map(_._1) === Set(1L, 2L, 9L))
+    assert(got.size === 5)
+    // matches the batch twin on the closed set (batch numbering
+    // includes the post-timeout continuation)
     val batch = graft.operators.InteractionStore.sessionize(
         Seq((1L, 1L, ms("2024-01-01 10:00:00")),
           (1L, 2L, ms("2024-01-01 10:05:00")),
           (2L, 3L, ms("2024-01-01 10:01:00")),
           (1L, 4L, ms("2024-01-01 10:08:00")),
-          (1L, 5L, ms("2024-01-01 11:00:00")))
+          (1L, 5L, ms("2024-01-01 11:00:00")),
+          (2L, 6L, ms("2024-01-01 13:00:00")),
+          (9L, 99L, ms("2024-01-01 12:30:00")))
           .toDF("user_id", "event_id", "__ms")
           .withColumn("ts", timestamp_millis(col("__ms"))),
         gap = "10 minutes")
