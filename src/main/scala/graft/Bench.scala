@@ -200,6 +200,24 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_PASSES", "1").toInt
     var sweepFlags = 0
     var sweepErrors = 0
+    // The sweep runs AFTER the 283-query suite in the same JVM, and the
+    // suite leaves behind real state: every localCheckpoint pins its
+    // blocks for the session, the cache manager holds plan fragments,
+    // and the heap is full of tenured suite garbage. Round-9's recorded
+    // sweep measured q229 at 73 s where an isolated JVM measures 1.5 s
+    // (48x inflation) and spuriously flagged q184 — an artifact that
+    // cries wolf masks real regressions. Drop the accumulated state
+    // before EVERY timed sweep measurement so each one starts from the
+    // same near-isolated baseline: unpersist all persistent RDDs
+    // (localCheckpoints), clear the SQL cache, and give the JVM one
+    // explicit full-GC window. Cost ~100 ms per call — noise against
+    // multi-second sf1 measurements, and the per-decade signal is 10x.
+    def dropAccumulatedState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // locale-independent decimal formatting: the f interpolator uses
     // the JVM default locale (comma decimals on e.g. de_DE would
     // corrupt the JSON line)
@@ -210,6 +228,7 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val times = sweepDirs.map { d =>
           try {
+            dropAccumulatedState()
             val ts = (1 to sweepPasses).map { _ =>
               val t0 = System.nanoTime()
               fn(spark, d).queryExecution.toRdd.count()
@@ -255,6 +274,11 @@ object Bench {
     val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRan,"sweep_flags":$sweepFlags,"sweep_errors":$sweepErrors,"total_sec":$total,"n_queries":${results.size}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir",$sweepJson"summary_tail":$tail}""")
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    // A sweep-leg crash (a query broken ONLY at a larger sf — exactly
+    // the scale regression the sweep hunts) fails the process like any
+    // oracle error, so CI catches it without parsing the JSON line.
+    // SPARK_GRAFT_SWEEP_LENIENT=1 downgrades it to JSON-only reporting.
+    val lenientSweep = sys.env.get("SPARK_GRAFT_SWEEP_LENIENT").contains("1")
+    if (errors.nonEmpty || (sweepErrors > 0 && !lenientSweep)) sys.exit(1)
   }
 }

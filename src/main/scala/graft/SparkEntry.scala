@@ -8947,7 +8947,7 @@ object SparkEntry {
          |  FROM ev),
          |w AS (SELECT item_id, v,
          |    list_extract($wtab,
-         |      CAST(later * 32 + LEAST(r - 1, 31) + 1 AS INT)) AS wm
+         |      CAST(later * 32 + GREATEST(LEAST(r - 1, 31), 0) + 1 AS INT)) AS wm
          |  FROM o WHERE later < 16)
          |SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_events_used,
          |  CAST(CAST(SUM(v * wm) AS BIGINT) AS DOUBLE) / 1.0E6

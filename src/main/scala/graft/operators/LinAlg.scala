@@ -132,26 +132,33 @@ object LinAlg {
       df: DataFrame,
       labelCol: String,
       embCol: String,
-      maxLabels: Int = graft.PlanAudit.BoundedBuildRows): DataFrame = {
+      maxLabels: Int = graft.PlanAudit.BoundedBuildRows,
+      allowTruncate: Boolean = false): DataFrame = {
     import graft.functions.Similarity
     // the pairwise product is quadratic in the LABEL set — enforce the
     // bound on the plan spine (orderBy+limit, provable to PlanAudit)
-    // rather than assuming class counts stay small. TRUNCATION: label
-    // sets beyond the cap lose their highest labels — maxLabels = 0
-    // disables the trim (audit then needs a reviewed allowance)
+    // rather than assuming class counts stay small. The trim is LOUD
+    // by default ([[Bounds.guardCap]]): a label set beyond the cap
+    // fails the job unless `allowTruncate = true` accepts losing the
+    // highest labels — maxLabels = 0 disables the trim entirely (audit
+    // then needs a reviewed allowance). Scale table: graft.ScaleProfile.
     val cent0 = meanPool(df, Seq(labelCol), embCol)
       .join(df.groupBy(col(labelCol)).agg(count(lit(1)).as("__n")),
         Seq(labelCol))
     val cent =
       if (maxLabels > 0) cent0.orderBy(col(labelCol)).limit(maxLabels)
       else cent0
-    cent.as("a").join(broadcast(cent.as("b")),
+    val pairs = cent.as("a").join(broadcast(cent.as("b")),
         col(s"a.$labelCol") < col(s"b.$labelCol"))
       .select(col(s"a.$labelCol").as("label_a"),
         col(s"b.$labelCol").as("label_b"),
         col("a.__n").as("n_a"), col("b.__n").as("n_b"),
         Similarity.cosine(col("a.mean_embedding"),
           col("b.mean_embedding")).as("cosine"))
+    if (maxLabels > 0 && !allowTruncate)
+      Bounds.guardCap(pairs, Bounds.census(cent0), maxLabels,
+        "LinAlg.centroidSimilarity label set")
+    else pairs
   }
 
   /** Matryoshka-truncation audit: how much of each vector's squared

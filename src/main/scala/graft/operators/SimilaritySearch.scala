@@ -58,11 +58,14 @@ object SimilaritySearch {
     *                 `queryIdCol` first, deterministic) on the plan
     *                 spine, so the corpus×queries product carries a
     *                 bound the plan audit can prove instead of a
-    *                 reviewed allowance. NOTE the trim is a TRUNCATION:
-    *                 a batch beyond the cap loses its highest query ids
-    *                 — chunk large batches, or pass `maxQueries = 0` to
+    *                 reviewed allowance. The trim is LOUD by default: a
+    *                 [[Bounds.guardCap]] census fails the job when the
+    *                 batch exceeds the cap — chunk large batches, pass
+    *                 `allowTruncate = true` to accept losing the
+    *                 highest query ids, or pass `maxQueries = 0` to
     *                 disable the trim (the audit then needs a reviewed
     *                 allowance for the unproven broadcast leg).
+    *                 Gate/knob scale table: [[graft.ScaleProfile]].
     * @param filters  payload predicate (SURVEY P7), applied before
     *                 scoring so it pushes into the corpus scan
     */
@@ -77,7 +80,8 @@ object SimilaritySearch {
       queryIdCol: String = "query_id",
       queryEmbCol: String = "query_embedding",
       excludeSelf: Boolean = false,
-      maxQueries: Int = graft.PlanAudit.BoundedBuildRows): DataFrame = {
+      maxQueries: Int = graft.PlanAudit.BoundedBuildRows,
+      allowTruncate: Boolean = false): DataFrame = {
     // Stage the double-cast (and for cosine the L2 norm) per VECTOR
     // before the pair join — O(corpus + queries) array work instead of
     // O(corpus × queries); the staged score is the same expression
@@ -99,7 +103,12 @@ object SimilaritySearch {
           col(queryEmbCol), col(s"__n_$queryEmbCol")).as("score"))
     val ord = if (metric.descending) col("score").desc else col("score").asc
     val w = Window.partitionBy(col(queryIdCol)).orderBy(ord, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    if (maxQueries > 0 && !allowTruncate)
+      Bounds.guardCap(ranked, Bounds.census(q0), maxQueries,
+        "SimilaritySearch.topK query batch")
+    else ranked
   }
 
   /** Resolve candidate ids to their stored embeddings (SURVEY J4) —

@@ -69,12 +69,15 @@ object Sketches {
       userCol: String,
       k: Int,
       seed: Int = 7,
-      maxSegments: Int = graft.PlanAudit.BoundedBuildRows): DataFrame = {
+      maxSegments: Int = graft.PlanAudit.BoundedBuildRows,
+      allowTruncate: Boolean = false): DataFrame = {
     // segment-pair sketch compare is quadratic in the segment set —
     // the bound is enforced (orderBy+limit on the one-row-per-segment
-    // sketch table, provable to PlanAudit), not assumed. TRUNCATION:
-    // segment sets beyond the cap lose their highest segments —
-    // maxSegments = 0 disables (audit then needs a reviewed allowance)
+    // sketch table, provable to PlanAudit), not assumed, and LOUD by
+    // default ([[Bounds.guardCap]]): a segment set beyond the cap
+    // fails the job unless `allowTruncate = true` accepts losing the
+    // highest segments — maxSegments = 0 disables the trim (audit then
+    // needs a reviewed allowance). Scale table: graft.ScaleProfile.
     val sk0 = df
       .select(col(segmentCol),
         TextFunctions.md5Hash32(col(userCol).cast("string"), seed).as("__h"))
@@ -93,11 +96,15 @@ object Sketches {
       .filter(col("seg_a") < col("seg_b"))
       .groupBy(col("seg_a"), col("seg_b"))
       .agg(count(lit(1)).as("exact_overlap"))
-    pairs
+    val out = pairs
       .join(exact, Seq("seg_a", "seg_b"), "left")
       .select(col("seg_a"), col("seg_b"),
         coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"),
         kmvIntersectEstimate(col("__ma"), col("__mb"), k).as("kmv_overlap"))
+    if (maxSegments > 0 && !allowTruncate)
+      Bounds.guardCap(out, Bounds.census(sk0), maxSegments,
+        "Sketches.audienceOverlap segment set")
+    else out
   }
 
   /** Per-group approximate distinct count of `valueCol` next to the

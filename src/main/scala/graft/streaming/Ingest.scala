@@ -432,8 +432,12 @@ object Ingest {
     * A user's session CLOSES when the next event arrives more than
     * `gapMs` after the last one (data path), or when the event-time
     * watermark passes `last + gapMs` with no successor
-    * (EventTimeTimeout path); late data is bounded by the watermark
-    * like every other stateful streaming op here.
+    * (EventTimeTimeout path). Late data is bounded by the watermark
+    * BY EXPLICIT FILTER: `flatMapGroupsWithState` hands the handler
+    * every delivered row, including sub-watermark stragglers, so the
+    * handler drops rows with `ts` below the current watermark itself —
+    * otherwise a straggler arriving after a timeout-close would start
+    * a spurious next session where the batch twin merges it.
     *
     * == Equality contract (precise) ==
     * Bit-equal to the batch twin when events arrive in event-time
@@ -501,7 +505,18 @@ object Ingest {
               Iterator.empty
             }
           } else {
-            val sorted = rows.toArray.sortBy(e => (e.ts, e.event_id))
+            // FMGWS (unlike windowed aggregations) does NOT drop
+            // watermark-late rows before the handler — without this
+            // filter a straggler arriving after a timeout-close would
+            // take the n=0 marker path and silently start session
+            // idx+1 where the batch twin would have merged it. Drop
+            // sub-watermark rows explicitly so "late data is bounded
+            // by the watermark" is enforced, not assumed. (`ts` and
+            // the watermark share the same numeric space: event_time
+            // is timestamp_millis(ts) whatever the caller's unit.)
+            val wm = state.getCurrentWatermarkMs()
+            val sorted = rows.filter(_.ts >= wm)
+              .toArray.sortBy(e => (e.ts, e.event_id))
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
             var open = state.getOption
             sorted.foreach { e =>

@@ -41,6 +41,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(filtered.toSet === Set(4L, 3L))
   }
 
+  test("topK cap guard: over-cap query batch fails loudly; allowTruncate " +
+      "opts into the trim; within-cap passes untouched") {
+    val corpus = (0L until 6L).map(i => (i, Seq(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = (100L until 104L).map(i => (i, Seq(1.0, 0.0)))
+      .toDF("query_id", "query_embedding")
+    // 4 queries > cap 2 and no opt-in: the census guard must raise
+    val e = intercept[Exception] {
+      SimilaritySearch.topK(corpus, queries, k = 1, maxQueries = 2).count()
+    }
+    assert(e.getMessage.contains("over the cap") ||
+      Option(e.getCause).exists(_.getMessage.contains("over the cap")))
+    // opted-in truncation: lowest 2 query ids survive, silently
+    val trimmed = SimilaritySearch.topK(corpus, queries, k = 1,
+      maxQueries = 2, allowTruncate = true)
+      .select("query_id").as[Long].collect().toSet
+    assert(trimmed === Set(100L, 101L))
+    // within the cap the guard is inert and results are complete
+    val ok = SimilaritySearch.topK(corpus, queries, k = 1, maxQueries = 4)
+      .select("query_id").as[Long].collect().toSet
+    assert(ok === Set(100L, 101L, 102L, 103L))
+  }
+
   test("LSH candidates: recall of identical vectors is 1, pairs deduped") {
     val corpus = (0L until 50L).map { i =>
       val base = if (i % 2 == 0) Seq(1.0, 2.0, 3.0, 4.0) else Seq(-4.0, 3.0, -2.0, 1.0)
