@@ -188,7 +188,8 @@ object Bench {
         "q20_dedup_exact", "q23_minhash_pairs", "q42_dedup_components",
         "q114_text_to_tensors", "q143_skipgram_pairs",
         "q162_robust_stats", "q165_candidate_recall",
-        "q184_semantic_neardup", "q226_triangle_stats",
+        "q184_semantic_neardup", "q285_semantic_neardup_auto",
+        "q226_triangle_stats",
         "q229_user_overlap", "q241_session_concurrency", "q245_kcore",
         "q247_fuzzy_linkage", "q265_rfm_segments",
         "q278_rank_agreement", "q282_concurrency_sweepline"))

@@ -2222,6 +2222,17 @@ object SparkEntry {
       SimilaritySearch.semanticNearDupPairs(
         Tables.embeddings(s, dir), cells = 8, iters = 2, threshold = 0.3)),
 
+    // ---- q184 in the configuration a 100x deployment should run:
+    // cell count derived from the corpus (ceil(n/32), floor 8, cap
+    // MaxCells) so mean cell size — and with it the within-cell pair
+    // mass per row — stays constant as the corpus grows. At sf0.01's
+    // 500 vectors this resolves to 16 cells (above the floor, so the
+    // gate exercises the formula); the sweep measures the sf1 curve ----
+    "q285_semantic_neardup_auto" -> ((s, dir) =>
+      SimilaritySearch.semanticNearDupPairs(
+        Tables.embeddings(s, dir), cells = 8, iters = 2, threshold = 0.3,
+        targetCellSize = 32L)),
+
     // ---- reciprocal-rank fusion of the cosine and dot retrievers:
     // score-free merge of incomparable scales, fused top-10 ----
     "q185_rrf_fusion" -> ((s, dir) => {
@@ -6513,6 +6524,28 @@ object SparkEntry {
          |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
          |WHERE cosine > 0.3E0""".stripMargin,
 
+    // the q184 chain with the cell count computed FROM THE DATA by the
+    // same integer-ceil rule as SimilaritySearch.autoCells — the
+    // auto-scaled config's blocking is engine-reproducible at any sf
+    "q285_semantic_neardup_auto" ->
+      s"""WITH ${sqlKmeansC2CtesFor(
+             "LEAST(1024, GREATEST(8, (n + 31) // 32))")}
+         |a3 AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlEuclidOf("e.emb", "c.centroid")} ASC,
+         |             c.cell_id ASC) AS rn
+         |  FROM e, c2 c) WHERE rn = 1),
+         |s AS (SELECT a3.cell_id, e.vec_id, e.emb FROM a3
+         |      JOIN e ON a3.vec_id = e.vec_id)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${sqlDotOf("a.emb", "b.emb")}
+         |      / (${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")}) AS cosine
+         |  FROM s a JOIN s b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+         |WHERE cosine > 0.3E0""".stripMargin,
+
     // both retriever rank lists in SQL (same tie orders as topK), FULL
     // JOIN on (query, item), rrf summed left-to-right with absent
     // entries as 0 — identical IEEE order to reciprocalRankFusion
@@ -8998,7 +9031,15 @@ object SparkEntry {
     * assignment), `m{i}` (q98 fixed-point mean per cell,dim), `c{i}`
     * (coalesce empty cells) — ends after `c2 AS (...),`. Shared by the
     * q182 centroid oracle and the q184 SemDeDup blocking oracle. */
-  private def sqlKmeansC2Ctes: String = {
+  private def sqlKmeansC2Ctes: String = sqlKmeansC2CtesFor("8")
+
+  /** [[sqlKmeansC2Ctes]] with the cell count an arbitrary SQL
+    * expression over `n` (the corpus row count) — `"8"` reproduces the
+    * pinned-k oracle byte-for-byte in spirit; q285 passes the
+    * integer-ceil auto-scale rule `SimilaritySearch.autoCells`
+    * evaluates Scala-side, so the learned blocking stays
+    * engine-reproducible at EVERY sf, not just the gate's. */
+  private def sqlKmeansC2CtesFor(cellsSqlOfN: String): String = {
     def round(i: Int, prev: String) =
       s"""a$i AS (SELECT vec_id, cell_id FROM (
          |  SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER (
@@ -9015,12 +9056,16 @@ object SparkEntry {
          |c$i AS (SELECT p.cell_id, coalesce(m$i.centroid, p.centroid)
          |          AS centroid
          |        FROM $prev p LEFT JOIN m$i USING (cell_id)),""".stripMargin
-    s"""p AS (SELECT greatest(count(*) // 8, 1) AS stride FROM embeddings),
+    s"""kk AS (SELECT $cellsSqlOfN AS cells
+       |       FROM (SELECT count(*) AS n FROM embeddings)),
+       |p AS (SELECT greatest((SELECT count(*) FROM embeddings)
+       |        // kk.cells, 1) AS stride, kk.cells AS cells FROM kk),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |      FROM embeddings),
        |c0 AS (SELECT e.vec_id // p.stride AS cell_id, e.emb AS centroid
        |       FROM e, p
-       |       WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 8),
+       |       WHERE e.vec_id % p.stride = 0
+       |         AND e.vec_id < p.stride * p.cells),
        |mi AS (SELECT vec_id, list_transform(emb,
        |         x -> CAST(floor(x * 1000000) AS BIGINT)) AS v FROM e),
        |u AS (SELECT vec_id, generate_subscripts(v, 1) AS pp, unnest(v) AS x

@@ -131,23 +131,55 @@ object SimilaritySearch {
     * arXiv:2303.09540): cluster the corpus with exact-fixed-point
     * k-means ([[IvfIndex.buildKMeans]]), then compare pairs only
     * WITHIN a cell — the all-pairs product shrinks from corpus² to
-    * Σ cellᵢ², and cell size is governed by `cells` (SemDeDup's k),
-    * which a 100 TB deployment raises until the per-cell quadratic
-    * fits. The learned blocking is deterministic (partition-invariant
-    * centroids), so the whole composition carries a SQL oracle (q184).
-    * Same output contract as [[nearDupPairs]]. */
+    * Σ cellᵢ². The learned blocking is deterministic
+    * (partition-invariant centroids), so the whole composition carries
+    * a SQL oracle (q184 pinned cells, q285 auto-scaled). Same output
+    * contract as [[nearDupPairs]].
+    *
+    * == Cell-count scaling ==
+    * At FIXED `cells`, mean cell size grows linearly with the corpus
+    * and within-cell pair mass ~quadratically — a fixed-k config
+    * tuned at one sf is NOT the config a 100× deployment should run.
+    * Pass `targetCellSize > 0` to derive the count from the corpus
+    * the way Abbas et al. scale clusters with corpus size:
+    * `cells = min(MaxCells, max(cells, ceil(n / targetCellSize)))`
+    * ([[autoCells]] — one cheap `count()`, integer arithmetic, fully
+    * deterministic). That holds mean cell size ≈ targetCellSize, so
+    * pair mass stays ~n·targetCellSize (linear) until the count hits
+    * [[IvfIndex.MaxCells]] (n ≈ targetCellSize·1024); beyond that,
+    * shard the corpus or move assignment to a two-level coarse
+    * quantizer — the n·cells assignment join is the dominant term by
+    * then. Gate/knob scale table: [[graft.ScaleProfile]]. */
   def semanticNearDupPairs(
       corpus: DataFrame,
       cells: Int,
       iters: Int,
       threshold: Double,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val idx = IvfIndex.buildKMeans(corpus, cells, iters, idCol, embCol)
+      embCol: String = "embedding",
+      targetCellSize: Long = 0L): DataFrame = {
+    val k = autoCells(corpus, cells, targetCellSize)
+    val idx = IvfIndex.buildKMeans(corpus, k, iters, idCol, embCol)
     nearDupPairs(
       idx.assigned.select(col("cell_id"), col(idCol), col(embCol)),
       "cell_id", threshold, idCol, embCol)
   }
+
+  /** The deterministic cell count [[semanticNearDupPairs]] uses:
+    * `minCells` when `targetCellSize ≤ 0` (pinned-k mode), else
+    * `min(MaxCells, max(minCells, ceil(n / targetCellSize)))` with
+    * ceil as exact integer arithmetic — the same expression a SQL
+    * oracle computes from `count(*)`, so the learned blocking stays
+    * engine-reproducible at any corpus size. */
+  def autoCells(corpus: DataFrame, minCells: Int,
+      targetCellSize: Long): Int =
+    if (targetCellSize <= 0L) minCells
+    else {
+      val n = corpus.count()
+      math.min(IvfIndex.MaxCells.toLong,
+        math.max(minCells.toLong,
+          (n + targetCellSize - 1L) / targetCellSize)).toInt
+    }
 
   def nearDupPairs(
       corpus: DataFrame,

@@ -143,6 +143,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(again === got.map(p => (p._1, p._2)).toSet)
   }
 
+  test("autoCells: deterministic integer-ceil rule with floor and cap; " +
+      "auto-scaled semanticNearDupPairs equals the explicit-cells run") {
+    val emb = Tables.embeddings(spark, sf) // 500 rows at sf0.001
+    val n = emb.count()
+    // pinned mode: targetCellSize <= 0 returns minCells untouched
+    assert(SimilaritySearch.autoCells(emb, 8, 0L) === 8)
+    // the formula, exactly: ceil(n/32) with floor 8 and cap MaxCells
+    val expected = math.min(graft.operators.IvfIndex.MaxCells.toLong,
+      math.max(8L, (n + 31L) / 32L)).toInt
+    assert(SimilaritySearch.autoCells(emb, 8, 32L) === expected)
+    assert(expected === 16) // 500 rows -> above the floor: formula live
+    // deterministic: same inputs, same count, twice
+    assert(SimilaritySearch.autoCells(emb, 8, 32L)
+      === SimilaritySearch.autoCells(emb, 8, 32L))
+    // floor and cap both bind
+    assert(SimilaritySearch.autoCells(emb, 1024, 32L) === 1024)
+    assert(SimilaritySearch.autoCells(emb, 8, 1L)
+      === math.min(graft.operators.IvfIndex.MaxCells.toLong, n).toInt)
+    // the auto-scaled run IS the explicit-cells run at the derived k
+    val auto = SimilaritySearch.semanticNearDupPairs(emb,
+        cells = 8, iters = 2, threshold = 0.3, targetCellSize = 32L)
+      .collect().map(_.toSeq).toSet
+    val pinned = SimilaritySearch.semanticNearDupPairs(emb,
+        cells = expected, iters = 2, threshold = 0.3)
+      .collect().map(_.toSeq).toSet
+    assert(auto === pinned)
+    assert(auto.nonEmpty)
+  }
+
   test("k-means centroids are bit-identical across input partitioning " +
       "(fixed-point means)") {
     val emb = Tables.embeddings(spark, sf)
