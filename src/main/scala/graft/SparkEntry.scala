@@ -2691,7 +2691,12 @@ object SparkEntry {
         "user_id", "value_micro", bits = 8, buckets = 64)),
 
     // ---- interval-overlap join via time-bin equi-join (no nested
-    // loop): cross-user session concurrency histogram ----
+    // loop): cross-user session concurrency histogram. The gate runs
+    // maxBin = 0: the synthetic timeline is skew-FREE (bin census avg
+    // ~= max at every sf), so sub-splitting every bin would be pure
+    // replication overhead — the hot-bin path is instead spec-proven
+    // output-identical on a genuinely skewed one-hot-bin fixture
+    // (PruneJoinSpec), which is what the knob exists for ----
     "q241_session_concurrency" -> ((s, dir) =>
       graft.operators.RangeJoin.sessionConcurrency(
         graft.operators.RangeJoin.sessionSpans(

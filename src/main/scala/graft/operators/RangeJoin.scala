@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   * fan-out is bounded by interval_length/bin_width.
   *
   * Skew note for the 100 TB case: a globally hot hour concentrates its
-  * pairs in one partition; the mitigation is the same salting kernel
-  * as [[Skew]] applied to the bin key, orthogonal to the binning
-  * itself. Reference counterpart: the interaction store's
-  * time-range-scan semantics (SURVEY S8) generalized to two interval
-  * sets.
+  * pairs in one partition — [[sessionConcurrency]]'s `maxBin` knob
+  * ENFORCES the mitigation (the [[EntityResolution.blockedBestMatch]]
+  * `maxBlock` kernel applied to the bin key): hot bins sub-split into
+  * `ceil(n/maxBin)` hash-salted sub-bins so no single task holds more
+  * than ~maxBin left-side rows, cold bins pay zero replication, and
+  * the output is row-identical to the unsalted run (every in-bin pair
+  * still meets exactly once — spec-proven on a one-hot-bin fixture).
+  * Reference counterpart: the interaction store's time-range-scan
+  * semantics (SURVEY S8) generalized to two interval sets.
   */
 object RangeJoin {
 
@@ -41,8 +45,18 @@ object RangeJoin {
     * concurrency histogram `(n_concurrent, n_sessions)` including the
     * zero-overlap bucket. `binMs` is the equi-join bin width — size it
     * near the typical interval length so the fan-out stays a small
-    * constant. */
-  def sessionConcurrency(spans: DataFrame, binMs: Long): DataFrame = {
+    * constant.
+    *
+    * `maxBin > 0` caps the left-side rows any single pair-join task
+    * sees: bins whose census exceeds it split into `ceil(n/maxBin)`
+    * sub-bins by a deterministic hash of the left session key, the
+    * right side fans out across the sub-bins, and every in-bin pair
+    * still meets in exactly one sub-bin — output row-identical to
+    * `maxBin = 0`, cold bins pay zero replication. The intrinsic pair
+    * mass of a hot bin is the data's; the cap stops it from
+    * SERIALIZING onto one executor. Scale table: graft.ScaleProfile. */
+  def sessionConcurrency(spans: DataFrame, binMs: Long,
+      maxBin: Int = 0): DataFrame = {
     // the span table feeds BOTH self-join sides plus the zero-fill
     // left join; materialize it once (it is session-sized, orders of
     // magnitude smaller than the events it came from) so the upstream
@@ -50,13 +64,32 @@ object RangeJoin {
     val sp = spans.localCheckpoint()
     val binned = sp.withColumn("bin",
       explode(expr(s"sequence(start_ms div ${binMs}L, end_ms div ${binMs}L)")))
-    val a = binned.select(col("user_id").as("ua"),
+    val a0 = binned.select(col("user_id").as("ua"),
       col("session_idx").as("sa"), col("start_ms").as("sta"),
       col("end_ms").as("ena"), col("bin"))
-    val b = binned.select(col("user_id").as("ub"),
+    val b0 = binned.select(col("user_id").as("ub"),
       col("session_idx").as("sb"), col("start_ms").as("stb"),
       col("end_ms").as("enb"), col("bin"))
-    val pairs = a.join(b, Seq("bin"))
+    val joined =
+      if (maxBin <= 0) a0.join(b0, Seq("bin"))
+      else {
+        // the EntityResolution.blockedBestMatch maxBlock kernel on the
+        // bin key: census -> per-bin fan width -> hash-salted sub-bin
+        // for the left row, explode-fan for the right row
+        val fan = binned.groupBy(col("bin"))
+          .agg(ceil(count(lit(1)).cast("double") / maxBin)
+            .cast("long").as("__fan"))
+        val a = a0.join(fan, Seq("bin"))
+          .withColumn("__sub",
+            pmod(xxhash64(col("ua"), col("sa")), col("__fan")))
+          .drop("__fan")
+        val b = b0.join(fan, Seq("bin"))
+          .withColumn("__sub",
+            explode(sequence(lit(0L), col("__fan") - 1)))
+          .drop("__fan")
+        a.join(b, Seq("bin", "__sub")).drop("__sub")
+      }
+    val pairs = joined
       .filter(col("ua") =!= col("ub"))
       .filter(col("sta") <= col("enb") && col("stb") <= col("ena"))
       // attribute the (ordered) pair to the bin of the later start so

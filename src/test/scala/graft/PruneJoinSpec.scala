@@ -96,6 +96,29 @@ class PruneJoinSpec extends AnyFunSuite with SparkSuite {
     assert(got === naive)
   }
 
+  test("sessionConcurrency maxBin: one-hot-bin fixture sub-splits with " +
+      "output identical to the unsalted run (every pair meets once)") {
+    import spark.implicits._
+    // 40 sessions from 40 users all inside bin 0 (binMs 10000), all
+    // mutually overlapping — the degenerate hot bin that would
+    // serialize onto one task — plus two cold disjoint sessions
+    val hot = (0L until 40L).map(u => (u, 1L, 100L + u, 5000L + u))
+    val cold = Seq((100L, 1L, 20000L, 21000L), (101L, 1L, 50000L, 51000L))
+    val spans = (hot ++ cold)
+      .toDF("user_id", "session_idx", "start_ms", "end_ms")
+    def hist(maxBin: Int) =
+      RangeJoin.sessionConcurrency(spans, binMs = 10000L, maxBin = maxBin)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unsalted = hist(0)
+    // fan = ceil(40/8) = 5 sub-bins on the hot bin: rows identical
+    assert(hist(8) === unsalted)
+    // cap larger than any bin: degenerate fan 1, still identical
+    assert(hist(4096) === unsalted)
+    // the fixture's truth: 40 sessions each overlap 39 others; the 2
+    // cold sessions overlap none
+    assert(unsalted === Map(39L -> 40L, 0L -> 2L))
+  }
+
   test("session concurrency is partition-invariant") {
     val ev = Tables.events(spark, sf)
     val spans = RangeJoin.sessionSpans(ev, "6 hours")
