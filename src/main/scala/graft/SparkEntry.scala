@@ -3271,6 +3271,48 @@ object SparkEntry {
         base)
     }),
 
+    // ---- episodic-memory graph: auto-inferred CONTINUATION +
+    // RETRY_OF links (graph.py auto_link) feeding a DEPTH-2 BFS pool
+    // expansion (graph.py traverse via retriever) — the edges come
+    // from the operator, not synthesized in the gate. The episode
+    // framing derives deterministically from the embeddings table:
+    // label-keyed states (label 0 = stateless, breaking adjacency),
+    // vec_id-keyed times with a mixed-sign gap pattern, label-9 rows
+    // embedding-less (exercising every auto_link skip rule) ----
+    "q284_graph_autolink" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val arrT = emb.schema("embedding").dataType
+      val episodes = emb.select(
+        col("vec_id").as("episode_id"),
+        when(col("label") === 0, "")
+          .otherwise(concat(lit("s"), (col("label") % 5).cast("string")))
+          .as("state"),
+        (col("vec_id") * 10).as("start_ts"),
+        (col("vec_id") * 10 + (col("vec_id") % 7) * 2).as("end_ts"),
+        when(col("label") % 3 === 0, "success").otherwise("failure")
+          .as("outcome"),
+        when(col("label") === 9, lit(null).cast(arrT))
+          .otherwise(col("embedding")).as("embedding"))
+      // 0.3 (not the reference's 0.55 default) because the synthetic
+      // embedding space tops out at within-state cosine 0.47 — at 0.3
+      // the gate carries 61 continuation + 101 retry edges, and depth
+      // 2 reaches 6 nodes depth 1 cannot (non-vacuous on every leg)
+      val edges = graft.operators.EpisodeGraph.autoLink(
+        episodes, simThreshold = 0.3, maxGap = 6L)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+        .orderBy(col("query_id")).limit(8) // audit-provable broadcast bound
+      val pool = SimilaritySearch.topK(emb, queries, k = 10,
+        metric = SimilaritySearch.Cosine, excludeSelf = true)
+        .select(col("query_id"), col("vec_id"), col("score"))
+      Pipeline.expandViaGraph(pool,
+        edges.select(col("src"), col("dst")), queries, emb,
+        Seq("query_id"), "vec_id", "score", "src", "dst",
+        "query_embedding", "embedding", seedK = 3, dampen = 0.8,
+        depth = 2)
+    }),
+
     // ---- episodic-memory feedback: reinforcement/recency-decayed
     // outcome scores replayed over the event log in one scan ----
     "q281_reinforce_decay" -> ((s, dir) => {
@@ -8919,6 +8961,71 @@ object SparkEntry {
          |nbr AS (SELECT DISTINCT s.query_id, e2.dst AS vec_id
          |  FROM seeds s JOIN ed e2 ON s.vec_id = e2.src),
          |fresh AS (SELECT n.query_id, n.vec_id FROM nbr n
+         |  LEFT JOIN pool p
+         |    ON p.query_id = n.query_id AND p.vec_id = n.vec_id
+         |  WHERE p.vec_id IS NULL),
+         |nw AS (SELECT f.query_id, f.vec_id,
+         |    0.8E0 * (${sqlCosOf("q.qe", "CAST(e.embedding AS DOUBLE[])")})
+         |      AS score,
+         |    TRUE AS expanded
+         |  FROM fresh f JOIN q ON q.query_id = f.query_id
+         |  JOIN embeddings e ON e.vec_id = f.vec_id)
+         |SELECT query_id, vec_id, score, FALSE AS expanded FROM pool
+         |UNION ALL
+         |SELECT query_id, vec_id, score, expanded FROM nw""".stripMargin,
+
+    // auto_link edges (adjacency-rank CONTINUATION + state-blocked
+    // cosine RETRY_OF) then a 2-hop BFS: reached = h1 UNION h2 — the
+    // set equals the frontier-BFS because a seed reached from another
+    // seed only re-offers neighbors h1 already holds, and the
+    // pool-minus step subsumes the seed-minus (seeds are pool rows)
+    "q284_graph_autolink" ->
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT q.query_id, e.vec_id,
+         |    ${sqlCosOf("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS score
+         |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |pool AS (SELECT query_id, vec_id, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rnk FROM sc)
+         |  WHERE rnk <= 10),
+         |seeds AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rnk FROM pool)
+         |  WHERE rnk <= 3),
+         |ep AS (SELECT vec_id AS id,
+         |    CASE WHEN label = 0 THEN ''
+         |      ELSE 's' || CAST(label % 5 AS VARCHAR) END AS state,
+         |    vec_id * 10 AS st,
+         |    vec_id * 10 + (vec_id % 7) * 2 AS en,
+         |    CASE WHEN label % 3 = 0 THEN 'success'
+         |      ELSE 'failure' END AS outcome,
+         |    CASE WHEN label = 9 THEN NULL
+         |      ELSE CAST(embedding AS DOUBLE[]) END AS emb
+         |  FROM embeddings),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY st, id) AS rk
+         |  FROM ep),
+         |cont AS (SELECT p.id AS src, c.id AS dst
+         |  FROM rk p JOIN rk c ON c.rk = p.rk + 1
+         |  WHERE p.state <> '' AND c.state <> '' AND p.state = c.state
+         |    AND c.st - p.en <= 6),
+         |retry AS (SELECT c.id AS src, f.id AS dst
+         |  FROM ep c JOIN ep f ON f.state = c.state
+         |  WHERE c.state <> '' AND f.outcome = 'failure'
+         |    AND c.emb IS NOT NULL AND f.emb IS NOT NULL
+         |    AND (f.st < c.st OR (f.st = c.st AND f.id < c.id))
+         |    AND ${sqlCosOf("c.emb", "f.emb")} >= 0.3E0),
+         |ed AS (SELECT src, dst FROM cont
+         |  UNION ALL SELECT src, dst FROM retry),
+         |h1 AS (SELECT DISTINCT s.query_id, e2.dst AS vec_id
+         |  FROM seeds s JOIN ed e2 ON s.vec_id = e2.src),
+         |h2 AS (SELECT DISTINCT h.query_id, e2.dst AS vec_id
+         |  FROM h1 h JOIN ed e2 ON h.vec_id = e2.src),
+         |reached AS (SELECT query_id, vec_id FROM h1
+         |  UNION SELECT query_id, vec_id FROM h2),
+         |fresh AS (SELECT n.query_id, n.vec_id FROM reached n
          |  LEFT JOIN pool p
          |    ON p.query_id = n.query_id AND p.vec_id = n.vec_id
          |  WHERE p.vec_id IS NULL),

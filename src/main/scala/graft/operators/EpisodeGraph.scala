@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity
+
+/** Episode-graph link inference — the reference's `auto_link`
+  * (`experiments/episodic-memory-prototype/memory/graph.py:44-104`)
+  * re-expressed as DataFrame algebra. Two inferred relationship types:
+  *
+  *  - CONTINUATION: chronologically ADJACENT episodes (consecutive in
+  *    the global start-time order — an episode of another state
+  *    BETWEEN two same-state episodes breaks their adjacency, exactly
+  *    as the reference's `zip(by_time[:-1], by_time[1:])` does), both
+  *    states non-empty and equal, and the gap `curr.start − prev.end`
+  *    at most `maxGap` (negative gaps — overlap — link too; only the
+  *    upper bound is checked). Edge prev → curr, strength 1.0 (the
+  *    reference's `EpisodeLink` default).
+  *  - RETRY_OF: a later episode whose embedding sits within
+  *    `simThreshold` cosine of an EARLIER FAILED episode of the same
+  *    (non-empty) state; both embeddings must be present. Edge
+  *    candidate → failed, strength = the cosine.
+  *
+  * Determinism deviation from the reference: Python's stable sort
+  * leaves equal start times in input order, which a distributed table
+  * does not have — both legs use the total order `(start, id)`
+  * instead, so "adjacent" and "earlier" are pure functions of the data.
+  *
+  * == Scale design ==
+  * Adjacency needs a GLOBAL rank — computed with [[PrefixSum]]'s
+  * range-partitioned lineage (nothing materializes more than
+  * `rangePartitions` rows on one partition), then consecutive ranks
+  * meet in a plain equi-join on the rank value. The RETRY_OF pair
+  * generator is blocked by the state key (an equi-join, never
+  * all-pairs — the [[SimilaritySearch.nearDupPairs]] posture); its
+  * within-state pair mass is the data's own retry structure, and a
+  * degenerate hot state is kept off a single executor by
+  * `maxStateBlock` (the [[EntityResolution.blockedBestMatch]]
+  * `maxBlock` kernel: hot states sub-split into hash-salted
+  * sub-blocks, every in-state pair still meets exactly once, output
+  * row-identical — cold states pay zero replication). Scale table:
+  * graft.ScaleProfile.
+  */
+object EpisodeGraph {
+
+  /** Infer CONTINUATION + RETRY_OF links from an episode table.
+    * Output: `(src, dst, link_type, strength)`.
+    *
+    * @param episodes   one row per episode: `idCol` (unique),
+    *                   `stateCol` (nullable string; null/"" = no
+    *                   state), `startCol`/`endCol` (numeric event
+    *                   time, same unit as `maxGap`), `outcomeCol`,
+    *                   `embCol` (nullable array)
+    * @param maxGap     largest `curr.start − prev.end` that still
+    *                   CONTINUATIONs (reference default 3600 s)
+    * @param simThreshold cosine floor for RETRY_OF (reference 0.55)
+    * @param maxStateBlock `> 0` sub-splits hot states so one join
+    *                   task sees at most ~this many failed rows
+    */
+  def autoLink(
+      episodes: DataFrame,
+      simThreshold: Double = 0.55,
+      maxGap: Long = 3600L,
+      idCol: String = "episode_id",
+      stateCol: String = "state",
+      startCol: String = "start_ts",
+      endCol: String = "end_ts",
+      outcomeCol: String = "outcome",
+      embCol: String = "embedding",
+      failureValue: String = "failure",
+      maxStateBlock: Int = 0,
+      rangePartitions: Int = 32): DataFrame = {
+    // the episode table feeds three lineages (rank, candidate leg,
+    // failed leg) — materialize once (RangeJoin convention)
+    val base = episodes.select(col(idCol), col(stateCol),
+        col(startCol), col(endCol), col(outcomeCol), col(embCol))
+      .localCheckpoint()
+
+    // -- CONTINUATION: global (start, id) rank, consecutive ranks join
+    val ranked = PrefixSum.inclusiveBy(
+      base.withColumn("__w", lit(1L)),
+      Seq(col(startCol).asc, col(idCol).asc), "__w", "__rk",
+      rangePartitions)
+    val prev = ranked.select(col(idCol).as("__pid"),
+      col(stateCol).as("__pstate"), col(endCol).as("__pen"),
+      (col("__rk") + 1L).as("__rk"))
+    val cont = ranked.join(prev, "__rk")
+      .filter(col("__pstate") =!= "" && col(stateCol) =!= "" &&
+        col("__pstate") === col(stateCol) &&
+        (col(startCol) - col("__pen")) <= maxGap)
+      .select(col("__pid").as("src"), col(idCol).as("dst"),
+        lit("continuation").as("link_type"), lit(1.0).as("strength"))
+
+    // -- RETRY_OF: state-blocked ordered pairs, cosine-thresholded.
+    // Norms staged per VECTOR before the pair join (nearDupPairs
+    // convention); the same ascending-index fold as the SQL oracle.
+    val cand = base
+      .filter(col(stateCol) =!= "" && col(embCol).isNotNull)
+      .select(col(stateCol).as("__st"), col(idCol).as("__cid"),
+        col(startCol).as("__cst"),
+        col(embCol).cast("array<double>").as("__ce"))
+      .withColumn("__cn", Similarity.l2(col("__ce")))
+    val fail = base
+      .filter(col(outcomeCol) === failureValue && col(embCol).isNotNull)
+      .select(col(stateCol).as("__st"), col(idCol).as("__fid"),
+        col(startCol).as("__fst"),
+        col(embCol).cast("array<double>").as("__fe"))
+      .withColumn("__fn", Similarity.l2(col("__fe")))
+    val paired =
+      if (maxStateBlock <= 0) cand.join(fail, Seq("__st"))
+      else {
+        // blockedBestMatch maxBlock kernel on the state key: census
+        // the failed side, hash-salt failed rows, fan candidates
+        val fan = fail.groupBy(col("__st"))
+          .agg(ceil(count(lit(1)).cast("double") / maxStateBlock)
+            .cast("long").as("__fan"))
+        val f = fail.join(fan, Seq("__st"))
+          .withColumn("__sub", pmod(xxhash64(col("__fid")), col("__fan")))
+          .drop("__fan")
+        val c = cand.join(fan, Seq("__st"))
+          .withColumn("__sub",
+            explode(sequence(lit(0L), col("__fan") - 1)))
+          .drop("__fan")
+        c.join(f, Seq("__st", "__sub")).drop("__sub")
+      }
+    val retry = paired
+      .filter(col("__fst") < col("__cst") ||
+        (col("__fst") === col("__cst") && col("__fid") < col("__cid")))
+      .select(col("__cid").as("src"), col("__fid").as("dst"),
+        (Similarity.dot(col("__ce"), col("__fe")) /
+          (col("__cn") * col("__fn"))).as("strength"))
+      .filter(col("strength") >= simThreshold)
+      .select(col("src"), col("dst"), lit("retry_of").as("link_type"),
+        col("strength"))
+
+    cont.unionByName(retry)
+  }
+}

@@ -205,20 +205,28 @@ object Pipeline {
 
   /** Graph-expanded candidate retrieval
     * (`experiments/episodic-memory-prototype/memory/retriever.py:105-130`
-    * `_expand_via_graph`): before reranking, pull the 1-hop graph
-    * neighbors of each group's top-`seedK` candidates into the pool.
-    * Neighbors not already present score at
-    * `dampen · cos(query_embedding, neighbor_embedding)` (the
-    * reference's 0.8 damping of the neighbor's own query similarity);
-    * existing pool rows pass through unchanged with `expanded=false`.
+    * `_expand_via_graph` over `memory/graph.py:110-139` `traverse`):
+    * before reranking, pull the graph neighbors of each group's
+    * top-`seedK` candidates — up to `depth` hops, BFS with visited-set
+    * semantics (the reference passes `depth=self.graph_depth` to
+    * `traverse`) — into the pool. Neighbors not already present score
+    * at `dampen · cos(query_embedding, neighbor_embedding)` (the
+    * reference's 0.8 damping of the neighbor's own query similarity,
+    * applied once whatever the hop count); existing pool rows pass
+    * through unchanged with `expanded=false`. Pool members reached
+    * mid-walk are traversed THROUGH (they gate nothing; they are just
+    * never re-added), exactly as `traverse` walks through `seen` ids.
     *
     * == Scale ==
     * Every step is an equi-join: seeds are a window top-`seedK` per
-    * group (bounded), the neighbor pull joins on the edge source key,
+    * group (bounded), each hop joins the current frontier on the edge
+    * source key and anti-joins the visited set (so a `depth`-walk is
+    * `depth` bounded hops, never an all-pairs closure — the frontier
+    * is localCheckpointed per hop to keep the plan O(1) in depth),
     * membership is a left-anti join on (group, item), and scoring
     * joins the bounded newcomer set against the embedding table. The
-    * per-group fan-out is seedK · out-degree — the caller's edge
-    * table bounds it; no pairwise shapes anywhere. Cosine is the
+    * per-group fan-out is seedK · out-degree^depth — the caller's
+    * edge table and small `depth` bound it. Cosine is the
     * ascending-index fold ([[graft.expr.DotProduct]]), SQL-replayable.
     */
   def expandViaGraph(
@@ -234,8 +242,11 @@ object Pipeline {
       queryEmbCol: String,
       embCol: String,
       seedK: Int,
-      dampen: Double = 0.8): DataFrame = {
+      dampen: Double = 0.8,
+      depth: Int = 1): DataFrame = {
     require(seedK >= 1, s"seedK must be >= 1, got $seedK")
+    require(depth >= 1 && depth <= 16,
+      s"depth must be in [1,16], got $depth — each hop is a join pass")
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
     // the candidate pool feeds three consumers (seed top-K, the
@@ -249,11 +260,30 @@ object Pipeline {
       .withColumn("__sr", row_number().over(byGroup))
       .filter(col("__sr") <= seedK)
       .select(g :+ col(itemCol): _*)
-    val neighbors = seeds
-      .join(edges.select(col(srcCol), col(dstCol)),
-        col(itemCol) === col(srcCol))
-      .select(g :+ col(dstCol).as("__n"): _*)
-      .distinct()
+    val ed = edges.select(col(srcCol), col(dstCol))
+    // BFS from the seed set: visited starts as the seeds, each hop's
+    // frontier is the newly-reached (group, node) set. The union of
+    // the hop frontiers IS reachable≤depth minus the seeds (a seed
+    // reached from another seed contributes nothing new: its
+    // neighbors were already pulled when it sat in the hop-0 frontier)
+    var visited = seeds.select(g :+ col(itemCol).as("__n"): _*)
+      .localCheckpoint()
+    var frontier = visited
+    val hops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var d = 0
+    while (d < depth) {
+      val next = frontier
+        .join(ed, col("__n") === col(srcCol))
+        .select(g :+ col(dstCol).as("__n"): _*)
+        .distinct()
+        .join(visited, groupCols :+ "__n", "left_anti")
+        .localCheckpoint()
+      hops += next
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      d += 1
+    }
+    val neighbors = hops.reduce(_ unionByName _)
     val fresh = neighbors.join(
       cand.select(g :+ col(itemCol).as("__n"): _*),
       groupCols :+ "__n", "left_anti")

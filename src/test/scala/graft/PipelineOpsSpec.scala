@@ -576,6 +576,110 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got.size === 8 + 2 + 2)
   }
 
+  test("expandViaGraph depth: 2-hop BFS pulls chain tails, visited set " +
+      "survives cycles, pool members are traversed through") {
+    import graft.operators.Pipeline
+    val emb = (1L to 20L).map(i =>
+      (i, Seq(math.sin(i.toDouble), math.cos(i.toDouble), 0.5)))
+      .toDF("item", "e")
+    val queries = Seq((100L, Seq(1.0, 0.0, 0.0))).toDF("qid", "qe")
+    val cand = Seq(
+      (100L, 1L, 0.9), (100L, 2L, 0.8), (100L, 3L, 0.7), (100L, 4L, 0.1))
+      .toDF("qid", "item", "score")
+    // 1 -> 9 -> 10 (chain), 2 -> 4 (pool member) -> 11 (through-pool),
+    // 3 -> 1 (cycle back to a seed), 10 -> 12 (depth-3: out of reach)
+    val edges = Seq((1L, 9L), (9L, 10L), (2L, 4L), (4L, 11L),
+      (3L, 1L), (10L, 12L)).toDF("src", "dst")
+    def run(depth: Int) = Pipeline.expandViaGraph(
+        cand, edges, queries, emb, Seq("qid"), "item", "score",
+        "src", "dst", "qe", "e", seedK = 3, dampen = 0.8, depth = depth)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    val d1 = run(1)
+    // depth 1: only direct neighbors 9 (4 is pooled, 1 is a seed)
+    assert(d1.filter(_._2).keySet === Set(9L))
+    val d2 = run(2)
+    // depth 2: + chain tail 10 and the through-pool node 11; the
+    // 3 -> 1 cycle adds nothing (1 visited), 12 needs depth 3
+    assert(d2.filter(_._2).keySet === Set(9L, 10L, 11L))
+    assert(run(3).filter(_._2).keySet === Set(9L, 10L, 11L, 12L))
+    // pool rows pass through unchanged at any depth
+    assert(d2(1L) === false && d2(4L) === false)
+  }
+
+  test("autoLink equals a naive reimplementation of graph.py auto_link " +
+      "(adjacency breaks, negative gaps, skip rules), partition-" +
+      "invariant; maxStateBlock output-identical on a one-hot-state set") {
+    import graft.operators.EpisodeGraph
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    // id, state (empty = stateless), start, end, outcome, emb (None =
+    // missing). Crafted: same-state adjacency, adjacency BROKEN by an
+    // interleaved other-state episode, negative gap (overlap), over-gap
+    // pair, a start-time TIE resolved by id, failures with/without
+    // embeddings
+    val eps: Seq[(Long, String, Long, Long, String, Option[Seq[Double]])] =
+      Seq(
+        (1L, "a", 0L, 5L, "failure", Some(Seq(1.0, 0.0))),
+        (2L, "a", 8L, 12L, "success", Some(Seq(0.9, 0.1))), // gap 3: cont 1->2
+        (3L, "b", 13L, 14L, "failure", Some(Seq(0.0, 1.0))),
+        (4L, "a", 15L, 20L, "success", Some(Seq(1.0, 0.1))), // 3 breaks 2->4
+        (5L, "a", 18L, 25L, "failure", None), // overlap: gap -2, cont 4->5
+        (6L, "", 26L, 27L, "failure", Some(Seq(0.5, 0.5))), // stateless
+        (7L, "a", 28L, 29L, "success", Some(Seq(0.98, 0.05))), // 6 breaks 5->7
+        (8L, "b", 40L, 41L, "success", Some(Seq(0.1, 0.99))),  // gap 26 > max
+        (9L, "b", 40L, 42L, "failure", Some(Seq(0.0, 0.98)))) // tie: id 8 first
+    val maxGap = 6L
+    val thr = 0.55
+    val byTime = eps.sortBy(e => (e._3, e._1))
+    val contN = byTime.sliding(2).collect {
+      case Seq(p, c) if p._2.nonEmpty && c._2.nonEmpty && p._2 == c._2 &&
+          (c._3 - p._4) <= maxGap =>
+        (p._1, c._1, "continuation", 1.0)
+    }.toSet
+    val retryN = (for {
+      i <- byTime.indices
+      c = byTime(i)
+      if c._6.isDefined && c._2.nonEmpty
+      j <- 0 until i
+      f = byTime(j)
+      if f._5 == "failure" && f._2 == c._2 && f._6.isDefined
+      sim = cos(c._6.get, f._6.get)
+      if sim >= thr
+    } yield (c._1, f._1, "retry_of", sim)).toSet
+    val df = eps.toDF("episode_id", "state", "start_ts", "end_ts",
+      "outcome", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EpisodeGraph.autoLink(d, simThreshold = thr, maxGap = maxGap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSet
+    val got = run(df)
+    assert(got === contN ++ retryN)
+    assert(contN.exists(_._1 == 4L) && contN.size >= 2) // negative gap linked
+    assert(retryN.nonEmpty) // the sim leg is live
+    assert(!got.exists(e => e._1 == 5L && e._3 == "retry_of")) // no-emb skip
+    assert(run(df.repartition(7)) === got) // partition invariance
+    // hot-state sub-split: one state holding every episode, output
+    // row-identical to the unsalted run
+    val hot = (1L to 40L).map(i =>
+      (i, "s", i * 2L, i * 2L + 1L,
+        if (i % 2 == 0) "failure" else "success",
+        Some(Seq(math.sin(i * 0.1), math.cos(i * 0.1)))))
+      .toDF("episode_id", "state", "start_ts", "end_ts", "outcome",
+        "embedding")
+    def runHot(mb: Int) = EpisodeGraph.autoLink(hot, simThreshold = 0.8,
+        maxGap = 2L, maxStateBlock = mb)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    val unsalted = runHot(0)
+    assert(runHot(5) === unsalted)
+    assert(unsalted.count(_._3 == "retry_of") > 0)
+  }
+
   test("ensureCounterExample: appends best unselected counter row only " +
       "where the slate lacks one and the pool has one") {
     import graft.operators.Pipeline
