@@ -5388,56 +5388,7 @@ object SparkEntry {
     // VectorKernels.matVec's accumulation order term for term, so the
     // rotated coordinates are bit-identical before the (independently
     // SQL-expressed) PQ assign/score side.
-    "q139_ann_opq_rotated" -> {
-      val rot = Q139Rotation.sf001
-      val d = rot.length
-      val vParts = (0 until 8).map(j =>
-        s"MAX(CASE WHEN c.j = $j THEN l.v END) AS v$j").mkString(",\n|         ")
-      val vSum = (0 until 8).map(j => s"v$j").mkString(" + ")
-      // bare decimal literals parse as DECIMAL in DuckDB (decimal×double
-      // arithmetic then drifts ulps); an exponent forces DOUBLE parsing
-      def dlit(x: Double): String = {
-        val s = x.toString
-        if (s.contains("E") || s.contains("e")) s else s + "E0"
-      }
-      val rotated = (0 until d).map { i =>
-        (0 until d).map(j => s"(${dlit(rot(i)(j))})*emb[${j + 1}]")
-          .mkString(" + ")
-      }.mkString("list_value(\n|        ", ",\n|        ", ")")
-      s"""WITH p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
-         |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |e AS (SELECT vec_id, $rotated AS emb FROM e0),
-         |cb AS (SELECT (s.vec_id // p.stride) AS cid, j.j AS j,
-         |         list_slice(s.emb, j.j*8 + 1, j.j*8 + 8) AS centroid
-         |       FROM e s, p, generate_series(0, 7) j(j)
-         |       WHERE s.vec_id % p.stride = 0 AND s.vec_id < p.stride * 16),
-         |sv AS (SELECT e.vec_id, j.j AS j,
-         |         list_slice(e.emb, j.j*8 + 1, j.j*8 + 8) AS sub
-         |       FROM e, generate_series(0, 7) j(j)),
-         |codes AS (SELECT vec_id, j, cid AS code FROM (
-         |  SELECT sv.vec_id, sv.j, cb.cid,
-         |    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
-         |      ORDER BY ${sqlSqDistOf("sv.sub", "cb.centroid")} ASC,
-         |               cb.cid ASC) AS rn
-         |  FROM sv JOIN cb ON sv.j = cb.j) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 5),
-         |qsv AS (SELECT query_id, j.j AS j,
-         |          list_slice(emb, j.j*8 + 1, j.j*8 + 8) AS qsub
-         |        FROM q, generate_series(0, 7) j(j)),
-         |lut AS (SELECT qsv.query_id, qsv.j, cb.cid,
-         |          ${sqlDotOf("qsv.qsub", "cb.centroid")} AS v
-         |        FROM qsv JOIN cb ON qsv.j = cb.j),
-         |sc AS (SELECT l.query_id, c.vec_id,
-         |         $vParts
-         |       FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
-         |       GROUP BY 1, 2)
-         |SELECT query_id, vec_id, score, rank FROM (
-         |  SELECT query_id, vec_id, $vSum AS score,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY $vSum DESC, vec_id ASC) AS INT) AS rank
-         |  FROM sc)
-         |WHERE rank <= 10""".stripMargin
-    },
+    "q139_ann_opq_rotated" -> sqlQ139For(Q139Rotation.sf001),
 
     "q140_stopword_induction" ->
       s"""WITH n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
@@ -5772,17 +5723,7 @@ object SparkEntry {
     // The uncompressed length is the oracle's own octet_length over
     // the real parquet text, and the ratio is ONE IEEE division of
     // the same two numbers on both sides.
-    "q150_compression_ratio" -> {
-      val values = Q150Deflate.sf001
-        .map { case (i, n) => s"($i, $n)" }.mkString(", ")
-      s"""WITH v(doc_id, csize) AS (VALUES $values)
-         |SELECT d.doc_id,
-         |  CASE WHEN octet_length(encode(d.text)) = 0 THEN 1.0
-         |       ELSE CAST(v.csize AS DOUBLE)
-         |         / CAST(octet_length(encode(d.text)) AS DOUBLE) END
-         |    AS compression_ratio
-         |FROM documents d JOIN v USING (doc_id)""".stripMargin
-    },
+    "q150_compression_ratio" -> sqlQ150For(Q150Deflate.sf001),
 
     // q2's retrieve oracle over the bulk key set (orders fan-out keys,
     // duplicates preserved)
@@ -9137,6 +9078,88 @@ object SparkEntry {
        |          list_distinct(shb)))) AS DOUBLE) AS jaccard
        |    FROM cand)
        |  WHERE jaccard >= 0.2)""".stripMargin
+
+  /** q139's oracle for a given pinned rotation matrix (the engine
+    * LEARNS the same matrix deterministically from the sf's data —
+    * [[graft.Q139Rotation]] holds one pin per testdata sf so
+    * [[oracleSqlFor]] can emit the matching compare at any of them).
+    * The d×d rotation is materialized as an unrolled left-associated
+    * mat-vec chain matching VectorKernels.matVec's accumulation order
+    * term for term, so the rotated coordinates are bit-identical
+    * before the (independently SQL-expressed) PQ assign/score side. */
+  private def sqlQ139For(rot: Array[Array[Double]]): String = {
+    val d = rot.length
+    val vParts = (0 until 8).map(j =>
+      s"MAX(CASE WHEN c.j = $j THEN l.v END) AS v$j").mkString(",\n|         ")
+    val vSum = (0 until 8).map(j => s"v$j").mkString(" + ")
+    // bare decimal literals parse as DECIMAL in DuckDB (decimal×double
+    // arithmetic then drifts ulps); an exponent forces DOUBLE parsing
+    def dlit(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "E0"
+    }
+    val rotated = (0 until d).map { i =>
+      (0 until d).map(j => s"(${dlit(rot(i)(j))})*emb[${j + 1}]")
+        .mkString(" + ")
+    }.mkString("list_value(\n|        ", ",\n|        ", ")")
+    s"""WITH p AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+       |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS (SELECT vec_id, $rotated AS emb FROM e0),
+       |cb AS (SELECT (s.vec_id // p.stride) AS cid, j.j AS j,
+       |         list_slice(s.emb, j.j*8 + 1, j.j*8 + 8) AS centroid
+       |       FROM e s, p, generate_series(0, 7) j(j)
+       |       WHERE s.vec_id % p.stride = 0 AND s.vec_id < p.stride * 16),
+       |sv AS (SELECT e.vec_id, j.j AS j,
+       |         list_slice(e.emb, j.j*8 + 1, j.j*8 + 8) AS sub
+       |       FROM e, generate_series(0, 7) j(j)),
+       |codes AS (SELECT vec_id, j, cid AS code FROM (
+       |  SELECT sv.vec_id, sv.j, cb.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.j
+       |      ORDER BY ${sqlSqDistOf("sv.sub", "cb.centroid")} ASC,
+       |               cb.cid ASC) AS rn
+       |  FROM sv JOIN cb ON sv.j = cb.j) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, emb FROM e WHERE vec_id < 5),
+       |qsv AS (SELECT query_id, j.j AS j,
+       |          list_slice(emb, j.j*8 + 1, j.j*8 + 8) AS qsub
+       |        FROM q, generate_series(0, 7) j(j)),
+       |lut AS (SELECT qsv.query_id, qsv.j, cb.cid,
+       |          ${sqlDotOf("qsv.qsub", "cb.centroid")} AS v
+       |        FROM qsv JOIN cb ON qsv.j = cb.j),
+       |sc AS (SELECT l.query_id, c.vec_id,
+       |         $vParts
+       |       FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.cid
+       |       GROUP BY 1, 2)
+       |SELECT query_id, vec_id, score, rank FROM (
+       |  SELECT query_id, vec_id, $vSum AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY $vSum DESC, vec_id ASC) AS INT) AS rank
+       |  FROM sc)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  /** q150's oracle for a given pinned deflate-size table
+    * ([[graft.Q150Deflate]] — one pin per testdata sf). */
+  private def sqlQ150For(pins: Seq[(Long, Long)]): String = {
+    val values = pins.map { case (i, n) => s"($i, $n)" }.mkString(", ")
+    s"""WITH v(doc_id, csize) AS (VALUES $values)
+       |SELECT d.doc_id,
+       |  CASE WHEN octet_length(encode(d.text)) = 0 THEN 1.0
+       |       ELSE CAST(v.csize AS DOUBLE)
+       |         / CAST(octet_length(encode(d.text)) AS DOUBLE) END
+       |    AS compression_ratio
+       |FROM documents d JOIN v USING (doc_id)""".stripMargin
+  }
+
+  /** [[oracleSql]] with the two DATA-PINNED oracles (q139's learned
+    * rotation literals, q150's CPython-zlib sizes) swapped for the
+    * pins matching `dir` — so the cross-sf harness gets a live
+    * compare at sf0.001/sf0.01/sf0.1 instead of a known-mismatch.
+    * [[Verify]] dumps this for whatever dir it runs; the driver's
+    * sf0.01 run emits exactly the classic [[oracleSql]] content. */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    oracleSql ++ Map(
+      "q139_ann_opq_rotated" -> sqlQ139For(Q139Rotation.forDir(dir)),
+      "q150_compression_ratio" -> sqlQ150For(Q150Deflate.forDir(dir)))
 
   /** Two exact Lloyd rounds on the q38 stride seed (cells = 8): CTEs
     * `e` (double embeddings), `c0` (seed), per-round `a{i}` (argmin
