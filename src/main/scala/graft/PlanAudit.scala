@@ -156,7 +156,8 @@ object PlanAudit {
     * because the operators that plant such bounds (IvfIndex.MaxCells,
     * topK.maxQueries, centroidSimilarity.maxLabels, audienceOverlap
     * maxSegments) reference it as their default cap — one constant,
-    * no drift between what operators plant and what the audit proves. */
+    * no drift between what operators plant and what the audit
+    * proves. Gate/knob scale table: [[graft.ScaleProfile]]. */
   val BoundedBuildRows = 1024
 
   /** True if `p` carries an explicit data-independent row bound — a

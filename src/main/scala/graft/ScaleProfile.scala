@@ -1,0 +1,83 @@
+package graft
+
+/** The knob table: every operator cap whose GATE value is not the
+  * value a 100× deployment should run, in one place.
+  *
+  * The oracle gates (sf0.01, DuckDB hash-compare) pin small constants
+  * for reproducibility; several of those constants are scale-coupled —
+  * cargo-culting them onto a 1000-executor cluster either recreates
+  * the quadratic the operator exists to avoid or leaves parallelism on
+  * the table. Each knob below names its operator, the value the gate
+  * runs, and the rule for choosing the production value. Operators
+  * cite this object from their scaladoc; keep the two in sync when
+  * adding a knob.
+  *
+  * == Hard caps (provable plan bounds — do NOT raise casually) ==
+  *
+  *  - `PlanAudit.BoundedBuildRows` = 1024. The single constant the
+  *    plan audit accepts as an explicit nested-loop build-side bound
+  *    (`orderBy().limit(n ≤ 1024)`); every cap below that defaults to
+  *    it references it by name. Raising it weakens the audit for every
+  *    operator at once — shard or chunk instead.
+  *  - `IvfIndex.MaxCells` = BoundedBuildRows. Centroid tables must
+  *    stay broadcast-sized; beyond ~1024 cells, shard the index (or
+  *    two-level coarse-quantize) rather than widening the broadcast.
+  *
+  * == Batch-size caps (loud by default — [[graft.operators.Bounds]]) ==
+  *
+  *  - `SimilaritySearch.topK(maxQueries)` — gate: default 1024.
+  *    100×: unchanged; CHUNK bigger query batches (each chunk is one
+  *    broadcast pass over the corpus), or move to the IVF/LSH path.
+  *  - `LinAlg.centroidSimilarity(maxLabels)` — gate: default 1024.
+  *    100×: unchanged; a label set past ~10³ makes the pairwise table
+  *    itself the product to rethink, not the cap.
+  *  - `Sketches.audienceOverlap(maxSegments)` — gate: default 1024.
+  *    100×: unchanged; segment-pair output is quadratic in segments.
+  *
+  * == Blocking-granularity knobs (the scale-coupled ones) ==
+  *
+  *  - `SimilaritySearch.semanticNearDupPairs(cells, targetCellSize)` —
+  *    gate: q184 pins `cells = 8` (SQL-reproducible k-means), q285
+  *    runs the auto-scale `targetCellSize = 32`. 100×: ALWAYS set
+  *    `targetCellSize` to the per-cell pair budget (mean cell size ≈
+  *    target, pair mass ≈ n·target/2 — linear); `cells` then derives
+  *    as ceil(n/target) via `autoCells`, capped at MaxCells. Once the
+  *    cap binds (n ≈ target·1024), shard the corpus per index.
+  *  - `EntityResolution.blockedBestMatch(maxBlock)` — gate: q247 runs
+  *    32 (exercises the sub-split on ~60-row blocks). 100×: the
+  *    largest clean-row count one task should compare against, ~10³–
+  *    10⁴; it re-parallelizes hot blocks, never changes output.
+  *  - `RangeJoin.sessionConcurrency(binMs, maxBin)` — gate: binMs =
+  *    1 h (≈ typical session span), maxBin = 0 because the synthetic
+  *    timeline is skew-free (bin census avg ≈ max — splitting every
+  *    bin is pure replication). 100×: keep binMs near the median
+  *    interval length (explode fan-out = span/binMs); set maxBin to
+  *    the per-task row budget (~10⁴) the moment real timelines have
+  *    hot hours. Count-only callers: use `sessionConcurrencyCounts`
+  *    (sweep-line, zero pair mass) instead.
+  *  - `EpisodeGraph.autoLink(maxStateBlock)` — gate: q284 runs 0 (a
+  *    few hundred episodes per state). 100×: same rule as maxBlock —
+  *    set to the per-task failed-row budget when one state dominates.
+  *  - `Recsys.userOverlap(maxItemPop)` — gate: q229 runs 80. 100×:
+  *    the super-node cut; pair fan-out ≤ maxItemPop·|interactions|.
+  *    Keep it at the head of the item-popularity distribution you can
+  *    afford to drop pairs THROUGH (popular items carry little
+  *    similarity signal anyway — the standard co-occurrence cut).
+  *
+  * == Bounded-work knobs (bigger = more work, not more risk) ==
+  *
+  *  - `Pipeline.mmrRerank(poolSize)` — gate: 500. Per-group state is
+  *    poolSize·dim doubles in one task; size to executor memory.
+  *  - `Pipeline.expandViaGraph(seedK, depth)` — gate: q279 depth 1,
+  *    q284 depth 2. Fan-out ≤ seedK·outDegree^depth; depth ≤ 16 is a
+  *    hard require, each hop is one join pass.
+  *  - `Evaluation.kendallTauB(topN)` — gate: q278 runs 50. Pairwise
+  *    in topN; 10³ is still only ~5·10⁵ pairs.
+  *  - `Pipeline.reinforcementScores(horizon, maxRank)` — gate: 16/32.
+  *    Weight-table literals = horizon·maxRank longs planted in the
+  *    plan AND the oracle; keep ≤ a few thousand.
+  *  - `PrefixSum(rangePartitions)` — gate: 32 (= local cores). 100×:
+  *    O(total cores); the offset table materializes rangePartitions
+  *    rows on one partition, so 10⁴ is still trivially safe.
+  */
+object ScaleProfile

@@ -46,7 +46,8 @@ object EntityResolution {
     * `maxBlock = 0`: each (dirty, clean) in-block pair meets in
     * exactly one sub-block. The census join is a plain equi-join on
     * the block key (AQE broadcasts the census when it is small;
-    * no forced broadcast — block-key cardinality is unbounded). */
+    * no forced broadcast — block-key cardinality is unbounded).
+    * Gate/knob scale table: [[graft.ScaleProfile]]. */
   def blockedBestMatch(clean: DataFrame, dirty: DataFrame,
       maxDist: Int, maxBlock: Int = 0): DataFrame = {
     val paired =

@@ -119,6 +119,7 @@ object Pipeline {
     * Embeddings must be non-null (build the pool with an inner join
     * against the embedding table). Output:
     * `(groupCols…, rank, itemCol, scoreCol)`, rank 1-based.
+    * Gate/knob scale table: [[graft.ScaleProfile]].
     */
   def mmrRerank(
       candidates: DataFrame,
@@ -228,6 +229,7 @@ object Pipeline {
     * per-group fan-out is seedK · out-degree^depth — the caller's
     * edge table and small `depth` bound it. Cosine is the
     * ascending-index fold ([[graft.expr.DotProduct]]), SQL-replayable.
+    * Gate/knob scale table: [[graft.ScaleProfile]].
     */
   def expandViaGraph(
       candidates: DataFrame,
@@ -369,7 +371,8 @@ object Pipeline {
     * data-dependent `pow()` (libm last-ulp hazard); the row term is an
     * integer product `v · w_micro` and the episode score an order-free
     * long sum. Event order is (orderCol, tieCol) descending — pass a
-    * unique tiebreak (an event id) for a total order. */
+    * unique tiebreak (an event id) for a total order. Gate/knob scale
+    * table: [[graft.ScaleProfile]]. */
   def reinforcementScores(
       log: DataFrame,
       episodeCol: String,

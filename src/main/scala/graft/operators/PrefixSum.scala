@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *   4. global inclusive cumsum = local cumsum + broadcast offset.
   *
   * Every stage is partition-parallel; nothing materializes more than
-  * `rangePartitions` rows on a single partition.
+  * `rangePartitions` rows on a single partition. Gate/knob scale
+  * table: [[graft.ScaleProfile]].
   */
 object PrefixSum {
 

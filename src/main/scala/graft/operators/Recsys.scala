@@ -542,7 +542,8 @@ object Recsys {
     * with the popularity cut, one pair-count aggregate joined to
     * broadcast degree tables. Output:
     * `(user_a, user_b, n_common, jaccard)` for pairs with
-    * `n_common ≥ minCommon`. */
+    * `n_common ≥ minCommon`. Gate/knob scale table:
+    * [[graft.ScaleProfile]]. */
   def userOverlapJaccard(
       events: DataFrame,
       maxItemPop: Int,
