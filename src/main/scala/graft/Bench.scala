@@ -201,7 +201,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_PASSES", "1").toInt
     var sweepFlags = 0
     var sweepErrors = 0
-    // The sweep runs AFTER the 283-query suite in the same JVM, and the
+    // The sweep runs AFTER the full query suite in the same JVM, and the
     // suite leaves behind real state: every localCheckpoint pins its
     // blocks for the session, the cache manager holds plan fragments,
     // and the heap is full of tenured suite garbage. Round-9's recorded

@@ -36,6 +36,11 @@ package graft
   *
   * == Blocking-granularity knobs (the scale-coupled ones) ==
   *
+  * The three sub-split caps (`maxBlock`, `maxBin`, `maxStateBlock`)
+  * all run [[graft.operators.Skew.cappedFanJoin]] — one shared
+  * census-adaptive kernel, so a fix or tuning change lands in all
+  * three operators at once.
+  *
   *  - `SimilaritySearch.semanticNearDupPairs(cells, targetCellSize)` —
   *    gate: q184 pins `cells = 8` (SQL-reproducible k-means), q285
   *    runs the auto-scale `targetCellSize = 32`. 100×: ALWAYS set
@@ -58,7 +63,7 @@ package graft
   *  - `EpisodeGraph.autoLink(maxStateBlock)` — gate: q284 runs 0 (a
   *    few hundred episodes per state). 100×: same rule as maxBlock —
   *    set to the per-task failed-row budget when one state dominates.
-  *  - `Recsys.userOverlap(maxItemPop)` — gate: q229 runs 80. 100×:
+  *  - `Recsys.userOverlapJaccard(maxItemPop)` — gate: q229 runs 80. 100×:
   *    the super-node cut; pair fan-out ≤ maxItemPop·|interactions|.
   *    Keep it at the head of the item-popularity distribution you can
   *    afford to drop pairs THROUGH (popular items carry little

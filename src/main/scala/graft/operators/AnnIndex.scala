@@ -344,13 +344,17 @@ object IvfIndex {
       .filter(col("__r") === 1)
       .drop("__d", "__r", "centroid")
 
-  /** Deterministic id-sampled seed centroids (also the k-means init). */
+  /** Deterministic id-sampled seed centroids (also the k-means init).
+    * `knownCount ≥ 0` supplies an already-computed corpus count so
+    * callers that counted for other reasons (auto-scaled cell
+    * derivation) don't trigger a second full-corpus action. */
   private def seedCentroids(
       corpus: DataFrame,
       cells: Int,
       idCol: String,
-      embCol: String): DataFrame = {
-    val n = corpus.count()
+      embCol: String,
+      knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0L) knownCount else corpus.count()
     val stride = math.max(n / cells, 1L)
     corpus.filter(col(idCol) % stride === 0 && col(idCol) < stride * cells)
       .select((col(idCol) / stride).cast("long").as("cell_id"),
@@ -385,9 +389,10 @@ object IvfIndex {
       cells: Int,
       iters: Int = 5,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): IvfIndex = {
+      embCol: String = "embedding",
+      knownCount: Long = -1L): IvfIndex = {
     require(cells <= MaxCells, s"cells ($cells) exceeds MaxCells ($MaxCells)")
-    var centroids = seedCentroids(corpus, cells, idCol, embCol)
+    var centroids = seedCentroids(corpus, cells, idCol, embCol, knownCount)
       .localCheckpoint()
     var i = 0
     while (i < iters) {

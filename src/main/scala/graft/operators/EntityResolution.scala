@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * selection with a deterministic tiebreak. Block-size skew is the
   * scale hazard: a degenerate block (half the table one key)
   * re-creates the quadratic IN ONE TASK — `maxBlock` sub-splits hot
-  * blocks ([[Skew]]-style deterministic salting) so the largest join
-  * task holds ≤ maxBlock clean rows, with output row-identical to the
-  * uncapped run (every in-block pair is still compared exactly once;
-  * the intrinsic pair mass is the caller's blocking-key choice, the
-  * cap only stops it from serializing onto one executor).
+  * blocks ([[Skew.cappedFanJoin]], the shared census-adaptive salting
+  * kernel) so the largest join task holds ≤ maxBlock clean rows, with
+  * output row-identical to the uncapped run (every in-block pair is
+  * still compared exactly once; the intrinsic pair mass is the
+  * caller's blocking-key choice, the cap only stops it from
+  * serializing onto one executor).
   *
   * Scoring uses `levenshtein` — codegen'd in Spark, identical
   * unit-cost edit distance in any engine, so a SQL oracle reproduces
@@ -41,7 +42,7 @@ object EntityResolution {
     * blocks whose clean census exceeds it are split into
     * `ceil(n/maxBlock)` sub-blocks by a deterministic hash of the
     * clean key, and the block's dirty rows fan out across the
-    * sub-blocks — [[Skew.saltedJoin]] with a per-block salt width, so
+    * sub-blocks — [[Skew.cappedFanJoin]] per-key salting, so
     * cold blocks pay zero replication. Output is identical to
     * `maxBlock = 0`: each (dirty, clean) in-block pair meets in
     * exactly one sub-block. The census join is a plain equi-join on
@@ -52,19 +53,8 @@ object EntityResolution {
       maxDist: Int, maxBlock: Int = 0): DataFrame = {
     val paired =
       if (maxBlock <= 0) dirty.join(clean, Seq("block"))
-      else {
-        val fan = clean.groupBy(col("block"))
-          .agg(ceil(count(lit(1)).cast("double") / maxBlock)
-            .cast("long").as("__fan"))
-        val c = clean.join(fan, Seq("block"))
-          .withColumn("__sub", pmod(xxhash64(col("ckey")), col("__fan")))
-          .drop("__fan")
-        val d = dirty.join(fan, Seq("block"))
-          .withColumn("__sub",
-            explode(sequence(lit(0L), col("__fan") - 1)))
-          .drop("__fan")
-        d.join(c, Seq("block", "__sub")).drop("__sub")
-      }
+      else Skew.cappedFanJoin(dirty, clean, Seq("block"),
+        Seq(col("ckey")), maxBlock)
     // thresholded levenshtein (returns -1 when distance > maxDist):
     // the DP early-exits at O(len·maxDist) instead of O(len²) — at
     // bench scale this is the difference between ~1 s and ~20 s,

@@ -35,8 +35,8 @@ import graft.functions.Similarity
   * all-pairs — the [[SimilaritySearch.nearDupPairs]] posture); its
   * within-state pair mass is the data's own retry structure, and a
   * degenerate hot state is kept off a single executor by
-  * `maxStateBlock` (the [[EntityResolution.blockedBestMatch]]
-  * `maxBlock` kernel: hot states sub-split into hash-salted
+  * `maxStateBlock` ([[Skew.cappedFanJoin]], the shared census-adaptive
+  * kernel: hot states sub-split into hash-salted
   * sub-blocks, every in-state pair still meets exactly once, output
   * row-identical — cold states pay zero replication). Scale table:
   * graft.ScaleProfile.
@@ -108,21 +108,8 @@ object EpisodeGraph {
       .withColumn("__fn", Similarity.l2(col("__fe")))
     val paired =
       if (maxStateBlock <= 0) cand.join(fail, Seq("__st"))
-      else {
-        // blockedBestMatch maxBlock kernel on the state key: census
-        // the failed side, hash-salt failed rows, fan candidates
-        val fan = fail.groupBy(col("__st"))
-          .agg(ceil(count(lit(1)).cast("double") / maxStateBlock)
-            .cast("long").as("__fan"))
-        val f = fail.join(fan, Seq("__st"))
-          .withColumn("__sub", pmod(xxhash64(col("__fid")), col("__fan")))
-          .drop("__fan")
-        val c = cand.join(fan, Seq("__st"))
-          .withColumn("__sub",
-            explode(sequence(lit(0L), col("__fan") - 1)))
-          .drop("__fan")
-        c.join(f, Seq("__st", "__sub")).drop("__sub")
-      }
+      else Skew.cappedFanJoin(cand, fail, Seq("__st"),
+        Seq(col("__fid")), maxStateBlock)
     val retry = paired
       .filter(col("__fst") < col("__cst") ||
         (col("__fst") === col("__cst") && col("__fid") < col("__cid")))

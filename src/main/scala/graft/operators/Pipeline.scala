@@ -268,8 +268,15 @@ object Pipeline {
     // the hop frontiers IS reachable≤depth minus the seeds (a seed
     // reached from another seed contributes nothing new: its
     // neighbors were already pulled when it sat in the hop-0 frontier)
-    var visited = seeds.select(g :+ col(itemCol).as("__n"): _*)
-      .localCheckpoint()
+    // visited is only ever read by the NEXT hop's anti-join, so a
+    // depth-1 walk needs no checkpointed visited at all (the seed plan
+    // is one cheap window over the checkpointed pool), and the union
+    // after the FINAL hop would be a pure waste of one eager
+    // materialization job — guard both. Hop frontiers stay pinned for
+    // the session (the result plan reads them); the bench's
+    // dropAccumulatedState sweeps those between measurements.
+    val seedSet = seeds.select(g :+ col(itemCol).as("__n"): _*)
+    var visited = if (depth > 1) seedSet.localCheckpoint() else seedSet
     var frontier = visited
     val hops = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var d = 0
@@ -281,7 +288,8 @@ object Pipeline {
         .join(visited, groupCols :+ "__n", "left_anti")
         .localCheckpoint()
       hops += next
-      visited = visited.unionByName(next).localCheckpoint()
+      if (d < depth - 1)
+        visited = visited.unionByName(next).localCheckpoint()
       frontier = next
       d += 1
     }

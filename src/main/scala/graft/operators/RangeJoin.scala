@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Skew note for the 100 TB case: a globally hot hour concentrates its
   * pairs in one partition — [[sessionConcurrency]]'s `maxBin` knob
-  * ENFORCES the mitigation (the [[EntityResolution.blockedBestMatch]]
-  * `maxBlock` kernel applied to the bin key): hot bins sub-split into
+  * ENFORCES the mitigation ([[Skew.cappedFanJoin]], the shared
+  * census-adaptive kernel, applied to the bin key): hot bins split into
   * `ceil(n/maxBin)` hash-salted sub-bins so no single task holds more
   * than ~maxBin left-side rows, cold bins pay zero replication, and
   * the output is row-identical to the unsalted run (every in-bin pair
@@ -72,23 +72,8 @@ object RangeJoin {
       col("end_ms").as("enb"), col("bin"))
     val joined =
       if (maxBin <= 0) a0.join(b0, Seq("bin"))
-      else {
-        // the EntityResolution.blockedBestMatch maxBlock kernel on the
-        // bin key: census -> per-bin fan width -> hash-salted sub-bin
-        // for the left row, explode-fan for the right row
-        val fan = binned.groupBy(col("bin"))
-          .agg(ceil(count(lit(1)).cast("double") / maxBin)
-            .cast("long").as("__fan"))
-        val a = a0.join(fan, Seq("bin"))
-          .withColumn("__sub",
-            pmod(xxhash64(col("ua"), col("sa")), col("__fan")))
-          .drop("__fan")
-        val b = b0.join(fan, Seq("bin"))
-          .withColumn("__sub",
-            explode(sequence(lit(0L), col("__fan") - 1)))
-          .drop("__fan")
-        a.join(b, Seq("bin", "__sub")).drop("__sub")
-      }
+      else Skew.cappedFanJoin(b0, a0, Seq("bin"),
+        Seq(col("ua"), col("sa")), maxBin)
     val pairs = joined
       .filter(col("ua") =!= col("ub"))
       .filter(col("sta") <= col("enb") && col("stb") <= col("ena"))

@@ -158,8 +158,14 @@ object SimilaritySearch {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       targetCellSize: Long = 0L): DataFrame = {
-    val k = autoCells(corpus, cells, targetCellSize)
-    val idx = IvfIndex.buildKMeans(corpus, k, iters, idCol, embCol)
+    // count the corpus at most ONCE: the same n feeds both the cell
+    // derivation and buildKMeans's seed stride (which would otherwise
+    // re-count — two full-corpus actions per auto-scaled call)
+    val n = if (targetCellSize > 0L) corpus.count() else -1L
+    val k = if (targetCellSize <= 0L) cells
+      else autoCellsFor(n, cells, targetCellSize)
+    val idx = IvfIndex.buildKMeans(corpus, k, iters, idCol, embCol,
+      knownCount = n)
     nearDupPairs(
       idx.assigned.select(col("cell_id"), col(idCol), col(embCol)),
       "cell_id", threshold, idCol, embCol)
@@ -174,12 +180,13 @@ object SimilaritySearch {
   def autoCells(corpus: DataFrame, minCells: Int,
       targetCellSize: Long): Int =
     if (targetCellSize <= 0L) minCells
-    else {
-      val n = corpus.count()
-      math.min(IvfIndex.MaxCells.toLong,
-        math.max(minCells.toLong,
-          (n + targetCellSize - 1L) / targetCellSize)).toInt
-    }
+    else autoCellsFor(corpus.count(), minCells, targetCellSize)
+
+  /** [[autoCells]] on an already-known corpus count. */
+  def autoCellsFor(n: Long, minCells: Int, targetCellSize: Long): Int =
+    math.min(IvfIndex.MaxCells.toLong,
+      math.max(minCells.toLong,
+        (n + targetCellSize - 1L) / targetCellSize)).toInt
 
   def nearDupPairs(
       corpus: DataFrame,

@@ -58,4 +58,41 @@ object Skew {
       .agg(sum(col("__c")).as("n"),
         sum(col("__s")).cast("double").as("value_sum"))
   }
+
+  /** Census-adaptive hot-key sub-split for a pairwise equi-join — the
+    * one kernel behind `EntityResolution.blockedBestMatch(maxBlock)`,
+    * `RangeJoin.sessionConcurrency(maxBin)` and
+    * `EpisodeGraph.autoLink(maxStateBlock)`.
+    *
+    * Unlike [[saltedJoin]]'s fixed global width, the fan width here is
+    * PER KEY: a census of `splitSide` sets `fan(k) =
+    * ceil(census(k) / maxPerTask)`, so cold keys keep fan 1 and pay
+    * zero replication while a degenerate key (half the table one
+    * value) is cut into tasks of ≤ `maxPerTask` split-side rows. Each
+    * `splitSide` row lands in exactly one sub-key (deterministic hash
+    * of `splitHash`); each `fanSide` row replicates across that key's
+    * sub-keys — every in-key pair meets exactly once, so the result is
+    * row-identical to the plain `fanSide.join(splitSide, keys)` (the
+    * three call-site specs each prove this on a one-hot-key fixture).
+    * The census join stays a plain equi-join: key cardinality is
+    * unbounded, AQE broadcasts the census when small. */
+  def cappedFanJoin(
+      fanSide: DataFrame,
+      splitSide: DataFrame,
+      keys: Seq[String],
+      splitHash: Seq[Column],
+      maxPerTask: Int): DataFrame = {
+    require(maxPerTask > 0, "maxPerTask must be positive (0 disables " +
+      "the cap at the call site, not here)")
+    val fan = splitSide.groupBy(keys.map(col): _*)
+      .agg(ceil(count(lit(1)).cast("double") / maxPerTask)
+        .cast("long").as("__fan"))
+    val s = splitSide.join(fan, keys)
+      .withColumn("__sub", pmod(xxhash64(splitHash: _*), col("__fan")))
+      .drop("__fan")
+    val f = fanSide.join(fan, keys)
+      .withColumn("__sub", explode(sequence(lit(0L), col("__fan") - 1)))
+      .drop("__fan")
+    f.join(s, keys :+ "__sub").drop("__sub")
+  }
 }

@@ -433,11 +433,20 @@ object Ingest {
     * `gapMs` after the last one (data path), or when the event-time
     * watermark passes `last + gapMs` with no successor
     * (EventTimeTimeout path). Late data is bounded by the watermark
-    * BY EXPLICIT FILTER: `flatMapGroupsWithState` hands the handler
-    * every delivered row, including sub-watermark stragglers, so the
-    * handler drops rows with `ts` below the current watermark itself —
-    * otherwise a straggler arriving after a timeout-close would start
-    * a spurious next session where the batch twin merges it.
+    * TWICE: Spark's FlatMapGroupsWithStateExec itself drops rows below
+    * the batch's late-events watermark before the handler when
+    * EventTimeTimeout is on (verified empirically on 4.1.2 — a
+    * sub-watermark straggler produces a timeout-only invocation with
+    * zero rows, never a data invocation), and the handler re-filters
+    * against the EVICTION watermark as defense-in-depth. The two
+    * watermarks coincide in a single-stateful-operator pipeline; in
+    * chained-stateful pipelines the late-events one lags a batch, and
+    * the handler filter keeps the session cut deterministic there.
+    * CONSEQUENCE of Spark's own filter: `ts` must be ≥ 0 in the scaled
+    * space — the watermark starts at 0, so pre-1970 (negative-ts)
+    * events are dropped by Spark BEFORE the handler from the very
+    * first batch and can never sessionize (the batch twin has no such
+    * floor; IngestSpec pins this divergence).
     *
     * == Equality contract (precise) ==
     * Bit-equal to the batch twin when events arrive in event-time
@@ -505,45 +514,58 @@ object Ingest {
               Iterator.empty
             }
           } else {
-            // FMGWS (unlike windowed aggregations) does NOT drop
-            // watermark-late rows before the handler — without this
-            // filter a straggler arriving after a timeout-close would
-            // take the n=0 marker path and silently start session
-            // idx+1 where the batch twin would have merged it. Drop
-            // sub-watermark rows explicitly so "late data is bounded
-            // by the watermark" is enforced, not assumed. (`ts` and
-            // the watermark share the same numeric space: event_time
-            // is timestamp_millis(ts) whatever the caller's unit.)
+            // Spark already dropped rows below the LATE-EVENTS
+            // watermark before this handler (FlatMapGroupsWithStateExec
+            // does so whenever EventTimeTimeout is on); re-filter
+            // against the EVICTION watermark so a chained-stateful
+            // pipeline — where the late-events watermark lags a batch —
+            // gets the same deterministic cut. A straggler below the
+            // eviction watermark arriving after a timeout-close would
+            // otherwise take the n=0 marker path and start session
+            // idx+1 where the batch twin merges it. (`ts` and the
+            // watermark share one numeric space: event_time is
+            // timestamp_millis(ts) whatever the caller's unit. The
+            // wm > 0 guard is inert today — Spark's own filter already
+            // ate sub-zero rows — but keeps this filter from ever
+            // being the one that invents a floor.)
             val wm = state.getCurrentWatermarkMs()
-            val sorted = rows.filter(_.ts >= wm)
+            val sorted = (if (wm > 0L) rows.filter(_.ts >= wm) else rows)
               .toArray.sortBy(e => (e.ts, e.event_id))
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-            var open = state.getOption
-            sorted.foreach { e =>
-              open match {
-                case Some(s) if s.n == 0L =>
-                  // index marker (no open session): start the NEXT one
-                  open = Some(OpenSession(e.ts, e.ts, 1L, s.idx + 1))
-                case Some(s) if e.ts > s.lastMs + gapMs =>
-                  out += SessionRow(user, s.idx, s.startMs, s.lastMs, s.n)
-                  open = Some(OpenSession(e.ts, e.ts, 1L, s.idx + 1))
-                case Some(s) =>
-                  // an out-of-order (but watermark-compliant) event can
-                  // precede the open session's start — widen BOTH ends
-                  open = Some(s.copy(
-                    startMs = math.min(s.startMs, e.ts),
-                    lastMs = math.max(s.lastMs, e.ts), n = s.n + 1))
-                case None =>
-                  open = Some(OpenSession(e.ts, e.ts, 1L, 1L))
+            if (sorted.nonEmpty) {
+              var open = state.getOption
+              sorted.foreach { e =>
+                open match {
+                  case Some(s) if s.n == 0L =>
+                    // index marker (no open session): start the NEXT one
+                    open = Some(OpenSession(e.ts, e.ts, 1L, s.idx + 1))
+                  case Some(s) if e.ts > s.lastMs + gapMs =>
+                    out += SessionRow(user, s.idx, s.startMs, s.lastMs, s.n)
+                    open = Some(OpenSession(e.ts, e.ts, 1L, s.idx + 1))
+                  case Some(s) =>
+                    // an out-of-order (but watermark-compliant) event can
+                    // precede the open session's start — widen BOTH ends
+                    open = Some(s.copy(
+                      startMs = math.min(s.startMs, e.ts),
+                      lastMs = math.max(s.lastMs, e.ts), n = s.n + 1))
+                  case None =>
+                    open = Some(OpenSession(e.ts, e.ts, 1L, 1L))
+                }
+              }
+              open.foreach { s =>
+                state.update(s)
+                // a timeout in the past would throw — late data can put
+                // last + gap behind the watermark; fire next watermark
+                state.setTimeoutTimestamp(math.max(s.lastMs + gapMs,
+                  state.getCurrentWatermarkMs() + 1L))
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              // a timeout in the past would throw — late data can put
-              // last + gap behind the watermark; fire next watermark
-              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs,
-                state.getCurrentWatermarkMs() + 1L))
-            }
+            // else: a slice whose rows were ALL dropped by the late
+            // filter must leave state AND its timeout untouched —
+            // re-arming the timeout here would reset an n=0 marker's
+            // 64·gap retention down to wm+1 and expire it on the next
+            // watermark advance, renumbering the user's next session
+            // where the batch twin continues at idx+1.
             out.iterator
           }
       }

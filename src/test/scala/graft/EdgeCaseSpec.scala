@@ -84,6 +84,26 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(salted.count() === plain.count())
   }
 
+  test("cappedFanJoin equals the plain join — multiset-exact, hot and " +
+      "cold keys, duplicate rows (the shared sub-split kernel)") {
+    import graft.operators.Skew
+    // split side: key 1 hot (600 rows), keys 2/3 cold (under the cap);
+    // a duplicated row checks multiset semantics survive the salting
+    val split = ((1L to 600L).map(i => (1L, i)) ++
+      (1L to 20L).map(i => (2L, 1000L + i)) ++
+      Seq((3L, 7L), (3L, 7L))).toDF("k", "sid")
+    val fan = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (9L, "e"))
+      .toDF("k", "tag") // key 9 has no split rows: must vanish
+    val capped = Skew.cappedFanJoin(fan, split, Seq("k"),
+      Seq(col("sid")), maxPerTask = 64)
+    val plain = fan.join(split, Seq("k"))
+    assert(capped.exceptAll(plain).isEmpty && plain.exceptAll(capped).isEmpty)
+    assert(capped.count() === plain.count())
+    // cold keys keep fan width 1 (ceil(20/64)=ceil(2/64)=1) — the
+    // kernel's census rule, asserted on the rule itself
+    assert(Seq(20L, 2L, 600L).map(n => (n + 63L) / 64L) === Seq(1L, 1L, 10L))
+  }
+
   test("intervalJoin equals the naive range join (banding is exact)") {
     val rnd = new scala.util.Random(7)
     def t(off: Long) = new java.sql.Timestamp(1704067200000L + off)

@@ -359,6 +359,90 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(got === batch)
   }
 
+  test("streamingSessionize: an all-late slice leaves the n=0 index " +
+      "marker's retention timeout untouched (no renumbering)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    def ms(s: String): Long = ts(s).getTime
+    val sessions = Ingest.streamingSessionize(
+      mem.toDF.toDF("user_id", "event_id", "ts"),
+      gapMs = 600000L, watermarkDelay = "1 minute")
+    val q = sessions.toDF.writeStream.format("memory")
+      .queryName("tlate_marker").outputMode("append").start()
+    // batch 1: user 10 opens a session
+    mem.addData((10L, 1L, ms("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2: probe advances the watermark to 10:59 — past
+    // 10:00 + gap, so user 10 timeout-closes and leaves an n=0
+    // marker whose timeout is 10:00 + 64·gap (≈ 20:40)
+    mem.addData((9L, 2L, ms("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    // batch 3: ONLY a sub-watermark straggler for user 10 (10:30 <
+    // wm 10:59) — the slice is fully late-filtered (by Spark's own
+    // FMGWS pre-filter today; by the handler's eviction-watermark
+    // re-filter in a chained-stateful pipeline). Either way the
+    // marker — and crucially its 64·gap retention timeout — must
+    // survive untouched: re-arming the timeout to wm+1 here would
+    // expire the marker on the next watermark advance
+    mem.addData((10L, 3L, ms("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    // batch 4: advance the watermark again (11:59) — would fire the
+    // clobbered wm+1 timeout and remove the marker
+    mem.addData((9L, 4L, ms("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // batch 5: user 10 returns within the retention window — the
+    // numbering must CONTINUE at 2, not restart at 1
+    mem.addData((10L, 5L, ms("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // batch 6: close user 10's second session on the data path
+    mem.addData((10L, 6L, ms("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tlate_marker")
+      .select($"user_id", $"session_idx", $"start_ts", $"n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.contains((10L, 1L, ms("2024-01-01 10:00:00"), 1L)))
+    assert(got.contains((10L, 2L, ms("2024-01-01 13:00:00"), 1L)))
+    assert(!got.exists(r => r._1 == 10L && r._2 == 1L &&
+      r._3 == ms("2024-01-01 13:00:00"))) // the renumbering bug's shape
+  }
+
+  test("streamingSessionize: pre-1970 (negative ts) events are dropped " +
+      "by SPARK's stateful watermark pre-filter — pinned ts >= 0 floor") {
+    // Fact-check canary, not a wish: FlatMapGroupsWithStateExec with
+    // EventTimeTimeout drops rows below the late-events watermark
+    // BEFORE the handler, and the watermark starts at (and never goes
+    // below) 0 — so negative-ts events are unreachable by the handler
+    // from the very first batch, whatever the handler does. The batch
+    // twin has no such floor; the operator scaladoc documents the
+    // divergence and this test pins it so a Spark behavior change
+    // surfaces loudly.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val sessions = Ingest.streamingSessionize(
+      mem.toDF.toDF("user_id", "event_id", "ts"),
+      gapMs = 600000L, watermarkDelay = "1 minute")
+    val q = sessions.toDF.writeStream.format("memory")
+      .queryName("tneg_ts").outputMode("append").start()
+    mem.addData((20L, 1L, -1000000L), (20L, 2L, -400000L))
+    q.processAllAvailable()
+    // a positive-ts event for the same user: opens session 1 (the
+    // negative rows never reached the handler, so there is nothing to
+    // close); a later far event closes it on the data path
+    mem.addData((20L, 3L, 10000000L))
+    q.processAllAvailable()
+    mem.addData((20L, 4L, 20000000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tneg_ts")
+      .select($"user_id", $"session_idx", $"start_ts", $"end_ts",
+        $"n_events")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((20L, 1L, 10000000L, 10000000L, 1L)))
+  }
+
   test("streamDedup drops redelivered keys within the watermark (ST8 replays)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
