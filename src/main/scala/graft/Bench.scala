@@ -201,23 +201,81 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_PASSES", "1").toInt
     var sweepFlags = 0
     var sweepErrors = 0
-    // The sweep runs AFTER the full query suite in the same JVM, and the
-    // suite leaves behind real state: every localCheckpoint pins its
-    // blocks for the session, the cache manager holds plan fragments,
-    // and the heap is full of tenured suite garbage. Round-9's recorded
-    // sweep measured q229 at 73 s where an isolated JVM measures 1.5 s
-    // (48x inflation) and spuriously flagged q184 — an artifact that
-    // cries wolf masks real regressions. Drop the accumulated state
-    // before EVERY timed sweep measurement so each one starts from the
-    // same near-isolated baseline: unpersist all persistent RDDs
-    // (localCheckpoints), clear the SQL cache, and give the JVM one
-    // explicit full-GC window. Cost ~100 ms per call — noise against
-    // multi-second sf1 measurements, and the per-decade signal is 10x.
+    // The sweep runs AFTER the full query suite, and a suite-warmed JVM
+    // is a contended measurement environment: r9 recorded q229 at 73 s
+    // where an isolated JVM measures 1.5 s (48x), and even with
+    // dropAccumulatedState before every measurement r10 recorded q285
+    // at 27.7 s / exponent 1.30 where an isolated JVM measures
+    // 7.1 s / 0.57 — Spark-level state comes back, the rest of the
+    // process environment (tenured heap layout, JIT state, malloc
+    // arenas) does not. So the sweep now FORKS one fresh JVM per query
+    // ([[SweepOne]], same -Xmx/--add-opens/-D args as this process,
+    // same classpath — `run / fork := true` makes java.class.path
+    // real), which reproduces an isolated measurement by construction.
+    // The in-process path below survives only as the fallback when the
+    // fork mechanism itself is unavailable (recorded as
+    // `"forked":false` in the sweep JSON so a fallen-back artifact can
+    // never masquerade as an isolated one), or under
+    // SPARK_GRAFT_SWEEP_INPROC=1 for debugging.
+    //
+    // In-process fallback invariant: dropAccumulatedState unpersists
+    // every persistent RDD INCLUDING localCheckpoints whose lineage is
+    // truncated — a DataFrame held across sweep measurements would be
+    // unrecoverable on reuse. Safe only because each measurement
+    // rebuilds fn(spark, d) from scratch; nothing may cache a
+    // DataFrame across sweep measurements.
     def dropAccumulatedState(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
+    }
+    var sweepForked = true
+    var forkBroken = sys.env.get("SPARK_GRAFT_SWEEP_INPROC").contains("1")
+    // One fresh JVM measuring `name` across all sweep dirs. None =
+    // fork mechanism unavailable (caller falls back in-process);
+    // Some with -1 entries = the child ran but the query crashed at
+    // that sf (a real sweep error, kept loud).
+    def forkMeasure(name: String): Option[Seq[Double]] = {
+      if (forkBroken) return None
+      import scala.jdk.CollectionConverters._
+      try {
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"),
+            "graft.SweepOne", sweepPasses.toString, name) ++ sweepDirs
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        // watchdog: a hung child must not hang the bench (30 min is
+        // ~40x the slowest observed per-query sweep)
+        val killer = new Thread(() => {
+          if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES))
+            proc.destroyForcibly()
+        })
+        killer.setDaemon(true)
+        killer.start()
+        val out = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var started = false
+        var result: Option[Seq[Double]] = None
+        var line = out.readLine()
+        while (line != null) {
+          if (line.startsWith("SWEEPONE_START")) started = true
+          if (line.startsWith("SWEEPONE_RESULT")) {
+            val ts = "-?\\d+\\.\\d+".r.findAllIn(line).map(_.toDouble).toSeq
+            if (ts.size == sweepDirs.size) result = Some(ts)
+          }
+          line = out.readLine()
+        }
+        proc.waitFor()
+        if (result.isDefined) result
+        else if (started) Some(sweepDirs.map(_ => -1.0))
+        else { forkBroken = true; None }
+      } catch { case _: Exception => forkBroken = true; None }
     }
     // locale-independent decimal formatting: the f interpolator uses
     // the JVM default locale (comma decimals on e.g. de_DE would
@@ -227,16 +285,19 @@ object Bench {
     val sweepJson = if (sweepDirs.size < 2) "" else {
       val rows = sweepQueries.map { name =>
         val fn = SparkEntry.queries(name)
-        val times = sweepDirs.map { d =>
-          try {
-            dropAccumulatedState()
-            val ts = (1 to sweepPasses).map { _ =>
-              val t0 = System.nanoTime()
-              fn(spark, d).queryExecution.toRdd.count()
-              (System.nanoTime() - t0) / 1e9
-            }.sorted
-            ts(ts.length / 2)
-          } catch { case _: Throwable => -1.0 }
+        val times = forkMeasure(name).getOrElse {
+          sweepForked = false
+          sweepDirs.map { d =>
+            try {
+              dropAccumulatedState()
+              val ts = (1 to sweepPasses).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, d).queryExecution.toRdd.count()
+                (System.nanoTime() - t0) / 1e9
+              }.sorted
+              ts(ts.length / 2)
+            } catch { case _: Throwable => -1.0 }
+          }
         }
         if (times.exists(_ <= 0.0)) {
           // a crash at a LARGER sf is exactly the scale regression the
@@ -262,7 +323,7 @@ object Bench {
             s""""exponent":${jnum(eLast, 2)},"exponent_fit":${jnum(eFit, 2)},"flag":$flag}""")
         }
       }
-      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],"flags":$sweepFlags,"errors":$sweepErrors,"queries":{${rows.map { case (n, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
+      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],"forked":$sweepForked,"flags":$sweepFlags,"errors":$sweepErrors,"queries":{${rows.map { case (n, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
     }
     // Summary keys lead the JSON object (truncated-from-the-right
     // capture) AND repeat as the LAST key (`summary_tail`) — the
