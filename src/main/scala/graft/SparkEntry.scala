@@ -3313,6 +3313,32 @@ object SparkEntry {
         depth = 2)
     }),
 
+    // ---- episode boundary detection (episodes.py:49-103): boundary
+    // score 0.6·state-flip + 0.4·(1 − max(cos, 0)) over consecutive
+    // (ts, id)-ordered entries; boundary-flag prefix sums segment the
+    // timeline into Episode rows. The ts mapping (vec_id % 64 leading)
+    // deliberately REORDERS entries away from id order so the (ts, id)
+    // total order is genuinely exercised. Threshold 0.38 (not the
+    // reference's 0.5 default) because with the reference weights the
+    // synthetic space's ~0 cosines cap the semantic term at 0.4 — at
+    // 0.38 BOTH terms decide (flip pairs always split; same-state
+    // pairs split iff cos <= 0.05), so neither leg is vacuous ----
+    "q286_episode_boundaries" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val arrT = emb.schema("embedding").dataType
+      val entries = emb.select(
+        col("vec_id").as("entry_id"),
+        ((col("vec_id") % 64) * 1000 + col("vec_id")).as("ts"),
+        when(col("label") === 0, "")
+          .otherwise(concat(lit("s"), (col("label") % 5).cast("string")))
+          .as("state"),
+        when(col("label") === 9, lit(null).cast(arrT))
+          .otherwise(col("embedding")).as("embedding"),
+        concat(lit("doc "), col("vec_id").cast("string")).as("content"))
+      graft.operators.EpisodeGraph.detectEpisodes(entries,
+        threshold = 0.38, contentCol = "content")
+    }),
+
     // ---- episodic-memory feedback: reinforcement/recency-decayed
     // outcome scores replayed over the event log in one scan ----
     "q281_reinforce_decay" -> ((s, dir) => {
@@ -8979,6 +9005,44 @@ object SparkEntry {
          |SELECT query_id, vec_id, score, FALSE AS expanded FROM pool
          |UNION ALL
          |SELECT query_id, vec_id, score, expanded FROM nw""".stripMargin,
+
+    "q286_episode_boundaries" -> {
+      val l2p = sqlL2Of("p.pemb")
+      val l2e = sqlL2Of("p.emb")
+      val cosCase = s"CASE WHEN $l2p * $l2e = 0E0 THEN 0E0 " +
+        s"ELSE ${sqlDotOf("p.pemb", "p.emb")} / ($l2p * $l2e) END"
+      s"""WITH en AS (SELECT vec_id AS id,
+         |    (vec_id % 64) * 1000 + vec_id AS ts,
+         |    CASE WHEN label = 0 THEN ''
+         |      ELSE 's' || CAST(label % 5 AS VARCHAR) END AS state,
+         |    CASE WHEN label = 9 THEN NULL
+         |      ELSE CAST(embedding AS DOUBLE[]) END AS emb,
+         |    'doc ' || CAST(vec_id AS VARCHAR) AS content
+         |  FROM embeddings),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, id) AS rk
+         |  FROM en),
+         |p AS (SELECT c.id, c.ts, c.state, c.emb, c.content, c.rk,
+         |    pr.state AS pstate, pr.emb AS pemb
+         |  FROM rk c LEFT JOIN rk pr ON pr.rk = c.rk - 1),
+         |f AS (SELECT id, ts, state, content, rk,
+         |    CASE WHEN pstate IS NOT NULL AND
+         |        0.6E0 * (CASE WHEN pstate <> state AND pstate <> ''
+         |                   AND state <> '' THEN 1E0 ELSE 0E0 END)
+         |      + 0.4E0 * (CASE WHEN pemb IS NOT NULL AND emb IS NOT NULL
+         |                   THEN 1E0 - greatest($cosCase, 0E0)
+         |                   ELSE 0E0 END)
+         |      >= 0.38E0 THEN 1 ELSE 0 END AS flag
+         |  FROM p),
+         |s AS (SELECT *, CAST(SUM(flag) OVER (ORDER BY rk
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode_idx FROM f)
+         |SELECT episode_idx, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         |  arg_min(id, rk) AS entry_start, arg_max(id, rk) AS entry_end,
+         |  CAST(COUNT(*) AS BIGINT) AS n_entries,
+         |  arg_min(state, rk) AS state,
+         |  CAST(COUNT(*) AS VARCHAR) || ' entries: '
+         |    || substr(arg_min(content, rk), 1, 80) || '…' AS summary
+         |FROM s GROUP BY 1""".stripMargin
+    },
 
     "q280_counter_example" ->
       s"""WITH q AS (SELECT vec_id AS query_id,

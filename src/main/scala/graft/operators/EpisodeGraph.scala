@@ -122,4 +122,95 @@ object EpisodeGraph {
 
     cont.unionByName(retry)
   }
+
+  /** Episode boundary detection + segmentation — the reference's
+    * `EpisodeBoundaryDetector` (`experiments/episodic-memory-prototype/
+    * memory/episodes.py:49-103`) as DataFrame algebra, the FRONT of
+    * the episodic chain ([[detectEpisodes]] → [[autoLink]] →
+    * traversal/MMR).
+    *
+    * Per consecutive timeline-entry pair in global `(ts, id)` order
+    * (the same total-order determinism deviation as [[autoLink]] —
+    * Python's stable sort has an input order a distributed table does
+    * not), the boundary score is
+    * `stateWeight·flip + semanticWeight·shift` where `flip` = 1 iff
+    * the state labels differ AND both are non-empty
+    * (`episodes.py:78-82`), and `shift` = `1 − max(cos, 0)` when both
+    * embeddings are present else 0 (`episodes.py:84-88`; the
+    * reference's `cosine_similarity` returns 0 on a zero-norm pair —
+    * mirrored here). A new episode starts where `score ≥ threshold`
+    * (`episodes.py:70-71`); episode ids are the running count of
+    * boundary flags; segments aggregate to one row per episode with
+    * the reference's `Episode` fields (`episodes.py:111-124`): start/
+    * end timestamps, first/last sequence id, entry count, the FIRST
+    * entry's state, and (when `contentCol` is given) the offline
+    * fallback summary `"<n> entries: <first 80 chars>…"`
+    * (`episodes.py:158-161` — the Claude-API summary path is an
+    * external model call, not portable semantics).
+    *
+    * == Scale design ==
+    * Global adjacency and segment numbering both ride
+    * [[PrefixSum]]'s range-partitioned lineage (never a
+    * single-partition window): one ranked pass for the
+    * consecutive-pair join, one prefix sum over the boundary flags,
+    * one hash aggregation per episode. Nothing materializes more than
+    * `rangePartitions` rows on one partition.
+    *
+    * Output: `(episode_idx, start_ts, end_ts, entry_start, entry_end,
+    * n_entries, state[, summary])`.
+    */
+  def detectEpisodes(
+      entries: DataFrame,
+      threshold: Double = 0.5,
+      stateWeight: Double = 0.6,
+      semanticWeight: Double = 0.4,
+      idCol: String = "entry_id",
+      tsCol: String = "ts",
+      stateCol: String = "state",
+      embCol: String = "embedding",
+      contentCol: String = "",
+      rangePartitions: Int = 32): DataFrame = {
+    val hasContent = contentCol.nonEmpty
+    val base = entries.select(
+      Seq(col(idCol), col(tsCol),
+        coalesce(col(stateCol), lit("")).as(stateCol),
+        col(embCol).cast("array<double>").as(embCol),
+        Similarity.l2(col(embCol)).as("__n")) ++
+        (if (hasContent) Seq(col(contentCol)) else Nil): _*)
+    val ranked = PrefixSum.inclusiveBy(
+      base.withColumn("__w", lit(1L)),
+      Seq(col(tsCol).asc, col(idCol).asc), "__w", "__rk",
+      rangePartitions).drop("__w")
+    val prev = ranked.select(col(stateCol).as("__pstate"),
+      col(embCol).as("__pemb"), col("__n").as("__pn"),
+      (col("__rk") + 1L).as("__rk"))
+    // left join: rank 1 has no predecessor -> score 0 (never a boundary)
+    val flip = when(col("__pstate") =!= col(stateCol) &&
+        col("__pstate") =!= "" && col(stateCol) =!= "", lit(1.0))
+      .otherwise(lit(0.0))
+    val denom = col("__pn") * col("__n")
+    val cos = when(denom === 0.0, lit(0.0))
+      .otherwise(Similarity.dot(col("__pemb"), col(embCol)) / denom)
+    val shift = when(col("__pemb").isNotNull && col(embCol).isNotNull,
+      lit(1.0) - greatest(cos, lit(0.0))).otherwise(lit(0.0))
+    val scored = ranked.join(prev, Seq("__rk"), "left")
+      .withColumn("__flag",
+        when(col("__pstate").isNotNull &&
+          lit(stateWeight) * flip + lit(semanticWeight) * shift >=
+            threshold, lit(1L)).otherwise(lit(0L)))
+    val seg = PrefixSum.inclusiveBy(scored, Seq(col("__rk").asc),
+      "__flag", "episode_idx", rangePartitions)
+    val aggs = Seq(
+      min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+      min_by(col(idCol), col("__rk")).as("entry_start"),
+      max_by(col(idCol), col("__rk")).as("entry_end"),
+      count(lit(1)).as("n_entries"),
+      min_by(col(stateCol), col("__rk")).as("state")) ++
+      (if (hasContent)
+        Seq(concat(count(lit(1)).cast("string"), lit(" entries: "),
+          substring(min_by(col(contentCol), col("__rk")), 1, 80),
+          lit("…")).as("summary"))
+      else Nil)
+    seg.groupBy(col("episode_idx")).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -680,6 +680,87 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(unsalted.count(_._3 == "retry_of") > 0)
   }
 
+  test("detectEpisodes equals a naive reimplementation of episodes.py " +
+      "boundary scoring (state flips, empty states, missing embeddings, " +
+      "threshold boundary), partition-invariant, fallback summary") {
+    import graft.operators.EpisodeGraph
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      val den = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (den == 0) 0.0 else dot(a, b) / den
+    }
+    // id, ts, state, emb, content. Crafted: same-state high-cos run
+    // (merges), state flip (splits at 0.6 alone), empty-state pair
+    // (flip suppressed -> semantic term decides), missing embedding
+    // (shift 0 -> only a flip can split), a ts tie broken by id, a
+    // zero vector (reference cosine guard -> sim 0 -> shift 1), and a
+    // pair sitting exactly AT the threshold (>= keeps it a boundary)
+    val ents: Seq[(Long, Long, String, Option[Seq[Double]], String)] = Seq(
+      (1L, 10L, "a", Some(Seq(1.0, 0.0)), "alpha one"),
+      (2L, 20L, "a", Some(Seq(0.9, 0.1)), "alpha two"),    // high cos: merge
+      (3L, 30L, "b", Some(Seq(0.9, 0.1)), "beta"),         // flip: 0.6 splits
+      (4L, 40L, "", Some(Seq(-0.1, 0.9)), "stateless"),    // empty: flip off; orthogonal -> score exactly 0.4
+      (5L, 50L, "", Some(Seq(0.0, 1.0)), "same again"),    // cos ~0.99: merge
+      (6L, 60L, "c", None, "no embedding"),                // ''-to-c: flip off, no emb -> score 0
+      (7L, 70L, "c", None, "still c"),                     // no flip, no emb: merge
+      (8L, 70L, "c", Some(Seq(0.0, 0.0)), "zero vec"),     // ts tie -> id order; one emb missing -> shift 0
+      (9L, 80L, "c", Some(Seq(1.0, 1.0)), "after zero"))   // zero-norm pair: sim 0 -> shift 1 -> 0.4
+    val thr = 0.5
+    def naive(threshold: Double): Seq[(Long, Long, Long, Long, Long, Long, String, String)] = {
+      val byTime = ents.sortBy(e => (e._2, e._1))
+      val flags = byTime.indices.map { i =>
+        if (i == 0) 0L
+        else {
+          val p = byTime(i - 1); val c = byTime(i)
+          val flip = if (p._3 != c._3 && p._3.nonEmpty && c._3.nonEmpty) 1.0 else 0.0
+          val shift = (p._4, c._4) match {
+            case (Some(x), Some(y)) => 1.0 - math.max(cos(x, y), 0.0)
+            case _ => 0.0
+          }
+          if (0.6 * flip + 0.4 * shift >= threshold) 1L else 0L
+        }
+      }
+      val segIdx = flags.scanLeft(0L)(_ + _).tail
+      byTime.zip(segIdx).groupBy(_._2).toSeq.map { case (idx, seg) =>
+        val es = seg.map(_._1)
+        (idx, es.map(_._2).min, es.map(_._2).max, es.head._1, es.last._1,
+          es.size.toLong, es.head._3,
+          s"${es.size} entries: ${es.head._5.take(80)}…")
+      }
+    }
+    def run(parts: Int, threshold: Double) = {
+      val df = ents.toDF("entry_id", "ts", "state", "embedding", "content")
+        .repartition(parts)
+      EpisodeGraph.detectEpisodes(df, threshold = threshold,
+        contentCol = "content")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getString(6), r.getString(7)))
+        .toSet
+    }
+    val got = run(1, thr)
+    assert(got === naive(thr).toSet)
+    assert(run(5, thr) === got) // partition invariance
+    // structure asserts: the merge/split cases actually exercised.
+    // At 0.5 only the a->b flip splits: {1,2} and {3..9} (empty-state
+    // suppression, missing-embedding suppression, and the zero-norm
+    // guard all merge their pairs)
+    val byStart = got.map(e => e._4 -> e).toMap
+    assert(got.size === 2)
+    assert(byStart(1L)._6 === 2L)
+    assert(byStart(3L)._6 === 7L && byStart(3L)._5 === 9L)
+    assert(byStart(1L)._8 === "2 entries: alpha one…") // fallback summary
+    // threshold edge: pair 3->4 scores exactly 0.4·(1 − 0) = 0.4
+    // (orthogonal embeddings, flip suppressed by the empty state) and
+    // pair 8->9 exactly 0.4 via the zero-norm guard — at threshold 0.4
+    // the >= comparison splits BOTH: {1,2},{3},{4..8},{9}
+    val tight = run(1, 0.4)
+    assert(naive(0.4).toSet === tight)
+    assert(tight.exists(e => e._4 == 4L && e._5 == 8L))
+    assert(tight.exists(e => e._4 == 9L && e._6 == 1L))
+  }
+
   test("ensureCounterExample: appends best unselected counter row only " +
       "where the slate lacks one and the pool has one") {
     import graft.operators.Pipeline
