@@ -189,6 +189,7 @@ object Bench {
         "q114_text_to_tensors", "q143_skipgram_pairs",
         "q162_robust_stats", "q165_candidate_recall",
         "q184_semantic_neardup", "q285_semantic_neardup_auto",
+        "q287_semantic_neardup_twolevel",
         "q226_triangle_stats",
         "q229_user_overlap", "q241_session_concurrency", "q245_kcore",
         "q247_fuzzy_linkage", "q265_rfm_segments",

@@ -20,8 +20,11 @@ package graft
   *    it references it by name. Raising it weakens the audit for every
   *    operator at once — shard or chunk instead.
   *  - `IvfIndex.MaxCells` = BoundedBuildRows. Centroid tables must
-  *    stay broadcast-sized; beyond ~1024 cells, shard the index (or
-  *    two-level coarse-quantize) rather than widening the broadcast.
+  *    stay broadcast-sized; beyond ~1024 cells, two-level
+  *    coarse-quantize (implemented: `semanticNearDupPairs`'s
+  *    beyond-cap path via `IvfIndex.buildGroupedKMeans`, whose
+  *    level-2 centroids are equi-joined, never broadcast) or shard
+  *    the index rather than widening the broadcast.
   *
   * == Batch-size caps (loud by default — [[graft.operators.Bounds]]) ==
   *
@@ -41,13 +44,20 @@ package graft
   * census-adaptive kernel, so a fix or tuning change lands in all
   * three operators at once.
   *
-  *  - `SimilaritySearch.semanticNearDupPairs(cells, targetCellSize)` —
-  *    gate: q184 pins `cells = 8` (SQL-reproducible k-means), q285
-  *    runs the auto-scale `targetCellSize = 32`. 100×: ALWAYS set
+  *  - `SimilaritySearch.semanticNearDupPairs(cells, targetCellSize,
+  *    maxCellsPerLevel)` — gate: q184 pins `cells = 8`
+  *    (SQL-reproducible k-means), q285 runs the auto-scale
+  *    `targetCellSize = 32`, q287 pins `maxCellsPerLevel = 32` so the
+  *    beyond-cap path runs at gate scale. 100×: ALWAYS set
   *    `targetCellSize` to the per-cell pair budget (mean cell size ≈
-  *    target, pair mass ≈ n·target/2 — linear); `cells` then derives
-  *    as ceil(n/target) via `autoCells`, capped at MaxCells. Once the
-  *    cap binds (n ≈ target·1024), shard the corpus per index.
+  *    target, pair mass ≈ n·target/2 — linear); `cells` derives as
+  *    ceil(n/target). Past `maxCellsPerLevel` cells (n >
+  *    target·1024 at the production cap) the operator itself switches
+  *    to two-level coarse quantization (level-1 k-means into
+  *    ceil(k/cap) parents, grouped Lloyd per parent —
+  *    `IvfIndex.buildGroupedKMeans`), holding the linear regime to
+  *    cap² ≈ 10⁶ leaf cells ≈ 3·10⁷ vectors at target 32; beyond
+  *    THAT, shard the corpus per index.
   *  - `EntityResolution.blockedBestMatch(maxBlock)` — gate: q247 runs
   *    32 (exercises the sub-split on ~60-row blocks). 100×: the
   *    largest clean-row count one task should compare against, ~10³–

@@ -2233,6 +2233,19 @@ object SparkEntry {
         Tables.embeddings(s, dir), cells = 8, iters = 2, threshold = 0.3,
         targetCellSize = 32L)),
 
+    // ---- q285 past the per-level cell cap: maxCellsPerLevel pinned
+    // to 32 (not the production 1024) so the derived count
+    // ceil(n/8) = 63..2500 exceeds the cap at EVERY sf and the gate
+    // exercises the two-level path itself — level-1 k-means into
+    // ceil(k/32) parents, grouped Lloyd inside each parent, pairs
+    // within leaf cells. At the production cap the same code engages
+    // at n > 32·1024 ≈ 33k vectors, extending the linear pair-mass
+    // regime to cap² ≈ 1M leaves ----
+    "q287_semantic_neardup_twolevel" -> ((s, dir) =>
+      SimilaritySearch.semanticNearDupPairs(
+        Tables.embeddings(s, dir), cells = 8, iters = 2, threshold = 0.3,
+        targetCellSize = 8L, maxCellsPerLevel = 32)),
+
     // ---- reciprocal-rank fusion of the cosine and dot retrievers:
     // score-free merge of incomparable scales, fused top-10 ----
     "q185_rrf_fusion" -> ((s, dir) => {
@@ -6559,6 +6572,69 @@ object SparkEntry {
          |  FROM s a JOIN s b
          |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
          |WHERE cosine > 0.3E0""".stripMargin,
+
+    // the q285 chain with the level-1 cell count = ceil(k/32) capped
+    // at 32, then the grouped level-2 Lloyd rounds partitioned by
+    // parent cell (per-parent census -> k2/stride by the same integer
+    // rules as IvfIndex.buildGroupedKMeans, rank-stride seeds, two
+    // fixed-point mean rounds), pairs within leaf = parent*32 + sub
+    "q287_semantic_neardup_twolevel" -> {
+      def subRound(i: Int, prev: String) =
+        s"""b$i AS (SELECT pc, vec_id, sc FROM (
+           |  SELECT g.pc, g.vec_id, c.sc, ROW_NUMBER() OVER (
+           |    PARTITION BY g.vec_id
+           |    ORDER BY ${sqlEuclidOf("g.emb", "c.centroid")} ASC,
+           |             c.sc ASC) AS rn
+           |  FROM g JOIN $prev c USING (pc)) WHERE rn = 1),
+           |n$i AS (SELECT pc, sc, list(mv ORDER BY pp) AS centroid FROM (
+           |    SELECT b.pc, b.sc, u.pp,
+           |      CAST(SUM(u.x) AS DOUBLE)
+           |        / (CAST(COUNT(u.x) AS DOUBLE) * 1000000.0E0) AS mv
+           |    FROM b$i b JOIN u USING (vec_id) GROUP BY 1, 2, 3)
+           |  GROUP BY pc, sc),
+           |s$i AS (SELECT p.pc, p.sc, coalesce(n$i.centroid, p.centroid)
+           |          AS centroid
+           |        FROM $prev p LEFT JOIN n$i
+           |          ON n$i.pc = p.pc AND n$i.sc = p.sc),""".stripMargin
+      s"""WITH ${sqlKmeansC2CtesFor(
+             "LEAST(32, (GREATEST(8, (n + 7) // 8) + 31) // 32)")}
+         |a3 AS (SELECT vec_id, cell_id FROM (
+         |  SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlEuclidOf("e.emb", "c.centroid")} ASC,
+         |             c.cell_id ASC) AS rn
+         |  FROM e, c2 c) WHERE rn = 1),
+         |g AS (SELECT a3.cell_id AS pc, e.vec_id, e.emb FROM a3
+         |      JOIN e ON a3.vec_id = e.vec_id),
+         |gk AS (SELECT pc,
+         |    LEAST(GREATEST((count(*) + 7) // 8, 1), 32) AS k2,
+         |    GREATEST(count(*)
+         |      // LEAST(GREATEST((count(*) + 7) // 8, 1), 32), 1) AS stride
+         |  FROM g GROUP BY 1),
+         |gr AS (SELECT pc, vec_id, emb,
+         |    ROW_NUMBER() OVER (PARTITION BY pc ORDER BY vec_id) - 1 AS r
+         |  FROM g),
+         |s0 AS (SELECT gr.pc, gr.r // gk.stride AS sc, gr.emb AS centroid
+         |       FROM gr JOIN gk USING (pc)
+         |       WHERE gr.r % gk.stride = 0 AND gr.r < gk.stride * gk.k2),
+         |${subRound(1, "s0")}
+         |${subRound(2, "s1")}
+         |bf AS (SELECT pc, vec_id, sc FROM (
+         |  SELECT g.pc, g.vec_id, c.sc, ROW_NUMBER() OVER (
+         |    PARTITION BY g.vec_id
+         |    ORDER BY ${sqlEuclidOf("g.emb", "c.centroid")} ASC,
+         |             c.sc ASC) AS rn
+         |  FROM g JOIN s2 c USING (pc)) WHERE rn = 1),
+         |lf AS (SELECT b.pc * 32 + b.sc AS leaf, e.vec_id, e.emb
+         |       FROM bf b JOIN e ON b.vec_id = e.vec_id)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${sqlDotOf("a.emb", "b.emb")}
+         |      / (${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")}) AS cosine
+         |  FROM lf a JOIN lf b
+         |    ON a.leaf = b.leaf AND a.vec_id < b.vec_id)
+         |WHERE cosine > 0.3E0""".stripMargin
+    },
 
     // both retriever rank lists in SQL (same tie orders as topK), FULL
     // JOIN on (query, item), rrf summed left-to-right with absent

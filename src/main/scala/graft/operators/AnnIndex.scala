@@ -384,6 +384,82 @@ object IvfIndex {
     * targets. Centroids are `localCheckpoint`ed per round: the plan
     * stays O(1) in `iters`.
     */
+  /** Per-group Lloyd's k-means — the level-2 kernel of the two-level
+    * coarse quantizer ([[SimilaritySearch.semanticNearDupPairs]]'s
+    * beyond-cap path). Within every `groupCol` value independently:
+    * sub-cell count `k2 = clamp(ceil(n_g / targetCellSize), 1,
+    * maxCells)` and seed stride `max(n_g div k2, 1)` from the group's
+    * own census (exact integer arithmetic — SQL-reproducible), seeds
+    * at every stride-th row of the group's `idCol` order, then `iters`
+    * Lloyd rounds with [[LinAlg.meanPool]]'s fixed-point means (empty
+    * sub-cells keep their previous centroid, the [[buildKMeans]]
+    * convention).
+    *
+    * == Scale design ==
+    * Unlike [[buildKMeans]], the centroid table is NEVER broadcast and
+    * carries no global row bound — it doesn't need one: assignment is
+    * an equi-join on `groupCol`, so each corpus row meets only its own
+    * group's ≤ `maxCells` centroids (bounded fan-out per row, keyed
+    * shuffle, no cross join). Total sub-cells scale with the corpus —
+    * exactly what lets the composition hold mean leaf size constant
+    * past the single-level [[MaxCells]] cap. The within-group rank
+    * window sorts one group per partition slice; group sizes are
+    * already bounded by the level-1 split above it.
+    *
+    * Output: the corpus rows + `sub_cell_id` (0-based within group).
+    */
+  def buildGroupedKMeans(
+      corpus: DataFrame,
+      groupCol: String,
+      targetCellSize: Long,
+      maxCells: Int = MaxCells,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(targetCellSize >= 1, s"targetCellSize must be >= 1, got $targetCellSize")
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    // one materialization feeds the census, the seed rank, and every
+    // assignment round (RangeJoin convention)
+    val base = corpus.select(col(groupCol), col(idCol),
+      col(embCol).cast("array<double>").as(embCol)).localCheckpoint()
+    val census = base.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
+      .withColumn("__k2", expr(
+        s"least(greatest((__gn + ${targetCellSize - 1L}) div $targetCellSize, 1L), ${maxCells}L)"))
+      .withColumn("__stride", expr("greatest(__gn div __k2, 1L)"))
+      .select(col(groupCol), col("__k2"), col("__stride"))
+    val ranked = base.withColumn("__r",
+      row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(col(idCol).asc)).cast("long") - 1L)
+    def assignGrouped(cents: DataFrame): DataFrame =
+      base.join(cents, Seq(groupCol))
+        .withColumn("__d", graft.functions.Similarity.euclidean(col(embCol), col("centroid")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col(idCol))
+            .orderBy(col("__d").asc, col("sub_cell_id").asc)))
+        .filter(col("__rn") === 1)
+        .drop("__d", "__rn", "centroid")
+    var cents = ranked.join(census, Seq(groupCol))
+      .filter(col("__r") % col("__stride") === 0 &&
+        col("__r") < col("__stride") * col("__k2"))
+      .select(col(groupCol), expr("__r div __stride").as("sub_cell_id"),
+        col(embCol).as("centroid"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val means = LinAlg.meanPool(
+        assignGrouped(cents).select(col(groupCol), col("sub_cell_id"), col(embCol)),
+        Seq(groupCol, "sub_cell_id"), embCol, outCol = "centroid")
+      cents = cents.select(col(groupCol), col("sub_cell_id"),
+          col("centroid").as("__prev"))
+        .join(means, Seq(groupCol, "sub_cell_id"), "left")
+        .select(col(groupCol), col("sub_cell_id"),
+          coalesce(col("centroid"), col("__prev")).as("centroid"))
+        .localCheckpoint()
+      i += 1
+    }
+    assignGrouped(cents)
+  }
+
   def buildKMeans(
       corpus: DataFrame,
       cells: Int,

@@ -145,11 +145,13 @@ object SimilaritySearch {
     * `cells = min(MaxCells, max(cells, ceil(n / targetCellSize)))`
     * ([[autoCells]] — one cheap `count()`, integer arithmetic, fully
     * deterministic). That holds mean cell size ≈ targetCellSize, so
-    * pair mass stays ~n·targetCellSize (linear) until the count hits
-    * [[IvfIndex.MaxCells]] (n ≈ targetCellSize·1024); beyond that,
-    * shard the corpus or move assignment to a two-level coarse
-    * quantizer — the n·cells assignment join is the dominant term by
-    * then. Gate/knob scale table: [[graft.ScaleProfile]]. */
+    * pair mass stays ~n·targetCellSize (linear). When the derived
+    * count exceeds `maxCellsPerLevel` (n > targetCellSize·cap) the
+    * operator switches to TWO-LEVEL coarse quantization — level-1
+    * k-means into `ceil(k/cap)` parents, then
+    * [[IvfIndex.buildGroupedKMeans]] inside each parent — extending
+    * the linear regime to cap² leaf cells. Gate/knob scale table:
+    * [[graft.ScaleProfile]]. */
   def semanticNearDupPairs(
       corpus: DataFrame,
       cells: Int,
@@ -157,18 +159,51 @@ object SimilaritySearch {
       threshold: Double,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      targetCellSize: Long = 0L): DataFrame = {
+      targetCellSize: Long = 0L,
+      maxCellsPerLevel: Int = IvfIndex.MaxCells): DataFrame = {
+    require(maxCellsPerLevel >= 1 && maxCellsPerLevel <= IvfIndex.MaxCells,
+      s"maxCellsPerLevel must be in [1, ${IvfIndex.MaxCells}], got $maxCellsPerLevel")
     // count the corpus at most ONCE: the same n feeds both the cell
     // derivation and buildKMeans's seed stride (which would otherwise
     // re-count — two full-corpus actions per auto-scaled call)
     val n = if (targetCellSize > 0L) corpus.count() else -1L
-    val k = if (targetCellSize <= 0L) cells
-      else autoCellsFor(n, cells, targetCellSize)
-    val idx = IvfIndex.buildKMeans(corpus, k, iters, idCol, embCol,
-      knownCount = n)
-    nearDupPairs(
-      idx.assigned.select(col("cell_id"), col(idCol), col(embCol)),
-      "cell_id", threshold, idCol, embCol)
+    // UNCAPPED derived cell count: the single-level/two-level decision
+    val kRaw: Long = if (targetCellSize <= 0L) cells.toLong
+      else math.max(cells.toLong, (n + targetCellSize - 1L) / targetCellSize)
+    if (kRaw <= maxCellsPerLevel) {
+      // single level — identical to the pre-two-level path (the cap
+      // clamp is a no-op here, so autoCellsFor-gated oracles hold)
+      val idx = IvfIndex.buildKMeans(corpus, kRaw.toInt, iters, idCol,
+        embCol, knownCount = n)
+      nearDupPairs(
+        idx.assigned.select(col("cell_id"), col(idCol), col(embCol)),
+        "cell_id", threshold, idCol, embCol)
+    } else {
+      // == Beyond-cap path: two-level coarse quantization ==
+      // A single level cannot hold mean cell size at targetCellSize
+      // past MaxCells cells (n > targetCellSize·MaxCells) — the
+      // within-cell pair mass would turn quadratic again. Split the
+      // corpus with a level-1 k-means into just enough parents that
+      // each parent needs <= maxCellsPerLevel sub-cells
+      // (k1 = ceil(kRaw / cap), itself capped), then run the grouped
+      // Lloyd kernel ([[IvfIndex.buildGroupedKMeans]]) inside each
+      // parent. Leaf capacity cap² cells (~33M rows at the defaults,
+      // 1000x the single-level boundary); level-1 stays an
+      // audit-provable broadcast, level-2 assignment is an equi-join
+      // on the parent (bounded fan per row, never broadcast). Leaf
+      // blocking key = parent·cap + sub (exact, collision-free).
+      // Gate/knob scale table: [[graft.ScaleProfile]].
+      val k1 = math.min(maxCellsPerLevel.toLong,
+        (kRaw + maxCellsPerLevel - 1L) / maxCellsPerLevel).toInt
+      val idx1 = IvfIndex.buildKMeans(corpus, k1, iters, idCol, embCol,
+        knownCount = n)
+      val leafed = IvfIndex.buildGroupedKMeans(
+        idx1.assigned.select(col("cell_id"), col(idCol), col(embCol)),
+        "cell_id", targetCellSize, maxCellsPerLevel, iters, idCol, embCol)
+        .select((col("cell_id") * maxCellsPerLevel + col("sub_cell_id"))
+          .as("__leaf"), col(idCol), col(embCol))
+      nearDupPairs(leafed, "__leaf", threshold, idCol, embCol)
+    }
   }
 
   /** The deterministic cell count [[semanticNearDupPairs]] uses:

@@ -172,6 +172,61 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(auto.nonEmpty)
   }
 
+  test("buildGroupedKMeans with one group equals global buildKMeans on " +
+      "contiguous ids (the grouped Lloyd kernel IS Lloyd)") {
+    val emb = Tables.embeddings(spark, sf) // 500 rows, ids 0..499
+    val n = emb.count()
+    val k = 4
+    // pick targetCellSize so the grouped census derives exactly k
+    // sub-cells: ceil(n/t) = 4 -> t = 125; then the rank stride over
+    // contiguous ids equals the id stride, so seeds — and every Lloyd
+    // round after them — coincide with the global kernel's
+    val t = (n + k - 1) / k
+    val grouped = IvfIndex.buildGroupedKMeans(
+        emb.withColumn("__g", lit(0L)).select($"__g", $"vec_id", $"embedding"),
+        "__g", targetCellSize = t, maxCells = 32, iters = 2)
+      .select($"vec_id".cast("long"), $"sub_cell_id".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val global = IvfIndex.buildKMeans(emb, cells = k, iters = 2)
+      .assigned.select($"vec_id".cast("long"), $"cell_id".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(grouped === global)
+    assert(grouped.values.toSet.size === k)
+  }
+
+  test("two-level semanticNearDupPairs: below-cap configs untouched; " +
+      "beyond-cap path partition-invariant, pairs within-leaf and a " +
+      "subset of brute force") {
+    val emb = Tables.embeddings(spark, sf) // 500 rows -> k = ceil(500/8) = 63
+    // below the cap the new param is inert: byte-identical pair set to
+    // the pre-two-level composition (buildKMeans at the derived k)
+    val single = SimilaritySearch.semanticNearDupPairs(emb,
+        cells = 8, iters = 2, threshold = 0.3, targetCellSize = 32L)
+      .collect().map(_.toSeq).toSet
+    val capped = SimilaritySearch.semanticNearDupPairs(emb,
+        cells = 8, iters = 2, threshold = 0.3, targetCellSize = 32L,
+        maxCellsPerLevel = 64) // ceil(500/32) = 16 <= 64: single level
+      .collect().map(_.toSeq).toSet
+    assert(capped === single)
+    // beyond the cap: two-level engages (k = 63 > 32)
+    val two = SimilaritySearch.semanticNearDupPairs(emb,
+        cells = 8, iters = 2, threshold = 0.3, targetCellSize = 8L,
+        maxCellsPerLevel = 32)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(two.nonEmpty)
+    assert(two.forall { case (a, b, c) => a < b && c > 0.3 })
+    val brute = SimilaritySearch.nearDupPairs(
+        emb.withColumn("__one", lit(1)), "__one", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(two.map(p => (p._1, p._2)).toSet.subsetOf(brute))
+    val again = SimilaritySearch.semanticNearDupPairs(emb.repartition(13),
+        cells = 8, iters = 2, threshold = 0.3, targetCellSize = 8L,
+        maxCellsPerLevel = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again === two.map(p => (p._1, p._2)).toSet)
+  }
+
   test("k-means centroids are bit-identical across input partitioning " +
       "(fixed-point means)") {
     val emb = Tables.embeddings(spark, sf)
