@@ -3352,6 +3352,19 @@ object SparkEntry {
         threshold = 0.38, contentCol = "content")
     }),
 
+    // ---- fact-corpus embedding merge (facts.py:124-147): greedy
+    // fold in fact-id order, each fact merging into the earliest
+    // surviving fact within the cosine threshold, else appending.
+    // Threshold 0.25 (not the reference's 0.80 default) because the
+    // synthetic embedding space tops out near cosine 0.47 — at 0.25
+    // the gate carries real merge structure (111 leaders / 389 merges
+    // at sf0.01) ----
+    "q288_fact_merge" -> ((s, dir) =>
+      graft.operators.EpisodeGraph.mergeFacts(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("fact_id"), col("embedding")),
+        mergeThreshold = 0.25)),
+
     // ---- episodic-memory feedback: reinforcement/recency-decayed
     // outcome scores replayed over the event log in one scan ----
     "q281_reinforce_decay" -> ((s, dir) => {
@@ -9081,6 +9094,54 @@ object SparkEntry {
          |SELECT query_id, vec_id, score, FALSE AS expanded FROM pool
          |UNION ALL
          |SELECT query_id, vec_id, score, expanded FROM nw""".stripMargin,
+
+    // the greedy fold as a recursive CTE whose ANCHOR row carries the
+    // whole thresholded candidate table (per-item sorted earlier-id
+    // lists): the recursive term references nothing but the working
+    // row, so the expensive pair join evaluates exactly once. (DuckDB
+    // 1.0 re-inlines multiply-referenced CTEs into each recursion step
+    // — and its MATERIALIZED hint is unreliable inside recursion — so
+    // carrying the state IS the only single-statement shape that runs
+    // in O(pairs).) Survivor set = greedy leader clustering; the final
+    // mapping needs no recursion once the survivors are known:
+    // leader(i) = min matching survivor id < i
+    "q288_fact_merge" -> {
+      val cosPr = s"CASE WHEN ${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")} = 0E0 " +
+        s"THEN 0E0 ELSE ${sqlDotOf("a.emb", "b.emb")} " +
+        s"/ (${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")}) END"
+      s"""WITH RECURSIVE
+         |f AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings),
+         |it AS (SELECT id, emb, ROW_NUMBER() OVER (ORDER BY id) AS r
+         |       FROM f),
+         |pr AS (SELECT a.id AS ia, b.id AS ib
+         |       FROM it a JOIN it b ON b.id < a.id
+         |       WHERE $cosPr >= 0.25E0),
+         |itc AS (SELECT it.id, it.r, coalesce(pc.cands, []) AS cands
+         |        FROM it LEFT JOIN (SELECT ia, list(ib ORDER BY ib)
+         |            AS cands FROM pr GROUP BY ia) pc ON pc.ia = it.id),
+         |st AS (
+         |  SELECT CAST(1 AS BIGINT) AS r,
+         |    [(SELECT id FROM itc WHERE r = 1)] AS s,
+         |    (SELECT list(struct_pack(id := id, cands := cands)
+         |       ORDER BY r) FROM itc) AS ac
+         |  UNION ALL
+         |  SELECT st.r + 1,
+         |    CASE WHEN list_has_any(st.s, struct_extract(
+         |        list_extract(st.ac, CAST(st.r + 1 AS INT)), 'cands'))
+         |      THEN st.s
+         |      ELSE list_append(st.s, struct_extract(
+         |        list_extract(st.ac, CAST(st.r + 1 AS INT)), 'id')) END,
+         |    st.ac
+         |  FROM st WHERE st.r < len(st.ac)),
+         |sv AS (SELECT s FROM st ORDER BY r DESC LIMIT 1),
+         |ld AS (SELECT itc.id, min(c) AS cand
+         |       FROM itc, unnest(itc.cands) AS t(c), sv
+         |       WHERE list_contains(sv.s, c) GROUP BY itc.id)
+         |SELECT itc.id AS fact_id, coalesce(ld.cand, itc.id) AS leader_id,
+         |       ld.cand IS NULL AS is_new
+         |FROM itc LEFT JOIN ld ON ld.id = itc.id""".stripMargin
+    },
 
     "q286_episode_boundaries" -> {
       val l2p = sqlL2Of("p.pemb")

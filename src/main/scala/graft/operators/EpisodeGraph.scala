@@ -213,4 +213,82 @@ object EpisodeGraph {
       else Nil)
     seg.groupBy(col("episode_idx")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Greedy fact-corpus embedding merge — the reference's no-API
+    * fallback `FactExtractor._merge_or_add` / `_merge_or_add_basic`
+    * (`experiments/episodic-memory-prototype/memory/facts.py:124-147`):
+    * facts are folded IN ORDER; each one merges into the FIRST
+    * existing fact whose embedding sits within `mergeThreshold` cosine
+    * (the merged fact keeps the existing embedding — the reference
+    * bumps `support_count` without re-embedding), else it appends as a
+    * new fact. "First in list order" = the earliest-appended survivor,
+    * which under the `idCol`-ascending processing order (the same
+    * total-order determinism deviation as [[autoLink]]) is the
+    * matching survivor with the SMALLEST id. The reference's
+    * `cosine_similarity` returns 0 on a zero-norm pair
+    * (`models.py:29-34`) — mirrored, so zero vectors never merge.
+    *
+    * == Scale posture ==
+    * The fold is sequentially dependent (each decision conditions on
+    * every prior survivor), so this is a BOUNDED DRIVER-SIDE kernel —
+    * the [[PcaRotate]] house precedent — with a LOUD cap: more than
+    * `maxFacts` input rows fails the job rather than silently
+    * truncating (a generalized-fact corpus is small by construction;
+    * shard upstream or raise the cap deliberately). Null-embedding
+    * rows are skipped, matching the reference's summary-less-episode
+    * skip (`facts.py:126-127`).
+    *
+    * Output: one row per fact — `(fact_id, leader_id, is_new)`;
+    * `leader_id = fact_id` iff the fact survived as its own leader.
+    * Per-leader `support_count` is `count(*) GROUP BY leader_id`.
+    */
+  def mergeFacts(
+      facts: DataFrame,
+      mergeThreshold: Double = 0.80,
+      idCol: String = "fact_id",
+      embCol: String = "embedding",
+      maxFacts: Int = 4096): DataFrame = {
+    require(mergeThreshold > 0.0,
+      s"mergeThreshold must be > 0 (the zero-norm guard maps degenerate " +
+        s"pairs to similarity 0), got $mergeThreshold")
+    val spark = facts.sparkSession
+    import spark.implicits._
+    val rows = facts
+      .filter(col(embCol).isNotNull)
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .orderBy(col(idCol).asc)
+      .limit(maxFacts + 1)
+      .as[(Long, Seq[Double])].collect()
+    require(rows.length <= maxFacts,
+      s"mergeFacts is a bounded driver-side fold: input exceeds " +
+        s"maxFacts=$maxFacts; shard the fact corpus or raise the cap " +
+        s"deliberately (ScaleProfile)")
+    rows.iterator.sliding(2).withPartial(false).foreach { w =>
+      require(w(0)._1 != w(1)._1,
+        s"mergeFacts needs unique $idCol values; duplicate id ${w(0)._1}")
+    }
+    val emb = rows.map(_._2.toArray)
+    // the exact per-pair arithmetic of the SQL oracle: ascending-index
+    // double fold for the dot and the squared norms, sqrt·sqrt
+    // denominator — IEEE-identical on recomputation, so the decision
+    // boundary reproduces bit-for-bit in any engine
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = emb.map(v => math.sqrt(dot(v, v)))
+    val leaders = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = rows.indices.map { i =>
+      val hit = leaders.find { j =>
+        val den = norms(i) * norms(j)
+        den != 0.0 && dot(emb(i), emb(j)) / den >= mergeThreshold
+      }
+      hit match {
+        case Some(j) => (rows(i)._1, rows(j)._1, false)
+        case None => leaders += i; (rows(i)._1, rows(i)._1, true)
+      }
+    }
+    out.toDF(idCol, "leader_id", "is_new")
+  }
 }

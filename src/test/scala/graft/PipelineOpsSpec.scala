@@ -761,6 +761,80 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(tight.exists(e => e._4 == 9L && e._6 == 1L))
   }
 
+  test("mergeFacts equals the naive facts.py greedy fold (first-match-" +
+      "wins, merged facts never lead, zero-norm guard, null skip, " +
+      "exact-threshold boundary, loud cap)") {
+    import graft.operators.EpisodeGraph
+    def vec(deg: Double) =
+      Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    // threshold 0.9 (~25.8° cone). Crafted:
+    //  1 at 0°, 2 at 90° — two leaders
+    //  3 at 20°  — cos vs 1 ≈ 0.94: merges into 1
+    //  4 at 40°  — matches NO leader (0.766 / 0.643) but matches the
+    //              MERGED fact 3 (0.94): must still become a NEW
+    //              leader (the fact list holds survivors only)
+    //  5 at 42°  — matches only leader 4 (cos 2°): merges into 4
+    //  6 at 25°  — matches BOTH 1 (0.906) and 4 (0.966): first match
+    //              in list order wins -> leader 1
+    //  7, 8 zero vectors — reference guard maps sim to 0: both lead
+    //  9 null embedding — skipped entirely
+    val facts: Seq[(Long, Option[Seq[Double]])] = Seq(
+      1L -> Some(vec(0)), 2L -> Some(vec(90)), 3L -> Some(vec(20)),
+      4L -> Some(vec(40)), 5L -> Some(vec(42)), 6L -> Some(vec(25)),
+      7L -> Some(Seq(0.0, 0.0)), 8L -> Some(Seq(0.0, 0.0)),
+      9L -> None)
+    def naive(fs: Seq[(Long, Option[Seq[Double]])], th: Double) = {
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        def dot(x: Seq[Double], y: Seq[Double]) =
+          x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+        val den = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        if (den == 0) 0.0 else dot(a, b) / den
+      }
+      val leaders = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+      fs.filter(_._2.isDefined).sortBy(_._1).map { case (id, Some(e)) =>
+        leaders.find { case (_, le) => cos(e, le) >= th } match {
+          case Some((lid, _)) => (id, lid, false)
+          case None => leaders += ((id, e)); (id, id, true)
+        }
+      }.toSet
+    }
+    def run(fs: Seq[(Long, Option[Seq[Double]])], th: Double,
+        parts: Int = 3, cap: Int = 4096) =
+      EpisodeGraph.mergeFacts(
+        fs.toDF("fact_id", "embedding").repartition(parts),
+        mergeThreshold = th, maxFacts = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val got = run(facts, 0.9)
+    assert(got === naive(facts, 0.9))
+    assert(run(facts, 0.9, parts = 7) === got) // partition invariance
+    val m = got.map(e => e._1 -> e._2).toMap
+    assert(m(3L) === 1L)
+    assert(m(4L) === 4L)               // merged fact 3 never leads
+    assert(m(5L) === 4L)
+    assert(m(6L) === 1L)               // first-match-wins over fact 4
+    assert(m(7L) === 7L && m(8L) === 8L) // zero-norm guard
+    assert(!m.contains(9L))            // null embedding skipped
+    // exact-threshold boundary: cos((3,4),(5,0)) = 15/(5·5) = 0.6
+    // exactly in binary64 — >= merges at 0.6, not above it
+    val edge = Seq(10L -> Some(Seq(3.0, 4.0)), 11L -> Some(Seq(5.0, 0.0)))
+    assert(run(edge, 0.6).map(e => (e._1, e._2)).toMap.apply(11L) === 10L)
+    assert(run(edge, 0.6000000000000001)
+      .map(e => (e._1, e._2)).toMap.apply(11L) === 11L)
+    // naive-equality on a wider pseudo-random corpus (decision chains
+    // several leaders deep)
+    val wide = (0L until 60L).map(i =>
+      i -> Some(vec((i * 37 % 360).toDouble)))
+    assert(run(wide, 0.93) === naive(wide, 0.93))
+    // loud cap: more rows than maxFacts fails rather than truncating
+    val err = intercept[Exception] { run(facts, 0.9, cap = 5) }
+    assert(err.getMessage.contains("maxFacts"))
+    // duplicate ids refused
+    val dup = Seq(1L -> Some(vec(0)), 1L -> Some(vec(5)))
+    val err2 = intercept[Exception] { run(dup, 0.9) }
+    assert(err2.getMessage.contains("unique"))
+  }
+
   test("ensureCounterExample: appends best unselected counter row only " +
       "where the slate lacks one and the pool has one") {
     import graft.operators.Pipeline
