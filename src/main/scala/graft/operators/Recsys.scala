@@ -35,12 +35,23 @@ object Recsys {
   def covisitation(
       events: DataFrame,
       recentPerUser: Int = 30,
+      minUsers: Long = 2): DataFrame =
+    covisitationOnItems(
+      events
+        .select(col("user_id"), itemOf(col("props")).as("item_id"), col("ts"))
+        .filter(col("item_id").isNotNull),
+      recentPerUser, minUsers)
+
+  /** [[covisitation]] on an already-parsed `(user_id, item_id, ts)`
+    * projection — lets callers that need the event stream for other
+    * legs too ([[candidateRecallAtK]]) scan and JSON-parse it once. */
+  private[operators] def covisitationOnItems(
+      items: DataFrame,
+      recentPerUser: Int = 30,
       minUsers: Long = 2): DataFrame = {
     val byRecency = Window.partitionBy(col("user_id"))
       .orderBy(col("__last").desc, col("item_id").asc)
-    val capped = events
-      .select(col("user_id"), itemOf(col("props")).as("item_id"), col("ts"))
-      .filter(col("item_id").isNotNull)
+    val capped = items
       .groupBy(col("user_id"), col("item_id")).agg(max(col("ts")).as("__last"))
       .withColumn("__rn", row_number().over(byRecency))
       .filter(col("__rn") <= recentPerUser)
@@ -108,7 +119,17 @@ object Recsys {
       k: Int = 5,
       recentPerUser: Int = 30,
       minUsers: Long = 2): DataFrame = {
-    val cov = covisitation(events, recentPerUser, minUsers)
+    // ONE parsed projection feeds both legs: the event stream is
+    // scanned (and JSON-parsed — the expensive per-row step) once,
+    // not once per leg
+    val parsed = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        itemOf(col("props")).as("__item"))
+      .filter(col("__item").isNotNull)
+      .localCheckpoint()
+    val cov = covisitationOnItems(
+      parsed.select(col("user_id"), col("__item").as("item_id"), col("ts")),
+      recentPerUser, minUsers)
     val adj = cov
       .select(col("item_a").as("__node"), col("item_b").as("__nbr"),
         col("n_users"))
@@ -122,17 +143,22 @@ object Recsys {
       .select(col("__node"), col("__nbr"))
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
-    val trans = events
-      .select(col("user_id"), col("ts"), col("event_id"),
-        itemOf(col("props")).as("__item"))
-      .filter(col("__item").isNotNull)
+    // pre-aggregate transitions to (prev, item, count) BEFORE the
+    // candidate join: the join input shrinks from every event to at
+    // most |items|² rows, and the final aggregation sums counts
+    // instead of streaming event rows — same totals, bit-identical
+    // recall
+    val transAgg = parsed
       .withColumn("__prev", lag(col("__item"), 1).over(byTime))
       .filter(col("__prev").isNotNull && col("__prev") =!= col("__item"))
-    trans
-      .join(topk, trans("__prev") === topk("__node") &&
-        trans("__item") === topk("__nbr"), "left")
-      .agg(count(lit(1)).as("n_transitions"),
-        count(col("__node")).as("n_hits"))
+      .groupBy(col("__prev"), col("__item"))
+      .agg(count(lit(1)).as("__tn"))
+    transAgg
+      .join(topk, transAgg("__prev") === topk("__node") &&
+        transAgg("__item") === topk("__nbr"), "left")
+      .agg(coalesce(sum(col("__tn")), lit(0L)).as("n_transitions"),
+        coalesce(sum(when(col("__node").isNotNull, col("__tn"))
+          .otherwise(0L)), lit(0L)).as("n_hits"))
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_transitions").cast("double"))
   }
