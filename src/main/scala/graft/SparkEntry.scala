@@ -4956,16 +4956,27 @@ object SparkEntry {
 
     // hyperbolic decay: floor(micro / (1 + age_days)) is exact binary64
     // in both engines; the per-user sum is an exact long
-    "q107_decayed_engagement" ->
-      """WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
-        |c AS (SELECT user_id,
-        |    CAST(floor(CAST(CAST(floor(value * 1000000) AS BIGINT) AS DOUBLE)
-        |      / CAST(1 + date_diff('day', CAST(ts AS DATE), a.anchor)
-        |             AS DOUBLE)) AS BIGINT) AS cm
-        |  FROM events CROSS JOIN a)
-        |SELECT user_id, CAST(SUM(cm) AS DOUBLE) / 1000000.0 AS decayed,
-        |  COUNT(*) AS n_events
-        |FROM c GROUP BY user_id""".stripMargin,
+    // recency_micro: encoder.py's half-life weight exp(-λ·Δh) at the
+    // user's latest event; λ is the SAME Scala-computed double planted
+    // as a literal on both sides (shared-literal contract), Δhours
+    // from exact epoch-ms longs, and the weight micro-rounds before
+    // compare so libm exp's last ulp can't flip the hash
+    "q107_decayed_engagement" -> {
+      val lam = graft.operators.Recsys.timeDecayLambda(24.0)
+      s"""WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor,
+         |    MAX(ts) AS anchor_ts FROM events),
+         |c AS (SELECT user_id,
+         |    CAST(floor(CAST(CAST(floor(value * 1000000) AS BIGINT) AS DOUBLE)
+         |      / CAST(1 + date_diff('day', CAST(ts AS DATE), a.anchor)
+         |             AS DOUBLE)) AS BIGINT) AS cm,
+         |    CAST(round(exp(-$lam * greatest(
+         |        CAST(epoch_ms(a.anchor_ts) - epoch_ms(ts) AS DOUBLE)
+         |          / 3600000.0E0, 0.0E0)) * 1000000.0E0) AS BIGINT) AS dm
+         |  FROM events CROSS JOIN a)
+         |SELECT user_id, CAST(SUM(cm) AS DOUBLE) / 1000000.0 AS decayed,
+         |  COUNT(*) AS n_events, MAX(dm) AS recency_micro
+         |FROM c GROUP BY user_id""".stripMargin
+    },
 
     // DuckDB's empty list() frame is NULL where Spark's collect_list
     // is []; both sides drop context-less first events, so the

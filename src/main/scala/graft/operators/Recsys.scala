@@ -476,23 +476,63 @@ object Recsys {
         col("value_sum"), col("recency_days"), col("churned"))
   }
 
+  /** The reference encoder's half-life recency weight
+    * (`experiments/episodic-memory-prototype/memory/encoder.py:88-103`):
+    * `exp(−λ·Δhours)` with `λ = ln 2 / max(halfLife, 1e-9)` and
+    * `Δhours = max((reference − ts) in hours, 0)` — 1.0 at the
+    * reference instant, 0.5 one half-life back, → 0 with age. Pure
+    * per-row arithmetic (codegen'd, no shuffle). Δhours derives from
+    * exact epoch-millisecond longs, so the exp ARGUMENT is
+    * bit-reproducible in any engine; `exp` itself is not (Spark
+    * evaluates StrictMath.exp, which differs from Math.exp and
+    * DuckDB's libm in the last ulp for some arguments) — oracle-gated
+    * outputs must micro-round the weight (q107's `recency_micro`
+    * does), which absorbs a last-ulp difference except within ~2⁻⁴²
+    * of a rounding boundary. */
+  def timeDecay(
+      ts: Column,
+      reference: Column,
+      halfLifeHours: Double = 24.0): Column =
+    exp(lit(-timeDecayLambda(halfLifeHours)) * greatest(
+      (unix_millis(reference) - unix_millis(ts)).cast("double")
+        / lit(3600000.0),
+      lit(0.0)))
+
+  /** `λ = ln 2 / max(halfLife, 1e-9)` (`encoder.py:40`) — public so an
+    * oracle can embed the IDENTICAL double as a literal (the
+    * shared-literal contract: `Double.toString` round-trips, so both
+    * engines evaluate exp at the same argument). */
+  def timeDecayLambda(halfLifeHours: Double): Double =
+    math.log(2) / math.max(halfLifeHours, 1e-9)
+
   /** Time-decayed engagement profile per user: each event contributes
     * `value / (1 + age_days)` (hyperbolic decay — exact in binary64,
     * unlike exp/pow whose libm rounding differs across engines), age
     * measured against the corpus max date. Contributions quantize to
-    * micro-unit longs so the per-user sum is order-independent. */
-  def decayedEngagement(events: DataFrame): DataFrame = {
-    val anchor = events.agg(max(to_date(col("ts"))).as("__anchor"))
+    * micro-unit longs so the per-user sum is order-independent.
+    * `recency_micro` is the [[timeDecay]] half-life weight of the
+    * user's LATEST event against the corpus max timestamp,
+    * micro-rounded (a long — exact to compare, and the max over a
+    * user's events since decay is monotone in ts). */
+  def decayedEngagement(
+      events: DataFrame,
+      halfLifeHours: Double = 24.0): DataFrame = {
+    val anchor = events.agg(max(to_date(col("ts"))).as("__anchor"),
+      max(col("ts")).as("__anchor_ts"))
     val contrib = floor(
       floor(col("value").cast("double") * 1e6).cast("long").cast("double") /
         (lit(1) + datediff(col("__anchor"), to_date(col("ts"))))
           .cast("double")).cast("long")
+    val decayMicro = round(
+      timeDecay(col("ts"), col("__anchor_ts"), halfLifeHours) * lit(1e6))
+      .cast("long")
     events.select(col("user_id"), col("ts"), col("value"))
       .crossJoin(broadcast(anchor))
-      .select(col("user_id"), contrib.as("__cm"))
+      .select(col("user_id"), contrib.as("__cm"), decayMicro.as("__dm"))
       .groupBy(col("user_id"))
       .agg((sum(col("__cm")).cast("double") / lit(1e6)).as("decayed"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        max(col("__dm")).as("recency_micro"))
   }
 
   /** Triangle count + global clustering coefficient of an undirected

@@ -74,17 +74,45 @@ class RecsysSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(te(4L) - ((0.0 + 2.0 * prior) / 2.0 / 1e6)) < 1e-12)
   }
 
-  test("decayedEngagement weights value by 1/(1+age_days)") {
+  test("decayedEngagement weights value by 1/(1+age_days); " +
+      "recency_micro is the half-life weight of the latest event") {
     val df = eventsDf(Seq(
       ev(1, 1, "view", 4.0, 0, "2024-01-03 08:00:00"), // age 0 -> 4.0
       ev(2, 1, "view", 4.0, 0, "2024-01-01 23:00:00"), // age 2 -> 4/3
       ev(3, 2, "view", 1.5, 0, "2024-01-02 00:00:00"))) // age 1 -> 0.75
     val got = Recsys.decayedEngagement(df)
-      .as[(Long, Double, Long)].collect()
-      .map { case (u, d, n) => (u, (d, n)) }.toMap
-    assert(got(2L) === ((0.75, 1L)))
-    val expect1 = (4000000L + math.floor(4000000.0 / 3.0).toLong) / 1e6
-    assert(got(1L) === ((expect1, 2L)))
+      .as[(Long, Double, Long, Long)].collect()
+      .map { case (u, d, n, r) => (u, (d, n, r)) }.toMap
+    // user 1's latest IS the anchor: decay exp(0) = 1 -> 1e6 micro
+    assert(got(1L)._3 === 1000000L)
+    assert(got(1L)._1 ===
+      (4000000L + math.floor(4000000.0 / 3.0).toLong) / 1e6)
+    assert(got(1L)._2 === 2L)
+    // user 2's latest sits 32 h before the anchor: exp(-ln2/24 · 32)
+    val lam = Recsys.timeDecayLambda(24.0)
+    assert(got(2L) ===
+      ((0.75, 1L, math.round(StrictMath.exp(-lam * 32.0) * 1e6))))
+  }
+
+  test("timeDecay: 1 at the reference, 0.5 at one half-life, clamps " +
+      "future timestamps to 1 (encoder.py:88-103)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-02 00:00:00")), // at ref
+      (2L, ts("2024-01-01 00:00:00")), // one half-life (24 h) back
+      (3L, ts("2024-01-03 00:00:00")), // FUTURE: Δ clamps to 0
+      (4L, ts("2024-01-01 12:00:00"))) // half a half-life
+      .toDF("id", "t")
+    val got = rows.select($"id", Recsys.timeDecay($"t",
+        lit(ts("2024-01-02 00:00:00")), halfLifeHours = 24.0).as("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 1.0)
+    // Spark's Exp evaluates via StrictMath (1 ulp off Math.exp for
+    // some arguments) — one more reason gated outputs micro-round
+    assert(got(2L) === StrictMath.exp(-Recsys.timeDecayLambda(24.0) * 24.0))
+    assert(math.abs(got(2L) - 0.5) < 1e-15)
+    assert(got(3L) === 1.0) // the reference's max(Δ, 0) floor
+    assert(got(4L) === StrictMath.exp(-Recsys.timeDecayLambda(24.0) * 12.0))
   }
 
   test("nextItemExamples builds trailing contexts, drops first events") {
