@@ -9366,12 +9366,19 @@ object SparkEntry {
     * rotation literals, q150's CPython-zlib sizes) swapped for the
     * pins matching `dir` — so the cross-sf harness gets a live
     * compare at sf0.001/sf0.01/sf0.1 instead of a known-mismatch.
+    * For a dir with NO pin (exact sf-basename match — sf1, renamed
+    * copies) the two entries are OMITTED entirely: the harness records
+    * a skip, never a false mismatch against another sf's pins.
     * [[Verify]] dumps this for whatever dir it runs; the driver's
     * sf0.01 run emits exactly the classic [[oracleSql]] content. */
   def oracleSqlFor(dir: String): Map[String, String] =
-    oracleSql ++ Map(
-      "q139_ann_opq_rotated" -> sqlQ139For(Q139Rotation.forDir(dir)),
-      "q150_compression_ratio" -> sqlQ150For(Q150Deflate.forDir(dir)))
+    oracleSql --
+      (if (Q139Rotation.forDir(dir).isEmpty)
+        Seq("q139_ann_opq_rotated", "q150_compression_ratio") else Nil) ++
+      Q139Rotation.forDir(dir).map(p =>
+        "q139_ann_opq_rotated" -> sqlQ139For(p)).toMap ++
+      Q150Deflate.forDir(dir).map(p =>
+        "q150_compression_ratio" -> sqlQ150For(p)).toMap
 
   /** Two exact Lloyd rounds on the q38 stride seed (cells = 8): CTEs
     * `e` (double embeddings), `c0` (seed), per-round `a{i}` (argmin

@@ -455,7 +455,16 @@ object Ingest {
     * the OPEN session (both ends) but can never reopen an
     * already-emitted one — closed sessions are final, so under such
     * disorder the split points may differ from a batch re-run, as
-    * with any incremental sessionizer. After a timeout-close the
+    * with any incremental sessionizer. "Watermark-compliant" here
+    * means above the EVICTION watermark, not Spark's late-events
+    * admission filter: in a chained-stateful pipeline (where the
+    * admission watermark lags the eviction one by a batch) rows Spark
+    * admits into the gap `[lateEventsWM, evictionWM)` are still
+    * dropped by the handler's re-filter — a deliberately STRICTER cut
+    * than admission, chosen so the session boundaries depend only on
+    * the eviction clock that also drives timeout-closes (one clock,
+    * one deterministic answer), at the cost of not widening an open
+    * session with a row the admission filter would have let through. After a timeout-close the
     * user's index survives as an n=0 marker for `64·gap` of event
     * time (then the numbering restarts), so indexes stay batch-equal
     * across any quiet period shorter than that retention.

@@ -62,6 +62,18 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val ok = SimilaritySearch.topK(corpus, queries, k = 1, maxQueries = 4)
       .select("query_id").as[Long].collect().toSet
     assert(ok === Set(100L, 101L, 102L, 103L))
+    // EMPTY-OUTPUT over-cap: a filter rejecting the whole corpus leaves
+    // zero output rows, where the per-row assertion alone is blind —
+    // the sentinel leg must still raise
+    val e2 = intercept[Exception] {
+      SimilaritySearch.topK(corpus, queries, k = 1, maxQueries = 2,
+        filters = lit(false)).count()
+    }
+    assert(e2.getMessage.contains("over the cap") ||
+      Option(e2.getCause).exists(_.getMessage.contains("over the cap")))
+    // and an empty output WITHIN the cap stays a clean empty result
+    assert(SimilaritySearch.topK(corpus, queries, k = 1, maxQueries = 4,
+      filters = lit(false)).count() === 0L)
   }
 
   test("LSH candidates: recall of identical vectors is 1, pairs deduped") {
