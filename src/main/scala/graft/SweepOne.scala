@@ -51,12 +51,17 @@ object SweepOne {
           .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         System.gc()
+        // MIN over the passes, not median: timing noise is additive
+        // (GC pause, page faults, JIT deopt), so the minimum is the
+        // robust estimator of intrinsic cost — a single pass was
+        // observed to swing 3x on a 7 s query even in a fresh JVM,
+        // enough to push a legitimate exponent over the flag line
         val ts = (1 to passes).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, d).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        ts(ts.length / 2)
+        }
+        ts.min
       } catch { case _: Throwable => -1.0 }
     }
     println(s"""SWEEPONE_RESULT {"times":[${times.map(jnum).mkString(",")}]}""")
