@@ -3352,6 +3352,83 @@ object SparkEntry {
         threshold = 0.38, contentCol = "content")
     }),
 
+    // ---- retrieval boost scoring + causal narrative
+    // (retriever.py:91-101 _episode_score, 227-237 _build_narrative):
+    // cosine boosted ×1.25 for failures then ×1.5 on state match,
+    // top-5 slate per query, and the slate rendered as the " → "
+    // narrative (summary[:60] with id fallback, state/outcome tags) ----
+    "q289_retrieval_narrative" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val arrT = emb.schema("embedding").dataType
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("__qe"),
+          concat(lit("s"), (col("label") % 5).cast("string")).as("__cur"))
+        .orderBy(col("query_id")).limit(8)
+      val eps = emb.select(col("vec_id"),
+        when(col("label") === 9, lit(null).cast(arrT))
+          .otherwise(col("embedding")).as("__e"),
+        when(col("label") === 0, "")
+          .otherwise(concat(lit("s"), (col("label") % 5).cast("string")))
+          .as("state"),
+        when(col("label") % 3 === 0, "success").otherwise("failure")
+          .as("outcome"),
+        when(col("vec_id") % 11 === 0, "")
+          .otherwise(concat(lit("episode "), col("vec_id").cast("string")))
+          .as("summary"))
+      val base = coalesce(graft.functions.Similarity.cosine(
+        col("__e").cast("array<double>"), col("__qe")), lit(0.0))
+      val scored = eps.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("state"),
+          col("outcome"), col("summary"),
+          Pipeline.episodeBoostScore(base, col("outcome"), col("state"),
+            col("__cur")).as("score"))
+      val slate = scored.withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 5)
+      val narr = Pipeline.buildNarrative(slate, Seq("query_id"),
+        "vec_id", "rank", "summary", "state", "outcome")
+      slate.select(col("query_id"), col("rank"), col("vec_id"),
+          col("score"))
+        .join(broadcast(narr), "query_id")
+    }),
+
+    // ---- state-preferred fact fetch (retriever.py:214-223): per
+    // query, top-3 of the state-applicable facts inside the top-6
+    // pool, falling back to the overall top-3 when nothing matches;
+    // query 3 has the empty state (preference skipped), queries ≡ 2
+    // (mod 3) carry a state no fact names — those groups fall back
+    // wherever their top-6 lacks a universal fact ----
+    "q290_state_facts" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("__qe"),
+          when(col("vec_id") === 3, "")
+            .when(col("vec_id") % 3 === 2, "zz")
+            .otherwise(concat(lit("s"), (col("label") % 5).cast("string")))
+            .as("__cur"))
+        .orderBy(col("query_id")).limit(8)
+      val facts = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__fe"),
+        when(col("vec_id") % 7 === 3, array().cast("array<string>"))
+          .otherwise(array(concat(lit("s"),
+            (col("label") % 5).cast("string")))).as("applicable"))
+      val scored = facts.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("applicable"),
+          col("__cur").as("cur_state"),
+          graft.functions.Similarity.cosine(col("__fe"), col("__qe"))
+            .as("score"))
+      Pipeline.preferStateApplicable(scored, Seq("query_id"), "vec_id",
+          "score", "applicable", "cur_state", k = 3)
+        .select(col("query_id"), col("vec_id"), col("score"),
+          col("matched"))
+    }),
+
     // ---- fact-corpus embedding merge (facts.py:124-147): greedy
     // fold in fact-id order, each fact merging into the earliest
     // surviving fact within the cosine threshold, else appending.
@@ -9105,6 +9182,88 @@ object SparkEntry {
          |SELECT query_id, vec_id, score, FALSE AS expanded FROM pool
          |UNION ALL
          |SELECT query_id, vec_id, score, expanded FROM nw""".stripMargin,
+
+    // boost chain written structurally identically to
+    // Pipeline.episodeBoostScore (coalesced base, ×1.25E0 on failure,
+    // then ×1.5E0 on state match); narrative via ordered string_agg
+    "q289_retrieval_narrative" -> {
+      val cosQE = sqlCosOf("e.emb", "q.qe")
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS qe,
+         |    's' || CAST(label % 5 AS VARCHAR) AS cur
+         |  FROM embeddings WHERE vec_id < 8),
+         |ep AS (SELECT vec_id,
+         |    CASE WHEN label = 9 THEN NULL
+         |      ELSE CAST(embedding AS DOUBLE[]) END AS emb,
+         |    CASE WHEN label = 0 THEN ''
+         |      ELSE 's' || CAST(label % 5 AS VARCHAR) END AS state,
+         |    CASE WHEN label % 3 = 0 THEN 'success'
+         |      ELSE 'failure' END AS outcome,
+         |    CASE WHEN vec_id % 11 = 0 THEN ''
+         |      ELSE 'episode ' || CAST(vec_id AS VARCHAR) END AS summary
+         |  FROM embeddings),
+         |sc AS (SELECT q.query_id, e.vec_id, e.state, e.outcome,
+         |    e.summary,
+         |    (CASE WHEN q.cur <> '' AND e.state = q.cur
+         |       THEN (CASE WHEN e.outcome = 'failure'
+         |               THEN coalesce($cosQE, 0E0) * 1.25E0
+         |               ELSE coalesce($cosQE, 0E0) END) * 1.5E0
+         |       ELSE (CASE WHEN e.outcome = 'failure'
+         |               THEN coalesce($cosQE, 0E0) * 1.25E0
+         |               ELSE coalesce($cosQE, 0E0) END) END) AS score
+         |  FROM ep e, q WHERE e.vec_id <> q.query_id),
+         |slate AS (SELECT query_id, vec_id, state, outcome, summary,
+         |    score, CAST(rnk AS INT) AS rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rnk FROM sc)
+         |  WHERE rnk <= 5),
+         |lb AS (SELECT query_id, vec_id, score, rank,
+         |    (CASE WHEN summary <> '' THEN substr(summary, 1, 60)
+         |       ELSE CAST(vec_id AS VARCHAR) END)
+         |    || (CASE WHEN state <> '' THEN ' [' || state || ']'
+         |          ELSE '' END)
+         |    || (CASE WHEN outcome <> '' THEN ', outcome=' || outcome
+         |          ELSE '' END) AS label
+         |  FROM slate),
+         |narr AS (SELECT query_id,
+         |    string_agg(label, ' → ' ORDER BY rank) AS narrative
+         |  FROM lb GROUP BY 1)
+         |SELECT s.query_id, s.rank, s.vec_id, s.score, n.narrative
+         |FROM slate s JOIN narr n ON n.query_id = s.query_id"""
+        .stripMargin
+    },
+
+    // the same pool/flag/rank windows as preferStateApplicable; empty
+    // list means universally applicable, query 3 skips the preference
+    "q290_state_facts" ->
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS qe,
+         |    CASE WHEN vec_id = 3 THEN ''
+         |      WHEN vec_id % 3 = 2 THEN 'zz'
+         |      ELSE 's' || CAST(label % 5 AS VARCHAR) END AS cur
+         |  FROM embeddings WHERE vec_id < 8),
+         |f AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    CASE WHEN vec_id % 7 = 3 THEN CAST([] AS VARCHAR[])
+         |      ELSE ['s' || CAST(label % 5 AS VARCHAR)] END AS app
+         |  FROM embeddings),
+         |sc AS (SELECT q.query_id, f.vec_id, f.app, q.cur,
+         |    ${sqlCosOf("f.emb", "q.qe")} AS score
+         |  FROM f, q WHERE f.vec_id <> q.query_id),
+         |pool AS (SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS pr FROM sc)
+         |  WHERE pr <= 6),
+         |fl AS (SELECT *, cur <> '' AND (len(app) = 0
+         |    OR list_contains(app, cur)) AS m FROM pool),
+         |wh AS (SELECT *, MAX(CASE WHEN m THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY query_id) AS has FROM fl),
+         |mr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, m
+         |    ORDER BY pr) AS mrk FROM wh)
+         |SELECT query_id, vec_id, score,
+         |  (cur <> '' AND m) AS matched
+         |FROM mr
+         |WHERE (cur <> '' AND has = 1 AND m AND mrk <= 3)
+         |   OR ((cur = '' OR has = 0) AND pr <= 3)""".stripMargin,
 
     // the greedy fold as a recursive CTE whose ANCHOR row carries the
     // whole thresholded candidate table (per-item sorted earlier-id

@@ -357,6 +357,116 @@ object Pipeline {
     sel.unionByName(appended.select(sel.columns.map(col): _*))
   }
 
+  /** Retrieval-time episode boost scoring
+    * (`experiments/episodic-memory-prototype/memory/retriever.py:91-101`
+    * `_episode_score`): the raw query-episode similarity is multiplied
+    * by `failureBoost` when the episode FAILED (failures teach more)
+    * and then by `stateMatchBoost` when the episode's state equals the
+    * retrieval's current state (and the current state is non-empty) —
+    * multiplication in exactly that order, so the expression
+    * reproduces bit-for-bit in SQL. Callers mirror the reference's
+    * missing-embedding rule (`retriever.py:94-95` → score 0.0) by
+    * coalescing the similarity input to 0. Pure column expression —
+    * codegen'd, no shuffle. */
+  def episodeBoostScore(
+      sim: Column,
+      outcome: Column,
+      state: Column,
+      currentState: Column,
+      failureBoost: Double = 1.25,
+      stateMatchBoost: Double = 1.5,
+      failureValue: String = "failure"): Column = {
+    val f = when(outcome === failureValue, sim * lit(failureBoost))
+      .otherwise(sim)
+    when(currentState =!= "" && state === currentState,
+      f * lit(stateMatchBoost)).otherwise(f)
+  }
+
+  /** Causal-narrative assembly
+    * (`retriever.py:227-237` `_build_narrative`): one row per group —
+    * the slate's episodes in rank order rendered as
+    * `"<summary[:60]>[ [state]][, outcome=<outcome>]"` joined with
+    * `" → "`; an episode with an empty summary falls back to its id.
+    * One hash aggregation; the in-group order is imposed by sorting
+    * the collected (rank, label) structs, not by the aggregation
+    * order, so the result is partition-invariant. */
+  def buildNarrative(
+      slate: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      rankCol: String,
+      summaryCol: String,
+      stateCol: String,
+      outcomeCol: String,
+      out: String = "narrative"): DataFrame = {
+    val label = concat(
+      when(col(summaryCol).isNotNull && col(summaryCol) =!= "",
+        substring(col(summaryCol), 1, 60))
+        .otherwise(col(idCol).cast("string")),
+      when(col(stateCol).isNotNull && col(stateCol) =!= "",
+        concat(lit(" ["), col(stateCol), lit("]"))).otherwise(lit("")),
+      when(col(outcomeCol).isNotNull && col(outcomeCol) =!= "",
+        concat(lit(", outcome="), col(outcomeCol))).otherwise(lit("")))
+    slate.groupBy(groupCols.map(col): _*)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(rankCol).as("r"),
+            label.as("l")))),
+          x => x.getField("l")),
+        " → ").as(out))
+  }
+
+  /** State-preferred fact fetch
+    * (`retriever.py:214-223` `_fetch_facts`): from each group's top
+    * `2k` facts by score, keep the `k` best that are APPLICABLE to the
+    * current state (an empty/null `applicableCol` array means
+    * universally applicable — the offline extractor never populates
+    * it, so this filter only bites on curated fact tables); a group
+    * with NO applicable fact falls back to its `k` best overall, and a
+    * group whose current state is empty skips the preference entirely
+    * (the reference's `if not state` early return). Output: the
+    * selected fact rows + `matched` (did the state preference pick
+    * this row).
+    *
+    * == Scale ==
+    * Two rank windows and one per-group max — all keyed on the group;
+    * the 2k pool bound is the reference's own, so per-group work is
+    * O(k log k). */
+  def preferStateApplicable(
+      facts: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      scoreCol: String,
+      applicableCol: String,
+      stateCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val byScore = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val pool = facts
+      .withColumn("__pr", row_number().over(byScore))
+      .filter(col("__pr") <= 2 * k)
+    val flagged = pool.withColumn("__m",
+      col(stateCol) =!= "" &&
+        (col(applicableCol).isNull || size(col(applicableCol)) === 0 ||
+          array_contains(col(applicableCol), col(stateCol))))
+    val withHas = flagged.withColumn("__has",
+      max(when(col("__m"), 1).otherwise(0))
+        .over(Window.partitionBy(g: _*)))
+    val mRank = Window.partitionBy(g :+ col("__m"): _*)
+      .orderBy(col("__pr").asc)
+    withHas
+      .withColumn("__mr", row_number().over(mRank))
+      .filter(
+        (col(stateCol) =!= "" && col("__has") === 1 && col("__m") &&
+          col("__mr") <= k) ||
+        ((col(stateCol) === "" || col("__has") === 0) && col("__pr") <= k))
+      .withColumn("matched", col(stateCol) =!= "" && col("__m"))
+      .drop("__pr", "__m", "__has", "__mr")
+  }
+
   /** Reinforcement-decayed episode scoring
     * (`experiments/episodic-memory-prototype/memory/reinforcer.py`
     * `_update_episode_scores` over `retriever.py:91-104` outcomes):

@@ -761,6 +761,74 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(tight.exists(e => e._4 == 9L && e._6 == 1L))
   }
 
+  test("episodeBoostScore: boost order and guards match retriever.py " +
+      "_episode_score") {
+    import graft.operators.Pipeline
+    val rows = Seq(
+      // sim, outcome, state, current
+      (0.4, "failure", "a", "a"),  // both boosts: 0.4·1.25·1.5 = 0.75
+      (0.4, "failure", "a", "b"),  // failure only: 0.5
+      (0.4, "success", "a", "a"),  // state only: 0.6000000000000001
+      (0.4, "success", "a", ""),   // empty current: no state boost
+      (-0.4, "failure", "a", "a"), // negative sims boost too (reference)
+      (0.0, "failure", "a", "a"))  // the missing-embedding 0 stays 0
+      .toDF("sim", "outcome", "state", "cur")
+    val got = rows.select(Pipeline.episodeBoostScore($"sim", $"outcome",
+      $"state", $"cur").as("s")).as[Double].collect().toSeq
+    assert(got === Seq(0.4 * 1.25 * 1.5, 0.4 * 1.25, 0.4 * 1.5, 0.4,
+      -0.4 * 1.25 * 1.5, 0.0))
+  }
+
+  test("buildNarrative: rank order, id fallback, tag suppression, " +
+      "partition invariance (retriever.py _build_narrative)") {
+    import graft.operators.Pipeline
+    val slate = Seq(
+      (1L, 2, 20L, "second ep", "a", "failure"),
+      (1L, 1, 10L, "first ep", "", "success"),   // no state tag
+      (1L, 3, 30L, "", "b", ""),                 // id fallback, no outcome tag
+      (2L, 1, 40L, "x" * 70, "c", "success"))    // summary truncates to 60
+      .toDF("q", "rank", "id", "summary", "state", "outcome")
+    def run(parts: Int) = Pipeline.buildNarrative(slate.repartition(parts),
+        Seq("q"), "id", "rank", "summary", "state", "outcome")
+      .as[(Long, String)].collect().toMap
+    val got = run(1)
+    assert(got(1L) ===
+      "first ep, outcome=success → second ep [a], outcome=failure → 30 [b]")
+    assert(got(2L) === "x" * 60 + " [c], outcome=success")
+    assert(run(7) === got)
+  }
+
+  test("preferStateApplicable: matched top-k, universal facts, " +
+      "fallback, empty-state skip, 2k pool bound (retriever.py " +
+      "_fetch_facts)") {
+    import graft.operators.Pipeline
+    // group A (state s1): facts 1 (universal, null), 2 (s1), 3 (s2),
+    //   4 (s1 but OUTSIDE the top-2k pool at k=1) — expect top-1 of
+    //   matched = fact 1 (highest-scored applicable in pool)
+    // group B (state zz): no applicable fact in pool -> fallback top-1
+    // group C (state ''): preference skipped -> top-1, matched=false
+    val rows = Seq(
+      ("A", 1L, 0.9, null.asInstanceOf[Seq[String]], "s1"),
+      ("A", 2L, 0.8, Seq("s1"), "s1"),
+      ("A", 3L, 0.7, Seq("s2"), "s1"),
+      ("A", 4L, 0.6, Seq("s1"), "s1"), // pr=4 > 2k=2: never eligible
+      ("B", 5L, 0.9, Seq("s9"), "zz"),
+      ("B", 6L, 0.8, Seq("s8"), "zz"),
+      ("C", 7L, 0.9, Seq("s1"), ""),
+      ("C", 8L, 0.8, Seq("s1"), ""))
+      .toDF("q", "fact_id", "score", "app", "cur")
+    val got = Pipeline.preferStateApplicable(rows, Seq("q"), "fact_id",
+        "score", "app", "cur", k = 1)
+      .select($"q", $"fact_id", $"matched")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(got === Set(("A", 1L, true), ("B", 5L, false), ("C", 7L, false)))
+    // k=2 on group A: pool = {1, 2, 3, 4}, matched within pool = {1, 2}
+    val gotA = Pipeline.preferStateApplicable(rows.filter($"q" === "A"),
+        Seq("q"), "fact_id", "score", "app", "cur", k = 2)
+      .select($"fact_id").as[Long].collect().toSet
+    assert(gotA === Set(1L, 2L))
+  }
+
   test("mergeFacts equals the naive facts.py greedy fold (first-match-" +
       "wins, merged facts never lead, zero-norm guard, null skip, " +
       "exact-threshold boundary, loud cap)") {
