@@ -195,6 +195,56 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
     assert(paras === Set((1L, 1L)))
   }
 
+  test("round-11 episodic operators on empty and single-row inputs") {
+    import graft.operators.{EpisodeGraph, Pipeline}
+    val emptyEntries = Seq.empty[(Long, Long, String, Seq[Double])]
+      .toDF("entry_id", "ts", "state", "embedding")
+    assert(EpisodeGraph.detectEpisodes(emptyEntries).count() === 0L)
+    // a single entry is one episode (no pair, no boundary)
+    val one = Seq((1L, 10L, "a", Seq(1.0, 0.0)))
+      .toDF("entry_id", "ts", "state", "embedding")
+    val ep = EpisodeGraph.detectEpisodes(one).collect()
+    assert(ep.length === 1 && ep.head.getLong(5) === 1L)
+    // mergeFacts: empty in, empty out; one fact leads itself
+    val emptyFacts = Seq.empty[(Long, Seq[Double])]
+      .toDF("fact_id", "embedding")
+    assert(EpisodeGraph.mergeFacts(emptyFacts).count() === 0L)
+    val oneFact = EpisodeGraph.mergeFacts(
+      Seq((7L, Seq(1.0, 0.0))).toDF("fact_id", "embedding")).collect()
+    assert(oneFact.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq === Seq((7L, 7L, true)))
+    // buildNarrative / preferStateApplicable on empty slates
+    val emptySlate = Seq.empty[(Long, Int, Long, String, String, String)]
+      .toDF("q", "rank", "id", "summary", "state", "outcome")
+    assert(Pipeline.buildNarrative(emptySlate, Seq("q"), "id", "rank",
+      "summary", "state", "outcome").count() === 0L)
+    val emptyFactPool = Seq.empty[(String, Long, Double, Seq[String], String)]
+      .toDF("q", "fact_id", "score", "app", "cur")
+    assert(Pipeline.preferStateApplicable(emptyFactPool, Seq("q"),
+      "fact_id", "score", "app", "cur", k = 3).count() === 0L)
+  }
+
+  test("two-level semanticNearDupPairs on tiny corpora (n smaller than " +
+      "targetCellSize, single vector)") {
+    // n = 1: no pair possible at any blocking
+    val one = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(SimilaritySearch.semanticNearDupPairs(one, cells = 2,
+      iters = 1, threshold = 0.0, targetCellSize = 8L,
+      maxCellsPerLevel = 1).count() === 0L)
+    // n < targetCellSize with a 1-cell cap: kRaw = max(cells, 1) = 4
+    // > cap -> two-level engages with k1 = 1 and k2 = 1 per parent;
+    // one leaf holding everything = all ordered pairs over threshold
+    val few = (0L until 4L).map(i =>
+        (i, Seq(math.cos(i * 0.1), math.sin(i * 0.1))))
+      .toDF("vec_id", "embedding")
+    val pairs = SimilaritySearch.semanticNearDupPairs(few, cells = 4,
+        iters = 1, threshold = 0.5, targetCellSize = 8L,
+        maxCellsPerLevel = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === (for (a <- 0L until 4L; b <- a + 1 until 4L)
+      yield (a, b)).toSet) // all cosines here are >= cos(0.3) > 0.5
+  }
+
   test("recsys ops on empty event logs") {
     val empty = Seq.empty[(Long, Long, String, Double, String)]
       .toDF("event_id", "user_id", "event_type", "value", "props")
