@@ -36,6 +36,14 @@ package graft
   *    itself the product to rethink, not the cap.
   *  - `Sketches.audienceOverlap(maxSegments)` — gate: default 1024.
   *    100×: unchanged; segment-pair output is quadratic in segments.
+  *  - `EpisodeGraph.mergeFacts(maxFacts)` — gate: default 4096. The
+  *    greedy merge is sequentially dependent (each decision conditions
+  *    on every prior survivor), so it is a bounded DRIVER-SIDE fold by
+  *    design; the cap fails loudly, never truncates. 100×: a
+  *    generalized-fact corpus stays small by construction — if yours
+  *    doesn't, pre-cluster with `semanticNearDupPairs` and merge per
+  *    cluster rather than raising the cap past ~10⁴ (the fold is
+  *    O(n·survivors) driver work).
   *
   * == Blocking-granularity knobs (the scale-coupled ones) ==
   *
