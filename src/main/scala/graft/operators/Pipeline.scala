@@ -217,6 +217,11 @@ object Pipeline {
     * through unchanged with `expanded=false`. Pool members reached
     * mid-walk are traversed THROUGH (they gate nothing; they are just
     * never re-added), exactly as `traverse` walks through `seen` ids.
+    * The reference's `link_types` traversal filter
+    * (`graph.py:113,128-129`) maps to pre-filtering the `edges` input
+    * (`edges.filter(col("link_type") === ...)`) — [[
+    * graft.operators.EpisodeGraph.autoLink]]'s output carries the
+    * `link_type` column for exactly this.
     *
     * == Scale ==
     * Every step is an equi-join: seeds are a window top-`seedK` per
