@@ -92,6 +92,27 @@ class PlanLintSpec extends AnyFunSuite with SparkSuite {
       s"queries without oracles: ${(qs -- os).mkString(", ")}")
   }
 
+  test("oracleSqlFor: pinned dirs get their per-sf oracle, unpinned " +
+      "dirs OMIT q139/q150 (skip, never a false mismatch)") {
+    val pinned = Set("q139_ann_opq_rotated", "q150_compression_ratio")
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1", "/root/testdata/sf0.1/")) {
+      val m = SparkEntry.oracleSqlFor(d)
+      assert(pinned.subsetOf(m.keySet), s"pins missing for $d")
+    }
+    // per-sf pins differ (the whole point of forDir)
+    assert(SparkEntry.oracleSqlFor("/root/testdata/sf0.01")("q139_ann_opq_rotated")
+      !== SparkEntry.oracleSqlFor("/root/testdata/sf0.1")("q139_ann_opq_rotated"))
+    // unpinned: exact-basename match means sf1, renamed copies, and
+    // substring traps like sf0.10 all read as "no pin here"
+    for (d <- Seq("benchdata/sf1", "/data/sf0.10", "/copy/of/sf0.01x")) {
+      val m = SparkEntry.oracleSqlFor(d)
+      assert((pinned & m.keySet).isEmpty, s"false pin for $d")
+      // everything else is untouched
+      assert(m.keySet === SparkEntry.oracleSql.keySet -- pinned)
+    }
+  }
+
   test("systematicByWeight is invariant to input partitioning") {
     import spark.implicits._
     val df = Tables.orders(spark, sf)
