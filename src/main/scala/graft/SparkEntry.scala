@@ -9274,14 +9274,19 @@ object SparkEntry {
     // carrying the state IS the only single-statement shape that runs
     // in O(pairs).) Survivor set = greedy leader clustering; the final
     // mapping needs no recursion once the survivors are known:
-    // leader(i) = min matching survivor id < i
+    // leader(i) = min matching survivor id < i. f's IS NOT NULL
+    // mirrors mergeFacts' embCol.isNotNull skip (facts.py's
+    // summary-less-episode skip) — the fixtures carry no nulls today,
+    // but both sides must implement the same drop or a null-bearing
+    // fixture would read as a false mismatch.
     "q288_fact_merge" -> {
       val cosPr = s"CASE WHEN ${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")} = 0E0 " +
         s"THEN 0E0 ELSE ${sqlDotOf("a.emb", "b.emb")} " +
         s"/ (${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")}) END"
       s"""WITH RECURSIVE
          |f AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
-         |      FROM embeddings),
+         |      FROM embeddings
+         |      WHERE embedding IS NOT NULL),
          |it AS (SELECT id, emb, ROW_NUMBER() OVER (ORDER BY id) AS r
          |       FROM f),
          |pr AS (SELECT a.id AS ia, b.id AS ib

@@ -20,8 +20,10 @@ package graft
   *    distinguish "fork mechanism broken" (no START: fall back to
   *    in-process measurement) from "query crashed at some sf" (START
   *    but no RESULT: a real sweep error).
-  *  - `SWEEPONE_RESULT {"times":[t0,t1,...]}` with one median-of-
-  *    `passes` time per dir, in dir order; a crashed dir records -1.
+  *  - `SWEEPONE_RESULT {"times":[t0,t1,...]}` with one MIN-of-
+  *    `passes` time per dir, in dir order (noise is additive, so the
+  *    minimum is the robust estimator — see the ts.min site below);
+  *    a crashed dir records -1.
   *
   * Args: `<passes> <query> <dir1> <dir2> ...`.
   */

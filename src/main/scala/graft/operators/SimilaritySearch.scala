@@ -176,7 +176,14 @@ object SimilaritySearch {
     // UNCAPPED derived cell count: the single-level/two-level decision
     val kRaw: Long = if (targetCellSize <= 0L) cells.toLong
       else math.max(cells.toLong, (n + targetCellSize - 1L) / targetCellSize)
-    if (kRaw <= maxCellsPerLevel) {
+    // Two-level is an AUTO-SCALED regime only: the grouped level-2
+    // kernel derives per-parent sub-cell counts from targetCellSize,
+    // so a pinned-k call (targetCellSize <= 0) with cells above the
+    // cap must NOT route there (it would crash deep in
+    // buildGroupedKMeans with "targetCellSize must be >= 1") — it
+    // stays single-level and fails, clearly, on buildKMeans's own
+    // cells-vs-MaxCells require.
+    if (kRaw <= maxCellsPerLevel || targetCellSize <= 0L) {
       // single level — identical to the pre-two-level path (the cap
       // clamp is a no-op here, so autoCellsFor-gated oracles hold)
       val idx = IvfIndex.buildKMeans(corpus, kRaw.toInt, iters, idCol,

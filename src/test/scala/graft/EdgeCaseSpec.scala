@@ -245,6 +245,23 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSuite {
       yield (a, b)).toSet) // all cosines here are >= cos(0.3) > 0.5
   }
 
+  test("pinned-k over maxCellsPerLevel stays single-level (two-level " +
+      "is auto-scaled only)") {
+    val few = (0L until 6L).map(i =>
+        (i, Seq(math.cos(i * 0.1), math.sin(i * 0.1))))
+      .toDF("vec_id", "embedding")
+    // targetCellSize <= 0 with cells > cap: must NOT route into the
+    // grouped level-2 kernel (which requires targetCellSize >= 1) —
+    // a legal single-level build, identical to the uncapped call
+    val capped = SimilaritySearch.semanticNearDupPairs(few, cells = 4,
+        iters = 1, threshold = 0.5, maxCellsPerLevel = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = SimilaritySearch.semanticNearDupPairs(few, cells = 4,
+        iters = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === uncapped)
+  }
+
   test("recsys ops on empty event logs") {
     val empty = Seq.empty[(Long, Long, String, Double, String)]
       .toDF("event_id", "user_id", "event_type", "value", "props")
