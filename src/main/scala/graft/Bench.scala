@@ -149,16 +149,19 @@ object Bench {
       .mkString("{", ",", "}")
     // ---- multi-sf scaling sweep: MEASURED time-vs-rows exponents for
     // the expensive tail, not just statically-proven plan shapes.
-    // Every table in the synthetic schema grows 10x per decade between
-    // the sweep dirs, so the per-decade exponent is
-    // log10(t_next/t_prev); `exponent` is the top decade (small-sf
-    // times sit on the ~0.1 s job-scheduling floor, which deflates the
-    // first decade), `exponent_fit` the least-squares slope over all
-    // decades. A query flags when its top-decade exponent exceeds 1.2
-    // AND its top-sf time is above 1 s (floor guard) — superlinear
-    // growth that would compound at 100 TB. sf1 is builder-generated
+    // Every table in the synthetic schema grows linearly in sf, so the
+    // per-decade exponent between consecutive legs is
+    // (log10 t_next - log10 t_prev) / (log10 sf_next - log10 sf_prev);
+    // `exponent` is the top segment (small-sf times sit on the ~0.1 s
+    // job-scheduling floor, which deflates the first decade),
+    // `exponent_fit` the least-squares slope over all legs. A query
+    // flags when its top-segment exponent exceeds 1.2 AND its top-sf
+    // time is above 1 s (floor guard) — superlinear growth that would
+    // compound at 100 TB. sf1/sf3 are builder-generated
     // (graft.tools.GenSf — /root/testdata is read-only); runs only on
     // full-suite benches so BENCH_ONLY iteration stays fast.
+    def genComplete(dir: String) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet/_SUCCESS"))
     val sweepDirs: Seq[String] = sys.env.get("SPARK_GRAFT_SF_SWEEP")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse {
@@ -169,18 +172,38 @@ object Bench {
           // LAST-written table, not the first: an interrupted
           // generation must look absent, not half-present, or the
           // sweep runs against a partial dataset forever.
-          def complete = java.nio.file.Files.exists(
-            java.nio.file.Paths.get(
-              "benchdata/sf1/embeddings.parquet/_SUCCESS"))
-          if (!complete)
+          if (!genComplete("benchdata/sf1"))
             try graft.tools.GenSf.generate(spark, "benchdata/sf1", 1.0)
             catch { case e: Throwable =>
               System.err.println(s"[bench] sf1 generation failed: $e") }
-          if (complete)
+          if (genComplete("benchdata/sf1"))
             Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
               "benchdata/sf1")
           else Nil
         } else Nil
+      }
+    // ---- deep tier: one more half-decade (sf3) for the steepest
+    // entries, so the fitted exponents — the 100x evidence — rest on
+    // a leg PAST the regime boundaries the operators were designed
+    // around (two-level SemDeDup past the single-level cell cap, the
+    // sweep-line twin past the pair-mass knee). Deep-only queries pay
+    // ~3x the sf1 leg time, so the tier is the handful of steepest
+    // queries, not the whole sweep set.
+    val deepQueries: Set[String] = sys.env.get("SPARK_GRAFT_DEEP_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set(
+        "q42_dedup_components", "q184_semantic_neardup",
+        "q241_session_concurrency", "q285_semantic_neardup_auto",
+        "q287_semantic_neardup_twolevel"))
+    val deepDir: Option[String] =
+      if (sweepDirs.size < 2 || sys.env.contains("SPARK_GRAFT_NO_DEEP"))
+        None
+      else sys.env.get("SPARK_GRAFT_SF_DEEP").orElse {
+        if (!genComplete("benchdata/sf3"))
+          try graft.tools.GenSf.generate(spark, "benchdata/sf3", 3.0)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sf3 generation failed: $e") }
+        if (genComplete("benchdata/sf3")) Some("benchdata/sf3") else None
       }
     val sweepQueries = sys.env.get("SPARK_GRAFT_SWEEP_QUERIES")
       .map(_.split(",").map(_.trim).toSeq)
@@ -205,6 +228,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_PASSES", "2").toInt
     var sweepFlags = 0
     var sweepErrors = 0
+    var sweepContended = 0
     // The sweep runs AFTER the full query suite, and a suite-warmed JVM
     // is a contended measurement environment: r9 recorded q229 at 73 s
     // where an isolated JVM measures 1.5 s (48x), and even with
@@ -212,7 +236,7 @@ object Bench {
     // at 27.7 s / exponent 1.30 where an isolated JVM measures
     // 7.1 s / 0.57 — Spark-level state comes back, the rest of the
     // process environment (tenured heap layout, JIT state, malloc
-    // arenas) does not. So the sweep now FORKS one fresh JVM per query
+    // arenas) does not. So the sweep FORKS one fresh JVM per query
     // ([[SweepOne]], same -Xmx/--add-opens/-D args as this process,
     // same classpath — `run / fork := true` makes java.class.path
     // real), which reproduces an isolated measurement by construction.
@@ -222,25 +246,58 @@ object Bench {
     // never masquerade as an isolated one), or under
     // SPARK_GRAFT_SWEEP_INPROC=1 for debugging.
     //
+    // Forking is necessary but not sufficient: r11's driver artifact
+    // recorded q285 at 97.6 s / exponent 1.77 through the FORKED
+    // harness where an isolated box measures 4.6 s / 0.39, with every
+    // control leg 3-20x inflated — the box itself was oversubscribed
+    // during the driver pass. The artifact now adjudicates itself:
+    // every leg carries the [[Calib]] canary time sampled just before
+    // it, the parent turns that into a contention factor vs the
+    // commit-time [[Calib.BaselineSec]] pin, and a flag whose
+    // exponent-defining legs show factor > [[Calib.ContendedFactor]]
+    // is re-labeled `"contended"` (counted separately, with both raw
+    // and contention-normalized exponents recorded) instead of crying
+    // wolf about a healthy operator. A raw flag also earns one
+    // re-measurement after a cooldown (transient co-tenant load is
+    // the common case) before it is believed.
+    //
     // In-process fallback invariant: dropAccumulatedState unpersists
     // every persistent RDD INCLUDING localCheckpoints whose lineage is
     // truncated — a DataFrame held across sweep measurements would be
     // unrecoverable on reuse. Safe only because each measurement
-    // rebuilds fn(spark, d) from scratch; nothing may cache a
+    // rebuilds fn(s, d) from scratch; nothing may cache a
     // DataFrame across sweep measurements.
-    def dropAccumulatedState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
+    def dropAccumulatedState(s: org.apache.spark.sql.SparkSession): Unit = {
+      s.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
+      s.catalog.clearCache()
       System.gc()
     }
     var sweepForked = true
     var forkBroken = sys.env.get("SPARK_GRAFT_SWEEP_INPROC").contains("1")
-    // One fresh JVM measuring `name` across all sweep dirs. None =
-    // fork mechanism unavailable (caller falls back in-process);
-    // Some with -1 entries = the child ran but the query crashed at
-    // that sf (a real sweep error, kept loud).
-    def forkMeasure(name: String): Option[Seq[Double]] = {
+    // The parent is QUIESCED for the sweep phase (SparkContext stopped
+    // before the first fork): its 32 executor threads, block-manager
+    // memory, and netty pools would otherwise share the box with every
+    // child measurement. The in-process fallback lazily rebuilds a
+    // session if it is ever needed after the stop.
+    var parentStopped = false
+    var liveSession = spark
+    def sweepSession(): org.apache.spark.sql.SparkSession = {
+      if (parentStopped) {
+        liveSession = GraftSession.builder("graft-bench-sweep", cpus)
+          .getOrCreate()
+        liveSession.sparkContext.setLogLevel("WARN")
+        parentStopped = false
+      }
+      liveSession
+    }
+    // One fresh JVM measuring `name` across `dirs`, returning
+    // (query times, calib canary times). None = fork mechanism
+    // unavailable (caller falls back in-process); Some with -1 time
+    // entries = the child ran but the query crashed at that sf (a
+    // real sweep error, kept loud).
+    def forkMeasure(name: String, dirs: Seq[String])
+        : Option[(Seq[Double], Seq[Double])] = {
       if (forkBroken) return None
       import scala.jdk.CollectionConverters._
       try {
@@ -250,7 +307,7 @@ object Bench {
           .getRuntimeMXBean.getInputArguments.asScala.toSeq
         val cmd = Seq(javaBin) ++ jvmArgs ++
           Seq("-cp", System.getProperty("java.class.path"),
-            "graft.SweepOne", sweepPasses.toString, name) ++ sweepDirs
+            "graft.SweepOne", sweepPasses.toString, name) ++ dirs
         val pb = new ProcessBuilder(cmd.asJava)
         pb.redirectErrorStream(true)
         val proc = pb.start()
@@ -265,69 +322,171 @@ object Bench {
         val out = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream))
         var started = false
-        var result: Option[Seq[Double]] = None
+        var result: Option[(Seq[Double], Seq[Double])] = None
         var line = out.readLine()
         while (line != null) {
           if (line.startsWith("SWEEPONE_START")) started = true
           if (line.startsWith("SWEEPONE_RESULT")) {
-            val ts = "-?\\d+\\.\\d+".r.findAllIn(line).map(_.toDouble).toSeq
-            if (ts.size == sweepDirs.size) result = Some(ts)
+            def arr(key: String): Seq[Double] =
+              (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(line)
+                .map(_.group(1).split(',').filter(_.nonEmpty)
+                  .map(_.toDouble).toSeq)
+                .getOrElse(Nil)
+            val ts = arr("times")
+            val cs = arr("calib")
+            if (ts.size == dirs.size)
+              result = Some((ts,
+                if (cs.size == dirs.size) cs else dirs.map(_ => -1.0)))
           }
           line = out.readLine()
         }
         proc.waitFor()
         if (result.isDefined) result
-        else if (started) Some(sweepDirs.map(_ => -1.0))
+        else if (started)
+          Some((dirs.map(_ => -1.0), dirs.map(_ => -1.0)))
         else { forkBroken = true; None }
       } catch { case _: Exception => forkBroken = true; None }
+    }
+    // In-process fallback measurement for one query, same estimator
+    // (min-of-passes) and the same per-leg calib canary as SweepOne.
+    def inprocMeasure(name: String, dirs: Seq[String])
+        : (Seq[Double], Seq[Double]) = {
+      sweepForked = false
+      val s = sweepSession()
+      val fn = SparkEntry.queries(name)
+      val calibs = Array.fill(dirs.size)(-1.0)
+      val ts = dirs.zipWithIndex.map { case (d, i) =>
+        try {
+          dropAccumulatedState(s)
+          calibs(i) = Calib.measure()
+          val passTimes = (1 to sweepPasses).map { _ =>
+            val t0 = System.nanoTime()
+            fn(s, d).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          passTimes.min // same additive-noise rationale as SweepOne
+        } catch { case _: Throwable => -1.0 }
+      }
+      (ts, calibs.toSeq)
     }
     // locale-independent decimal formatting: the f interpolator uses
     // the JVM default locale (comma decimals on e.g. de_DE would
     // corrupt the JSON line)
     def jnum(x: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
+    // sf of a sweep dir, parsed from its exact basename ("sf0.1" ->
+    // 0.1). The legs are NOT equally spaced once the sf3 deep tier
+    // joins (sf1 -> sf3 is log10(3) = 0.48 decades), so exponents are
+    // slopes of log10(t) on log10(sf), not on the leg index.
+    def sfOf(dir: String): Option[Double] =
+      "^sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(
+        dir.replaceAll("/+$", "").split('/').last)
+        .map(_.group(1).toDouble)
     val sweepJson = if (sweepDirs.size < 2) "" else {
+      // quiesce the parent (see the block comment above forkMeasure)
+      spark.stop()
+      parentStopped = true
+      System.gc()
       val rows = sweepQueries.map { name =>
-        val fn = SparkEntry.queries(name)
-        val times = forkMeasure(name).getOrElse {
-          sweepForked = false
-          sweepDirs.map { d =>
-            try {
-              dropAccumulatedState()
-              val ts = (1 to sweepPasses).map { _ =>
-                val t0 = System.nanoTime()
-                fn(spark, d).queryExecution.toRdd.count()
-                (System.nanoTime() - t0) / 1e9
-              }
-              ts.min // same additive-noise rationale as SweepOne
-            } catch { case _: Throwable => -1.0 }
+        val dirs = sweepDirs ++
+          (if (deepQueries(name)) deepDir.toSeq else Nil)
+        val sfs = dirs.map(sfOf)
+        // decade positions; unparsable basenames (a custom
+        // SPARK_GRAFT_SF_SWEEP) fall back to assuming 10x steps
+        val xs: Seq[Double] =
+          if (sfs.forall(_.isDefined)) sfs.map(s => math.log10(s.get))
+          else dirs.indices.map(_.toDouble)
+        def lg(x: Double) = math.log10(x)
+        // (top-segment slope, least-squares slope) of log10(ts) on xs
+        def slopes(ts: Seq[Double]): (Double, Double) = {
+          val n = ts.size
+          val eLast = (lg(ts.last) - lg(ts(n - 2))) / (xs.last - xs(n - 2))
+          val xb = xs.sum / n
+          val ys = ts.map(lg)
+          val yb = ys.sum / n
+          val eFit = xs.zip(ys).map { case (x, y) => (x - xb) * (y - yb) }
+            .sum / xs.map(x => (x - xb) * (x - xb)).sum
+          (eLast, eFit)
+        }
+        // per-leg min-merge of two measurements, keeping each leg's
+        // time PAIRED with the calib sample from the run it came from
+        def merge(a: (Seq[Double], Seq[Double]),
+            b: (Seq[Double], Seq[Double])): (Seq[Double], Seq[Double]) = {
+          val picked = a._1.indices.map { i =>
+            if (b._1(i) > 0.0 && (a._1(i) <= 0.0 || b._1(i) < a._1(i)))
+              (b._1(i), b._2(i))
+            else (a._1(i), a._2(i))
+          }
+          (picked.map(_._1), picked.map(_._2))
+        }
+        def measure(): (Seq[Double], Seq[Double]) =
+          forkMeasure(name, dirs).getOrElse(inprocMeasure(name, dirs))
+        var (times, calibs) = measure()
+        var retried = false
+        if (times.forall(_ > 0.0)) {
+          val (e0, _) = slopes(times)
+          if (e0 > 1.2 && times.last > 1.0) {
+            // raw flag: re-measure once after a cooldown and keep the
+            // per-leg min — transient co-tenant load is the common
+            // cause, and a second sample is far cheaper than a judge
+            // adjudication run
+            retried = true
+            Thread.sleep(15000)
+            val again = measure()
+            val m = merge((times, calibs), again)
+            times = m._1
+            calibs = m._2
           }
         }
+        val sfsJson =
+          if (sfs.forall(_.isDefined))
+            s""""sfs":[${sfs.map(s => jnum(s.get, 3)).mkString(",")}],"""
+          else ""
         if (times.exists(_ <= 0.0)) {
           // a crash at a LARGER sf is exactly the scale regression the
           // sweep hunts — count it into both visible counters so a
           // truncated capture can never read green over a broken sweep
           sweepErrors += 1
           sweepFlags += 1
-          name -> s"""{"times":[${times.map(jnum(_, 3)).mkString(",")}],"error":true}"""
-        } else {
-          def lg(x: Double) = math.log10(x)
-          val eLast = lg(times.last) - lg(times(times.size - 2))
-          // true least-squares slope of log10(t) on the decade index
-          // (equals the endpoint slope only for <= 3 points)
-          val n = times.size
-          val xb = (n - 1) / 2.0
-          val yb = times.map(lg).sum / n
-          val eFit = times.zipWithIndex
-            .map { case (t, i) => (i - xb) * (lg(t) - yb) }.sum /
-            times.indices.map(i => (i - xb) * (i - xb)).sum
-          val flag = eLast > 1.2 && times.last > 1.0
-          if (flag) sweepFlags += 1
           name -> (s"""{"times":[${times.map(jnum(_, 3)).mkString(",")}],""" +
-            s""""exponent":${jnum(eLast, 2)},"exponent_fit":${jnum(eFit, 2)},"flag":$flag}""")
+            sfsJson + s""""calib":[${calibs.map(jnum(_, 3)).mkString(",")}],"error":true}""")
+        } else {
+          val (eLast, eFit) = slopes(times)
+          // contention factor per leg: canary time over the idle-box
+          // pin. -1 = no canary sample (old-protocol child)
+          val factors = calibs.map(c =>
+            if (c > 0.0) c / Calib.BaselineSec else -1.0)
+          // normalized times: wall time deflated by the measured
+          // oversubscription (factor < 1 is noise, never inflate)
+          val normTimes = times.zip(factors).map { case (t, f) =>
+            if (f > 1.0) t / f else t }
+          val (eNorm, _) = slopes(normTimes)
+          // contended = either exponent-defining leg ran on a box
+          // giving it less than 1/ContendedFactor of its CPU share
+          val contended =
+            factors.takeRight(2).exists(_ > Calib.ContendedFactor)
+          val rawFlag = eLast > 1.2 && times.last > 1.0
+          // a contended raw flag only survives if the NORMALIZED
+          // exponent still flags — otherwise it is the box, not the
+          // operator, and it is re-labeled instead of counted
+          val normFlag = eNorm > 1.2 && normTimes.last > 1.0
+          val flag = rawFlag && (!contended || normFlag)
+          if (flag) sweepFlags += 1
+          else if (rawFlag) sweepContended += 1
+          name -> (s"""{"times":[${times.map(jnum(_, 3)).mkString(",")}],""" +
+            sfsJson +
+            s""""calib":[${calibs.map(jnum(_, 3)).mkString(",")}],""" +
+            s""""factor":[${factors.map(jnum(_, 2)).mkString(",")}],""" +
+            s""""exponent":${jnum(eLast, 2)},"exponent_fit":${jnum(eFit, 2)},""" +
+            s""""exponent_norm":${jnum(eNorm, 2)},"contended":$contended,""" +
+            s""""retried":$retried,"flag":$flag}""")
         }
       }
-      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],"forked":$sweepForked,"flags":$sweepFlags,"errors":$sweepErrors,"queries":{${rows.map { case (n, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
+      val deepJson = deepDir
+        .map(d => s""""deep_dir":"$d","deep_queries":[${
+          deepQueries.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""")
+        .getOrElse("")
+      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],$deepJson"forked":$sweepForked,"calib_baseline":${jnum(Calib.BaselineSec, 3)},"flags":$sweepFlags,"contended":$sweepContended,"errors":$sweepErrors,"queries":{${rows.map { case (n, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
     }
     // Summary keys lead the JSON object (truncated-from-the-right
     // capture) AND repeat as the LAST key (`summary_tail`) — the
@@ -337,8 +496,12 @@ object Bench {
     // (generation failure, BENCH_ONLY, NO_SWEEP) — zeros alone would
     // read green over a silently-skipped sweep
     val sweepRan = sweepDirs.size >= 2
-    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRan,"sweep_flags":$sweepFlags,"sweep_errors":$sweepErrors,"total_sec":$total,"n_queries":${results.size}}"""
+    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRan,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_errors":$sweepErrors,"total_sec":$total,"n_queries":${results.size}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir",$sweepJson"summary_tail":$tail}""")
+    // the parent session is already stopped when the sweep ran; stop
+    // whichever session is still live (an in-process fallback may have
+    // rebuilt one). stop() is idempotent.
+    liveSession.stop()
     spark.stop()
     // A sweep-leg crash (a query broken ONLY at a larger sf — exactly
     // the scale regression the sweep hunts) fails the process like any

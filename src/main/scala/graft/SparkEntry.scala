@@ -3352,6 +3352,67 @@ object SparkEntry {
         threshold = 0.38, contentCol = "content")
     }),
 
+    // ---- the STREAMING episode detector over the same q286-derived
+    // timeline, through a real file-source graph (the q283 pattern):
+    // the reorder-buffer FMGWS operator must reproduce the batch
+    // detector's rows exactly. Two appended sentinels flush the
+    // finite fixture: s1 (boundary-forcing — state differing from any
+    // real state AND the negated last embedding, so whichever score
+    // term the last real entry supports fires) closes the final real
+    // episode ON THE DATA PATH; s2 only pushes the watermark past s1
+    // so s1 gets sealed and folded. s1's own episode stays open in
+    // state (never emitted); s2 stays buffered (never sealed) ----
+    "q292_stream_episodes" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val emb = Tables.embeddings(s, dir)
+      val arrT = emb.schema("embedding").dataType
+      val entries = emb.select(
+        col("vec_id").as("entry_id"),
+        // +1: the derived timeline starts at ts 0, which the initial
+        // watermark's late filter would eat (sqlEpisodeBoundaries doc)
+        ((col("vec_id") % 64) * 1000 + col("vec_id") + 1).as("ts"),
+        when(col("label") === 0, "")
+          .otherwise(concat(lit("s"), (col("label") % 5).cast("string")))
+          .as("state"),
+        when(col("label") === 9, lit(null).cast(arrT))
+          .otherwise(col("embedding")).as("embedding"),
+        concat(lit("doc "), col("vec_id").cast("string")).as("content"))
+      val dayMs = 86400000L
+      // the last real entry by the fold's (ts, id) order: s1 scores
+      // against IT. Its state is '' only when label = 0 (embedding
+      // present -> the negated-embedding term gives shift 1, score
+      // 0.4 >= 0.38) and its embedding null only when label = 9
+      // (state non-empty -> the flip term gives 0.6) — either way s1
+      // is a boundary.
+      val lastE = entries.orderBy(col("ts").desc, col("entry_id").desc)
+        .limit(1)
+      val s1 = lastE.select(lit(-1L).as("entry_id"),
+        (col("ts") + 10L * dayMs).as("ts"),
+        lit("zzflush").as("state"),
+        transform(col("embedding"), x => -x).as("embedding"),
+        lit("sentinel").as("content"))
+      val s2 = lastE.select(lit(-2L).as("entry_id"),
+        (col("ts") + 11L * dayMs).as("ts"), lit("").as("state"),
+        lit(null).cast(arrT).as("embedding"),
+        lit("sentinel").as("content"))
+      val staged = entries.unionByName(s1).unionByName(s2)
+        .withColumn("key", lit(0L))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-q292").toString
+      val in = s"$base/in"
+      staged.coalesce(1).write.parquet(in)
+      val raw = Ingest.fileSource(streamSession(s), in, staged.schema)
+      // maxPending sized to the fixture: a SINGLE-key fixture buffers
+      // the whole corpus through the first micro-batch (watermark 0);
+      // a real deployment keys per agent and sizes this to
+      // rate x watermark-delay
+      runStreamTo(Ingest.streamingEpisodes(raw, threshold = 0.38,
+          maxPending = 1 << 16).toDF(), base)
+        .select(col("episode_idx"), col("start_ts"), col("end_ts"),
+          col("entry_start"), col("entry_end"), col("n_entries"),
+          col("state"), col("summary"))
+    }),
+
     // ---- retrieval boost scoring + causal narrative
     // (retriever.py:91-101 _episode_score, 227-237 _build_narrative):
     // cosine boosted ×1.25 for failures then ×1.5 on state match,
@@ -3441,6 +3502,18 @@ object SparkEntry {
         Tables.embeddings(s, dir)
           .select(col("vec_id").as("fact_id"), col("embedding")),
         mergeThreshold = 0.25)),
+
+    // ---- the same merge PAST the driver-side cap: pre-cluster into
+    // threshold components, greedy-fold per component on the
+    // executors. Gate runs cells = 1 (exact edge set) so the output
+    // is PROVABLY identical to the global fold — the q288 recursion
+    // is the oracle for both. Production runs cells/targetCellSize
+    // like any SemDeDup caller (ScaleProfile) ----
+    "q291_fact_merge_clustered" -> ((s, dir) =>
+      graft.operators.EpisodeGraph.mergeFactsClustered(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("fact_id"), col("embedding")),
+        mergeThreshold = 0.25, cells = 1, iters = 1)),
 
     // ---- episodic-memory feedback: reinforcement/recency-decayed
     // outcome scores replayed over the event log in one scan ----
@@ -6674,10 +6747,12 @@ object SparkEntry {
          |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
          |WHERE cosine > 0.3E0""".stripMargin,
 
-    // the q285 chain with the level-1 cell count = ceil(k/32) capped
-    // at 32, then the grouped level-2 Lloyd rounds partitioned by
-    // parent cell (per-parent census -> k2/stride by the same integer
-    // rules as IvfIndex.buildGroupedKMeans, rank-stride seeds, two
+    // the q285 chain with the level-1 cell count = the BALANCED k1
+    // (max(ceil(sqrt(k)), ceil(k/32)) capped at 32 — ceil(sqrt()) is
+    // IEEE-exact in both engines, so SQL derives the same integer),
+    // then the grouped level-2 Lloyd rounds partitioned by parent
+    // cell (per-parent census -> k2/stride by the same integer rules
+    // as IvfIndex.buildGroupedKMeans, rank-stride seeds, two
     // fixed-point mean rounds), pairs within leaf = parent*32 + sub
     "q287_semantic_neardup_twolevel" -> {
       def subRound(i: Int, prev: String) =
@@ -6698,7 +6773,9 @@ object SparkEntry {
            |        FROM $prev p LEFT JOIN n$i
            |          ON n$i.pc = p.pc AND n$i.sc = p.sc),""".stripMargin
       s"""WITH ${sqlKmeansC2CtesFor(
-             "LEAST(32, (GREATEST(8, (n + 7) // 8) + 31) // 32)")}
+             "LEAST(32, GREATEST(" +
+               "CAST(CEIL(SQRT(CAST(GREATEST(8, (n + 7) // 8) AS DOUBLE)))" +
+               " AS BIGINT), (GREATEST(8, (n + 7) // 8) + 31) // 32))")}
          |a3 AS (SELECT vec_id, cell_id FROM (
          |  SELECT e.vec_id, c.cell_id, ROW_NUMBER() OVER (
          |    PARTITION BY e.vec_id
@@ -9265,97 +9342,27 @@ object SparkEntry {
          |WHERE (cur <> '' AND has = 1 AND m AND mrk <= 3)
          |   OR ((cur = '' OR has = 0) AND pr <= 3)""".stripMargin,
 
-    // the greedy fold as a recursive CTE whose ANCHOR row carries the
-    // whole thresholded candidate table (per-item sorted earlier-id
-    // lists): the recursive term references nothing but the working
-    // row, so the expensive pair join evaluates exactly once. (DuckDB
-    // 1.0 re-inlines multiply-referenced CTEs into each recursion step
-    // — and its MATERIALIZED hint is unreliable inside recursion — so
-    // carrying the state IS the only single-statement shape that runs
-    // in O(pairs).) Survivor set = greedy leader clustering; the final
-    // mapping needs no recursion once the survivors are known:
-    // leader(i) = min matching survivor id < i. f's IS NOT NULL
-    // mirrors mergeFacts' embCol.isNotNull skip (facts.py's
-    // summary-less-episode skip) — the fixtures carry no nulls today,
-    // but both sides must implement the same drop or a null-bearing
-    // fixture would read as a false mismatch.
-    "q288_fact_merge" -> {
-      val cosPr = s"CASE WHEN ${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")} = 0E0 " +
-        s"THEN 0E0 ELSE ${sqlDotOf("a.emb", "b.emb")} " +
-        s"/ (${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")}) END"
-      s"""WITH RECURSIVE
-         |f AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
-         |      FROM embeddings
-         |      WHERE embedding IS NOT NULL),
-         |it AS (SELECT id, emb, ROW_NUMBER() OVER (ORDER BY id) AS r
-         |       FROM f),
-         |pr AS (SELECT a.id AS ia, b.id AS ib
-         |       FROM it a JOIN it b ON b.id < a.id
-         |       WHERE $cosPr >= 0.25E0),
-         |itc AS (SELECT it.id, it.r, coalesce(pc.cands, []) AS cands
-         |        FROM it LEFT JOIN (SELECT ia, list(ib ORDER BY ib)
-         |            AS cands FROM pr GROUP BY ia) pc ON pc.ia = it.id),
-         |st AS (
-         |  SELECT CAST(1 AS BIGINT) AS r,
-         |    [(SELECT id FROM itc WHERE r = 1)] AS s,
-         |    (SELECT list(struct_pack(id := id, cands := cands)
-         |       ORDER BY r) FROM itc) AS ac
-         |  UNION ALL
-         |  SELECT st.r + 1,
-         |    CASE WHEN list_has_any(st.s, struct_extract(
-         |        list_extract(st.ac, CAST(st.r + 1 AS INT)), 'cands'))
-         |      THEN st.s
-         |      ELSE list_append(st.s, struct_extract(
-         |        list_extract(st.ac, CAST(st.r + 1 AS INT)), 'id')) END,
-         |    st.ac
-         |  FROM st WHERE st.r < len(st.ac)),
-         |sv AS (SELECT s FROM st ORDER BY r DESC LIMIT 1),
-         |ld AS (SELECT itc.id, min(c) AS cand
-         |       FROM itc, unnest(itc.cands) AS t(c), sv
-         |       WHERE list_contains(sv.s, c) GROUP BY itc.id)
-         |SELECT itc.id AS fact_id, coalesce(ld.cand, itc.id) AS leader_id,
-         |       ld.cand IS NULL AS is_new
-         |FROM itc LEFT JOIN ld ON ld.id = itc.id""".stripMargin
-    },
+    // the global greedy fold — shape and gotchas documented on
+    // [[sqlFactMergeGreedy]]
+    "q288_fact_merge" -> sqlFactMergeGreedy,
 
-    "q286_episode_boundaries" -> {
-      val l2p = sqlL2Of("p.pemb")
-      val l2e = sqlL2Of("p.emb")
-      val cosCase = s"CASE WHEN $l2p * $l2e = 0E0 THEN 0E0 " +
-        s"ELSE ${sqlDotOf("p.pemb", "p.emb")} / ($l2p * $l2e) END"
-      s"""WITH en AS (SELECT vec_id AS id,
-         |    (vec_id % 64) * 1000 + vec_id AS ts,
-         |    CASE WHEN label = 0 THEN ''
-         |      ELSE 's' || CAST(label % 5 AS VARCHAR) END AS state,
-         |    CASE WHEN label = 9 THEN NULL
-         |      ELSE CAST(embedding AS DOUBLE[]) END AS emb,
-         |    'doc ' || CAST(vec_id AS VARCHAR) AS content
-         |  FROM embeddings),
-         |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, id) AS rk
-         |  FROM en),
-         |p AS (SELECT c.id, c.ts, c.state, c.emb, c.content, c.rk,
-         |    pr.state AS pstate, pr.emb AS pemb
-         |  FROM rk c LEFT JOIN rk pr ON pr.rk = c.rk - 1),
-         |f AS (SELECT id, ts, state, content, rk,
-         |    CASE WHEN pstate IS NOT NULL AND
-         |        0.6E0 * (CASE WHEN pstate <> state AND pstate <> ''
-         |                   AND state <> '' THEN 1E0 ELSE 0E0 END)
-         |      + 0.4E0 * (CASE WHEN pemb IS NOT NULL AND emb IS NOT NULL
-         |                   THEN 1E0 - greatest($cosCase, 0E0)
-         |                   ELSE 0E0 END)
-         |      >= 0.38E0 THEN 1 ELSE 0 END AS flag
-         |  FROM p),
-         |s AS (SELECT *, CAST(SUM(flag) OVER (ORDER BY rk
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode_idx FROM f)
-         |SELECT episode_idx, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
-         |  arg_min(id, rk) AS entry_start, arg_max(id, rk) AS entry_end,
-         |  CAST(COUNT(*) AS BIGINT) AS n_entries,
-         |  arg_min(state, rk) AS state,
-         |  CAST(COUNT(*) AS VARCHAR) || ' entries: '
-         |    || substr(arg_min(content, rk), 1, 80) || '…' AS summary
-         |FROM s GROUP BY 1""".stripMargin
-    },
+    // the SAME global-greedy recursion gates q291: with the exact
+    // edge set (cells = 1, every pair examined), the per-component
+    // fold provably equals the global fold (EpisodeGraph
+    // .mergeFactsClustered scaladoc), so the distributed composition
+    // is held to the sequential reference semantics, not to a looser
+    // "same leaders somewhere" contract
+    "q291_fact_merge_clustered" -> sqlFactMergeGreedy,
 
+    "q286_episode_boundaries" -> sqlEpisodeBoundaries(),
+
+    // the STREAMING twin is held to the same batch rule: every real
+    // episode (including the final one, which the gate's boundary
+    // sentinel closes on the data path) must equal the batch
+    // detector's row exactly — sentinels themselves never emit. The
+    // +1 ts offset dodges the initial-watermark epoch-0 drop (see
+    // sqlEpisodeBoundaries scaladoc).
+    "q292_stream_episodes" -> sqlEpisodeBoundaries(tsOff = 1L),
     "q280_counter_example" ->
       s"""WITH q AS (SELECT vec_id AS query_id,
          |    CAST(embedding AS DOUBLE[]) AS qe
@@ -9621,6 +9628,110 @@ object SparkEntry {
       |       FROM sp LEFT JOIN ov o USING (user_id, session_idx))
       |SELECT n_concurrent, CAST(COUNT(*) AS BIGINT) AS n_sessions
       |FROM pc GROUP BY 1""".stripMargin
+
+  /** The q288/q291 oracle: the greedy fact merge as a recursive CTE
+    * whose ANCHOR row carries the whole thresholded candidate table
+    * (per-item sorted earlier-id lists): the recursive term references
+    * nothing but the working row, so the expensive pair join evaluates
+    * exactly once. (DuckDB 1.0 re-inlines multiply-referenced CTEs
+    * into each recursion step — and its MATERIALIZED hint is
+    * unreliable inside recursion — so carrying the state IS the only
+    * single-statement shape that runs in O(pairs).) Survivor set =
+    * greedy leader clustering; the final mapping needs no recursion
+    * once the survivors are known: leader(i) = min matching survivor
+    * id < i. f's IS NOT NULL mirrors mergeFacts' embCol.isNotNull
+    * skip (facts.py's summary-less-episode skip) — the fixtures carry
+    * no nulls today, but both sides must implement the same drop or a
+    * null-bearing fixture would read as a false mismatch. */
+  private def sqlFactMergeGreedy: String = {
+    val cosPr = s"CASE WHEN ${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")} = 0E0 " +
+      s"THEN 0E0 ELSE ${sqlDotOf("a.emb", "b.emb")} " +
+      s"/ (${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")}) END"
+    s"""WITH RECURSIVE
+       |f AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+       |      FROM embeddings
+       |      WHERE embedding IS NOT NULL),
+       |it AS (SELECT id, emb, ROW_NUMBER() OVER (ORDER BY id) AS r
+       |       FROM f),
+       |pr AS (SELECT a.id AS ia, b.id AS ib
+       |       FROM it a JOIN it b ON b.id < a.id
+       |       WHERE $cosPr >= 0.25E0),
+       |itc AS (SELECT it.id, it.r, coalesce(pc.cands, []) AS cands
+       |        FROM it LEFT JOIN (SELECT ia, list(ib ORDER BY ib)
+       |            AS cands FROM pr GROUP BY ia) pc ON pc.ia = it.id),
+       |st AS (
+       |  SELECT CAST(1 AS BIGINT) AS r,
+       |    [(SELECT id FROM itc WHERE r = 1)] AS s,
+       |    (SELECT list(struct_pack(id := id, cands := cands)
+       |       ORDER BY r) FROM itc) AS ac
+       |  UNION ALL
+       |  SELECT st.r + 1,
+       |    CASE WHEN list_has_any(st.s, struct_extract(
+       |        list_extract(st.ac, CAST(st.r + 1 AS INT)), 'cands'))
+       |      THEN st.s
+       |      ELSE list_append(st.s, struct_extract(
+       |        list_extract(st.ac, CAST(st.r + 1 AS INT)), 'id')) END,
+       |    st.ac
+       |  FROM st WHERE st.r < len(st.ac)),
+       |sv AS (SELECT s FROM st ORDER BY r DESC LIMIT 1),
+       |ld AS (SELECT itc.id, min(c) AS cand
+       |       FROM itc, unnest(itc.cands) AS t(c), sv
+       |       WHERE list_contains(sv.s, c) GROUP BY itc.id)
+       |SELECT itc.id AS fact_id, coalesce(ld.cand, itc.id) AS leader_id,
+       |       ld.cand IS NULL AS is_new
+       |FROM itc LEFT JOIN ld ON ld.id = itc.id""".stripMargin
+  }
+
+  /** The q286/q292 oracle: the reference boundary rule over the
+    * embeddings-derived timeline — per consecutive (ts, id)-ordered
+    * pair, flag when 0.6·flip + 0.4·(1 − max(cos, 0)) >= 0.38 (flip
+    * needs both states non-empty, the semantic term both embeddings;
+    * zero-norm cosine reads 0), episode ids = running flag sum, one
+    * aggregated row per episode. q292 runs the STREAMING detector
+    * over the same derivation and must reproduce every row — with a
+    * +1 ts offset on BOTH sides: entry 0's derived ts is 0, and
+    * Spark's stateful-operator late filter at the INITIAL watermark 0
+    * eats event-time-0 rows before the handler (the q292 gate found
+    * this live; epoch-0 timestamps only exist in synthetic fixtures,
+    * but the offset keeps the gate honest instead of silently
+    * one-short). */
+  private def sqlEpisodeBoundaries(tsOff: Long = 0L): String = {
+    val l2p = sqlL2Of("p.pemb")
+    val l2e = sqlL2Of("p.emb")
+    val cosCase = s"CASE WHEN $l2p * $l2e = 0E0 THEN 0E0 " +
+      s"ELSE ${sqlDotOf("p.pemb", "p.emb")} / ($l2p * $l2e) END"
+    s"""WITH en AS (SELECT vec_id AS id,
+       |    (vec_id % 64) * 1000 + vec_id + $tsOff AS ts,
+       |    CASE WHEN label = 0 THEN ''
+       |      ELSE 's' || CAST(label % 5 AS VARCHAR) END AS state,
+       |    CASE WHEN label = 9 THEN NULL
+       |      ELSE CAST(embedding AS DOUBLE[]) END AS emb,
+       |    'doc ' || CAST(vec_id AS VARCHAR) AS content
+       |  FROM embeddings),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ts, id) AS rk
+       |  FROM en),
+       |p AS (SELECT c.id, c.ts, c.state, c.emb, c.content, c.rk,
+       |    pr.state AS pstate, pr.emb AS pemb
+       |  FROM rk c LEFT JOIN rk pr ON pr.rk = c.rk - 1),
+       |f AS (SELECT id, ts, state, content, rk,
+       |    CASE WHEN pstate IS NOT NULL AND
+       |        0.6E0 * (CASE WHEN pstate <> state AND pstate <> ''
+       |                   AND state <> '' THEN 1E0 ELSE 0E0 END)
+       |      + 0.4E0 * (CASE WHEN pemb IS NOT NULL AND emb IS NOT NULL
+       |                   THEN 1E0 - greatest($cosCase, 0E0)
+       |                   ELSE 0E0 END)
+       |      >= 0.38E0 THEN 1 ELSE 0 END AS flag
+       |  FROM p),
+       |s AS (SELECT *, CAST(SUM(flag) OVER (ORDER BY rk
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS episode_idx FROM f)
+       |SELECT episode_idx, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       |  arg_min(id, rk) AS entry_start, arg_max(id, rk) AS entry_end,
+       |  CAST(COUNT(*) AS BIGINT) AS n_entries,
+       |  arg_min(state, rk) AS state,
+       |  CAST(COUNT(*) AS VARCHAR) || ' entries: '
+       |    || substr(arg_min(content, rk), 1, 80) || '…' AS summary
+       |FROM s GROUP BY 1""".stripMargin
+  }
 
   private def sqlDotOf(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), x -> x[1]*x[2]), (p,q) -> p+q)"

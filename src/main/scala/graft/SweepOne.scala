@@ -15,15 +15,26 @@ package graft
   * reproduces an isolated run BY CONSTRUCTION — the same harness the
   * judge's adjudication runs used.
   *
+  * A fresh JVM is still not enough when the BOX is contended (r11:
+  * driver-recorded q285 97.6 s vs 4.6 s judge-isolated, with every
+  * control leg 3-20x inflated — the driver environment oversubscribed
+  * the machine during the whole bench pass). So each leg also times
+  * the fixed [[Calib]] CPU workload immediately before the query and
+  * reports it: the parent turns that into a per-leg contention factor
+  * the artifact carries, making a flagged-but-contended leg readable
+  * without a judge adjudication run.
+  *
   * Protocol (stdout, one line each):
   *  - `SWEEPONE_START` as soon as main is entered — lets the parent
   *    distinguish "fork mechanism broken" (no START: fall back to
   *    in-process measurement) from "query crashed at some sf" (START
   *    but no RESULT: a real sweep error).
-  *  - `SWEEPONE_RESULT {"times":[t0,t1,...]}` with one MIN-of-
-  *    `passes` time per dir, in dir order (noise is additive, so the
-  *    minimum is the robust estimator — see the ts.min site below);
-  *    a crashed dir records -1.
+  *  - `SWEEPONE_RESULT {"times":[...],"calib":[...]}` with one MIN-of-
+  *    `passes` query time per dir, in dir order (noise is additive, so
+  *    the minimum is the robust estimator — see the ts.min site
+  *    below), and the calibration wall time sampled right before that
+  *    dir's passes; a crashed dir records -1 (its calib sample stays —
+  *    it already happened).
   *
   * Args: `<passes> <query> <dir1> <dir2> ...`.
   */
@@ -40,12 +51,15 @@ object SweepOne {
     // Warmup on the SMALLEST dir (Bench's own convention): a cold JVM
     // pays ~5 s of JIT/classloading on its first query execution,
     // which would otherwise land entirely on the first sweep leg and
-    // deflate every fitted exponent.
+    // deflate every fitted exponent. The calib kernel needs the same
+    // treatment (first sample runs ~1.5x until C2 compiles the loop).
     try fn(spark, dirs.head).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
+    Calib.measure()
     def jnum(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val times = dirs.map { d =>
+    val calibs = Array.fill(dirs.size)(-1.0)
+    val times = dirs.zipWithIndex.map { case (d, i) =>
       try {
         // smaller-sf legs still leave localCheckpoint blocks behind;
         // drop them so the sf1 leg starts clean even inside one JVM
@@ -53,6 +67,10 @@ object SweepOne {
           .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         System.gc()
+        // contention canary: sample the box state right before the
+        // passes, AFTER the gc (a concurrent GC cycle would bleed
+        // into the calib sample and read as false contention)
+        calibs(i) = Calib.measure()
         // MIN over the passes, not median: timing noise is additive
         // (GC pause, page faults, JIT deopt), so the minimum is the
         // robust estimator of intrinsic cost — a single pass was
@@ -66,7 +84,8 @@ object SweepOne {
         ts.min
       } catch { case _: Throwable => -1.0 }
     }
-    println(s"""SWEEPONE_RESULT {"times":[${times.map(jnum).mkString(",")}]}""")
+    println(s"""SWEEPONE_RESULT {"times":[${times.map(jnum).mkString(",")}],""" +
+      s""""calib":[${calibs.map(jnum).mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -356,9 +356,22 @@ object IvfIndex {
       knownCount: Long = -1L): DataFrame = {
     val n = if (knownCount >= 0L) knownCount else corpus.count()
     val stride = math.max(n / cells, 1L)
-    corpus.filter(col(idCol) % stride === 0 && col(idCol) < stride * cells)
+    val seeds = corpus
+      .filter(col(idCol) % stride === 0 && col(idCol) < stride * cells)
       .select((col(idCol) / stride).cast("long").as("cell_id"),
         col(embCol).cast("array<double>").as("centroid"))
+    // id-stride seeding presumes ids dense from 0 (every pinned
+    // fixture's shape); on offset/sparse ids it can select NOTHING,
+    // and an empty centroid table silently empties every downstream
+    // assignment — the worst failure mode (near-dup pairs read as
+    // "no duplicates"). Fail loudly instead; fewer-than-cells seeds
+    // (mildly sparse ids) stay legal — Lloyd just runs fewer cells.
+    if (n > 0L)
+      require(!seeds.isEmpty,
+        s"seedCentroids: id-stride seeding (stride=$stride, " +
+          s"cells=$cells, n=$n) selected no rows — $idCol is not " +
+          s"dense from 0; renumber ids densely upstream")
+    seeds
   }
 
   /** Build with centroids = vectors whose id ≡ 0 (mod |corpus|/cells) —

@@ -267,28 +267,150 @@ object EpisodeGraph {
       require(w(0)._1 != w(1)._1,
         s"mergeFacts needs unique $idCol values; duplicate id ${w(0)._1}")
     }
-    val emb = rows.map(_._2.toArray)
-    // the exact per-pair arithmetic of the SQL oracle: ascending-index
-    // double fold for the dot and the squared norms, sqrt·sqrt
-    // denominator — IEEE-identical on recomputation, so the decision
-    // boundary reproduces bit-for-bit in any engine
+    greedyFold(rows.iterator.map { case (id, e) => (id, e.toArray) }
+        .toIndexedSeq, mergeThreshold)
+      .toDF(idCol, "leader_id", "is_new")
+  }
+
+  /** The greedy merge kernel shared by [[mergeFacts]] (driver-side,
+    * whole corpus) and [[mergeFactsClustered]] (executor-side, one
+    * component at a time): fold `rows` in the GIVEN order, each fact
+    * merging into the first surviving leader within `threshold`
+    * cosine, else appending as its own leader. Callers pass rows
+    * already sorted by id ascending (the reference's list order under
+    * the id-ascending determinism deviation).
+    *
+    * The exact per-pair arithmetic of the SQL oracle: ascending-index
+    * double fold for the dot and the squared norms, sqrt·sqrt
+    * denominator — IEEE-identical on recomputation, so the decision
+    * boundary reproduces bit-for-bit in any engine. Zero-norm pairs
+    * read as similarity 0 (`models.py:29-34`), so zero vectors never
+    * merge. */
+  private[graft] def greedyFold(
+      rows: IndexedSeq[(Long, Array[Double])],
+      threshold: Double): IndexedSeq[(Long, Long, Boolean)] = {
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
+    val emb = rows.map(_._2)
     val norms = emb.map(v => math.sqrt(dot(v, v)))
     val leaders = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val out = rows.indices.map { i =>
+    rows.indices.map { i =>
       val hit = leaders.find { j =>
         val den = norms(i) * norms(j)
-        den != 0.0 && dot(emb(i), emb(j)) / den >= mergeThreshold
+        den != 0.0 && dot(emb(i), emb(j)) / den >= threshold
       }
       hit match {
         case Some(j) => (rows(i)._1, rows(j)._1, false)
         case None => leaders += i; (rows(i)._1, rows(i)._1, true)
       }
     }
-    out.toDF(idCol, "leader_id", "is_new")
+  }
+
+  /** [[mergeFacts]] past the driver-side cap — the composition
+    * [[graft.ScaleProfile]] prescribes for over-cap fact corpora,
+    * now code instead of advice: pre-cluster the corpus with the
+    * blocked near-dup pair generator, take connected components over
+    * the thresholded pairs, and run the SAME greedy kernel per
+    * component on the executors.
+    *
+    * == Why per-component equals global ==
+    * In the global fold, fact `i` can only merge into a surviving
+    * leader `j < i` with `cos(i,j) >= mergeThreshold` — that pair IS
+    * a threshold edge, so `i` and `j` sit in the same component; and
+    * whether `j` survived depends, inductively, only on facts
+    * threshold-connected to `j`. The global fold therefore decomposes
+    * exactly into independent folds per threshold-component. With the
+    * EXACT edge set (`cells = 1`, every pair examined — the q291 gate
+    * configuration) the output is IDENTICAL to [[mergeFacts]], row
+    * for row. With blocked edges (`cells > 1` or `targetCellSize >
+    * 0`) a >= threshold pair whose endpoints land in different
+    * k-means cells is unseen: a component may split and a fact that
+    * global greedy would merge becomes its own leader — strictly MORE
+    * leaders, never a wrong merge (every emitted merge still
+    * satisfies the threshold). That is the same recall trade the
+    * SemDeDup gates (q184/q285/q287) document for the pair generator
+    * itself.
+    *
+    * == Scale posture ==
+    * No driver-side collect anywhere: pairs are the blocked SemDeDup
+    * join (one shuffle on the cell, pair mass ~n·targetCellSize),
+    * components are min-label propagation (one shuffle per round,
+    * rounds ~ component diameter), and the fold runs inside
+    * `flatMapGroups` with per-COMPONENT memory bounded by
+    * `maxComponent` (loud failure, never truncation — a component
+    * bigger than the cap means the threshold is so low the corpus is
+    * one merge-blob, which is a modeling problem, not a capacity
+    * one). 100×: raise `targetCellSize`-driven cell counts, not the
+    * component cap.
+    *
+    * Output contract identical to [[mergeFacts]]:
+    * `(fact_id, leader_id, is_new)`. Null-embedding rows are skipped
+    * (the reference's summary-less-episode skip, `facts.py:126-127`).
+    */
+  def mergeFactsClustered(
+      facts: DataFrame,
+      mergeThreshold: Double,
+      cells: Int,
+      iters: Int,
+      idCol: String = "fact_id",
+      embCol: String = "embedding",
+      targetCellSize: Long = 0L,
+      maxComponent: Int = 4096): DataFrame = {
+    require(mergeThreshold > 0.0,
+      s"mergeThreshold must be > 0 (the zero-norm guard maps degenerate " +
+        s"pairs to similarity 0), got $mergeThreshold")
+    val spark = facts.sparkSession
+    import spark.implicits._
+    // one scan feeds both the pair generator and the component join
+    val f = facts
+      .filter(col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("__fid"),
+        col(embCol).cast("array<double>").as("__femb"))
+      .localCheckpoint()
+    // the pair generator keeps cosine STRICTLY > its threshold while
+    // the merge kernel folds at >= mergeThreshold; nextDown makes the
+    // edge set exactly {cos >= mergeThreshold} (no double exists
+    // strictly between nextDown(t) and t), so a pair sitting exactly
+    // ON the boundary — q288's spec-pinned case — still edges
+    val edgeThreshold = math.nextDown(mergeThreshold)
+    val pairs =
+      if (cells == 1 && targetCellSize <= 0L)
+        // exact mode (the gate configuration): one block holds the
+        // whole corpus, so the k-means is pure overhead — and its
+        // id-stride seeding would (loudly) demand dense-from-0 ids
+        // that arbitrary fact ids need not satisfy
+        SimilaritySearch.nearDupPairs(
+          f.withColumn("__cell", lit(0)), "__cell", edgeThreshold,
+          "__fid", "__femb")
+      else
+        SimilaritySearch.semanticNearDupPairs(f,
+          cells = cells, iters = iters, threshold = edgeThreshold,
+          idCol = "__fid", embCol = "__femb",
+          targetCellSize = targetCellSize)
+    // components = min reachable id over the threshold edges. Facts
+    // with no edge are their own singleton component (left join,
+    // coalesce to own id).
+    val comps = Dedup.connectedComponents(pairs,
+      aCol = "id_a", bCol = "id_b", outId = "__fid")
+    val thr = mergeThreshold
+    val maxC = maxComponent
+    f.join(comps, Seq("__fid"), "left")
+      .select(coalesce(col("component"), col("__fid")).as("__comp"),
+        col("__fid"), col("__femb"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (comp, it) =>
+        val rows = it.map(r => (r._2, r._3.toArray)).toIndexedSeq
+        require(rows.size <= maxC,
+          s"mergeFactsClustered: component $comp holds ${rows.size} " +
+            s"facts > maxComponent=$maxC — the threshold merges the " +
+            s"corpus into one blob; raise the threshold or the cap " +
+            s"deliberately (ScaleProfile)")
+        greedyFold(rows.sortBy(_._1), thr).iterator
+      }
+      .toDF(idCol, "leader_id", "is_new")
   }
 }

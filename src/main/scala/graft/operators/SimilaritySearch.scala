@@ -196,18 +196,32 @@ object SimilaritySearch {
       // A single level cannot hold mean cell size at targetCellSize
       // past MaxCells cells (n > targetCellSize·MaxCells) — the
       // within-cell pair mass would turn quadratic again. Split the
-      // corpus with a level-1 k-means into just enough parents that
-      // each parent needs <= maxCellsPerLevel sub-cells
-      // (k1 = ceil(kRaw / cap), itself capped), then run the grouped
-      // Lloyd kernel ([[IvfIndex.buildGroupedKMeans]]) inside each
-      // parent. Leaf capacity cap² cells (~33M rows at the defaults,
-      // 1000x the single-level boundary); level-1 stays an
+      // corpus with a level-1 k-means into k1 parents, then run the
+      // grouped Lloyd kernel ([[IvfIndex.buildGroupedKMeans]]) inside
+      // each parent. Leaf capacity cap² cells (~33M rows at the
+      // defaults, 1000x the single-level boundary); level-1 stays an
       // audit-provable broadcast, level-2 assignment is an equi-join
       // on the parent (bounded fan per row, never broadcast). Leaf
       // blocking key = parent·cap + sub (exact, collision-free).
-      // Gate/knob scale table: [[graft.ScaleProfile]].
+      //
+      // k1 BALANCES the levels at ~ceil(sqrt(kRaw)) instead of the
+      // minimal ceil(kRaw/cap): the r12 sf3 sweep measured the
+      // minimal choice at 237 s / exponent 3.4 (q285: kRaw = 1875
+      // just past cap = 1024 gave k1 = 2, so the level-2 equi-join
+      // fanned ~cap centroids per row AND every grouped shuffle
+      // hashed on 2 parent keys — parallelism collapsed exactly where
+      // the operator's linear-regime claim began). sqrt keeps both
+      // levels ~sqrt(kRaw) wide: bounded fan per row, k1-way
+      // parallelism, same cap² capacity. Clamped below by
+      // ceil(kRaw/cap) (so k1·cap >= kRaw leaves stay reachable) and
+      // above by the cap (the broadcast bound; min wins when the two
+      // conflict past cap² — the documented regime limit).
+      // ceil(sqrt(·)) is IEEE-exact in any engine (sqrt is correctly
+      // rounded), so the q287 oracle derives the SAME k1 from
+      // count(*). Gate/knob scale table: [[graft.ScaleProfile]].
       val k1 = math.min(maxCellsPerLevel.toLong,
-        (kRaw + maxCellsPerLevel - 1L) / maxCellsPerLevel).toInt
+        math.max(math.ceil(math.sqrt(kRaw.toDouble)).toLong,
+          (kRaw + maxCellsPerLevel - 1L) / maxCellsPerLevel)).toInt
       val idx1 = IvfIndex.buildKMeans(corpus, k1, iters, idCol, embCol,
         knownCount = n)
       val leafed = IvfIndex.buildGroupedKMeans(
@@ -252,8 +266,12 @@ object SimilaritySearch {
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        (Similarity.dot(col(s"a.$embCol"), col(s"b.$embCol")) /
-          (col("a.__n") * col("b.__n"))).as("cosine"))
+        // zero-norm pairs read as similarity 0 (the reference's
+        // cosine guard) — also keeps the division out of ANSI mode's
+        // divide-by-zero error path
+        when(col("a.__n") * col("b.__n") === 0.0, lit(0.0))
+          .otherwise(Similarity.dot(col(s"a.$embCol"), col(s"b.$embCol")) /
+            (col("a.__n") * col("b.__n"))).as("cosine"))
       .filter(col("cosine") > threshold)
   }
 

@@ -38,6 +38,40 @@ final case class OpenSession(startMs: Long, lastMs: Long, n: Long,
 final case class TimedEvent(user_id: Long, event_id: Long, ts: Long,
     event_time: java.sql.Timestamp)
 
+/** One timeline entry for [[Ingest.streamingEpisodes]] — `key` is the
+  * per-stream identity (one agent's memory timeline; the whole point
+  * of keying is that DIFFERENT agents' chains never interleave).
+  * `embedding` None = the reference's missing-embedding suppression. */
+final case class TimelineEntry(key: Long, entry_id: Long, ts: Long,
+    state: String, embedding: Option[Seq[Double]], content: String,
+    event_time: java.sql.Timestamp)
+
+/** A buffered not-yet-sealed entry ([[Ingest.streamingEpisodes]]). */
+final case class PendingEntry(entryId: Long, ts: Long, state: String,
+    emb: Option[Seq[Double]], content: String)
+
+/** The open (unclosed) episode of one key's chain: the running
+  * aggregate of [[graft.operators.EpisodeGraph.detectEpisodes]]'s
+  * per-episode row plus the LAST entry's state/embedding (the operand
+  * of the next boundary score). */
+final case class OpenEpisode(idx: Long, startTs: Long, endTs: Long,
+    entryStart: Long, entryEnd: Long, n: Long, state: String,
+    firstContent: String, prevState: String,
+    prevEmb: Option[Seq[Double]])
+
+/** Per-key state for [[Ingest.streamingEpisodes]]: the reorder buffer
+  * of entries the watermark has not sealed yet, the open episode, and
+  * the next episode index. */
+final case class EpisodeBuffer(pending: Seq[PendingEntry],
+    open: Option[OpenEpisode], nextIdx: Long)
+
+/** One CLOSED episode emitted by [[Ingest.streamingEpisodes]] — field
+  * shape matches the batch twin
+  * ([[graft.operators.EpisodeGraph.detectEpisodes]]) plus `key`. */
+final case class EpisodeRow(key: Long, episode_idx: Long,
+    start_ts: Long, end_ts: Long, entry_start: Long, entry_end: Long,
+    n_entries: Long, state: String, summary: String)
+
 /** Streaming ingestion with upsert semantics (SURVEY §2.9, §3.2).
   *
   * The reference consumes Kafka in polled batches with manual commits
@@ -586,6 +620,144 @@ object Ingest {
     * keeping indexes batch-equal across any quiet period shorter than
     * `IdxRetentionGaps · gap`. */
   private val IdxRetentionGaps = 64L
+
+  /** Streaming episode-boundary detection — the incremental front end
+    * of the episodic chain, emitting the SAME rows as the batch
+    * [[graft.operators.EpisodeGraph.detectEpisodes]] as the watermark
+    * seals them (q292 proves it against the q286 batch oracle).
+    *
+    * The boundary chain is strictly SEQUENTIAL (each score conditions
+    * on the immediately preceding entry), so unlike
+    * [[streamingSessionize]] — whose span-widen absorbs in-window
+    * disorder — this operator cannot process an entry until no
+    * earlier entry can still arrive. Each key therefore keeps a
+    * REORDER BUFFER: incoming entries wait in `pending`, and only the
+    * prefix the watermark has sealed (`ts < watermark` — a
+    * same-or-earlier `(ts, id)` straggler at `ts >= watermark` could
+    * still arrive, one below it is dropped by Spark's own late filter
+    * before the handler) is sorted by `(ts, entry_id)` and folded
+    * through the scoring chain. Entries above the watermark stay
+    * buffered across batches; an event-time timeout armed at the
+    * earliest pending entry re-drives the fold when the watermark
+    * advances without new data for the key.
+    *
+    * A boundary (`stateWeight·flip + semanticWeight·shift >=
+    * threshold`, the exact batch arithmetic — flip only when both
+    * states non-empty, shift only when both embeddings present,
+    * zero-norm cosine reads 0) CLOSES the open episode and emits it.
+    * There is NO timeout-close: the final, still-open episode is not
+    * emitted until an observed boundary proves it closed — every
+    * emitted row is final under any continuation of the stream, which
+    * is the only append-mode contract that can never contradict the
+    * batch twin. A finite fixture flushes it by appending one
+    * boundary-forcing sentinel entry past the corpus (plus one
+    * further watermark-pusher the sentinel's own open episode waits
+    * on, never emitted) — the q283 sentinel pattern, one step
+    * stronger.
+    *
+    * `maxPending` bounds per-key state LOUDLY (pending is rate ×
+    * watermark-delay in steady state; a single-key fixture buffers
+    * the whole corpus through the first batch, so gates size it to
+    * the fixture). Input columns: `(key, entry_id, ts, state,
+    * embedding, content)`, `ts` epoch millis.
+    */
+  def streamingEpisodes(
+      entries: DataFrame,
+      threshold: Double = 0.5,
+      stateWeight: Double = 0.6,
+      semanticWeight: Double = 0.4,
+      watermarkDelay: String = "1 minute",
+      maxPending: Int = 8192): Dataset[EpisodeRow] = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+
+    // the batch twin's per-pair arithmetic, executor-side: ascending-
+    // index fold for dot and the squared norms (graft.expr.DotProduct's
+    // eval order), sqrt·sqrt denominator — IEEE-identical, so the
+    // decision boundary reproduces bit-for-bit against detectEpisodes
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def score(pState: String, pEmb: Option[Seq[Double]],
+        state: String, emb: Option[Seq[Double]]): Double = {
+      val flip = if (pState != state && pState.nonEmpty &&
+        state.nonEmpty) 1.0 else 0.0
+      val shift = (pEmb, emb) match {
+        case (Some(a), Some(b)) =>
+          val den = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+          val cos = if (den == 0.0) 0.0 else dot(a, b) / den
+          1.0 - math.max(cos, 0.0)
+        case _ => 0.0
+      }
+      stateWeight * flip + semanticWeight * shift
+    }
+    def close(key: Long, o: OpenEpisode): EpisodeRow =
+      EpisodeRow(key, o.idx, o.startTs, o.endTs, o.entryStart,
+        o.entryEnd, o.n,
+        o.state, s"${o.n} entries: ${o.firstContent.take(80)}…")
+
+    entries
+      .select(col("key").cast("long").as("key"),
+        col("entry_id").cast("long").as("entry_id"),
+        col("ts").cast("long").as("ts"),
+        coalesce(col("state"), lit("")).as("state"),
+        col("embedding").cast("array<double>").as("embedding"),
+        col("content").cast("string").as("content"))
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimelineEntry]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[TimelineEntry],
+         state: GroupState[EpisodeBuffer]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption
+            .getOrElse(EpisodeBuffer(Nil, None, 0L))
+          val incoming = rows.map(e => PendingEntry(e.entry_id, e.ts,
+            e.state, e.embedding, e.content)).toSeq
+          val all = st.pending ++ incoming
+          require(all.size <= maxPending,
+            s"streamingEpisodes: key $key buffers ${all.size} " +
+              s"unsealed entries > maxPending=$maxPending — widen the " +
+              s"cap deliberately or shorten the watermark delay")
+          // sealed prefix: fold it through the chain in (ts, id) order
+          val (ripe, rest) = all.partition(_.ts < wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[EpisodeRow]
+          var open = st.open
+          var nextIdx = st.nextIdx
+          ripe.sortBy(e => (e.ts, e.entryId)).foreach { e =>
+            open match {
+              case Some(o)
+                  if score(o.prevState, o.prevEmb, e.state, e.emb) >=
+                    threshold =>
+                out += close(key, o)
+                open = Some(OpenEpisode(nextIdx, e.ts, e.ts, e.entryId,
+                  e.entryId, 1L, e.state, e.content, e.state, e.emb))
+                nextIdx += 1
+              case Some(o) =>
+                open = Some(o.copy(endTs = e.ts, entryEnd = e.entryId,
+                  n = o.n + 1L, prevState = e.state, prevEmb = e.emb))
+              case None =>
+                open = Some(OpenEpisode(nextIdx, e.ts, e.ts, e.entryId,
+                  e.entryId, 1L, e.state, e.content, e.state, e.emb))
+                nextIdx += 1
+            }
+          }
+          state.update(EpisodeBuffer(rest, open, nextIdx))
+          // re-drive the fold as soon as the watermark can seal the
+          // EARLIEST buffered entry (must exceed the current watermark
+          // or Spark throws); no pending -> nothing a timeout could
+          // seal, leave whatever timeout exists — a spurious fire is a
+          // no-op fold
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(rest.map(_.ts).min + 1L, wm + 1L))
+          out.iterator
+      }
+  }
 
   /** Stream-stream attribution join: left events matched to same-key
     * right events within `[leftTs, leftTs + horizon]`, both sides

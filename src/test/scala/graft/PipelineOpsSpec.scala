@@ -903,6 +903,71 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(err2.getMessage.contains("unique"))
   }
 
+  test("mergeFactsClustered with the exact edge set equals mergeFacts " +
+      "row for row; cells separating by threshold preserve equality; " +
+      "loud component cap") {
+    import graft.operators.EpisodeGraph
+    def vec(deg: Double) =
+      Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    def global(fs: Seq[(Long, Option[Seq[Double]])], th: Double) =
+      EpisodeGraph.mergeFacts(
+        fs.toDF("fact_id", "embedding"), mergeThreshold = th)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    def clustered(fs: Seq[(Long, Option[Seq[Double]])], th: Double,
+        cells: Int, iters: Int = 2, parts: Int = 3, cap: Int = 4096) =
+      EpisodeGraph.mergeFactsClustered(
+        fs.toDF("fact_id", "embedding").repartition(parts),
+        mergeThreshold = th, cells = cells, iters = iters,
+        maxComponent = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    // the mergeFacts spec corpus: merge-into-merged traps, zero-norm
+    // pairs, a null embedding, first-match-wins ties
+    val facts: Seq[(Long, Option[Seq[Double]])] = Seq(
+      1L -> Some(vec(0)), 2L -> Some(vec(90)), 3L -> Some(vec(20)),
+      4L -> Some(vec(40)), 5L -> Some(vec(42)), 6L -> Some(vec(25)),
+      7L -> Some(Seq(0.0, 0.0)), 8L -> Some(Seq(0.0, 0.0)),
+      9L -> None)
+    assert(clustered(facts, 0.9, cells = 1) === global(facts, 0.9))
+    // partition invariance
+    assert(clustered(facts, 0.9, cells = 1, parts = 7) ===
+      global(facts, 0.9))
+    // wider corpus with decision chains several leaders deep
+    val wide = (0L until 60L).map(i =>
+      i -> Option(vec((i * 37 % 360).toDouble)))
+    assert(clustered(wide, 0.93, cells = 1) === global(wide, 0.93))
+    // exact-threshold boundary survives the strict-> / >= bridge
+    // (nextDown): cos((3,4),(5,0)) = 0.6 exactly in binary64
+    val edge = Seq(10L -> Option(Seq(3.0, 4.0)),
+      11L -> Option(Seq(5.0, 0.0)))
+    assert(clustered(edge, 0.6, cells = 1)
+      .map(e => (e._1, e._2)).toMap.apply(11L) === 10L)
+    assert(clustered(edge, 0.6000000000000001, cells = 1)
+      .map(e => (e._1, e._2)).toMap.apply(11L) === 11L)
+    // multi-cell: three tight clusters separated FAR below threshold
+    // (within-cluster pairs ~cos 1, cross-cluster ~cos(-0.5)); ids
+    // ordered by cluster so the deterministic rank-stride seeding
+    // lands one seed per cluster and Lloyd isolates them — no
+    // threshold edge crosses a cell, so per-cluster equals global
+    val sep = (0 until 3).flatMap { c =>
+      (0 until 6).map(j =>
+        (c * 10L + j) -> Option(vec(c * 120.0 + j * 1.5)))
+    }
+    val gotSep = clustered(sep, 0.98, cells = 3)
+    assert(gotSep === global(sep, 0.98))
+    assert(gotSep.count(_._3) === 3) // one leader per cluster
+    // loud cap: an over-cap component fails rather than truncating
+    val blob = (0L until 5L).map(i => i -> Option(vec(i * 0.5)))
+    val err = intercept[Exception] {
+      clustered(blob, 0.9, cells = 1, cap = 3)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("maxComponent")))
+  }
+
   test("ensureCounterExample: appends best unselected counter row only " +
       "where the slate lacks one and the pool has one") {
     import graft.operators.Pipeline
