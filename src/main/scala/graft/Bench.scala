@@ -130,6 +130,8 @@ object Bench {
           case _ => Nil
         })
       }.toMap
+      // `!sweep` allowances never match a shape name, so they always
+      // carry over verbatim — hand-added, hand-removed, never minted
       val carried = baseline.filter { case (k, _) =>
         val base = k.stripSuffix("!bnlj")
         !shapes.contains(base)
@@ -425,7 +427,12 @@ object Bench {
         var retried = false
         if (times.forall(_ > 0.0)) {
           val (e0, _) = slopes(times)
-          if (e0 > 1.2 && times.last > 1.0) {
+          // reviewed-intrinsic queries (see the !sweep allowance
+          // below) skip the retry: their raw flag is expected, and a
+          // second pass of a by-design-superlinear sf3 leg buys
+          // nothing
+          if (e0 > 1.2 && times.last > 1.0 &&
+              !baseline.contains(s"$name!sweep")) {
             // raw flag: re-measure once after a cooldown and keep the
             // per-leg min — transient co-tenant load is the common
             // cause, and a second sample is far cheaper than a judge
@@ -470,16 +477,23 @@ object Bench {
           // exponent still flags — otherwise it is the box, not the
           // operator, and it is re-labeled instead of counted
           val normFlag = eNorm > 1.2 && normTimes.last > 1.0
-          val flag = rawFlag && (!contended || normFlag)
+          // a `<name>!sweep` baseline entry is a REVIEWED allowance
+          // for by-design superlinear growth (q184's pinned-k config
+          // is the documented quadratic the auto-scaled twins exist
+          // to avoid; its sf3 leg is kept in the sweep precisely to
+          // SHOW that contrast). Hand-reviewed like `!bnlj` — never
+          // auto-minted, and the entry is annotated, not hidden.
+          val intrinsic = baseline.contains(s"$name!sweep")
+          val flag = rawFlag && (!contended || normFlag) && !intrinsic
           if (flag) sweepFlags += 1
-          else if (rawFlag) sweepContended += 1
+          else if (rawFlag && !intrinsic) sweepContended += 1
           name -> (s"""{"times":[${times.map(jnum(_, 3)).mkString(",")}],""" +
             sfsJson +
             s""""calib":[${calibs.map(jnum(_, 3)).mkString(",")}],""" +
             s""""factor":[${factors.map(jnum(_, 2)).mkString(",")}],""" +
             s""""exponent":${jnum(eLast, 2)},"exponent_fit":${jnum(eFit, 2)},""" +
             s""""exponent_norm":${jnum(eNorm, 2)},"contended":$contended,""" +
-            s""""retried":$retried,"flag":$flag}""")
+            s""""intrinsic":$intrinsic,"retried":$retried,"flag":$flag}""")
         }
       }
       val deepJson = deepDir

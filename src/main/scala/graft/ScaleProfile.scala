@@ -39,11 +39,14 @@ package graft
   *  - `EpisodeGraph.mergeFacts(maxFacts)` — gate: default 4096. The
   *    greedy merge is sequentially dependent (each decision conditions
   *    on every prior survivor), so it is a bounded DRIVER-SIDE fold by
-  *    design; the cap fails loudly, never truncates. 100×: a
-  *    generalized-fact corpus stays small by construction — if yours
-  *    doesn't, pre-cluster with `semanticNearDupPairs` and merge per
-  *    cluster rather than raising the cap past ~10⁴ (the fold is
-  *    O(n·survivors) driver work).
+  *    design; the cap fails loudly, never truncates. 100×: switch to
+  *    `EpisodeGraph.mergeFactsClustered` (q291) — thresholded
+  *    near-dup pairs → connected components → the SAME greedy kernel
+  *    per component on the executors, `maxComponent`-bounded per
+  *    group instead of globally. With exact blocking (cells = 1, the
+  *    gate config) its output EQUALS the global fold; with k-means
+  *    blocking it can only over-segment (missed cross-cell edge ⇒
+  *    extra leader), never mis-merge.
   *
   * == Blocking-granularity knobs (the scale-coupled ones) ==
   *
@@ -62,7 +65,10 @@ package graft
   *    ceil(n/target). Past `maxCellsPerLevel` cells (n >
   *    target·1024 at the production cap) the operator itself switches
   *    to two-level coarse quantization (level-1 k-means into
-  *    ceil(k/cap) parents, grouped Lloyd per parent —
+  *    k1 = max(ceil(sqrt(k)), ceil(k/cap)) parents — BALANCED, not
+  *    minimal: the r12 sf3 sweep measured ceil(k/cap) at 30x the
+  *    balanced time just past the cap, where 2 parents serialized
+  *    every grouped shuffle — grouped Lloyd per parent via
   *    `IvfIndex.buildGroupedKMeans`), holding the linear regime to
   *    cap² ≈ 10⁶ leaf cells ≈ 3·10⁷ vectors at target 32; beyond
   *    THAT, shard the corpus per index.

@@ -234,9 +234,10 @@ object EpisodeGraph {
     * the [[PcaRotate]] house precedent — with a LOUD cap: more than
     * `maxFacts` input rows fails the job rather than silently
     * truncating (a generalized-fact corpus is small by construction;
-    * shard upstream or raise the cap deliberately). Null-embedding
-    * rows are skipped, matching the reference's summary-less-episode
-    * skip (`facts.py:126-127`).
+    * past the cap, use [[mergeFactsClustered]] — the distributed
+    * per-component composition, identical output under exact
+    * blocking). Null-embedding rows are skipped, matching the
+    * reference's summary-less-episode skip (`facts.py:126-127`).
     *
     * Output: one row per fact — `(fact_id, leader_id, is_new)`;
     * `leader_id = fact_id` iff the fact survived as its own leader.

@@ -693,6 +693,107 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     assert(capped === plain)
   }
 
+  test("streamingEpisodes: multi-batch incremental fold equals the " +
+      "batch detector; cross-batch disorder above the watermark " +
+      "reorders; boundary-only emission; per-key isolation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val minMs = 60000L
+    def vec(deg: Double) = Some(Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg))))
+    // key 0: four episodes split by state flips and a semantic shift
+    // (90° turn: shift = 1 - cos(90°) = 1 -> 0.4 term alone fires at
+    // 0.38); key 1 runs its own chain concurrently
+    val k0: Seq[(Long, Long, Long, String, Option[Seq[Double]], String)] = Seq(
+      (0L, 1L, 10 * minMs, "s1", vec(0), "a1"),
+      (0L, 2L, 11 * minMs, "s1", vec(5), "a2"),
+      // 12min + 1s: after batch 1 (max ts 13min) the watermark sits
+      // at exactly 12min, and the late filter drops ts <= wm — the
+      // disorder entry must sit strictly above it to be admissible
+      (0L, 3L, 12 * minMs + 1000L, "s2", vec(10), "b1"), // flip -> boundary
+      (0L, 4L, 13 * minMs, "s2", vec(100), "c1"), // 90° -> boundary
+      (0L, 5L, 14 * minMs, "s2", vec(105), "c2"),
+      (0L, 6L, 15 * minMs, "", None, "d1"),       // no terms -> same ep
+      (0L, 7L, 16 * minMs, "s3", vec(110), "d2")) // vs '' + None: same
+    val k1: Seq[(Long, Long, Long, String, Option[Seq[Double]], String)] = Seq(
+      (1L, 8L, 10 * minMs, "x", vec(0), "k1a"),
+      // also 12min + 1s: ts <= watermark(12min) would be dropped
+      (1L, 9L, 12 * minMs + 1000L, "y", vec(0), "k1b")) // flip -> boundary
+    // sentinel pair per key (the q292 flush pattern)
+    def sent(key: Long, base: Long): Seq[(Long, Long, Long, String, Option[Seq[Double]], String)] = Seq(
+      (key, -1L, base + 100 * minMs, "zzflush", vec(180), "s"),
+      (key, -2L, base + 300 * minMs, "", None, "s"))
+    val mem = MemoryStream[(Long, Long, Long, String, Option[Seq[Double]], String)]
+    val eps = Ingest.streamingEpisodes(
+      mem.toDF.toDF("key", "entry_id", "ts", "state", "embedding",
+        "content"), threshold = 0.38)
+    val q = eps.toDF.writeStream.format("memory").queryName("seps")
+      .outputMode("append").start()
+    // feed in three batches with CROSS-BATCH disorder: batch 2 carries
+    // an entry (id 2) that precedes batch 1's tail in event time but
+    // sits above the watermark (wm after batch 1 = 16*min - 1min,
+    // which is <= every already-shipped ts... use late-but-compliant:
+    // ship id 4 before id 3). The reorder buffer must restore (ts, id)
+    // order before folding.
+    mem.addData(k0(0), k0(1), k0(3), k1(0))      // id 4 BEFORE id 3
+    q.processAllAvailable()
+    mem.addData(k0(2), k0(4), k0(5), k1(1))      // id 3 arrives late
+    q.processAllAvailable()
+    mem.addData(k0(6) +: (sent(0L, 16 * minMs) ++ sent(1L, 12 * minMs)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("seps")
+      .select($"key", $"episode_idx", $"start_ts", $"end_ts",
+        $"entry_start", $"entry_end", $"n_entries", $"state", $"summary")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String, String)]
+      .collect().toSet
+    // batch twin over the same entries (per key)
+    def batchOf(rows: Seq[(Long, Long, Long, String, Option[Seq[Double]], String)]) = {
+      val df = rows.toDF("key", "entry_id", "ts", "state", "embedding",
+        "content")
+      graft.operators.EpisodeGraph.detectEpisodes(df,
+          threshold = 0.38, contentCol = "content")
+        .select(col("episode_idx"), col("start_ts"), col("end_ts"),
+          col("entry_start"), col("entry_end"), col("n_entries"),
+          col("state"), col("summary"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6),
+          r.getString(7)))
+    }
+    // streaming emitted every REAL episode of both keys (the sentinel
+    // boundary closes the last; the sentinel's own episode and the
+    // watermark pusher never emit), each row equal to the batch twin's
+    val expect0 = batchOf(k0).map(t => (0L, t._1, t._2, t._3, t._4,
+      t._5, t._6, t._7, t._8)).toSet
+    val expect1 = batchOf(k1).map(t => (1L, t._1, t._2, t._3, t._4,
+      t._5, t._6, t._7, t._8)).toSet
+    assert(got === expect0 ++ expect1)
+    assert(expect0.size === 3 && expect1.size === 2) // sanity: shapes
+    // incremental emission: episodes sealed by earlier batches must
+    // not wait for the sentinels — not directly observable post-hoc
+    // here, but the disorder case above already fails if the fold ran
+    // eagerly on arrival order.
+  }
+
+  test("streamingEpisodes: maxPending cap fails loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Option[Seq[Double]], String)]
+    val eps = Ingest.streamingEpisodes(
+      mem.toDF.toDF("key", "entry_id", "ts", "state", "embedding",
+        "content"), threshold = 0.38, maxPending = 3)
+    val q = eps.toDF.writeStream.format("memory").queryName("capeps")
+      .outputMode("append").start()
+    mem.addData((1L to 4L).map(i =>
+      (0L, i, i * 1000L, "s1", Some(Seq(1.0, 0.0)), "x")): _*)
+    val err = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("maxPending")))
+    q.stop()
+  }
+
   test("readability scores a hand-computed fixture") {
     val docs = Seq((1L, "The cat sat. It ran!"),
       (2L, "no punctuation here")).toDF("doc_id", "text")
