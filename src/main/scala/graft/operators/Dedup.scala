@@ -221,7 +221,13 @@ object Dedup {
       bCol: String = "id_b",
       outId: String = "doc_id"): DataFrame = {
     // no distinct: min-label propagation is idempotent under duplicate
-    // edges, so the dedup shuffle would be pure cost
+    // edges, so the dedup shuffle would be pure cost.
+    // (Tried and reverted, r12: pre-partitioning edges by dst before
+    // the checkpoint to spare the per-round join exchange — the
+    // LogicalRDD that localCheckpoint plans does NOT surface the
+    // partitioning to the join (both sides still Exchange+Sort in the
+    // explain), and the sweep measured zero change. The per-round
+    // edge shuffle is the price of the loop on this engine.)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
