@@ -376,14 +376,8 @@ object Bench {
     // corrupt the JSON line)
     def jnum(x: Double, digits: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
-    // sf of a sweep dir, parsed from its exact basename ("sf0.1" ->
-    // 0.1). The legs are NOT equally spaced once the sf3 deep tier
-    // joins (sf1 -> sf3 is log10(3) = 0.48 decades), so exponents are
-    // slopes of log10(t) on log10(sf), not on the leg index.
-    def sfOf(dir: String): Option[Double] =
-      "^sf([0-9]+(?:\\.[0-9]+)?)$".r.findFirstMatchIn(
-        dir.replaceAll("/+$", "").split('/').last)
-        .map(_.group(1).toDouble)
+    // exponent axes, min-merging, contention factors and the flag
+    // adjudication are [[SweepMath]] (pure, spec-tested)
     val sweepJson = if (sweepDirs.size < 2) "" else {
       // quiesce the parent (see the block comment above forkMeasure)
       spark.stop()
@@ -392,35 +386,10 @@ object Bench {
       val rows = sweepQueries.map { name =>
         val dirs = sweepDirs ++
           (if (deepQueries(name)) deepDir.toSeq else Nil)
-        val sfs = dirs.map(sfOf)
-        // decade positions; unparsable basenames (a custom
-        // SPARK_GRAFT_SF_SWEEP) fall back to assuming 10x steps
-        val xs: Seq[Double] =
-          if (sfs.forall(_.isDefined)) sfs.map(s => math.log10(s.get))
-          else dirs.indices.map(_.toDouble)
-        def lg(x: Double) = math.log10(x)
-        // (top-segment slope, least-squares slope) of log10(ts) on xs
-        def slopes(ts: Seq[Double]): (Double, Double) = {
-          val n = ts.size
-          val eLast = (lg(ts.last) - lg(ts(n - 2))) / (xs.last - xs(n - 2))
-          val xb = xs.sum / n
-          val ys = ts.map(lg)
-          val yb = ys.sum / n
-          val eFit = xs.zip(ys).map { case (x, y) => (x - xb) * (y - yb) }
-            .sum / xs.map(x => (x - xb) * (x - xb)).sum
-          (eLast, eFit)
-        }
-        // per-leg min-merge of two measurements, keeping each leg's
-        // time PAIRED with the calib sample from the run it came from
-        def merge(a: (Seq[Double], Seq[Double]),
-            b: (Seq[Double], Seq[Double])): (Seq[Double], Seq[Double]) = {
-          val picked = a._1.indices.map { i =>
-            if (b._1(i) > 0.0 && (a._1(i) <= 0.0 || b._1(i) < a._1(i)))
-              (b._1(i), b._2(i))
-            else (a._1(i), a._2(i))
-          }
-          (picked.map(_._1), picked.map(_._2))
-        }
+        val sfs = dirs.map(SweepMath.sfOf)
+        val xs = SweepMath.axis(dirs)
+        def slopes(ts: Seq[Double]): (Double, Double) =
+          SweepMath.slopes(xs, ts)
         def measure(): (Seq[Double], Seq[Double]) =
           forkMeasure(name, dirs).getOrElse(inprocMeasure(name, dirs))
         var (times, calibs) = measure()
@@ -440,7 +409,7 @@ object Bench {
             retried = true
             Thread.sleep(15000)
             val again = measure()
-            val m = merge((times, calibs), again)
+            val m = SweepMath.mergeMin((times, calibs), again)
             times = m._1
             calibs = m._2
           }
@@ -459,24 +428,9 @@ object Bench {
             sfsJson + s""""calib":[${calibs.map(jnum(_, 3)).mkString(",")}],"error":true}""")
         } else {
           val (eLast, eFit) = slopes(times)
-          // contention factor per leg: canary time over the idle-box
-          // pin. -1 = no canary sample (old-protocol child)
-          val factors = calibs.map(c =>
-            if (c > 0.0) c / Calib.BaselineSec else -1.0)
-          // normalized times: wall time deflated by the measured
-          // oversubscription (factor < 1 is noise, never inflate)
-          val normTimes = times.zip(factors).map { case (t, f) =>
-            if (f > 1.0) t / f else t }
+          val factors = SweepMath.factors(calibs, Calib.BaselineSec)
+          val normTimes = SweepMath.normalizedTimes(times, factors)
           val (eNorm, _) = slopes(normTimes)
-          // contended = either exponent-defining leg ran on a box
-          // giving it less than 1/ContendedFactor of its CPU share
-          val contended =
-            factors.takeRight(2).exists(_ > Calib.ContendedFactor)
-          val rawFlag = eLast > 1.2 && times.last > 1.0
-          // a contended raw flag only survives if the NORMALIZED
-          // exponent still flags — otherwise it is the box, not the
-          // operator, and it is re-labeled instead of counted
-          val normFlag = eNorm > 1.2 && normTimes.last > 1.0
           // a `<name>!sweep` baseline entry is a REVIEWED allowance
           // for by-design superlinear growth (q184's pinned-k config
           // is the documented quadratic the auto-scaled twins exist
@@ -484,7 +438,9 @@ object Bench {
           // SHOW that contrast). Hand-reviewed like `!bnlj` — never
           // auto-minted, and the entry is annotated, not hidden.
           val intrinsic = baseline.contains(s"$name!sweep")
-          val flag = rawFlag && (!contended || normFlag) && !intrinsic
+          val (flag, rawFlag, contended) = SweepMath.adjudicate(
+            eLast, times.last, eNorm, normTimes.last, factors,
+            Calib.ContendedFactor, intrinsic)
           if (flag) sweepFlags += 1
           else if (rawFlag && !intrinsic) sweepContended += 1
           name -> (s"""{"times":[${times.map(jnum(_, 3)).mkString(",")}],""" +
