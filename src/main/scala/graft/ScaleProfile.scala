@@ -45,8 +45,9 @@ package graft
   *    per component on the executors, `maxComponent`-bounded per
   *    group instead of globally. With exact blocking (cells = 1, the
   *    gate config) its output EQUALS the global fold; with k-means
-  *    blocking it can only over-segment (missed cross-cell edge ⇒
-  *    extra leader), never mis-merge.
+  *    blocking every emitted merge is still threshold-sound (never a
+  *    below-threshold merge — spec-pinned), but leader structure can
+  *    drift from global wherever a threshold edge crosses cells.
   *
   * == Blocking-granularity knobs (the scale-coupled ones) ==
   *

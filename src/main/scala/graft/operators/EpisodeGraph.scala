@@ -328,12 +328,16 @@ object EpisodeGraph {
     * configuration) the output is IDENTICAL to [[mergeFacts]], row
     * for row. With blocked edges (`cells > 1` or `targetCellSize >
     * 0`) a >= threshold pair whose endpoints land in different
-    * k-means cells is unseen: a component may split and a fact that
-    * global greedy would merge becomes its own leader — strictly MORE
-    * leaders, never a wrong merge (every emitted merge still
-    * satisfies the threshold). That is the same recall trade the
-    * SemDeDup gates (q184/q285/q287) document for the pair generator
-    * itself.
+    * k-means cells is unseen, and the fold runs greedy over the
+    * OBSERVED edge subgraph: every emitted merge still satisfies the
+    * threshold (soundness is unconditional — spec-pinned), but the
+    * leader structure can differ from global in EITHER direction (a
+    * cut edge can strand a fact as its own leader, and by removing a
+    * would-be leader's own merge it can also enable a merge global
+    * never made). Equality holds exactly when no threshold edge
+    * crosses cells — the same recall trade the SemDeDup gates
+    * (q184/q285/q287) document for the pair generator itself; use
+    * exact blocking when global-equality matters.
     *
     * == Scale posture ==
     * No driver-side collect anywhere: pairs are the blocked SemDeDup
