@@ -775,6 +775,74 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     // eagerly on arrival order.
   }
 
+  test("streamingEpisodes: checkpoint restart — the reorder buffer, " +
+      "open episode, and episode index survive a stream restart and " +
+      "the resumed run completes the batch-equal result") {
+    val base = tmp("graft-eps-restart")
+    val in = s"$base/in"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val minMs = 60000L
+    def vec(deg: Double) = Some(Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg))))
+    // e1,e2 same episode; e3 flips state (boundary); e4 continues e3's
+    // episode; e5 (post-restart) continues it further; sentinel closes
+    val stage1: Seq[(Long, Long, Long, String, Option[Seq[Double]], String)] =
+      Seq((0L, 1L, 10 * minMs, "s1", vec(0), "a1"),
+        (0L, 2L, 11 * minMs, "s1", vec(3), "a2"),
+        (0L, 3L, 12 * minMs + 1000L, "s2", vec(6), "b1"),
+        (0L, 4L, 13 * minMs, "s2", vec(9), "b2"))
+    val stage2: Seq[(Long, Long, Long, String, Option[Seq[Double]], String)] =
+      Seq((0L, 5L, 14 * minMs, "s2", vec(12), "b3"),
+        (0L, -1L, 14 * minMs + 100 * minMs, "zzflush", vec(192), "s"),
+        (0L, -2L, 14 * minMs + 300 * minMs, "", None, "s"))
+    val cols = Seq("key", "entry_id", "ts", "state", "embedding",
+      "content")
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val eps = Ingest.streamingEpisodes(
+        Ingest.fileSource(spark, in, schema), threshold = 0.38)
+      eps.toDF.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .start().awaitTermination()
+    }
+    stage1.toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    // run 1 ends with the open episode + unsealed tail IN STATE: its
+    // final watermark (13min - 1min) sealed only e1/e2 — nothing
+    // boundary-closed yet, so nothing may have been emitted
+    val mid = try spark.read.parquet(out).count() catch {
+      case _: Throwable => 0L }
+    assert(mid === 0L)
+    // restart from the same checkpoint with the remaining entries
+    // (all above the persisted 12min watermark, so none are late)
+    stage2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select($"episode_idx", $"start_ts", $"end_ts", $"entry_start",
+        $"entry_end", $"n_entries", $"state", $"summary")
+      .as[(Long, Long, Long, Long, Long, Long, String, String)]
+      .collect().toSet
+    val batch = graft.operators.EpisodeGraph.detectEpisodes(
+        (stage1 ++ stage2.take(1)).toDF(cols: _*),
+        threshold = 0.38, contentCol = "content")
+      .select($"episode_idx", $"start_ts", $"end_ts", $"entry_start",
+        $"entry_end", $"n_entries", $"state", $"summary")
+      .as[(Long, Long, Long, Long, Long, Long, String, String)]
+      .collect().toSet
+    assert(got === batch)
+    // the restart stitched ONE episode from entries on both sides of
+    // the restart (e3 pre, e4 was pending, e5 post): 2 episodes, the
+    // second spanning 12min+1s..14min with 3 entries
+    assert(got.size === 2)
+    assert(got.exists(e => e._6 === 3L && e._4 === 3L && e._5 === 5L))
+  }
+
   test("streamingEpisodes: maxPending cap fails loudly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
