@@ -328,18 +328,9 @@ object Bench {
         var line = out.readLine()
         while (line != null) {
           if (line.startsWith("SWEEPONE_START")) started = true
-          if (line.startsWith("SWEEPONE_RESULT")) {
-            def arr(key: String): Seq[Double] =
-              (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(line)
-                .map(_.group(1).split(',').filter(_.nonEmpty)
-                  .map(_.toDouble).toSeq)
-                .getOrElse(Nil)
-            val ts = arr("times")
-            val cs = arr("calib")
-            if (ts.size == dirs.size)
-              result = Some((ts,
-                if (cs.size == dirs.size) cs else dirs.map(_ => -1.0)))
-          }
+          if (line.startsWith("SWEEPONE_RESULT"))
+            SweepMath.parseResult(line, dirs.size)
+              .foreach(r => result = Some(r))
           line = out.readLine()
         }
         proc.waitFor()

@@ -71,6 +71,26 @@ private[graft] object SweepMath {
       factors: Seq[Double]): Seq[Double] =
     times.zip(factors).map { case (t, f) => if (f > 1.0) t / f else t }
 
+  /** Parse a `SWEEPONE_RESULT {...}` protocol line into
+    * (times, calibs), both `nDirs` long. None when the line carries
+    * no well-formed times array of the right arity (the caller
+    * treats that like a crashed child). A malformed/missing calib
+    * array degrades to all -1 (no canary data) rather than rejecting
+    * the measurement — times are the payload, calibs the annotation. */
+  def parseResult(line: String, nDirs: Int)
+      : Option[(Seq[Double], Seq[Double])] = {
+    def arr(key: String): Seq[Double] =
+      (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(line)
+        .map(_.group(1).split(',').filter(_.nonEmpty)
+          .flatMap(s => scala.util.Try(s.trim.toDouble).toOption).toSeq)
+        .getOrElse(Nil)
+    val ts = arr("times")
+    val cs = arr("calib")
+    if (ts.size == nDirs)
+      Some((ts, if (cs.size == nDirs) cs else Seq.fill(nDirs)(-1.0)))
+    else None
+  }
+
   /** The flag adjudication:
     *  - `raw` — the unadjusted superlinear signal (top-segment
     *    exponent > 1.2 on a > 1 s top leg);

@@ -63,6 +63,28 @@ class SweepMathSpec extends AnyFunSuite {
     assert(nt === Seq(5.0, 10.0, 10.0)) // only the >1 factor deflates
   }
 
+  test("parseResult: arity-checked times, calib degrades to -1, " +
+      "malformed lines rejected") {
+    val good = """SWEEPONE_RESULT {"times":[1.500,2.000,4.700],""" +
+      """"calib":[0.450,0.460,0.470]}"""
+    assert(SweepMath.parseResult(good, 3) ===
+      Some((Seq(1.5, 2.0, 4.7), Seq(0.45, 0.46, 0.47))))
+    // crashed legs come through as -1 times
+    val crashed = """SWEEPONE_RESULT {"times":[1.500,-1.000],""" +
+      """"calib":[0.450,0.460]}"""
+    assert(SweepMath.parseResult(crashed, 2) ===
+      Some((Seq(1.5, -1.0), Seq(0.45, 0.46))))
+    // old-protocol child (no calib): times kept, calib all -1
+    val old = """SWEEPONE_RESULT {"times":[1.500,2.000]}"""
+    assert(SweepMath.parseResult(old, 2) ===
+      Some((Seq(1.5, 2.0), Seq(-1.0, -1.0))))
+    // wrong arity / no times / garbage: rejected
+    assert(SweepMath.parseResult(good, 4) === None)
+    assert(SweepMath.parseResult("SWEEPONE_RESULT {}", 2) === None)
+    assert(SweepMath.parseResult(
+      """SWEEPONE_RESULT {"times":[a,b]}""", 2) === None)
+  }
+
   test("adjudicate: the full decision matrix") {
     val cf = 2.0
     // healthy: no raw flag regardless of factors
