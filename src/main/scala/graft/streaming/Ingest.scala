@@ -60,10 +60,12 @@ final case class OpenEpisode(idx: Long, startTs: Long, endTs: Long,
     prevEmb: Option[Seq[Double]])
 
 /** Per-key state for [[Ingest.streamingEpisodes]]: the reorder buffer
-  * of entries the watermark has not sealed yet, the open episode, and
-  * the next episode index. */
+  * of entries the watermark has not sealed yet, the open episode, the
+  * next episode index, and the high-water mark the fold has already
+  * sealed past (`sealedWm` — the key's own eviction clock; see the
+  * chained-stateful note on the operator). */
 final case class EpisodeBuffer(pending: Seq[PendingEntry],
-    open: Option[OpenEpisode], nextIdx: Long)
+    open: Option[OpenEpisode], nextIdx: Long, sealedWm: Long)
 
 /** One CLOSED episode emitted by [[Ingest.streamingEpisodes]] — field
   * shape matches the batch twin
@@ -660,6 +662,27 @@ object Ingest {
     * the whole corpus through the first batch, so gates size it to
     * the fixture). Input columns: `(key, entry_id, ts, state,
     * embedding, content)`, `ts` epoch millis.
+    *
+    * == Chained-stateful guard ==
+    * In a single-stateful-operator pipeline Spark's late filter and
+    * the handler's `getCurrentWatermarkMs` share one clock; CHAINED
+    * stateful operators make the late filter lag a batch, so an entry
+    * can be admitted BELOW a cut this fold already sealed past —
+    * folding it would corrupt the chain order silently. The state
+    * therefore pins its own `sealedWm` (max cut ever folded); an
+    * incoming entry below it is dropped — the same
+    * eviction-watermark-is-the-one-clock contract
+    * [[streamingSessionize]] documents for its re-filter.
+    *
+    * == State retention ==
+    * Per-key steady state is O(1) + one embedding (the open
+    * episode's scoring operand) plus the unsealed buffer. Idle keys
+    * persist BY DESIGN — an agent may resume its timeline after any
+    * pause, and the open episode must be there to continue (there is
+    * no timeout-close to leak-proof it away). Deployments retiring
+    * agents evict upstream (stop sending the key) and accept the one
+    * resident OpenEpisode per retired key, or run a periodic batch
+    * compaction with [[graft.operators.EpisodeGraph.detectEpisodes]].
     */
   def streamingEpisodes(
       entries: DataFrame,
@@ -713,18 +736,21 @@ object Ingest {
         GroupStateTimeout.EventTimeTimeout) {
         (key: Long, rows: Iterator[TimelineEntry],
          state: GroupState[EpisodeBuffer]) =>
-          val wm = state.getCurrentWatermarkMs()
           val st = state.getOption
-            .getOrElse(EpisodeBuffer(Nil, None, 0L))
+            .getOrElse(EpisodeBuffer(Nil, None, 0L, 0L))
+          // the key's sealing clock only ever advances (chained-
+          // stateful guard — scaladoc): entries below a cut already
+          // folded past are dropped like any late row
+          val cut = math.max(state.getCurrentWatermarkMs(), st.sealedWm)
           val incoming = rows.map(e => PendingEntry(e.entry_id, e.ts,
-            e.state, e.embedding, e.content)).toSeq
+            e.state, e.embedding, e.content)).filter(_.ts >= cut).toSeq
           val all = st.pending ++ incoming
           require(all.size <= maxPending,
             s"streamingEpisodes: key $key buffers ${all.size} " +
               s"unsealed entries > maxPending=$maxPending — widen the " +
               s"cap deliberately or shorten the watermark delay")
           // sealed prefix: fold it through the chain in (ts, id) order
-          val (ripe, rest) = all.partition(_.ts < wm)
+          val (ripe, rest) = all.partition(_.ts < cut)
           val out = scala.collection.mutable.ArrayBuffer.empty[EpisodeRow]
           var open = st.open
           var nextIdx = st.nextIdx
@@ -746,15 +772,15 @@ object Ingest {
                 nextIdx += 1
             }
           }
-          state.update(EpisodeBuffer(rest, open, nextIdx))
+          state.update(EpisodeBuffer(rest, open, nextIdx, cut))
           // re-drive the fold as soon as the watermark can seal the
           // EARLIEST buffered entry (must exceed the current watermark
           // or Spark throws); no pending -> nothing a timeout could
           // seal, leave whatever timeout exists — a spurious fire is a
           // no-op fold
           if (rest.nonEmpty)
-            state.setTimeoutTimestamp(
-              math.max(rest.map(_.ts).min + 1L, wm + 1L))
+            state.setTimeoutTimestamp(math.max(rest.map(_.ts).min + 1L,
+              state.getCurrentWatermarkMs() + 1L))
           out.iterator
       }
   }
