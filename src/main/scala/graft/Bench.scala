@@ -1,5 +1,17 @@
 package graft
 object Bench {
+  /** Starvation threshold on the query's OWN task profile: a leg
+    * whose summed executor task run time exceeds this multiple of
+    * its summed task CPU time spent most of its task lifetime not
+    * executing (descheduled, IO-blocked, page-cache thrash —
+    * whatever the mechanism). Pinned from measured idle-box
+    * occupancy: the sweep queries' hot legs read run/cpu 1.05-1.6 on
+    * a quiet 32-cpu box (shuffle-heavy tails ~1.6), so 3.0 means the
+    * tasks got under a third of their lifetime on-CPU — far outside
+    * idle behavior, and exactly the signal the r12 register-loop
+    * canary missed (q229's 12x-inflated leg). */
+  val StarvedFactor: Double = 3.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -293,13 +305,13 @@ object Bench {
       }
       liveSession
     }
-    // One fresh JVM measuring `name` across `dirs`, returning
-    // (query times, calib canary times). None = fork mechanism
-    // unavailable (caller falls back in-process); Some with -1 time
-    // entries = the child ran but the query crashed at that sf (a
-    // real sweep error, kept loud).
+    // One fresh JVM measuring `name` across `dirs`, returning per-dir
+    // leg records (wall + canaries + task run/cpu). None = fork
+    // mechanism unavailable (caller falls back in-process); Some with
+    // -1 time entries = the child ran but the query crashed at that
+    // sf (a real sweep error, kept loud).
     def forkMeasure(name: String, dirs: Seq[String])
-        : Option[(Seq[Double], Seq[Double])] = {
+        : Option[Seq[SweepMath.Leg]] = {
       if (forkBroken) return None
       import scala.jdk.CollectionConverters._
       try {
@@ -324,7 +336,7 @@ object Bench {
         val out = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream))
         var started = false
-        var result: Option[(Seq[Double], Seq[Double])] = None
+        var result: Option[Seq[SweepMath.Leg]] = None
         var line = out.readLine()
         while (line != null) {
           if (line.startsWith("SWEEPONE_START")) started = true
@@ -336,31 +348,37 @@ object Bench {
         proc.waitFor()
         if (result.isDefined) result
         else if (started)
-          Some((dirs.map(_ => -1.0), dirs.map(_ => -1.0)))
+          Some(dirs.map(_ =>
+            SweepMath.Leg(-1.0, -1.0, -1.0, -1.0, -1.0)))
         else { forkBroken = true; None }
       } catch { case _: Exception => forkBroken = true; None }
     }
     // In-process fallback measurement for one query, same estimator
-    // (min-of-passes) and the same per-leg calib canary as SweepOne.
+    // (min-of-passes) and the same per-leg canaries as SweepOne. The
+    // task run/cpu profile needs the forked child's SparkListener and
+    // is reported as missing (-1) here — another reason the fallback
+    // records `"forked": false`.
     def inprocMeasure(name: String, dirs: Seq[String])
-        : (Seq[Double], Seq[Double]) = {
+        : Seq[SweepMath.Leg] = {
       sweepForked = false
       val s = sweepSession()
       val fn = SparkEntry.queries(name)
-      val calibs = Array.fill(dirs.size)(-1.0)
-      val ts = dirs.zipWithIndex.map { case (d, i) =>
+      dirs.map { d =>
         try {
           dropAccumulatedState(s)
-          calibs(i) = Calib.measure()
+          val calib = Calib.measure()
+          val scanary = try Calib.sparkCanary(s)
+            catch { case _: Throwable => -1.0 }
           val passTimes = (1 to sweepPasses).map { _ =>
             val t0 = System.nanoTime()
             fn(s, d).queryExecution.toRdd.count()
             (System.nanoTime() - t0) / 1e9
           }
-          passTimes.min // same additive-noise rationale as SweepOne
-        } catch { case _: Throwable => -1.0 }
+          // same additive-noise rationale as SweepOne
+          SweepMath.Leg(passTimes.min, calib, scanary, -1.0, -1.0)
+        } catch { case _: Throwable =>
+          SweepMath.Leg(-1.0, -1.0, -1.0, -1.0, -1.0) }
       }
-      (ts, calibs.toSeq)
     }
     // locale-independent decimal formatting: the f interpolator uses
     // the JVM default locale (comma decimals on e.g. de_DE would
@@ -369,11 +387,26 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
     // exponent axes, min-merging, contention factors and the flag
     // adjudication are [[SweepMath]] (pure, spec-tested)
+    // Name lists for the summary tail: the r12 artifact's second
+    // flagged row was unrecoverable (the driver keeps the final 2000
+    // chars and the queries map truncates from the left), so flagged/
+    // contended/error names are ALWAYS carried in the tail, and the
+    // rows themselves are ordered healthy-first so a problem row can
+    // never be the one the truncation eats.
+    var flaggedNames = List.empty[String]
+    var contendedNames = List.empty[String]
+    var errorNames = List.empty[String]
+    var calibStale = false
     val sweepJson = if (sweepDirs.size < 2) "" else {
       // quiesce the parent (see the block comment above forkMeasure)
       spark.stop()
       parentStopped = true
       System.gc()
+      // run-wide minimum canary factors feed the staleness check below
+      var minXorFactor = Double.MaxValue
+      var minSparkFactor = Double.MaxValue
+      // rows carry a severity rank: 0 healthy, 1 contended/starved,
+      // 2 flagged, 3 error — emitted in ascending order (below)
       val rows = sweepQueries.map { name =>
         val dirs = sweepDirs ++
           (if (deepQueries(name)) deepDir.toSeq else Nil)
@@ -381,17 +414,17 @@ object Bench {
         val xs = SweepMath.axis(dirs)
         def slopes(ts: Seq[Double]): (Double, Double) =
           SweepMath.slopes(xs, ts)
-        def measure(): (Seq[Double], Seq[Double]) =
+        def measure(): Seq[SweepMath.Leg] =
           forkMeasure(name, dirs).getOrElse(inprocMeasure(name, dirs))
-        var (times, calibs) = measure()
+        var legs = measure()
         var retried = false
-        if (times.forall(_ > 0.0)) {
-          val (e0, _) = slopes(times)
+        if (legs.forall(_.t > 0.0)) {
+          val (e0, _) = slopes(legs.map(_.t))
           // reviewed-intrinsic queries (see the !sweep allowance
           // below) skip the retry: their raw flag is expected, and a
           // second pass of a by-design-superlinear sf3 leg buys
           // nothing
-          if (e0 > 1.2 && times.last > 1.0 &&
+          if (e0 > 1.2 && legs.last.t > 1.0 &&
               !baseline.contains(s"$name!sweep")) {
             // raw flag: re-measure once after a cooldown and keep the
             // per-leg min — transient co-tenant load is the common
@@ -399,28 +432,48 @@ object Bench {
             // adjudication run
             retried = true
             Thread.sleep(15000)
-            val again = measure()
-            val m = SweepMath.mergeMin((times, calibs), again)
-            times = m._1
-            calibs = m._2
+            legs = SweepMath.mergeMin(legs, measure())
           }
         }
         val sfsJson =
           if (sfs.forall(_.isDefined))
             s""""sfs":[${sfs.map(s => jnum(s.get, 3)).mkString(",")}],"""
           else ""
+        def legArr(key: String, f: SweepMath.Leg => Double,
+            digits: Int): String =
+          s""""$key":[${legs.map(l => jnum(f(l), digits)).mkString(",")}]"""
+        val times = legs.map(_.t)
         if (times.exists(_ <= 0.0)) {
           // a crash at a LARGER sf is exactly the scale regression the
           // sweep hunts — count it into both visible counters so a
           // truncated capture can never read green over a broken sweep
           sweepErrors += 1
           sweepFlags += 1
-          name -> (s"""{"times":[${times.map(jnum(_, 3)).mkString(",")}],""" +
-            sfsJson + s""""calib":[${calibs.map(jnum(_, 3)).mkString(",")}],"error":true}""")
+          errorNames ::= name
+          (name, 3, s"""{${legArr("times", _.t, 3)},""" + sfsJson +
+            s"""${legArr("calib", _.calib, 3)},"error":true}""")
         } else {
           val (eLast, eFit) = slopes(times)
-          val factors = SweepMath.factors(calibs, Calib.BaselineSec)
-          val normTimes = SweepMath.normalizedTimes(times, factors)
+          val xorF = SweepMath.factors(legs.map(_.calib),
+            Calib.BaselineSec)
+          val sparkF = SweepMath.factors(legs.map(_.scanary),
+            Calib.SparkBaselineSec)
+          val qF = SweepMath.qfactors(legs)
+          xorF.filter(_ > 0.0).foreach(f =>
+            minXorFactor = math.min(minXorFactor, f))
+          sparkF.filter(_ > 0.0).foreach(f =>
+            minSparkFactor = math.min(minSparkFactor, f))
+          // the contention-invariant exponent: slope of the query's
+          // own task CPU seconds (available only when every leg came
+          // from the forked listener path)
+          val eCpu =
+            if (legs.forall(_.cpu > 0.0))
+              Some(slopes(legs.map(_.cpu))._1)
+            else None
+          // r12 fallback: wall deflated by the worse of the two
+          // environment canaries (the most conservative deflation)
+          val envF = xorF.zip(sparkF).map { case (a, b) => math.max(a, b) }
+          val normTimes = SweepMath.normalizedTimes(times, envF)
           val (eNorm, _) = slopes(normTimes)
           // a `<name>!sweep` baseline entry is a REVIEWED allowance
           // for by-design superlinear growth (q184's pinned-k config
@@ -429,25 +482,49 @@ object Bench {
           // SHOW that contrast). Hand-reviewed like `!bnlj` — never
           // auto-minted, and the entry is annotated, not hidden.
           val intrinsic = baseline.contains(s"$name!sweep")
-          val (flag, rawFlag, contended) = SweepMath.adjudicate(
-            eLast, times.last, eNorm, normTimes.last, factors,
-            Calib.ContendedFactor, intrinsic)
-          if (flag) sweepFlags += 1
-          else if (rawFlag && !intrinsic) sweepContended += 1
-          name -> (s"""{"times":[${times.map(jnum(_, 3)).mkString(",")}],""" +
-            sfsJson +
-            s""""calib":[${calibs.map(jnum(_, 3)).mkString(",")}],""" +
-            s""""factor":[${factors.map(jnum(_, 2)).mkString(",")}],""" +
+          val (flag, rawFlag, contended, starved) = SweepMath.adjudicate(
+            eLast, times.last, eCpu, eNorm, normTimes.last,
+            xorF, sparkF, qF,
+            Calib.ContendedFactor, Bench.StarvedFactor, intrinsic)
+          if (flag) { sweepFlags += 1; flaggedNames ::= name }
+          else if (rawFlag && !intrinsic) {
+            sweepContended += 1; contendedNames ::= name
+          }
+          val rank = if (flag) 2
+            else if (rawFlag && !intrinsic) 1 else 0
+          val eCpuJson = eCpu
+            .map(e => s""""exponent_cpu":${jnum(e, 2)},""").getOrElse("")
+          (name, rank,
+            s"""{${legArr("times", _.t, 3)},""" + sfsJson +
+            s"""${legArr("calib", _.calib, 3)},""" +
+            s"""${legArr("scanary", _.scanary, 3)},""" +
+            s"""${legArr("run", _.run, 3)},""" +
+            s"""${legArr("cpu", _.cpu, 3)},""" +
+            s""""factor":[${xorF.map(jnum(_, 2)).mkString(",")}],""" +
+            s""""sfactor":[${sparkF.map(jnum(_, 2)).mkString(",")}],""" +
+            s""""qfactor":[${qF.map(jnum(_, 2)).mkString(",")}],""" +
             s""""exponent":${jnum(eLast, 2)},"exponent_fit":${jnum(eFit, 2)},""" +
+            eCpuJson +
             s""""exponent_norm":${jnum(eNorm, 2)},"contended":$contended,""" +
+            s""""starved":$starved,""" +
             s""""intrinsic":$intrinsic,"retried":$retried,"flag":$flag}""")
         }
       }
+      // Baseline-staleness cross-check (the r12 ADVICE): if even the
+      // QUIETEST leg of the whole run read hot on a canary, the pin —
+      // not the box — is the likelier problem (slower hardware class,
+      // changed canary workload), and every "contended" reading above
+      // is suspect. Said loudly in the artifact instead of inferred.
+      calibStale = (minXorFactor != Double.MaxValue &&
+        minXorFactor > Calib.StaleFactor) ||
+        (minSparkFactor != Double.MaxValue &&
+          minSparkFactor > Calib.StaleFactor)
       val deepJson = deepDir
         .map(d => s""""deep_dir":"$d","deep_queries":[${
           deepQueries.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""")
         .getOrElse("")
-      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],$deepJson"forked":$sweepForked,"calib_baseline":${jnum(Calib.BaselineSec, 3)},"flags":$sweepFlags,"contended":$sweepContended,"errors":$sweepErrors,"queries":{${rows.map { case (n, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
+      val ordered = rows.sortBy(_._2) // stable: healthy first, errors last
+      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],$deepJson"forked":$sweepForked,"calib_baseline":${jnum(Calib.BaselineSec, 3)},"scanary_baseline":${jnum(Calib.SparkBaselineSec, 3)},"calib_stale":$calibStale,"flags":$sweepFlags,"contended":$sweepContended,"errors":$sweepErrors,"queries":{${ordered.map { case (n, _, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
     }
     // Summary keys lead the JSON object (truncated-from-the-right
     // capture) AND repeat as the LAST key (`summary_tail`) — the
@@ -457,7 +534,9 @@ object Bench {
     // (generation failure, BENCH_ONLY, NO_SWEEP) — zeros alone would
     // read green over a silently-skipped sweep
     val sweepRan = sweepDirs.size >= 2
-    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRan,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_errors":$sweepErrors,"total_sec":$total,"n_queries":${results.size}}"""
+    def nameArr(ns: List[String]): String =
+      ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRan,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_errors":$sweepErrors,"flagged":${nameArr(flaggedNames)},"contended_q":${nameArr(contendedNames)},"error_q":${nameArr(errorNames)},"calib_stale":$calibStale,"total_sec":$total,"n_queries":${results.size}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir",$sweepJson"summary_tail":$tail}""")
     // the parent session is already stopped when the sweep ran; stop
     // whichever session is still live (an in-process fallback may have

@@ -1,6 +1,6 @@
 package graft
 
-/** Fixed CPU calibration workload — the sweep's contention canary.
+/** Fixed calibration workloads — the sweep's contention canaries.
   *
   * Three rounds running (r9 q229 48x, r10 q285 3.9x, r11 q285 21x plus
   * every control leg 3–20x), the driver's permanent bench artifact
@@ -22,15 +22,29 @@ package graft
   * and contention-normalized exponents recorded) instead of crying
   * wolf about a healthy operator — the artifact adjudicates itself.
   *
-  * Workload shape: [[Threads]] java threads (matching the local[32]
-  * executor pool the queries themselves use), each running a fixed
-  * count of xorshift64 steps on registers only — no allocation, no
-  * memory traffic, no synchronization inside the loop — so the wall
-  * time moves ONLY with CPU scheduling pressure (run-queue depth,
-  * steal time), which is exactly the signal to capture. On an idle
-  * 32-cpu box the threads run truly parallel and the wall time is the
-  * single-thread kernel time; when the box is oversubscribed by a
-  * factor f, the wall time inflates by ~f.
+  * There are TWO canaries because r12 proved one is not enough. The
+  * register-only xorshift canary ([[measure]]) moves ONLY with CPU
+  * scheduling pressure (run-queue depth, steal time); r12's driver
+  * pass inflated a healthy query's sf1 leg 12x (q229: 18.2 s recorded
+  * vs 1.53 s judge-isolated) while that canary read factor 1.16-1.32 —
+  * whatever slowed the box (IO path, page cache, memory bandwidth, or
+  * throttling a register loop doesn't feel) was invisible to it. So:
+  *
+  *  - [[measure]] — [[Threads]] java threads of a fixed xorshift64
+  *    register loop: no allocation, no memory traffic. Sees CPU
+  *    run-queue pressure and nothing else.
+  *  - [[sparkCanary]] — a pinned mini-Spark job (parquet scan of a
+  *    fixed generated dataset + hash-shuffle + aggregate) run in the
+  *    SAME session as the sweep legs: it touches the scheduler, the
+  *    page cache / IO path, memory bandwidth, and codegen'd
+  *    aggregation the way the queries themselves do.
+  *
+  * Both are sampled immediately before every sweep leg and carried in
+  * the artifact; and since neither proxy can be exhaustive, the sweep
+  * ALSO records the query's own per-leg executor task time (run +
+  * CPU) — see [[SweepOne]] — so a starved leg is machine-readable
+  * from the query's own resource profile regardless of the
+  * contention mechanism.
   */
 object Calib {
   /** Thread count is FIXED (not the SPARK_GRAFT_CPUS knob): the
@@ -93,11 +107,83 @@ object Calib {
     * exponent past the point of being attributable to the operator. */
   val ContendedFactor: Double = 2.0
 
-  /** Pinning helper: print several samples; take the min. */
+  // ---- mini-Spark canary ----------------------------------------
+
+  /** Rows in the fixed canary dataset — sized so [[sparkCanary]]
+    * takes a few hundred ms isolated: long enough to average over
+    * scheduler quanta and touch every resource class, cheap enough
+    * to run before every sweep leg. */
+  val SparkCanaryRows: Long = 4000000L
+
+  /** Where the generated canary parquet lives. Under the JVM tmpdir
+    * (never the repo: bench artifacts don't belong in git), versioned
+    * in the name so a workload change can never silently reuse stale
+    * data against a re-pinned baseline. */
+  def sparkCanaryPath: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-calib-spark-v1-$SparkCanaryRows").getAbsolutePath
+
+  /** Generate the fixed canary dataset if absent (deterministic:
+    * pure functions of `id`, fixed 8-file layout). Generation is
+    * NEVER timed — only the scan+shuffle+agg over it is. Bench forks
+    * sweep children sequentially, so the generate-if-missing probe
+    * has no concurrent writer to race. */
+  def ensureSparkCanaryData(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val done = new java.io.File(sparkCanaryPath, "_SUCCESS")
+    if (!done.exists()) {
+      spark.range(0L, SparkCanaryRows, 1L, 8)
+        .select(col("id"),
+          (col("id") % 9973L).as("k"),
+          (col("id") * 2654435761L % 1000003L).cast("double").as("v"))
+        .write.mode("overwrite").parquet(sparkCanaryPath)
+    }
+  }
+
+  /** Wall seconds for the pinned mini-Spark job, one sample: parquet
+    * scan of the fixed dataset, a 4096-group hash shuffle, sum/avg/
+    * count aggregates. Runs through `queryExecution.toRdd.count()`
+    * like the sweep legs themselves (no separate count plan). */
+  def sparkCanary(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    ensureSparkCanaryData(spark)
+    val t0 = System.nanoTime()
+    spark.read.parquet(sparkCanaryPath)
+      .groupBy((col("id") % 4096L).as("g"))
+      .agg(sum("v").as("sv"), avg("v").as("av"), count(lit(1)).as("c"))
+      .queryExecution.toRdd.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Idle-box wall time for [[sparkCanary]], pinned like
+    * [[BaselineSec]] (min of 5 in a quiet JVM after one warmup —
+    * `sbt "runMain graft.Calib"` prints both; re-pin whenever
+    * [[SparkCanaryRows]], the canary plan, or the hardware class
+    * changes). */
+  val SparkBaselineSec: Double = 0.266
+
+  /** Factor above which the WHOLE RUN's minimum canary factor marks
+    * the baseline pins themselves suspect (`"calib_stale": true` in
+    * the sweep JSON): on a uniformly slower host every leg reads
+    * "contended" against a pin from a faster box, which is a
+    * baseline problem, not a contention reading — the artifact says
+    * so loudly instead of silently re-labeling everything. */
+  val StaleFactor: Double = 1.5
+
+  /** Pinning helper: print several samples of BOTH canaries; take
+    * the mins. The first spark sample is a discarded warmup (cold
+    * JIT/classloading would otherwise inflate the pin). */
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 5
+    val spark = GraftSession.builder("graft-calib", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    sparkCanary(spark) // warmup: generation + JIT, never pinned
+    val ss = (1 to n).map(_ => sparkCanary(spark))
     val ts = (1 to n).map(_ => measure())
     println(ts.map(t => f"$t%.3f").mkString("calib samples: ", " ", ""))
     println(f"calib min: ${ts.min}%.3f")
+    println(ss.map(t => f"$t%.3f").mkString("spark samples: ", " ", ""))
+    println(f"spark min: ${ss.min}%.3f")
+    spark.stop()
   }
 }

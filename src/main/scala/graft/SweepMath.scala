@@ -3,10 +3,21 @@ package graft
 /** The pure arithmetic of the bench scaling sweep, factored out of
   * [[Bench]]'s main so the load-bearing decisions — exponent slopes on
   * a NON-uniform log10(sf) axis, per-leg min-merging of repeated
-  * measurements, contention factors, and the flag adjudication — are
-  * unit-testable ([[SweepMathSpec]]) instead of only observable
-  * through a full bench run. */
+  * measurements, contention/starvation signals, and the flag
+  * adjudication — are unit-testable ([[SweepMathSpec]]) instead of
+  * only observable through a full bench run. */
 private[graft] object SweepMath {
+
+  /** One sweep leg's full measurement record. `t` is the min-of-passes
+    * query wall time; `calib` / `scanary` are the xorshift and
+    * mini-Spark canary walls sampled just before the passes
+    * ([[Calib]]); `run` / `cpu` are the query's OWN summed executor
+    * task run time and task CPU time (seconds) for the pass that won
+    * the min — the resource profile that adjudicates a flag without a
+    * judge run. -1 marks a missing sample; t <= 0 marks a crashed
+    * leg. */
+  case class Leg(t: Double, calib: Double, scanary: Double,
+      run: Double, cpu: Double)
 
   /** sf of a sweep dir, parsed from its exact basename ("sf0.1" ->
     * 0.1). None for a basename that isn't `sf<number>` — the caller
@@ -28,11 +39,18 @@ private[graft] object SweepMath {
   }
 
   /** (top-segment slope, least-squares slope) of log10(ts) on xs —
-    * the per-decade scaling exponents. Requires xs strictly
-    * increasing and ts positive. */
+    * the per-decade scaling exponents. The documented preconditions
+    * are ENFORCED, not assumed: a duplicated sweep dir would make the
+    * top segment 0/0 = NaN, and `NaN > 1.2` is false — a misconfigured
+    * sweep would silently never flag. Fail loudly instead. */
   def slopes(xs: Seq[Double], ts: Seq[Double]): (Double, Double) = {
     require(xs.size == ts.size && ts.size >= 2,
       s"slopes needs >= 2 aligned legs, got ${xs.size}/${ts.size}")
+    require(xs.zip(xs.tail).forall { case (a, b) => a < b },
+      s"slopes needs strictly increasing sf axis, got $xs " +
+        "(duplicated or unordered sweep dirs?)")
+    require(ts.forall(_ > 0.0),
+      s"slopes needs positive times, got $ts (crashed leg leaked in?)")
     def lg(x: Double) = math.log10(x)
     val n = ts.size
     val eLast = (lg(ts.last) - lg(ts(n - 2))) / (xs.last - xs(n - 2))
@@ -44,25 +62,29 @@ private[graft] object SweepMath {
     (eLast, eFit)
   }
 
-  /** Per-leg min-merge of two (times, calibs) measurements, keeping
-    * each leg's time PAIRED with the calib sample from the run it
-    * came from (a time divided by the OTHER run's contention factor
-    * would be meaningless). Negative/zero times mean "crashed leg":
-    * a crashed leg never wins the min. */
-  def mergeMin(a: (Seq[Double], Seq[Double]),
-      b: (Seq[Double], Seq[Double])): (Seq[Double], Seq[Double]) = {
-    val picked = a._1.indices.map { i =>
-      if (b._1(i) > 0.0 && (a._1(i) <= 0.0 || b._1(i) < a._1(i)))
-        (b._1(i), b._2(i))
-      else (a._1(i), a._2(i))
+  /** Per-leg min-merge of two measurements: the winner of each leg is
+    * the run with the smaller positive wall time, and its ENTIRE leg
+    * record comes along (a time paired with the OTHER run's canary or
+    * task-time samples would be meaningless). A crashed leg (t <= 0)
+    * never wins the min. */
+  def mergeMin(a: Seq[Leg], b: Seq[Leg]): Seq[Leg] =
+    a.zip(b).map { case (la, lb) =>
+      if (lb.t > 0.0 && (la.t <= 0.0 || lb.t < la.t)) lb else la
     }
-    (picked.map(_._1), picked.map(_._2))
-  }
 
   /** Per-leg contention factor: canary time over the idle-box pin;
     * -1 marks a leg without a canary sample. */
   def factors(calibs: Seq[Double], baselineSec: Double): Seq[Double] =
     calibs.map(c => if (c > 0.0) c / baselineSec else -1.0)
+
+  /** Per-leg starvation factor from the query's OWN resource profile:
+    * executor task run time over task CPU time (>= ~1 for a leg whose
+    * task threads actually ran while scheduled; large when the tasks
+    * spent their lifetime waiting — CPU steal, IO wait, page-cache
+    * thrash — whatever the mechanism, the query visibly did not get
+    * the machine). -1 when either sample is missing. */
+  def qfactors(legs: Seq[Leg]): Seq[Double] =
+    legs.map(l => if (l.run > 0.0 && l.cpu > 0.0) l.run / l.cpu else -1.0)
 
   /** Wall times deflated by the measured oversubscription. Factor
     * <= 1 (or missing) never inflates a time — an idle box IS the
@@ -71,45 +93,68 @@ private[graft] object SweepMath {
       factors: Seq[Double]): Seq[Double] =
     times.zip(factors).map { case (t, f) => if (f > 1.0) t / f else t }
 
-  /** Parse a `SWEEPONE_RESULT {...}` protocol line into
-    * (times, calibs), both `nDirs` long. None when the line carries
-    * no well-formed times array of the right arity (the caller
-    * treats that like a crashed child). A malformed/missing calib
-    * array degrades to all -1 (no canary data) rather than rejecting
-    * the measurement — times are the payload, calibs the annotation. */
-  def parseResult(line: String, nDirs: Int)
-      : Option[(Seq[Double], Seq[Double])] = {
-    def arr(key: String): Seq[Double] =
-      (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(line)
+  /** Parse a `SWEEPONE_RESULT {...}` protocol line into per-dir legs.
+    * None when the line carries no well-formed times array of the
+    * right arity (the caller treats that like a crashed child). Any
+    * other malformed/missing array degrades to all -1 (no sample)
+    * rather than rejecting the measurement — times are the payload,
+    * the rest annotation. */
+  def parseResult(line: String, nDirs: Int): Option[Seq[Leg]] = {
+    def arr(key: String): Seq[Double] = {
+      val parsed = (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(line)
         .map(_.group(1).split(',').filter(_.nonEmpty)
           .flatMap(s => scala.util.Try(s.trim.toDouble).toOption).toSeq)
         .getOrElse(Nil)
-    val ts = arr("times")
-    val cs = arr("calib")
-    if (ts.size == nDirs)
-      Some((ts, if (cs.size == nDirs) cs else Seq.fill(nDirs)(-1.0)))
-    else None
+      if (parsed.size == nDirs) parsed else Seq.fill(nDirs)(-1.0)
+    }
+    val ts = (s""""times":\\[([^\\]]*)\\]""").r.findFirstMatchIn(line)
+      .map(_.group(1).split(',').filter(_.nonEmpty)
+        .flatMap(s => scala.util.Try(s.trim.toDouble).toOption).toSeq)
+      .getOrElse(Nil)
+    if (ts.size != nDirs) None
+    else {
+      val (cs, ss, rs, us) = (arr("calib"), arr("scanary"),
+        arr("run"), arr("cpu"))
+      Some(ts.indices.map(i => Leg(ts(i), cs(i), ss(i), rs(i), us(i))))
+    }
   }
 
   /** The flag adjudication:
-    *  - `raw` — the unadjusted superlinear signal (top-segment
+    *  - `raw` — the unadjusted superlinear signal (top-segment wall
     *    exponent > 1.2 on a > 1 s top leg);
-    *  - `contended` — either exponent-defining leg ran with factor >
-    *    `contendedFactor`;
-    *  - a contended raw flag survives ONLY if the normalized exponent
-    *    still flags (otherwise the box, not the operator, is
-    *    superlinear);
+    *  - `contended` — an exponent-defining leg's ENVIRONMENT canary
+    *    (xorshift or mini-Spark) ran > `contendedFactor` over its pin;
+    *  - `starved` — an exponent-defining leg's own task profile shows
+    *    run/cpu > `starvedFactor`: the query's threads spent most of
+    *    their task lifetime not executing, whatever the mechanism —
+    *    the r12 failure mode (contention the CPU canary cannot feel)
+    *    made machine-readable from the query itself;
+    *  - a contended/starved raw flag survives ONLY if the
+    *    contention-invariant verdict still flags: the exponent on the
+    *    query's own task CPU seconds when available (CPU seconds do
+    *    not inflate under scheduling/IO starvation), else the
+    *    canary-normalized wall exponent (the r12 fallback);
     *  - a reviewed-`intrinsic` query never flags (by-design growth,
     *    annotated instead).
-    * Returns (flag, rawFlag, contended). */
-  def adjudicate(eLast: Double, lastTime: Double, eNorm: Double,
-      lastNorm: Double, legFactors: Seq[Double],
-      contendedFactor: Double,
-      intrinsic: Boolean): (Boolean, Boolean, Boolean) = {
+    * Returns (flag, rawFlag, contended, starved). */
+  def adjudicate(eLast: Double, lastTime: Double,
+      eCpu: Option[Double], eNorm: Double, lastNorm: Double,
+      xorFactors: Seq[Double], sparkFactors: Seq[Double],
+      qFactors: Seq[Double],
+      contendedFactor: Double, starvedFactor: Double,
+      intrinsic: Boolean): (Boolean, Boolean, Boolean, Boolean) = {
     val rawFlag = eLast > 1.2 && lastTime > 1.0
-    val contended = legFactors.takeRight(2).exists(_ > contendedFactor)
-    val normFlag = eNorm > 1.2 && lastNorm > 1.0
-    val flag = rawFlag && (!contended || normFlag) && !intrinsic
-    (flag, rawFlag, contended)
+    def hot(fs: Seq[Double], th: Double) =
+      fs.takeRight(2).exists(_ > th)
+    val contended = hot(xorFactors, contendedFactor) ||
+      hot(sparkFactors, contendedFactor)
+    val starved = hot(qFactors, starvedFactor)
+    val invariantFlag = eCpu match {
+      case Some(e) => e > 1.2
+      case None => eNorm > 1.2 && lastNorm > 1.0
+    }
+    val flag = rawFlag && (!(contended || starved) || invariantFlag) &&
+      !intrinsic
+    (flag, rawFlag, contended, starved)
   }
 }

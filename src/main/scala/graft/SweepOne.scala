@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
 /** Child-process half of the bench scaling sweep: measure ONE query
   * across the sweep dirs in a FRESH JVM and print one tagged result
   * line for [[Bench]] to parse.
@@ -16,25 +20,37 @@ package graft
   * judge's adjudication runs used.
   *
   * A fresh JVM is still not enough when the BOX is contended (r11:
-  * driver-recorded q285 97.6 s vs 4.6 s judge-isolated, with every
-  * control leg 3-20x inflated — the driver environment oversubscribed
-  * the machine during the whole bench pass). So each leg also times
-  * the fixed [[Calib]] CPU workload immediately before the query and
-  * reports it: the parent turns that into a per-leg contention factor
-  * the artifact carries, making a flagged-but-contended leg readable
-  * without a judge adjudication run.
+  * driver-recorded q285 97.6 s vs 4.6 s judge-isolated; r12: q229
+  * 18.2 s vs 1.53 s while the CPU canary read a healthy 1.2-1.3 —
+  * the contention mode was invisible to a register loop). So each leg
+  * carries THREE independent adjudication signals:
+  *
+  *  - `calib` — the fixed xorshift CPU canary ([[Calib.measure]]):
+  *    sees CPU run-queue pressure;
+  *  - `scanary` — the pinned mini-Spark canary ([[Calib.sparkCanary]]
+  *    — parquet scan + shuffle + agg in THIS session): feels the IO
+  *    path, page cache, memory bandwidth and scheduler the way the
+  *    query does;
+  *  - `run`/`cpu` — the query's OWN summed executor task run time and
+  *    task CPU time for the winning pass, accumulated by a
+  *    SparkListener and attributed exactly (listener bus flushed
+  *    around each pass). run >> cpu is machine-readable starvation
+  *    regardless of the contention mechanism, and an exponent fitted
+  *    on cpu seconds is contention-invariant — task CPU seconds do
+  *    not inflate when the task is descheduled or blocked.
   *
   * Protocol (stdout, one line each):
   *  - `SWEEPONE_START` as soon as main is entered — lets the parent
   *    distinguish "fork mechanism broken" (no START: fall back to
   *    in-process measurement) from "query crashed at some sf" (START
   *    but no RESULT: a real sweep error).
-  *  - `SWEEPONE_RESULT {"times":[...],"calib":[...]}` with one MIN-of-
-  *    `passes` query time per dir, in dir order (noise is additive, so
-  *    the minimum is the robust estimator — see the ts.min site
-  *    below), and the calibration wall time sampled right before that
-  *    dir's passes; a crashed dir records -1 (its calib sample stays —
-  *    it already happened).
+  *  - `SWEEPONE_RESULT {"times":[...],"calib":[...],"scanary":[...],
+  *    "run":[...],"cpu":[...]}` with one MIN-of-`passes` query time
+  *    per dir, in dir order (noise is additive, so the minimum is the
+  *    robust estimator — see the ts.min site below), the canary walls
+  *    sampled right before that dir's passes, and the min-wall pass's
+  *    task run/cpu seconds; a crashed dir records -1 times (its canary
+  *    samples stay — they already happened).
   *
   * Args: `<passes> <query> <dir1> <dir2> ...`.
   */
@@ -47,18 +63,45 @@ object SweepOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-sweep-one", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Task-time accumulator: every task's executorRunTime (ms) and
+    // executorCpuTime (ns), summed process-wide. Snapshots around a
+    // pass attribute deltas to it; ListenerFlush drains the async bus
+    // before each snapshot so no event lands in the wrong window.
+    val runMs = new AtomicLong(0L)
+    val cpuNs = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          runMs.addAndGet(m.executorRunTime)
+          cpuNs.addAndGet(m.executorCpuTime)
+        }
+      }
+    })
+    def flushBus(): Unit =
+      org.apache.spark.graftshim.ListenerFlush.flush(spark.sparkContext)
     val fn = SparkEntry.queries(name)
     // Warmup on the SMALLEST dir (Bench's own convention): a cold JVM
     // pays ~5 s of JIT/classloading on its first query execution,
     // which would otherwise land entirely on the first sweep leg and
-    // deflate every fitted exponent. The calib kernel needs the same
-    // treatment (first sample runs ~1.5x until C2 compiles the loop).
+    // deflate every fitted exponent. Both canaries need the same
+    // treatment (first samples run ~1.5x until C2 compiles them; the
+    // first sparkCanary call may also generate its dataset).
     try fn(spark, dirs.head).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
     Calib.measure()
+    // two spark-canary warmups: the first may generate the dataset,
+    // and a single warmup still leaves the first leg's sample ~1.8x
+    // the warmed floor (measured) — close enough to the 2.0 contended
+    // line to matter
+    try { Calib.sparkCanary(spark); Calib.sparkCanary(spark) }
+    catch { case _: Throwable => () }
     def jnum(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val calibs = Array.fill(dirs.size)(-1.0)
+    val scanarys = Array.fill(dirs.size)(-1.0)
+    val runs = Array.fill(dirs.size)(-1.0)
+    val cpusSec = Array.fill(dirs.size)(-1.0)
     val times = dirs.zipWithIndex.map { case (d, i) =>
       try {
         // smaller-sf legs still leave localCheckpoint blocks behind;
@@ -67,25 +110,41 @@ object SweepOne {
           .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         System.gc()
-        // contention canary: sample the box state right before the
+        // contention canaries: sample the box state right before the
         // passes, AFTER the gc (a concurrent GC cycle would bleed
-        // into the calib sample and read as false contention)
+        // into the samples and read as false contention)
         calibs(i) = Calib.measure()
+        scanarys(i) = try Calib.sparkCanary(spark)
+          catch { case _: Throwable => -1.0 }
         // MIN over the passes, not median: timing noise is additive
         // (GC pause, page faults, JIT deopt), so the minimum is the
         // robust estimator of intrinsic cost — a single pass was
         // observed to swing 3x on a 7 s query even in a fresh JVM,
-        // enough to push a legitimate exponent over the flag line
-        val ts = (1 to passes).map { _ =>
+        // enough to push a legitimate exponent over the flag line.
+        // Each pass's task run/cpu is snapshot-delta'd around it; the
+        // min-WALL pass's profile is what gets reported (pairing a
+        // wall time with another pass's task time would be
+        // meaningless).
+        val samples = (1 to passes).map { _ =>
+          flushBus()
+          val r0 = runMs.get(); val c0 = cpuNs.get()
           val t0 = System.nanoTime()
           fn(spark, d).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
+          val wall = (System.nanoTime() - t0) / 1e9
+          flushBus()
+          (wall, (runMs.get() - r0) / 1e3, (cpuNs.get() - c0) / 1e9)
         }
-        ts.min
+        val best = samples.minBy(_._1)
+        runs(i) = best._2
+        cpusSec(i) = best._3
+        best._1
       } catch { case _: Throwable => -1.0 }
     }
     println(s"""SWEEPONE_RESULT {"times":[${times.map(jnum).mkString(",")}],""" +
-      s""""calib":[${calibs.map(jnum).mkString(",")}]}""")
+      s""""calib":[${calibs.map(jnum).mkString(",")}],""" +
+      s""""scanary":[${scanarys.map(jnum).mkString(",")}],""" +
+      s""""run":[${runs.map(jnum).mkString(",")}],""" +
+      s""""cpu":[${cpusSec.map(jnum).mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -2,10 +2,16 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The bench sweep's arithmetic, pinned as unit facts — three rounds
+import SweepMath.Leg
+
+/** The bench sweep's arithmetic, pinned as unit facts — four rounds
   * of flagged-but-healthy artifacts were measurement bugs, so the
   * math that decides a flag deserves specs of its own. */
 class SweepMathSpec extends AnyFunSuite {
+
+  private def leg(t: Double, calib: Double = -1.0, scanary: Double = -1.0,
+      run: Double = -1.0, cpu: Double = -1.0) =
+    Leg(t, calib, scanary, run, cpu)
 
   test("sfOf parses exact sf basenames only") {
     assert(SweepMath.sfOf("/root/testdata/sf0.01") === Some(0.01))
@@ -43,41 +49,81 @@ class SweepMathSpec extends AnyFunSuite {
     assert(math.abs(i1 - 1.0) < 1e-12)
   }
 
-  test("mergeMin keeps each winning leg paired with ITS run's calib " +
+  test("slopes enforces its preconditions loudly: a duplicated sweep " +
+      "dir or a leaked crashed leg must never read as silently-green") {
+    // duplicated dir -> duplicated x -> 0/0 = NaN exponent, and
+    // NaN > 1.2 is false: a misconfigured sweep would never flag
+    intercept[IllegalArgumentException] {
+      SweepMath.slopes(Seq(-1.0, 0.0, 0.0), Seq(1.0, 2.0, 3.0))
+    }
+    intercept[IllegalArgumentException] { // unordered axis
+      SweepMath.slopes(Seq(0.0, -1.0), Seq(1.0, 2.0))
+    }
+    intercept[IllegalArgumentException] { // crashed leg (-1 time)
+      SweepMath.slopes(Seq(-1.0, 0.0), Seq(1.0, -1.0))
+    }
+    intercept[IllegalArgumentException] { // arity
+      SweepMath.slopes(Seq(0.0), Seq(1.0))
+    }
+  }
+
+  test("mergeMin keeps each winning leg's WHOLE record paired " +
       "and never lets a crashed leg win") {
-    val a = (Seq(2.0, -1.0, 5.0), Seq(0.5, 0.6, 0.7))
-    val b = (Seq(3.0, 4.0, 1.0), Seq(1.5, 1.6, 1.7))
-    val (ts, cs) = SweepMath.mergeMin(a, b)
-    assert(ts === Seq(2.0, 4.0, 1.0))
-    assert(cs === Seq(0.5, 1.6, 1.7)) // leg 0 from a, legs 1-2 from b
+    val a = Seq(leg(2.0, calib = 0.5, cpu = 9.0),
+      leg(-1.0, calib = 0.6), leg(5.0, calib = 0.7))
+    val b = Seq(leg(3.0, calib = 1.5), leg(4.0, calib = 1.6),
+      leg(1.0, calib = 1.7, run = 8.0))
+    val m = SweepMath.mergeMin(a, b)
+    assert(m.map(_.t) === Seq(2.0, 4.0, 1.0))
+    // leg 0 from a (with its calib AND cpu), legs 1-2 from b
+    assert(m(0) === leg(2.0, calib = 0.5, cpu = 9.0))
+    assert(m(1).calib === 1.6)
+    assert(m(2).run === 8.0)
     // crashed retry never replaces a good original
-    val c = (Seq(-1.0, -1.0, -1.0), Seq(9.9, 9.9, 9.9))
+    val c = Seq(leg(-1.0, calib = 9.9), leg(-1.0, calib = 9.9),
+      leg(-1.0, calib = 9.9))
     assert(SweepMath.mergeMin(a, c) === a)
   }
 
-  test("factors and normalizedTimes: missing canary reads -1; sub-1 " +
-      "factors never inflate") {
+  test("factors, qfactors and normalizedTimes: missing samples read " +
+      "-1; sub-1 factors never inflate") {
     val f = SweepMath.factors(Seq(0.856, -1.0, 0.214), 0.428)
     assert(f === Seq(2.0, -1.0, 0.5))
     val nt = SweepMath.normalizedTimes(Seq(10.0, 10.0, 10.0), f)
     assert(nt === Seq(5.0, 10.0, 10.0)) // only the >1 factor deflates
+    // run/cpu starvation factor; -1 when either side is missing
+    val q = SweepMath.qfactors(Seq(
+      leg(1.0, run = 6.0, cpu = 2.0), leg(1.0, run = 6.0),
+      leg(1.0, cpu = 2.0), leg(1.0, run = 3.0, cpu = 3.0)))
+    assert(q === Seq(3.0, -1.0, -1.0, 1.0))
   }
 
-  test("parseResult: arity-checked times, calib degrades to -1, " +
-      "malformed lines rejected") {
+  test("parseResult: arity-checked times, missing annotation arrays " +
+      "degrade to -1, malformed lines rejected") {
     val good = """SWEEPONE_RESULT {"times":[1.500,2.000,4.700],""" +
-      """"calib":[0.450,0.460,0.470]}"""
-    assert(SweepMath.parseResult(good, 3) ===
-      Some((Seq(1.5, 2.0, 4.7), Seq(0.45, 0.46, 0.47))))
+      """"calib":[0.450,0.460,0.470],"scanary":[0.250,0.260,0.270],""" +
+      """"run":[10.000,20.000,40.000],"cpu":[8.000,16.000,32.000]}"""
+    assert(SweepMath.parseResult(good, 3) === Some(Seq(
+      Leg(1.5, 0.45, 0.25, 10.0, 8.0),
+      Leg(2.0, 0.46, 0.26, 20.0, 16.0),
+      Leg(4.7, 0.47, 0.27, 40.0, 32.0))))
     // crashed legs come through as -1 times
     val crashed = """SWEEPONE_RESULT {"times":[1.500,-1.000],""" +
       """"calib":[0.450,0.460]}"""
-    assert(SweepMath.parseResult(crashed, 2) ===
-      Some((Seq(1.5, -1.0), Seq(0.45, 0.46))))
-    // old-protocol child (no calib): times kept, calib all -1
+    assert(SweepMath.parseResult(crashed, 2) === Some(Seq(
+      Leg(1.5, 0.45, -1.0, -1.0, -1.0),
+      Leg(-1.0, 0.46, -1.0, -1.0, -1.0))))
+    // old-protocol child (times only): kept, annotations all -1
     val old = """SWEEPONE_RESULT {"times":[1.500,2.000]}"""
-    assert(SweepMath.parseResult(old, 2) ===
-      Some((Seq(1.5, 2.0), Seq(-1.0, -1.0))))
+    assert(SweepMath.parseResult(old, 2) === Some(Seq(
+      Leg(1.5, -1.0, -1.0, -1.0, -1.0),
+      Leg(2.0, -1.0, -1.0, -1.0, -1.0))))
+    // wrong-arity annotation array degrades to -1 rather than
+    // misaligning samples across legs
+    val skewed = """SWEEPONE_RESULT {"times":[1.500,2.000],""" +
+      """"calib":[0.450]}"""
+    assert(SweepMath.parseResult(skewed, 2).get.map(_.calib) ===
+      Seq(-1.0, -1.0))
     // wrong arity / no times / garbage: rejected
     assert(SweepMath.parseResult(good, 4) === None)
     assert(SweepMath.parseResult("SWEEPONE_RESULT {}", 2) === None)
@@ -87,28 +133,55 @@ class SweepMathSpec extends AnyFunSuite {
 
   test("adjudicate: the full decision matrix") {
     val cf = 2.0
+    val sf = 3.0
+    val quiet = Seq(1.0, 1.1)
+    def adj(eLast: Double, lastTime: Double, eCpu: Option[Double],
+        eNorm: Double, lastNorm: Double,
+        xor: Seq[Double] = quiet, spark: Seq[Double] = quiet,
+        q: Seq[Double] = Seq(1.2, 1.4), intrinsic: Boolean = false) =
+      SweepMath.adjudicate(eLast, lastTime, eCpu, eNorm, lastNorm,
+        xor, spark, q, cf, sf, intrinsic)
     // healthy: no raw flag regardless of factors
-    assert(SweepMath.adjudicate(0.5, 10.0, 0.5, 10.0,
-      Seq(1.0, 5.0), cf, intrinsic = false) === ((false, false, true)))
+    assert(adj(0.5, 10.0, Some(0.5), 0.5, 10.0, xor = Seq(1.0, 5.0)) ===
+      ((false, false, true, false)))
     // genuine regression on an idle box: flags
-    assert(SweepMath.adjudicate(1.5, 10.0, 1.5, 10.0,
-      Seq(1.0, 1.1), cf, intrinsic = false) === ((true, true, false)))
-    // raw flag + contended legs + normalized exponent clears:
-    // re-labeled, not counted (the r11 pathology)
-    assert(SweepMath.adjudicate(1.77, 97.6, 0.39, 4.6,
-      Seq(1.2, 21.0), cf, intrinsic = false) === ((false, true, true)))
-    // raw flag + contended + STILL superlinear after normalization:
-    // the flag survives (contention cannot launder a real regression)
-    assert(SweepMath.adjudicate(2.5, 50.0, 1.5, 20.0,
-      Seq(3.0, 3.0), cf, intrinsic = false) === ((true, true, true)))
+    assert(adj(1.5, 10.0, Some(1.5), 1.5, 10.0) ===
+      ((true, true, false, false)))
+    // raw flag + xor-contended legs + the query's own CPU exponent
+    // clears: re-labeled, not counted (the r11 pathology)
+    assert(adj(1.77, 97.6, Some(0.4), 0.39, 4.6,
+      xor = Seq(1.2, 21.0)) === ((false, true, true, false)))
+    // raw flag + quiet CANARIES but the query's own tasks starved
+    // (run >> cpu) + CPU exponent clears: the r12 q229 pathology —
+    // contention the register loop cannot feel, adjudicated from the
+    // query's own resource profile
+    assert(adj(1.5, 18.2, Some(0.3), 1.5, 18.2,
+      q = Seq(1.3, 12.0)) === ((false, true, false, true)))
+    // mini-Spark canary hot counts as contended even when xor is cold
+    assert(adj(1.5, 18.2, Some(0.3), 1.5, 18.2,
+      spark = Seq(1.1, 4.0)) === ((false, true, true, false)))
+    // contended/starved + STILL superlinear on the query's own CPU
+    // seconds: the flag survives (contention cannot launder a real
+    // regression — CPU seconds do not inflate under starvation)
+    assert(adj(2.5, 50.0, Some(1.5), 1.5, 20.0,
+      xor = Seq(3.0, 3.0)) === ((true, true, true, false)))
+    assert(adj(2.5, 50.0, Some(1.5), 1.5, 20.0,
+      q = Seq(5.0, 5.0)) === ((true, true, false, true)))
+    // no CPU data (in-process fallback): the normalized-wall verdict
+    // decides a contended flag's survival, as in r12
+    assert(adj(1.77, 97.6, None, 0.39, 4.6,
+      xor = Seq(1.2, 21.0)) === ((false, true, true, false)))
+    assert(adj(2.5, 50.0, None, 1.5, 20.0,
+      xor = Seq(3.0, 3.0)) === ((true, true, true, false)))
     // sub-1s top leg: the job-scheduling floor never flags
-    assert(SweepMath.adjudicate(2.0, 0.8, 2.0, 0.8,
-      Seq(1.0, 1.0), cf, intrinsic = false) === ((false, false, false)))
+    assert(adj(2.0, 0.8, Some(2.0), 2.0, 0.8) ===
+      ((false, false, false, false)))
     // contention on a NON-defining early leg does not mark contended
-    assert(SweepMath.adjudicate(1.5, 10.0, 1.5, 10.0,
-      Seq(5.0, 1.0, 1.0), cf, intrinsic = false) === ((true, true, false)))
+    assert(adj(1.5, 10.0, Some(1.5), 1.5, 10.0,
+      xor = Seq(5.0, 1.0, 1.0), q = Seq(9.0, 1.1, 1.1)) ===
+      ((true, true, false, false)))
     // reviewed intrinsic: raw flag reported, never counted
-    assert(SweepMath.adjudicate(1.37, 37.3, 1.19, 30.0,
-      Seq(1.1, 1.4), cf, intrinsic = true) === ((false, true, false)))
+    assert(adj(1.37, 37.3, Some(1.3), 1.19, 30.0, intrinsic = true) ===
+      ((false, true, false, false)))
   }
 }
