@@ -3515,6 +3515,42 @@ object SparkEntry {
           .select(col("vec_id").as("fact_id"), col("embedding")),
         mergeThreshold = 0.25, cells = 1, iters = 1)),
 
+    // ---- the LOSSY-blocking mode of the clustered merge, driver-
+    // oracled: cells = 3 over a corpus DERIVED from the embeddings
+    // ids whose three clusters PROVABLY separate at the threshold, so
+    // the blocked path (k-means cells -> within-cell pairs -> CC ->
+    // per-component fold) must reproduce the global fold exactly and
+    // the q288 recursion gates it. Geometry (rational arithmetic only,
+    // engine-exact): cluster c = min(vec_id div stride, 2) with
+    // stride = max(n/3, 1) — the SAME integer the k-means seeder
+    // derives from count(*), so the rank-stride seeds land one per
+    // cluster and Lloyd provably isolates them (anchors 4·e_c in
+    // disjoint axis planes; cross-cluster cosine <= 0.648, within-cell
+    // structure: two sub-cones at tangent 0 and 3 whose cross pairs
+    // top out at cosine 0.856 < 0.9 <= all within-cone pairs >= 0.995
+    // — six components, none crossing a cell). Any mis-clustering
+    // that cuts a threshold edge deviates from the global recursion
+    // and reads RED — the gate is strict, not decorative ----
+    "q293_fact_merge_blocked" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      val st = math.max(n / 3L, 1L)
+      def dim(d: Int) =
+        when(col("__cl") === d, lit(4.0))
+          .when((col("__cl") + 1) % 3 === d, col("__tg"))
+          .otherwise(lit(0.0))
+      val facts = emb
+        .select(col("vec_id"), expr(s"least(vec_id DIV $st, 2)").as("__cl"))
+        .withColumn("__j", col("vec_id") - col("__cl") * st)
+        .withColumn("__tg",
+          (col("__j") % 2).cast("double") * lit(3.0) +
+            (col("__j") % 5).cast("double") * lit(0.1))
+        .select(col("vec_id").as("fact_id"),
+          array(dim(0), dim(1), dim(2)).as("embedding"))
+      graft.operators.EpisodeGraph.mergeFactsClustered(
+        facts, mergeThreshold = 0.9, cells = 3, iters = 2)
+    }),
+
     // ---- episodic-memory feedback: reinforcement/recency-decayed
     // outcome scores replayed over the event log in one scan ----
     "q281_reinforce_decay" -> ((s, dir) => {
@@ -9354,6 +9390,29 @@ object SparkEntry {
     // "same leaders somewhere" contract
     "q291_fact_merge_clustered" -> sqlFactMergeGreedy,
 
+    // q293 runs the clustered merge's BLOCKED path (cells = 3); the
+    // oracle is the GLOBAL greedy recursion over the same derived
+    // corpus — equal exactly because the construction guarantees no
+    // threshold edge crosses the k-means cells (see the query's
+    // comment). The oracle derives the same stride from count(*) (the
+    // q287 k1-derivation precedent), so the fixture geometry — and
+    // with it the separation proof — reproduces at any sf.
+    "q293_fact_merge_blocked" -> sqlFactMergeGreedyOver(
+      """SELECT vec_id AS id,
+        |  [CASE WHEN cl = 0 THEN 4E0
+        |        WHEN (cl+1)%3 = 0 THEN tg ELSE 0E0 END,
+        |   CASE WHEN cl = 1 THEN 4E0
+        |        WHEN (cl+1)%3 = 1 THEN tg ELSE 0E0 END,
+        |   CASE WHEN cl = 2 THEN 4E0
+        |        WHEN (cl+1)%3 = 2 THEN tg ELSE 0E0 END] AS emb
+        |FROM (SELECT vec_id, cl,
+        |    CAST((vec_id - cl*st) % 2 AS DOUBLE) * 3E0
+        |      + CAST((vec_id - cl*st) % 5 AS DOUBLE) * 0.1E0 AS tg
+        |  FROM (SELECT vec_id, LEAST(vec_id // st, 2) AS cl, st
+        |    FROM embeddings,
+        |      (SELECT GREATEST(COUNT(*) // 3, 1) AS st
+        |       FROM embeddings)))""".stripMargin, "0.9E0"),
+
     "q286_episode_boundaries" -> sqlEpisodeBoundaries(),
 
     // the STREAMING twin is held to the same batch rule: every real
@@ -9643,19 +9702,30 @@ object SparkEntry {
     * skip (facts.py's summary-less-episode skip) — the fixtures carry
     * no nulls today, but both sides must implement the same drop or a
     * null-bearing fixture would read as a false mismatch. */
-  private def sqlFactMergeGreedy: String = {
+  private def sqlFactMergeGreedy: String =
+    sqlFactMergeGreedyOver(
+      """SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
+        |      FROM embeddings
+        |      WHERE embedding IS NOT NULL""".stripMargin, "0.25E0")
+
+  /** [[sqlFactMergeGreedy]] parameterized over the fact corpus and
+    * threshold: `factsBody` is a SELECT yielding `(id, emb)`; the
+    * global greedy recursion is unchanged. q293 points it at the
+    * derived separated-cluster corpus (its blocked Spark twin equals
+    * the global fold exactly because no threshold edge crosses the
+    * construction's clusters). */
+  private def sqlFactMergeGreedyOver(
+      factsBody: String, threshold: String): String = {
     val cosPr = s"CASE WHEN ${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")} = 0E0 " +
       s"THEN 0E0 ELSE ${sqlDotOf("a.emb", "b.emb")} " +
       s"/ (${sqlL2Of("a.emb")} * ${sqlL2Of("b.emb")}) END"
     s"""WITH RECURSIVE
-       |f AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb
-       |      FROM embeddings
-       |      WHERE embedding IS NOT NULL),
+       |f AS ($factsBody),
        |it AS (SELECT id, emb, ROW_NUMBER() OVER (ORDER BY id) AS r
        |       FROM f),
        |pr AS (SELECT a.id AS ia, b.id AS ib
        |       FROM it a JOIN it b ON b.id < a.id
-       |       WHERE $cosPr >= 0.25E0),
+       |       WHERE $cosPr >= $threshold),
        |itc AS (SELECT it.id, it.r, coalesce(pc.cands, []) AS cands
        |        FROM it LEFT JOIN (SELECT ia, list(ib ORDER BY ib)
        |            AS cands FROM pr GROUP BY ia) pc ON pc.ia = it.id),

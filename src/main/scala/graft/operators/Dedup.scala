@@ -240,6 +240,10 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
+      // min-label propagation moves a label ONE HOP per round, so
+      // rounds-to-fixpoint = the largest distance from any node to its
+      // component's minimum id. The loud require below (not here) is
+      // what guards exhaustion — see the loop exit.
       val viaEdges = edges
         .join(labels.withColumnRenamed(outId, "dst"), "dst")
         .select(col("src").as(outId), col("component"),
@@ -258,6 +262,18 @@ object Dedup {
       labels = next.select(col(outId), col("component"))
       iter += 1
     }
+    // Unconverged labels are SILENTLY WRONG downstream (a chain-shaped
+    // component whose min id sits > maxIters hops from the far end
+    // splits into phantom components — dedup under-merges,
+    // mergeFactsClustered's global-equality claim breaks) — so
+    // exhaustion fails the job instead of returning them. Components
+    // that deep mean maxIters is undersized for the graph's diameter:
+    // raise it deliberately (rounds are one shuffle each; the typical
+    // near-dup cluster is dense and converges in a handful).
+    require(converged,
+      s"connectedComponents did not converge in maxIters=$maxIters " +
+        s"rounds — a component's min-id node is deeper than that; " +
+        s"raise maxIters (cost: one shuffle per round)")
     labels
   }
 

@@ -402,6 +402,7 @@ object EpisodeGraph {
       aCol = "id_a", bCol = "id_b", outId = "__fid")
     val thr = mergeThreshold
     val maxC = maxComponent
+    val idColName = idCol
     f.join(comps, Seq("__fid"), "left")
       .select(coalesce(col("component"), col("__fid")).as("__comp"),
         col("__fid"), col("__femb"))
@@ -414,7 +415,21 @@ object EpisodeGraph {
             s"facts > maxComponent=$maxC — the threshold merges the " +
             s"corpus into one blob; raise the threshold or the cap " +
             s"deliberately (ScaleProfile)")
-        greedyFold(rows.sortBy(_._1), thr).iterator
+        val sorted = rows.sortBy(_._1)
+        // duplicate ids would fold as two facts and emit two rows per
+        // id — the silent corruption mergeFacts refuses loudly; refuse
+        // here too. Adjacency after the sort catches every duplicate:
+        // copies of one id always land in the SAME component (the
+        // component join keys on the id, and unpaired ids coalesce to
+        // their own id), so cross-component duplicates cannot exist.
+        var i = 1
+        while (i < sorted.size) {
+          require(sorted(i - 1)._1 != sorted(i)._1,
+            s"mergeFactsClustered needs unique $idColName values; " +
+              s"duplicate id ${sorted(i)._1}")
+          i += 1
+        }
+        greedyFold(sorted, thr).iterator
       }
       .toDF(idCol, "leader_id", "is_new")
   }

@@ -966,6 +966,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(err).exists(_.contains("maxComponent")))
+    // duplicate ids refused like mergeFacts (they would fold as two
+    // facts and emit two rows per id — silent corruption otherwise);
+    // duplicates always share a component, so the executor-side
+    // adjacency check is exhaustive
+    val dup = Seq(1L -> Option(vec(0)), 1L -> Option(vec(5)),
+      2L -> Option(vec(90)))
+    val errDup = intercept[Exception] {
+      clustered(dup, 0.9, cells = 1)
+    }
+    assert(messages(errDup).exists(_.contains("unique")))
   }
 
   test("mergeFactsClustered under LOSSY blocking can only " +

@@ -177,6 +177,25 @@ class RandomizedSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("connectedComponents fails loudly when maxIters cannot reach " +
+      "the fixpoint (deep chain) and converges with a raised budget") {
+    import graft.operators.Dedup
+    // a 31-node path 0-1-2-...-30: the min label needs 30 propagation
+    // hops, so the default 25 rounds CANNOT converge — unconverged
+    // labels would silently under-merge downstream (phantom split
+    // components), so the operator must refuse instead of returning
+    val chain = (0L until 30L).map(i => (i, i + 1L))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain.toDF("id_a", "id_b")).count()
+    }
+    assert(err.getMessage.contains("converge"))
+    // the same graph with a sufficient budget: one component, min 0
+    val got = Dedup.connectedComponents(chain.toDF("id_a", "id_b"),
+        maxIters = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 31 && got.values.forall(_ === 0L))
+  }
+
   test("constrainedRerank invariant under 1/4/32-partition shuffles") {
     // few distinct scores → heavy ties; the event-id tie-break must
     // make the slate identical under any physical row order
