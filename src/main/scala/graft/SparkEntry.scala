@@ -74,6 +74,59 @@ object SparkEntry {
     df.sparkSession.read.parquet(out)
   }
 
+  /** The q286-derived streaming timeline fixture shared by the q292/
+    * q294 gates: the embeddings-derived entries (+1 ts offset — the
+    * derived timeline starts at ts 0, which the initial watermark's
+    * late filter would eat; sqlEpisodeBoundaries doc) plus the two
+    * flush sentinels, staged to parquet and opened as a file-source
+    * stream on a [[streamSession]] clone.
+    *
+    * Sentinels: s1 (boundary-forcing — state differing from any real
+    * state AND the negated last embedding, so whichever score term
+    * the last real entry supports fires) closes the final real
+    * episode ON THE DATA PATH; s2 only pushes the watermark past s1
+    * so s1 gets sealed and folded. s1's own episode stays open in
+    * state (never emitted); s2 stays buffered (never sealed). The
+    * last real entry by the fold's (ts, id) order is what s1 scores
+    * against: its state is '' only when label = 0 (embedding present
+    * -> the negated-embedding term gives shift 1, score 0.4 >= 0.38)
+    * and its embedding null only when label = 9 (state non-empty ->
+    * the flip term gives 0.6) — either way s1 is a boundary. */
+  private def stagedTimelineFixture(s: SparkSession, dir: String,
+      tag: String): (DataFrame, String) = {
+    val emb = Tables.embeddings(s, dir)
+    val arrT = emb.schema("embedding").dataType
+    val entries = emb.select(
+      col("vec_id").as("entry_id"),
+      ((col("vec_id") % 64) * 1000 + col("vec_id") + 1).as("ts"),
+      when(col("label") === 0, "")
+        .otherwise(concat(lit("s"), (col("label") % 5).cast("string")))
+        .as("state"),
+      when(col("label") === 9, lit(null).cast(arrT))
+        .otherwise(col("embedding")).as("embedding"),
+      concat(lit("doc "), col("vec_id").cast("string")).as("content"))
+    val dayMs = 86400000L
+    val lastE = entries.orderBy(col("ts").desc, col("entry_id").desc)
+      .limit(1)
+    val s1 = lastE.select(lit(-1L).as("entry_id"),
+      (col("ts") + 10L * dayMs).as("ts"),
+      lit("zzflush").as("state"),
+      transform(col("embedding"), x => -x).as("embedding"),
+      lit("sentinel").as("content"))
+    val s2 = lastE.select(lit(-2L).as("entry_id"),
+      (col("ts") + 11L * dayMs).as("ts"), lit("").as("state"),
+      lit(null).cast(arrT).as("embedding"),
+      lit("sentinel").as("content"))
+    val staged = entries.unionByName(s1).unionByName(s2)
+      .withColumn("key", lit(0L))
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag").toString
+    val in = s"$base/in"
+    staged.coalesce(1).write.parquet(in)
+    (graft.streaming.Ingest.fileSource(streamSession(s), in,
+      staged.schema), base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- headline aggregation (TPC-H q1 shape; A2-style groupBy) ----
     "q1_pricing_agg" -> ((s, dir) => {
@@ -3363,54 +3416,49 @@ object SparkEntry {
     // so s1 gets sealed and folded. s1's own episode stays open in
     // state (never emitted); s2 stays buffered (never sealed) ----
     "q292_stream_episodes" -> ((s, dir) => {
-      import graft.streaming.Ingest
-      val emb = Tables.embeddings(s, dir)
-      val arrT = emb.schema("embedding").dataType
-      val entries = emb.select(
-        col("vec_id").as("entry_id"),
-        // +1: the derived timeline starts at ts 0, which the initial
-        // watermark's late filter would eat (sqlEpisodeBoundaries doc)
-        ((col("vec_id") % 64) * 1000 + col("vec_id") + 1).as("ts"),
-        when(col("label") === 0, "")
-          .otherwise(concat(lit("s"), (col("label") % 5).cast("string")))
-          .as("state"),
-        when(col("label") === 9, lit(null).cast(arrT))
-          .otherwise(col("embedding")).as("embedding"),
-        concat(lit("doc "), col("vec_id").cast("string")).as("content"))
-      val dayMs = 86400000L
-      // the last real entry by the fold's (ts, id) order: s1 scores
-      // against IT. Its state is '' only when label = 0 (embedding
-      // present -> the negated-embedding term gives shift 1, score
-      // 0.4 >= 0.38) and its embedding null only when label = 9
-      // (state non-empty -> the flip term gives 0.6) — either way s1
-      // is a boundary.
-      val lastE = entries.orderBy(col("ts").desc, col("entry_id").desc)
-        .limit(1)
-      val s1 = lastE.select(lit(-1L).as("entry_id"),
-        (col("ts") + 10L * dayMs).as("ts"),
-        lit("zzflush").as("state"),
-        transform(col("embedding"), x => -x).as("embedding"),
-        lit("sentinel").as("content"))
-      val s2 = lastE.select(lit(-2L).as("entry_id"),
-        (col("ts") + 11L * dayMs).as("ts"), lit("").as("state"),
-        lit(null).cast(arrT).as("embedding"),
-        lit("sentinel").as("content"))
-      val staged = entries.unionByName(s1).unionByName(s2)
-        .withColumn("key", lit(0L))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-q292").toString
-      val in = s"$base/in"
-      staged.coalesce(1).write.parquet(in)
-      val raw = Ingest.fileSource(streamSession(s), in, staged.schema)
+      val (raw, base) = stagedTimelineFixture(s, dir, "q292")
       // maxPending sized to the fixture: a SINGLE-key fixture buffers
       // the whole corpus through the first micro-batch (watermark 0);
       // a real deployment keys per agent and sizes this to
       // rate x watermark-delay
-      runStreamTo(Ingest.streamingEpisodes(raw, threshold = 0.38,
-          maxPending = 1 << 16).toDF(), base)
+      runStreamTo(graft.streaming.Ingest.streamingEpisodes(raw,
+          threshold = 0.38, maxPending = 1 << 16).toDF(), base)
         .select(col("episode_idx"), col("start_ts"), col("end_ts"),
           col("entry_start"), col("entry_end"), col("n_entries"),
           col("state"), col("summary"))
+    }),
+
+    // ---- the episodic chain's streaming FRONT completed: episodes
+    // stream -> CONTINUATION-edges stream, two chained stateful
+    // operators in ONE append query (both FMGWS in Append mode — the
+    // combination Spark's unsupported-operations checker allows), over
+    // the same staged q286-derived timeline. Oracle: the batch
+    // detector's episode rows joined to their chronological successor
+    // under the autoLink gap/state rule — maxGap 500 accepts 51 edges
+    // and REJECTS the 10 same-state pairs whose gap is 553/617 at
+    // sf0.01, so both legs of the predicate gate. RETRY_OF stays
+    // batch-only (needs all-history pairs, not adjacency) ----
+    "q294_stream_episode_links" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val (raw, base) = stagedTimelineFixture(s, dir, "q294")
+      // Spark's chained-stateful checker guards ONE risk: an upstream
+      // stateful op emitting rows below the global watermark that a
+      // DOWNSTREAM late filter then silently discards. It cannot
+      // happen in this chain — streamingContinuations carries no
+      // event-time column, no watermark, no timeout, so no late
+      // filter exists to discard anything; every episode row is
+      // final-on-emission by streamingEpisodes' contract. Scoped to
+      // this gate's session clone (streamSession), never the shared
+      // session.
+      raw.sparkSession.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
+      val eps = Ingest.streamingEpisodes(raw, threshold = 0.38,
+        maxPending = 1 << 16)
+      runStreamTo(Ingest.streamingContinuations(eps, maxGap = 500L)
+          .toDF(), base)
+        .select(col("key"), col("src"), col("dst"), col("link_type"),
+          col("strength"))
     }),
 
     // ---- retrieval boost scoring + causal narrative
@@ -9422,6 +9470,26 @@ object SparkEntry {
     // +1 ts offset dodges the initial-watermark epoch-0 drop (see
     // sqlEpisodeBoundaries scaladoc).
     "q292_stream_episodes" -> sqlEpisodeBoundaries(tsOff = 1L),
+
+    // q294: the batch episode rows (q292's oracle as a subquery)
+    // joined to their chronological successor under the autoLink
+    // CONTINUATION rule — equal states, both non-empty, gap <= 500.
+    // The streaming side derives the same edges from its per-key
+    // last-closed-episode state; single-key fixture, so per-key
+    // adjacency IS the batch global order.
+    // (concatenated, not interpolated into a stripMargin block: the
+    // embedded oracle text contains `||` at line starts, whose first
+    // pipe stripMargin would eat)
+    "q294_stream_episode_links" ->
+      ("WITH ep AS (" + sqlEpisodeBoundaries(tsOff = 1L) + "),\n" +
+        """r AS (SELECT *, ROW_NUMBER() OVER
+          |    (ORDER BY start_ts, episode_idx) AS rk FROM ep)
+          |SELECT CAST(0 AS BIGINT) AS key, a.episode_idx AS src,
+          |  b.episode_idx AS dst, 'continuation' AS link_type,
+          |  1E0 AS strength
+          |FROM r a JOIN r b ON b.rk = a.rk + 1
+          |WHERE a.state = b.state AND a.state <> ''
+          |  AND b.start_ts - a.end_ts <= 500""".stripMargin),
     "q280_counter_example" ->
       s"""WITH q AS (SELECT vec_id AS query_id,
          |    CAST(embedding AS DOUBLE[]) AS qe

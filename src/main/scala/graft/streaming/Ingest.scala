@@ -74,6 +74,17 @@ final case class EpisodeRow(key: Long, episode_idx: Long,
     start_ts: Long, end_ts: Long, entry_start: Long, entry_end: Long,
     n_entries: Long, state: String, summary: String)
 
+/** Per-key state for [[Ingest.streamingContinuations]]: the highest-
+  * indexed closed episode seen so far — the chronological predecessor
+  * the next arrival links against. */
+final case class LastEpisode(idx: Long, endTs: Long, state: String)
+
+/** One CONTINUATION edge emitted by [[Ingest.streamingContinuations]]
+  * — field shape matches the batch twin
+  * ([[graft.operators.EpisodeGraph.autoLink]]) plus `key`. */
+final case class EpisodeLinkRow(key: Long, src: Long, dst: Long,
+    link_type: String, strength: Double)
+
 /** Streaming ingestion with upsert semantics (SURVEY §2.9, §3.2).
   *
   * The reference consumes Kafka in polled batches with manual commits
@@ -781,6 +792,70 @@ object Ingest {
           if (rest.nonEmpty)
             state.setTimeoutTimestamp(math.max(rest.map(_.ts).min + 1L,
               state.getCurrentWatermarkMs() + 1L))
+          out.iterator
+      }
+  }
+
+  /** Streaming CONTINUATION-edge inference — the front half of the
+    * episode graph's `auto_link`
+    * (`experiments/episodic-memory-prototype/memory/graph.py:44-104`)
+    * composed onto the episodes STREAM: consumes closed episodes (the
+    * [[streamingEpisodes]] output, or any append stream with its
+    * shape) and emits `prev → curr` edges between chronologically
+    * adjacent episodes of the same key whose states are equal and
+    * non-empty and whose gap `curr.start − prev.end` is at most
+    * `maxGap` (negative gaps — overlap — link too; only the upper
+    * bound is checked, the batch [[graft.operators.EpisodeGraph
+    * .autoLink]] rule exactly). RETRY_OF stays batch-only by design —
+    * it needs all-history similarity pairs, not adjacency.
+    *
+    * == Why streaming adjacency is exact ==
+    * [[streamingEpisodes]] closes each key's episodes in strictly
+    * increasing `episode_idx` = chronological order, and an episode is
+    * emitted only when PROVABLY final — so "the previously closed
+    * episode" at arrival time IS the chronological predecessor under
+    * any continuation of the stream, and every emitted edge is final
+    * (Append-mode safe). The one-key-one-timeline determinism
+    * deviation: adjacency is per KEY (the reference's per-memory
+    * graph), where the batch twin over a single-key table computes
+    * the same global order.
+    *
+    * == State & replay ==
+    * Per-key state is O(1): the last closed episode (idx, end, state).
+    * Arrivals are folded in `episode_idx` order within a batch, and an
+    * episode at or below the state's index is ignored — an
+    * at-least-once redelivery (restart replaying a sink-uncommitted
+    * batch) can re-emit an edge but never emits a WRONG one, the same
+    * sink contract as every append gate here. NoTimeout: edges derive
+    * from data alone, nothing to time out.
+    */
+  def streamingContinuations(
+      episodes: Dataset[EpisodeRow],
+      maxGap: Long = 3600L): Dataset[EpisodeLinkRow] = {
+    val spark = episodes.sparkSession
+    import spark.implicits._
+    episodes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[EpisodeRow],
+         state: GroupState[LastEpisode]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[EpisodeLinkRow]
+          var prev = state.getOption
+          rows.toSeq.sortBy(_.episode_idx).foreach { e =>
+            val fresh = prev.forall(_.idx < e.episode_idx)
+            if (fresh) {
+              prev.foreach { p =>
+                if (p.state == e.state && p.state.nonEmpty &&
+                    e.start_ts - p.endTs <= maxGap)
+                  out += EpisodeLinkRow(key, p.idx, e.episode_idx,
+                    "continuation", 1.0)
+              }
+              prev = Some(LastEpisode(e.episode_idx, e.end_ts, e.state))
+            }
+          }
+          prev.foreach(state.update)
           out.iterator
       }
   }

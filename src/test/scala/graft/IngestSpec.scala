@@ -862,6 +862,98 @@ class IngestSpec extends AnyFunSuite with SparkSuite {
     q.stop()
   }
 
+  test("streamingContinuations chained on streamingEpisodes: edges " +
+      "link episodes closed in DIFFERENT micro-batches, per-key " +
+      "isolation, gap and state rejection, batch-twin equality") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val minMs = 60000L
+    val gap = 5 * minMs
+    def vec(deg: Double) = Some(Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg))))
+    // key 0 timeline -> five episodes A..E (boundaries: 90°+ semantic
+    // turns within a state, flips across states):
+    //   A(id1,id2 s1) -> B(id3,id4 s1): same state, gap 2m  => edge
+    //   B -> C(id5 s2): states differ                       => none
+    //   C -> D(id6 s2): same state, gap 10m > 5m            => none
+    //   D -> E(id7 s2): same state, gap 2m                  => edge
+    val k0 = Seq(
+      (0L, 1L, 10 * minMs, "s1", vec(0), "a"),
+      (0L, 2L, 11 * minMs, "s1", vec(5), "a"),
+      (0L, 3L, 13 * minMs + 1000L, "s1", vec(100), "b"),
+      (0L, 4L, 20 * minMs, "s1", vec(105), "b"),
+      (0L, 5L, 40 * minMs, "s2", vec(0), "c"),
+      (0L, 6L, 50 * minMs, "s2", vec(100), "d"),
+      (0L, 7L, 52 * minMs, "s2", vec(200), "e"))
+    // key 1: two same-state episodes within the gap => its own edge
+    // (and never one to key 0's episodes)
+    val k1 = Seq(
+      (1L, 8L, 10 * minMs, "x", vec(0), "f"),
+      (1L, 9L, 13 * minMs, "x", vec(100), "g"))
+    def sent(key: Long, base: Long) = Seq(
+      (key, -1L, base + 100 * minMs, "zzflush", vec(180), "s"),
+      (key, -2L, base + 300 * minMs, "", None, "s"))
+    val mem = MemoryStream[(Long, Long, Long, String, Option[Seq[Double]], String)]
+    val eps = Ingest.streamingEpisodes(
+      mem.toDF.toDF("key", "entry_id", "ts", "state", "embedding",
+        "content"), threshold = 0.38)
+    // the chained-stateful checker guards downstream late-row discard;
+    // streamingContinuations has no event time, so none exists (the
+    // q294 gate's documented override, scoped and restored)
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+    try {
+      val edges = Ingest.streamingContinuations(eps, maxGap = gap)
+      val q = edges.toDF.writeStream.format("memory").queryName("slinks")
+        .outputMode("append").start()
+      def batchEdges(): Set[(Long, Long, Long)] =
+        spark.table("slinks").as[(Long, Long, Long, String, Double)]
+          .collect().map(e => (e._1, e._2, e._3)).toSet
+      // batch 1 seals A's body; batch 2 (id4 -> wm 19m) seals the id3
+      // boundary, so A CLOSES here and parks in the edge state
+      mem.addData(k0(0) +: k0(1) +: k0(2) +: k1: _*)
+      q.processAllAvailable()
+      mem.addData(k0(3))
+      q.processAllAvailable()
+      assert(batchEdges() === Set.empty) // A alone: nothing to link yet
+      // batch 3 seals id4; batch 4 (id6 -> wm 49m) seals id5, closing
+      // B — the A->B edge spans the batches between A's close and B's
+      mem.addData(k0(4))
+      q.processAllAvailable()
+      mem.addData(k0(5))
+      q.processAllAvailable()
+      assert(batchEdges() === Set((0L, 0L, 1L))) // cross-batch edge
+      // remaining entries + per-key sentinel flushes
+      mem.addData(k0(6) +: (sent(0L, 52 * minMs) ++ sent(1L, 13 * minMs)): _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("slinks")
+        .as[(Long, Long, Long, String, Double)].collect().toSet
+      assert(got === Set(
+        (0L, 0L, 1L, "continuation", 1.0),
+        (0L, 3L, 4L, "continuation", 1.0),
+        (1L, 0L, 1L, "continuation", 1.0)))
+      // batch twin: detectEpisodes -> autoLink's continuation leg over
+      // the same per-key entries reproduces exactly these edges
+      val twin = Seq(k0, k1).zipWithIndex.flatMap { case (rows, k) =>
+        val epsB = graft.operators.EpisodeGraph.detectEpisodes(
+          rows.toDF("key", "entry_id", "ts", "state", "embedding",
+            "content"), threshold = 0.38)
+          .withColumn("outcome", lit("success"))
+          .withColumn("embedding", lit(null).cast("array<double>"))
+        graft.operators.EpisodeGraph.autoLink(epsB, maxGap = gap,
+            idCol = "episode_idx", startCol = "start_ts",
+            endCol = "end_ts")
+          .as[(Long, Long, String, Double)].collect()
+          .map(e => (k.toLong, e._1, e._2, e._3, e._4))
+      }.toSet
+      assert(twin === got)
+    } finally spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "true")
+  }
+
   test("readability scores a hand-computed fixture") {
     val docs = Seq((1L, "The cat sat. It ran!"),
       (2L, "no punctuation here")).toDF("doc_id", "text")
