@@ -213,7 +213,29 @@ object Dedup {
     * `localCheckpoint` truncates lineage between rounds so the plan
     * stays O(1) regardless of iteration count — the shape that holds on
     * a billion-edge pair list.
+    *
+    * == Deep components: pointer jumping ==
+    * Edge propagation alone moves a label ONE hop per round, so a
+    * chain-shaped component (CDC-chunk dedup chains, smeared arcs)
+    * needs diameter rounds. From round [[JumpFrom]] on, each round
+    * also SHORTCUTS through the label table itself — `L(v) ←
+    * min(L(v), L(L(v)))`, the classic pointer-jumping step (labels
+    * are node ids, and a label's own label is a strictly-better bound
+    * in the same component) — which doubles the covered distance per
+    * round: total rounds O(JumpFrom + log₂ diameter), so the default
+    * budget of 25 covers components millions of hops deep. The first
+    * [[JumpFrom]] rounds stay single-shuffle because near-clique dup
+    * graphs (the overwhelmingly common case) converge there and
+    * should not pay the jump join's second shuffle. Exhausting
+    * `maxIters` without the fixpoint still fails loudly — unconverged
+    * labels split phantom components and under-merge silently.
     */
+  /** First round that adds the pointer-jump shortcut to
+    * [[connectedComponents]]'s label propagation: the first rounds
+    * stay single-shuffle because near-clique dup graphs converge in
+    * 2–3 and must not pay the jump join. */
+  private[operators] val JumpFrom = 3
+
   def connectedComponents(
       pairs: DataFrame,
       maxIters: Int = 25,
@@ -240,10 +262,6 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // min-label propagation moves a label ONE HOP per round, so
-      // rounds-to-fixpoint = the largest distance from any node to its
-      // component's minimum id. The loud require below (not here) is
-      // what guards exhaustion — see the loop exit.
       val viaEdges = edges
         .join(labels.withColumnRenamed(outId, "dst"), "dst")
         .select(col("src").as(outId), col("component"),
@@ -257,9 +275,27 @@ object Dedup {
         .groupBy(outId)
         .agg(min("component").as("component"), min("__old").as("__old"))
         .localCheckpoint()
+      // pointer jumping from round JumpFrom on (scaladoc): every label
+      // is itself a node id of the same component, so shortcutting
+      // through the label's OWN label halves the remaining distance
+      // per round. `__old` still holds the PREVIOUS round's label, so
+      // a jump-only improvement correctly reads as progress below.
+      val stepped =
+        if (iter < JumpFrom) next
+        else {
+          val parent = next.select(col(outId).as("__pid"),
+            col("component").as("__pcomp"))
+          next.join(parent, col("component") === col("__pid"), "left")
+            .select(col(outId),
+              least(col("component"),
+                coalesce(col("__pcomp"), col("component")))
+                .as("component"),
+              col("__old"))
+            .localCheckpoint()
+        }
       // labels only ever decrease; fixpoint when no strict decrease
-      converged = next.filter(col("component") < col("__old")).isEmpty
-      labels = next.select(col(outId), col("component"))
+      converged = stepped.filter(col("component") < col("__old")).isEmpty
+      labels = stepped.select(col(outId), col("component"))
       iter += 1
     }
     // Unconverged labels are SILENTLY WRONG downstream (a chain-shaped

@@ -177,23 +177,29 @@ class RandomizedSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("connectedComponents fails loudly when maxIters cannot reach " +
-      "the fixpoint (deep chain) and converges with a raised budget") {
+  test("connectedComponents: pointer jumping converges a 400-hop " +
+      "chain within the default budget; an exhausted budget still " +
+      "fails loudly instead of returning unconverged labels") {
     import graft.operators.Dedup
-    // a 31-node path 0-1-2-...-30: the min label needs 30 propagation
-    // hops, so the default 25 rounds CANNOT converge — unconverged
+    // a 401-node path 0-1-...-400: edge propagation alone needs 400
+    // rounds (one hop each); pointer jumping from round JumpFrom
+    // doubles coverage per round, so the default 25-round budget
+    // converges with a wide margin — the chain-shaped components
+    // (CDC-chunk chains, smeared arcs) that used to be a documented
+    // loud failure are now just another graph
+    val chain = (0L until 400L).map(i => (i, i + 1L))
+    val got = Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 401 && got.values.forall(_ === 0L))
+    // a budget too small for even the jumped walk (maxIters = 3 is
+    // all edge-only rounds: distance 4 of 400 covered): unconverged
     // labels would silently under-merge downstream (phantom split
     // components), so the operator must refuse instead of returning
-    val chain = (0L until 30L).map(i => (i, i + 1L))
     val err = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain.toDF("id_a", "id_b")).count()
+      Dedup.connectedComponents(chain.toDF("id_a", "id_b"),
+        maxIters = 3).count()
     }
     assert(err.getMessage.contains("converge"))
-    // the same graph with a sufficient budget: one component, min 0
-    val got = Dedup.connectedComponents(chain.toDF("id_a", "id_b"),
-        maxIters = 40)
-      .as[(Long, Long)].collect().toMap
-    assert(got.size === 31 && got.values.forall(_ === 0L))
   }
 
   test("constrainedRerank invariant under 1/4/32-partition shuffles") {
