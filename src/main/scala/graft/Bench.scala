@@ -354,14 +354,40 @@ object Bench {
       } catch { case _: Exception => forkBroken = true; None }
     }
     // In-process fallback measurement for one query, same estimator
-    // (min-of-passes) and the same per-leg canaries as SweepOne. The
-    // task run/cpu profile needs the forked child's SparkListener and
-    // is reported as missing (-1) here — another reason the fallback
-    // records `"forked": false`.
+    // (min-of-passes), the same per-leg canaries AND the same
+    // task-profile attribution as SweepOne (a fallen-back artifact
+    // still records `"forked": false` — the isolation claim is weaker,
+    // but its adjudication data is not).
+    val inprocRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val inprocCpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    var inprocListenerOn = false
     def inprocMeasure(name: String, dirs: Seq[String])
         : Seq[SweepMath.Leg] = {
       sweepForked = false
       val s = sweepSession()
+      if (!inprocListenerOn) {
+        inprocListenerOn = true
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = e.taskMetrics
+              if (m != null) {
+                inprocRunMs.addAndGet(m.executorRunTime)
+                inprocCpuNs.addAndGet(m.executorCpuTime)
+              }
+            }
+          })
+        // the SweepOne warmup convention: both canaries JIT-warm
+        // before the first sampled leg (a cold first spark-canary
+        // sample was measured at ~4x its warmed floor — it would read
+        // as phantom contention on the first leg)
+        Calib.measure()
+        try { Calib.sparkCanary(s); Calib.sparkCanary(s) }
+        catch { case _: Throwable => () }
+      }
+      def flushBus(): Unit =
+        org.apache.spark.graftshim.ListenerFlush.flush(s.sparkContext)
       val fn = SparkEntry.queries(name)
       dirs.map { d =>
         try {
@@ -369,13 +395,20 @@ object Bench {
           val calib = Calib.measure()
           val scanary = try Calib.sparkCanary(s)
             catch { case _: Throwable => -1.0 }
-          val passTimes = (1 to sweepPasses).map { _ =>
+          // same additive-noise rationale as SweepOne: min-wall pass,
+          // with ITS run/cpu deltas
+          val samples = (1 to sweepPasses).map { _ =>
+            flushBus()
+            val r0 = inprocRunMs.get(); val c0 = inprocCpuNs.get()
             val t0 = System.nanoTime()
             fn(s, d).queryExecution.toRdd.count()
-            (System.nanoTime() - t0) / 1e9
+            val wall = (System.nanoTime() - t0) / 1e9
+            flushBus()
+            (wall, (inprocRunMs.get() - r0) / 1e3,
+              (inprocCpuNs.get() - c0) / 1e9)
           }
-          // same additive-noise rationale as SweepOne
-          SweepMath.Leg(passTimes.min, calib, scanary, -1.0, -1.0)
+          val best = samples.minBy(_._1)
+          SweepMath.Leg(best._1, calib, scanary, best._2, best._3)
         } catch { case _: Throwable =>
           SweepMath.Leg(-1.0, -1.0, -1.0, -1.0, -1.0) }
       }
