@@ -94,6 +94,29 @@ package graft
   *    afford to drop pairs THROUGH (popular items carry little
   *    similarity signal anyway — the standard co-occurrence cut).
   *
+  *  - `EpisodeGraph.mergeFactsClustered(cells, targetCellSize,
+  *    maxComponent)` — gates: q291 runs the EXACT config (cells = 1,
+  *    output provably equals the driver fold), q293 the BLOCKED path
+  *    (cells = 3 over a provably-separated corpus — still
+  *    global-equal). 100×: drive blocking with `targetCellSize` like
+  *    any SemDeDup caller (the pair generator IS
+  *    `semanticNearDupPairs`); `maxComponent` (gate 4096) bounds
+  *    per-task fold memory LOUDLY — a component past ~10⁴ means the
+  *    threshold glues the corpus into one blob (raise the threshold,
+  *    not the cap). `Dedup.connectedComponents(maxIters)` (gate 25)
+  *    needs no scale retune: pointer jumping from round 3 makes
+  *    rounds O(log diameter), and exhaustion fails loudly.
+  *
+  * == Streaming state caps ==
+  *
+  *  - `Ingest.streamingEpisodes(maxPending)` — gate: q292/q294 run
+  *    1 << 16 because a SINGLE-key fixture buffers the whole corpus
+  *    through the first micro-batch. 100×: per-key pending ≈ event
+  *    rate × watermark delay; size to that (the default 8192 fits
+  *    ~2 min at ~70 events/s/key) — the cap is loud, never a trim.
+  *  - `Ingest.streamingContinuations` — no knob: per-key state is
+  *    O(1) (the last closed episode), edges final on emission.
+  *
   * == Bounded-work knobs (bigger = more work, not more risk) ==
   *
   *  - `Pipeline.mmrRerank(poolSize)` — gate: 500. Per-group state is
