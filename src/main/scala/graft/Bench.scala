@@ -496,16 +496,20 @@ object Bench {
             minXorFactor = math.min(minXorFactor, f))
           sparkF.filter(_ > 0.0).foreach(f =>
             minSparkFactor = math.min(minSparkFactor, f))
-          // the contention-invariant exponent: slope of the query's
-          // own task CPU seconds (available only when every leg came
-          // from the forked listener path)
+          // work-growth evidence for the row (NOT the survival rule —
+          // see SweepMath.adjudicate: parallelism headroom absorbs
+          // superlinear CPU at small sf on healthy queries)
           val eCpu =
             if (legs.forall(_.cpu > 0.0))
               Some(slopes(legs.map(_.cpu))._1)
             else None
-          // r12 fallback: wall deflated by the worse of the two
-          // environment canaries (the most conservative deflation)
-          val envF = xorF.zip(sparkF).map { case (a, b) => math.max(a, b) }
+          // contention-corrected wall: deflate each leg by the worst
+          // of the two environment canaries AND the query's own
+          // starvation ratio (the r12 mode — visible only inside the
+          // query itself)
+          val starveD = SweepMath.starveDeflators(qF)
+          val envF = xorF.zip(sparkF).zip(starveD).map {
+            case ((a, b), s) => math.max(math.max(a, b), s) }
           val normTimes = SweepMath.normalizedTimes(times, envF)
           val (eNorm, _) = slopes(normTimes)
           // a `<name>!sweep` baseline entry is a REVIEWED allowance
@@ -516,7 +520,7 @@ object Bench {
           // auto-minted, and the entry is annotated, not hidden.
           val intrinsic = baseline.contains(s"$name!sweep")
           val (flag, rawFlag, contended, starved) = SweepMath.adjudicate(
-            eLast, times.last, eCpu, eNorm, normTimes.last,
+            eLast, times.last, eNorm, normTimes.last,
             xorF, sparkF, qF,
             Calib.ContendedFactor, Bench.StarvedFactor, intrinsic)
           if (flag) { sweepFlags += 1; flaggedNames ::= name }

@@ -93,6 +93,23 @@ private[graft] object SweepMath {
       factors: Seq[Double]): Seq[Double] =
     times.zip(factors).map { case (t, f) => if (f > 1.0) t / f else t }
 
+  /** Per-leg starvation deflators from the query's OWN task profile:
+    * each leg's run/cpu ratio over the query's quietest leg's ratio.
+    * A leg whose tasks spent 12x longer scheduled-but-not-executing
+    * than the same query's best leg was starved by that multiple,
+    * whatever the mechanism — the deflator that recovers the
+    * wall the box actually allowed (the r12 q229 mode: 12x wall at
+    * cold canaries, which THIS ratio sees because it is measured
+    * inside the query itself). Legs without a profile deflate by 1. */
+  def starveDeflators(qFactors: Seq[Double]): Seq[Double] = {
+    val pos = qFactors.filter(_ > 0.0)
+    if (pos.isEmpty) qFactors.map(_ => 1.0)
+    else {
+      val base = pos.min
+      qFactors.map(f => if (f > 0.0) math.max(1.0, f / base) else 1.0)
+    }
+  }
+
   /** Parse a `SWEEPONE_RESULT {...}` protocol line into per-dir legs.
     * None when the line carries no well-formed times array of the
     * right arity (the caller treats that like a crashed child). Any
@@ -130,15 +147,22 @@ private[graft] object SweepMath {
     *    the r12 failure mode (contention the CPU canary cannot feel)
     *    made machine-readable from the query itself;
     *  - a contended/starved raw flag survives ONLY if the
-    *    contention-invariant verdict still flags: the exponent on the
-    *    query's own task CPU seconds when available (CPU seconds do
-    *    not inflate under scheduling/IO starvation), else the
-    *    canary-normalized wall exponent (the r12 fallback);
+    *    contention-CORRECTED wall exponent still flags: wall deflated
+    *    per leg by the worse of the environment canary factor and the
+    *    query's own starvation ratio ([[starveDeflators]]). NOT the
+    *    task-CPU exponent: CPU-seconds growth is work growth, which
+    *    parallelism headroom legitimately absorbs at small sf (healthy
+    *    queries measure cpu exponents of 1.3-2.0 with flat wall, and
+    *    deep-leg saturation makes it meaningful only past sf1), so a
+    *    cpu-exponent survival rule would re-flag exactly the healthy
+    *    operators this machinery exists to clear. The cpu exponent is
+    *    still RECORDED (`exponent_cpu`) as work-growth evidence for a
+    *    human reading the row;
     *  - a reviewed-`intrinsic` query never flags (by-design growth,
     *    annotated instead).
     * Returns (flag, rawFlag, contended, starved). */
   def adjudicate(eLast: Double, lastTime: Double,
-      eCpu: Option[Double], eNorm: Double, lastNorm: Double,
+      eNorm: Double, lastNorm: Double,
       xorFactors: Seq[Double], sparkFactors: Seq[Double],
       qFactors: Seq[Double],
       contendedFactor: Double, starvedFactor: Double,
@@ -149,11 +173,8 @@ private[graft] object SweepMath {
     val contended = hot(xorFactors, contendedFactor) ||
       hot(sparkFactors, contendedFactor)
     val starved = hot(qFactors, starvedFactor)
-    val invariantFlag = eCpu match {
-      case Some(e) => e > 1.2
-      case None => eNorm > 1.2 && lastNorm > 1.0
-    }
-    val flag = rawFlag && (!(contended || starved) || invariantFlag) &&
+    val correctedFlag = eNorm > 1.2 && lastNorm > 1.0
+    val flag = rawFlag && (!(contended || starved) || correctedFlag) &&
       !intrinsic
     (flag, rawFlag, contended, starved)
   }

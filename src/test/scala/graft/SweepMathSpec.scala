@@ -96,6 +96,12 @@ class SweepMathSpec extends AnyFunSuite {
       leg(1.0, run = 6.0, cpu = 2.0), leg(1.0, run = 6.0),
       leg(1.0, cpu = 2.0), leg(1.0, run = 3.0, cpu = 3.0)))
     assert(q === Seq(3.0, -1.0, -1.0, 1.0))
+    // starvation deflators are RELATIVE to the query's own quietest
+    // leg (idle occupancy differs per query shape), floored at 1, and
+    // profile-less legs never deflate
+    assert(SweepMath.starveDeflators(Seq(1.2, 14.4, -1.0, 1.5)) ===
+      Seq(1.0, 12.0, 1.0, 1.25))
+    assert(SweepMath.starveDeflators(Seq(-1.0, -1.0)) === Seq(1.0, 1.0))
   }
 
   test("parseResult: arity-checked times, missing annotation arrays " +
@@ -135,53 +141,78 @@ class SweepMathSpec extends AnyFunSuite {
     val cf = 2.0
     val sf = 3.0
     val quiet = Seq(1.0, 1.1)
-    def adj(eLast: Double, lastTime: Double, eCpu: Option[Double],
+    def adj(eLast: Double, lastTime: Double,
         eNorm: Double, lastNorm: Double,
         xor: Seq[Double] = quiet, spark: Seq[Double] = quiet,
         q: Seq[Double] = Seq(1.2, 1.4), intrinsic: Boolean = false) =
-      SweepMath.adjudicate(eLast, lastTime, eCpu, eNorm, lastNorm,
+      SweepMath.adjudicate(eLast, lastTime, eNorm, lastNorm,
         xor, spark, q, cf, sf, intrinsic)
     // healthy: no raw flag regardless of factors
-    assert(adj(0.5, 10.0, Some(0.5), 0.5, 10.0, xor = Seq(1.0, 5.0)) ===
+    assert(adj(0.5, 10.0, 0.5, 10.0, xor = Seq(1.0, 5.0)) ===
       ((false, false, true, false)))
     // genuine regression on an idle box: flags
-    assert(adj(1.5, 10.0, Some(1.5), 1.5, 10.0) ===
+    assert(adj(1.5, 10.0, 1.5, 10.0) ===
       ((true, true, false, false)))
-    // raw flag + xor-contended legs + the query's own CPU exponent
-    // clears: re-labeled, not counted (the r11 pathology)
-    assert(adj(1.77, 97.6, Some(0.4), 0.39, 4.6,
+    // raw flag + xor-contended legs + the corrected exponent clears:
+    // re-labeled, not counted (the r11 pathology)
+    assert(adj(1.77, 97.6, 0.39, 4.6,
       xor = Seq(1.2, 21.0)) === ((false, true, true, false)))
     // raw flag + quiet CANARIES but the query's own tasks starved
-    // (run >> cpu) + CPU exponent clears: the r12 q229 pathology —
-    // contention the register loop cannot feel, adjudicated from the
-    // query's own resource profile
-    assert(adj(1.5, 18.2, Some(0.3), 1.5, 18.2,
+    // (run >> cpu); the starvation-deflated exponent clears: the r12
+    // q229 pathology — contention the register loop cannot feel,
+    // adjudicated from the query's own resource profile
+    assert(adj(1.5, 18.2, 0.3, 1.6,
       q = Seq(1.3, 12.0)) === ((false, true, false, true)))
     // mini-Spark canary hot counts as contended even when xor is cold
-    assert(adj(1.5, 18.2, Some(0.3), 1.5, 18.2,
+    assert(adj(1.5, 18.2, 0.3, 1.6,
       spark = Seq(1.1, 4.0)) === ((false, true, true, false)))
-    // contended/starved + STILL superlinear on the query's own CPU
-    // seconds: the flag survives (contention cannot launder a real
-    // regression — CPU seconds do not inflate under starvation)
-    assert(adj(2.5, 50.0, Some(1.5), 1.5, 20.0,
+    // contended/starved + STILL superlinear after the correction:
+    // the flag survives (contention cannot launder a real regression)
+    assert(adj(2.5, 50.0, 1.5, 20.0,
       xor = Seq(3.0, 3.0)) === ((true, true, true, false)))
-    assert(adj(2.5, 50.0, Some(1.5), 1.5, 20.0,
+    assert(adj(2.5, 50.0, 1.5, 20.0,
       q = Seq(5.0, 5.0)) === ((true, true, false, true)))
-    // no CPU data (in-process fallback): the normalized-wall verdict
-    // decides a contended flag's survival, as in r12
-    assert(adj(1.77, 97.6, None, 0.39, 4.6,
-      xor = Seq(1.2, 21.0)) === ((false, true, true, false)))
-    assert(adj(2.5, 50.0, None, 1.5, 20.0,
-      xor = Seq(3.0, 3.0)) === ((true, true, true, false)))
     // sub-1s top leg: the job-scheduling floor never flags
-    assert(adj(2.0, 0.8, Some(2.0), 2.0, 0.8) ===
+    assert(adj(2.0, 0.8, 2.0, 0.8) ===
       ((false, false, false, false)))
     // contention on a NON-defining early leg does not mark contended
-    assert(adj(1.5, 10.0, Some(1.5), 1.5, 10.0,
+    assert(adj(1.5, 10.0, 1.5, 10.0,
       xor = Seq(5.0, 1.0, 1.0), q = Seq(9.0, 1.1, 1.1)) ===
       ((true, true, false, false)))
     // reviewed intrinsic: raw flag reported, never counted
-    assert(adj(1.37, 37.3, Some(1.3), 1.19, 30.0, intrinsic = true) ===
+    assert(adj(1.37, 37.3, 1.19, 30.0, intrinsic = true) ===
       ((false, true, false, false)))
+  }
+
+  test("the r12 q229 scenario end-to-end: a 12x-starved leg at cold " +
+      "canaries is corrected by the query's own profile and " +
+      "re-labeled, while the same wall shape with a clean profile " +
+      "keeps its flag") {
+    val xs = Seq(-2.0, -1.0, 0.0)
+    // wall ~19 s where the isolated box measures ~1.5: exponent 1.2+
+    val times = Seq(0.88, 1.17, 19.0)
+    val (eLast, _) = SweepMath.slopes(xs, times)
+    assert(eLast > 1.2)
+    // the starved leg's run/cpu reads ~12x the quiet legs' ratio
+    val qF = Seq(1.15, 1.08, 13.0)
+    val deflators = SweepMath.starveDeflators(qF)
+    val norm = SweepMath.normalizedTimes(times, deflators)
+    val (eNorm, _) = SweepMath.slopes(xs, norm)
+    val (flag, raw, contended, starved) = SweepMath.adjudicate(
+      eLast, times.last, eNorm, norm.last,
+      Seq(1.2, 1.2, 1.3), Seq(1.1, 1.2, 1.4), qF, 2.0, 3.0,
+      intrinsic = false)
+    assert(raw && starved && !contended && !flag)
+    // the same wall with a CLEAN task profile is a real regression:
+    // nothing deflates, the flag stands
+    val qClean = Seq(1.15, 1.08, 1.2)
+    val norm2 = SweepMath.normalizedTimes(times,
+      SweepMath.starveDeflators(qClean))
+    val (eNorm2, _) = SweepMath.slopes(xs, norm2)
+    val (flag2, raw2, cont2, starv2) = SweepMath.adjudicate(
+      eLast, times.last, eNorm2, norm2.last,
+      Seq(1.2, 1.2, 1.3), Seq(1.1, 1.2, 1.4), qClean, 2.0, 3.0,
+      intrinsic = false)
+    assert(raw2 && !cont2 && !starv2 && flag2)
   }
 }
