@@ -100,13 +100,27 @@ private[graft] object SweepMath {
     * whatever the mechanism — the deflator that recovers the
     * wall the box actually allowed (the r12 q229 mode: 12x wall at
     * cold canaries, which THIS ratio sees because it is measured
-    * inside the query itself). Legs without a profile deflate by 1. */
-  def starveDeflators(qFactors: Seq[Double]): Seq[Double] = {
+    * inside the query itself). Legs without a profile deflate by 1.
+    *
+    * Only legs whose ratio exceeds `idleCeiling` deflate AT ALL
+    * (r13 ADVICE): idle-box run/cpu naturally grows with scale —
+    * shuffle-heavy deep legs read 1.05–1.6 on a quiet box ([[Bench]]
+    * doc) — so a deep leg whose ratio sits inside that idle band is
+    * exhibiting the operator's scale shape, not starvation, and
+    * deflating it by its excess over the query's (typically shallow,
+    * CPU-tight) quietest leg would shave ~0.18/decade off the top
+    * segment and could relabel a genuine borderline regression as
+    * contended. Legs past the ceiling still deflate by their full
+    * ratio over the quietest leg — once tasks measurably starve, the
+    * whole excess is environment, not shape. */
+  def starveDeflators(qFactors: Seq[Double],
+      idleCeiling: Double = Bench.StarveDeflateCeiling): Seq[Double] = {
     val pos = qFactors.filter(_ > 0.0)
     if (pos.isEmpty) qFactors.map(_ => 1.0)
     else {
       val base = pos.min
-      qFactors.map(f => if (f > 0.0) math.max(1.0, f / base) else 1.0)
+      qFactors.map(f =>
+        if (f > idleCeiling) math.max(1.0, f / base) else 1.0)
     }
   }
 

@@ -45,12 +45,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *    in-process measurement) from "query crashed at some sf" (START
   *    but no RESULT: a real sweep error).
   *  - `SWEEPONE_RESULT {"times":[...],"calib":[...],"scanary":[...],
-  *    "run":[...],"cpu":[...]}` with one MIN-of-`passes` query time
-  *    per dir, in dir order (noise is additive, so the minimum is the
-  *    robust estimator — see the ts.min site below), the canary walls
-  *    sampled right before that dir's passes, and the min-wall pass's
-  *    task run/cpu seconds; a crashed dir records -1 times (its canary
-  *    samples stay — they already happened).
+  *    "run":[...],"cpu":[...],"instr_warmup":N}` with one
+  *    MIN-of-`passes` query time per dir, in dir order (noise is
+  *    additive, so the minimum is the robust estimator — see the
+  *    ts.min site below), the canary walls sampled right before that
+  *    dir's passes, the min-wall pass's task run/cpu seconds, and the
+  *    canary-warmup wall (instrumentation accounting — the parent
+  *    sums it with the per-leg canary walls into
+  *    `instrumentation_sec`); a crashed dir records -1 times (its
+  *    canary samples stay — they already happened).
   *
   * Args: `<passes> <query> <dir1> <dir2> ...`.
   */
@@ -78,7 +81,7 @@ object SweepOne {
         }
       }
     })
-    def flushBus(): Unit =
+    def flushBus(): Boolean =
       org.apache.spark.graftshim.ListenerFlush.flush(spark.sparkContext)
     val fn = SparkEntry.queries(name)
     // Warmup on the SMALLEST dir (Bench's own convention): a cold JVM
@@ -89,6 +92,12 @@ object SweepOne {
     // first sparkCanary call may also generate its dataset).
     try fn(spark, dirs.head).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
+    // canary-warmup wall is INSTRUMENTATION time, reported so the
+    // parent can separate measurement overhead from query time in the
+    // artifact (r13 verdict item 3: total_sec grew 151.7 -> 198.4
+    // partly from per-leg canaries, indistinguishable from regression
+    // without this split)
+    val instrT0 = System.nanoTime()
     Calib.measure()
     // two spark-canary warmups: the first may generate the dataset,
     // and a single warmup still leaves the first leg's sample ~1.8x
@@ -96,6 +105,7 @@ object SweepOne {
     // line to matter
     try { Calib.sparkCanary(spark); Calib.sparkCanary(spark) }
     catch { case _: Throwable => () }
+    val instrWarmup = (System.nanoTime() - instrT0) / 1e9
     def jnum(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val calibs = Array.fill(dirs.size)(-1.0)
@@ -126,13 +136,20 @@ object SweepOne {
         // wall time with another pass's task time would be
         // meaningless).
         val samples = (1 to passes).map { _ =>
-          flushBus()
+          // a timed-out PRE-pass flush leaks the previous pass's
+          // queued task-end events into this snapshot delta
+          // (OVERcounts); a timed-out post-pass flush undercounts.
+          // Either way the profile is unattributable — drop it
+          // (missing beats mis-signed; see ListenerFlush).
+          val preDrained = flushBus()
           val r0 = runMs.get(); val c0 = cpuNs.get()
           val t0 = System.nanoTime()
           fn(spark, d).queryExecution.toRdd.count()
           val wall = (System.nanoTime() - t0) / 1e9
-          flushBus()
-          (wall, (runMs.get() - r0) / 1e3, (cpuNs.get() - c0) / 1e9)
+          val postDrained = flushBus()
+          if (preDrained && postDrained)
+            (wall, (runMs.get() - r0) / 1e3, (cpuNs.get() - c0) / 1e9)
+          else (wall, -1.0, -1.0)
         }
         val best = samples.minBy(_._1)
         runs(i) = best._2
@@ -144,7 +161,8 @@ object SweepOne {
       s""""calib":[${calibs.map(jnum).mkString(",")}],""" +
       s""""scanary":[${scanarys.map(jnum).mkString(",")}],""" +
       s""""run":[${runs.map(jnum).mkString(",")}],""" +
-      s""""cpu":[${cpusSec.map(jnum).mkString(",")}]}""")
+      s""""cpu":[${cpusSec.map(jnum).mkString(",")}],""" +
+      s""""instr_warmup":${jnum(instrWarmup)}}""")
     spark.stop()
   }
 }

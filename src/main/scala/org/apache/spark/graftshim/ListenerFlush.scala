@@ -15,12 +15,27 @@ import org.apache.spark.SparkContext
   * no other internals are touched, nothing is overridden.
   */
 object ListenerFlush {
-  /** Block until every queued listener event has been delivered.
-    * A bus timeout (never observed locally; the bus default is
-    * unbounded patience in this overload) degrades to a no-op —
-    * the caller's counters then undercount, which reads as LESS
-    * task time, never phantom time. */
-  def flush(sc: SparkContext): Unit =
-    try sc.listenerBus.waitUntilEmpty()
-    catch { case _: java.util.concurrent.TimeoutException => () }
+  /** Block until every queued listener event has been delivered,
+    * retrying once. Returns whether the bus actually drained.
+    *
+    * The no-arg `waitUntilEmpty()` is NOT unbounded: in Spark 4.1 it
+    * delegates to `waitUntilEmpty(10 seconds)` and throws
+    * `TimeoutException` past that (verified against the shipped
+    * bytecode). A timed-out flush matters differently by position:
+    * a timed-out POST-pass flush undercounts that pass (reads as
+    * less task time — safe); a timed-out PRE-pass flush leaks the
+    * PREVIOUS pass's still-queued task-end events into the next
+    * snapshot delta, which OVERcounts the next pass's run/cpu. So
+    * callers must treat `false` from a pre-pass flush as "this
+    * pass's profile is unattributable" and drop the delta (record
+    * the run/cpu samples as missing) rather than report an inflated
+    * profile. Never observed locally — 10 s of queued listener
+    * events would need a pathologically stalled bus — but the
+    * failure mode is now typed instead of silently mis-signed. */
+  def flush(sc: SparkContext): Boolean =
+    drainOnce(sc) || drainOnce(sc)
+
+  private def drainOnce(sc: SparkContext): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
 }

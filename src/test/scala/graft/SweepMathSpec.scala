@@ -98,9 +98,17 @@ class SweepMathSpec extends AnyFunSuite {
     assert(q === Seq(3.0, -1.0, -1.0, 1.0))
     // starvation deflators are RELATIVE to the query's own quietest
     // leg (idle occupancy differs per query shape), floored at 1, and
-    // profile-less legs never deflate
+    // profile-less legs never deflate. Legs INSIDE the idle band
+    // (ratio <= StarveDeflateCeiling = 1.6) never deflate either:
+    // idle-box run/cpu naturally reads 1.05-1.6 on shuffle-heavy deep
+    // legs, so in-band excess over a CPU-tight shallow leg is scale
+    // shape, not starvation (r13 ADVICE — deflating it shaved
+    // ~0.18/decade off genuine borderline regressions)
     assert(SweepMath.starveDeflators(Seq(1.2, 14.4, -1.0, 1.5)) ===
-      Seq(1.0, 12.0, 1.0, 1.25))
+      Seq(1.0, 12.0, 1.0, 1.0))
+    // just past the ceiling: deflates by the FULL ratio over the
+    // quietest leg, not the excess over the ceiling
+    assert(SweepMath.starveDeflators(Seq(1.2, 1.8)) === Seq(1.0, 1.5))
     assert(SweepMath.starveDeflators(Seq(-1.0, -1.0)) === Seq(1.0, 1.0))
   }
 
