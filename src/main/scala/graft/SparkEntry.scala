@@ -318,9 +318,25 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
     }),
 
-    // ---- embedding-cosine near-dup pairs, label-blocked (dedup op) ----
+    // ---- embedding-cosine near-dup pairs, label-blocked (dedup op).
+    // The input unions a zero-norm PROBE block (label 99, absent from
+    // the data): the r14 kill-test proved the raw testdata carries no
+    // zero-norm vectors, so a dropped cosine guard was driver-invisible.
+    // With the probe, guard removal reads RED loudly: 0/0 raises ANSI
+    // DIVIDE_BY_ZERO (observed in the r14 kill-test); with ANSI off it
+    // would read NaN, and Spark's NaN > threshold is TRUE (NaN sorts
+    // above every double), phantom pairs either way. With the guard,
+    // probe pairs score 0 and filter out — visible result unchanged. ----
     "q18_embedding_neardup" -> ((s, dir) => {
-      SimilaritySearch.nearDupPairs(Tables.embeddings(s, dir),
+      import s.implicits._
+      val zero = Seq.fill(64)(0.0f)
+      val probe = Seq(
+        (900001L, zero, 99),
+        (900002L, zero, 99),
+        (900003L, 1.0f +: Seq.fill(63)(0.0f), 99))
+        .toDF("vec_id", "embedding", "label")
+      SimilaritySearch.nearDupPairs(
+        Tables.embeddings(s, dir).unionByName(probe),
         blockCol = "label", threshold = 0.3)
     }),
 
@@ -1923,10 +1939,22 @@ object SparkEntry {
     // engine's java.util.zip kernel) against the real parquet text's
     // byte length; the kernel is additionally pinned by
     // TextFunctionsSpec golden cases ----
-    "q150_compression_ratio" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        TextFunctions.compressionRatio(col("text"))
-          .as("compression_ratio"))),
+    // The input unions a LEVEL-PROBE doc (id 900001): the r14
+    // kill-test proved all 500 testdata docs compress identically at
+    // java deflate levels 5 and 6, so a level drift was
+    // driver-invisible; this near-periodic text separates levels
+    // (68 bytes at level 6, 87 at level 5 — CPython and the JVM
+    // agree on both) and carries a CPython pin like every real doc.
+    "q150_compression_ratio" -> ((s, dir) => {
+      import s.implicits._
+      val probe = Seq((900001L, ("abcdefghij" * 7 + "x") * 120))
+        .toDF("doc_id", "text")
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(probe)
+        .select(col("doc_id"),
+          TextFunctions.compressionRatio(col("text"))
+            .as("compression_ratio"))
+    }),
 
     // ---- bulk-keys retrieve (the scoring path): the key set is the
     // full orders key domain with duplicates — too big to broadcast at
@@ -3825,18 +3853,28 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
+    // zero-norm probe block (label 99) mirrors the engine side; the
+    // CASE guard is the oracle twin of the engine's cosine guard —
+    // probe pairs read 0 and filter out, so removing the ENGINE guard
+    // (NaN pairs, Spark NaN > 0.3 is true) reads RED (r14 kill-test)
     "q18_embedding_neardup" ->
-      """SELECT id_a, id_b, cosine FROM (
+      """WITH emb2(vec_id, emb, label) AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]), label FROM embeddings
+        |  UNION ALL
+        |  SELECT 900001, list_transform(range(64), x -> 0.0), 99
+        |  UNION ALL
+        |  SELECT 900002, list_transform(range(64), x -> 0.0), 99
+        |  UNION ALL
+        |  SELECT 900003, list_prepend(1.0, list_transform(range(63), x -> 0.0)), 99),
+        |n AS (SELECT vec_id, emb, label,
+        |    sqrt(list_reduce(list_transform(emb, x -> x*x), (p,q) -> p+q)) AS nrm
+        |  FROM emb2)
+        |SELECT id_a, id_b, cosine FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_reduce(list_transform(
-        |      list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
-        |      x -> x[1]*x[2]), (p,q) -> p+q)
-        |    / (sqrt(list_reduce(list_transform(CAST(a.embedding AS DOUBLE[]),
-        |         x -> x*x), (p,q) -> p+q))
-        |     * sqrt(list_reduce(list_transform(CAST(b.embedding AS DOUBLE[]),
-        |         x -> x*x), (p,q) -> p+q))) AS cosine
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |      ELSE list_reduce(list_transform(list_zip(a.emb, b.emb),
+        |        x -> x[1]*x[2]), (p,q) -> p+q) / (a.nrm * b.nrm) END AS cosine
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine > 0.3""".stripMargin,
 
     // Rebuilds the LSH index in SQL: md5-derived hyperplanes (exact in
@@ -9528,8 +9566,11 @@ object SparkEntry {
         .stripMargin,
 
     "q281_reinforce_decay" -> {
-      val wtab = Pipeline
-        .weightTableMicro(0.3, 0.7, 0.9, 16, 32).mkString("[", ", ", "]")
+      // PINNED table (Q281Weights), not a live weightTableMicro call:
+      // the r14 kill-test proved the echoed-function shape tautological
+      // (a generation-formula mutation survived the driver gate).
+      // PipelineOpsSpec locks the pin to the engine function.
+      val wtab = Q281Weights.microTable.mkString("[", ", ", "]")
       s"""WITH ev AS (SELECT
          |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item_id,
          |    ts, event_id,
@@ -9648,16 +9689,23 @@ object SparkEntry {
   }
 
   /** q150's oracle for a given pinned deflate-size table
-    * ([[graft.Q150Deflate]] — one pin per testdata sf). */
+    * ([[graft.Q150Deflate]] — one pin per testdata sf), plus the
+    * sf-independent LEVEL-PROBE doc (id 900001, CPython zlib level-6
+    * size 68 over the 8520-byte near-periodic text the engine side
+    * unions in — see the q150 query comment / r14 kill-test). */
   private def sqlQ150For(pins: Seq[(Long, Long)]): String = {
-    val values = pins.map { case (i, n) => s"($i, $n)" }.mkString(", ")
-    s"""WITH v(doc_id, csize) AS (VALUES $values)
+    val values = (pins :+ (900001L, 68L))
+      .map { case (i, n) => s"($i, $n)" }.mkString(", ")
+    s"""WITH v(doc_id, csize) AS (VALUES $values),
+       |docs2 AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT 900001, repeat(repeat('abcdefghij', 7) || 'x', 120))
        |SELECT d.doc_id,
        |  CASE WHEN octet_length(encode(d.text)) = 0 THEN 1.0
        |       ELSE CAST(v.csize AS DOUBLE)
        |         / CAST(octet_length(encode(d.text)) AS DOUBLE) END
        |    AS compression_ratio
-       |FROM documents d JOIN v USING (doc_id)""".stripMargin
+       |FROM docs2 d JOIN v USING (doc_id)""".stripMargin
   }
 
   /** [[oracleSql]] with the two DATA-PINNED oracles (q139's learned

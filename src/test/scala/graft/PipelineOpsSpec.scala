@@ -1090,6 +1090,13 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     // exact check against the unrolled micro-weight sum (the op's
     // stated semantics)
     val wt = Pipeline.weightTableMicro(0.3, 0.7, 0.9, 16, 32)
+    // pin lock (r14 kill-test): q281's oracle plants Q281Weights as
+    // literal longs instead of echoing weightTableMicro (the echoed
+    // shape was tautological — a formula mutation survived the driver
+    // gate). A conscious formula change must regenerate the pin.
+    assert(wt === graft.Q281Weights.microTable,
+      "weightTableMicro drifted off the Q281Weights pin — " +
+        "regenerate the pin if the formula change is intentional")
     rows.groupBy(_._1).foreach { case (ep, evs) =>
       val recent = evs.sortBy(e => (-e._2, -e._3)).take(16)
       val micro = recent.zipWithIndex.map { case (e, later) =>

@@ -1,0 +1,212 @@
+#!/usr/bin/env python3
+"""Oracle kill-test: prove every gate class can go RED.
+
+With a 294-green corpus the residual correctness risk is a gate that
+CANNOT fail (a tautological oracle). This harness applies deliberate
+single-point mutations to the ENGINE source, recompiles, reruns the
+driver-style compare (graft.Verify -> tools/check_oracle.py) on the
+mutated tree, and asserts the gate reads RED. A mutation that survives
+GREEN is a gate bug: the finding is recorded and the GATE gets fixed
+(never the harness weakened).
+
+Usage: python3 tools/killtest.py [mutation-name ...]
+Writes KILLTEST_r14.json (one entry per mutation: expectation,
+observed gate color, per-query detail). Dev tooling only — the Scala
+library never depends on this. Restores every mutated file afterwards
+(verifies the tree is byte-identical before exiting).
+"""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.01"
+
+# Each mutation: a single-point engine change (exact-string replace,
+# must occur exactly once), the gate queries the driver compare runs,
+# and the expected color. `expect: red` is the kill-test claim; a
+# documented `expect: green` entry records a SHARED-CONSTRUCTION
+# tautology found by this harness before its gate fix landed.
+MUTATIONS = [
+    {
+        # (a) off-by-one in a bounded cap: mergeCap's final rank filter
+        # keeps one extra event per (user, week)
+        "name": "cap_offby1",
+        "file": "src/main/scala/graft/operators/InteractionStore.scala",
+        "old": '    pre.withColumn("__rn", row_number().over(w))\n      .filter(col("__rn") <= cap)',
+        "new": '    pre.withColumn("__rn", row_number().over(w))\n      .filter(col("__rn") <= cap + 1)',
+        "queries": ["q7_interaction_merge_cap"],
+        "expect": "red",
+        "mechanism": "cap=5 gate keeps 6 rows per (user,week) -> row-count mismatch",
+    },
+    {
+        # (b) flipped comparison in the near-dup threshold operator
+        "name": "threshold_flip",
+        "file": "src/main/scala/graft/operators/SimilaritySearch.scala",
+        "old": '      .filter(col("cosine") > threshold)',
+        "new": '      .filter(col("cosine") < threshold)',
+        "queries": ["q18_embedding_neardup", "q184_semantic_neardup"],
+        "expect": "red",
+        "mechanism": "emits the complement pair set -> row-count/hash mismatch",
+    },
+    {
+        # (c) dropped zero-norm guard in nearDupPairs: raw cosine
+        # division. Requires zero-norm rows in the gate's input to be
+        # observable — the harness's first run proved the raw testdata
+        # has none (mutation survived GREEN); q18 now unions a
+        # zero-norm fixture block so the guard is driver-gated.
+        "name": "zeronorm_guard_drop",
+        "file": "src/main/scala/graft/operators/SimilaritySearch.scala",
+        "old": '        when(col("a.__n") * col("b.__n") === 0.0, lit(0.0))\n          .otherwise(Similarity.dot(col(s"a.$embCol"), col(s"b.$embCol")) /\n            (col("a.__n") * col("b.__n"))).as("cosine"))',
+        "new": '        (Similarity.dot(col(s"a.$embCol"), col(s"b.$embCol")) /\n            (col("a.__n") * col("b.__n"))).as("cosine"))',
+        "queries": ["q18_embedding_neardup"],
+        "expect": "red",
+        "mechanism": "zero-norm probe pair divides 0/0 -> ANSI DIVIDE_BY_ZERO error "
+                     "(observed; with ANSI off it would read NaN, and Spark's "
+                     "NaN > threshold is true -> phantom pairs either way)",
+    },
+    {
+        # (d1) data-pinned oracle q139: the engine LEARNS the rotation;
+        # the oracle applies pinned literals. A single-point covariance
+        # bug must drift the learned rotation off the pin.
+        "name": "q139_cov_mut",
+        "file": "src/main/scala/graft/operators/PcaRotate.scala",
+        "old": "      val c = g.toDouble / (n * unit * unit) - mu(i) * mu(j)",
+        "new": "      val c = g.toDouble / (n * unit * unit) - mu(j) * mu(j)",
+        "queries": ["q139_ann_opq_rotated"],
+        "expect": "red",
+        "mechanism": "asymmetric mean correction -> wrong covariance -> rotation off the pin",
+    },
+    {
+        # (d2) data-pinned oracle q150: engine deflate level vs pinned
+        # CPython-zlib(level 6) sizes
+        "name": "q150_deflate_level",
+        "file": "src/main/scala/graft/functions/MediaHeaders.scala",
+        "old": "    val d = new java.util.zip.Deflater(6, false)",
+        "new": "    val d = new java.util.zip.Deflater(5, false)",
+        "queries": ["q150_compression_ratio"],
+        "expect": "red",
+        "mechanism": "level-5 compressed sizes differ from the level-6 pins. "
+                     "First run SURVIVED: all 500 testdata docs compress "
+                     "identically at levels 5 and 6; q150 now unions a "
+                     "level-probe doc (68 bytes at L6, 87 at L5) so level "
+                     "drift is driver-visible",
+    },
+    {
+        # (e) shared-literal IEEE oracle q175: the oracle carries its
+        # OWN z / z^2 decimal literals — a one-ulp engine drift in z
+        # must read RED (proves the literals are independent copies,
+        # not echoed from the engine).
+        "name": "q175_z_ulp",
+        "file": "src/main/scala/graft/operators/Evaluation.scala",
+        "old": "      z: Double = 1.96): DataFrame = {",
+        "new": "      z: Double = 1.9600000000000002): DataFrame = {",
+        "queries": ["q175_position_ctr_wilson"],
+        "expect": "red",
+        "mechanism": "one-ulp z drift -> wilson bounds differ in last ulps vs the oracle's own literals",
+    },
+    {
+        # (f) shared-literal IEEE oracle q281: the weight TABLE is
+        # pinned in the oracle (Q281Weights literals, spec-locked to
+        # weightTableMicro); a generation-formula bug must read RED.
+        # Before the pin landed, the oracle CALLED weightTableMicro at
+        # SQL-construction time and this mutation survived GREEN — the
+        # tautology this harness exists to find.
+        "name": "q281_weight_formula",
+        "file": "src/main/scala/graft/operators/Pipeline.scala",
+        "old": "      yield Math.round(blend * rankPows(r) * carryPows(l) * 1e6)",
+        "new": "      yield Math.round(blend * rankPows(r) * carryPows(l) * 1e6) + 1",
+        "queries": ["q281_reinforce_decay"],
+        "expect": "red",
+        "mechanism": "every micro-weight off by 1 -> outcome_score drifts vs the pinned table",
+    },
+    {
+        # (g) consumption-side mutation for the same gate: the recency
+        # horizon filter (independent of the table literals on both
+        # sides — red regardless of the pin)
+        "name": "q281_horizon_offby1",
+        "file": "src/main/scala/graft/operators/Pipeline.scala",
+        "old": '      .filter(col("__later") < horizon)',
+        "new": '      .filter(col("__later") <= horizon)',
+        "queries": ["q281_reinforce_decay"],
+        "expect": "red",
+        "mechanism": "17th-recent event indexes element_at past the 512-entry "
+                     "table -> ANSI INVALID_ARRAY_INDEX error (observed)",
+    },
+]
+
+
+def run(cmd, **kw):
+    return subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, **kw)
+
+
+def gate_color(queries, tag):
+    """Run Verify + check_oracle on `queries`; return (color, detail).
+    RED = any query fails the driver-style compare (hash/rows/schema
+    mismatch, oracle error, or the engine query crashing)."""
+    out = f"/tmp/kt_{tag}"
+    run(["rm", "-rf", out])
+    v = run(["sbt", "-batch",
+             f"runMain graft.Verify {SF} {out} " + " ".join(queries)])
+    verify_errs = [l for l in v.stderr.splitlines() + v.stdout.splitlines()
+                   if "[verify]" in l]
+    c = run(["python3", "tools/check_oracle.py", SF, out] + queries)
+    lines = [l for l in c.stdout.splitlines()
+             if l.startswith(("PASS", "FAIL"))]
+    fails = [l for l in lines if l.startswith("FAIL")]
+    passes = [l for l in lines if l.startswith("PASS")]
+    color = "red" if fails or verify_errs else (
+        "green" if len(passes) == len(queries) else "red")
+    return color, {"compare": lines, "verify_errors": verify_errs}
+
+
+def main():
+    only = set(sys.argv[1:])
+    results = []
+    originals = {}
+    try:
+        for m in MUTATIONS:
+            if only and m["name"] not in only:
+                continue
+            path = os.path.join(REPO, m["file"])
+            src = open(path).read()
+            n = src.count(m["old"])
+            if n != 1:
+                results.append({"mutation": m["name"], "result": "SPEC-ERROR",
+                                "detail": f"old-string occurs {n} times"})
+                continue
+            originals.setdefault(path, src)
+            print(f"== {m['name']}: mutating {m['file']}")
+            open(path, "w").write(src.replace(m["old"], m["new"]))
+            comp = run(["sbt", "-batch", "compile"])
+            if comp.returncode != 0:
+                results.append({"mutation": m["name"], "result": "COMPILE-ERROR",
+                                "detail": comp.stdout[-2000:]})
+            else:
+                color, detail = gate_color(m["queries"], m["name"])
+                verdict = ("KILLED" if color == "red" else "SURVIVED")
+                print(f"   gate={color} ({verdict}; expected {m['expect']})")
+                results.append({
+                    "mutation": m["name"], "file": m["file"],
+                    "gates": m["queries"], "mechanism": m["mechanism"],
+                    "expected": m["expect"], "observed": color,
+                    "result": verdict,
+                    "ok": color == m["expect"], "detail": detail})
+            open(path, "w").write(originals[path])
+    finally:
+        for path, src in originals.items():
+            open(path, "w").write(src)
+    # tree must be byte-identical to where we started
+    for path, src in originals.items():
+        assert open(path).read() == src, f"restore failed: {path}"
+    ok = all(r.get("ok") for r in results)
+    art = {"sf": SF, "all_expected": ok, "mutations": results}
+    with open(os.path.join(REPO, "KILLTEST_r14.json"), "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"== {'ALL EXPECTED' if ok else 'UNEXPECTED RESULTS'} -> KILLTEST_r14.json")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
