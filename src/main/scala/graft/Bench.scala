@@ -222,13 +222,24 @@ object Bench {
     // auto-scaled twins q285/q287 don't already prove — its base
     // sweep + !sweep allowance keep the contrast visible); q282
     // joined so the sweep-line twin of the intrinsic q241 proves the
-    // decomposed regime through sf10.
+    // decomposed regime through sf10. q241 stops at sf3 (deepDepth):
+    // its pair mass is the DATA's own concurrency growth (sessions
+    // scale with sf over a fixed time range, so overlaps per session
+    // grow ~sf and total pair mass ~sf² — at sf10 a leg costs
+    // ~(10/3)² x its 75 s sf3 leg and blew the 30-min child watchdog,
+    // erasing the whole row in r14's first run). The same-oracle
+    // sweep-line twin q282 IS the scale path for count semantics and
+    // carries the decade (sf10 exponent 0.63); the pair join remains
+    // the right tool only when the pairs themselves are the output,
+    // documented at RangeJoin.
     val deepQueries: Set[String] = sys.env.get("SPARK_GRAFT_DEEP_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set(
         "q42_dedup_components", "q241_session_concurrency",
         "q282_concurrency_sweepline", "q285_semantic_neardup_auto",
         "q287_semantic_neardup_twolevel"))
+    // how many deep dirs a deep query takes, front-first (default all)
+    val deepDepth: Map[String, Int] = Map("q241_session_concurrency" -> 1)
     val deepDirs: Seq[String] =
       if (sweepDirs.size < 2 || sys.env.contains("SPARK_GRAFT_NO_DEEP"))
         Nil
@@ -370,9 +381,18 @@ object Bench {
           new java.io.InputStreamReader(proc.getInputStream))
         var started = false
         var result: Option[Seq[SweepMath.Leg]] = None
+        // per-leg lines arrive as each dir completes; when the child
+        // DIES before its final RESULT (watchdog kill / OOM on a deep
+        // leg) the completed legs survive in this map and only the
+        // dead legs read -1 (still a loud sweep error, but the healthy
+        // legs' evidence is not erased — the r14 q241 lesson)
+        val partial = scala.collection.mutable.Map.empty[Int, SweepMath.Leg]
         var line = out.readLine()
         while (line != null) {
           if (line.startsWith("SWEEPONE_START")) started = true
+          if (line.startsWith("SWEEPONE_LEG"))
+            SweepMath.parseLeg(line).foreach { case (i, leg) =>
+              partial(i) = leg }
           if (line.startsWith("SWEEPONE_RESULT")) {
             SweepMath.parseResult(line, dirs.size)
               .foreach(r => result = Some(r))
@@ -384,8 +404,8 @@ object Bench {
         proc.waitFor()
         if (result.isDefined) result
         else if (started)
-          Some(dirs.map(_ =>
-            SweepMath.Leg(-1.0, -1.0, -1.0, -1.0, -1.0)))
+          Some(dirs.indices.map(i => partial.getOrElse(i,
+            SweepMath.Leg(-1.0, -1.0, -1.0, -1.0, -1.0))))
         else { forkBroken = true; None }
       } catch { case _: Exception => forkBroken = true; None }
     }
@@ -497,7 +517,9 @@ object Bench {
       // 2 flagged, 3 error — emitted in ascending order (below)
       val rows = sweepQueries.map { name =>
         val dirs = sweepDirs ++
-          (if (deepQueries(name)) deepDirs else Nil)
+          (if (deepQueries(name))
+            deepDirs.take(deepDepth.getOrElse(name, deepDirs.size))
+          else Nil)
         val sfs = dirs.map(SweepMath.sfOf)
         val xs = SweepMath.axis(dirs)
         def slopes(ts: Seq[Double]): (Double, Double) =

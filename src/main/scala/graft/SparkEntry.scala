@@ -353,8 +353,20 @@ object SparkEntry {
     }),
 
     // ---- exact dedup by normalized-text fingerprint ----
+    // The input unions a DUPLICATE-PAIR probe (ids 900001/900002, one
+    // shared text): the r14 kill-test found the testdata has no exact
+    // duplicates at sf0.01, so the keep-FIRST tie-break was
+    // driver-invisible (keep-last read identical). The probe pins
+    // which survivor wins — flipping the tie-break reads RED.
     "q20_dedup_exact" -> ((s, dir) => {
-      Dedup.exact(Tables.documents(s, dir))
+      import s.implicits._
+      val probe = Seq(
+        (900001L, "the quick brown fox", "probe", 19L),
+        (900002L, "the quick brown fox", "probe", 19L))
+        .toDF("doc_id", "text", "source", "n_chars")
+      Dedup.exact(Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+          .unionByName(probe))
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
@@ -3913,12 +3925,18 @@ object SparkEntry {
          |    ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM scored)
          |WHERE rank <= 10""".stripMargin,
 
+    // duplicate-pair probe rows mirror the engine side (r14 kill-test:
+    // no exact duplicates exist in the raw testdata, so the keep-first
+    // tie-break needed a pinned-survivor probe to be driver-visible)
     "q20_dedup_exact" ->
       s"""SELECT doc_id, source, n_chars FROM (
          |  SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (
          |    PARTITION BY md5(array_to_string($sqlWords, ' '))
          |    ORDER BY doc_id) AS rn
-         |  FROM documents) WHERE rn = 1""".stripMargin,
+         |  FROM (SELECT doc_id, text, source, n_chars FROM documents
+         |    UNION ALL SELECT 900001, 'the quick brown fox', 'probe', 19
+         |    UNION ALL SELECT 900002, 'the quick brown fox', 'probe', 19))
+         |WHERE rn = 1""".stripMargin,
 
     "q21_token_stats" ->
       s"""SELECT doc_id,

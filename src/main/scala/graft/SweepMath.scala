@@ -150,6 +150,22 @@ private[graft] object SweepMath {
     }
   }
 
+  /** One `SWEEPONE_LEG {"i":N,"t":...,"calib":...,"scanary":...,
+    * "run":...,"cpu":...}` line → (dir index, Leg). The child emits
+    * one per completed dir so a later-leg death (watchdog kill, OOM)
+    * cannot erase finished legs; None for a malformed line. */
+  def parseLeg(line: String): Option[(Int, Leg)] = {
+    def num(key: String): Option[Double] =
+      (s""""$key":(-?[0-9.]+)""").r.findFirstMatchIn(line)
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    for {
+      i <- num("i").map(_.toInt)
+      t <- num("t")
+    } yield (i, Leg(t, num("calib").getOrElse(-1.0),
+      num("scanary").getOrElse(-1.0), num("run").getOrElse(-1.0),
+      num("cpu").getOrElse(-1.0)))
+  }
+
   /** The flag adjudication:
     *  - `raw` — the unadjusted superlinear signal (top-segment wall
     *    exponent > 1.2 on a > 1 s top leg);

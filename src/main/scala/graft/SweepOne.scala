@@ -113,7 +113,7 @@ object SweepOne {
     val runs = Array.fill(dirs.size)(-1.0)
     val cpusSec = Array.fill(dirs.size)(-1.0)
     val times = dirs.zipWithIndex.map { case (d, i) =>
-      try {
+      val t = try {
         // smaller-sf legs still leave localCheckpoint blocks behind;
         // drop them so the sf1 leg starts clean even inside one JVM
         spark.sparkContext.getPersistentRDDs.values
@@ -156,6 +156,16 @@ object SweepOne {
         cpusSec(i) = best._3
         best._1
       } catch { case _: Throwable => -1.0 }
+      // Per-leg emission (r14): a child DEATH at a later leg — the
+      // 30-min watchdog kill or an OOM on a deep dir — must not erase
+      // legs that already completed (q241's sf10 leg lost four healthy
+      // legs this way). The parent assembles a partial row from these
+      // lines whenever the final RESULT never arrives; the dead leg
+      // stays -1, so the row still reads as a loud sweep error.
+      println(s"""SWEEPONE_LEG {"i":$i,"t":${jnum(t)},""" +
+        s""""calib":${jnum(calibs(i))},"scanary":${jnum(scanarys(i))},""" +
+        s""""run":${jnum(runs(i))},"cpu":${jnum(cpusSec(i))}}""")
+      t
     }
     println(s"""SWEEPONE_RESULT {"times":[${times.map(jnum).mkString(",")}],""" +
       s""""calib":[${calibs.map(jnum).mkString(",")}],""" +

@@ -145,6 +145,21 @@ class SweepMathSpec extends AnyFunSuite {
       """SWEEPONE_RESULT {"times":[a,b]}""", 2) === None)
   }
 
+  test("parseLeg: per-leg line -> (index, Leg); crashed leg carries " +
+      "-1 time with its canaries; malformed lines rejected") {
+    val good = """SWEEPONE_LEG {"i":2,"t":4.700,"calib":0.470,""" +
+      """"scanary":0.270,"run":40.000,"cpu":32.000}"""
+    assert(SweepMath.parseLeg(good) ===
+      Some((2, Leg(4.7, 0.47, 0.27, 40.0, 32.0))))
+    // a leg whose QUERY crashed still emits (time -1, canaries kept)
+    val crashed = """SWEEPONE_LEG {"i":1,"t":-1.000,"calib":0.460,""" +
+      """"scanary":-1.000,"run":-1.000,"cpu":-1.000}"""
+    assert(SweepMath.parseLeg(crashed) ===
+      Some((1, Leg(-1.0, 0.46, -1.0, -1.0, -1.0))))
+    assert(SweepMath.parseLeg("SWEEPONE_LEG {}") === None)
+    assert(SweepMath.parseLeg("""SWEEPONE_LEG {"i":0}""") === None)
+  }
+
   test("adjudicate: the full decision matrix") {
     val cf = 2.0
     val sf = 3.0
