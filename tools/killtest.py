@@ -122,6 +122,34 @@ MUTATIONS = [
         "mechanism": "every micro-weight off by 1 -> outcome_score drifts vs the pinned table",
     },
     {
+        # (h) temporal boundary: TTL expiry <= flipped to < — a row
+        # written EXACTLY ttl seconds before asOf flips from expired to
+        # alive. The sf0.01 key set holds exactly one such row
+        # (o_orderdate 1997-06-27 + 400 days == asOf midnight), so the
+        # flip is driver-visible without a fixture.
+        "name": "ttl_boundary_flip",
+        "file": "src/main/scala/graft/operators/FeatureStore.scala",
+        "old": '        col(writtenAt) + expr(s"INTERVAL ${fg.ttlSeconds} SECONDS") <=\n          asOf.getOrElse(current_timestamp())',
+        "new": '        col(writtenAt) + expr(s"INTERVAL ${fg.ttlSeconds} SECONDS") <\n          asOf.getOrElse(current_timestamp())',
+        "queries": ["q4_ttl_expiry"],
+        "expect": "red",
+        "mechanism": "the exact-boundary row flips expired->alive -> its real "
+                     "o_totalprice leaks where the oracle reads the default",
+    },
+    {
+        # (i) deterministic tie-break: exact dedup keep-FIRST flipped to
+        # keep-last. The raw testdata has no exact duplicates at sf0.01
+        # (this mutation was invisible until q20 gained its
+        # duplicate-pair probe: ids 900001/900002 share one text).
+        "name": "dedup_keepfirst_flip",
+        "file": "src/main/scala/graft/operators/Dedup.scala",
+        "old": '    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)',
+        "new": '    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).desc)',
+        "queries": ["q20_dedup_exact"],
+        "expect": "red",
+        "mechanism": "probe survivor flips 900001 -> 900002 -> value mismatch",
+    },
+    {
         # (g) consumption-side mutation for the same gate: the recency
         # horizon filter (independent of the table literals on both
         # sides — red regardless of the pin)
@@ -200,9 +228,20 @@ def main():
     # tree must be byte-identical to where we started
     for path, src in originals.items():
         assert open(path).read() == src, f"restore failed: {path}"
+    art_path = os.path.join(REPO, "KILLTEST_r14.json")
+    if only and os.path.exists(art_path):
+        # filtered run: MERGE into the existing artifact (replace
+        # re-run mutations by name, keep the rest) so a targeted
+        # re-check never silently shrinks the recorded corpus
+        prev = json.load(open(art_path)).get("mutations", [])
+        names = {r["mutation"] for r in results}
+        merged = [r for r in prev if r["mutation"] not in names]
+        order = {m["name"]: i for i, m in enumerate(MUTATIONS)}
+        results = sorted(merged + results,
+                         key=lambda r: order.get(r["mutation"], 99))
     ok = all(r.get("ok") for r in results)
     art = {"sf": SF, "all_expected": ok, "mutations": results}
-    with open(os.path.join(REPO, "KILLTEST_r14.json"), "w") as f:
+    with open(art_path, "w") as f:
         json.dump(art, f, indent=1)
     print(f"== {'ALL EXPECTED' if ok else 'UNEXPECTED RESULTS'} -> KILLTEST_r14.json")
     sys.exit(0 if ok else 1)
