@@ -84,7 +84,12 @@ package graft
   *    interval length (explode fan-out = span/binMs); set maxBin to
   *    the per-task row budget (~10⁴) the moment real timelines have
   *    hot hours. Count-only callers: use `sessionConcurrencyCounts`
-  *    (sweep-line, zero pair mass) instead.
+  *    (sweep-line, zero pair mass) instead — the r14 sf10 probe made
+  *    the gap concrete: total pair mass grows ~sf² when sessions
+  *    scale over a fixed time window (measured 57× task CPU for 10×
+  *    data, 845.7 s vs the sweep-line's 16.6 s at the same sf), so
+  *    at 100× the pair join is only for pair-list OUTPUT, never for
+  *    counts.
   *  - `EpisodeGraph.autoLink(maxStateBlock)` — gate: q284 runs 0 (a
   *    few hundred episodes per state). 100×: same rule as maxBlock —
   *    set to the per-task failed-row budget when one state dominates.

@@ -150,6 +150,19 @@ MUTATIONS = [
         "mechanism": "probe survivor flips 900001 -> 900002 -> value mismatch",
     },
     {
+        # (j) stateful-streaming class: invert the episode boundary
+        # comparison inside the flatMapGroupsWithState handler —
+        # episodes split exactly where they should continue.
+        "name": "episode_boundary_invert",
+        "file": "src/main/scala/graft/streaming/Ingest.scala",
+        "old": "                  if score(o.prevState, o.prevEmb, e.state, e.emb) >=\n                    threshold =>",
+        "new": "                  if score(o.prevState, o.prevEmb, e.state, e.emb) <\n                    threshold =>",
+        "queries": ["q292_stream_episodes"],
+        "expect": "red",
+        "mechanism": "inverted segmentation -> different episode rows/counts "
+                     "out of the streaming fold",
+    },
+    {
         # (g) consumption-side mutation for the same gate: the recency
         # horizon filter (independent of the table literals on both
         # sides — red regardless of the pin)
