@@ -1154,9 +1154,14 @@ object SparkEntry {
       // flags render as a 10-char '0'/'1' string: every unpacked bit is
       // hash-compared, and the output stays scalar so the driver's
       // row-sorting comparator can handle it
+      // wire_hex pins the WIRE LAYOUT (5 bytes, big-endian) in the
+      // driver gate, not just the roundtrip: the r14 kill-test proved
+      // a widened 6-byte encoding still roundtrips green — the oracle
+      // derives the 10 hex digits independently from epoch seconds
       ev.select(col("event_id"),
         WireCodecs.decodeExpiry40(WireCodecs.encodeExpiry40(secs))
           .as("expiry_s"),
+        hex(WireCodecs.encodeExpiry40(secs)).as("wire_hex"),
         concat_ws("", transform(
           WireCodecs.unpackBools(WireCodecs.packBools(flags), lit(10)),
           f => f.cast("int").cast("string"))).as("flag_bits"))
@@ -4949,8 +4954,12 @@ object SparkEntry {
 
     // the codec roundtrips must be identities, so the oracle is the
     // plain pre-encode SQL (epoch seconds fit 40 bits until year 36812)
+    // wire_hex derived independently (to_hex over epoch seconds): pins
+    // the 5-byte big-endian layout, so an encoding-width drift reads
+    // RED even though decode(encode(x)) would still roundtrip
     "q88_wire_roundtrip" ->
       """SELECT event_id, epoch_ms(ts) // 1000 AS expiry_s,
+        |  upper(lpad(to_hex(epoch_ms(ts) // 1000), 10, '0')) AS wire_hex,
         |  array_to_string(list_transform(
         |    [value > 50.0, value < 10.0, user_id % 2 = 0, user_id % 3 = 0,
         |     event_type = 'click', event_type = 'view', value >= 25.0,

@@ -150,6 +150,47 @@ MUTATIONS = [
         "mechanism": "probe survivor flips 900001 -> 900002 -> value mismatch",
     },
     {
+        # (k) codegen-kernel class: the DotProduct Catalyst expression's
+        # generated term x*y -> x*x (mutates the CODEGEN path the gate
+        # executes; the interpreted twin stays correct, so a green here
+        # would mean the gate silently fell back to interpreted eval).
+        "name": "dot_codegen_term",
+        "file": "src/main/scala/graft/expr/VectorExpressions.scala",
+        "old": '  override protected def termJava(x: String, y: String): String = s"$x * $y"',
+        "new": '  override protected def termJava(x: String, y: String): String = s"$x * $x"',
+        "queries": ["q14_dot_product"],
+        "expect": "red",
+        "mechanism": "codegen'd dot becomes |a|^2 -> value mismatch",
+    },
+    {
+        # (l) quantization-kernel class: fp16/fp8 round-to-nearest-even
+        # becomes floor — every non-representable value drops a step.
+        "name": "quantize_round_floor",
+        "file": "src/main/scala/graft/functions/Minifloat.scala",
+        "old": "    var r = Math.rint(a / step) * step",
+        "new": "    var r = Math.floor(a / step) * step",
+        "queries": ["q5_quantized_projection"],
+        "expect": "red",
+        "mechanism": "floor-rounded fp16/fp8 projections differ from the oracle's exact RNE",
+    },
+    {
+        # (m) wire-codec class: the 40-bit expiry encoding widens to 6
+        # bytes — the binary payload no longer matches the oracle's
+        # 5-byte layout.
+        "name": "expiry40_width",
+        "file": "src/main/scala/graft/functions/WireCodecs.scala",
+        "old": '    unhex(lpad(hex(seconds.cast("long").bitwiseAND(lit(Max40))), 10, "0"))',
+        "new": '    unhex(lpad(hex(seconds.cast("long").bitwiseAND(lit(Max40))), 12, "0"))',
+        "queries": ["q88_wire_roundtrip"],
+        "expect": "red",
+        "mechanism": "6-byte encoding -> wire_hex mismatch vs the oracle's "
+                     "independent 10-hex-digit derivation. First run SURVIVED: "
+                     "q88 was a pure roundtrip (decode(encode(x)) passes for any "
+                     "self-consistent width, only WireCodecSpec pinned 5 bytes); "
+                     "the gate now emits the encoded hex so the layout is "
+                     "driver-visible",
+    },
+    {
         # (j) stateful-streaming class: invert the episode boundary
         # comparison inside the flatMapGroupsWithState handler —
         # episodes split exactly where they should continue.
