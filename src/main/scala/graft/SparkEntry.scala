@@ -331,9 +331,9 @@ object SparkEntry {
       import s.implicits._
       val zero = Seq.fill(64)(0.0f)
       val probe = Seq(
-        (900001L, zero, 99),
-        (900002L, zero, 99),
-        (900003L, 1.0f +: Seq.fill(63)(0.0f), 99))
+        (9000000001L, zero, 99),
+        (9000000002L, zero, 99),
+        (9000000003L, 1.0f +: Seq.fill(63)(0.0f), 99))
         .toDF("vec_id", "embedding", "label")
       SimilaritySearch.nearDupPairs(
         Tables.embeddings(s, dir).unionByName(probe),
@@ -353,7 +353,7 @@ object SparkEntry {
     }),
 
     // ---- exact dedup by normalized-text fingerprint ----
-    // The input unions a DUPLICATE-PAIR probe (ids 900001/900002, one
+    // The input unions a DUPLICATE-PAIR probe (ids 9000000001/9000000002, one
     // shared text): the r14 kill-test found the testdata has no exact
     // duplicates at sf0.01, so the keep-FIRST tie-break was
     // driver-invisible (keep-last read identical). The probe pins
@@ -361,8 +361,8 @@ object SparkEntry {
     "q20_dedup_exact" -> ((s, dir) => {
       import s.implicits._
       val probe = Seq(
-        (900001L, "the quick brown fox", "probe", 19L),
-        (900002L, "the quick brown fox", "probe", 19L))
+        (9000000001L, "the quick brown fox", "probe", 19L),
+        (9000000002L, "the quick brown fox", "probe", 19L))
         .toDF("doc_id", "text", "source", "n_chars")
       Dedup.exact(Tables.documents(s, dir)
           .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
@@ -1956,7 +1956,7 @@ object SparkEntry {
     // engine's java.util.zip kernel) against the real parquet text's
     // byte length; the kernel is additionally pinned by
     // TextFunctionsSpec golden cases ----
-    // The input unions a LEVEL-PROBE doc (id 900001): the r14
+    // The input unions a LEVEL-PROBE doc (id 9000000001): the r14
     // kill-test proved all 500 testdata docs compress identically at
     // java deflate levels 5 and 6, so a level drift was
     // driver-invisible; this near-periodic text separates levels
@@ -1964,7 +1964,7 @@ object SparkEntry {
     // agree on both) and carries a CPython pin like every real doc.
     "q150_compression_ratio" -> ((s, dir) => {
       import s.implicits._
-      val probe = Seq((900001L, ("abcdefghij" * 7 + "x") * 120))
+      val probe = Seq((9000000001L, ("abcdefghij" * 7 + "x") * 120))
         .toDF("doc_id", "text")
       Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .unionByName(probe)
@@ -3878,11 +3878,11 @@ object SparkEntry {
       """WITH emb2(vec_id, emb, label) AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]), label FROM embeddings
         |  UNION ALL
-        |  SELECT 900001, list_transform(range(64), x -> 0.0), 99
+        |  SELECT 9000000001, list_transform(range(64), x -> 0.0), 99
         |  UNION ALL
-        |  SELECT 900002, list_transform(range(64), x -> 0.0), 99
+        |  SELECT 9000000002, list_transform(range(64), x -> 0.0), 99
         |  UNION ALL
-        |  SELECT 900003, list_prepend(1.0, list_transform(range(63), x -> 0.0)), 99),
+        |  SELECT 9000000003, list_prepend(1.0, list_transform(range(63), x -> 0.0)), 99),
         |n AS (SELECT vec_id, emb, label,
         |    sqrt(list_reduce(list_transform(emb, x -> x*x), (p,q) -> p+q)) AS nrm
         |  FROM emb2)
@@ -3939,8 +3939,8 @@ object SparkEntry {
          |    PARTITION BY md5(array_to_string($sqlWords, ' '))
          |    ORDER BY doc_id) AS rn
          |  FROM (SELECT doc_id, text, source, n_chars FROM documents
-         |    UNION ALL SELECT 900001, 'the quick brown fox', 'probe', 19
-         |    UNION ALL SELECT 900002, 'the quick brown fox', 'probe', 19))
+         |    UNION ALL SELECT 9000000001, 'the quick brown fox', 'probe', 19
+         |    UNION ALL SELECT 9000000002, 'the quick brown fox', 'probe', 19))
          |WHERE rn = 1""".stripMargin,
 
     "q21_token_stats" ->
@@ -9717,16 +9717,16 @@ object SparkEntry {
 
   /** q150's oracle for a given pinned deflate-size table
     * ([[graft.Q150Deflate]] — one pin per testdata sf), plus the
-    * sf-independent LEVEL-PROBE doc (id 900001, CPython zlib level-6
+    * sf-independent LEVEL-PROBE doc (id 9000000001, CPython zlib level-6
     * size 68 over the 8520-byte near-periodic text the engine side
     * unions in — see the q150 query comment / r14 kill-test). */
   private def sqlQ150For(pins: Seq[(Long, Long)]): String = {
-    val values = (pins :+ (900001L, 68L))
+    val values = (pins :+ (9000000001L, 68L))
       .map { case (i, n) => s"($i, $n)" }.mkString(", ")
     s"""WITH v(doc_id, csize) AS (VALUES $values),
        |docs2 AS (SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT 900001, repeat(repeat('abcdefghij', 7) || 'x', 120))
+       |  SELECT 9000000001, repeat(repeat('abcdefghij', 7) || 'x', 120))
        |SELECT d.doc_id,
        |  CASE WHEN octet_length(encode(d.text)) = 0 THEN 1.0
        |       ELSE CAST(v.csize AS DOUBLE)

@@ -140,14 +140,14 @@ MUTATIONS = [
         # (i) deterministic tie-break: exact dedup keep-FIRST flipped to
         # keep-last. The raw testdata has no exact duplicates at sf0.01
         # (this mutation was invisible until q20 gained its
-        # duplicate-pair probe: ids 900001/900002 share one text).
+        # duplicate-pair probe: ids 9000000001/9000000002 share one text).
         "name": "dedup_keepfirst_flip",
         "file": "src/main/scala/graft/operators/Dedup.scala",
         "old": '    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)',
         "new": '    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).desc)',
         "queries": ["q20_dedup_exact"],
         "expect": "red",
-        "mechanism": "probe survivor flips 900001 -> 900002 -> value mismatch",
+        "mechanism": "probe survivor flips 9000000001 -> 9000000002 -> value mismatch",
     },
     {
         # (k) codegen-kernel class: the DotProduct Catalyst expression's
