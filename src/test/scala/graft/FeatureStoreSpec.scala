@@ -135,11 +135,28 @@ class FeatureStoreSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("retrieve plan broadcasts the key set, never shuffles the table") {
-    val table = Tables.customer(spark, sf)
-    val keys = Seq(1L, 2L, 3L).toDF("c_custkey")
-    val plan = FeatureStore.retrieve(keys, table, Seq("c_custkey"),
-      Fixtures.customerProfile, Seq("c_name")).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
-    assert(!plan.contains("SortMergeJoin"))
+    // Auto-broadcast OFF (both static and adaptive): at gate scale
+    // Spark's 10 MB threshold broadcasts any small side on its own,
+    // which made the EXPLICIT broadcast hint unobservable by every
+    // other gate (the r14 kill-test's broadcast_hint_drop survived the
+    // driver compare AND the sf0.1 plan audit — plan-identical there).
+    // With the thresholds at -1, BroadcastHashJoin below can come ONLY
+    // from the hint, so dropping it reads RED here. The hint is
+    // load-bearing at 100 TB, where the keys side exceeds any
+    // threshold and an unhinted plan shuffles the full table.
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val table = Tables.customer(spark, sf)
+      val keys = Seq(1L, 2L, 3L).toDF("c_custkey")
+      val plan = FeatureStore.retrieve(keys, table, Seq("c_custkey"),
+        Fixtures.customerProfile, Seq("c_name")).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(!plan.contains("SortMergeJoin"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 }

@@ -150,6 +150,31 @@ MUTATIONS = [
         "mechanism": "probe survivor flips 9000000001 -> 9000000002 -> value mismatch",
     },
     {
+        # (n) PLAN-AUDIT gate class (not the DuckDB compare): dropping
+        # the retrieve path's broadcast hint changes the query's
+        # exchange count away from its pinned bench_exchange_baseline
+        # entry — the bench plan audit, the gate that guards plan
+        # shape, must flag it. Values stay identical (a shuffled join
+        # computes the same rows), so the DuckDB compare CANNOT catch
+        # this class; the audit is the only gate with eyes on it.
+        "name": "broadcast_hint_drop",
+        "file": "src/main/scala/graft/operators/FeatureStore.scala",
+        "old": "    def maybeBroadcast(df: DataFrame): DataFrame =\n      if (broadcastKeys) broadcast(df) else df",
+        "new": "    def maybeBroadcast(df: DataFrame): DataFrame =\n      df",
+        "queries": ["graft.FeatureStoreSpec"],
+        "gate": "spec",
+        "spec_filter": "broadcasts the key set",
+        "expect": "red",
+        "mechanism": "SortMergeJoin replaces the hinted broadcast once the spec "
+                     "disables auto-broadcast. First run SURVIVED BOTH the "
+                     "driver compare and the sf0.1 plan audit (gate=bench_audit): "
+                     "at gate scale Spark's 10MB threshold broadcasts the small "
+                     "keys side on its own, so the unhinted plan was IDENTICAL — "
+                     "the hint is load-bearing only at 100TB key volumes. The "
+                     "plan-shape spec now pins the hint with both broadcast "
+                     "thresholds at -1, the one scale-independent gate for it",
+    },
+    {
         # (k) codegen-kernel class: the DotProduct Catalyst expression's
         # generated term x*y -> x*x (mutates the CODEGEN path the gate
         # executes; the interpreted twin stays correct, so a green here
@@ -223,6 +248,44 @@ def run(cmd, **kw):
     return subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, **kw)
 
 
+def bench_audit_color(queries, tag):
+    """Run the bench's plan audit on `queries` (AUDIT_ALL, no sweep);
+    RED = any audit flag / non-ok plan_audit entry — the gate that
+    guards plan SHAPE, for mutations the value compare cannot see."""
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+               SPARK_GRAFT_BENCH_ONLY=",".join(queries),
+               SPARK_GRAFT_AUDIT_ALL="1",
+               SPARK_GRAFT_NO_SWEEP="1")
+    r = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd=REPO, capture_output=True, text=True, env=env)
+    import re
+    line = next((l for l in r.stdout.splitlines() if '"metric"' in l), "")
+    m = re.search(r'"audit_flags":(\d+)', line)
+    flags = int(m.group(1)) if m else -1
+    audits = re.search(r'"plan_audit":(\{[^}]*\})', line)
+    detail = {"audit_flags": flags,
+              "plan_audit": audits.group(1) if audits else "missing"}
+    color = "red" if flags != 0 else "green"
+    return color, detail
+
+
+def spec_color(m):
+    """Run a ScalaTest suite (optionally filtered) as the gate;
+    RED = the suite fails — for plan-shape contracts no driver-scale
+    data can exercise (e.g. broadcast hints Spark's own thresholds
+    mask at gate scale)."""
+    suite = m["queries"][0]
+    filt = m.get("spec_filter")
+    cmd = f"testOnly {suite}" + (f' -- -z "{filt}"' if filt else "")
+    r = subprocess.run(["sbt", "-batch", cmd],
+                       cwd=REPO, capture_output=True, text=True)
+    failed = r.returncode != 0 or "*** FAILED ***" in r.stdout
+    tail = [l for l in r.stdout.splitlines()
+            if "FAILED" in l or "Tests:" in l][-4:]
+    return ("red" if failed else "green"), {"spec": cmd, "tail": tail}
+
+
 def gate_color(queries, tag):
     """Run Verify + check_oracle on `queries`; return (color, detail).
     RED = any query fails the driver-style compare (hash/rows/schema
@@ -266,7 +329,13 @@ def main():
                 results.append({"mutation": m["name"], "result": "COMPILE-ERROR",
                                 "detail": comp.stdout[-2000:]})
             else:
-                color, detail = gate_color(m["queries"], m["name"])
+                gate = m.get("gate")
+                if gate == "bench_audit":
+                    color, detail = bench_audit_color(m["queries"], m["name"])
+                elif gate == "spec":
+                    color, detail = spec_color(m)
+                else:
+                    color, detail = gate_color(m["queries"], m["name"])
                 verdict = ("KILLED" if color == "red" else "SURVIVED")
                 print(f"   gate={color} ({verdict}; expected {m['expect']})")
                 results.append({
