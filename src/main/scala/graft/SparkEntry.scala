@@ -402,8 +402,27 @@ object SparkEntry {
     }),
 
     // ---- MinHash + LSH near-dup pairs, jaccard-verified ----
+    // The input unions a BAND-STRUCTURE probe pair (ids 9000000011/12):
+    // jaccard 0.25 but their signatures agree at entries 2 and 5 ONLY
+    // (never both entries of an aligned 2-entry band), so correct
+    // banding excludes the pair on both sides while ANY single-entry
+    // banding — either parity — co-buckets it and reads RED. The r14
+    // kill-test proved the raw corpus can't see band width: 1-entry
+    // bands produced the identical verified pair set at sf0.01
+    // (every real jaccard>=0.2 pair already co-buckets under 2-entry
+    // bands, and the looser candidates all fail the verify filter).
     "q23_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashLshPairs(Tables.documents(s, dir),
+      import s.implicits._
+      val probe = Seq(
+        (9000000011L,
+          "alpha bravo charlie delta echo foxtrot golf hotel india " +
+            "juliet kilo lima"),
+        (9000000012L,
+          "quebec985 bravo charlie delta echo foxtrot golf victor651 " +
+            "india romeo717 mike21 lima")).toDF("doc_id", "text")
+      Dedup.minhashLshPairs(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .unionByName(probe),
         n = 3, k = 8, bands = 4, threshold = 0.2)
     }),
 
@@ -1158,35 +1177,55 @@ object SparkEntry {
       // driver gate, not just the roundtrip: the r14 kill-test proved
       // a widened 6-byte encoding still roundtrips green — the oracle
       // derives the 10 hex digits independently from epoch seconds
+      // flags_hex pins the PACKED layout the same way (LSB-first bits,
+      // 2 bytes for 10 flags): unpack∘pack alone passes for any
+      // self-consistent bit order — the oracle recomputes the two
+      // bytes independently as Σ bit_i·2^i
       ev.select(col("event_id"),
         WireCodecs.decodeExpiry40(WireCodecs.encodeExpiry40(secs))
           .as("expiry_s"),
         hex(WireCodecs.encodeExpiry40(secs)).as("wire_hex"),
         concat_ws("", transform(
           WireCodecs.unpackBools(WireCodecs.packBools(flags), lit(10)),
-          f => f.cast("int").cast("string"))).as("flag_bits"))
+          f => f.cast("int").cast("string"))).as("flag_bits"),
+        hex(WireCodecs.packBools(flags)).as("flags_hex"))
     }),
 
     // ---- proto3 persist-event wire format (F15) + composite key
-    // string (F9) as a driver-oracled roundtrip: encode each embedding
-    // row to public proto3 bytes (varint / length-delimited / packed
-    // LE floats), decode it back, and the decoded struct must equal
-    // the source columns — the oracle is the identity SQL ----
+    // string (F9): encode each embedding row to public proto3 bytes
+    // (varint / length-delimited / packed LE floats), decode it back,
+    // and the decoded struct must equal the source columns — PLUS a
+    // probe row whose ENCODED HEX the oracle pins as a literal
+    // independently derived with CPython (struct + hand varint). The
+    // pin exists because decode∘encode passes for ANY self-consistent
+    // layout — and proto varint decoders accept NON-CANONICAL
+    // encodings, so even asymmetric padding bugs survive a pure
+    // roundtrip (the q88/q150 lesson: when the bytes are the
+    // contract, pin the encoded form) ----
     "q89_proto_roundtrip" -> ((s, dir) => {
+      import s.implicits._
       import graft.functions.ProtoWire
-      val e = Tables.embeddings(s, dir)
-      e.select(col("vec_id"),
-          ProtoWire.protoDecode(ProtoWire.protoEncode(
-            lit("embedding"),
-            FeatureStore.keyString(Seq("vec_id", "label")),
-            col("vec_id"), col("embedding"))).as("p"))
+      val probe = Seq((9000000001L, Array(1.5f, -2.0f), 99))
+        .toDF("vec_id", "embedding", "label")
+      val src = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .unionByName(probe)
+      val enc = ProtoWire.protoEncode(
+        lit("embedding"),
+        FeatureStore.keyString(Seq("vec_id", "label")),
+        col("vec_id"), col("embedding"))
+      src.select(col("vec_id"),
+          ProtoWire.protoDecode(enc).as("p"),
+          when(col("vec_id") === 9000000001L, hex(enc))
+            .otherwise(lit("")).as("wire_hex"))
         .select(col("vec_id"), col("p.entity").as("entity"),
           col("p.key").as("pkey"), col("p.version").as("version"),
+          col("wire_hex"),
           posexplode(col("p.values")).as(Seq("idx", "__v")))
         // one row per decoded element (scalar output for the driver's
         // comparator); float→double widening is exact
         .select(col("vec_id"), col("entity"), col("pkey"), col("version"),
-          col("idx"), col("__v").cast("double").as("val"))
+          col("idx"), col("__v").cast("double").as("val"), col("wire_hex"))
     }),
 
     // ---- per-row schema-version resolution on read: each stored row
@@ -4957,24 +4996,48 @@ object SparkEntry {
     // wire_hex derived independently (to_hex over epoch seconds): pins
     // the 5-byte big-endian layout, so an encoding-width drift reads
     // RED even though decode(encode(x)) would still roundtrip
+    // flags_hex: the packed bytes recomputed independently as
+    // Σ bit_i·2^i (LSB-first within each byte, byte0 = bits 0..7,
+    // byte1 = bits 8..9) — pins the pack LAYOUT, not just the
+    // unpack∘pack identity
     "q88_wire_roundtrip" ->
-      """SELECT event_id, epoch_ms(ts) // 1000 AS expiry_s,
-        |  upper(lpad(to_hex(epoch_ms(ts) // 1000), 10, '0')) AS wire_hex,
-        |  array_to_string(list_transform(
+      """WITH b AS (SELECT event_id, ts,
+        |  list_transform(
         |    [value > 50.0, value < 10.0, user_id % 2 = 0, user_id % 3 = 0,
         |     event_type = 'click', event_type = 'view', value >= 25.0,
         |     user_id % 5 = 0, value >= 75.0, event_type <> 'purchase'],
-        |    f -> CAST(CAST(f AS INT) AS VARCHAR)), '') AS flag_bits
-        |FROM events""".stripMargin,
+        |    f -> CAST(f AS INT)) AS bits
+        |  FROM events)
+        |SELECT event_id, epoch_ms(ts) // 1000 AS expiry_s,
+        |  upper(lpad(to_hex(epoch_ms(ts) // 1000), 10, '0')) AS wire_hex,
+        |  array_to_string(list_transform(bits,
+        |    f -> CAST(f AS VARCHAR)), '') AS flag_bits,
+        |  upper(lpad(to_hex(bits[1] + bits[2]*2 + bits[3]*4 + bits[4]*8 +
+        |      bits[5]*16 + bits[6]*32 + bits[7]*64 + bits[8]*128), 2, '0')
+        |    || lpad(to_hex(bits[9] + bits[10]*2), 2, '0')) AS flags_hex
+        |FROM b""".stripMargin,
 
+    // probe wire_hex pin: CPython-derived proto3 bytes for
+    // (entity='embedding', key='9000000001|99', version=9000000001,
+    // values=[1.5f,-2.0f]) — 0A/12 len-delim strings, 18 varint
+    // 81B4C4C321, 22 08 + LE floats 0000C03F/000000C0. An independent
+    // derivation: the engine's encoder must match it byte for byte
     "q89_proto_roundtrip" ->
       """SELECT vec_id, 'embedding' AS entity,
         |  concat_ws('|', CAST(vec_id AS VARCHAR), CAST(label AS VARCHAR))
         |    AS pkey,
         |  vec_id AS version,
         |  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS idx,
-        |  CAST(unnest(embedding) AS DOUBLE) AS val
-        |FROM embeddings""".stripMargin,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val,
+        |  '' AS wire_hex
+        |FROM embeddings
+        |UNION ALL
+        |SELECT vec_id, 'embedding', '9000000001|99', vec_id, idx, val,
+        |  '0A09656D62656464696E67120D393030303030303030317C3939' ||
+        |  '1881B4C4C32122080000C03F000000C0'
+        |FROM (VALUES (CAST(9000000001 AS BIGINT), CAST(0 AS INT), 1.5E0),
+        |             (CAST(9000000001 AS BIGINT), CAST(1 AS INT), -2.0E0))
+        |  AS probe(vec_id, idx, val)""".stripMargin,
 
     // the fallback rule as CASE over the row's written version:
     // c_acctbal exists since v2, c_mktsegment since v3 (active = 3)
@@ -5256,12 +5319,13 @@ object SparkEntry {
     // hyperbolic decay: floor(micro / (1 + age_days)) is exact binary64
     // in both engines; the per-user sum is an exact long
     // recency_micro: encoder.py's half-life weight exp(-λ·Δh) at the
-    // user's latest event; λ is the SAME Scala-computed double planted
-    // as a literal on both sides (shared-literal contract), Δhours
+    // user's latest event; λ is the PINNED double (OraclePins —
+    // planting a live timeDecayLambda call here would make a
+    // decay-formula mutation invisible, the q281 tautology), Δhours
     // from exact epoch-ms longs, and the weight micro-rounds before
     // compare so libm exp's last ulp can't flip the hash
     "q107_decayed_engagement" -> {
-      val lam = graft.operators.Recsys.timeDecayLambda(24.0)
+      val lam = OraclePins.q107Lambda24
       s"""WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor,
          |    MAX(ts) AS anchor_ts FROM events),
          |c AS (SELECT user_id,
@@ -5453,9 +5517,12 @@ object SparkEntry {
         |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS precision
         |FROM s WHERE rn <= 20 GROUP BY event_type""".stripMargin,
 
-    // the SAME micro-unit discount literals the Spark side embeds
+    // PINNED micro-unit discount literals (OraclePins): the engine's
+    // ndcgAtK derives them live from 1/log2(r+1), so a discount-formula
+    // mutation drifts the engine off this pin and reads RED (planting a
+    // live dcgDiscountsMicro call here was the q281 tautology shape)
     "q117_ndcg" -> {
-      val disc = graft.operators.Evaluation.dcgDiscountsMicro(20)
+      val disc = OraclePins.q117DiscountsMicro
         .mkString("[", ", ", "]")
       s"""WITH s AS (SELECT event_type,
          |    CAST(user_id % 3 AS BIGINT) AS rel,
@@ -7338,11 +7405,13 @@ object SparkEntry {
         |GROUP BY p.item, p.exact""".stripMargin,
 
     // per-(replicate, row) Poisson weight from the same "b:id" md5;
-    // identical CDF threshold literals on both sides
+    // PINNED CDF threshold literals (OraclePins) — the engine derives
+    // its thresholds live from the e^-1 series, so a CDF-generation
+    // mutation drifts it off this pin (live-call = q281 tautology)
     "q201_poisson_bootstrap" -> {
       // E0 suffix: parse as DOUBLE, not DECIMAL (decimal->double
       // conversion can land 1 ulp off the text->double parse)
-      val wExpr = graft.operators.Evaluation.PoissonCdf
+      val wExpr = OraclePins.q201PoissonCdf
         .map(c => s"(CASE WHEN u >= ${c}E0 THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH bs AS (SELECT unnest(generate_series(0, 31)) AS b),
@@ -7388,8 +7457,10 @@ object SparkEntry {
     // micro-unit integer staging makes the first significant digit a
     // string head — no log10 boundary hazards
     "q203_benford" -> {
-      // E0 suffix: DOUBLE literals, not DECIMAL (see q201 note)
-      val pList = graft.operators.Validate.BenfordP
+      // E0 suffix: DOUBLE literals, not DECIMAL (see q201 note).
+      // PINNED P(d) literals (OraclePins) — the engine computes
+      // log10(1+1/d) live, so a formula mutation reads RED here
+      val pList = OraclePins.q203BenfordP
         .map(p => s"${p}E0").mkString("[", ", ", "]")
       s"""WITH m AS (SELECT CAST(ABS(ROUND(CAST(l_extendedprice AS DOUBLE)
          |      * 1e6)) AS BIGINT) AS m

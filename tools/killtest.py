@@ -229,6 +229,185 @@ MUTATIONS = [
                      "out of the streaming fold",
     },
     {
+        # (o) wire-LAYOUT class, proto3: non-canonical varint padding —
+        # the final varint byte keeps its continuation bit and a 0x00
+        # byte follows. Proto varint DECODERS accept non-canonical
+        # encodings (the while-loop reads until the continuation bit
+        # clears), so decode∘encode stays identity and a pure roundtrip
+        # gate CANNOT see this; only the pinned probe wire_hex
+        # (CPython-derived) reads RED. This is the q88 expiry-width
+        # lesson applied to q89 — the mutation that motivated its pin.
+        "name": "proto_varint_noncanonical",
+        "file": "src/main/scala/graft/functions/ProtoWire.scala",
+        "old": "    out.write(v.toInt)",
+        "new": "    out.write((v | 0x80).toInt); out.write(0)",
+        "queries": ["q89_proto_roundtrip"],
+        "expect": "red",
+        "mechanism": "every varint gains a redundant continuation byte; decode "
+                     "still roundtrips (proto decoders accept non-canonical "
+                     "varints) but the probe row's wire_hex is off the "
+                     "CPython-derived pin",
+    },
+    {
+        # (p) shared-construction pin q117: DCG discount log base.
+        # Before OraclePins landed, the oracle CALLED dcgDiscountsMicro
+        # at SQL-construction time — this mutation would have changed
+        # both sides identically (the q281 tautology shape). With the
+        # pin, the engine drifts off the oracle's literals.
+        "name": "ndcg_discount_base",
+        "file": "src/main/scala/graft/operators/Evaluation.scala",
+        "old": "math.log(r + 1)",
+        "new": "math.log(r + 2)",
+        "queries": ["q117_ndcg"],
+        "expect": "red",
+        "mechanism": "engine discounts become 1/log2(r+2) while the oracle "
+                     "plants the pinned 1/log2(r+1) micro-literals",
+    },
+    {
+        # (p2) shared-construction pin q107: half-life decay rate.
+        "name": "decay_lambda_halflife",
+        "file": "src/main/scala/graft/operators/Recsys.scala",
+        "old": "math.log(2) / math.max(halfLifeHours, 1e-9)",
+        "new": "math.log(2) / math.max(halfLifeHours + 1.0, 1e-9)",
+        "queries": ["q107_decayed_engagement"],
+        "expect": "red",
+        "mechanism": "engine lambda = ln2/25h while the oracle's exp() uses "
+                     "the pinned ln2/24h double -> recency_micro drifts",
+    },
+    {
+        # (p3) shared-construction pin q201: Poisson(1) CDF series.
+        "name": "poisson_cdf_series",
+        "file": "src/main/scala/graft/operators/Evaluation.scala",
+        "old": "p = p / (k + 1)",
+        "new": "p = p / (k + 2)",
+        "queries": ["q201_poisson_bootstrap"],
+        "expect": "red",
+        "mechanism": "engine resampling thresholds drift off the pinned "
+                     "e^-1-series literals -> per-replicate weights differ",
+    },
+    {
+        # (p4) shared-construction pin q203: Benford P(d) formula.
+        "name": "benford_p_formula",
+        "file": "src/main/scala/graft/operators/Validate.scala",
+        "old": "math.log10(1.0 + 1.0 / d)",
+        "new": "math.log10(1.0 + 1.0 / (d + 1))",
+        "queries": ["q203_benford"],
+        "expect": "red",
+        "mechanism": "engine expected_p / chi2_term drift off the pinned "
+                     "log10(1+1/d) literals",
+    },
+    {
+        # (q) RPN expression-engine class: binary '-' operand order.
+        # The q10 program computes `1 l_discount -` = 1 - l_discount;
+        # the oracle is independent hand-written SQL.
+        "name": "rpn_sub_swap",
+        "file": "src/main/scala/graft/expr/Rpn.scala",
+        "old": 'case "-" => a - b',
+        "new": 'case "-" => b - a',
+        "queries": ["q10_rpn_score"],
+        "expect": "red",
+        "mechanism": "(1 - l_discount) becomes (l_discount - 1) -> negated "
+                     "factor, scores flip sign",
+    },
+    {
+        # (r) temporal-ring class: the mod-24 ring slot shifts by one
+        # week. The oracle derives ring_week with its own % 24.
+        "name": "ring_slot_shift",
+        "file": "src/main/scala/graft/operators/InteractionStore.scala",
+        "old": "weekIndex(ts) % slots",
+        "new": "(weekIndex(ts) + 1) % slots",
+        "queries": ["q32_ring_week"],
+        "expect": "red",
+        "mechanism": "every ring_week off by one slot vs the oracle's "
+                     "epoch_ms // week % 24",
+    },
+    {
+        # (s) clamp-boundary class: the lower percentile clamp leg
+        # drops — values below the 5th percentile scale negative
+        # instead of clamping to 0.
+        "name": "clamp_lower_drop",
+        "file": "src/main/scala/graft/operators/Normalize.scala",
+        "old": 'least(greatest(col(c), col("__vp")), col("__vq"))',
+        "new": 'least(col(c), col("__vq"))',
+        "queries": ["q12_percentile_clamp"],
+        "expect": "red",
+        "mechanism": "sub-p05 rows emit negative clamped values vs the "
+                     "oracle's LEAST(GREATEST(...)) twin",
+    },
+    {
+        # (t) LSH-structure class: each band keys on ONE signature
+        # entry instead of k/bands=2 — a strictly looser candidate
+        # blocking. The oracle's banding is its own SQL
+        # (list_slice(sig, b*2+1, b*2+2) literals), so extra
+        # jaccard>=0.2 pairs the 2-row bands never co-bucket must
+        # appear on the engine side only.
+        "name": "lsh_band_rows",
+        "file": "src/main/scala/graft/functions/TextFunctions.scala",
+        "old": "concat_ws(\",\", transform(slice(signature, b * rows + 1, rows),",
+        "new": "concat_ws(\",\", transform(slice(signature, b * rows + 1, 1),",
+        "queries": ["q23_minhash_pairs"],
+        "expect": "red",
+        "mechanism": "1-entry band buckets admit candidate pairs the oracle's "
+                     "2-entry bands never co-bucket -> extra verified pairs",
+    },
+    {
+        # (u) similarity-definition class: the Jaccard denominator
+        # becomes |A| (containment) — every emitted jaccard value with
+        # |A∪B| > |A| inflates.
+        "name": "jaccard_containment",
+        "file": "src/main/scala/graft/operators/Dedup.scala",
+        "old": '      .join(sh.select(col(idCol).as("id_b"), col("__shd").as("__shb")), "id_b")\n'
+               '      .withColumn("jaccard",\n'
+               '        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /\n'
+               '          size(array_union(col("__sha"), col("__shb"))).cast("double"))',
+        "new": '      .join(sh.select(col(idCol).as("id_b"), col("__shd").as("__shb")), "id_b")\n'
+               '      .withColumn("jaccard",\n'
+               '        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /\n'
+               '          size(col("__sha")).cast("double"))',
+        "queries": ["q23_minhash_pairs"],
+        "expect": "red",
+        "mechanism": "containment >= jaccard: emitted values inflate and "
+                     "near-threshold pairs flip into the output",
+    },
+    {
+        # (v) retention-boundary class: the horizon filter keeps one
+        # extra week (`<` -> `<=`); the oracle's own `mw - w < 2`
+        # drops it.
+        "name": "retention_boundary_flip",
+        "file": "src/main/scala/graft/operators/InteractionStore.scala",
+        "old": '.filter(col("__maxw") - weekIndex(col(tsCol)) < horizonWeeks)',
+        "new": '.filter(col("__maxw") - weekIndex(col(tsCol)) <= horizonWeeks)',
+        "queries": ["q33_retention_horizon"],
+        "expect": "red",
+        "mechanism": "events exactly horizonWeeks older than the user's "
+                     "newest survive -> extra rows vs the oracle",
+    },
+    {
+        # (w) streaming-watermark class (SPEC gate, like the broadcast
+        # hint): freeze the sessionize watermark at a year — event-time
+        # timeouts never fire, sessions never close. The driver's
+        # single-file AvailableNow fixtures cannot see watermark
+        # timing (one batch, no late arrivals), so the multi-batch
+        # MemoryStream specs are the one gate with eyes on it.
+        "name": "sessionize_watermark_freeze",
+        "file": "src/main/scala/graft/streaming/Ingest.scala",
+        "old": '        col("event_id").cast("long").as("event_id"),\n'
+               '        col("ts").cast("long").as("ts"))\n'
+               '      .withColumn("event_time", timestamp_millis(col("ts")))\n'
+               '      .withWatermark("event_time", watermarkDelay)',
+        "new": '        col("event_id").cast("long").as("event_id"),\n'
+               '        col("ts").cast("long").as("ts"))\n'
+               '      .withColumn("event_time", timestamp_millis(col("ts")))\n'
+               '      .withWatermark("event_time", "365 days")',
+        "queries": ["graft.IngestSpec"],
+        "gate": "spec",
+        "spec_filter": "streamingSessionize",
+        "expect": "red",
+        "mechanism": "a 365-day watermark delay keeps every event-time "
+                     "timeout from firing -> sessions never close in the "
+                     "multi-batch MemoryStream specs",
+    },
+    {
         # (g) consumption-side mutation for the same gate: the recency
         # horizon filter (independent of the table literals on both
         # sides — red regardless of the pin)
