@@ -630,8 +630,17 @@ object SparkEntry {
 
     // ---- near-dup clusters: minhash pairs -> connected components ->
     // canonical representative per cluster (cluster-level dedup) ----
+    // The input unions the 6-doc CHAIN probe (ccChainProbe, ids
+    // 9000000021..26): its pair graph is a 5-edge path, so the CC loop
+    // must propagate labels across 5 hops — the raw corpus's
+    // near-clique components converge in ONE round (r14 kill-test:
+    // a premature-fixpoint mutation survived GREEN pre-probe), so the
+    // chain is what pins multi-round convergence driver-side.
     "q42_dedup_components" -> ((s, dir) => {
-      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir),
+      import s.implicits._
+      val pairs = Dedup.minhashLshPairs(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .unionByName(ccChainProbe.toDF("doc_id", "text")),
         n = 3, k = 8, bands = 4, threshold = 0.2)
       Dedup.connectedComponents(pairs)
         .withColumn("is_canonical", col("doc_id") === col("component"))
@@ -4316,8 +4325,15 @@ object SparkEntry {
 
     // transitive closure by recursive min-label reachability — the
     // declarative twin of the iterative label propagation
-    "q42_dedup_components" ->
-      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+    // docs42 = documents + the chain probe (same fixture rows the
+    // engine unions in); banding/verify/closure all recomputed by SQL
+    "q42_dedup_components" -> {
+      val vals = ccChainProbe.map { case (i, t) => s"($i, '$t')" }
+        .mkString(", ")
+      s"""WITH RECURSIVE docs42(doc_id, text) AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES $vals) v(doc_id, text)),
+         |${sqlMinhashPairCtesOver("docs42")},
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM mh_pairs
          |  UNION SELECT id_b, id_a FROM mh_pairs),
@@ -4327,7 +4343,8 @@ object SparkEntry {
          |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, min(lbl) AS component,
          |       min(lbl) = id AS is_canonical
-         |FROM reach GROUP BY id""".stripMargin,
+         |FROM reach GROUP BY id""".stripMargin
+    },
 
     // media bytes are UTF-8 of the text, so md5(blob) == md5(string)
     "q43_multimodal_features" ->
@@ -9697,9 +9714,33 @@ object SparkEntry {
   /** MinHash banding CTE prefix (shingles → signatures → band
     * buckets), shared by the within-corpus pair chain and the q84
     * cross-corpus linkage oracle. Ends with `banded`. */
-  private def sqlMinhashBandCtes: String =
+  /** q42's CHAIN probe: six 12-word docs sliding (stride 4) over one
+    * 32-salt-word sequence, so adjacent docs share 8 words (jaccard
+    * 6/14 ≈ 0.43) and skip-one docs share 4 (jaccard 2/18 ≈ 0.11 <
+    * the 0.2 verify threshold). The salt seed is pinned to 7 — one of
+    * the seeds (7/20/54 found) where every adjacent pair ALSO
+    * co-buckets under the engine's 2-entry minhash bands, so the pair
+    * graph is exactly a 5-edge PATH: a diameter-5 component. The raw
+    * corpus's dup components are near-cliques that converge in one
+    * propagation round (proven by the r14 kill-test: cc_converge_early
+    * survived GREEN pre-probe), so only this chain makes multi-round
+    * label propagation driver-visible — under a premature fixpoint,
+    * nodes ≥ 3 hops from the min id keep phantom labels and read RED.
+    * Input fixture shared verbatim with the oracle's `docs42` VALUES
+    * (input sharing, not formula sharing — the oracle still bands,
+    * verifies, and closes the chain with its own SQL). */
+  private val ccChainProbe: Seq[(Long, String)] = (0 until 6).map { i =>
+    (9000000021L + i, (0 until 12).map(j => s"p7w${4 * i + j}").mkString(" "))
+  }
+
+  private def sqlMinhashBandCtes: String = sqlMinhashBandCtesOver("documents")
+
+  /** [[sqlMinhashBandCtes]] over an arbitrary docs relation — q42's
+    * oracle threads a probe-extended `docs42` CTE through the same
+    * banding SQL (the chain fixture must be banded on BOTH sides). */
+  private def sqlMinhashBandCtesOver(rel: String): String =
     s"""sh AS (SELECT doc_id, $sqlShingles AS sh
-       |            FROM (SELECT doc_id, $sqlWords AS w FROM documents)),
+       |            FROM (SELECT doc_id, $sqlWords AS w FROM $rel)),
        |hs AS (SELECT doc_id, sh,
        |         list_transform(sh, s -> ${sqlHash32(0, "s")}) AS hs FROM sh),
        |sig AS (SELECT doc_id, sh, [${(0 until 8).map(i =>
@@ -9711,8 +9752,10 @@ object SparkEntry {
        |      AS bucket
        |  FROM sig, (SELECT unnest([0,1,2,3]) AS band_idx) b)""".stripMargin
 
-  private def sqlMinhashPairCtes: String =
-    s"""$sqlMinhashBandCtes,
+  private def sqlMinhashPairCtes: String = sqlMinhashPairCtesOver("documents")
+
+  private def sqlMinhashPairCtesOver(rel: String): String =
+    s"""${sqlMinhashBandCtesOver(rel)},
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
        |         l.sh AS sha, r.sh AS shb

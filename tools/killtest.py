@@ -420,6 +420,131 @@ MUTATIONS = [
         "mechanism": "17th-recent event indexes element_at past the 512-entry "
                      "table -> ANSI INVALID_ARRAY_INDEX error (observed)",
     },
+    # ---- batch 3: one mutation per so-far-unprobed gate family ----
+    {
+        # (x) point-in-time class: the equal-ts visibility boundary.
+        # History rows tag __is_label=0 so they sort BEFORE label rows
+        # at the same ts (a feature written exactly at label time is
+        # visible — the `<=` as-of contract). Tagging them 2 flips the
+        # sort: equal-ts features become invisible, the classic as-of
+        # off-by-one. q47's labels ARE events, so every label has a
+        # history row at exactly its own ts — guaranteed boundary
+        # coverage at any sf.
+        "name": "pit_equal_ts_leak",
+        "file": "src/main/scala/graft/operators/Training.scala",
+        "old": '    val h = history.select(\n'
+               '      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__is_label"),\n'
+               '        col(valueCol).as("__v")) ++',
+        "new": '    val h = history.select(\n'
+               '      keys.map(col) ++ Seq(col(tsCol), lit(2).as("__is_label"),\n'
+               '        col(valueCol).as("__v")) ++',
+        "queries": ["q47_point_in_time"],
+        "expect": "red",
+        "mechanism": "equal-ts history sorts after the label -> each label "
+                     "reads the PREVIOUS feature value instead of the one "
+                     "written at its own ts",
+    },
+    {
+        # (y) iterative-convergence class: the CC fixpoint test flips
+        # to a vacuous predicate (labels only decrease, so `>` never
+        # matches) — the loop exits 'converged' after ONE propagation
+        # round with no loud error (`require(converged)` passes).
+        # Components of diameter > 2 under-merge silently.
+        "name": "cc_converge_early",
+        "file": "src/main/scala/graft/operators/Dedup.scala",
+        "old": '      converged = stepped.filter(col("component") < col("__old")).isEmpty',
+        "new": '      converged = stepped.filter(col("component") > col("__old")).isEmpty',
+        "queries": ["q42_dedup_components"],
+        "expect": "red",
+        "mechanism": "premature fixpoint after round 1: any component whose "
+                     "min-id is > 2 propagation hops from some member keeps "
+                     "a phantom split label",
+    },
+    {
+        # (z) ranking-function constant class: BM25's idf smoothing
+        # 0.5 drifts to 1.0 (the classic Lucene-vs-textbook variant
+        # confusion). Scores are micro-rounded on both sides, so the
+        # drift is well above the rounding floor.
+        "name": "bm25_idf_smoothing",
+        "file": "src/main/scala/graft/operators/Corpus.scala",
+        "old": '        log(lit(1.0) + (col("__N") - col("__df") + 0.5) / (col("__df") + 0.5)))',
+        "new": '        log(lit(1.0) + (col("__N") - col("__df") + 1.0) / (col("__df") + 1.0)))',
+        "queries": ["q82_bm25_search"],
+        "expect": "red",
+        "mechanism": "every term idf shifts -> rounded term scores and the "
+                     "top-N cut drift off the oracle's 0.5-smoothed twin",
+    },
+    {
+        # (z2) same family, TF-IDF: document count gains a +1 Laplace
+        # term the oracle's log(N/df) twin does not have. The additive
+        # log((N+1)/N) idf shift lands ~2e-5 on scores rounded at 1e-6.
+        "name": "tfidf_idf_smooth",
+        "file": "src/main/scala/graft/operators/Corpus.scala",
+        "old": '          log(col("__n").cast("double") / col("__df")), scale))',
+        "new": '          log((col("__n").cast("double") + 1.0) / col("__df")), scale))',
+        "queries": ["q66_tfidf_topterms"],
+        "expect": "red",
+        "mechanism": "idf = log((N+1)/df) vs the oracle's log(N/df): every "
+                     "emitted 6-decimal score shifts by tf/len * log((N+1)/N)",
+    },
+    {
+        # (aa) normalization class: min-max loses its min anchor
+        # (x/max instead of (x-min)/(max-min)) — correct only when
+        # min == 0.
+        "name": "minmax_zero_anchor",
+        "file": "src/main/scala/graft/operators/Normalize.scala",
+        "old": '      .withColumn(out, (col(c) - col("__mn")) / (col("__mx") - col("__mn")))',
+        "new": '      .withColumn(out, col(c) / col("__mx"))',
+        "queries": ["q11_rpn_norm_minmax"],
+        "expect": "red",
+        "mechanism": "normalized values keep the min offset -> off the "
+                     "oracle's (x-min)/(max-min) at every row with min != 0",
+    },
+    {
+        # (ab) sliding-window kernel class: the winnow deque evicts one
+        # index early — an effective window of w-1 k-grams. Different
+        # per-window minima -> different fingerprint sets.
+        "name": "winnow_window_shrink",
+        "file": "src/main/scala/graft/functions/TextHashKernels.scala",
+        "old": "      if (deque(head) <= j - w) head += 1",
+        "new": "      if (deque(head) <= j - w + 1) head += 1",
+        "queries": ["q41_fingerprint_winnow"],
+        "expect": "red",
+        "mechanism": "window-(w-1) minima differ from the oracle's "
+                     "list_slice(.., w) window minima -> fingerprint rows "
+                     "appear/disappear",
+    },
+    {
+        # (ac) interval-clipping class: packSequences' per-block token
+        # contribution forgets to clip at the document's own start —
+        # any document that enters a block mid-way (start > block
+        # boundary) inflates its first block's tok_in_block.
+        "name": "pack_clip_start_drop",
+        "file": "src/main/scala/graft/operators/Training.scala",
+        "old": '        (least(col("__end"), (col("block_id") + 1) * blockTokens) -\n'
+               '          greatest(col("__start"), col("block_id") * blockTokens))',
+        "new": '        (least(col("__end"), (col("block_id") + 1) * blockTokens) -\n'
+               '          col("block_id") * blockTokens)',
+        "queries": ["q63_pack_sequences"],
+        "expect": "red",
+        "mechanism": "first-block contributions count tokens from the block "
+                     "start instead of the document start -> tok_in_block "
+                     "inflates for every non-aligned document",
+    },
+    {
+        # (ad) set-semantics class: decontamination's benchmark gram
+        # set loses its distinct — a gram shared by multiple benchmark
+        # docs joins (and counts) once per duplicate.
+        "name": "decon_bench_dedup_drop",
+        "file": "src/main/scala/graft/operators/Decontaminate.scala",
+        "old": '        TextFunctions.shinglesFromWords(col("__w"), n))).as("gram"))\n'
+               '      .distinct()',
+        "new": '        TextFunctions.shinglesFromWords(col("__w"), n))).as("gram"))',
+        "queries": ["q76_decontaminate"],
+        "expect": "red",
+        "mechanism": "cross-bench duplicate grams multiply-count overlap "
+                     "hits -> per-doc contamination counts inflate",
+    },
 ]
 
 
