@@ -531,6 +531,85 @@ MUTATIONS = [
                      "start instead of the document start -> tok_in_block "
                      "inflates for every non-aligned document",
     },
+    # ---- batch 4: the families NOTES listed as sharing kernels ----
+    {
+        # (ae) ANN probe-config class: searchInt8 consumes one probe
+        # cell fewer than configured (nProbe-1). The oracle's SQL
+        # mirrors the 2-cell probe structurally, so candidates from
+        # the second-closest cell vanish from the engine's top-k only.
+        "name": "ivf_nprobe_consume",
+        "file": "src/main/scala/graft/operators/AnnIndex.scala",
+        "old": '      .filter(col("__r") <= nProbe)\n'
+               '      .select(col(queryIdCol), col("__qs"), col("__qc"),',
+        "new": '      .filter(col("__r") <= nProbe - 1)\n'
+               '      .select(col(queryIdCol), col("__qs"), col("__qc"),',
+        "queries": ["q48_ann_ivf_int8"],
+        "expect": "red",
+        "mechanism": "second-cell candidates drop out of the engine's "
+                     "re-rank -> top-10 rows differ wherever the oracle's "
+                     "2-cell probe wins",
+    },
+    {
+        # (af) ordered-funnel class: stage k loses its in-order
+        # constraint (reached-after-previous-stage) — ts_click becomes
+        # the user's global earliest click even before any view.
+        "name": "funnel_order_drop",
+        "file": "src/main/scala/graft/operators/Funnel.scala",
+        "old": '          else col(typeCol) === stage &&\n'
+               '            col(s"ts_${stages(i - 1)}").isNotNull &&\n'
+               '            col(tsCol) >= col(s"ts_${stages(i - 1)}")',
+        "new": '          else col(typeCol) === stage',
+        "queries": ["q78_funnel_reach"],
+        "expect": "red",
+        "mechanism": "any user whose click/purchase precedes their first "
+                     "view reads an earlier (or spurious) stage timestamp "
+                     "and a deeper funnel depth",
+    },
+    {
+        # (ag) quota class: per-class cap off-by-one (`<= n` -> `< n`)
+        # keeps n-1 rows per class.
+        "name": "quota_offby1",
+        "file": "src/main/scala/graft/operators/Sampling.scala",
+        "old": '      .filter(col("__r") <= n)\n'
+               '      .drop("__b", "__r")',
+        "new": '      .filter(col("__r") < n)\n'
+               '      .drop("__b", "__r")',
+        "queries": ["q67_class_quota"],
+        "expect": "red",
+        "mechanism": "19 rows per class instead of 20 -> row-count mismatch",
+    },
+    {
+        # (ah) histogram-edge class: the last-bucket clamp drops — the
+        # column maximum computes bucket index == buckets and lands in
+        # a phantom 21st bucket.
+        "name": "histogram_edge_clamp",
+        "file": "src/main/scala/graft/operators/Corpus.scala",
+        "old": '      .select(least(\n'
+               '        floor((col(c) - col("__mn")) / (col("__mx") - col("__mn")) * buckets),\n'
+               '        lit(buckets - 1L)).cast("long").as("bucket"),',
+        "new": '      .select(\n'
+               '        floor((col(c) - col("__mn")) / (col("__mx") - col("__mn")) * buckets)\n'
+               '          .cast("long").as("bucket"),',
+        "queries": ["q68_histogram"],
+        "expect": "red",
+        "mechanism": "max rows emit bucket == buckets -> an extra group row "
+                     "and a short last bucket vs the oracle's clamped twin",
+    },
+    {
+        # (ai) incremental-merge class: merged counts take the larger
+        # state's count instead of summing — every key present in both
+        # the history and delta states undercounts.
+        "name": "incremental_merge_latest",
+        "file": "src/main/scala/graft/operators/Incremental.scala",
+        "old": '      .agg(sum(col("cnt")).cast("long").as("cnt"),\n'
+               '        sum(col("sum_dec")).as("sum_dec"))',
+        "new": '      .agg(max(col("cnt")).cast("long").as("cnt"),\n'
+               '        sum(col("sum_dec")).as("sum_dec"))',
+        "queries": ["q77_incremental_agg"],
+        "expect": "red",
+        "mechanism": "cnt = max(hist, delta) instead of the sum -> cnt and "
+                     "val_avg drift for every key seen in both batches",
+    },
     {
         # (ad) set-semantics class: decontamination's benchmark gram
         # set loses its distinct — a gram shared by multiple benchmark
