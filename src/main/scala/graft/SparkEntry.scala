@@ -413,16 +413,9 @@ object SparkEntry {
     // bands, and the looser candidates all fail the verify filter).
     "q23_minhash_pairs" -> ((s, dir) => {
       import s.implicits._
-      val probe = Seq(
-        (9000000011L,
-          "alpha bravo charlie delta echo foxtrot golf hotel india " +
-            "juliet kilo lima"),
-        (9000000012L,
-          "quebec985 bravo charlie delta echo foxtrot golf victor651 " +
-            "india romeo717 mike21 lima")).toDF("doc_id", "text")
       Dedup.minhashLshPairs(
         Tables.documents(s, dir).select(col("doc_id"), col("text"))
-          .unionByName(probe),
+          .unionByName(bandProbeDocs.toDF("doc_id", "text")),
         n = 3, k = 8, bands = 4, threshold = 0.2)
     }),
 
@@ -9729,9 +9722,26 @@ object SparkEntry {
     * Input fixture shared verbatim with the oracle's `docs42` VALUES
     * (input sharing, not formula sharing — the oracle still bands,
     * verifies, and closes the chain with its own SQL). */
-  private val ccChainProbe: Seq[(Long, String)] = (0 until 6).map { i =>
+  private[graft] val ccChainProbe: Seq[(Long, String)] = (0 until 6).map { i =>
     (9000000021L + i, (0 until 12).map(j => s"p7w${4 * i + j}").mkString(" "))
   }
+
+  /** q23's BAND-STRUCTURE probe pair (ids 9000000011/12): jaccard
+    * 0.25 (≥ the 0.2 verify cut) but minhash signatures that agree at
+    * entries 2 and 5 ONLY — never both entries of an aligned 2-entry
+    * band — so correct 2-entry banding excludes the pair while ANY
+    * single-entry banding co-buckets it and reads RED (kill-test
+    * lsh_band_rows). Like [[ccChainProbe]], the kill-power lives in a
+    * structure property of the CURRENT minhash params —
+    * ProbeFixturesSpec locks both properties so a k/bands/hash change
+    * cannot silently disarm the gates. */
+  private[graft] val bandProbeDocs: Seq[(Long, String)] = Seq(
+    (9000000011L,
+      "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliet kilo lima"),
+    (9000000012L,
+      "quebec985 bravo charlie delta echo foxtrot golf victor651 " +
+        "india romeo717 mike21 lima"))
 
   private def sqlMinhashBandCtes: String = sqlMinhashBandCtesOver("documents")
 

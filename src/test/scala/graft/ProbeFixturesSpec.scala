@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Structure locks for the driver-gate probe fixtures whose
+  * kill-power depends on properties of the CURRENT minhash
+  * parameters (n=3 shingles, k=8 hashes, 4×2 bands) rather than on
+  * the fixture rows alone. If k/bands/hash constants change, q23's
+  * band probe could stop separating band widths and q42's chain
+  * probe could stop forming a path — both SILENTLY, because the
+  * oracle mirrors the banding, so the driver compare would stay
+  * green while the corresponding kill-test mutations
+  * (lsh_band_rows, cc_converge_early) quietly lost their gates.
+  * These tests fail loudly instead: a parameter change must
+  * re-derive the fixtures (the search recipe is in NOTES_r14 §1). */
+class ProbeFixturesSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("q42 chain probe: pair graph is exactly the 5-edge path") {
+    val pairs = Dedup
+      .minhashLshPairs(SparkEntry.ccChainProbe.toDF("doc_id", "text"),
+        n = 3, k = 8, bands = 4, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val path = (0 until 5).map(i => (9000000021L + i, 9000000022L + i)).toSet
+    assert(pairs === path,
+      "chain probe no longer forms a 5-edge path under the current " +
+        "minhash params — re-derive the salt seed (NOTES_r14 §1 hole 8) " +
+        "or q42's multi-round CC gate is disarmed")
+  }
+
+  test("q42 chain probe: CC resolves every node to the chain minimum") {
+    val pairs = Dedup.minhashLshPairs(
+      SparkEntry.ccChainProbe.toDF("doc_id", "text"),
+      n = 3, k = 8, bands = 4, threshold = 0.2)
+    val labels = Dedup.connectedComponents(pairs)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(labels.size === 6)
+    labels.foreach { case (id, comp) =>
+      assert(comp === 9000000021L, s"node $id")
+    }
+  }
+
+  test("q23 band probe: signatures agree at entries 2 and 5 only") {
+    val sigs = SparkEntry.bandProbeDocs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.minhashSignature(col("text"), 3, 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val a = sigs(9000000011L)
+    val b = sigs(9000000012L)
+    val agree = (0 until 8).filter(i => a(i) == b(i)).toSet
+    assert(agree === Set(2, 5),
+      "band probe signature agreement moved off entries {2, 5} — with " +
+        "aligned 2-entry bands the pair must never share a full band " +
+        "while ANY 1-entry banding co-buckets it; re-derive the texts " +
+        "(NOTES_r14 §1 hole 7) or the lsh_band_rows gate is disarmed")
+  }
+
+  test("q23 band probe: jaccard passes verify but banding excludes the pair") {
+    val sh = SparkEntry.bandProbeDocs.toDF("doc_id", "text")
+      .select(col("doc_id"), array_distinct(TextFunctions.shinglesFromWords(
+        TextFunctions.words(col("text")), 3)).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val a = sh(9000000011L).toSet
+    val b = sh(9000000012L).toSet
+    val jac = a.intersect(b).size.toDouble / a.union(b).size
+    assert(jac >= 0.2, s"probe jaccard $jac fell below the verify cut — " +
+      "the 1-entry-band candidate would be filtered and the mutation " +
+      "would survive")
+    val emitted = Dedup.minhashLshPairs(
+      SparkEntry.bandProbeDocs.toDF("doc_id", "text"),
+      n = 3, k = 8, bands = 4, threshold = 0.2).count()
+    assert(emitted === 0L,
+      "correct 2-entry banding now co-buckets the probe pair — the " +
+        "band-width gate no longer separates 1-entry from 2-entry bands")
+  }
+}
