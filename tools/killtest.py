@@ -610,6 +610,64 @@ MUTATIONS = [
         "mechanism": "cnt = max(hist, delta) instead of the sum -> cnt and "
                      "val_avg drift for every key seen in both batches",
     },
+    # ---- batch 5: remaining distinct kernels ----
+    {
+        # (aj) isotonic-regression class: the PAV monotonicity test
+        # inverts — blocks merge when already in order and violations
+        # survive, destroying the isotonic property of the fit.
+        "name": "pav_violation_invert",
+        "file": "src/main/scala/graft/operators/Normalize.scala",
+        "old": "          BigInt(blocks.head._1) * cur._2 >= BigInt(cur._1) * blocks.head._2) {",
+        "new": "          BigInt(blocks.head._1) * cur._2 <= BigInt(cur._1) * blocks.head._2) {",
+        "queries": ["q149_isotonic_fit"],
+        "expect": "red",
+        "mechanism": "the fit merges non-violating blocks and keeps "
+                     "violations -> calibrated values off the oracle's "
+                     "minimax characterization",
+    },
+    {
+        # (ak) deterministic-derivation class: JL hyperplane entries
+        # lose the [-1,1] range mapping (stay in [0,1)) — every
+        # projected coordinate drifts off the oracle's own md5-derived
+        # planes.
+        "name": "jl_plane_range",
+        "file": "src/main/scala/graft/operators/AnnIndex.scala",
+        "old": "        h / 4294967296.0 * 2 - 1",
+        "new": "        h / 4294967296.0",
+        "queries": ["q64_random_projection"],
+        "expect": "red",
+        "mechanism": "plane entries in [0,1) instead of [-1,1) -> all "
+                     "projected values differ from the oracle's unrolled "
+                     "mat-vec",
+    },
+    {
+        # (al) content-defined-chunking class: the rolling cut window
+        # anchors one character late — every cut position shifts, so
+        # chunk boundaries, lengths, and hashes all move.
+        "name": "cdc_window_anchor",
+        "file": "src/main/scala/graft/operators/Dedup.scala",
+        "old": "        pmod(md5Hash32(col(textCol).substr(i - lit(w - 1), lit(w)), seed),",
+        "new": "        pmod(md5Hash32(col(textCol).substr(i - lit(w - 2), lit(w)), seed),",
+        "queries": ["q186_cdc_chunks", "q187_cdc_dedup"],
+        "expect": "red",
+        "mechanism": "cut test reads chars (i-w+2..i+1) instead of "
+                     "(i-w+1..i) -> boundary set shifts, chunk rows and "
+                     "dedup stats drift",
+    },
+    {
+        # (am) distributed-prefix-sum class: the cross-partition offset
+        # window includes the CURRENT partition's total (-1 -> 0) —
+        # every row's cumulative sum double-counts its own partition.
+        "name": "prefix_sum_offset",
+        "file": "src/main/scala/graft/operators/PrefixSum.scala",
+        "old": "      .rowsBetween(Window.unboundedPreceding, -1) // ≤ rangePartitions rows",
+        "new": "      .rowsBetween(Window.unboundedPreceding, 0) // ≤ rangePartitions rows",
+        "queries": ["q63_pack_sequences"],
+        "expect": "red",
+        "mechanism": "offsets include the own-partition total -> token "
+                     "intervals shift by a partition's worth, blocks "
+                     "misassign corpus-wide",
+    },
     {
         # (ad) set-semantics class: decontamination's benchmark gram
         # set loses its distinct — a gram shared by multiple benchmark
