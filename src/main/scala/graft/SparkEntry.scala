@@ -1166,12 +1166,19 @@ object SparkEntry {
       import graft.functions.WireCodecs
       val ev = Tables.events(s, dir)
       val secs = floor(unix_millis(col("ts")) / lit(1000L)).cast("long")
-      val flags = array(
+      // flags coalesce to false on BOTH sides (r14 ADVICE): the
+      // events table carries no NULLs today, but a NULL value/
+      // event_type would send the oracle's Σ bit·2^i arithmetic to
+      // NULL while the engine's packed bytes need not match —
+      // coalescing pins the NULL→false semantics instead of relying
+      // on an undeclared NOT NULL contract
+      val flags = array(Seq(
         col("value") > 50.0, col("value") < 10.0,
         col("user_id") % 2 === 0, col("user_id") % 3 === 0,
         col("event_type") === "click", col("event_type") === "view",
         col("value") >= 25.0, col("user_id") % 5 === 0,
         col("value") >= 75.0, col("event_type") =!= "purchase")
+        .map(f => coalesce(f, lit(false))): _*)
       // flags render as a 10-char '0'/'1' string: every unpacked bit is
       // hash-compared, and the output stays scalar so the driver's
       // row-sorting comparator can handle it
@@ -4321,7 +4328,12 @@ object SparkEntry {
     // docs42 = documents + the chain probe (same fixture rows the
     // engine unions in); banding/verify/closure all recomputed by SQL
     "q42_dedup_components" -> {
-      val vals = ccChainProbe.map { case (i, t) => s"($i, '$t')" }
+      // single quotes escaped on the way into the VALUES literal —
+      // today's probe texts are [a-z0-9 ] words (ProbeFixturesSpec
+      // locks that), but a re-derived fixture with punctuation must
+      // not silently corrupt the oracle SQL (r14 ADVICE)
+      val vals = ccChainProbe
+        .map { case (i, t) => s"($i, '${t.replace("'", "''")}')" }
         .mkString(", ")
       s"""WITH RECURSIVE docs42(doc_id, text) AS (
          |  SELECT doc_id, text FROM documents
@@ -5016,7 +5028,7 @@ object SparkEntry {
         |    [value > 50.0, value < 10.0, user_id % 2 = 0, user_id % 3 = 0,
         |     event_type = 'click', event_type = 'view', value >= 25.0,
         |     user_id % 5 = 0, value >= 75.0, event_type <> 'purchase'],
-        |    f -> CAST(f AS INT)) AS bits
+        |    f -> CAST(COALESCE(f, false) AS INT)) AS bits
         |  FROM events)
         |SELECT event_id, epoch_ms(ts) // 1000 AS expiry_s,
         |  upper(lpad(to_hex(epoch_ms(ts) // 1000), 10, '0')) AS wire_hex,

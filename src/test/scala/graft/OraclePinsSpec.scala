@@ -17,7 +17,9 @@ class OraclePinsSpec extends AnyFunSuite {
     assert(OraclePins.q107Lambda24 ===
       graft.operators.Recsys.timeDecayLambda(24.0),
       "timeDecayLambda drifted off the q107 pin — regenerate " +
-        "OraclePins.q107Lambda24 if the formula change is intentional")
+        "OraclePins.q107Lambda24 if the formula change is intentional, " +
+        "or if this JVM's libm rounds exp differently (last-ulp-only " +
+        "drift on an unchanged formula = platform, see OraclePins doc)")
   }
 
   test("q117 discount pin == dcgDiscountsMicro(20)") {
@@ -31,13 +33,17 @@ class OraclePinsSpec extends AnyFunSuite {
     assert(OraclePins.q201PoissonCdf ===
       graft.operators.Evaluation.PoissonCdf,
       "PoissonCdf drifted off the q201 pin — regenerate " +
-        "OraclePins.q201PoissonCdf if the change is intentional")
+        "OraclePins.q201PoissonCdf if the change is intentional, or if " +
+        "this JVM's libm rounds exp differently (last-ulp-only drift " +
+        "on an unchanged formula = platform, see OraclePins doc)")
   }
 
   test("q203 Benford pin == Validate.BenfordP") {
     assert(OraclePins.q203BenfordP ===
       graft.operators.Validate.BenfordP,
       "BenfordP drifted off the q203 pin — regenerate " +
-        "OraclePins.q203BenfordP if the change is intentional")
+        "OraclePins.q203BenfordP if the change is intentional, or if " +
+        "this JVM's libm rounds log10 differently (last-ulp-only drift " +
+        "on an unchanged formula = platform, see OraclePins doc)")
   }
 }

@@ -76,4 +76,49 @@ class ProbeFixturesSpec extends AnyFunSuite with SparkSuite {
       "correct 2-entry banding now co-buckets the probe pair — the " +
         "band-width gate no longer separates 1-entry from 2-entry bands")
   }
+
+  test("probe texts are plain [a-z0-9 ] words (oracle SQL literal safety)") {
+    // q42's oracle interpolates these into a VALUES list (quotes are
+    // escaped there too, belt-and-braces); keeping the texts
+    // punctuation-free means every such interpolation is trivially a
+    // valid SQL string literal (r14 ADVICE)
+    (SparkEntry.ccChainProbe ++ SparkEntry.bandProbeDocs).foreach {
+      case (id, t) =>
+        assert(t.matches("[a-z0-9 ]+"),
+          s"probe doc $id text contains characters outside [a-z0-9 ] — " +
+            "re-check every oracle-side interpolation of probe texts")
+    }
+  }
+
+  test("probe ids sit above every generated corpus id (9e9 headroom)") {
+    // Probe rows live at ids 9000000001+ on the assumption that no
+    // corpus doc_id/vec_id ever reaches them. The generators emit
+    // spark.range ids (doc_id < 50000·sf, vec_id < 20000·sf), so the
+    // assumption fails only past sf ≈ 180000 — but nothing ENFORCED it
+    // (r14 ADVICE). Assert it against every materialized dataset so a
+    // future sf increase fails loudly here instead of flaking the
+    // driver compare with colliding probe ids.
+    val dirs = Seq("/root/testdata", "benchdata", "benchdata/skew")
+      .flatMap { root =>
+        val d = new java.io.File(root)
+        if (d.isDirectory)
+          d.listFiles.toSeq.filter(f => f.isDirectory &&
+            f.getName.startsWith("sf")).map(_.getPath)
+        else Nil
+      }
+    assert(dirs.nonEmpty, "no testdata dirs found to check")
+    dirs.foreach { dir =>
+      Seq("documents" -> "doc_id", "embeddings" -> "vec_id").foreach {
+        case (table, idCol) =>
+          val p = s"$dir/$table.parquet"
+          if (new java.io.File(p).exists) {
+            val mx = spark.read.parquet(p).agg(max(col(idCol)))
+              .head.getLong(0)
+            assert(mx < 9000000000L,
+              s"$p max $idCol = $mx collides with the probe id range " +
+                "(9000000001+) — move the probes or cap the generator")
+          }
+      }
+    }
+  }
 }
