@@ -166,6 +166,54 @@ private[graft] object SweepMath {
       num("cpu").getOrElse(-1.0)))
   }
 
+  /** Maximum ratio between the exponent-defining legs' per-leg
+    * deflators before the CORRECTED exponent stops being trustworthy
+    * ([[crossLegDistorted]]). ~1.5 per the r14 adjudication: the
+    * false-flag distortion needs materially unequal correction
+    * (4.66/2.3 ≈ 2x in the observed case), while equal-contention
+    * runs — the common mode — deflate both legs alike and keep the
+    * corrected slope meaningful. */
+  val CrossLegRatio: Double = 1.5
+
+  /** True when the two exponent-defining (last) legs' effective
+    * deflators differ by more than `ratio`. Per-leg self-deflation is
+    * only sound when the canary factor tracks the query's ACTUAL
+    * inflation; since it tracks it only approximately, unequal
+    * factors on adjacent legs inject slope error up to their ratio —
+    * the r14 q285 false flag (sf3 deflated ÷4.66, sf10 ÷2.3 →
+    * exponent_norm 2.20 on a judge-isolated 0.70 operator). When this
+    * is true the caller should RE-MEASURE the defining legs after a
+    * cooldown and splice ([[mergeMin]] on those legs) instead of
+    * arithmetic-correcting; [[adjudicate]] with `distorted = true`
+    * refuses to let the corrected exponent confirm a flag. Factors
+    * <= 1 clamp to 1 (they never deflate — [[normalizedTimes]]). */
+  def crossLegDistorted(envFactors: Seq[Double],
+      ratio: Double = CrossLegRatio): Boolean = {
+    val tail = envFactors.takeRight(2).map(f => math.max(1.0, f))
+    tail.size == 2 && math.max(tail.head, tail.last) /
+      math.min(tail.head, tail.last) > ratio
+  }
+
+  /** Whether a raw flag needs the targeted tail re-measure before
+    * adjudication: the flag would be decided by the CORRECTED
+    * exponent (raw flag on a contended/starved run) AND that
+    * correction is cross-leg distorted. Pure decision so the
+    * replayed-contention scenarios are spec-testable without forking
+    * a measurement child. */
+  def needsTailRemeasure(eLast: Double, lastTime: Double,
+      xorFactors: Seq[Double], sparkFactors: Seq[Double],
+      qFactors: Seq[Double], envFactors: Seq[Double],
+      contendedFactor: Double, starvedFactor: Double,
+      intrinsic: Boolean): Boolean = {
+    def hot(fs: Seq[Double], th: Double) = fs.takeRight(2).exists(_ > th)
+    val rawFlag = eLast > 1.2 && lastTime > 1.0
+    val contended = hot(xorFactors, contendedFactor) ||
+      hot(sparkFactors, contendedFactor)
+    val starved = hot(qFactors, starvedFactor)
+    rawFlag && (contended || starved) && !intrinsic &&
+      crossLegDistorted(envFactors)
+  }
+
   /** The flag adjudication:
     *  - `raw` — the unadjusted superlinear signal (top-segment wall
     *    exponent > 1.2 on a > 1 s top leg);
@@ -179,7 +227,14 @@ private[graft] object SweepMath {
     *  - a contended/starved raw flag survives ONLY if the
     *    contention-CORRECTED wall exponent still flags: wall deflated
     *    per leg by the worse of the environment canary factor and the
-    *    query's own starvation ratio ([[starveDeflators]]). NOT the
+    *    query's own starvation ratio ([[starveDeflators]]). When the
+    *    correction is cross-leg DISTORTED ([[crossLegDistorted]] still
+    *    true after the caller's targeted tail re-measure+splice), the
+    *    corrected exponent can neither confirm nor clear — the row
+    *    relabels contended/starved (never flags) and carries
+    *    `distorted` so a reader knows local adjudication ran out of
+    *    road (r14: per-leg self-deflation manufactured exponent 2.20
+    *    on a judge-measured 0.70 operator). NOT the
     *    task-CPU exponent: CPU-seconds growth is work growth, which
     *    parallelism headroom legitimately absorbs at small sf (healthy
     *    queries measure cpu exponents of 1.3-2.0 with flat wall, and
@@ -196,14 +251,15 @@ private[graft] object SweepMath {
       xorFactors: Seq[Double], sparkFactors: Seq[Double],
       qFactors: Seq[Double],
       contendedFactor: Double, starvedFactor: Double,
-      intrinsic: Boolean): (Boolean, Boolean, Boolean, Boolean) = {
+      intrinsic: Boolean,
+      distorted: Boolean = false): (Boolean, Boolean, Boolean, Boolean) = {
     val rawFlag = eLast > 1.2 && lastTime > 1.0
     def hot(fs: Seq[Double], th: Double) =
       fs.takeRight(2).exists(_ > th)
     val contended = hot(xorFactors, contendedFactor) ||
       hot(sparkFactors, contendedFactor)
     val starved = hot(qFactors, starvedFactor)
-    val correctedFlag = eNorm > 1.2 && lastNorm > 1.0
+    val correctedFlag = eNorm > 1.2 && lastNorm > 1.0 && !distorted
     val flag = rawFlag && (!(contended || starved) || correctedFlag) &&
       !intrinsic
     (flag, rawFlag, contended, starved)

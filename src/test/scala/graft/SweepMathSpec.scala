@@ -238,4 +238,107 @@ class SweepMathSpec extends AnyFunSuite {
       intrinsic = false)
     assert(raw2 && !cont2 && !starv2 && flag2)
   }
+
+  test("crossLegDistorted: unequal defining-leg deflators past the " +
+      "1.5x ratio, with sub-1 factors clamped to the no-deflation 1") {
+    assert(SweepMath.crossLegDistorted(Seq(1.0, 4.66, 2.3)))
+    assert(!SweepMath.crossLegDistorted(Seq(9.0, 2.0, 2.0)))
+    assert(!SweepMath.crossLegDistorted(Seq(1.0, 1.2))) // inside ratio
+    assert(SweepMath.crossLegDistorted(Seq(0.5, 2.0))) // clamps to 1 vs 2
+    assert(!SweepMath.crossLegDistorted(Seq(3.0))) // no defining pair
+  }
+
+  test("the r14 q285 false flag replayed: unequal per-leg deflation " +
+      "manufactures a corrected exponent > 2 on a 0.70 operator; the " +
+      "tail re-measure + splice clears it without a judge") {
+    // sf1 -> sf3 -> sf10 axis; true isolated walls [5.1, 7.4, 17.2]
+    // (judge-measured, exponent 0.70). The contended driver box
+    // inflates sf3 x1.5 and sf10 x4.0, while the canaries MISREAD the
+    // inflation (sf3 canary 4.66, sf10 canary 2.3 — the r14 artifact's
+    // actual factors): per-leg self-deflation then over-corrects sf3
+    // and under-corrects sf10, bending the corrected curve STEEPER.
+    val xs = Seq(0.0, math.log10(3.0), 1.0)
+    val trueWalls = Seq(5.1, 7.4, 17.2)
+    val observed = Seq(5.1, 7.4 * 1.5, 17.2 * 4.0)
+    val envF = Seq(1.0, 4.66, 2.3)
+    val (eRaw, _) = SweepMath.slopes(xs, observed)
+    assert(eRaw > 1.2, s"raw exponent $eRaw should flag")
+    val norm = SweepMath.normalizedTimes(observed, envF)
+    val (eNorm, _) = SweepMath.slopes(xs, norm)
+    assert(eNorm > 1.2, s"corrected exponent $eNorm replicates the " +
+      "false-flag distortion (r14 read 2.20 on this operator)")
+    // OLD rule (distorted unknown): corrected exponent confirms ->
+    // false flag on a healthy operator
+    val (oldFlag, _, _, _) = SweepMath.adjudicate(
+      eRaw, observed.last, eNorm, norm.last,
+      envF, Seq(1.0, 1.0, 1.0), Seq(1.1, 1.1, 1.1), 2.0, 3.0,
+      intrinsic = false)
+    assert(oldFlag, "without distortion detection the healthy " +
+      "operator false-flags — the r14 failure this fix exists for")
+    // NEW rule: the distortion is machine-detectable, triggers the
+    // targeted tail re-measure...
+    assert(SweepMath.needsTailRemeasure(eRaw, observed.last,
+      envF, Seq(1.0, 1.0, 1.0), Seq(1.1, 1.1, 1.1), envF,
+      2.0, 3.0, intrinsic = false))
+    // ...and the post-cooldown quiet re-measure splices in via
+    // mergeMin (fresh quiet walls win the per-leg min), after which
+    // nothing is left to adjudicate: no raw flag, no contention
+    val staleTail = Seq(leg(observed(1), calib = 4.66 * 0.494),
+      leg(observed(2), calib = 2.3 * 0.494))
+    val freshTail = Seq(leg(trueWalls(1), calib = 0.494 * 1.02),
+      leg(trueWalls(2), calib = 0.494 * 1.05))
+    val splicedTail = SweepMath.mergeMin(staleTail, freshTail)
+    assert(splicedTail.map(_.t) === Seq(7.4, 17.2))
+    val splicedWalls = observed.head +: splicedTail.map(_.t)
+    val splicedF = 1.0 +: SweepMath.factors(
+      splicedTail.map(_.calib), 0.494)
+    val (eSpliced, _) = SweepMath.slopes(xs, splicedWalls)
+    assert(math.abs(eSpliced - 0.70) < 0.02)
+    val (flagS, rawS, contS, _) = SweepMath.adjudicate(
+      eSpliced, splicedWalls.last, eSpliced, splicedWalls.last,
+      splicedF, Seq(1.0, 1.0, 1.0), Seq(1.1, 1.1, 1.1), 2.0, 3.0,
+      intrinsic = false)
+    assert(!flagS && !rawS && !contS,
+      "the healthy operator clears locally after the splice")
+    // endgame when the box is STILL hot at re-measure time: the
+    // correction stays distorted, and a distorted correction can
+    // CONFIRM nothing — relabeled contended, never a false flag
+    val (flagD, rawD, contD, _) = SweepMath.adjudicate(
+      eRaw, observed.last, eNorm, norm.last,
+      envF, Seq(1.0, 1.0, 1.0), Seq(1.1, 1.1, 1.1), 2.0, 3.0,
+      intrinsic = false, distorted = true)
+    assert(!flagD && rawD && contD,
+      "unresolved distortion relabels contended instead of flagging")
+  }
+
+  test("a genuine superlinear plant under the same distorted " +
+      "contention still flags after the splice") {
+    // true walls [2, 10, 50]: exponent 1.34 — a real regression. Same
+    // contamination pattern as the q285 replay (sf3 x1.5 @ canary
+    // 4.66, sf10 x4.0 @ canary 2.3).
+    val xs = Seq(0.0, math.log10(3.0), 1.0)
+    val trueWalls = Seq(2.0, 10.0, 50.0)
+    val observed = Seq(2.0, 15.0, 200.0)
+    val envF = Seq(1.0, 4.66, 2.3)
+    val (eRaw, _) = SweepMath.slopes(xs, observed)
+    assert(SweepMath.needsTailRemeasure(eRaw, observed.last,
+      envF, Seq(1.0, 1.0, 1.0), Seq(1.1, 1.1, 1.1), envF,
+      2.0, 3.0, intrinsic = false))
+    // quiet re-measure: the true (still superlinear) walls win the min
+    val splicedTail = SweepMath.mergeMin(
+      Seq(leg(observed(1), calib = 2.3), leg(observed(2), calib = 1.14)),
+      Seq(leg(trueWalls(1), calib = 0.494 * 1.02),
+        leg(trueWalls(2), calib = 0.494 * 1.03)))
+    val walls = observed.head +: splicedTail.map(_.t)
+    val fs = 1.0 +: SweepMath.factors(splicedTail.map(_.calib), 0.494)
+    val (eS, _) = SweepMath.slopes(xs, walls)
+    assert(eS > 1.2, s"plant exponent $eS survives the splice")
+    assert(!SweepMath.crossLegDistorted(fs))
+    val (flag, raw, cont, _) = SweepMath.adjudicate(
+      eS, walls.last, eS, walls.last,
+      fs, Seq(1.0, 1.0, 1.0), Seq(1.1, 1.1, 1.1), 2.0, 3.0,
+      intrinsic = false)
+    assert(flag && raw && !cont,
+      "contention + distortion cannot launder a real regression")
+  }
 }
