@@ -28,6 +28,21 @@ object GenSf {
     (pmod(xxhash64(col("id"), lit(salt)), lit(1000000007L)).cast("double")
       / lit(1000000007.0))
 
+  /** Deterministic bounded-Zipf rank in [0, n): inverse CDF of the
+    * continuous power law with density ∝ x^(-alpha) on [1, n+1),
+    * driven by the same per-row hash uniform as every other column.
+    * alpha = 1.1 (the skew-tier default) puts ~10% of rows on the top
+    * rank and ~1/3 on the top ten at n = 15000 — the celebrity-key
+    * regime the skew machinery exists for. Pure column arithmetic, so
+    * regeneration stays bit-stable and parallelism-independent. */
+  private def zipf(n: Long, salt: Int,
+      alpha: Double = 1.1): org.apache.spark.sql.Column = {
+    val oneMinusA = 1.0 - alpha
+    val span = math.pow(n + 1.0, oneMinusA) - 1.0
+    val x = pow(lit(1.0) + u(salt) * span, 1.0 / oneMinusA)
+    least(floor(x).cast("long") - 1, lit(n - 1))
+  }
+
   private def pick(salt: Int, vs: Seq[String]): org.apache.spark.sql.Column =
     element_at(typedlit(vs),
       (pmod(xxhash64(col("id"), lit(salt)), lit(vs.size.toLong)) + 1)
@@ -36,13 +51,29 @@ object GenSf {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val sf = args(1).toDouble
+    val skew = args.contains("--skew")
     val spark = graft.GraftSession.builder("gen-sf", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, out, sf)
+    generate(spark, out, sf, skew)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, out: String, sf: Double): Unit = {
+  /** `skew = true` generates the SKEW TIER variant: identical schema
+    * and row counts, but the join/agg keys the skew machinery guards
+    * are Zipf(α=1.1)-distributed instead of uniform —
+    *  - `events.user_id` (celebrity users: top user ~10% of events),
+    *  - `events.ts` hour-of-range (hot hours: top hour ~14% of
+    *    events — the q241/q282 concurrency-bin stress),
+    *  - `events.props` item key over an n(10000)-item catalog
+    *    (hot items for the co-visitation queries; the uniform tier's
+    *    100-item catalog can't express item skew at all),
+    *  - `customer.c_nationkey` (a hot blocking key for the
+    *    blocked-match linkage).
+    * Everything else is byte-identical to the uniform generator, so a
+    * skew-vs-uniform time ratio at equal sf isolates the key
+    * distribution as the only variable. */
+  def generate(spark: SparkSession, out: String, sf: Double,
+      skew: Boolean = false): Unit = {
     def n(base: Long): Long = math.max(1L, (base * sf).toLong)
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -70,7 +101,8 @@ object GenSf {
     write("customer", spark.range(nCust).select(
       col("id").as("c_custkey"),
       format_string("Customer#%09d", col("id")).as("c_name"),
-      pmod(xxhash64(col("id"), lit(11)), lit(25L)).cast("int")
+      (if (skew) zipf(25, 11)
+       else pmod(xxhash64(col("id"), lit(11)), lit(25L))).cast("int")
         .as("c_nationkey"),
       round(u(12) * 10000, 2).as("c_acctbal"),
       pick(13, Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY",
@@ -132,17 +164,47 @@ object GenSf {
         .as("l_shipdate")))
 
     val evEpoch0 = 1704067200L // 2024-01-01 UTC
+    // skew-tier events: Zipf hour-of-range (uniform offset inside the
+    // hour), Zipf user, Zipf item over a catalog that scales with sf
+    // (the uniform tier's fixed 100-item catalog has no room for a
+    // hot-item head)
+    val hourUs = 3600L * 1000000L
+    val tsCol =
+      if (skew)
+        timestamp_micros(lit(evEpoch0 * 1000000L) +
+          zipf(30L * 24L, 71) * hourUs +
+          floor(u(76) * hourUs.toDouble).cast("long"))
+      else
+        timestamp_micros(lit(evEpoch0 * 1000000L) +
+          pmod(xxhash64(col("id"), lit(71)), lit(30L * day * 1000000L)))
+    val userCol =
+      if (skew) zipf(nUsers, 72)
+      else pmod(xxhash64(col("id"), lit(72)), lit(nUsers))
+    val nItems = n(10000)
+    val itemCol =
+      if (skew) zipf(nItems, 75)
+      else pmod(xxhash64(col("id"), lit(75)), lit(100L))
     write("events", spark.range(nEv).select(
       col("id").as("event_id"),
-      timestamp_micros(lit(evEpoch0 * 1000000L) +
-        pmod(xxhash64(col("id"), lit(71)), lit(30L * day * 1000000L)))
-        .as("ts"),
-      pmod(xxhash64(col("id"), lit(72)), lit(nUsers)).as("user_id"),
+      tsCol.as("ts"),
+      userCol.as("user_id"),
       pick(73, Seq("click", "view", "purchase", "signup", "error"))
         .as("event_type"),
       round(u(74) * 500, 2).as("value"),
-      format_string("{\"k\": %d}",
-        pmod(xxhash64(col("id"), lit(75)), lit(100L))).as("props")))
+      format_string("{\"k\": %d}", itemCol).as("props")))
+    if (skew) {
+      // head-mass census, printed so the artifact reader can see the
+      // generated skew is real without re-deriving the inverse CDF
+      val ev = spark.read.parquet(s"$out/events.parquet")
+      val tot = ev.count().toDouble
+      def topShare(c: org.apache.spark.sql.Column, k: Int): Double =
+        ev.groupBy(c.as("k")).count().orderBy(col("count").desc)
+          .limit(k).agg(sum("count")).head.getLong(0) / tot
+      println(f"[gensf] skew census: top-1 user ${topShare(col("user_id"), 1)}%.3f, " +
+        f"top-10 users ${topShare(col("user_id"), 10)}%.3f, " +
+        f"top-1 hour ${topShare(date_trunc("hour", col("ts")), 1)}%.3f, " +
+        f"top-1 item ${topShare(get_json_object(col("props"), "$.k"), 1)}%.3f")
+    }
 
     val vocab = Seq("spark", "batch", "line", "column", "order", "small",
       "sort", "fast", "value", "scan", "hash", "slow", "group", "agg",
