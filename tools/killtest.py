@@ -10,10 +10,22 @@ GREEN is a gate bug: the finding is recorded and the GATE gets fixed
 (never the harness weakened).
 
 Usage: python3 tools/killtest.py [mutation-name ...]
-Writes KILLTEST_r14.json (one entry per mutation: expectation,
-observed gate color, per-query detail). Dev tooling only — the Scala
-library never depends on this. Restores every mutated file afterwards
-(verifies the tree is byte-identical before exiting).
+       python3 tools/killtest.py --sample N [--round R]
+
+`--sample N` runs a deterministic ROTATION of N mutations chosen by
+round number (window start = R*N mod len(MUTATIONS), so consecutive
+rounds sweep the whole corpus with no repeats until wraparound) — the
+cheap per-round cadence that keeps the full corpus from rotting
+between full runs (r14 verdict item 3). R defaults to $KILLTEST_ROUND
+or the round encoded in the artifact name.
+
+Writes KILLTEST_r{N}.json (override: $KILLTEST_ART; one entry per
+mutation: expectation, observed gate color, per-query detail).
+Filtered and sampled runs MERGE into the artifact — seeded from the
+newest prior round's artifact when this round's doesn't exist yet —
+so a partial run never shrinks the recorded corpus. Dev tooling only —
+the Scala library never depends on this. Restores every mutated file
+afterwards (verifies the tree is byte-identical before exiting).
 """
 import json
 import os
@@ -747,8 +759,48 @@ def gate_color(queries, tag):
     return color, {"compare": lines, "verify_errors": verify_errs}
 
 
+ROUND = int(os.environ.get("KILLTEST_ROUND", "15"))
+ART_PATH = os.environ.get(
+    "KILLTEST_ART", os.path.join(REPO, f"KILLTEST_r{ROUND}.json"))
+
+
+def seed_artifact():
+    """The artifact to merge a partial run into: this round's if it
+    exists, else the newest prior round's (carries the full corpus
+    forward across round boundaries)."""
+    if os.path.exists(ART_PATH):
+        return ART_PATH
+    import glob
+    prior = sorted(glob.glob(os.path.join(REPO, "KILLTEST_r*.json")),
+                   key=lambda p: int("".join(filter(str.isdigit,
+                                                    os.path.basename(p)))))
+    return prior[-1] if prior else None
+
+
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    sample = None
+    rnd = ROUND
+    rest = []
+    it = iter(args)
+    for a in it:
+        if a == "--sample":
+            sample = int(next(it))
+        elif a == "--round":
+            rnd = int(next(it))
+        else:
+            rest.append(a)
+    only = set(rest)
+    if sample:
+        # deterministic rotation: round R takes the window starting at
+        # R*N mod |MUTATIONS|, so consecutive rounds sweep the corpus
+        n = len(MUTATIONS)
+        start = (rnd * sample) % n
+        picked = [MUTATIONS[(start + i) % n]["name"]
+                  for i in range(min(sample, n))]
+        only = set(picked)
+        print(f"== sample rotation: round {rnd}, window [{start}..) "
+              f"-> {picked}")
     results = []
     originals = {}
     try:
@@ -792,12 +844,14 @@ def main():
     # tree must be byte-identical to where we started
     for path, src in originals.items():
         assert open(path).read() == src, f"restore failed: {path}"
-    art_path = os.path.join(REPO, "KILLTEST_r14.json")
-    if only and os.path.exists(art_path):
-        # filtered run: MERGE into the existing artifact (replace
-        # re-run mutations by name, keep the rest) so a targeted
-        # re-check never silently shrinks the recorded corpus
-        prev = json.load(open(art_path)).get("mutations", [])
+    seed = seed_artifact()
+    if only and seed:
+        # filtered/sampled run: MERGE into the existing artifact
+        # (replace re-run mutations by name, keep the rest; seeded
+        # from the newest prior round when this round's file doesn't
+        # exist yet) so a targeted re-check never silently shrinks
+        # the recorded corpus
+        prev = json.load(open(seed)).get("mutations", [])
         names = {r["mutation"] for r in results}
         merged = [r for r in prev if r["mutation"] not in names]
         order = {m["name"]: i for i, m in enumerate(MUTATIONS)}
@@ -805,9 +859,10 @@ def main():
                          key=lambda r: order.get(r["mutation"], 99))
     ok = all(r.get("ok") for r in results)
     art = {"sf": SF, "all_expected": ok, "mutations": results}
-    with open(art_path, "w") as f:
+    with open(ART_PATH, "w") as f:
         json.dump(art, f, indent=1)
-    print(f"== {'ALL EXPECTED' if ok else 'UNEXPECTED RESULTS'} -> KILLTEST_r14.json")
+    print(f"== {'ALL EXPECTED' if ok else 'UNEXPECTED RESULTS'} "
+          f"-> {os.path.basename(ART_PATH)}")
     sys.exit(0 if ok else 1)
 
 
