@@ -691,6 +691,88 @@ object Bench {
       val ordered = rows.sortBy(_._2) // stable: healthy first, errors last
       s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],$deepJson"forked":$sweepForked,"calib_baseline":${jnum(Calib.BaselineSec, 3)},"scanary_baseline":${jnum(Calib.SparkBaselineSec, 3)},"calib_stale":$calibStale,"flags":$sweepFlags,"contended":$sweepContended,"starved":${starvedNames.size},"errors":$sweepErrors,"instrumentation_sec":${jnum(instrumentationSec, 1)},"queries":{${ordered.map { case (n, _, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
     }
+    // ---- skew tier (r14 verdict item 1): the skew machinery under
+    // data that is actually skewed. Generates the Zipf-keyed twin
+    // dirs (GenSf --skew), runs the row-identity checks and the
+    // final-plan audit in-process, then measures each skew query in
+    // the sweep's own forked-JVM harness across
+    // [uniform sf1, skew sf1, skew sf3] — equal-volume ratio, skew-
+    // decade exponent, per-leg parallelism. Semantics + thresholds:
+    // [[SkewTier]]. Runs only on full-suite benches (the sweep's own
+    // gate) so BENCH_ONLY iteration stays fast.
+    var skewFlags = 0
+    var skewErrors = 0
+    var skewIdentityFails = 0
+    var skewStragglerNames = List.empty[String]
+    var skewSensitiveNames = List.empty[String]
+    var skewFlaggedNames = List.empty[String]
+    var skewErrorNames = List.empty[String]
+    val skewRan = sweepDirs.size >= 2 &&
+      !sys.env.contains("SPARK_GRAFT_NO_SKEWTIER")
+    val skewJson = if (!skewRan) "" else {
+      val harnessT0 = System.nanoTime()
+      val gens = sweepSession()
+      def ensure(d: String, sf: Double): Option[String] = {
+        if (!genComplete(d))
+          try graft.tools.GenSf.generate(gens, d, sf, skew = true)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $d generation failed: $e") }
+        if (genComplete(d)) Some(d) else None
+      }
+      val skewDirs = Seq("benchdata/skew/sf1" -> 1.0,
+        "benchdata/skew/sf3" -> 3.0).flatMap((ensure _).tupled)
+      // identity checks run at skew sf0.1: the row-identity claim is
+      // about shape, not scale, and both twin paths execute
+      val idDir = ensure("benchdata/skew/sf0.1", 0.1)
+      if (skewDirs.isEmpty) ""
+      else {
+        val identity = idDir.map(SkewTier.identityChecks(gens, _))
+          .getOrElse(Seq("identity_dir" -> "error:generation"))
+        skewIdentityFails = identity.count(!_._2.startsWith("ok"))
+        val skewQs = sys.env.get("SPARK_GRAFT_SKEW_QUERIES")
+          .map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(SkewTier.Queries)
+          .filter(SparkEntry.queries.contains)
+        val audits = SkewTier.audit(gens, skewDirs.head, skewQs, baseline)
+        val skewAuditFails = audits.count(a =>
+          !a._2.startsWith("ok") && !a._2.startsWith("error"))
+        skewFlags += skewAuditFails
+        val harnessSec = (System.nanoTime() - harnessT0) / 1e9
+        instrumentationSec += harnessSec
+        // quiesce again before the forked measurements
+        liveSession.stop()
+        parentStopped = true
+        System.gc()
+        val rows = skewQs.map { name =>
+          val dirs = Seq("benchdata/sf1") ++ skewDirs.take(
+            SkewTier.SkewDepth.getOrElse(name, skewDirs.size))
+          val legs = forkMeasure(name, dirs)
+            .getOrElse(inprocMeasure(name, dirs))
+          instrumentationSec += legs.map(l =>
+            math.max(0.0, l.calib) + math.max(0.0, l.scanary)).sum
+          SkewTier.row(name, dirs, legs,
+            Calib.ContendedFactor, Bench.StarvedFactor)
+        }
+        rows.foreach { r =>
+          if (r.error) { skewErrors += 1; skewErrorNames ::= r.name }
+          if (r.flag) { skewFlags += 1; skewFlaggedNames ::= r.name }
+          if (r.straggler) skewStragglerNames ::= r.name
+          if (r.sensitive) skewSensitiveNames ::= r.name
+        }
+        def kvMap(kvs: Seq[(String, String)]): String =
+          kvs.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+            .mkString("{", ",", "}")
+        val ordered = rows.sortBy(_.rank)
+        s""""skew":{"dirs":[${skewDirs.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""uniform_dir":"benchdata/sf1","forked":$sweepForked,""" +
+          s""""harness_sec":${jnum(harnessSec, 1)},""" +
+          s""""identity":${kvMap(identity)},"audit":${kvMap(audits)},""" +
+          s""""identity_fails":$skewIdentityFails,""" +
+          s""""flags":$skewFlags,"errors":$skewErrors,""" +
+          s""""queries":{${ordered.map(r =>
+            "\"" + r.name + "\":" + r.json).mkString(",")}}},"""
+      }
+    }
     // Summary keys lead the JSON object (truncated-from-the-right
     // capture) AND repeat as the LAST key (`summary_tail`) — the
     // driver keeps the final 2000 chars of the line, so a line longer
@@ -701,8 +783,8 @@ object Bench {
     val sweepRan = sweepDirs.size >= 2
     def nameArr(ns: List[String]): String =
       ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRan,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_starved":${starvedNames.size},"sweep_errors":$sweepErrors,"flagged":${nameArr(flaggedNames)},"contended_q":${nameArr(contendedNames)},"starved_q":${nameArr(starvedNames)},"error_q":${nameArr(errorNames)},"calib_stale":$calibStale,"instrumentation_sec":${jnum(instrumentationSec, 1)},"total_sec":$total,"n_queries":${results.size}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir",$sweepJson"summary_tail":$tail}""")
+    val tail = s"""{"errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRan,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_starved":${starvedNames.size},"sweep_errors":$sweepErrors,"flagged":${nameArr(flaggedNames)},"contended_q":${nameArr(contendedNames)},"starved_q":${nameArr(starvedNames)},"error_q":${nameArr(errorNames)},"calib_stale":$calibStale,"skew_ran":${skewJson.nonEmpty},"skew_flags":$skewFlags,"skew_errors":$skewErrors,"skew_identity_fails":$skewIdentityFails,"skew_flagged":${nameArr(skewFlaggedNames)},"skew_straggler_q":${nameArr(skewStragglerNames)},"skew_sensitive_q":${nameArr(skewSensitiveNames)},"skew_error_q":${nameArr(skewErrorNames)},"instrumentation_sec":${jnum(instrumentationSec, 1)},"total_sec":$total,"n_queries":${results.size}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir",$sweepJson$skewJson"summary_tail":$tail}""")
     // the parent session is already stopped when the sweep ran; stop
     // whichever session is still live (an in-process fallback may have
     // rebuilt one). stop() is idempotent.
@@ -711,8 +793,13 @@ object Bench {
     // A sweep-leg crash (a query broken ONLY at a larger sf — exactly
     // the scale regression the sweep hunts) fails the process like any
     // oracle error, so CI catches it without parsing the JSON line.
+    // Skew-tier identity mismatches and leg crashes are the same
+    // class: a salted path diverging from its direct twin on Zipf
+    // data is a correctness failure, not an annotation.
     // SPARK_GRAFT_SWEEP_LENIENT=1 downgrades it to JSON-only reporting.
     val lenientSweep = sys.env.get("SPARK_GRAFT_SWEEP_LENIENT").contains("1")
-    if (errors.nonEmpty || (sweepErrors > 0 && !lenientSweep)) sys.exit(1)
+    if (errors.nonEmpty ||
+      ((sweepErrors + skewErrors + skewIdentityFails) > 0 && !lenientSweep))
+      sys.exit(1)
   }
 }

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import SweepMath.Leg
+
+/** The skew tier's adjudication arithmetic and identity machinery,
+  * pinned as unit facts (the same discipline as [[SweepMathSpec]]:
+  * the math that decides a skew flag must be testable without a
+  * two-minute forked measurement run). The in-memory Zipf fixture
+  * mirrors the generated tier's shape: one celebrity key carrying
+  * ~threefold the tail's mass per salt bucket. */
+class SkewTierSpec extends AnyFunSuite with SparkSuite {
+
+  private val dirs3 = Seq("benchdata/sf1", "benchdata/skew/sf1",
+    "benchdata/skew/sf3")
+
+  private def leg(t: Double, calib: Double = 0.43, scanary: Double = 0.27,
+      run: Double = -1.0, cpu: Double = -1.0) =
+    Leg(t, calib, scanary, run, cpu)
+
+  // pins: Calib.BaselineSec = 0.428, SparkBaselineSec = 0.266 — the
+  // default legs read factor ~1.0 (idle box) unless a test inflates
+
+  test("healthy row: flat ratio, sublinear skew exponent, no flags") {
+    val legs = Seq(leg(2.0, run = 40.0, cpu = 30.0),
+      leg(2.4, run = 48.0, cpu = 36.0), leg(4.0, run = 80.0, cpu = 60.0))
+    val r = SkewTier.row("q", dirs3, legs, 2.0, 3.0)
+    assert(!r.flag && !r.straggler && !r.sensitive && !r.error)
+    assert(r.rank === 0)
+    // sf1 -> sf3 is log10(3) decades: slope of (2.4 -> 4.0)
+    val expect = (math.log10(4.0) - math.log10(2.4)) / math.log10(3.0)
+    assert(r.json.contains(s""""exponent_skew":${f"$expect%.2f"}"""))
+    assert(r.json.contains(""""ratio":1.20"""))
+  }
+
+  test("straggler: parallelism collapse on the skew leg annotates") {
+    // uniform leg 20x parallel; skew leg does the same task-seconds
+    // on ~2 effective cores -> par ratio 10 > 4
+    val legs = Seq(leg(2.0, run = 40.0, cpu = 38.0),
+      leg(20.0, run = 40.0, cpu = 38.0), leg(34.0, run = 68.0, cpu = 64.0))
+    val r = SkewTier.row("q", dirs3, legs, 2.0, 3.0)
+    assert(r.straggler)
+    assert(r.rank === 1)
+    // ratio 10 > RatioBound also marks skew_sensitive
+    assert(r.sensitive)
+  }
+
+  test("superlinear skew decade flags; contention clears it") {
+    // wall quadruples over 0.48 decades -> exponent ~2.9
+    val legs = Seq(leg(1.0), leg(2.0), leg(8.0))
+    val r = SkewTier.row("q", dirs3, legs, 2.0, 3.0)
+    assert(r.flag && r.rank === 2)
+    // same times but the skew legs' canaries read 5x the pin: the
+    // corrected exponent (both legs deflated alike) still flags —
+    // equal contention doesn't manufacture or hide slope
+    val hot = Seq(leg(1.0), leg(2.0, calib = 2.14), leg(8.0, calib = 2.14))
+    assert(SkewTier.row("q", dirs3, hot, 2.0, 3.0).flag)
+    // unequal contention on the defining legs (cross-leg distorted):
+    // the corrected exponent can't confirm -> contended, not flagged
+    val skewed = Seq(leg(1.0), leg(2.0, calib = 2.14), leg(8.0, calib = 0.90))
+    val rd = SkewTier.row("q", dirs3, skewed, 2.0, 3.0)
+    assert(!rd.flag && rd.contended)
+  }
+
+  test("crashed leg is a loud error row") {
+    val legs = Seq(leg(1.0), Leg(-1.0, -1.0, -1.0, -1.0, -1.0), leg(3.0))
+    val r = SkewTier.row("q", dirs3, legs, 2.0, 3.0)
+    assert(r.error && r.rank === 3)
+    assert(r.json.contains(""""error":true"""))
+  }
+
+  test("single skew leg (depth-capped): ratio only, no exponent") {
+    val legs = Seq(leg(2.0), leg(3.0))
+    val r = SkewTier.row("q", dirs3.take(2), legs, 2.0, 3.0)
+    assert(!r.flag && !r.error)
+    assert(!r.json.contains("exponent_skew"))
+    assert(r.json.contains(""""ratio":1.50"""))
+  }
+
+  test("msetSig is order-insensitive and value-sensitive") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.5))
+      .toDF("k", "s", "v")
+    val b = Seq((3L, "z", 3.5), (1L, "x", 1.5), (2L, "y", 2.5))
+      .toDF("k", "s", "v")
+    val c = Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.6))
+      .toDF("k", "s", "v")
+    assert(SkewTier.msetSig(a) === SkewTier.msetSig(b))
+    assert(SkewTier.msetSig(a) !== SkewTier.msetSig(c))
+    // column ORDER doesn't matter either (columns are sorted by name)
+    val d = b.select("v", "k", "s")
+    assert(SkewTier.msetSig(a) === SkewTier.msetSig(d))
+  }
+
+  test("identity: salted paths match direct twins on a Zipf fixture") {
+    import spark.implicits._
+    import graft.operators.Skew
+    import org.apache.spark.sql.types.DecimalType
+    // celebrity key 7 carries half the rows; values vary per row
+    val ev = spark.range(4000).select(
+      col("id").as("event_id"),
+      when(col("id") % 2 === 0, lit(7L))
+        .otherwise(pmod(col("id"), lit(97L))).as("user_id"),
+      round(pmod(col("id") * 37, lit(500)).cast("double") / 7.0, 2)
+        .as("value"))
+    val dec = DecimalType(38, 6)
+    val direct = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value"), 6).cast(dec)).cast("double")
+          .as("value_sum"))
+    val salted = Skew.saltedCountSum(ev, Seq("user_id"), "value",
+      col("event_id"), salt = 16)
+    assert(SkewTier.msetSig(salted) === SkewTier.msetSig(direct))
+
+    val dim = ev.groupBy(col("user_id")).agg(min(col("event_id")).as("first"))
+    val plain = ev.select("event_id", "user_id").join(dim, Seq("user_id"))
+    val sj = Skew.saltedJoin(ev.select("event_id", "user_id"), dim,
+      Seq("user_id"), col("event_id"), salt = 16)
+    assert(SkewTier.msetSig(sj) === SkewTier.msetSig(plain))
+  }
+}
