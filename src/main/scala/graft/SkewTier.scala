@@ -59,11 +59,25 @@ object SkewTier {
     "q282_concurrency_sweepline", "q247_fuzzy_linkage")
 
   /** Per-query cap on how many SKEW legs (after the uniform leg) a
-    * query takes, mirroring the sweep's `deepDepth`: q241's pair mass
-    * is the data's own concurrency growth (documented intrinsic at
-    * RangeJoin) and hot hours square it — its skew evidence is the
-    * sf1 ratio; the sweep-line twin q282 carries the skew decade. */
-  val SkewDepth: Map[String, Int] = Map("q241_session_concurrency" -> 1)
+    * query takes, mirroring the sweep's `deepDepth`:
+    *  - q241's pair mass is the data's own concurrency growth
+    *    (documented intrinsic at RangeJoin); its skew evidence is the
+    *    sf1 ratio (measured 0.27 — hot hours MERGE a user's events
+    *    into fewer, denser sessions, shrinking span count and pair
+    *    mass), and the sweep-line twin q282 carries the skew decade;
+    *  - q247's within-block pair mass grows ~sf² when the blocking
+    *    key has fixed cardinality (25 nations) — the documented
+    *    intrinsic ER hazard (EntityResolution scaladoc: the blocking-
+    *    key choice, not the plan). Measured once on the full depth:
+    *    skew legs [19.8, 154.1] s, exponent 1.87 / cpu 1.92 ≈ the
+    *    predicted square, parallelism flat at 28–30 (the capped fan
+    *    join keeps it distributed — no straggler); retired to the
+    *    sf1 ratio leg (measured 2.19 ≈ the Zipf Σp² ratio over 25
+    *    blocks) so the per-round bench doesn't pay a 2×154 s leg to
+    *    re-prove a by-design quadratic. */
+  val SkewDepth: Map[String, Int] = Map(
+    "q241_session_concurrency" -> 1,
+    "q247_fuzzy_linkage" -> 1)
 
   /** Corrected equal-volume skew/uniform wall ratio above which a row
     * is annotated `skew_sensitive`. 3× leaves room for the legitimate
