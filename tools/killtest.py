@@ -694,6 +694,78 @@ MUTATIONS = [
         "mechanism": "cross-bench duplicate grams multiply-count overlap "
                      "hits -> per-doc contamination counts inflate",
     },
+    # ---- batch 6: the r15 gate machinery (skew tier + state soak) ----
+    {
+        # (an) salted-agg class: the two-stage final merge takes the
+        # max partial count instead of the sum — every key spread over
+        # >1 salt bucket undercounts.
+        "name": "salted_sum_merge_max",
+        "file": "src/main/scala/graft/operators/Skew.scala",
+        "old": '    partial.groupBy(keys.map(col): _*)\n'
+               '      .agg(sum(col("__c")).as("n"),',
+        "new": '    partial.groupBy(keys.map(col): _*)\n'
+               '      .agg(max(col("__c")).as("n"),',
+        "queries": ["q126_skew_salted_agg"],
+        "expect": "red",
+        "mechanism": "q126's celebrity key (80% of rows, 16 salt "
+                     "buckets) reports n = its largest bucket instead "
+                     "of the sum -> value mismatch",
+    },
+    {
+        # (ao) census-capped fan-join class: split rows hash into
+        # fan+1 sub-keys while the fan side replicates only 0..fan-1 —
+        # split rows landing in the phantom sub-key never meet any
+        # fan row, silently losing in-key pairs. The shared kernel
+        # behind blockedBestMatch(maxBlock) / sessionConcurrency
+        # (maxBin) / autoLink(maxStateBlock).
+        "name": "capped_fan_sub_range",
+        "file": "src/main/scala/graft/operators/Skew.scala",
+        "old": '      .withColumn("__sub", pmod(xxhash64(splitHash: _*), col("__fan")))',
+        "new": '      .withColumn("__sub", pmod(xxhash64(splitHash: _*), col("__fan") + lit(1L)))',
+        "queries": ["q247_fuzzy_linkage"],
+        "expect": "red",
+        "mechanism": "q247 runs maxBlock=32 at gate scale (fan=2 per "
+                     "nation block) -> ~1/3 of clean candidates land "
+                     "in sub-key 2 the dirty side never covers -> "
+                     "best matches change",
+    },
+    {
+        # (ap) salted-join class: the small side's salt replication
+        # loses bucket 0 — big rows hashing to salt 0 (~1/16) lose
+        # their join partner. saltedJoin is exercised by NO q-number;
+        # the skew tier's row-identity gate is its only driver gate,
+        # so this mutation proves THAT machinery reads RED.
+        "name": "salted_join_bucket_drop",
+        "file": "src/main/scala/graft/operators/Skew.scala",
+        "old": '    val s = small.withColumn("__salt",\n'
+               '      explode(sequence(lit(0L), lit(salt.toLong - 1))))',
+        "new": '    val s = small.withColumn("__salt",\n'
+               '      explode(sequence(lit(1L), lit(salt.toLong - 1))))',
+        "queries": ["skew_identity:salted_join"],
+        "gate": "skew_identity",
+        "expect": "red",
+        "mechanism": "~1/16 of event rows (salt bucket 0) drop from "
+                     "the salted join -> multiset signature mismatch "
+                     "vs the plain join on the Zipf dir",
+    },
+    {
+        # (aq) bounded-stream-state class: statefulMergeCap stops
+        # capping its per-(user,week) bucket — state memory grows
+        # linearly with batches instead of plateauing at cap events.
+        # Gated by the state soak (r14 verdict item 4's machinery):
+        # the mem-flatness detector must read the growth.
+        "name": "mergecap_state_uncapped",
+        "file": "src/main/scala/graft/streaming/Ingest.scala",
+        "old": '            .sortWith((a, b) => a.ts > b.ts || (a.ts == b.ts && a.event_id < b.event_id))\n'
+               '            .take(cap)',
+        "new": '            .sortWith((a, b) => a.ts > b.ts || (a.ts == b.ts && a.event_id < b.event_id))',
+        "queries": ["state_soak:statefulMergeCap"],
+        "gate": "soak",
+        "expect": "red",
+        "mechanism": "uncapped buckets gain one event every 4 batches "
+                     "forever -> memoryUsedBytes second-half mean "
+                     "grows far past the 10% flatness tolerance",
+    },
 ]
 
 
@@ -737,6 +809,35 @@ def spec_color(m):
     tail = [l for l in r.stdout.splitlines()
             if "FAILED" in l or "Tests:" in l][-4:]
     return ("red" if failed else "green"), {"spec": cmd, "tail": tail}
+
+
+def skew_identity_color(tag):
+    """Run the skew tier's row-identity gate (SkewTier.identityChecks
+    via graft.tools.SkewIdentity) on a Zipf sf0.01 dir; RED = any
+    salted/capped path's multiset signature mismatches its direct
+    twin. The only gate that sees kernels no q-number exercises
+    (Skew.saltedJoin). The data dir is generated once and reused —
+    GenSf is never a mutation target, so a mutated tree cannot bake a
+    mutation into the fixture."""
+    d = "/tmp/kt_skew_sf0.01"
+    r = run(["sbt", "-batch", f"runMain graft.tools.SkewIdentity {d} 0.01"])
+    lines = [l for l in r.stdout.splitlines() if "SKEWID" in l]
+    color = "red" if r.returncode != 0 or not any(
+        '"ok":true' in l for l in lines) else "green"
+    return color, {"skewid": lines[-8:]}
+
+
+def soak_color(tag):
+    """Run the streaming state soak (graft.tools.StateSoak, the r14
+    verdict item 4 machinery) at the documented 200x400 scale; RED =
+    any operator's post-warmup state rows leave the population bound
+    or state memory grows past the flatness tolerance (nonzero
+    exit)."""
+    r = run(["sbt", "-batch", "runMain graft.tools.StateSoak 200 400"])
+    lines = [l for l in r.stdout.splitlines() if "STATESOAK" in l]
+    color = "red" if r.returncode != 0 or not any(
+        '"ok":true' in l and "SUMMARY" in l for l in lines) else "green"
+    return color, {"soak": lines[-4:]}
 
 
 def gate_color(queries, tag):
@@ -827,6 +928,10 @@ def main():
                     color, detail = bench_audit_color(m["queries"], m["name"])
                 elif gate == "spec":
                     color, detail = spec_color(m)
+                elif gate == "skew_identity":
+                    color, detail = skew_identity_color(m["name"])
+                elif gate == "soak":
+                    color, detail = soak_color(m["name"])
                 else:
                     color, detail = gate_color(m["queries"], m["name"])
                 verdict = ("KILLED" if color == "red" else "SURVIVED")
