@@ -746,12 +746,32 @@ object Bench {
         val rows = skewQs.map { name =>
           val dirs = Seq("benchdata/sf1") ++ skewDirs.take(
             SkewTier.SkewDepth.getOrElse(name, skewDirs.size))
-          val legs = forkMeasure(name, dirs)
-            .getOrElse(inprocMeasure(name, dirs))
-          instrumentationSec += legs.map(l =>
-            math.max(0.0, l.calib) + math.max(0.0, l.scanary)).sum
-          SkewTier.row(name, dirs, legs,
+          def measure(): Seq[SweepMath.Leg] = {
+            val legs = forkMeasure(name, dirs)
+              .getOrElse(inprocMeasure(name, dirs))
+            instrumentationSec += legs.map(l =>
+              math.max(0.0, l.calib) + math.max(0.0, l.scanary)).sum
+            legs
+          }
+          var legs = measure()
+          var r = SkewTier.row(name, dirs, legs,
             Calib.ContendedFactor, Bench.StarvedFactor)
+          if (r.flag) {
+            // the sweep's raw-flag rule, ported: one cooldown
+            // re-measure with per-leg min-merge before the row is
+            // final. A transiently inflated forked sample (real
+            // task-CPU inflation with CLEAN canaries — observed live
+            // on q163's skew sf3 leg: 150 task-CPU-s once vs 40-44 s
+            // in four other samples of the same legs) is the common
+            // cause, and a second sample is far cheaper than a judge
+            // adjudication run. A genuine skew cliff re-measures just
+            // as superlinear and keeps the flag.
+            Thread.sleep(15000)
+            legs = SweepMath.mergeMin(legs, measure())
+            r = SkewTier.row(name, dirs, legs,
+              Calib.ContendedFactor, Bench.StarvedFactor, retried = true)
+          }
+          r
         }
         rows.foreach { r =>
           if (r.error) { skewErrors += 1; skewErrorNames ::= r.name }

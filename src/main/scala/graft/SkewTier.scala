@@ -36,7 +36,13 @@ import org.apache.spark.sql.types.DecimalType
   *     unbounded nested-loop joins beyond the reviewed `!bnlj`
   *     allowances; shuffle counts recorded).
   *
-  * Flag semantics (mirrors the sweep): `flag` = superlinear wall
+  * Flag semantics (mirrors the sweep, INCLUDING its raw-flag retry):
+  * a first-pass `flag` triggers one cooldown re-measure of all legs
+  * with per-leg min-merge before the row is final — a transient
+  * inflated forked sample (real task-CPU inflation the canaries
+  * cannot see; observed live on q163, one sample at 3.4× the CPU of
+  * four others on identical legs) must not flag a healthy operator.
+  * `flag` = superlinear wall
   * exponent across the skew decade that survives contention
   * correction; `straggler` = parallelism collapse on the skew leg vs
   * the uniform leg at equal volume (> [[StragglerRatio]]×);
@@ -95,7 +101,12 @@ object SkewTier {
 
   /** One adjudicated skew-tier timing row. `rank` orders rows
     * healthy-first in the artifact (0 ok, 1 annotated, 2 flagged,
-    * 3 error). */
+    * 3 error). `retried` records that the caller re-measured the legs
+    * after a first-pass flag (the sweep's own raw-flag rule, ported
+    * here after a live false flag: one forked q163 sample burned
+    * 3.4× the task CPU of four other samples of the SAME legs with
+    * CLEAN canaries — transient real-work inflation no deflator can
+    * correct; only a second sample clears it). */
   final case class Row(name: String, json: String, rank: Int,
       flag: Boolean, straggler: Boolean, sensitive: Boolean,
       contended: Boolean, error: Boolean)
@@ -108,7 +119,8 @@ object SkewTier {
     * parsed scale factors of the SKEW legs (1-based tail of dirs).
     * Pure — spec-tested in SkewTierSpec. */
   def row(name: String, dirs: Seq[String], legs: Seq[SweepMath.Leg],
-      contendedFactor: Double, starvedFactor: Double): Row = {
+      contendedFactor: Double, starvedFactor: Double,
+      retried: Boolean = false): Row = {
     def legArr(key: String, f: SweepMath.Leg => Double,
         digits: Int): String =
       s""""$key":[${legs.map(l => jnum(f(l), digits)).mkString(",")}]"""
@@ -178,6 +190,7 @@ object SkewTier {
       s""""ratio":${jnum(ratio, 2)},"ratio_norm":${jnum(ratioNorm, 2)},""" +
       expJson +
       s""""contended":$contended,"straggler":$straggler,""" +
+      s""""retried":$retried,""" +
       s""""skew_sensitive":$sensitive,"flag":$flag}""",
       rank, flag, straggler, sensitive, contended, error = false)
   }

@@ -64,6 +64,38 @@ class SkewTierSpec extends AnyFunSuite with SparkSuite {
     assert(!rd.flag && rd.contended)
   }
 
+  test("the live q163 false flag replayed: a transiently inflated " +
+      "sample with CLEAN canaries flags; the retry's min-merge with " +
+      "an honest second sample clears it and records retried") {
+    // the observed numbers: healthy legs [2.28, 2.86, ~4.9] s, one
+    // forked sample read the sf3 leg at 12.0 s / 150 task-CPU-s with
+    // canaries at factor ~1.4 (clean) — no deflator can correct real
+    // CPU inflation, so the first-pass row flags
+    val inflated = Seq(leg(2.28, run = 25.0, cpu = 20.5),
+      leg(2.86, run = 24.8, cpu = 20.0),
+      leg(12.02, run = 267.9, cpu = 150.0))
+    val first = SkewTier.row("q163", dirs3, inflated, 2.0, 3.0)
+    assert(first.flag && !first.contended,
+      "clean canaries cannot clear real one-sample CPU inflation")
+    // the re-measure reads the honest legs; min-merge keeps per-leg
+    // minima and the re-adjudicated row is healthy
+    val honest = Seq(leg(2.43, run = 27.1, cpu = 21.1),
+      leg(2.74, run = 25.6, cpu = 21.2),
+      leg(4.86, run = 55.8, cpu = 39.4))
+    val merged = SweepMath.mergeMin(inflated, honest)
+    assert(merged.map(_.t) === Seq(2.28, 2.74, 4.86))
+    val r = SkewTier.row("q163", dirs3, merged, 2.0, 3.0, retried = true)
+    assert(!r.flag && r.rank === 0)
+    assert(r.json.contains(""""retried":true"""))
+    // a genuine skew cliff re-measures just as superlinear: the
+    // min-merge of two consistent superlinear samples keeps the flag
+    val cliff = Seq(leg(2.0), leg(2.5), leg(11.0))
+    val mergedCliff = SweepMath.mergeMin(cliff,
+      Seq(leg(2.1), leg(2.6), leg(10.8)))
+    assert(SkewTier.row("q", dirs3, mergedCliff, 2.0, 3.0,
+      retried = true).flag)
+  }
+
   test("crashed leg is a loud error row") {
     val legs = Seq(leg(1.0), Leg(-1.0, -1.0, -1.0, -1.0, -1.0), leg(3.0))
     val r = SkewTier.row("q", dirs3, legs, 2.0, 3.0)
