@@ -22,7 +22,10 @@ import graft.streaming.{EpisodeRow, Ingest, StreamEvent}
   *  - [[graft.streaming.Ingest.streamingEpisodes]] — one OpenEpisode per key (idle
   *    keys persist by design; the pending buffer drains every batch
   *    under in-order arrival);
-  *  - [[graft.streaming.Ingest.streamingContinuations]] — one LastEpisode per key.
+  *  - [[graft.streaming.Ingest.streamingContinuations]] — one LastEpisode per key;
+  *  - [[graft.streaming.Ingest.streamingSessionize]] — one OpenSession (or its
+  *    n=0 index marker) per user, with sessions closing and reopening
+  *    throughout the soak (a gap-exceeding time jump every 5 batches).
   *
   * Usage: `runMain graft.tools.StateSoak [batches] [users]`
   * (defaults 200 / 400). Prints one `STATESOAK {...}` JSON line per
@@ -152,7 +155,22 @@ object StateSoak {
     val (_, okCo) = verdict("streamingContinuations", coCurve,
       rowBound = keys)
 
-    val ok = okCap && okEp && okCo
+    // ---- streamingSessionize: fixed users, advancing event time
+    // with a gap-exceeding jump every 5 batches — sessions close and
+    // reopen continuously, state stays ONE OpenSession (or its n=0
+    // index marker) per user
+    val memSes = MemoryStream[(Long, Long, Long)]
+    val sesQ = Ingest.streamingSessionize(
+        memSes.toDF.toDF("user_id", "event_id", "ts"), gapMs = 120000L)
+      .toDF.writeStream.format("noop").outputMode("append").start()
+    val sesCurve = drive(sesQ, batches, { i =>
+      memSes.addData((0L until keys).map(k =>
+        (k, i.toLong, week0 + i * minMs + (i / 5) * 10 * minMs)))
+    })
+    val (_, okSes) = verdict("streamingSessionize", sesCurve,
+      rowBound = keys)
+
+    val ok = okCap && okEp && okCo && okSes
     println(s"""STATESOAK_SUMMARY {"batches":$batches,"users":$users,"ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
