@@ -720,7 +720,8 @@ object Bench {
         if (genComplete(d)) Some(d) else None
       }
       val skewDirs = Seq("benchdata/skew/sf1" -> 1.0,
-        "benchdata/skew/sf3" -> 3.0).flatMap((ensure _).tupled)
+        "benchdata/skew/sf3" -> 3.0,
+        "benchdata/skew/sf10" -> 10.0).flatMap((ensure _).tupled)
       // identity checks run at skew sf0.1: the row-identity claim is
       // about shape, not scale, and both twin paths execute
       val idDir = ensure("benchdata/skew/sf0.1", 0.1)

@@ -58,7 +58,10 @@ object SkewTier {
   /** Queries measured on the skew tier: the salted-agg gate, the two
     * co-visitation shapes (hot items), the concurrency pair-join and
     * its sweep-line twin (hot hours), and the blocked-match linkage
-    * (hot block). */
+    * (hot block). Non-depth-capped queries run the FULL skew decade
+    * [skew sf1, sf3, sf10] (r15 late addition — the uniform tier's
+    * scale evidence spans three decades, the skew story deserves at
+    * least one). */
   val Queries: Seq[String] = Seq(
     "q126_skew_salted_agg", "q104_covisitation",
     "q163_session_covisitation", "q241_session_concurrency",
