@@ -34,6 +34,22 @@ object GraftSession {
   def get(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    quietNoisyLoggers()
     s
   }
+
+  /** Drop known false-alarm warning loggers to ERROR so a truncated
+    * driver log tail carries signal instead of spam (r15: the killed
+    * bench's surviving tail was 100% `WindowExec: No Partition
+    * Defined` lines). Every unpartitioned window in this repo is the
+    * documented bounded two-phase pattern — a window over at most
+    * `rangePartitions` per-partition-total rows (PrefixSum scaladoc;
+    * same shape in Sampling and the post-limit Corpus sites) — so the
+    * single-partition warning is a false alarm here by construction.
+    * Per-logger config survives `setLogLevel` (which only touches the
+    * root LoggerConfig); call this AFTER setLogLevel anyway. */
+  def quietNoisyLoggers(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -16,8 +16,11 @@ import org.apache.spark.sql.types.DecimalType
   *
   *  1. '''Timing rows''' — each skew query measured in a fresh forked
   *     JVM ([[SweepOne]], the sweep's own isolation harness) across
-  *     `[uniform sf1, skew sf1, skew sf3]` (same row counts, Zipf
-  *     α=1.1 keys — [[graft.tools.GenSf]] `--skew`). The artifact
+  *     `[uniform sf1, skew sf1, skew sf3]` per-round — plus a `skew
+  *     sf10` fourth leg on NOTES-cadence deep runs
+  *     (`SPARK_GRAFT_SKEW_DEEP=1`; [[SkewDepth]]-capped queries stay
+  *     at their cap either way). Same row counts per sf, Zipf
+  *     α=1.1 keys — [[graft.tools.GenSf]] `--skew`. The artifact
   *     records the skew/uniform wall ratio at equal volume (the key
   *     distribution is the only variable), the skew-decade exponent
   *     (sf1→sf3 on the SKEWED data), per-leg parallelism
@@ -58,14 +61,39 @@ object SkewTier {
   /** Queries measured on the skew tier: the salted-agg gate, the two
     * co-visitation shapes (hot items), the concurrency pair-join and
     * its sweep-line twin (hot hours), and the blocked-match linkage
-    * (hot block). Non-depth-capped queries run the FULL skew decade
-    * [skew sf1, sf3, sf10] (r15 late addition — the uniform tier's
-    * scale evidence spans three decades, the skew story deserves at
-    * least one). */
+    * (hot block).
+    *
+    * Per-round cadence (r15 verdict item 2): the DRIVER bench
+    * measures a [[RotationSize]]-query window of this list chosen by
+    * [[rotation]] — six forked skew sweeps per run do not fit the
+    * 3600 s driver budget next to the uniform sweep (BENCH_r15 was
+    * killed at exactly the timeout), and the identity checks + plan
+    * audits (the hard gates, cheap, in-process) still run over the
+    * FULL list every round. Non-depth-capped queries run
+    * [skew sf1, sf3] per-round; the sf10 fourth leg — the full skew
+    * decade — is reserved for NOTES-cadence deep runs
+    * (`SPARK_GRAFT_SKEW_DEEP=1`), where the uniform tier's
+    * three-decade evidence gets its skewed counterpart. */
   val Queries: Seq[String] = Seq(
     "q126_skew_salted_agg", "q104_covisitation",
     "q163_session_covisitation", "q241_session_concurrency",
     "q282_concurrency_sweepline", "q247_fuzzy_linkage")
+
+  /** Rotation window size: 3 of the 6 skew queries per round, so two
+    * consecutive rounds cover the whole tier. */
+  val RotationSize: Int = 3
+
+  /** Deterministic per-round rotation window — exactly the kill-test
+    * sampler's rule (`tools/killtest.py --sample`): round R takes the
+    * window starting at `(R * k) mod n`, wrapping, so consecutive
+    * rounds sweep the list with no query starved. Pure; spec-tested
+    * (every query appears within ceil(n/k) consecutive rounds). */
+  def rotation(round: Int, k: Int = RotationSize,
+      qs: Seq[String] = Queries): Seq[String] = {
+    val n = qs.size
+    val start = ((round * k) % n + n) % n
+    (0 until math.min(k, n)).map(i => qs((start + i) % n))
+  }
 
   /** Per-query cap on how many SKEW legs (after the uniform leg) a
     * query takes, mirroring the sweep's `deepDepth`:
@@ -118,9 +146,11 @@ object SkewTier {
     String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
 
   /** Adjudicate one query's legs into an artifact row. `legs` are
-    * `[uniform sf1, skew sf1, (skew sf3)]` in dir order; `sfs` the
-    * parsed scale factors of the SKEW legs (1-based tail of dirs).
-    * Pure — spec-tested in SkewTierSpec. */
+    * `[uniform sf1, skew sf1, (skew sf3, (skew sf10))]` in dir order
+    * — per-round runs stop at sf3, deep runs add sf10, and
+    * [[SkewDepth]]-capped queries stop at their cap; the skew-decade
+    * exponent fits whatever skew legs are present. Pure — spec-tested
+    * in SkewTierSpec. */
   def row(name: String, dirs: Seq[String], legs: Seq[SweepMath.Leg],
       contendedFactor: Double, starvedFactor: Double,
       retried: Boolean = false): Row = {

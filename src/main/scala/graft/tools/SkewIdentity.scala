@@ -11,9 +11,16 @@ package graft.tools
   * invisible to the kill-test harness.
   *
   * Usage: `runMain graft.tools.SkewIdentity <dir> [sf]` — `dir` is a
-  * GenSf-generated SKEW directory; if `dir/events.parquet` is
-  * missing it is generated at `sf` (default 0.01, the kill-test
-  * scale) with `skew = true`. Prints one `SKEWID <check> <verdict>`
+  * GenSf-generated SKEW directory; if incomplete it is (re)generated
+  * at `sf` (default 0.01, the kill-test scale) with `skew = true`.
+  * Completeness probes the LAST-written table's `_SUCCESS` marker
+  * (`embeddings.parquet/_SUCCESS` — Bench.genComplete's rule, r15
+  * ADVICE): a generation killed mid-run must look ABSENT, not
+  * half-present, or every later run errors on the partial tables and
+  * the skew_identity kill-test gate reads RED regardless of the
+  * mutation — a vacuous KILLED verdict. GenSf overwrites per-table,
+  * so regenerating over a partial dir is safe.
+  * Prints one `SKEWID <check> <verdict>`
   * line per check plus `SKEWID_SUMMARY`; exits nonzero on any
   * mismatch. Dev/evidence tooling — the library never depends on it.
   */
@@ -26,10 +33,13 @@ object SkewIdentity {
     val spark = graft.GraftSession.builder("skew-identity", "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    if (!new java.io.File(dir, "events.parquet").exists()) {
-      println(s"[skewid] generating skew sf=$sf at $dir")
+    def complete = new java.io.File(
+      dir, "embeddings.parquet/_SUCCESS").exists()
+    if (!complete) {
+      println(s"[skewid] (re)generating skew sf=$sf at $dir")
       GenSf.generate(spark, dir, sf, skew = true)
     }
+    require(complete, s"skew generation incomplete at $dir")
     val checks = graft.SkewTier.identityChecks(spark, dir)
     checks.foreach { case (k, v) => println(s"SKEWID $k $v") }
     val ok = checks.forall(_._2.startsWith("ok"))

@@ -152,4 +152,35 @@ class SkewTierSpec extends AnyFunSuite with SparkSuite {
       Seq("user_id"), col("event_id"), salt = 16)
     assert(SkewTier.msetSig(sj) === SkewTier.msetSig(plain))
   }
+
+  test("rotation: deterministic window, full coverage, no starvation") {
+    val n = SkewTier.Queries.size
+    val k = SkewTier.RotationSize
+    // deterministic: same round -> same window
+    assert(SkewTier.rotation(16) === SkewTier.rotation(16))
+    // window size k, all members of the corpus, no duplicates
+    (0 to 40).foreach { r =>
+      val w = SkewTier.rotation(r)
+      assert(w.size === k)
+      assert(w.distinct.size === k)
+      assert(w.forall(SkewTier.Queries.contains))
+    }
+    // killtest.py --sample rule: start = (R*k) mod n
+    assert(SkewTier.rotation(16) ===
+      SkewTier.Queries.slice(0, k)) // 48 % 6 == 0
+    assert(SkewTier.rotation(17) ===
+      SkewTier.Queries.slice(3, 6)) // 51 % 6 == 3
+    // no starvation: every query appears within ceil(n/k) consecutive
+    // rounds, from ANY starting round
+    val span = (n + k - 1) / k
+    (0 until n).foreach { r0 =>
+      val seen = (r0 until r0 + span).flatMap(SkewTier.rotation(_)).toSet
+      assert(seen === SkewTier.Queries.toSet,
+        s"rounds [$r0, ${r0 + span}) missed ${SkewTier.Queries.toSet -- seen}")
+    }
+    // negative rounds don't crash or under-fill (defensive mod)
+    assert(SkewTier.rotation(-3).size === k)
+    // k >= n degrades to the whole list
+    assert(SkewTier.rotation(5, k = 10).toSet === SkewTier.Queries.toSet)
+  }
 }

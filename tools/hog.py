@@ -26,11 +26,19 @@ def burn(stop_at):
 
 
 def main():
+    # len==3 is ambiguous (THREADS ON_SEC with OFF_SEC forgotten would
+    # silently reinterpret ON_SEC as TOTAL_SEC and run CONTINUOUS mode
+    # — the opposite contention pattern of the intended duty cycle).
+    # Reject it rather than guess (r15 ADVICE).
+    if len(sys.argv) == 3:
+        sys.exit("usage: hog.py THREADS [ON_SEC OFF_SEC [TOTAL_SEC]]\n"
+                 "  continuous mode: THREADS alone (3600s) or "
+                 "THREADS 0 0 TOTAL_SEC\n"
+                 "  duty-cycle mode: THREADS ON_SEC OFF_SEC [TOTAL_SEC]")
     threads = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     on = float(sys.argv[2]) if len(sys.argv) > 3 else 0.0
     off = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
-    total = float(sys.argv[4]) if len(sys.argv) > 4 else (
-        float(sys.argv[2]) if len(sys.argv) == 3 else 3600.0)
+    total = float(sys.argv[4]) if len(sys.argv) > 4 else 3600.0
     deadline = time.time() + total
     cycle = 0
     while time.time() < deadline:

@@ -860,7 +860,7 @@ def gate_color(queries, tag):
     return color, {"compare": lines, "verify_errors": verify_errs}
 
 
-ROUND = int(os.environ.get("KILLTEST_ROUND", "15"))
+ROUND = int(os.environ.get("KILLTEST_ROUND", "16"))
 ART_PATH = os.environ.get(
     "KILLTEST_ART", os.path.join(REPO, f"KILLTEST_r{ROUND}.json"))
 
