@@ -56,6 +56,14 @@ object Bench {
     * before it is allowed to sleep (sleep + re-measure otherwise
     * overruns: 30 s splice + ~60 s tail re-measure). */
   val CooldownMargin: Double = 120.0
+
+  /** Timed-loop emission cadence: a partial "timing" metric line is
+    * printed after every this-many timed queries, so a driver timeout
+    * landing INSIDE the suite phase (the r16 kill-drill: a 600 s
+    * timeout dies mid-suite on this box) still leaves the most recent
+    * ~50-query prefix of the suite timings parseable. ~6 extra lines
+    * per full run; negligible cost. */
+  val EmitEvery: Int = 50
   /** Starvation threshold on the query's OWN task profile: a leg
     * whose summed executor task run time exceeds this multiple of
     * its summed task CPU time spent most of its task lifetime not
@@ -113,6 +121,71 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // ---- artifact state, declared up front so the phased emitter can
+    // print a complete line at ANY point in the run (r15 verdict item
+    // 1a; the r16 kill-drill showed the suite phase alone can outlive
+    // a short driver timeout, so emission starts BEFORE the suite
+    // finishes, not after).
+    var errors = Map.empty[String, String]
+    val results =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var auditJson = "{}"
+    var auditFlags: Seq[String] = Nil
+    var sweepFlags = 0
+    var sweepErrors = 0
+    var sweepContended = 0
+    var instrumentationSec = 0.0
+    var flaggedNames = List.empty[String]
+    var contendedNames = List.empty[String]
+    var errorNames = List.empty[String]
+    var starvedNames = List.empty[String]
+    var calibStale = false
+    var skewFlags = 0
+    var skewErrors = 0
+    var skewIdentityFails = 0
+    var skewStragglerNames = List.empty[String]
+    var skewSensitiveNames = List.empty[String]
+    var skewFlaggedNames = List.empty[String]
+    var skewErrorNames = List.empty[String]
+    // queries whose raw-flag cooldown retry (or splice) was skipped
+    // because the budget could not afford the sleep + re-measure —
+    // their single-sample annotation is recorded as UNRETRIED, loudly
+    var retrySkippedBudget = List.empty[String]
+    var sweepJson = ""
+    var skewJson = ""
+    var sweepRanV = false
+    // locale-independent decimal formatting: the f interpolator uses
+    // the JVM default locale (comma decimals on e.g. de_DE would
+    // corrupt the JSON line)
+    def jnum(x: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
+    def nameArr(ns: List[String]): String =
+      ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // ---- phased emission (r15 verdict item 1a): print a COMPLETE,
+    // parseable metric line at every phase boundary AND periodically
+    // inside the timed loop, so the driver's last-metric-line parse
+    // survives a kill at ANY point with everything measured so far.
+    // Emission points: "start" (empty skeleton, right after session
+    // up), "timing" (every [[EmitEvery]] timed queries), "suite"
+    // (after the plan audit), "sweep", "skew" (final, authoritative).
+    // Summary keys lead the JSON object (truncated-from-the-right
+    // capture) AND repeat as the LAST key (`summary_tail`) — the
+    // driver keeps the final 2000 chars of the line, so a line longer
+    // than that would otherwise show neither count. sweep_ran
+    // distinguishes "clean sweep" from "sweep never ran" (generation
+    // failure, BENCH_ONLY, NO_SWEEP, budget).
+    def emit(phase: String): Unit = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val errJson = errors.toSeq.sortBy(_._1)
+        .map { case (n, c) => s"\"" + n + "\":\"error:" + c + "\"" }
+        .mkString("{", ",", "}")
+      val tail = s"""{"phase":"$phase","errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRanV,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_starved":${starvedNames.size},"sweep_errors":$sweepErrors,"flagged":${nameArr(flaggedNames)},"contended_q":${nameArr(contendedNames)},"starved_q":${nameArr(starvedNames)},"error_q":${nameArr(errorNames)},"calib_stale":$calibStale,"skew_ran":${skewJson.nonEmpty},"skew_flags":$skewFlags,"skew_errors":$skewErrors,"skew_identity_fails":$skewIdentityFails,"skew_flagged":${nameArr(skewFlaggedNames)},"skew_straggler_q":${nameArr(skewStragglerNames)},"skew_sensitive_q":${nameArr(skewSensitiveNames)},"skew_error_q":${nameArr(skewErrorNames)},"budget_sec":${jnum(budgetSec, 0)},"elapsed_sec":${jnum(elapsedSec, 1)},"budget_skipped":${nameArr(budgetSkipped)},"retry_skipped_budget":${nameArr(retrySkippedBudget)},"instrumentation_sec":${jnum(instrumentationSec, 1)},"total_sec":$total,"n_queries":${results.size}}"""
+      println(s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$auditJson,"sf":"$sfDir",$sweepJson$skewJson"summary_tail":$tail}""")
+      System.out.flush()
+    }
+    emit("start")
     // Warmup pass over the SELECTED queries only: JIT-compile the
     // interpreted-expression and codegen paths and fault in the
     // parquet footers/pages, so the timed pass measures query
@@ -121,14 +194,14 @@ object Bench {
     // gets an "error:<class>" entry in the output JSON and flips the
     // exit code, so an environment shift (e.g. a testdata schema change)
     // can never again produce a green BENCH over broken queries.
-    var errors = Map.empty[String, String]
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch {
         case e: Throwable =>
           errors += name -> e.getClass.getSimpleName
       }
     }
-    val results = queries.map { case (name, fn) =>
+    var sinceEmit = 0
+    queries.foreach { case (name, fn) =>
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -137,11 +210,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      results(name) = times(times.length / 2)
+      sinceEmit += 1
+      if (sinceEmit >= Bench.EmitEvery) { sinceEmit = 0; emit("timing") }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     // Plan-shape audit at the BENCH sf, not just PlanLintSpec's
     // sf0.001: AQE may broadcast at tiny scale what it must shuffle
     // here, so re-audit every non-trivial query's FINAL adaptive plan
@@ -237,19 +309,11 @@ object Bench {
         merged.map { case (n, c) => s"""  "$n": $c""" }
           .mkString("{\n", ",\n", "\n}\n"))
     }
-    val audit = audited.map { case (n, v) => s"\"" + n + "\":\"" + v + "\"" }
+    auditJson = audited.map { case (n, v) => s"\"" + n + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val auditFlags = audited.collect {
+    auditFlags = audited.collect {
       case (n, v) if !v.startsWith("ok") && !v.startsWith("error") => n
     }
-    val errJson = errors.toSeq.sortBy(_._1)
-      .map { case (n, c) => s"\"" + n + "\":\"error:" + c + "\"" }
-      .mkString("{", ",", "}")
-    // locale-independent decimal formatting: the f interpolator uses
-    // the JVM default locale (comma decimals on e.g. de_DE would
-    // corrupt the JSON line)
-    def jnum(x: Double, digits: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
     // ---- multi-sf scaling sweep: MEASURED time-vs-rows exponents for
     // the expensive tail, not just statically-proven plan shapes.
     // Every table in the synthetic schema grows linearly in sf, so the
@@ -370,17 +434,9 @@ object Bench {
     // timed cost; median-of-3 would pay 3x for little more.
     val sweepPasses =
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_PASSES", "2").toInt
-    var sweepFlags = 0
-    var sweepErrors = 0
-    var sweepContended = 0
-    // Instrumentation accounting (r13 verdict item 3): wall seconds
-    // the sweep spends on its OWN measurement machinery — per-leg
-    // canary samples (calib + scanary) plus each child's canary
-    // warmup — summed separately so the round-over-round total_sec is
-    // interpretable without a NOTES cross-reference (r13's total grew
-    // 151.7 -> 198.4 partly from adding per-leg canaries; future
-    // rounds could not tell instrumentation from regression).
-    var instrumentationSec = 0.0
+    // (sweep counters + instrumentationSec — the r13 item-3
+    // instrumentation/engine wall split — are declared with the rest
+    // of the artifact state at the top of main, for the emitter.)
     // The sweep runs AFTER the full query suite, and a suite-warmed JVM
     // is a contended measurement environment: r9 recorded q229 at 73 s
     // where an isolated JVM measures 1.5 s (48x), and even with
@@ -580,16 +636,8 @@ object Bench {
     // chars and the queries map truncates from the left), so flagged/
     // contended/error names are ALWAYS carried in the tail, and the
     // rows themselves are ordered healthy-first so a problem row can
-    // never be the one the truncation eats.
-    var flaggedNames = List.empty[String]
-    var contendedNames = List.empty[String]
-    var errorNames = List.empty[String]
-    // every starved row (r13 ADVICE: a starved-only relabel folded
-    // into sweep_contended was indistinguishable from plain canary
-    // contention in a tail-only capture — the r12 starvation mode's
-    // machinery was invisible exactly where it mattered)
-    var starvedNames = List.empty[String]
-    var calibStale = false
+    // never be the one the truncation eats. (Name-list vars live with
+    // the artifact state at the top of main, for the emitter.)
     // A reviewed-intrinsic sweep row names its auto-scaled twin so
     // the artifact explains the allowance without a judge
     // cross-reference (r13 verdict item 4): q184's pinned-k config is
@@ -598,38 +646,6 @@ object Bench {
     // from count(*) — the linear regime the allowance contrasts).
     val intrinsicTwin = Map(
       "q184_semantic_neardup" -> "q285_semantic_neardup_auto")
-    // skew-tier counters hoisted above the emitter so every phase line
-    // can carry them (zero until the skew phase runs)
-    var skewFlags = 0
-    var skewErrors = 0
-    var skewIdentityFails = 0
-    var skewStragglerNames = List.empty[String]
-    var skewSensitiveNames = List.empty[String]
-    var skewFlaggedNames = List.empty[String]
-    var skewErrorNames = List.empty[String]
-    // queries whose raw-flag cooldown retry (or splice) was skipped
-    // because the budget could not afford the sleep + re-measure —
-    // their single-sample annotation is recorded as UNRETRIED, loudly
-    var retrySkippedBudget = List.empty[String]
-    var sweepJson = ""
-    var skewJson = ""
-    var sweepRanV = false
-    // ---- phased emission (r15 verdict item 1a): print a COMPLETE,
-    // parseable metric line after each phase so the driver's
-    // last-metric-line parse survives a mid-phase kill. Summary keys
-    // lead the JSON object (truncated-from-the-right capture) AND
-    // repeat as the LAST key (`summary_tail`) — the driver keeps the
-    // final 2000 chars of the line, so a line longer than that would
-    // otherwise show neither count. sweep_ran distinguishes "clean
-    // sweep" from "sweep never ran" (generation failure, BENCH_ONLY,
-    // NO_SWEEP, budget).
-    def nameArr(ns: List[String]): String =
-      ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def emit(phase: String): Unit = {
-      val tail = s"""{"phase":"$phase","errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRanV,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_starved":${starvedNames.size},"sweep_errors":$sweepErrors,"flagged":${nameArr(flaggedNames)},"contended_q":${nameArr(contendedNames)},"starved_q":${nameArr(starvedNames)},"error_q":${nameArr(errorNames)},"calib_stale":$calibStale,"skew_ran":${skewJson.nonEmpty},"skew_flags":$skewFlags,"skew_errors":$skewErrors,"skew_identity_fails":$skewIdentityFails,"skew_flagged":${nameArr(skewFlaggedNames)},"skew_straggler_q":${nameArr(skewStragglerNames)},"skew_sensitive_q":${nameArr(skewSensitiveNames)},"skew_error_q":${nameArr(skewErrorNames)},"budget_sec":${jnum(budgetSec, 0)},"elapsed_sec":${jnum(elapsedSec, 1)},"budget_skipped":${nameArr(budgetSkipped)},"retry_skipped_budget":${nameArr(retrySkippedBudget)},"instrumentation_sec":${jnum(instrumentationSec, 1)},"total_sec":$total,"n_queries":${results.size}}"""
-      println(s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$audit,"sf":"$sfDir",$sweepJson$skewJson"summary_tail":$tail}""")
-      System.out.flush()
-    }
     emit("suite")
     // Will the skew tier run after the sweep? If so, the sweep must
     // leave it budget room: every per-fork check below carries this
