@@ -26,14 +26,17 @@ package graft
   * '''Worst-case wall arithmetic''' (the bound-by-construction,
   * r15 verdict item 3): after the budget trips, at most ONE already-
   * started forked measurement can still run, capped by the
-  * [[ForkCapMinutes]]-minute watchdog (5 min — ~7x the slowest
-  * observed healthy per-query sweep fork), plus at most one
-  * 30 s splice + one 15 s retry cooldown that passed their own
-  * pre-sleep budget check with [[CooldownMargin]] s of margin, plus
-  * the final in-process emission (<1 s). So
-  * `wall <= budget + fork cap (300 s) + cooldown margin slack` —
-  * with the 2700 s default, <= ~3100 s against the driver's 3600 s
-  * `timeout`, leaving >= 500 s for sbt/JVM startup before main. The
+  * [[ForkCapMinutes]]-minute watchdog (10 min — ~2.6x the slowest
+  * observed healthy per-query sweep fork, q241's ≈230 s), plus at
+  * most one 30 s splice + one 15 s retry cooldown that passed their
+  * own pre-sleep budget check with [[CooldownMargin]] s of margin,
+  * plus the final in-process emission (<5 s). So
+  * `wall <= budget + fork cap (600 s) + cooldown slack (45 s)` —
+  * with the 2700 s default, <= ~3350 s against the driver's 3600 s
+  * `timeout`, leaving ~250 s for sbt/JVM startup before main
+  * (measured ~35-40 s). The r16 closing run measured 2118 s total
+  * wall for suite + full 18-fork sweep + rotated skew tier on a
+  * quiet box — ~580 s of budget headroom before any skip fires. The
   * uniform sweep additionally reserves
   * `SPARK_GRAFT_SKEW_RESERVE_SEC` (default 600 s) of the budget for
   * the skew tier when it is due to run, so the skew block — the r15
@@ -45,12 +48,15 @@ package graft
 object Bench {
 
   /** Forked-child watchdog, minutes. r15's 30-min cap let one hung
-    * fork eat the entire driver budget; 5 min is ~7x the slowest
-    * healthy per-query fork observed on a quiet box (q247 full-depth
-    * retired; current worst ~40 s wall/fork) while still far above
-    * scheduling noise. A killed child's completed legs survive via
-    * the per-leg SWEEPONE_LEG protocol. */
-  val ForkCapMinutes: Long = 5L
+    * fork eat the entire driver budget; 10 min bounds the post-budget
+    * overrun (see the object scaladoc arithmetic: 2700 + 600 + slack
+    * ≈ 3350 s < the driver's 3600 s timeout) while giving the slowest
+    * healthy fork — q241's pair join, ≈230 s wall on a quiet box
+    * (2 passes × [0.7, 2.7, 32, 68] s legs + JVM/session/canary
+    * overhead) — ~2.6× contention headroom before a kill. A killed
+    * child's completed legs survive via the per-leg SWEEPONE_LEG
+    * protocol; only the in-flight leg reads -1. */
+  val ForkCapMinutes: Long = 10L
 
   /** Seconds of remaining budget a cooldown retry/splice must see
     * before it is allowed to sleep (sleep + re-measure otherwise
