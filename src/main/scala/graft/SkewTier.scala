@@ -53,6 +53,9 @@ import org.apache.spark.sql.types.DecimalType
   * [[RatioBound]] (annotation — extra work under skew can be the
   * data's own property, e.g. hot-hour concurrency mass; the exponent
   * and straggler signals separate engine cliffs from data mass).
+  * When the two equal-volume legs' deflators are cross-leg distorted
+  * the RAW ratio adjudicates instead (`ratio_distorted` recorded) —
+  * per-leg self-deflation must not manufacture the annotation.
   * Identity mismatches and crashed legs are hard failures
   * (`skew_errors`, process exit like sweep errors).
   */
@@ -175,11 +178,22 @@ object SkewTier {
     // equal-volume ratio: skew sf1 leg over uniform sf1 leg
     val ratio = times(1) / times(0)
     val ratioNorm = normTs(1) / normTs(0)
+    // Ratio distortion guard (observed live, r16 deep run): when the
+    // two equal-volume legs' environment deflators are themselves
+    // unequal (> SweepMath.CrossLegRatio), the NORMALIZED quotient is
+    // manufactured by per-leg self-deflation, not by the query —
+    // q247's raw ratio read 2.11 (the documented Zipf Σp² intrinsic)
+    // while ratio_norm read 7.88 because the uniform leg sampled
+    // ~3.7x more starved than the skew leg. Mirror the sweep's
+    // refusal to adjudicate on distorted numbers: bound-check the RAW
+    // ratio instead, and record the distortion in the row.
+    val ratioDistorted = SweepMath.crossLegDistorted(envF.take(2))
+    val ratioForBound = if (ratioDistorted) ratio else ratioNorm
     // per-leg task parallelism: run-seconds over wall (missing -> -1)
     val par = legs.map(l => if (l.run > 0.0) l.run / l.t else -1.0)
     val straggler = par(0) > 4.0 && par(1) > 0.0 &&
       par(0) / par(1) > StragglerRatio && times(1) > 1.0
-    val sensitive = ratioNorm > RatioBound && times(1) > 1.0
+    val sensitive = ratioForBound > RatioBound && times(1) > 1.0
     // skew-decade exponent + sweep-style adjudication on the skew legs
     val skewLegs = legs.drop(1)
     val (flag, contended, expJson) =
@@ -221,6 +235,7 @@ object SkewTier {
       s""""sfactor":[${sparkF.map(jnum(_, 2)).mkString(",")}],""" +
       s""""qfactor":[${qF.map(jnum(_, 2)).mkString(",")}],""" +
       s""""ratio":${jnum(ratio, 2)},"ratio_norm":${jnum(ratioNorm, 2)},""" +
+      s""""ratio_distorted":$ratioDistorted,""" +
       expJson +
       s""""contended":$contended,"straggler":$straggler,""" +
       s""""retried":$retried,""" +

@@ -153,6 +153,34 @@ class SkewTierSpec extends AnyFunSuite with SparkSuite {
     assert(SkewTier.msetSig(sj) === SkewTier.msetSig(plain))
   }
 
+  test("the live q247 distorted-ratio replayed: an unequally-starved " +
+      "uniform leg cannot manufacture skew_sensitive; an honestly " +
+      "high ratio still annotates") {
+    // the r16 deep-run numbers: uniform leg 9.68 s reading heavily
+    // starved (run >> cpu -> big starve deflator), skew leg 20.47 s
+    // clean. Raw ratio 2.11 (< 3, the documented intrinsic), norm
+    // ratio ~7.9 purely from the unequal deflators.
+    val distorted = Seq(leg(9.68, run = 261.0, cpu = 70.0),
+      leg(20.47, run = 573.0, cpu = 556.0))
+    val rd = SkewTier.row("q247", dirs3.take(2), distorted, 2.0, 3.0)
+    assert(!rd.sensitive,
+      "per-leg self-deflation manufactured the annotation")
+    assert(rd.json.contains(""""ratio_distorted":true"""))
+    assert(rd.json.contains(""""ratio":2.11"""))
+    // equal deflators, genuinely 4x skew/uniform wall: still annotates
+    val honest = Seq(leg(2.0, run = 40.0, cpu = 38.0),
+      leg(8.0, run = 160.0, cpu = 152.0))
+    val rh = SkewTier.row("q247", dirs3.take(2), honest, 2.0, 3.0)
+    assert(rh.sensitive)
+    assert(rh.json.contains(""""ratio_distorted":false"""))
+    // distorted BUT the raw ratio itself exceeds the bound: the
+    // annotation survives on the honest number
+    val both = Seq(leg(2.0, run = 54.0, cpu = 14.0),
+      leg(8.0, run = 160.0, cpu = 152.0))
+    val rb = SkewTier.row("q247", dirs3.take(2), both, 2.0, 3.0)
+    assert(rb.sensitive && rb.json.contains(""""ratio_distorted":true"""))
+  }
+
   test("rotation: deterministic window, full coverage, no starvation") {
     val n = SkewTier.Queries.size
     val k = SkewTier.RotationSize
