@@ -10,12 +10,14 @@ package graft
   * hold:
   *
   *  1. '''Phased emission''': a COMPLETE, parseable metric line is
-  *     printed after each phase — suite+audit, then again with the
-  *     sweep block, then again with the skew block. The driver's
-  *     last-metric-line parse therefore always gets the most complete
-  *     artifact even when a later phase is killed mid-fork. Each line
-  *     carries `"phase"`, `"elapsed_sec"`, `"budget_sec"` and
-  *     `"budget_skipped"`.
+  *     printed at session-up (`start`), every [[EmitEvery]] timed
+  *     queries (`timing` — the suite phase alone can outlive a short
+  *     timeout), and after each phase — `suite`+audit, then again
+  *     with the sweep block, then again with the skew block. The
+  *     driver's last-metric-line parse therefore always gets the most
+  *     complete artifact even when a kill lands mid-suite or
+  *     mid-fork. Each line carries `"phase"`, `"elapsed_sec"`,
+  *     `"budget_sec"`, `"budget_skipped"`, `"retry_skipped_budget"`.
   *  2. '''Wall-clock budget''' (`SPARK_GRAFT_BENCH_BUDGET_SEC`,
   *     default 2700, measured from main entry): checked before every
   *     data generation, before every forked sweep/skew measurement,
@@ -98,7 +100,8 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     // wall budget from main entry; see the object scaladoc's
     // worst-case arithmetic. 2700 s default = driver timeout 3600 s
-    // minus fork-cap overrun (300 s) minus sbt/JVM startup headroom.
+    // minus fork-cap overrun (600 s) minus cooldown slack and
+    // sbt/JVM startup headroom.
     val budgetSec = sys.env
       .getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
     def overBudget(marginSec: Double = 0.0): Boolean =
