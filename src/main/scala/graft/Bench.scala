@@ -183,6 +183,15 @@ object Bench {
     // than that would otherwise show neither count. sweep_ran
     // distinguishes "clean sweep" from "sweep never ran" (generation
     // failure, BENCH_ONLY, NO_SWEEP, budget).
+    // name arrays in the COMPACT line are capped so a pathological
+    // skip list can never push it past the 2000-char capture window
+    def cappedArr(ns: List[String]): String = {
+      val s = ns.sorted
+      val shown = s.take(12).map("\"" + _ + "\"")
+      val more =
+        if (s.size > 12) Seq("\"+" + (s.size - 12) + " more\"") else Nil
+      (shown ++ more).mkString("[", ",", "]")
+    }
     def emit(phase: String): Unit = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -192,6 +201,23 @@ object Bench {
         .mkString("{", ",", "}")
       val tail = s"""{"phase":"$phase","errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRanV,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_starved":${starvedNames.size},"sweep_errors":$sweepErrors,"flagged":${nameArr(flaggedNames)},"contended_q":${nameArr(contendedNames)},"starved_q":${nameArr(starvedNames)},"error_q":${nameArr(errorNames)},"calib_stale":$calibStale,"skew_ran":${skewJson.nonEmpty},"skew_flags":$skewFlags,"skew_errors":$skewErrors,"skew_identity_fails":$skewIdentityFails,"skew_flagged":${nameArr(skewFlaggedNames)},"skew_straggler_q":${nameArr(skewStragglerNames)},"skew_sensitive_q":${nameArr(skewSensitiveNames)},"skew_error_q":${nameArr(skewErrorNames)},"budget_sec":${jnum(budgetSec, 0)},"elapsed_sec":${jnum(elapsedSec, 1)},"budget_skipped":${nameArr(budgetSkipped)},"retry_skipped_budget":${nameArr(retrySkippedBudget)},"instrumentation_sec":${jnum(instrumentationSec, 1)},"total_sec":$total,"n_queries":${results.size}}"""
       println(s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$auditJson,"sf":"$sfDir",$sweepJson$skewJson"summary_tail":$tail}""")
+      // COMPACT twin line, < 2000 chars by construction: every
+      // BENCH_r*.json through r15 — including rc-0 rounds — has
+      // `parsed: null`, because the driver records only the final
+      // 2000 chars of output and the full artifact line above is
+      // ~14 KB, so its head (and with it json-parseability) never
+      // survives the capture. This twin repeats the full line's
+      // summary_tail plus the top-8 slowest suite timings in a line
+      // small enough to survive the capture WHOLE, so the recorded
+      // tail is finally a parseable artifact. It follows every full
+      // line (not just the last): whichever emission the driver's
+      // capture lands after, the trailing 2000 chars contain one
+      // complete compact line. The full per-query artifact is always
+      // the immediately preceding line.
+      val top8 = results.toSeq.sortBy(-_._2).take(8)
+        .map { case (k, v) => s"\"" + k + "\":" + jnum(v, 3) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"summary","value":$total,"unit":"sec","phase":"$phase","round":$round,"sf":"$sfDir","errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRanV,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_starved":${starvedNames.size},"sweep_errors":$sweepErrors,"flagged":${cappedArr(flaggedNames)},"contended_q":${cappedArr(contendedNames)},"starved_q":${cappedArr(starvedNames)},"error_q":${cappedArr(errorNames)},"calib_stale":$calibStale,"skew_ran":${skewJson.nonEmpty},"skew_flags":$skewFlags,"skew_errors":$skewErrors,"skew_identity_fails":$skewIdentityFails,"skew_flagged":${cappedArr(skewFlaggedNames)},"skew_straggler_q":${cappedArr(skewStragglerNames)},"skew_sensitive_q":${cappedArr(skewSensitiveNames)},"skew_error_q":${cappedArr(skewErrorNames)},"budget_sec":${jnum(budgetSec, 0)},"elapsed_sec":${jnum(elapsedSec, 1)},"budget_skipped":${cappedArr(budgetSkipped)},"retry_skipped_budget":${cappedArr(retrySkippedBudget)},"instrumentation_sec":${jnum(instrumentationSec, 1)},"total_sec":$total,"n_queries":${results.size},"slowest":$top8}""")
       System.out.flush()
     }
     emit("start")
