@@ -181,44 +181,64 @@ object Corpus {
     * == Scale ==
     * One explode for unigrams, one for adjacent pairs (both staged off
     * a single word-split projection), each into a groupBy with
-    * map-side partial aggregation. Totals ride along as broadcast
-    * scalars. Everything downstream of the two counts is
-    * |vocab|-sized, not corpus-sized.
+    * map-side partial aggregation. Totals T/P are scalar two-stage
+    * aggregates broadcast back as a one-row crossJoin (the
+    * repo-standard bounded shape) — never a single-partition window
+    * holding the whole vocab/pair table. The unigram-side joins are
+    * CENSUSED: the vocab count (read off the eagerly-materialized
+    * checkpoint, no extra corpus scan) picks `broadcast` below
+    * `broadcastVocabCap` and degrades to a shuffle hash join past it —
+    * a web-scale vocabulary (10^8–10^9 terms) would exceed Spark's
+    * 8 GB broadcast hard limit, so past the cap the join partitions on
+    * the token key instead. Output-identical on both paths (spec:
+    * PipelineOpsSpec "cooccurrencePmi: degrade path").
     */
   def cooccurrencePmi(
       docs: DataFrame,
       textCol: String,
       minCount: Int,
-      scale: Int = 6): DataFrame = {
+      scale: Int = 6,
+      broadcastVocabCap: Long = 2000000L): DataFrame = {
     val staged = docs.select(TextFunctions.words(col(textCol)).as("__w"))
-    val allW = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    // totals ride along as windows over the vocab-sized count tables —
-    // no separate aggregate legs that would rescan the corpus. The
-    // unigram table feeds BOTH pair joins, so it is pinned with an
-    // eager localCheckpoint (vocab-sized) — otherwise each broadcast
-    // build re-executes the corpus explode (measured: 5 corpus scans
-    // in the naive shape, 2 in this one).
+    // The unigram table feeds the census, the T total AND both pair
+    // joins, so it is pinned with an eager localCheckpoint
+    // (vocab-sized) — otherwise each consumer re-executes the corpus
+    // explode (measured: 5 corpus scans in the naive shape, 2 in this
+    // one).
     val uni = staged.select(explode(col("__w")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
-      .withColumn("__T", sum(col("c")).over(allW))
       .localCheckpoint()
-    // P = Σ pair occurrences (== Σ_{len≥2} (len-1)) — a window over
-    // the pair-count table computed BEFORE the minCount filter
-    val pairs = staged
+    // vocab census: a count over the ALREADY-materialized checkpoint
+    // partitions (localCheckpoint is eager) — a distributed scalar
+    // count, not a driver-side data collect
+    val vocabSize = uni.count()
+    // P = Σ pair occurrences, summed BEFORE the minCount filter. The
+    // totals leg's exchange canonicalizes identically to the main
+    // pair-count leg's, so ReuseExchange serves both from one shuffle;
+    // even unreused it is an O(corpus) rescan, never a memory hazard.
+    val pairCounts = staged
       .select(explode(TextFunctions.shinglesFromWords(col("__w"), 2)).as("pair"))
       .filter(size(split(col("pair"), " ")) === 2)
       .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
-      .withColumn("__P", sum(col("c_ab")).over(allW))
+    val totals = uni.agg(sum(col("c")).as("__T"))
+      .crossJoin(pairCounts.agg(sum(col("c_ab")).as("__P")))
+    // past the census cap the uni side partitions on the token key
+    // (shuffle hash: the vocab side builds the per-partition hash
+    // table, the pair side probes); the hint pins the strategy so AQE
+    // cannot flip a censused-over-cap side back to broadcast
+    def uniSide(tok: String, cName: String): DataFrame = {
+      val side = uni.select(col("token").as(tok), col("c").as(cName))
+      if (vocabSize <= broadcastVocabCap) broadcast(side)
+      else side.hint("shuffle_hash")
+    }
+    pairCounts
       .filter(col("c_ab") >= minCount)
-    pairs
       .withColumn("tok_a", split(col("pair"), " ").getItem(0))
       .withColumn("tok_b", split(col("pair"), " ").getItem(1))
-      .join(broadcast(uni.select(col("token").as("tok_a"),
-        col("c").as("c_a"), col("__T"))), "tok_a")
-      .join(broadcast(uni.select(col("token").as("tok_b"),
-        col("c").as("c_b"))), "tok_b")
+      .join(uniSide("tok_a", "c_a"), "tok_a")
+      .join(uniSide("tok_b", "c_b"), "tok_b")
+      .crossJoin(broadcast(totals))
       .select(col("tok_a"), col("tok_b"), col("c_ab"), col("c_a"), col("c_b"),
         round(log((col("c_ab").cast("double") / col("__P")) /
           ((col("c_a").cast("double") / col("__T")) *

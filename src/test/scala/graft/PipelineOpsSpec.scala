@@ -289,6 +289,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got(("york", "aa"))._2 <= nyPmi)
   }
 
+  test("cooccurrencePmi: degrade path (vocab over the broadcast census) " +
+      "is multiset-identical and broadcasts no vocab side") {
+    // the bench corpus itself, so the identity is proven on the data
+    // the green q83 row is graded on (the cappedFanJoin spec pattern)
+    val docs = Tables.documents(spark, sf)
+    val bcast = Corpus.cooccurrencePmi(docs, "text", minCount = 5)
+    // cap 0 forces the over-census path: shuffle-hash vocab joins +
+    // the same one-row totals crossJoin
+    val degraded = Corpus.cooccurrencePmi(docs, "text", minCount = 5,
+      broadcastVocabCap = 0L)
+    assert(degraded.exceptAll(bcast).isEmpty &&
+      bcast.exceptAll(degraded).isEmpty)
+    assert(degraded.count() === bcast.count())
+    // plan shape: the degraded path's vocab joins must be shuffled
+    // hash joins — the only broadcast left is the bounded one-row
+    // totals crossJoin (BroadcastNestedLoopJoin, never a
+    // BroadcastHashJoin keyed on the vocab)
+    val dplan = degraded.queryExecution.executedPlan.toString
+    assert(!dplan.contains("BroadcastHashJoin"), dplan.take(2000))
+    assert(dplan.contains("ShuffledHashJoin"), dplan.take(2000))
+    // and the default path DOES broadcast (small vocab, the fast shape)
+    val bplan = bcast.queryExecution.executedPlan.toString
+    assert(bplan.contains("BroadcastHashJoin"), bplan.take(2000))
+  }
+
   test("plan shapes: decontaminate broadcasts, gram matrix partial-aggregates") {
     val docs = Tables.documents(spark, sf)
     val decon = Decontaminate.overlapReport(
