@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-capture hygiene (the BENCH_r16 parsed-null root cause): the
+// driver records only the final 2000 chars of the sbt run's output and
+// json-parses the tail. StdoutOutput passes the forked JVM's stdout
+// through verbatim — metric lines land at column 0 with no sbt
+// `[info] ` logger prefix — and showSuccess=false drops the
+// `[success] Total time: …` epilogue, so the last line of a completed
+// run IS the final compact metric line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another setting —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

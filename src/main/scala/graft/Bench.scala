@@ -38,14 +38,22 @@ package graft
   * `timeout`, leaving ~250 s for sbt/JVM startup before main
   * (measured ~35-40 s). The r16 closing run measured 2118 s total
   * wall for suite + full 18-fork sweep + rotated skew tier on a
-  * quiet box — ~580 s of budget headroom before any skip fires. The
-  * uniform sweep additionally reserves
-  * `SPARK_GRAFT_SKEW_RESERVE_SEC` (default 600 s) of the budget for
-  * the skew tier when it is due to run, so the skew block — the r15
-  * verdict's rotation deliverable — cannot be starved by a slow
-  * sweep; sweep queries displaced by the reserve are budget-skipped
-  * by the per-round measurement-order rotation, a different tail
-  * each round.
+  * quiet box — ~580 s of budget headroom before any skip fires.
+  *
+  * '''Phase plan fitted to the box''' (r16 verdict item 2 — the
+  * driver's box ran ~1.3x the builder wall and the whole skew tier
+  * was budget-skipped): phase order is suite → DEEP sweep group →
+  * skew tier → rotated sweep tail, so the least-replicated evidence
+  * runs before the rotated low-information tail, and every fork
+  * admission requires the remaining budget to cover the reserve
+  * still owed to later phases (`SPARK_GRAFT_SKEW_RESERVE_SEC`,
+  * default 600 s, while the skew tier is still due) PLUS the fork's
+  * own wall estimate scaled by the session-up box factor
+  * (canary-over-pin, refined by the measured suite wall over
+  * [[SuiteBaselineSec]]). The reserve therefore holds to estimate
+  * accuracy — an estimate-blowing fork is bounded by the fork cap
+  * and its displacement recorded in `budget_skipped`; starvation
+  * past the estimates is recorded, not prevented.
   */
 object Bench {
 
@@ -72,6 +80,102 @@ object Bench {
     * ~50-query prefix of the suite timings parseable. ~6 extra lines
     * per full run; negligible cost. */
   val EmitEvery: Int = 50
+
+  /** Builder-box wall pin for the suite+audit phase of a full
+    * default-env run (r16 closing runs: done @925–1025 s). The
+    * measured suite wall over this pin is one input to the phase
+    * plan's box factor — a driver box running the same suite 1.3x
+    * slower scales every downstream fork estimate by 1.3 BEFORE any
+    * budget is burned on forks that cannot fit. */
+  val SuiteBaselineSec: Double = 975.0
+
+  /** Per-fork wall estimates for the DEEP sweep queries (carry sf3 /
+    * sf10 legs), pinned from builder-box r16 measurements (q241
+    * ≈230 s is the slowest healthy fork on record). Admission checks
+    * multiply these by the run's box factor; a fork that blows its
+    * estimate is still bounded by [[ForkCapMinutes]] and the overrun
+    * is recorded, never silent. */
+  val ForkEstimateDeepSec: Map[String, Double] = Map(
+    "q241_session_concurrency" -> 240.0,
+    "q285_semantic_neardup_auto" -> 150.0,
+    "q287_semantic_neardup_twolevel" -> 150.0,
+    "q282_concurrency_sweepline" -> 150.0,
+    "q42_dedup_components" -> 120.0)
+
+  /** Estimated fork wall for a non-deep sweep query (r16 builder
+    * closing runs: 18-fork sweep ≈1100–1300 s ⇒ ~45 s per shallow
+    * fork including JVM/session/canary overhead). */
+  val ForkEstimateDefaultSec: Double = 45.0
+
+  def forkEstimateSec(name: String): Double =
+    ForkEstimateDeepSec.getOrElse(name, ForkEstimateDefaultSec)
+
+  /** Estimated fork wall for one skew-tier rotation query
+    * ([uniform sf1, skew sf1, skew sf3] legs; r16 tier: 200–250 s
+    * for 3 forks + harness). */
+  val SkewForkEstimateSec: Double = 60.0
+
+  // ---- compact driver-capture line --------------------------------
+
+  /** Names shown per compact-line array before collapsing to a
+    * "+N more" marker. The driver records only the FINAL 2000 chars
+    * of output, so the compact line must fit that window WHOLE even
+    * with every name array populated — the full (uncapped) artifact
+    * line always immediately precedes it. */
+  val CompactNames: Int = 2
+
+  /** Slowest-suite-timing entries carried in the compact line. */
+  val CompactSlowest: Int = 5
+
+  /** Hard bound the compact line is spec-held to (BenchEmitSpec
+    * builds one with every array maxed out): comfortably under the
+    * driver's 2000-char tail capture, so nothing that follows the
+    * line's head in the window can push it out. */
+  val CompactMaxChars: Int = 1900
+
+  private[graft] def jnum(x: Double, digits: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(x))
+
+  private def cappedArr(ns: List[String]): String = {
+    val s = ns.sorted
+    val shown = s.take(CompactNames).map("\"" + _ + "\"")
+    val more = if (s.size > CompactNames)
+      Seq("\"+" + (s.size - CompactNames) + " more\"") else Nil
+    (shown ++ more).mkString("[", ",", "]")
+  }
+
+  /** One emission's complete summary state — everything the compact
+    * driver-capture line carries. Pure data, so [[compactLine]]'s
+    * [[CompactMaxChars]] bound is spec-assertable with maxed-out
+    * inputs instead of trusted. */
+  final case class Summary(
+      phase: String, round: Int, sf: String,
+      errors: Int, auditFlags: Int,
+      sweepRan: Boolean, sweepFlags: Int, sweepContended: Int,
+      sweepStarved: Int, sweepErrors: Int,
+      flagged: List[String], contended: List[String],
+      starved: List[String], errorQ: List[String],
+      calibStale: Boolean, boxFactor: Double,
+      skewRan: Boolean, skewFlags: Int, skewErrors: Int,
+      skewIdentityFails: Int,
+      skewFlagged: List[String], skewStraggler: List[String],
+      skewSensitive: List[String], skewErrorQ: List[String],
+      budgetSec: Double, elapsedSec: Double,
+      budgetSkipped: List[String], retrySkipped: List[String],
+      instrumentationSec: Double, totalSec: Double, nQueries: Int,
+      results: Seq[(String, Double)])
+
+  /** The compact twin of the full artifact line: complete verdict
+    * counts, the budget record, capped name arrays and the top
+    * [[CompactSlowest]] suite timings, in < [[CompactMaxChars]] chars
+    * by construction so the driver's 2000-char tail capture always
+    * holds one WHOLE parseable line. */
+  def compactLine(s: Summary): String = {
+    val top = s.results.sortBy(-_._2).take(CompactSlowest)
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v, 3) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"summary","value":${jnum(s.totalSec, 3)},"unit":"sec","phase":"${s.phase}","round":${s.round},"sf":"${s.sf}","errors":${s.errors},"audit_flags":${s.auditFlags},"sweep_ran":${s.sweepRan},"sweep_flags":${s.sweepFlags},"sweep_contended":${s.sweepContended},"sweep_starved":${s.sweepStarved},"sweep_errors":${s.sweepErrors},"flagged":${cappedArr(s.flagged)},"contended_q":${cappedArr(s.contended)},"starved_q":${cappedArr(s.starved)},"error_q":${cappedArr(s.errorQ)},"calib_stale":${s.calibStale},"box_factor":${jnum(s.boxFactor, 2)},"skew_ran":${s.skewRan},"skew_flags":${s.skewFlags},"skew_errors":${s.skewErrors},"skew_identity_fails":${s.skewIdentityFails},"skew_flagged":${cappedArr(s.skewFlagged)},"skew_straggler_q":${cappedArr(s.skewStraggler)},"skew_sensitive_q":${cappedArr(s.skewSensitive)},"skew_error_q":${cappedArr(s.skewErrorQ)},"budget_sec":${jnum(s.budgetSec, 0)},"elapsed_sec":${jnum(s.elapsedSec, 1)},"budget_skipped":${cappedArr(s.budgetSkipped)},"retry_skipped_budget":${cappedArr(s.retrySkipped)},"instrumentation_sec":${jnum(s.instrumentationSec, 1)},"total_sec":${jnum(s.totalSec, 3)},"n_queries":${s.nQueries},"slowest":$top}"""
+  }
   /** Starvation threshold on the query's OWN task profile: a leg
     * whose summed executor task run time exceeds this multiple of
     * its summed task CPU time spent most of its task lifetime not
@@ -110,9 +214,20 @@ object Bench {
     // every metric line so a skip can never be silent
     var budgetSkipped = List.empty[String]
     // round number drives the deterministic rotations (skew-tier
-    // window + sweep measurement order) — bumped per round like
-    // killtest.py's KILLTEST_ROUND
-    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "16").toInt
+    // window + sweep measurement order). When the env var is unset it
+    // is DERIVED from the newest committed bench artifact
+    // (BENCH_r{N}.json exists for every completed round, so the
+    // current round is max(N)+1) instead of a hard-coded default that
+    // a purely manual per-round bump convention had to keep fresh —
+    // a forgotten bump would silently pin the rotation windows
+    // forever (r16 ADVICE). The literal fallback only fires on a
+    // checkout with no artifacts at all.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val prior = Option(new java.io.File(".").list()).toSeq.flatten
+        .collect { case rx(n) => n.toInt }
+      if (prior.isEmpty) 17 else prior.max + 1
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
@@ -163,6 +278,28 @@ object Bench {
     var sweepJson = ""
     var skewJson = ""
     var sweepRanV = false
+    // ---- box-speed factor vs the commit-time canary pins, measured
+    // once at session-up (r16 verdict item 2a: the driver box ran
+    // ~1.3x the builder's wall and the static phase plan did not fit,
+    // sacrificing the whole skew tier). The sweep/skew admission
+    // checks scale their per-fork wall estimates by it, so a slow box
+    // shrinks the planned tail BEFORE burning budget. Skipped (1.0)
+    // when no sweep can run this invocation — BENCH_ONLY iteration
+    // stays fast.
+    val boxFactor: Double = {
+      if (only.nonEmpty || sys.env.contains("SPARK_GRAFT_NO_SWEEP")) 1.0
+      else {
+        val t0 = System.nanoTime()
+        val xor = (1 to 3).map(_ => Calib.measure()).min
+        val sc = try {
+          Calib.sparkCanary(spark) // cold sample: JIT/datagen, discarded
+          (1 to 2).map(_ => Calib.sparkCanary(spark)).min
+        } catch { case _: Throwable => -1.0 }
+        instrumentationSec += (System.nanoTime() - t0) / 1e9
+        math.max(1.0, math.max(xor / Calib.BaselineSec,
+          if (sc > 0) sc / Calib.SparkBaselineSec else 0.0))
+      }
+    }
     // locale-independent decimal formatting: the f interpolator uses
     // the JVM default locale (comma decimals on e.g. de_DE would
     // corrupt the JSON line)
@@ -176,22 +313,14 @@ object Bench {
     // survives a kill at ANY point with everything measured so far.
     // Emission points: "start" (empty skeleton, right after session
     // up), "timing" (every [[EmitEvery]] timed queries), "suite"
-    // (after the plan audit), "sweep", "skew" (final, authoritative).
-    // Summary keys lead the JSON object (truncated-from-the-right
-    // capture) AND repeat as the LAST key (`summary_tail`) — the
-    // driver keeps the final 2000 chars of the line, so a line longer
-    // than that would otherwise show neither count. sweep_ran
-    // distinguishes "clean sweep" from "sweep never ran" (generation
-    // failure, BENCH_ONLY, NO_SWEEP, budget).
-    // name arrays in the COMPACT line are capped so a pathological
-    // skip list can never push it past the 2000-char capture window
-    def cappedArr(ns: List[String]): String = {
-      val s = ns.sorted
-      val shown = s.take(12).map("\"" + _ + "\"")
-      val more =
-        if (s.size > 12) Seq("\"+" + (s.size - 12) + " more\"") else Nil
-      (shown ++ more).mkString("[", ",", "]")
-    }
+    // (after the plan audit), "sweep" (deep sweep group done), "skew"
+    // (skew tier done), "final" (rotated sweep tail done —
+    // authoritative). Summary keys lead the JSON object
+    // (truncated-from-the-right capture) AND repeat as the LAST key
+    // (`summary_tail`) — the driver keeps the final 2000 chars of the
+    // line, so a line longer than that would otherwise show neither
+    // count. sweep_ran distinguishes "clean sweep" from "sweep never
+    // ran" (generation failure, BENCH_ONLY, NO_SWEEP, budget).
     def emit(phase: String): Unit = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -199,25 +328,30 @@ object Bench {
       val errJson = errors.toSeq.sortBy(_._1)
         .map { case (n, c) => s"\"" + n + "\":\"error:" + c + "\"" }
         .mkString("{", ",", "}")
-      val tail = s"""{"phase":"$phase","errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRanV,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_starved":${starvedNames.size},"sweep_errors":$sweepErrors,"flagged":${nameArr(flaggedNames)},"contended_q":${nameArr(contendedNames)},"starved_q":${nameArr(starvedNames)},"error_q":${nameArr(errorNames)},"calib_stale":$calibStale,"skew_ran":${skewJson.nonEmpty},"skew_flags":$skewFlags,"skew_errors":$skewErrors,"skew_identity_fails":$skewIdentityFails,"skew_flagged":${nameArr(skewFlaggedNames)},"skew_straggler_q":${nameArr(skewStragglerNames)},"skew_sensitive_q":${nameArr(skewSensitiveNames)},"skew_error_q":${nameArr(skewErrorNames)},"budget_sec":${jnum(budgetSec, 0)},"elapsed_sec":${jnum(elapsedSec, 1)},"budget_skipped":${nameArr(budgetSkipped)},"retry_skipped_budget":${nameArr(retrySkippedBudget)},"instrumentation_sec":${jnum(instrumentationSec, 1)},"total_sec":$total,"n_queries":${results.size}}"""
+      val tail = s"""{"phase":"$phase","errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRanV,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_starved":${starvedNames.size},"sweep_errors":$sweepErrors,"flagged":${nameArr(flaggedNames)},"contended_q":${nameArr(contendedNames)},"starved_q":${nameArr(starvedNames)},"error_q":${nameArr(errorNames)},"calib_stale":$calibStale,"box_factor":${jnum(boxFactor, 2)},"skew_ran":${skewJson.nonEmpty},"skew_flags":$skewFlags,"skew_errors":$skewErrors,"skew_identity_fails":$skewIdentityFails,"skew_flagged":${nameArr(skewFlaggedNames)},"skew_straggler_q":${nameArr(skewStragglerNames)},"skew_sensitive_q":${nameArr(skewSensitiveNames)},"skew_error_q":${nameArr(skewErrorNames)},"budget_sec":${jnum(budgetSec, 0)},"elapsed_sec":${jnum(elapsedSec, 1)},"budget_skipped":${nameArr(budgetSkipped)},"retry_skipped_budget":${nameArr(retrySkippedBudget)},"instrumentation_sec":${jnum(instrumentationSec, 1)},"total_sec":$total,"n_queries":${results.size}}"""
       println(s"""{"metric":"total","value":$total,"unit":"sec","phase":"$phase","errors":${errors.size},"audit_flags":${auditFlags.size},"error_queries":$errJson,"queries":$qs,"plan_audit":$auditJson,"sf":"$sfDir",$sweepJson$skewJson"summary_tail":$tail}""")
-      // COMPACT twin line, < 2000 chars by construction: every
-      // BENCH_r*.json through r15 — including rc-0 rounds — has
-      // `parsed: null`, because the driver records only the final
-      // 2000 chars of output and the full artifact line above is
-      // ~14 KB, so its head (and with it json-parseability) never
-      // survives the capture. This twin repeats the full line's
-      // summary_tail plus the top-8 slowest suite timings in a line
-      // small enough to survive the capture WHOLE, so the recorded
-      // tail is finally a parseable artifact. It follows every full
-      // line (not just the last): whichever emission the driver's
-      // capture lands after, the trailing 2000 chars contain one
-      // complete compact line. The full per-query artifact is always
-      // the immediately preceding line.
-      val top8 = results.toSeq.sortBy(-_._2).take(8)
-        .map { case (k, v) => s"\"" + k + "\":" + jnum(v, 3) }
-        .mkString("{", ",", "}")
-      println(s"""{"metric":"summary","value":$total,"unit":"sec","phase":"$phase","round":$round,"sf":"$sfDir","errors":${errors.size},"audit_flags":${auditFlags.size},"sweep_ran":$sweepRanV,"sweep_flags":$sweepFlags,"sweep_contended":$sweepContended,"sweep_starved":${starvedNames.size},"sweep_errors":$sweepErrors,"flagged":${cappedArr(flaggedNames)},"contended_q":${cappedArr(contendedNames)},"starved_q":${cappedArr(starvedNames)},"error_q":${cappedArr(errorNames)},"calib_stale":$calibStale,"skew_ran":${skewJson.nonEmpty},"skew_flags":$skewFlags,"skew_errors":$skewErrors,"skew_identity_fails":$skewIdentityFails,"skew_flagged":${cappedArr(skewFlaggedNames)},"skew_straggler_q":${cappedArr(skewStragglerNames)},"skew_sensitive_q":${cappedArr(skewSensitiveNames)},"skew_error_q":${cappedArr(skewErrorNames)},"budget_sec":${jnum(budgetSec, 0)},"elapsed_sec":${jnum(elapsedSec, 1)},"budget_skipped":${cappedArr(budgetSkipped)},"retry_skipped_budget":${cappedArr(retrySkippedBudget)},"instrumentation_sec":${jnum(instrumentationSec, 1)},"total_sec":$total,"n_queries":${results.size},"slowest":$top8}""")
+      // COMPACT twin line ([[Bench.compactLine]], < CompactMaxChars
+      // by spec-held construction): every BENCH_r*.json through r15 —
+      // including rc-0 rounds — has `parsed: null`, because the
+      // driver records only the final 2000 chars of output and the
+      // full artifact line above is ~14 KB, so its head (and with it
+      // json-parseability) never survived the capture. The twin
+      // repeats the verdict counts, budget record, capped name arrays
+      // and the slowest suite timings in a line small enough to
+      // survive the capture WHOLE. It follows every full line (not
+      // just the last): whichever emission the driver's capture lands
+      // after, the trailing 2000 chars contain one complete compact
+      // line. The full per-query artifact is always the immediately
+      // preceding line.
+      println(Bench.compactLine(Bench.Summary(
+        phase, round, sfDir, errors.size, auditFlags.size,
+        sweepRanV, sweepFlags, sweepContended, starvedNames.size,
+        sweepErrors, flaggedNames, contendedNames, starvedNames,
+        errorNames, calibStale, boxFactor, skewJson.nonEmpty,
+        skewFlags, skewErrors, skewIdentityFails, skewFlaggedNames,
+        skewStragglerNames, skewSensitiveNames, skewErrorNames,
+        budgetSec, elapsedSec, budgetSkipped, retrySkippedBudget,
+        instrumentationSec, total, results.size, results.toSeq)))
       System.out.flush()
     }
     emit("start")
@@ -554,7 +688,7 @@ object Bench {
         val pb = new ProcessBuilder(cmd.asJava)
         pb.redirectErrorStream(true)
         val proc = pb.start()
-        // watchdog: a hung child must not hang the bench. 5 min
+        // watchdog: a hung child must not hang the bench. 10 min
         // ([[ForkCapMinutes]]) bounds the post-budget overrun to one
         // fork cap (r15: the 30-min cap let a single hung fork eat
         // the whole driver budget); completed legs survive a kill via
@@ -681,42 +815,59 @@ object Bench {
     // from count(*) — the linear regime the allowance contrasts).
     val intrinsicTwin = Map(
       "q184_semantic_neardup" -> "q285_semantic_neardup_auto")
+    // suite-wall factor folded into the phase plan BEFORE the sweep
+    // dirs are even probed: the measured suite+audit wall over its
+    // builder-box pin is the most direct box-speed reading a full run
+    // has (short BENCH_ONLY/NO_SWEEP runs read < 1 and clamp away)
+    val planFactor = math.max(boxFactor,
+      elapsedSec / Bench.SuiteBaselineSec)
     emit("suite")
-    // Will the skew tier run after the sweep? If so, the sweep must
-    // leave it budget room: every per-fork check below carries this
-    // reserve so a slow sweep budget-skips its own tail instead of
-    // starving the skew block (the r16 rotation deliverable).
+    // Phase order (r16 verdict item 2b): suite → DEEP sweep group →
+    // skew tier → rotated sweep tail. The skew tier — the newest,
+    // least-replicated evidence — ran LAST through r16 and was the
+    // first casualty of a slow box; now only the rotated
+    // low-information sweep tail sits behind it. The deep group still
+    // reserves skewReserveSec, and every fork admission adds the
+    // fork's own boxFactor-scaled wall estimate, so the reserve is
+    // intact (to estimate accuracy; an estimate-blowing fork is
+    // bounded by the fork cap and recorded) when the skew phase
+    // starts. Starvation past that is recorded, not prevented.
     val skewDue = !sys.env.contains("SPARK_GRAFT_NO_SKEWTIER") &&
       sweepDirs.size >= 2
     val skewReserveSec =
       if (skewDue)
         sys.env.getOrElse("SPARK_GRAFT_SKEW_RESERVE_SEC", "600").toDouble
       else 0.0
-    sweepJson = if (sweepDirs.size < 2) "" else {
-      sweepRanV = true
-      // quiesce the parent (see the block comment above forkMeasure)
-      spark.stop()
-      parentStopped = true
-      System.gc()
-      // run-wide minimum canary factors feed the staleness check below
-      var minXorFactor = Double.MaxValue
-      var minSparkFactor = Double.MaxValue
-      // Measurement order: the deep/steep queries first (the headline
-      // 100x exponents must never be the ones a budget skip eats),
-      // then the rest rotated by round number so that IF the budget
-      // ever displaces the tail, a different tail is displaced each
-      // round — deterministic fair coverage, the kill-test sampler's
-      // principle applied to ordering. Artifact order is unaffected
-      // (rows are re-sorted healthy-first below).
-      val measureOrder = {
-        val (deep, rest) = sweepQueries.partition(deepQueries)
-        val shift = if (rest.isEmpty) 0 else (round * 5) % rest.size
-        deep ++ (rest.drop(shift) ++ rest.take(shift))
-      }
-      // rows carry a severity rank: 0 healthy, 1 contended/starved,
-      // 2 flagged, 3 error — emitted in ascending order (below)
-      val rows = measureOrder.flatMap { name =>
-        if (overBudget(skewReserveSec)) {
+    // run-wide minimum canary factors feed the staleness check below
+    var minXorFactor = Double.MaxValue
+    var minSparkFactor = Double.MaxValue
+    // severity-ranked sweep rows accumulated across BOTH sweep groups:
+    // 0 healthy, 1 contended/starved, 2 flagged, 3 error — emitted in
+    // ascending order (rebuildSweepJson)
+    val sweepRows =
+      scala.collection.mutable.Buffer.empty[(String, Int, String)]
+    // Measurement order: the deep/steep queries first (the headline
+    // 100x exponents must never be the ones a budget skip eats),
+    // then the rest rotated by round number so that IF the budget
+    // ever displaces the tail, a different tail is displaced each
+    // round — deterministic fair coverage, the kill-test sampler's
+    // principle applied to ordering. Artifact order is unaffected
+    // (rows are re-sorted healthy-first below). The deep group runs
+    // before the skew tier; the rotated rest runs after it.
+    val (deepOrdered, tailOrdered) = {
+      val (deep, rest) = sweepQueries.partition(deepQueries)
+      val shift = if (rest.isEmpty) 0 else (round * 5) % rest.size
+      (deep, rest.drop(shift) ++ rest.take(shift))
+    }
+    // one sweep group: per-fork admission = remaining budget must
+    // cover the reserve still owed to later phases PLUS this fork's
+    // own box-scaled wall estimate (r16 ADVICE: a fork admitted just
+    // under a bare reserve check could push elapsed past the full
+    // budget and starve the skew gate)
+    def measureSweepGroup(groupNames: Seq[String],
+        reserveSec: Double): Unit = sweepRows ++= groupNames.flatMap { name =>
+        if (overBudget(reserveSec +
+            Bench.forkEstimateSec(name) * planFactor)) {
           budgetSkipped ::= s"sweep:$name"
           None
         } else Some {
@@ -893,7 +1044,11 @@ object Bench {
             s""""intrinsic":$intrinsic,$twinJson"retried":$retried,"flag":$flag}""")
         }
         }
-      }
+    }
+    // Rebuilds the sweep JSON from every row accumulated so far —
+    // called after each sweep group so the phase emissions between
+    // them always carry the most complete sweep block.
+    def rebuildSweepJson(): Unit = {
       // Baseline-staleness cross-check (the r12 ADVICE): if even the
       // QUIETEST leg of the whole run read hot on a canary, the pin —
       // not the box — is the likelier problem (slower hardware class,
@@ -906,8 +1061,18 @@ object Bench {
       val deepJson = if (deepDirs.isEmpty) "" else
         s""""deep_dirs":[${deepDirs.map("\"" + _ + "\"").mkString(",")}],"deep_queries":[${
           deepQueries.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"""
-      val ordered = rows.sortBy(_._2) // stable: healthy first, errors last
-      s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],$deepJson"forked":$sweepForked,"calib_baseline":${jnum(Calib.BaselineSec, 3)},"scanary_baseline":${jnum(Calib.SparkBaselineSec, 3)},"calib_stale":$calibStale,"flags":$sweepFlags,"contended":$sweepContended,"starved":${starvedNames.size},"errors":$sweepErrors,"instrumentation_sec":${jnum(instrumentationSec, 1)},"queries":{${ordered.map { case (n, _, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
+      // stable: healthy first, errors last
+      val ordered = sweepRows.sortBy(_._2)
+      sweepJson = s""""sweep":{"dirs":[${sweepDirs.map("\"" + _ + "\"").mkString(",")}],$deepJson"forked":$sweepForked,"box_factor":${jnum(planFactor, 2)},"calib_baseline":${jnum(Calib.BaselineSec, 3)},"scanary_baseline":${jnum(Calib.SparkBaselineSec, 3)},"calib_stale":$calibStale,"flags":$sweepFlags,"contended":$sweepContended,"starved":${starvedNames.size},"errors":$sweepErrors,"instrumentation_sec":${jnum(instrumentationSec, 1)},"queries":{${ordered.map { case (n, _, j) => "\"" + n + "\":" + j }.mkString(",")}}},"""
+    }
+    if (sweepDirs.size >= 2) {
+      sweepRanV = true
+      // quiesce the parent (see the block comment above forkMeasure)
+      spark.stop()
+      parentStopped = true
+      System.gc()
+      measureSweepGroup(deepOrdered, skewReserveSec)
+      rebuildSweepJson()
     }
     emit("sweep")
     // ---- skew tier (r14 verdict item 1): the skew machinery under
@@ -953,7 +1118,15 @@ object Bench {
       // about shape, not scale, and both twin paths execute
       val idDir = ensure("benchdata/skew/sf0.1", 0.1, 60.0)
       if (skewDirs.isEmpty) ""
-      else {
+      else if (skewDirs.head != "benchdata/skew/sf1") {
+        // sf1 must lead: SkewTier.row computes the "equal-volume"
+        // ratio as skewDirs.head / uniform sf1, so a budget-skipped
+        // or failed sf1 generation with a prior round's sf3 still on
+        // disk would silently ratio 3x the data and could mint a
+        // false skew_sensitive/straggler annotation (r16 ADVICE)
+        budgetSkipped ::= "skew:no-sf1"
+        ""
+      } else {
         val identity = idDir.map(SkewTier.identityChecks(gens, _))
           .getOrElse(Seq("identity_dir" -> "error:generation"))
         skewIdentityFails = identity.count(!_._2.startsWith("ok"))
@@ -974,7 +1147,7 @@ object Bench {
         parentStopped = true
         System.gc()
         val rows = skewQs.flatMap { name =>
-          if (overBudget()) {
+          if (overBudget(Bench.SkewForkEstimateSec * planFactor)) {
             budgetSkipped ::= s"skew:$name"
             None
           } else Some {
@@ -1041,6 +1214,22 @@ object Bench {
       }
     }
     emit("skew")
+    // ---- sweep tail: the rotated non-deep remainder runs AFTER the
+    // skew tier (r16 verdict item 2b — the uniform sweep has four
+    // rounds of driver-artifact history, the skew tier had zero, yet
+    // the old order sacrificed the tier first on a slow box). A
+    // budget overrun now eats this rotated low-information tail
+    // instead, a different slice of it each round.
+    if (sweepRanV && tailOrdered.nonEmpty) {
+      // re-quiesce: the skew phase rebuilt an in-process session for
+      // generation/identity/audit work
+      liveSession.stop()
+      parentStopped = true
+      System.gc()
+      measureSweepGroup(tailOrdered, 0.0)
+      rebuildSweepJson()
+    }
+    emit("final")
     // the parent session is already stopped when the sweep ran; stop
     // whichever session is still live (an in-process fallback may have
     // rebuilt one). stop() is idempotent.

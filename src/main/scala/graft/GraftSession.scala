@@ -54,14 +54,22 @@ object GraftSession {
     *    "AQE is not supported in stateful workloads" notices, emitted
     *    once per streaming gate query per pass (hundreds per bench);
     *  - `sql.Column` — "trivially true equals predicate" from the
-    *    self-join identity checks, intentional there.
+    *    self-join identity checks, intentional there;
+    *  - `scheduler.DAGScheduler` — "Broadcasting large task binary"
+    *    (the suite's wide plans serialize ~1 MB of task closures,
+    *    expected at this query complexity, fired per job). The r17
+    *    kill-drill caught one of these as the LAST line of a killed
+    *    run's captured tail, after the final metric line — exactly
+    *    the pollution a strict last-line driver parse cannot survive.
     * Real failures still surface as exceptions and artifact error
-    * entries, never only as WARNs. Per-logger config survives
-    * `setLogLevel` (which only touches the root LoggerConfig); call
-    * this AFTER setLogLevel anyway. */
+    * entries, never only as WARNs (DAGScheduler reports stage/job
+    * failures at ERROR). Per-logger config survives `setLogLevel`
+    * (which only touches the root LoggerConfig); call this AFTER
+    * setLogLevel anyway. */
   def quietNoisyLoggers(): Unit =
     Seq("org.apache.spark.sql.execution.window",
       "org.apache.spark.sql.execution.streaming.runtime",
+      "org.apache.spark.scheduler.DAGScheduler",
       "org.apache.spark.sql.Column").foreach { name =>
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         name, org.apache.logging.log4j.Level.ERROR)

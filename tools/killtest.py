@@ -860,7 +860,29 @@ def gate_color(queries, tag):
     return color, {"compare": lines, "verify_errors": verify_errs}
 
 
-ROUND = int(os.environ.get("KILLTEST_ROUND", "16"))
+def _derive_round():
+    """Round number for the sample-window rotation. When KILLTEST_ROUND
+    is unset, derive it from the newest driver-committed bench artifact
+    (BENCH_r{N}.json exists for every COMPLETED round and is only ever
+    written at round end, so max(N)+1 is the current round and stays
+    stable for the whole round — KILLTEST_r*.json itself is written
+    mid-round by this tool and would self-advance). A hard default only
+    fires on a checkout with no artifacts; the old in-code constant had
+    to be bumped by hand every round and a forgotten bump silently
+    froze the rotation window (r16 ADVICE, Bench.scala twin rule)."""
+    env = os.environ.get("KILLTEST_ROUND")
+    if env is not None:
+        return int(env)
+    import glob
+    import re
+    ns = [int(m.group(1))
+          for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+          for m in [re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))]
+          if m]
+    return (max(ns) + 1) if ns else 17
+
+
+ROUND = _derive_round()
 ART_PATH = os.environ.get(
     "KILLTEST_ART", os.path.join(REPO, f"KILLTEST_r{ROUND}.json"))
 
