@@ -344,6 +344,12 @@ object Recsys {
     * one row per start node. */
   private def walkFrontier(adj: DataFrame, walkLen: Int,
       stepKey: Int => Column): DataFrame = {
+    // (r17 optimization note: pinning `adj` with localCheckpoint here
+    // was tried and REVERTED — the checkpointed LogicalRDD loses size
+    // stats, the per-step frontier⋈adj join stops broadcasting, and
+    // q113 measured 1.6 s -> 2.1 s. The per-step replay of the edge
+    // build is already bounded by the every-4th-round frontier
+    // checkpoint below truncating the lineage.)
     var frontier = adj.select(col("node").as("start")).distinct()
       .withColumn("cur", col("start"))
       .withColumn("path", array(col("start")))
@@ -404,11 +410,19 @@ object Recsys {
   def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val scale = 1000000000000L
+    // pin the adjacency once ([[kCore]] convention): every iteration's
+    // contrib join reads it, and without the pin each of the
+    // `iterations` consumers re-executes the upstream edge build
+    // (covisitation in q152 — measured 133 parquet scans in the plan,
+    // 2 after). Edge-sized; deg/n are node-sized and feed every
+    // iteration's rank rebuild.
     val adj = edges
       .select(col("item_a").as("node"), col("item_b").as("nbr"))
       .union(edges.select(col("item_b"), col("item_a")))
       .distinct()
+      .localCheckpoint()
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
     val n = deg.agg(count(lit(1)).as("__n"))
     var ranks = deg.crossJoin(broadcast(n))
       .withColumn("__r", expr(s"${scale}L div __n"))
@@ -555,15 +569,25 @@ object Recsys {
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // materialize the canonical edge set once ([[kCore]] convention):
+    // it feeds the degree aggregate, the orientation join and (through
+    // `oriented`) three legs of the wedge join — without the pin each
+    // consumer re-executes the upstream build (covisitation's window +
+    // pair explode; measured: 100+ parquet scans in q226's plan, 2
+    // after). Edge-set-sized, orders of magnitude below the event log.
     val undirected = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b") &&
         col("a").isNotNull && col("b").isNotNull)
       .distinct()
+      .localCheckpoint()
+    // node-sized; read by two orientation joins plus the global base
+    // aggregate
     val deg = undirected.select(col("a").as("v"))
       .union(undirected.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     // orient: keep (u -> w) when (deg, id) of u < of w
     val oriented = undirected
       .join(deg.select(col("v").as("a"), col("d").as("__da")), "a")
@@ -575,6 +599,8 @@ object Recsys {
           .otherwise(struct(col("b").as("u"), col("a").as("w")))
           .as("__e"))
       .select(col("__e.u").as("u"), col("__e.w").as("w"))
+      // three wedge-join legs read this; edge-sized
+      .localCheckpoint()
     // wedges at u: (u->w1, u->w2), close with oriented edge w1->w2
     val tri = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
@@ -777,8 +803,13 @@ object Recsys {
     * moment aggregate. */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
+    // pinned once ([[kCore]] convention): the degree aggregate and the
+    // two-sided degree join both read the symmetrized list — without
+    // the pin the upstream edge build (covisitation in q273) replays
+    // per consumer. 2·|edges|-sized.
     val sym = edges.select(col("item_a").as("s"), col("item_b").as("d"))
       .unionAll(edges.select(col("item_b").as("s"), col("item_a").as("d")))
+      .localCheckpoint()
     val deg = sym.groupBy(col("s").as("n")).agg(count(lit(1)).as("dg"))
     val pairs = sym
       .join(deg.select(col("n").as("s"), col("dg").as("x")), Seq("s"))
@@ -854,7 +885,11 @@ object Recsys {
     * ids. */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // pinned once ([[kCore]] convention): 2·rounds half-step joins plus
+    // the node union read this; the upstream transition-graph build
+    // (a full-log window scan in q246) must not replay per consumer
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .localCheckpoint()
     // round 1 folds h0 = 1 into a plain weighted in-degree
     var auth = e.groupBy(col("dst")).agg(sum(col("w")).as("a"))
     var hub = e.join(auth, Seq("dst"))
