@@ -273,10 +273,19 @@ object Normalize {
     * join is fine. AQE converts to broadcast whenever the group table
     * is actually small (the percentRank convention above). */
   private def rankStagedBy(
-      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val counts = df
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    rankStagedOnCounts(df
       .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt")), groupCol)
+
+  /** [[rankStagedBy]] from an ALREADY-aggregated `(groupCol, __v,
+    * __cnt)` table — the weighted form. Lets a caller that derives a
+    * second value from the counts themselves ([[robustStatsBy]]'s
+    * absolute deviations) rank the derived multiset without
+    * re-expanding to raw rows: summing `__cnt` over the derived value
+    * is exactly the multiset the raw-row groupBy would have built. */
+  private def rankStagedOnCounts(
+      counts: DataFrame, groupCol: String): DataFrame = {
     val cum = PrefixSum.inclusiveBy(counts,
       Seq(col(groupCol).asc, col("__v").asc), "__cnt", "__cum")
     val groups = cum.groupBy(col(groupCol))
@@ -284,6 +293,17 @@ object Normalize {
         sum(col("__cnt")).as("n"))
     cum.join(groups, Seq(groupCol))
   }
+
+  /** [[medianBy]] over a pre-aggregated `(groupCol, __v, __cnt)`
+    * counts table — identical rank rule (lower median, `k = (n+1) div
+    * 2`). */
+  private def medianOnCounts(
+      counts: DataFrame, groupCol: String): DataFrame =
+    rankStagedOnCounts(counts, groupCol)
+      .withColumn("__k", expr("(n + 1) div 2"))
+      .filter(col("__cum") - col("__off") - col("__cnt") < col("__k") &&
+        col("__k") <= col("__cum") - col("__off"))
+      .select(col(groupCol), col("n"), col("__v").as("median"))
 
   /** [[rankStagedBy]] plus the α-trim bookkeeping shared by
     * [[trimmedMeanBy]] and [[winsorizedMeanBy]]: `__t` = floor(α·n),
@@ -383,21 +403,41 @@ object Normalize {
       df: DataFrame,
       groupCol: String,
       valueCol: String): DataFrame = {
-    val vm = df.select(col(groupCol),
-      floor(col(valueCol) * 1e6).cast("long").as("__vm"))
-    val med = medianBy(vm, groupCol, "__vm")
+    // r17 optimization (guide §2.3/§2.4): the whole pipeline runs on
+    // the distinct-value counts table after ONE corpus aggregate. The
+    // previous shape re-expanded to raw rows for the deviation leg —
+    // the corpus was scanned for vm's counts, again for the dev join,
+    // and again for mad's counts (4 scans in the plan); deviations are
+    // a per-(group, value) function of the counts themselves, so
+    // summing __cnt over |v − median| is the identical multiset
+    // (EvaluationSpec pins robustStatsBy against the naive raw-row
+    // computation, including a duplicate-heavy fixture).
+    val counts = df
+      .groupBy(col(groupCol),
+        floor(col(valueCol) * 1e6).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val med = medianOnCounts(counts, groupCol)
       .select(col(groupCol), col("median").as("median_micro"))
     // unhinted joins against the one-row-per-group tables: AQE
     // broadcasts them when small; a high-cardinality groupCol gets a
     // plain shuffle join instead of an unbounded forced broadcast
-    val dev = vm.join(med, Seq(groupCol))
-      .withColumn("__dev", abs(col("__vm") - col("median_micro")))
-    val mad = medianBy(dev, groupCol, "__dev")
+    // NO merge aggregate on the deviations: duplicate (group, __v)
+    // rows (med+d and med−d collide) are fine for the rank machinery —
+    // each row's inclusive-rank interval is a sub-interval of the
+    // value's, the k-containing row still carries the correct value,
+    // and the closing aggregate re-sums __cnt — so the merge shuffle
+    // would be pure cost.
+    val devCounts = counts.join(med, Seq(groupCol))
+      .select(col(groupCol), col("median_micro"),
+        abs(col("__v") - col("median_micro")).as("__v"), col("__cnt"))
+    val mad = medianOnCounts(
+        devCounts.select(col(groupCol), col("__v"), col("__cnt")),
+        groupCol)
       .select(col(groupCol), col("median").as("mad_micro"))
-    dev.join(mad, Seq(groupCol))
+    devCounts.join(mad, Seq(groupCol))
       .groupBy(col(groupCol), col("median_micro"), col("mad_micro"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("__dev") > lit(3L) * col("mad_micro"), 1L)
+      .agg(sum(col("__cnt")).as("n"),
+        sum(when(col("__v") > lit(3L) * col("mad_micro"), col("__cnt"))
           .otherwise(0L)).as("n_outliers"))
       .select(col(groupCol), col("n"), col("median_micro"),
         col("mad_micro"), col("n_outliers"))

@@ -383,6 +383,30 @@ class EvaluationSpec extends AnyFunSuite with SparkSuite {
     assert(got === naive)
   }
 
+  test("robustStatsBy: duplicate-heavy values (weighted counts path) " +
+      "match the naive computation") {
+    // r17: the MAD leg runs on the distinct-value counts table; equal
+    // deviations from DIFFERENT source values (med+d and med−d) must
+    // merge their counts exactly like the raw-row expansion did. Small
+    // integer values force heavy duplication on both sides.
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 2000).map { _ =>
+      (s"g${rnd.nextInt(2)}", rnd.nextInt(7).toDouble)
+    }
+    val naive = rows.groupBy(_._1).map { case (g, vs) =>
+      val vm = vs.map(v => math.floor(v._2 * 1e6).toLong).sorted
+      def lowerMedian(xs: Seq[Long]) = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      val med = lowerMedian(vm)
+      val dev = vm.map(x => math.abs(x - med))
+      val mad = lowerMedian(dev)
+      (g, vm.length.toLong, med, mad, dev.count(_ > 3 * mad).toLong)
+    }.toSeq.sorted
+    val got = graft.operators.Normalize
+      .robustStatsBy(rows.toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got === naive)
+  }
+
   test("intraListDiversity matches the naive pairwise computation") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
