@@ -62,6 +62,26 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Content-defined-chunking cut positions over raw text
+  * ([[graft.functions.TextHashKernels.cdcCuts]]): one digest per
+  * char window instead of the interpreted per-character HOF chain —
+  * the hot inner loop of [[graft.operators.Dedup.cdcChunks]]. */
+case class CdcCuts(child: Expression, w: Int, divisor: Int, seed: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    graft.functions.TextHashKernels.cdcCuts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      w, divisor, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.cdcCuts($c, $w, $divisor, $seed)")
+  override protected def withNewChildInternal(c: Expression): CdcCuts =
+    copy(child = c)
+}
+
 /** 60-bit token-window hashes over pre-normalized text
   * ([[graft.functions.TextHashKernels.wordWindowHash60]]): one digest
   * per window over zero-copy byte slices — the hot inner loop of

@@ -224,6 +224,26 @@ object TextFunctions {
       transform(sequence(lit(1), size(ws) - (l - 1)),
         i => md5Hash60(concat_ws(" ", slice(ws, i, lit(l))))))
 
+  /** Content-defined-chunking cut positions (the [[operators.Dedup.cdcChunks]]
+    * inner loop): codegen'd single-digest-per-window kernel
+    * ([[graft.expr.CdcCuts]]); values identical to [[cdcCutsHof]]. */
+  def cdcCutPositions(text: Column, w: Int, divisor: Int, seed: Int): Column =
+    ColumnBridge.column(graft.expr.CdcCuts(
+      ColumnBridge.expression(text), w, divisor, seed))
+
+  /** Column-HOF twin of [[cdcCutPositions]] for cross-checking the
+    * kernel (and the form any md5-capable engine can replay): every
+    * position whose trailing `w`-char window hashes to 0 mod
+    * `divisor`. */
+  def cdcCutsHof(text: Column, w: Int, divisor: Int, seed: Int): Column = {
+    val n = length(text)
+    when(n >= w,
+      filter(sequence(lit(w), n), i =>
+        pmod(md5Hash32(text.substr(i - lit(w - 1), lit(w)), seed),
+          lit(divisor)) === 0))
+      .otherwise(array().cast("array<int>"))
+  }
+
   /** Winnowing document fingerprint (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03): slide a window of `w` over the char `k`-gram hashes,
     * keep each window's minimum, dedupe + sort. Guarantees any shared

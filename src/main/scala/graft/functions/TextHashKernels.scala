@@ -167,6 +167,51 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
+  /** Content-defined-chunking cut positions over raw text: position
+    * `i` (1-based chars, `w <= i <= numChars`) is a cut when
+    * `hash32(chars[i-w+1..i], seed) mod divisor == 0` — value-identical
+    * to the column-HOF form
+    * `filter(sequence(w, length(t)), i -> pmod(md5Hash32(substr(i-w+1,
+    * w), seed), divisor) === 0)`, which evaluates an interpreted
+    * conv∘substring∘md5∘concat chain (fresh MessageDigest and hex
+    * round-trip per call) once per CHARACTER. Here: one ThreadLocal
+    * digest fed the seed prefix + a zero-copy byte slice per window on
+    * ASCII text (char i == byte i), `substringSQL` fallback otherwise.
+    * Fewer than `w` chars → empty (the HOF's `when(n >= w, …)` arm). */
+  def cdcCuts(text: UTF8String, w: Int, divisor: Int, seed: Int): ArrayData = {
+    val len = text.numChars()
+    if (len < w) return new GenericArrayData(Array.emptyIntArray)
+    val seedBytes =
+      if (seed == 0) Zero
+      else (seed.toString + ":").getBytes(StandardCharsets.US_ASCII)
+    val buf = new Array[Int](len - w + 1)
+    var m = 0
+    val bytes = text.getBytes
+    val d = md5.get()
+    if (bytes.length == len) {
+      var i = w
+      while (i <= len) {
+        d.reset()
+        d.update(seedBytes)
+        d.update(bytes, i - w, w)
+        val h = d.digest()
+        val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        if (v % divisor == 0L) { buf(m) = i; m += 1 }
+        i += 1
+      }
+    } else {
+      var i = w
+      while (i <= len) {
+        if (hash32(text.substringSQL(i - w + 1, w), seed) % divisor == 0L) {
+          buf(m) = i; m += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, m))
+  }
+
   /** MinHash signature of a shingle array: per seed i the minimum over
     * shingles of `(a_i*hash32(s) + b_i) mod 2^32`. Null shingles are
     * skipped (array_min semantics); an all-null/empty array yields null

@@ -751,11 +751,15 @@ object Dedup {
       seed: Int = 7): DataFrame = {
     require(w >= 1 && divisor >= 1, s"w and divisor must be >= 1")
     val n = length(col(textCol))
-    val cuts = when(n >= w,
-      filter(sequence(lit(w), n), i =>
-        pmod(md5Hash32(col(textCol).substr(i - lit(w - 1), lit(w)), seed),
-          lit(divisor)) === 0))
-      .otherwise(array().cast("array<int>"))
+    // codegen'd cut kernel (r17, guide §4): the column-HOF form ran an
+    // interpreted conv∘substring∘md5∘concat chain once per CHARACTER
+    // (fresh MessageDigest + hex round-trip per call); the kernel runs
+    // one ThreadLocal digest over a zero-copy byte slice per window.
+    // Value-identical — DedupSpec pins kernel == HOF twin
+    // ([[graft.functions.TextFunctions.cdcCutsHof]]) including
+    // multi-byte and shorter-than-w documents.
+    val cuts = graft.functions.TextFunctions
+      .cdcCutPositions(col(textCol), w, divisor, seed)
     val bounds = array_distinct(concat(array(lit(0)), cuts, array(n)))
     val chunks = zip_with(
       slice(bounds, lit(1), greatest(size(bounds) - 1, lit(0))),

@@ -365,6 +365,28 @@ class TextDedupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("cdcCutPositions kernel == column-HOF twin (ASCII, multi-byte, " +
+      "shorter-than-w, empty)") {
+    // r17: cdcChunks' cut scan moved to the codegen'd CdcCuts kernel;
+    // this pins it to the engine-portable HOF form it replaced, across
+    // the byte-path regimes (ASCII fast path, UTF-8 fallback where
+    // char i != byte i, len < w, empty string).
+    val rnd = new scala.util.Random(29)
+    val alpha = "abcdef é世"
+    val docs = ((1 to 40).map { i =>
+      (i.toLong, (1 to (i * 7)).map(_ =>
+        alpha(rnd.nextInt(if (i % 2 == 0) 7 else alpha.length))).mkString)
+    } ++ Seq((97L, ""), (98L, "short"), (99L, "exactly16chars!!"))).toDF("doc_id", "text")
+    for ((w, div, seed) <- Seq((16, 64, 7), (8, 32, 0), (5, 4, 123))) {
+      val got = docs.select($"doc_id",
+          graft.functions.TextFunctions.cdcCutPositions($"text", w, div, seed).as("k"),
+          graft.functions.TextFunctions.cdcCutsHof($"text", w, div, seed).as("h"))
+        .as[(Long, Seq[Int], Seq[Int])].collect()
+      for ((id, k, h) <- got)
+        assert(k === h, s"doc $id w=$w div=$div seed=$seed")
+    }
+  }
+
   test("cdcChunks tiles each document exactly and boundaries survive a " +
       "prefix edit (content-defined, not offset-defined)") {
     val rnd = new scala.util.Random(11)
