@@ -407,9 +407,11 @@ object Corpus {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .withColumn("__one", lit(1L))
     val order = Seq(col("cnt").desc, col("token").asc)
-    val cum = PrefixSum.inclusiveBy(
-      PrefixSum.inclusiveBy(counts, order, "cnt", "__mass"),
-      order, "__one", "__rank")
+    // both cumulative axes (occurrence mass + frequency rank) in ONE
+    // range-partitioned pass — the nested two-pass form paid the range
+    // exchange and its checkpoint twice over the same vocabulary
+    val cum = PrefixSum.inclusiveMultiBy(counts, order,
+      Seq("cnt" -> "__mass", "__one" -> "__rank"))
     val total = counts.agg(sum(col("cnt")).as("__total"))
     val kDf = ks.toDF("k")
     // per k: the mass at rank = min(k, |vocab|) — the largest rank ≤ k;

@@ -990,10 +990,12 @@ object Evaluation {
             .cast("long")).otherwise(0L))
       .withColumn("__dead",
         (col("__d") === col("__nr")).cast("long"))
-    val folded = PrefixSum.inclusive(risked, "__t", "__term", "__cterm")
-    val deadCum = PrefixSum.inclusive(
-      folded.withColumnRenamed("__cterm", "__ct"), "__t", "__dead", "__dc")
-    deadCum.select(col("__t").as("duration"), col("__nr").as("n_risk"),
+    // log-survival terms and the dead-risk-set flag are independent
+    // cumulative axes over the same duration order — one fused
+    // range-partitioned pass instead of two back-to-back prefix sums
+    val folded = PrefixSum.inclusiveMultiBy(risked, Seq(col("__t")),
+      Seq("__term" -> "__ct", "__dead" -> "__dc"))
+    folded.select(col("__t").as("duration"), col("__nr").as("n_risk"),
       col("__d").as("d_events"), col("__cns").as("n_censored"),
       when(col("__dc") > 0L, lit(0.0))
         .otherwise(round(exp(col("__ct").cast("double") / 1e6), 6))

@@ -621,21 +621,25 @@ object Normalize {
       src: DataFrame,
       valueCol: String,
       rangePartitions: Int = 32): DataFrame = {
+    // one range-partitioned pass per side carries BOTH cumulative axes
+    // (occurrence mass __cum + dense distinct-value index __idx) —
+    // fused via inclusiveMultiBy so the ref side does not pay a second
+    // full prefix-sum pass just for its row index
     def staged(df: DataFrame): DataFrame = {
       val counts = df.filter(col(valueCol).isNotNull)
         .select(round(col(valueCol).cast("double") * 1e6).cast("long")
           .as("__vm"))
         .groupBy(col("__vm")).agg(count(lit(1)).as("__c"))
-      PrefixSum.inclusive(counts, "__vm", "__c", "__cum", rangePartitions)
+        .withColumn("__one", lit(1L))
+      PrefixSum.inclusiveMultiBy(counts, Seq(col("__vm")),
+          Seq("__c" -> "__cum", "__one" -> "__idx"), rangePartitions)
+        .drop("__one")
         .localCheckpoint() // consumed by 2-3 downstream legs
     }
     val refStaged = staged(ref)
     val srcStaged = staged(src)
     // ref side: value rank intervals plus a dense row index 1..|ref|
-    val refRanked = PrefixSum.inclusive(
-      refStaged.withColumn("__one", lit(1L)),
-      "__vm", "__one", "__idx", rangePartitions)
-      .select(col("__vm").as("__rv"), col("__idx"))
+    val refRanked = refStaged.select(col("__vm").as("__rv"), col("__idx"))
     val refTot = refStaged.agg(max(col("__cum")).as("__nr"))
     val srcTot = srcStaged.agg(max(col("__cum")).as("__ns"))
     // probe rank in ref: k = ceil(cum_src * n_ref / n_src), exact

@@ -23,6 +23,26 @@ class CorpusPackingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("PrefixSum.inclusiveMultiBy: each fused axis equals its own inclusiveBy") {
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle((1 to 400).map(i =>
+      (i * 5L + 1, rnd.nextInt(50).toLong, rnd.nextInt(9).toLong)))
+    val df = spark.createDataFrame(rows).toDF("k", "v", "w").repartition(11)
+    val fused = PrefixSum.inclusiveMultiBy(df, Seq(col("k")),
+        Seq("v" -> "cv", "w" -> "cw"), rangePartitions = 8)
+      .select("k", "cv", "cw").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val cv = PrefixSum.inclusiveBy(df, Seq(col("k")), "v", "cv",
+        rangePartitions = 8)
+      .select("k", "cv").as[(Long, Long)].collect().toMap
+    val cw = PrefixSum.inclusiveBy(df, Seq(col("k")), "w", "cw",
+        rangePartitions = 8)
+      .select("k", "cw").as[(Long, Long)].collect().toMap
+    rows.foreach { case (k, _, _) =>
+      assert(fused(k) === ((cv(k), cw(k))), s"key $k")
+    }
+  }
+
   test("packSequences: blocks tile the token axis exactly") {
     val rnd = new scala.util.Random(5)
     val docs = (1 to 200).map(i => (i.toLong, rnd.nextInt(600) + 1))
