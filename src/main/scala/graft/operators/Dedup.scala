@@ -250,9 +250,16 @@ object Dedup {
     // partitioning to the join (both sides still Exchange+Sort in the
     // explain), and the sweep measured zero change. The per-round
     // edge shuffle is the price of the loop on this engine.)
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // pin the DIRECTED pair list once and derive both orientations
+    // from the pinned table: the previous union-then-checkpoint ran
+    // the whole upstream pair pipeline (LSH banding + jaccard
+    // verification) once per union leg wherever exchange reuse didn't
+    // cover it (AQE's broadcast rewrites defeat ReuseExchange at small
+    // scale), and materialized 2|E| rows where |E| suffice
+    val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint()
+    val edges = directed.unionByName(
+      directed.select(col("dst").as("src"), col("src").as("dst")))
     // round 0 fused into initialization: every node starts at the min
     // of its closed neighborhood (one aggregation, no convergence probe)
     var labels = edges

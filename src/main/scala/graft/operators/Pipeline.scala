@@ -267,7 +267,14 @@ object Pipeline {
       .withColumn("__sr", row_number().over(byGroup))
       .filter(col("__sr") <= seedK)
       .select(g :+ col(itemCol): _*)
-    val ed = edges.select(col(srcCol), col(dstCol))
+    // depth > 1 consumes the edge list once PER HOP — pin it so an
+    // expensive upstream edge build (q284's autoLink: a PrefixSum
+    // continuation leg plus a state-blocked cosine pair join) executes
+    // once, not `depth` times (the kCore convention; the edge table is
+    // link-sized, bounded by the upstream operator's own output cap).
+    // depth == 1 reads it exactly once: skip the materialization job.
+    val ed0 = edges.select(col(srcCol), col(dstCol))
+    val ed = if (depth > 1) ed0.localCheckpoint() else ed0
     // BFS from the seed set: visited starts as the seeds, each hop's
     // frontier is the newly-reached (group, node) set. The union of
     // the hop frontiers IS reachable≤depth minus the seeds (a seed
