@@ -412,10 +412,16 @@ object Normalize {
     // summing __cnt over |v − median| is the identical multiset
     // (EvaluationSpec pins robustStatsBy against the naive raw-row
     // computation, including a duplicate-heavy fixture).
+    // pinned: the counts table feeds three lineages (median rank pass,
+    // the deviation join, the closing aggregate) — without the pin the
+    // corpus scan + groupBy re-executes once per consumer. Bounded by
+    // the distinct (group, value) count, the same table the rank
+    // machinery already materializes once per PrefixSum pass.
     val counts = df
       .groupBy(col(groupCol),
         floor(col(valueCol) * 1e6).cast("long").as("__v"))
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
     val med = medianOnCounts(counts, groupCol)
       .select(col(groupCol), col("median").as("median_micro"))
     // unhinted joins against the one-row-per-group tables: AQE
