@@ -342,22 +342,38 @@ object Recsys {
     * optimization cost stays bounded at ANY walk length instead of
     * growing linearly with it, and the materialized frontier is only
     * one row per start node. */
+  /** Edge count under which the pinned adjacency gets an explicit
+    * broadcast hint in the per-step frontier join ([[walkFrontier]]):
+    * a checkpointed LogicalRDD loses its size stats, so without the
+    * hint the planner falls back to sort-merge even on an item-graph
+    * the old lineage-stat path happily broadcast. 2M edges ≈ tens of
+    * MB framed — the [[graft.operators.Corpus.cooccurrencePmi]] census
+    * convention; past the cap the join degrades to the plain shuffle
+    * join a web-scale graph needs anyway. */
+  private[operators] val BroadcastAdjCap = 2000000L
+
   private def walkFrontier(adj: DataFrame, walkLen: Int,
       stepKey: Int => Column): DataFrame = {
-    // (r17 optimization note: pinning `adj` with localCheckpoint here
-    // was tried and REVERTED — the checkpointed LogicalRDD loses size
-    // stats, the per-step frontier⋈adj join stops broadcasting, and
-    // q113 measured 1.6 s -> 2.1 s. The per-step replay of the edge
-    // build is already bounded by the every-4th-round frontier
-    // checkpoint below truncating the lineage.)
-    var frontier = adj.select(col("node").as("start")).distinct()
+    // Pin the adjacency once: each of the `walkLen` rounds joins it,
+    // so an expensive upstream edge build (covisitation: full-log
+    // window + pair explode) re-executed once per step — 16 parquet
+    // scans in q113/q142/q143's plans, 0 after. A bare pin was tried
+    // and reverted in early r17 (the checkpointed LogicalRDD loses
+    // size stats, the per-step join stopped broadcasting, q113 1.6 s
+    // -> 2.1 s); the census below restores the broadcast decision off
+    // the ALREADY-materialized checkpoint (a distributed count, no
+    // extra build) and keeps the shuffle-join degrade for graphs past
+    // [[BroadcastAdjCap]].
+    val adjP = adj.localCheckpoint()
+    val adjJ = if (adjP.count() <= BroadcastAdjCap) broadcast(adjP) else adjP
+    var frontier = adjP.select(col("node").as("start")).distinct()
       .withColumn("cur", col("start"))
       .withColumn("path", array(col("start")))
     for (t <- 1 to walkLen) {
       val w = Window.partitionBy(col("start"))
         .orderBy(stepKey(t).asc, col("nbr").asc)
       frontier = frontier
-        .join(adj, frontier("cur") === adj("node"))
+        .join(adjJ, frontier("cur") === adjJ("node"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select(col("start"), col("nbr").as("cur"),
