@@ -548,10 +548,15 @@ object Dedup {
     // Clamp exact-duplicate pairs (jaccard == 1.0) into the top bin:
     // floor(1.0 * bins) would land in bin == bins, whose midpoint
     // (bins + 0.5)/bins > 1 drives (1 - s^r) negative in the S-curve.
+    // pinned: the ≤`bins`-row histogram is consumed once per grid
+    // config — without the pin the whole upstream pair pipeline (the
+    // inverted-index jaccard join) re-executes |grid| times (q268:
+    // 16 parquet scans before, 0 after)
     val hist = pairs
       .select(least(floor(col("jaccard") * bins), lit(bins - 1))
         .cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val scored = grid.map { case (b, r) =>
       val sMid = (col("bin").cast("double") + 0.5) / bins
       val p = lit(1.0) - chainPow(lit(1.0) - chainPow(sMid, r), b)

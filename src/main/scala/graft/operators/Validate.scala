@@ -221,24 +221,30 @@ object Validate {
       deleteKeys: DataFrame, deleteKeyCol: String): DataFrame = {
     val del = broadcast(deleteKeys.select(col(deleteKeyCol)).distinct())
     datasets.map { case (name, df, keyCol) =>
+      // ONE pass per dataset: the sweep flag and the independent
+      // residual re-check join both attach before a single conditional
+      // aggregate (the previous two-aggregate crossJoin executed each
+      // dataset's lineage twice). The residual probe still runs
+      // against the same key-set — a survivor (`__del` null) counted
+      // residual iff the RE-JOIN matches it, exactly the original
+      // post-filter recount (both joins are on the distinct key, so
+      // neither fans rows out).
       val flagged = df.join(
         del.withColumnRenamed(deleteKeyCol, keyCol)
           .withColumn("__del", lit(true)),
         Seq(keyCol), "left")
-      val swept = flagged.filter(col("__del").isNull)
-      val sweptFlag = swept.join(
+      val reChecked = flagged.join(
         del.withColumnRenamed(deleteKeyCol, keyCol)
           .withColumn("__res", lit(true)),
         Seq(keyCol), "left")
-      sweptFlag.agg(lit(name).as("dataset"),
-        count(lit(1)).as("rows_after"),
-        sum(col("__res").isNotNull.cast("long")).as("residual"))
-        .crossJoin(broadcast(flagged.agg(
-          count(lit(1)).as("rows_before"),
-          sum(col("__del").isNotNull.cast("long")).as("rows_deleted"))))
+      reChecked.agg(lit(name).as("dataset"),
+        count(lit(1)).as("rows_before"),
+        sum(col("__del").isNull.cast("long")).as("rows_after"),
+        sum(col("__del").isNotNull.cast("long")).as("rows_deleted"),
+        coalesce(sum((col("__del").isNull && col("__res").isNotNull)
+          .cast("long")), lit(0L)).as("residual"))
         .select(col("dataset"), col("rows_before"), col("rows_after"),
-          col("rows_deleted"), coalesce(col("residual"), lit(0L))
-            .as("residual"))
+          col("rows_deleted"), col("residual"))
     }.reduce(_ unionByName _)
   }
 
