@@ -273,6 +273,10 @@ object Recsys {
       minUsers: Long = 2): DataFrame = {
     val byRecency = Window.partitionBy(col("user_id"))
       .orderBy(col("__last").desc, col("item_id").asc)
+    // pinned: four consumers (both pair-join sides, the unigram
+    // support aggregate, the user census) otherwise re-execute the
+    // events scan + json extract + recency window once each; the
+    // table is recency-capped to ≤recentPerUser rows per user
     val capped = events
       .select(col("user_id"), itemOf(col("props")).as("item_id"), col("ts"))
       .filter(col("item_id").isNotNull)
@@ -280,6 +284,10 @@ object Recsys {
       .withColumn("__rn", row_number().over(byRecency))
       .filter(col("__rn") <= recentPerUser)
       .select(col("user_id"), col("item_id"))
+      .localCheckpoint()
+    // pinned: both `directed` orientations derive from the one
+    // materialized pair table (the connectedComponents convention) —
+    // support-filtered, so it is the small end of the pipeline
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.user_id") === col("b.user_id") &&
         col("a.item_id") < col("b.item_id"))
@@ -287,6 +295,7 @@ object Recsys {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minUsers)
+      .localCheckpoint()
     val supp = capped.groupBy(col("item_id")).agg(count(lit(1)).as("supp"))
     val nUsers = capped.agg(
       count_distinct(col("user_id")).as("__n_users"))
