@@ -1520,9 +1520,14 @@ object SparkEntry {
     // pretraining data pipeline actually runs ----
     "q114_text_to_tensors" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // pinned: the deduped corpus feeds BOTH the vocabulary build and
+      // the encoding pass — without the pin the whole paragraph-dedup
+      // pipeline (explode + keep-first window + re-assembly) executes
+      // twice (r17, guide §2.4)
       val clean = Dedup.dedupeParagraphs(docs, paraTokens = 8)
         .filter(col("n_dropped") * 2 < col("n_paras"))
         .select(col("doc_id"), col("text_dedup").as("text"))
+        .localCheckpoint()
       val vocab = graft.operators.Corpus.vocabIds(clean, "text")
         .filter(col("vocab_id") < 20)
       val enc = graft.operators.Corpus.encodeDocs(clean, vocab)
