@@ -155,11 +155,15 @@ object SparkEntry {
     // ---- multi-FG stitch: profile + derived order stats (J2) ----
     "q3_multi_fg_stitch" -> ((s, dir) => {
       val customer = Tables.customer(s, dir)
+      // pinned: every stitched feature group's retrieve re-derives the
+      // key set — one materialization instead of one base-table scan
+      // per FG (r17, guide §2.4; key-set-sized)
       val keys = customer.filter(col("c_custkey") % 10 === 3)
         .select(col("c_custkey"))
         .unionByName(customer.filter(col("c_custkey") % 10 === 3)
           .select((col("c_custkey") + 1000000L).as("c_custkey")))
         .distinct()
+        .localCheckpoint()
       val stats = Tables.orders(s, dir).groupBy(col("o_custkey").as("c_custkey"))
         .agg(count(lit(1)).as("order_cnt"), xsum(col("o_totalprice")).as("total_spend"))
       val profile = FeatureStore.retrieve(keys, customer, Seq("c_custkey"),
