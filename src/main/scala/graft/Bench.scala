@@ -115,6 +115,50 @@ object Bench {
     * for 3 forks + harness). */
   val SkewForkEstimateSec: Double = 60.0
 
+  // ---- suite-phase budget discipline (r17 verdict item 1) ----------
+  //
+  // BENCH_r17 died rc 124 mid-timed-pass: the suite warmup/timed/audit
+  // loops were the ONLY phases with no budget checks, so on a
+  // contended box the suite alone could outlive the driver's 3600 s
+  // timeout and the run emitted nothing at all. The suite now degrades
+  // in the same skip-and-record style as the sweep/skew phases:
+  //
+  //   elapsed > WarmupBudgetFrac · budget  → remaining warmups skipped
+  //     (cold first timed pass; median-of-N absorbs it — recorded)
+  //   elapsed > DegradeBudgetFrac · budget → timed passes drop to 1
+  //     (a 1-pass median is the pass itself; single-sample noise is
+  //     the documented 17x risk, but a recorded 1-pass number beats a
+  //     killed run with no number)
+  //   elapsed > budget                     → remaining timed queries
+  //     skipped entirely, each recorded in budget_skipped
+  //   audit: the >0.5 s + top-3 list runs cost-descending; past
+  //     AuditSoftFrac · budget only the top-3 still audit, past the
+  //     full budget nothing does (skips recorded, audit stays a
+  //     monotone signal)
+  //
+  // On any box fast enough for the r16/r17 evidence (32c suite ≈
+  // 1000 s against the 2700 s default budget) none of these fire; they
+  // exist so a 2-3x contended box produces a complete, parseable,
+  // rc-0 artifact instead of rc 124 with parsed:null.
+
+  /** Warmup loop stops consuming budget past this fraction. */
+  val WarmupBudgetFrac: Double = 0.35
+
+  /** Timed loop degrades to 1 pass per query past this fraction. */
+  val DegradeBudgetFrac: Double = 0.55
+
+  /** Plan audits past this fraction run only for the top-3 queries. */
+  val AuditSoftFrac: Double = 0.9
+
+  /** Timed-loop plan for one query given elapsed/budget state:
+    * `passes` to run (0 = skip this query entirely, recorded by the
+    * caller). Pure, spec-tested (BenchEmitSpec). */
+  def suitePasses(elapsedSec: Double, budgetSec: Double,
+      passes: Int): Int =
+    if (elapsedSec > budgetSec) 0
+    else if (elapsedSec > budgetSec * DegradeBudgetFrac) 1
+    else passes
+
   // ---- compact driver-capture line --------------------------------
 
   /** Names shown per compact-line array before collapsing to a
@@ -354,6 +398,19 @@ object Bench {
         instrumentationSec, total, results.size, results.toSeq)))
       System.out.flush()
     }
+    // Last-gasp emission (r17 verdict item 1): if the JVM is torn down
+    // mid-run (driver timeout → SIGTERM through sbt's forked-run
+    // shutdown), flush one final complete metric + compact line with
+    // everything measured so far, so even a killed run leaves a
+    // parseable artifact in the driver's tail capture. The normal
+    // "final" emission sets benchDone so the hook is a no-op on clean
+    // exits.
+    @volatile var benchDone = false
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!benchDone) {
+        try emit("killed") catch { case _: Throwable => () }
+      }
+    }))
     emit("start")
     // Warmup pass over the SELECTED queries only: JIT-compile the
     // interpreted-expression and codegen paths and fault in the
@@ -363,23 +420,44 @@ object Bench {
     // gets an "error:<class>" entry in the output JSON and flips the
     // exit code, so an environment shift (e.g. a testdata schema change)
     // can never again produce a green BENCH over broken queries.
+    // Budget-aware (Bench.WarmupBudgetFrac): on a box too slow for
+    // even the warmup to fit its budget share, the remaining warmups
+    // are skipped and recorded — a cold first timed pass is absorbed
+    // by the median, a killed run is not.
+    var warmupSkipped = 0
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count() catch {
+      if (elapsedSec > budgetSec * Bench.WarmupBudgetFrac)
+        warmupSkipped += 1
+      else try fn(spark, sfDir).count() catch {
         case e: Throwable =>
           errors += name -> e.getClass.getSimpleName
       }
     }
+    if (warmupSkipped > 0)
+      budgetSkipped ::= s"suite:warmup-$warmupSkipped"
     var sinceEmit = 0
+    var passesDegraded = false
     queries.foreach { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors += name -> e.getClass.getSimpleName
+      val effPasses = Bench.suitePasses(elapsedSec, budgetSec, passes)
+      if (effPasses == 0) {
+        // per-query skip record: the driver's per-query diff sees the
+        // name disappear from `queries`, and budget_skipped says why
+        budgetSkipped ::= s"suite:$name"
+      } else {
+        if (effPasses < passes && !passesDegraded) {
+          passesDegraded = true
+          budgetSkipped ::= s"suite:passes1@$name"
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      results(name) = times(times.length / 2)
+        val times = (1 to effPasses).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              errors += name -> e.getClass.getSimpleName
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        results(name) = times(times.length / 2)
+      }
       sinceEmit += 1
       if (sinceEmit >= Bench.EmitEvery) { sinceEmit = 0; emit("timing") }
     }
@@ -413,7 +491,18 @@ object Bench {
     val toAudit = byCost.filter { case (n, t) =>
       auditAll || t > 0.5 || top3(n) }
     var shapes = Map.empty[String, PlanAudit.Shape]
-    val audited = toAudit.map { case (name, _) =>
+    // budget-aware audit (r17 verdict item 1): each audit re-executes
+    // its query once, so the loop is suite-pass-sized. toAudit is
+    // cost-descending, so the top-3 run first; past AuditSoftFrac of
+    // the budget only they still run, past the full budget nothing
+    // does. Skips are counted and recorded, never silent.
+    var auditSkipped = 0
+    val audited = toAudit.flatMap { case (name, _) =>
+      if (overBudget() ||
+          (elapsedSec > budgetSec * Bench.AuditSoftFrac && !top3(name))) {
+        auditSkipped += 1
+        None
+      } else Some {
         val verdict =
           try {
             val df = SparkEntry.queries(name)(spark, sfDir)
@@ -445,7 +534,10 @@ object Bench {
             }
           } catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
         name -> verdict
+      }
     }
+    if (auditSkipped > 0)
+      budgetSkipped ::= s"suite:audit-$auditSkipped"
     // Baseline writer works from the OBSERVED shapes, not the verdict
     // strings: flagged queries still get their counts recorded
     // (bootstrap from an empty file works), a query's reviewed !bnlj
@@ -1230,6 +1322,7 @@ object Bench {
       rebuildSweepJson()
     }
     emit("final")
+    benchDone = true // the shutdown hook's last-gasp emission stands down
     // the parent session is already stopped when the sweep ran; stop
     // whichever session is still live (an in-process fallback may have
     // rebuilt one). stop() is idempotent.

@@ -296,8 +296,10 @@ object Normalize {
 
   /** [[medianBy]] over a pre-aggregated `(groupCol, __v, __cnt)`
     * counts table — identical rank rule (lower median, `k = (n+1) div
-    * 2`). */
-  private def medianOnCounts(
+    * 2`). Package-visible: [[Profile.imputationStats]] derives its
+    * median from the same counts table that feeds its mean/mode
+    * aggregate, so the corpus unpivot runs once, not twice. */
+  private[operators] def medianOnCounts(
       counts: DataFrame, groupCol: String): DataFrame =
     rankStagedOnCounts(counts, groupCol)
       .withColumn("__k", expr("(n + 1) div 2"))

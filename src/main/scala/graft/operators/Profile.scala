@@ -194,15 +194,29 @@ object Profile {
       }: _*)).as("__e"))
       .select(col("__e.col_name").as("col_name"), col("__e.__vm").as("__vm"))
       .filter(col("__vm").isNotNull)
+    // r18 optimization (guide §2.3/§2.4 — the robustStatsBy pattern):
+    // the raw-point unpivot previously fed BOTH this counts aggregate
+    // AND Normalize.medianBy(pts, …), which re-aggregated the raw rows
+    // from scratch — the 3x corpus explode executed twice (q216 was
+    // the slowest query of the only complete r17 driver run, 32.7 s at
+    // 8 cores). The median now rides medianOnCounts over the SAME
+    // counts table (rankStagedBy builds exactly this table internally,
+    // so the rank rule — lower median, k = (n+1) div 2 — is
+    // unchanged), and the table is pinned for its two consumers.
+    // Bounded by the distinct (column, micro-value) count.
     val counts = pts.groupBy(col("col_name"), col("__vm"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     // mode = argmax (count, then SMALLEST value) as ONE max aggregate
     // over (count, -value) pairs — no per-column sort at any size
     val means = counts.groupBy(col("col_name"))
       .agg(sum(col("__c")).as("n"),
         sum(col("__vm") * col("__c")).as("__s"),
         max(struct(col("__c"), (-col("__vm")).as("__nv"))).as("__mx"))
-    val med = Normalize.medianBy(pts, "col_name", "__vm")
+    val med = Normalize.medianOnCounts(
+        counts.select(col("col_name"), col("__vm").as("__v"),
+          col("__c").as("__cnt")),
+        "col_name")
       .select(col("col_name"), col("median").as("__med"))
     means.join(med, Seq("col_name"))
       .select(col("col_name"), col("n"),

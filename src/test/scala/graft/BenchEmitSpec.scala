@@ -63,6 +63,18 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(mapper.readTree(line).get("metric").asText() === "summary")
   }
 
+  test("suitePasses: full passes under the degrade line, 1 pass past " +
+      "it, skip past the full budget (r17 verdict item 1)") {
+    val b = 2700.0
+    assert(Bench.suitePasses(0.0, b, 3) === 3)
+    assert(Bench.suitePasses(b * Bench.DegradeBudgetFrac - 1, b, 3) === 3)
+    assert(Bench.suitePasses(b * Bench.DegradeBudgetFrac + 1, b, 3) === 1)
+    assert(Bench.suitePasses(b - 1, b, 3) === 1)
+    assert(Bench.suitePasses(b + 1, b, 3) === 0)
+    // a 1-pass run never degrades below 1 before the hard budget
+    assert(Bench.suitePasses(b * 0.7, b, 1) === 1)
+  }
+
   test("compactLine empty-state skeleton (the start emission) parses") {
     val s = Bench.Summary("start", 17, "/root/testdata/sf0.1",
       0, 0, false, 0, 0, 0, 0, Nil, Nil, Nil, Nil, false, 1.0,
