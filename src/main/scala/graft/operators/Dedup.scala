@@ -47,24 +47,31 @@ object Dedup {
       threshold: Double = 0.5,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // r18 (guide §2.4, r17 verdict item 6): pin the staged
+    // (id, distinct shingles, signature) table. `base` feeds FOUR
+    // lineages — both sides of the banded self-join and both jaccard
+    // re-entry joins — and only the SMJ regime's ReuseExchange
+    // deduplicated the first two; under AQE's broadcast rewrite (and
+    // always for the jaccard joins, whose projections differ) the
+    // shingle/md5 kernel re-executed per consumer. One pin = one
+    // kernel execution under every join regime.
     val base = docs
       .select(col(idCol), words(col(textCol)).as("__w"))
       .select(col(idCol), shinglesFromWords(col("__w"), n).as("__sg"))
-      .select(col(idCol), col("__sg"),
+      .select(col(idCol), array_distinct(col("__sg")).as("__shd"),
         minhashOfShingles(col("__sg"), k).as("__sig"))
+      .localCheckpoint()
     val banded = base
       .select(col(idCol), explode(bandKeys(col("__sig"), k, bands)).as("__band"))
       .select(col(idCol), col("__band.band_idx").as("band_idx"),
         col("__band.bucket").as("bucket"))
-    // identical join sides → ReuseExchange shuffles the banded
-    // signatures once (one pass over the corpus, not two)
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.bucket") === col("r.bucket") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()  // a pair may collide in several bands
-    val sh = base.select(col(idCol), array_distinct(col("__sg")).as("__shd"))
+    val sh = base.select(col(idCol), col("__shd"))
     cand
       .join(sh.select(col(idCol).as("id_a"), col("__shd").as("__sha")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__shd").as("__shb")), "id_b")
@@ -127,11 +134,15 @@ object Dedup {
       bands: Int = 4,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // one pin, one shingle/md5 kernel execution under every join
+    // regime — the [[minhashLshPairs]] r18 convention (four consumers:
+    // both banded sides, both audit re-entry joins)
     val base = docs
       .select(col(idCol), words(col(textCol)).as("__w"))
       .select(col(idCol), shinglesFromWords(col("__w"), n).as("__sg"))
-      .select(col(idCol), col("__sg"),
+      .select(col(idCol), array_distinct(col("__sg")).as("__shd"),
         minhashOfShingles(col("__sg"), k).as("__sig"))
+      .localCheckpoint()
     val banded = base
       .select(col(idCol), explode(bandKeys(col("__sig"), k, bands)).as("__band"))
       .select(col(idCol), col("__band.band_idx").as("band_idx"),
@@ -142,8 +153,7 @@ object Dedup {
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
-    val side = base.select(col(idCol),
-      array_distinct(col("__sg")).as("__shd"), col("__sig"))
+    val side = base.select(col(idCol), col("__shd"), col("__sig"))
     cand
       .join(side.select(col(idCol).as("id_a"), col("__shd").as("__sha"),
         col("__sig").as("__siga")), "id_a")

@@ -803,8 +803,17 @@ object Recsys {
     for (r <- 1 to rounds) {
       val sym = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       deg = sym.groupBy(col("n")).agg(count(lit(1)).as("degree"))
-      val keep = deg.filter(col("degree") >= k).select(col("n"))
       if (r < rounds) {
+        // r18 (guide §2.4): pin the survivor set. Unpinned, round
+        // r+1's degree aggregate AND both semi-joins each re-derive
+        // `keep` — whose lineage contains the whole prior round —
+        // so the peel stack's subtrees replicated ~2x per round
+        // (q245 final plan: 53 reads of the pinned edge RDD, 81
+        // exchanges for 3 rounds). The pin is node-sized (bounded by
+        // surviving |V|), far below the edge pins the convention
+        // already allows, and makes the plan linear in rounds.
+        val keep = deg.filter(col("degree") >= k).select(col("n"))
+          .localCheckpoint()
         e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         if (r % 4 == 0) e = e.localCheckpoint()

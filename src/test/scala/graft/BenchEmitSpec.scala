@@ -45,7 +45,9 @@ class BenchEmitSpec extends AnyFunSuite {
     assert(node.get("metric").asText() === "summary")
     assert(node.get("phase").asText() === "final")
     assert(node.get("n_queries").asInt() === 294)
-    assert(node.get("slowest").size() === Bench.CompactSlowest)
+    // greedy fill: even with every array maxed out, at least the
+    // CompactSlowest floor of per-query timings still fits
+    assert(node.get("slowest").size() >= Bench.CompactSlowest)
     // capped arrays collapse to CompactNames + a "+N more" marker
     assert(node.get("flagged").size() === Bench.CompactNames + 1)
     assert(node.get("budget_skipped").size() === Bench.CompactNames + 1)
@@ -61,6 +63,22 @@ class BenchEmitSpec extends AnyFunSuite {
       results = SparkEntry.queries.keys.toSeq.map(n => (n, 1234.567))))
     assert(line.length < Bench.CompactMaxChars, s"len=${line.length}")
     assert(mapper.readTree(line).get("metric").asText() === "summary")
+  }
+
+  test("compactLine greedy fill: a clean run's empty arrays buy room " +
+      "for far more than the floor of per-query timings") {
+    val clean = maxed("final").copy(
+      errors = 0, auditFlags = 0, sweepFlags = 0, sweepContended = 0,
+      sweepStarved = 0, sweepErrors = 0, flagged = Nil, contended = Nil,
+      starved = Nil, errorQ = Nil, skewFlagged = Nil, skewStraggler = Nil,
+      skewSensitive = Nil, skewErrorQ = Nil, budgetSkipped = Nil,
+      retrySkipped = Nil,
+      results = SparkEntry.queries.keys.toSeq.map(n => (n, 1234.567)))
+    val line = Bench.compactLine(clean)
+    assert(line.length < Bench.CompactMaxChars, s"len=${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("slowest").size() >= 25,
+      s"greedy fill only carried ${node.get("slowest").size()} entries")
   }
 
   test("suitePasses: full passes under the degrade line, 1 pass past " +

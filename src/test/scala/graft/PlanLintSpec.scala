@@ -23,28 +23,42 @@ class PlanLintSpec extends AnyFunSuite with SparkSuite {
           .map(m => m.group(1) -> m.group(2).toInt).toMap
       } else Map.empty
     }
-    val failures = scala.collection.mutable.ListBuffer[String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, dir)
-        // execute through THIS QueryExecution so the audited adaptive
-        // plan is the finalized one (the Bench convention)
-        df.queryExecution.toRdd.count()
-        val shape = PlanAudit.audit(df.queryExecution.executedPlan)
-        if (shape.cartesian > 0)
-          failures += s"$name: CartesianProduct in plan"
-        if (shape.unboundedBnlj > allow.getOrElse(name, 0))
-          failures += s"$name: ${shape.unboundedBnlj} unbounded " +
-            s"BroadcastNestedLoopJoin (allowance ${allow.getOrElse(name, 0)})"
-      } catch {
-        case e: Throwable => failures += s"$name: ${e.getMessage}"
-      }
-    }
+    // The 294 queries are independent jobs on a shared session: run
+    // them from a small thread pool (guide §2.6 — actions are only
+    // sequential because the driver calls them sequentially) so the
+    // next query's tiny sf0.001 jobs back-fill the executor threads
+    // the previous query's tail leaves idle. Sequential, this single
+    // test was ~4.6 min of the whole suite's wall — the r17 driver
+    // could not witness `sbt test` green inside its window.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      SparkEntry.queries.toSeq.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try {
+              val df = fn(spark, dir)
+              // execute through THIS QueryExecution so the audited
+              // adaptive plan is the finalized one (the Bench convention)
+              df.queryExecution.toRdd.count()
+              val shape = PlanAudit.audit(df.queryExecution.executedPlan)
+              if (shape.cartesian > 0)
+                failures.add(s"$name: CartesianProduct in plan")
+              if (shape.unboundedBnlj > allow.getOrElse(name, 0))
+                failures.add(s"$name: ${shape.unboundedBnlj} unbounded " +
+                  s"BroadcastNestedLoopJoin (allowance ${allow.getOrElse(name, 0)})")
+            } catch {
+              case e: Throwable => failures.add(s"$name: ${e.getMessage}")
+            }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
     // lead with the count: when testdata drift breaks a batch of
     // queries at once, the headline number is the signal
+    import scala.jdk.CollectionConverters._
     assert(failures.isEmpty,
       s"${failures.size}/${SparkEntry.queries.size} queries failed lint:\n" +
-        failures.mkString("\n"))
+        failures.asScala.mkString("\n"))
   }
 
   test("audit: full-outer 1x1 BNLJ is NOT bounded; explicit top-N is") {
