@@ -60,7 +60,7 @@ object Dedup {
       .select(col(idCol), shinglesFromWords(col("__w"), n).as("__sg"))
       .select(col(idCol), array_distinct(col("__sg")).as("__shd"),
         minhashOfShingles(col("__sg"), k).as("__sig"))
-      .localCheckpoint()
+      .transform(Pins.heavy)
     val banded = base
       .select(col(idCol), explode(bandKeys(col("__sig"), k, bands)).as("__band"))
       .select(col(idCol), col("__band.band_idx").as("band_idx"),
@@ -142,7 +142,7 @@ object Dedup {
       .select(col(idCol), shinglesFromWords(col("__w"), n).as("__sg"))
       .select(col(idCol), array_distinct(col("__sg")).as("__shd"),
         minhashOfShingles(col("__sg"), k).as("__sig"))
-      .localCheckpoint()
+      .transform(Pins.heavy)
     val banded = base
       .select(col(idCol), explode(bandKeys(col("__sig"), k, bands)).as("__band"))
       .select(col(idCol), col("__band.band_idx").as("band_idx"),
@@ -267,7 +267,7 @@ object Dedup {
     // cover it (AQE's broadcast rewrites defeat ReuseExchange at small
     // scale), and materialized 2|E| rows where |E| suffice
     val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
+      .transform(Pins.heavy)
     val edges = directed.unionByName(
       directed.select(col("dst").as("src"), col("src").as("dst")))
     // round 0 fused into initialization: every node starts at the min

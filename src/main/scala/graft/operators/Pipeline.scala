@@ -274,7 +274,7 @@ object Pipeline {
     // link-sized, bounded by the upstream operator's own output cap).
     // depth == 1 reads it exactly once: skip the materialization job.
     val ed0 = edges.select(col(srcCol), col(dstCol))
-    val ed = if (depth > 1) ed0.localCheckpoint() else ed0
+    val ed = if (depth > 1) Pins.heavy(ed0) else ed0
     // BFS from the seed set: visited starts as the seeds, each hop's
     // frontier is the newly-reached (group, node) set. The union of
     // the hop frontiers IS reachable≤depth minus the seeds (a seed

@@ -284,7 +284,7 @@ object Recsys {
       .withColumn("__rn", row_number().over(byRecency))
       .filter(col("__rn") <= recentPerUser)
       .select(col("user_id"), col("item_id"))
-      .localCheckpoint()
+      .transform(Pins.heavy)
     // pinned: both `directed` orientations derive from the one
     // materialized pair table (the connectedComponents convention) —
     // support-filtered, so it is the small end of the pipeline
@@ -295,7 +295,7 @@ object Recsys {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minUsers)
-      .localCheckpoint()
+      .transform(Pins.heavy)
     val supp = capped.groupBy(col("item_id")).agg(count(lit(1)).as("supp"))
     val nUsers = capped.agg(
       count_distinct(col("user_id")).as("__n_users"))
@@ -373,7 +373,7 @@ object Recsys {
     // the ALREADY-materialized checkpoint (a distributed count, no
     // extra build) and keeps the shuffle-join degrade for graphs past
     // [[BroadcastAdjCap]].
-    val adjP = adj.localCheckpoint()
+    val adjP = Pins.heavy(adj)
     val adjJ = if (adjP.count() <= BroadcastAdjCap) broadcast(adjP) else adjP
     var frontier = adjP.select(col("node").as("start")).distinct()
       .withColumn("cur", col("start"))
@@ -445,7 +445,7 @@ object Recsys {
       .select(col("item_a").as("node"), col("item_b").as("nbr"))
       .union(edges.select(col("item_b"), col("item_a")))
       .distinct()
-      .localCheckpoint()
+      .transform(Pins.heavy)
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("__deg"))
       .localCheckpoint()
     val n = deg.agg(count(lit(1)).as("__n"))
@@ -606,7 +606,7 @@ object Recsys {
       .filter(col("a") =!= col("b") &&
         col("a").isNotNull && col("b").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .transform(Pins.heavy)
     // node-sized; read by two orientation joins plus the global base
     // aggregate
     val deg = undirected.select(col("a").as("v"))
@@ -625,7 +625,7 @@ object Recsys {
           .as("__e"))
       .select(col("__e.u").as("u"), col("__e.w").as("w"))
       // three wedge-join legs read this; edge-sized
-      .localCheckpoint()
+      .transform(Pins.heavy)
     // wedges at u: (u->w1, u->w2), close with oriented edge w1->w2
     val tri = oriented.as("e1").join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
@@ -798,7 +798,7 @@ object Recsys {
     // top, so an expensive upstream build (covisitation's pair
     // explode) would otherwise re-execute once per consumer
     var e = edges.select(col("item_a").as("a"), col("item_b").as("b"))
-      .localCheckpoint()
+      .transform(Pins.heavy)
     var deg: DataFrame = null
     for (r <- 1 to rounds) {
       val sym = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
@@ -816,7 +816,7 @@ object Recsys {
           .localCheckpoint()
         e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        if (r % 4 == 0) e = e.localCheckpoint()
+        if (r % 4 == 0) e = Pins.heavy(e)
       }
     }
     deg.filter(col("degree") >= k)
@@ -843,7 +843,7 @@ object Recsys {
     // per consumer. 2·|edges|-sized.
     val sym = edges.select(col("item_a").as("s"), col("item_b").as("d"))
       .unionAll(edges.select(col("item_b").as("s"), col("item_a").as("d")))
-      .localCheckpoint()
+      .transform(Pins.heavy)
     val deg = sym.groupBy(col("s").as("n")).agg(count(lit(1)).as("dg"))
     val pairs = sym
       .join(deg.select(col("n").as("s"), col("dg").as("x")), Seq("s"))
@@ -880,7 +880,7 @@ object Recsys {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("item_a").as("a"), col("item_b").as("b"))
-      .localCheckpoint()
+      .transform(Pins.heavy)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     val kdf = ks.toDF("k")
@@ -923,7 +923,7 @@ object Recsys {
     // the node union read this; the upstream transition-graph build
     // (a full-log window scan in q246) must not replay per consumer
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
-      .localCheckpoint()
+      .transform(Pins.heavy)
     // round 1 folds h0 = 1 into a plain weighted in-degree
     var auth = e.groupBy(col("dst")).agg(sum(col("w")).as("a"))
     var hub = e.join(auth, Seq("dst"))
