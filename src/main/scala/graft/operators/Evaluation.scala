@@ -30,23 +30,41 @@ object Evaluation {
       groupCols: Seq[String],
       scoreCol: String,
       labelCol: String): DataFrame = {
+    // r18 (guide §2.2/§2.4 — the rank-arithmetic convention): every
+    // consumer keys this on a HANDFUL of groups (event_type, fold,
+    // fraction), so the previous per-row `Window.partitionBy(group)`
+    // ranked the whole corpus inside ≤|groups| partitions — the
+    // single-partition-window shape the rest of the repo exists to
+    // avoid. Ranks now derive from the distinct (group, score) counts
+    // table: a tied block occupying within-group rank interval
+    // (lo, lo+cnt] has competition rank lo+1 and tie count cnt, so
+    // each of its positives contributes 2·avgRank = 2·lo + cnt + 1 —
+    // the identical exact integer the per-row form summed. Heavy
+    // machinery is bounded by the distinct-cell count; the prefix sum
+    // is range-partitioned ([[PrefixSum]]), never single-partition.
     val g = groupCols.map(col)
-    val byScore = Window.partitionBy(g: _*).orderBy(col(scoreCol).asc)
-    val tieSpec = Window.partitionBy(g :+ col(scoreCol): _*)
-    val staged = df
-      .select(g :+ col(scoreCol) :+ col(labelCol).cast("long").as("__y"): _*)
-      .withColumn("__rank", rank().over(byScore))
-      .withColumn("__eq", count(lit(1)).over(tieSpec))
-    val nPos = sum(col("__y"))
-    val nNeg = sum(lit(1L) - col("__y"))
-    // Σ over positives of 2·avgRank, as an exact long; rank() is
-    // 32-bit, so widen BEFORE the arithmetic or groups past ~2^30
-    // rows silently wrap
-    val s2 = sum(col("__y") *
-      (lit(2L) * (col("__rank").cast("long") - 1L) +
-        col("__eq").cast("long") + 1L))
-    staged.groupBy(g: _*)
-      .agg(nPos.as("n_pos"), nNeg.as("n_neg"), s2.as("__s2"))
+    // pinned: the range exchange's bound-sampling pass and the offsets
+    // aggregate would otherwise re-run the corpus aggregation (bounded
+    // by the distinct cell count — the robustStatsBy counts-pin class)
+    val counts = df
+      .select(g :+ col(scoreCol).as("__v") :+
+        col(labelCol).cast("long").as("__y"): _*)
+      .groupBy(g :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__pos"),
+        sum(lit(1L) - col("__y")).as("__neg"))
+      .localCheckpoint()
+    val cum = PrefixSum.inclusiveBy(counts,
+      g.map(_.asc) :+ col("__v").asc, "__cnt", "__cum")
+    // per-group rank offset: group blocks are contiguous in the
+    // (group, score) total order, so the group's first cell carries it
+    val offs = cum.groupBy(g: _*)
+      .agg(min(col("__cum") - col("__cnt")).as("__goff"))
+    val lo = col("__cum") - col("__goff") - col("__cnt")
+    cum.join(offs, groupCols)
+      .groupBy(g: _*)
+      .agg(sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"),
+        sum(col("__pos") * (lit(2L) * lo + col("__cnt") + 1L)).as("__s2"))
       .withColumn("auc",
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
           .otherwise(
