@@ -112,10 +112,14 @@ object AnnIndex {
       numPlanes: Int = 16,
       bands: Int = 4,
       seed: Long = 42L): DataFrame = {
+    // r18: pinned (the minhashLshPairs convention) — the hyperplane
+    // bucket kernel fed both self-join sides and only the SMJ regime's
+    // ReuseExchange deduplicated them. (id, band, bucket) rows only —
+    // the embeddings stay out of the pin.
     val b = withBuckets(df.select(col(idCol), col(embCol)), embCol,
       numPlanes, bands, seed)
       .select(col(idCol), col("band_idx"), col("bucket"))
-    // identical join sides → ReuseExchange hashes the buckets once
+      .transform(Pins.heavy)
     b.as("l").join(b.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
         col("l.bucket") === col("r.bucket") &&

@@ -595,14 +595,20 @@ object Dedup {
       threshold: Double = 0.3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // r18: pinned (the minhashLshPairs convention). "Identical join
+    // sides → ReuseExchange" only holds in the SMJ regime; AQE's
+    // broadcast rewrite re-planned the sides independently and the
+    // shingle kernel executed once per side (q25 final plan: 4 parquet
+    // scans, 0 ReusedExchange). One pin = one kernel execution under
+    // every join regime.
     val withSh = docs
       .select(col(blockCol).as("__blk"), col(idCol), words(col(textCol)).as("__w"))
       .select(col("__blk"), col(idCol),
         array_distinct(shinglesFromWords(col("__w"), n)).as("__sh"))
       .select(col("__blk"), col(idCol), col("__sh"), size(col("__sh")).as("__sz"))
+      .transform(Pins.heavy)
     val inv = withSh.select(col("__blk"), col(idCol), col("__sz"),
       explode(col("__sh")).as("__s"))
-    // identical join sides → ReuseExchange shuffles the inverted index once
     inv.as("l").join(inv.as("r"),
         col("l.__blk") === col("r.__blk") && col("l.__s") === col("r.__s") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
@@ -644,14 +650,18 @@ object Dedup {
       explode(graft.functions.TextFunctions
         .winnowFingerprint(col(textCol), k, w)).as("__fp"))
     // df cutoff: drop boilerplate fingerprints before any pairing
+    // r18: pinned (the minhashLshPairs convention) — `kept` feeds the
+    // sizes aggregate AND both self-join sides, so unpinned the winnow
+    // kernel + df window executed up to 5x (q156 final plan: 5 parquet
+    // scans). One pin = one kernel execution under every join regime.
     val kept = fps
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
       .filter(col("__df") <= maxDocFreq)
       .drop("__df")
+      .transform(Pins.heavy)
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val inv = kept.join(sizes, Seq(idCol))
-    // identical join sides → ReuseExchange shuffles the index once
     inv.as("l").join(inv.as("r"),
         col("l.__fp") === col("r.__fp") &&
         col(s"l.$idCol") < col(s"r.$idCol"))

@@ -74,7 +74,7 @@ object EpisodeGraph {
     // failed leg) — materialize once (RangeJoin convention)
     val base = episodes.select(col(idCol), col(stateCol),
         col(startCol), col(endCol), col(outcomeCol), col(embCol))
-      .localCheckpoint()
+      .transform(Pins.heavy)
 
     // -- CONTINUATION: global (start, id) rank, consecutive ranks join
     val ranked = PrefixSum.inclusiveBy(
@@ -374,7 +374,7 @@ object EpisodeGraph {
       .filter(col(embCol).isNotNull)
       .select(col(idCol).cast("long").as("__fid"),
         col(embCol).cast("array<double>").as("__femb"))
-      .localCheckpoint()
+      .transform(Pins.heavy)
     // the pair generator keeps cosine STRICTLY > its threshold while
     // the merge kernel folds at >= mergeThreshold; nextDown makes the
     // edge set exactly {cos >= mergeThreshold} (no double exists

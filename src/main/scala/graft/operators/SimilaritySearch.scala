@@ -256,12 +256,16 @@ object SimilaritySearch {
       threshold: Double,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    // identical join sides → ReuseExchange shuffles the corpus once;
-    // double-cast + L2 norm staged per VECTOR (each vector's norm would
-    // otherwise be recomputed for every one of its pairs)
-    val side = corpus.select(col(blockCol), col(idCol),
+    // r18: pinned (the minhashLshPairs convention) — "identical join
+    // sides → ReuseExchange" only held in the SMJ regime; under AQE's
+    // broadcast rewrite each side re-executed the upstream (for the
+    // IVF callers that is the whole k-means assignment join; q18's
+    // final plan read 4 parquet scans, 0 ReusedExchange). Staging the
+    // double-cast + per-vector L2 norm in the pin also keeps each
+    // norm computed once, as before.
+    val side = Pins.heavy(corpus.select(col(blockCol), col(idCol),
       col(embCol).cast("array<double>").as(embCol),
-      Similarity.l2(col(embCol)).as("__n"))
+      Similarity.l2(col(embCol)).as("__n")))
     side.as("a").join(side.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
