@@ -49,11 +49,28 @@ object SparkEntry {
     * SessionState) scopes the override to streams built on it: the
     * shared session's conf is never mutated, so any concurrently
     * planned batch query keeps the session default. */
-  private def streamSession(s: SparkSession): SparkSession = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
-    ss
-  }
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def streamSession(s: SparkSession): SparkSession =
+    // ONE clone per parent session, cached (r18, verdict item 8):
+    // every clone that starts a stream lazily attaches a
+    // StreamingQueryListenerBus to the shared SparkContext
+    // LiveListenerBus and is never detached (the bus holds the strong
+    // ref), so a fresh clone per query invocation accumulated
+    // listeners for the JVM's life — each new one re-processing every
+    // "streams"-queue event. Over a full bench (8 stream fixtures ×
+    // warmup + 3 timed passes) that read as streaming queries running
+    // ~2-3x slower IN-SUITE than warm-isolated (q292: 6.3 s in-suite
+    // vs 1.9 s isolated at 32c) while batch queries were unaffected.
+    // The clone carries no per-query state — only the stream-scoped
+    // shuffle-partitions conf — so sharing it is pure harness hygiene:
+    // every stream still stages, plans, and computes from scratch.
+    streamSessions.computeIfAbsent(s, parent => {
+      val ss = parent.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss
+    })
 
   /** Drain a streaming DataFrame to parquet with AvailableNow (one
     * shot over everything staged) and return the materialized result.
